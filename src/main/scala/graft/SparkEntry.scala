@@ -1,13 +1,208 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in `specs` is one operator family from SURVEY.md §2 expressed
+  * over the harness tables, with (where SQL-expressible) a DuckDB oracle
+  * that must hash-match the Spark result at sf0.01. Column names/aliases are
+  * kept identical on both sides; every query carries an explicit
+  * deterministic ORDER BY.
+  *
+  * Oracle-parity rules applied throughout (SURVEY.md §7.1):
+  *  - exact aggregates preferred (counts, sums of integral doubles, min/max);
+  *  - float-accumulation results are `round`ed so addition-order differences
+  *    between engines cannot surface;
+  *  - DuckDB type coercions pinned by CAST (count→BIGINT is native; month/
+  *    len→INTEGER to match Spark's int; sum(int)→HUGEINT needs CAST BIGINT;
+  *    ceil→double needs CAST INTEGER; cast(double AS int) in DuckDB ROUNDS,
+  *    so Java-truncation semantics need trunc() first);
+  *  - regexp_replace needs the 'g' flag in DuckDB to match Spark's
+  *    replace-all.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  final case class QuerySpec(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def q(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle))
+
+  /** Non-SQL-expressible ops: driver records a weaker rows-only check. */
+  private def qRowsOnly(name: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, None)
+
+  val specs: Seq[QuerySpec] = Seq(
+    // ---- scans / filters / aggregates (SURVEY §2.1/§2.2/§2.4) ----
+    q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price, avg(l_quantity) AS avg_qty,
+        |  CAST(ceil(avg(l_quantity)) AS INTEGER) AS ceil_avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      (s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+
+    q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)(
+      (s, d) => Relational.filterProject(Tables.lineitem(s, d))),
+
+    q("q03_global_agg",
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_returnflag <> 'N'""".stripMargin)(
+      (s, d) => Relational.globalStats(Tables.lineitem(s, d))),
+
+    q("q04_ceil_avg_month",
+      """SELECT l_returnflag AS flag, CAST(month(l_shipdate) AS INTEGER) AS mon,
+        |  CAST(ceil(avg(l_quantity)) AS INTEGER) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, mon""".stripMargin)(
+      (s, d) => Relational.ceilAvgByMonth(Tables.lineitem(s, d))),
+
+    q("q05_dense_month_fill",
+      """SELECT f.flag, m.mon, COALESCE(a.avg_qty, 0) AS avg_qty
+        |FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f
+        |CROSS JOIN (SELECT CAST(range AS INTEGER) AS mon FROM range(1, 13)) m
+        |LEFT JOIN (
+        |  SELECT l_returnflag AS flag, CAST(month(l_shipdate) AS INTEGER) AS mon,
+        |    CAST(ceil(avg(l_quantity)) AS INTEGER) AS avg_qty
+        |  FROM lineitem GROUP BY 1, 2) a USING (flag, mon)
+        |ORDER BY flag, mon""".stripMargin)(
+      (s, d) => Relational.denseMonthFill(Tables.lineitem(s, d))),
+
+    q("q10_topk_orders",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)(
+      (s, d) => Relational.topKOrders(Tables.orders(s, d))),
+
+    q("q13_rowkey_concat",
+      """SELECT concat_ws('-', c_mktsegment, c_nationkey, c_custkey) AS rowkey
+        |FROM customer ORDER BY rowkey""".stripMargin)(
+      (s, d) => Relational.rowkeyConcat(Tables.customer(s, d))),
+
+    q("q14_trunc_sum",
+      """SELECT event_type,
+        |  CAST(sum(CAST(trunc(COALESCE(value, 0.0)) AS INTEGER)) AS BIGINT) AS sum_delay,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+      (s, d) => Relational.truncatedDelaySum(Tables.events(s, d))),
+
+    // ---- joins (SURVEY §2.3) ----
+    q("q06_orders_per_nation",
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)(
+      (s, d) => Joins.ordersPerNation(Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
+
+    q("q07_two_leg_stats",
+      """SELECT count(*) AS pairs,
+        |  round(avg(e1.value + e2.value), 3) AS avg_combined
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e1.ts < e2.ts
+        |  AND e2.ts <= e1.ts + INTERVAL 24 HOURS
+        |WHERE e1.event_type = 'view' AND e2.event_type = 'purchase'""".stripMargin)(
+      (s, d) => Joins.twoLegStats(Tables.events(s, d))),
+
+    q("q08_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, d) => Joins.customersWithOrders(Tables.customer(s, d),
+        Tables.orders(s, d))),
+
+    q("q09_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, d) => Joins.customersWithoutOrders(Tables.customer(s, d),
+        Tables.orders(s, d))),
+
+    // ---- word-count family + text analysis (SURVEY §2.2 P1/P2, §2.4 A1–A4) ----
+    q("q11_word_count",
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE length(word) > 0 GROUP BY word ORDER BY word""".stripMargin)(
+      (s, d) => Text.wordCount(Tables.documents(s, d))),
+
+    q("q12_word_count_filtered",
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE length(word) > 0 AND regexp_matches(word, '^[mnopqMNOPQ]')
+        |GROUP BY word ORDER BY word""".stripMargin)(
+      (s, d) => Text.wordCountFiltered(Tables.documents(s, d))),
+
+    q("q18_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS INTEGER) AS n_tokens,
+        |  CAST(length(text) AS INTEGER) AS char_len
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.tokenStats(Tables.documents(s, d))),
+
+    q("q19_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.fingerprint(Tables.documents(s, d))),
+
+    q("q20_quality_score",
+      """SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  CAST(len(stops) AS INTEGER) AS n_stop,
+        |  CAST(len(stops) AS INTEGER) / CAST(len(toks) AS INTEGER) AS stop_ratio,
+        |  CAST(length(array_to_string(toks, '')) AS INTEGER) / CAST(len(toks) AS INTEGER) AS mean_tok_len
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |      w -> length(w) > 0 AND w IN ('the','a','an','of','and','to','in','is','it','for')) AS stops
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.qualityScore(Tables.documents(s, d))),
+
+    // ---- geo family (SURVEY §2.2 P7, §2.4 A8–A10) ----
+    q("q15_bbox",
+      """SELECT min(value) AS min_v, max(value) AS max_v,
+        |  min(user_id) AS min_u, max(user_id) AS max_u FROM events""".stripMargin)(
+      (s, d) => Geo.bbox(Tables.events(s, d))),
+
+    q("q16_rounded_dedup",
+      """SELECT event_type, round(value, -1) AS vbucket, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, vbucket""".stripMargin)(
+      (s, d) => Geo.roundedDedupCount(Tables.events(s, d))),
+
+    q("q17_weighted_mean",
+      """SELECT event_type,
+        |  round(sum(value * user_id) / sum(user_id), 4) AS wmean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+      (s, d) => Geo.weightedMean(Tables.events(s, d)))
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Joins.twoLegStats(Tables.events(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(s => s.name -> s.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    specs.flatMap(s => s.oracle.map(o => s.name -> o)).toMap
 }

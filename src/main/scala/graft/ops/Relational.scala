@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan → filter → project → aggregate operators (SURVEY.md §2.2/§2.4/§2.5).
+  *
+  * Reference semantics pinned here (file:line are in `/root/reference/`):
+  *  - P4/P5 compound row predicates — Flight1/src/main/java/hw3/PLAIN.java:86–109,
+  *    Flight2/src/main/java/hw4/Secondary.java:69–91.
+  *  - P6 null/empty→0 then Java `(int)` TRUNCATION (not rounding) —
+  *    Secondary.java:57–58.
+  *  - A5 global count+sum+avg (the reference's Hadoop-counter side channel,
+  *    PLAIN.java:192–209) — here a one-row aggregate.
+  *  - A6 per-group `ceil(avg)` as int — Secondary.java:213–221.
+  *  - A7 dense month fill 1–12 with 0 for missing — Secondary.java:181–200.
+  *  - A12/O6 top-k — final/src/main/java/calc/Summarizer.java:81–86.
+  *
+  * All builders are plain declarative DataFrame transforms: filters and
+  * projections reach the parquet scan (PushedFilters/ReadSchema), grouped
+  * aggregates get map-side partial aggregation (HashAggregateExec
+  * partial→final) — the combiner variants the reference hand-codes
+  * (WordCount2) are subsumed by that machinery (SURVEY.md §4).
+  *
+  * Every query ends in an explicit total-order `orderBy`: MR reducers emit
+  * key-sorted output (§2 O5); Spark `groupBy` does not, and the driver's
+  * oracle compare needs a deterministic row order.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → multi-agg.
+    * Exercises S1/S6 (pushed-down scan), P4 (date predicate), A1/A6.
+    * `sum_qty` is exact (integral doubles); `sum_price` is rounded because
+    * float addition order differs across engines.
+    */
+  def pricingSummary(lineitem: DataFrame, cutoff: String = "1998-09-02"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        avg("l_quantity").as("avg_qty"),
+        ceil(avg("l_quantity")).cast("int").as("ceil_avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P3/P4/P5: compound predicate + narrow projection. The .explain plan
+    * must show both the filter and the 4-column ReadSchema pushed to the
+    * parquet scan — at 100 TB this is the difference between reading 4
+    * columns of a few row groups and reading everything.
+    */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_returnflag") === "R" &&
+        col("l_quantity").between(10, 20) &&
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp_ntz"),
+          lit("1996-12-31").cast("timestamp_ntz")))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** A5: one-row global aggregate (count/sum/avg/min/max). The reference's
+    * Hadoop-counter side channel becomes the aggregate itself.
+    */
+  def globalStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") =!= "N")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        avg("l_quantity").as("avg_qty"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"))
+
+  /** A6: per (flag, month) `ceil(avg)` as int — the airline/month delay
+    * query of Flight2 Secondary.java re-keyed to the harness tables.
+    * The reference's secondary sort (O3/O4) vanishes: groupBy needs no
+    * in-group ordering.
+    */
+  def ceilAvgByMonth(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+               month(col("l_shipdate")).as("mon"))
+      .agg(ceil(avg("l_quantity")).cast("int").as("avg_qty"))
+      .orderBy("flag", "mon")
+
+  /** A7: dense domain fill — every (flag, month 1–12) cell, 0 where no
+    * data. The reference streams sorted months in the reducer and emits
+    * gaps (Secondary.java:181–200); relationally it is a cross join with a
+    * dense month dimension + left join + fill.
+    */
+  def denseMonthFill(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val months = spark.range(1, 13).select(col("id").cast("int").as("mon"))
+    val flags = lineitem.select(col("l_returnflag").as("flag")).distinct()
+    val agg = lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+               month(col("l_shipdate")).as("mon"))
+      .agg(ceil(avg("l_quantity")).cast("int").as("avg_qty"))
+    flags.crossJoin(broadcast(months))
+      .join(agg, Seq("flag", "mon"), "left")
+      .na.fill(0, Seq("avg_qty"))
+      .orderBy("flag", "mon")
+  }
+
+  /** A12/O6: top-k with a deterministic tiebreak. Spark plans
+    * TakeOrderedAndProject — per-partition heaps then a k-row merge on the
+    * driver, no global sort. That is the plan that survives 100 TB.
+    */
+  def topKOrders(orders: DataFrame, k: Int = 10): DataFrame =
+    orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+
+  /** P6: null→default coercion then Java `(int)` truncation-toward-zero
+    * (NOT rounding — Secondary.java:57–58), followed by a grouped sum.
+    */
+  def truncatedDelaySum(events: DataFrame): DataFrame =
+    events
+      .withColumn("delay", coalesce(col("value"), lit(0.0)).cast("int"))
+      .groupBy("event_type")
+      .agg(sum("delay").as("sum_delay"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** P9: composite rowkey synthesis by string concat (HPopulate.java:92–97).
+    * Only string/int inputs — float formatting differs across engines.
+    */
+  def rowkeyConcat(customer: DataFrame): DataFrame =
+    customer
+      .select(concat_ws("-", col("c_mktsegment"), col("c_nationkey"),
+                        col("c_custkey")).as("rowkey"))
+      .orderBy("rowkey")
+}

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The word-count family and text analysis over `documents.text`
+  * (SURVEY.md §2.2 P1/P2, §2.4 A1–A4, plus the north-star text-analysis
+  * surface: token counting, quality scoring, fingerprinting).
+  *
+  * Reference semantics (paths in `/root/reference/`):
+  *  - P1 whitespace tokenize → one row per token —
+  *    WordCount1/src/main/java/WordCount.java:24–28.
+  *  - P2 regex prefix filter `^[mnopqMNOPQ]` —
+  *    WordCount2/src/main/java/WordCount.java:34.
+  *  - A1–A4 sum-by-key with the four combiner strategies — all subsumed by
+  *    Spark's HashAggregateExec partial→final (SURVEY.md §4); there is no
+  *    user-visible combiner switch to port.
+  *  - O1 custom first-char partitioner (WordCount2/WordCount.java:59–72) —
+  *    data placement, not semantics; Spark's HashPartitioning on the group
+  *    key replaces it (see `wordCountPartitionedLikeReference` for the
+  *    layout-preserving form).
+  *
+  * Everything here is built from codegen'd `functions._` — split/filter/
+  * explode/length — no UDFs, so the whole pipeline stays inside
+  * WholeStageCodegen and the parquet scan reads only `text` (+ ids).
+  */
+object Text {
+
+  private val ws = "\\s+"
+
+  /** Non-empty whitespace tokens of a text column. */
+  def tokens(text: Column): Column =
+    filter(split(text, ws), w => length(w) > 0)
+
+  /** P1+A1: canonical word count, output sorted by word (MR reducers emit
+    * key-sorted output — §2 O5 — so the oracle-visible order is pinned).
+    */
+  def wordCount(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** P2+A2: word count restricted to tokens matching a prefix regex
+    * (default = the reference's `^[mnopqMNOPQ]`).
+    */
+  def wordCountFiltered(documents: DataFrame,
+                        pattern: String = "^[mnopqMNOPQ]"): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike(pattern))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** O1 analogue: the reference's semantic partitioner placed words
+    * m..q in dedicated partitions. The Spark-native equivalent when output
+    * LAYOUT matters is repartitioning by an expression before the write —
+    * the aggregation itself needs no custom partitioner.
+    */
+  def wordCountPartitionedLikeReference(documents: DataFrame): DataFrame =
+    wordCount(documents)
+      .repartition(5, (ascii(lower(substring(col("word"), 1, 1))) - ascii(lit("m"))) % 5)
+
+  /** Token/char statistics per document (north-star token counting). */
+  def tokenStats(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("char_len"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text (north-star dedup/fingerprinting primitive; exact-dup key).
+    */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), ws, " ")
+          .cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+  /** Quality scoring per document (north-star): token count, stopword
+    * ratio, mean token length. All ratios are exact-int divisions so the
+    * doubles are reproducible across engines.
+    */
+  def qualityScore(documents: DataFrame,
+                   stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
+    val sumTokLen = length(array_join(toks, ""))
+    documents.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stop"),
+      (nStop / nTokens).as("stop_ratio"),
+      (sumTokLen / nTokens).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+}
