@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -188,7 +189,91 @@ object SparkEntry {
       """SELECT event_type,
         |  round(sum(value * user_id) / sum(user_id), 4) AS wmean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
-      (s, d) => Geo.weightedMean(Tables.events(s, d)))
+      (s, d) => Geo.weightedMean(Tables.events(s, d))),
+
+    // ---- dedup family (north star; generalizes §2.4 A8) ----
+    q("q21_dedup_exact",
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp ORDER BY fp""".stripMargin)(
+      (s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
+
+    q("q22_jaccard_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE inter / (sza + szb - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), n = 3,
+        threshold = 0.2)),
+
+    qRowsOnly("q23_minhash_pairs")(
+      (s, d) => Dedup.minhashPairs(Tables.documents(s, d), n = 3,
+        numHashes = 32, bands = 16, threshold = 0.2)),
+
+    qRowsOnly("q24_simhash_pairs")(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)),
+
+    // ---- similarity search (north star) ----
+    q("q25_cosine_pairs",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) > 0.4
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d),
+        threshold = 0.4)),
+
+    q("q26_knn_bruteforce",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      }),
+
+    qRowsOnly("q27_ann_lsh")(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), k = 5)
+      }),
+
+    // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
+    qRowsOnly("q28_kmeans_centers")(
+      (s, d) => {
+        val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
+        s.createDataFrame(graft.ml.KMeans.fit(pts, k = 5, seed = 42L).centroids)
+          .orderBy("idx")
+      }),
+
+    qRowsOnly("q29_silhouette_sweep")(
+      (s, d) => {
+        val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
+        s.createDataFrame(
+          graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), seed = 42L))
+          .orderBy("k")
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star surface; no
+  * reference citation — the reference has no vector ops, SURVEY.md §2.8).
+  *
+  * All distance math uses built-in higher-order array functions
+  * (`zip_with`/`aggregate`/`transform`) — codegen'd, no UDFs — per the
+  * SURVEY §7.4 decision record. A custom Catalyst Expression is the
+  * fallback if these ever dominate a profile at bench scale.
+  *
+  * Scale design:
+  *  - brute force is O(|corpus|·|queries|): the queries side is broadcast,
+  *    corpus streams through one narrow stage, then a per-query top-k
+  *    window. The exact baseline every ANN variant is measured against.
+  *  - `annLsh` is the scale path: random-hyperplane signatures put
+  *    candidates in the same bucket; only bucket-mates get exact scoring.
+  *    Hyperplanes are generated on the driver from a fixed seed and enter
+  *    the plan as literals — deterministic, no shared state.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** array<float> → array<double> (all scoring in double). */
+  def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** All pairs (id_a < id_b) with cosine above `threshold` — brute-force
+    * exact; also the embedding-cosine near-dup primitive (Dedup).
+    */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  maxId: Long = Long.MaxValue): DataFrame = {
+    val e = embeddings.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) > threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact top-k by cosine for each query vector (brute-force baseline).
+    * Queries (small) are broadcast; ties broken by neighbor id.
+    */
+  def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_emb")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos"), asc("n_id"))
+    q.join(cand, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent hash tables of
+    * `bits` planes each, seeded. Gaussian components via Random(seed).
+    */
+  def hyperplanes(dim: Int, bits: Int, tables: Int,
+                  seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Bit-signature of `emb` (array<double>) for one table's planes. */
+  def signature(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, h) =>
+      val litPlane = array(p.map(lit(_)): _*)
+      when(dot(emb, litPlane) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via banded random-hyperplane LSH: explode each vector into
+    * (table, signature) buckets, join queries to corpus bucket-mates,
+    * exact-rerank the candidates, top-k. Misses are possible (tunable via
+    * bits/tables) — the recall-vs-brute-force contract is pinned in
+    * SimilaritySpec, not here.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+             bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(dim, bits, tables, seed)
+    def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+      val e = df.select(col("vec_id").as(idCol),
+        asDouble(col("embedding")).as(embCol))
+      val sigs = array((0 until tables).map { t =>
+        struct(lit(t).as("table"), signature(col(embCol), planes(t)).as("sig"))
+      }: _*)
+      e.select(col(idCol), col(embCol), explode(sigs).as("bucket"))
+        .select(col(idCol), col(embCol),
+          col("bucket.table").as("table"), col("bucket.sig").as("sig"))
+    }
+    val qb = broadcast(bucketed(queries, "q_id", "q_emb"))
+    val cb = bucketed(corpus, "n_id", "n_emb")
+    val candidates = qb.join(cb,
+        Seq("table", "sig")).filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_emb", "n_id", "n_emb")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    candidates
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("exact dedup groups case/whitespace-normalized duplicates") {
+    val r = Dedup.exactDupGroups(docs("The  Cat", "the cat", "dog"))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(0L -> 2L, 2L -> 1L)) // keep_id 0 has 2 dups; doc 2 alone
+  }
+
+  test("shingles: documents shorter than n yield no shingles, not garbage") {
+    val r = Dedup.shingleSets(docs("a b"), n = 3).collect().head
+    assert(r.getSeq[String](1).isEmpty)
+  }
+
+  test("shingles are distinct n-grams in order") {
+    val r = Dedup.shingleSets(docs("a b c a b c a"), n = 3).collect().head
+    // positions: "a b c","b c a","c a b","a b c","b c a" → 3 distinct
+    assert(r.getSeq[String](1).toSet == Set("a b c", "b c a", "c a b"))
+  }
+
+  test("jaccard pairs: known overlap value") {
+    // d0: shingles {a b c, b c d}; d1: {a b c, b c e} → j = 1/3
+    val r = Dedup.jaccardPairs(docs("a b c d", "a b c e"), n = 3,
+      threshold = 0.3).collect()
+    assert(r.length == 1)
+    assert(r.head.getDouble(2) == math.rint(1.0 / 3.0 * 10000) / 10000)
+    // below threshold → excluded
+    assert(Dedup.jaccardPairs(docs("a b c d", "a b c e"), n = 3,
+      threshold = 0.34).count() == 0)
+  }
+
+  test("minhash candidates recover all high-jaccard pairs here") {
+    val base = "q w e r t y u i o p a s d f g h j k l z x c v b n m"
+    val d = docs(base, base + " extra", "completely different text with words")
+    val exact = Dedup.jaccardPairs(d, n = 3, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val mh = Dedup.minhashPairs(d, n = 3, numHashes = 32, bands = 16,
+      threshold = 0.5).collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact == Set((0L, 1L)))
+    assert(mh == exact)
+  }
+
+  test("simhash: identical docs at hamming 0, disjoint docs far apart") {
+    val d = docs("spark makes big data small", "spark makes big data small",
+                 "entirely unrelated words appear here")
+    val sigs = Dedup.simhashSignatures(d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) > 8)
+    val pairs = Dedup.simhashPairs(d, maxHamming = 8).collect()
+    assert(pairs.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the semantics SURVEY.md §7.5 calls out as fidelity risks:
+  * ceil-vs-round averages (A6), Java truncation-vs-rounding casts (P6),
+  * dense gap fill (A7), deterministic top-k tiebreak (O6).
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A6: grouped average uses ceil, not rounding") {
+    // avg = 10.2 → ceil 11 (rounding would give 10)
+    val li = Seq(("A", "F", 10.0), ("A", "F", 10.0), ("A", "F", 10.0),
+                 ("A", "F", 10.0), ("A", "F", 11.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+      .withColumn("l_shipdate", lit("1996-03-15").cast("timestamp_ntz"))
+    val r = Relational.ceilAvgByMonth(li).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Int]("avg_qty") == 11)
+    assert(r.head.getAs[Int]("mon") == 3)
+  }
+
+  test("P6: cast-to-int truncates toward zero like Java (int), incl. negatives") {
+    val ev = Seq(("a", Some(9.99)), ("a", Some(-9.99)), ("b", None))
+      .toDF("event_type", "value")
+    val r = Relational.truncatedDelaySum(ev).collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("a") == 0L) // 9 + (-9), NOT 10 + (-10)
+    assert(r("b") == 0L) // null → 0 default
+  }
+
+  test("A7: dense month fill emits 0 for months with no data") {
+    val li = Seq(("A", 5.0, "1996-01-10"), ("A", 7.0, "1996-07-01"))
+      .toDF("l_returnflag", "l_quantity", "d")
+      .withColumn("l_shipdate", col("d").cast("timestamp_ntz")).drop("d")
+    val r = Relational.denseMonthFill(li).collect()
+    assert(r.length == 12)
+    val byMon = r.map(x => x.getAs[Int]("mon") -> x.getAs[Int]("avg_qty")).toMap
+    assert(byMon(1) == 5 && byMon(7) == 7)
+    assert((2 to 6).forall(byMon(_) == 0) && (8 to 12).forall(byMon(_) == 0))
+  }
+
+  test("O6: top-k breaks price ties by order key") {
+    val o = Seq((3L, 1L, 100.0), (1L, 1L, 100.0), (2L, 1L, 100.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val r = Relational.topKOrders(o, 2).collect().map(_.getLong(0))
+    assert(r.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(vs: (Long, Array[Float])*) =
+    vs.toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, antiparallel=-1") {
+    val e = vecs(0L -> Array(1f, 0f), 1L -> Array(2f, 0f),
+                 2L -> Array(0f, 3f), 3L -> Array(-1f, 0f))
+    val d = e.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("emb"))
+    val a = d.select(col("vec_id").as("ia"), col("emb").as("ea"))
+    val b = d.select(col("vec_id").as("ib"), col("emb").as("eb"))
+    val cos = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        Similarity.cosine(col("ea"), col("eb")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((0L, 2L))) < 1e-12)
+    assert(math.abs(cos((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("knn: ranks by cosine, excludes self, ties break by id") {
+    val e = vecs(0L -> Array(1f, 0f), 1L -> Array(1f, 0.1f),
+                 2L -> Array(1f, 0.5f), 3L -> Array(0f, 1f))
+    val r = Similarity.bruteForceKnn(e, e.filter(col("vec_id") === 0), k = 3)
+      .collect().map(x => (x.getAs[Int]("rank"), x.getAs[Long]("n_id")))
+    assert(r.toSeq == Seq(1 -> 1L, 2 -> 2L, 3 -> 3L))
+  }
+
+  /** Deterministic clustered corpus: `n` vectors around `centers` unit
+    * directions with small seeded noise — the regime ANN is for.
+    */
+  private def clustered(n: Int, dim: Int = 64, seed: Long = 7L) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian())
+    (0L until n).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    }
+  }
+
+  test("annLsh: high recall vs brute force on clustered vectors") {
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val ann = Similarity.annLsh(e, queries, k = 5, bits = 10, tables = 8,
+      seed = 42L).collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+}

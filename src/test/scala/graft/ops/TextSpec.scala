@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("P1/A1: word count over whitespace tokens, sorted by word") {
+    val r = Text.wordCount(docs("b a  b", "a c")).collect()
+      .map(x => x.getString(0) -> x.getLong(1))
+    assert(r.toSeq == Seq("a" -> 2L, "b" -> 2L, "c" -> 1L)) // multi-space ok
+  }
+
+  test("P2: prefix regex keeps only [m-qM-Q] words") {
+    val r = Text.wordCountFiltered(docs("map nap zap Quip apple mQ"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("Quip", "mQ", "map", "nap"))
+  }
+
+  test("quality: stopword ratio and mean token length are exact divisions") {
+    val r = Text.qualityScore(docs("the cat sat")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Int]("n_stop") == 1)
+    assert(r.getAs[Double]("stop_ratio") == 1.0 / 3.0)
+    assert(r.getAs[Double]("mean_tok_len") == 9.0 / 3.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val r = Text.fingerprint(docs("The  Cat", "the cat", "the dog"))
+      .collect().map(_.getString(1))
+    assert(r(0) == r(1) && r(0) != r(2))
+  }
+
+  test("token stats count non-empty tokens only") {
+    val r = Text.tokenStats(docs("  a  b  ")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 2)
+  }
+}
