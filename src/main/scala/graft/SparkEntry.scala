@@ -224,7 +224,7 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.2)),
 
     qRowsOnly("q24_simhash_pairs")(
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8)),
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)),
 
     // ---- similarity search (north star) ----
     q("q25_cosine_pairs",
@@ -260,9 +260,14 @@ object SparkEntry {
       }),
 
     // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
+    // The rounded-grid point cloud is tiny after dedup (≤ ~1e6 cells even
+    // for a continent-scale 3-dp grid), while the Lloyd loop runs dozens of
+    // tiny jobs over it — pin it to a few partitions so per-iteration task
+    // scheduling, not data, stops dominating.
     qRowsOnly("q28_kmeans_centers")(
       (s, d) => {
         val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
+          .repartition(4)
         s.createDataFrame(graft.ml.KMeans.fit(pts, k = 5, seed = 42L).centroids)
           .orderBy("idx")
       }),
@@ -270,6 +275,7 @@ object SparkEntry {
     qRowsOnly("q29_silhouette_sweep")(
       (s, d) => {
         val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
+          .repartition(4)
         s.createDataFrame(
           graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), seed = 42L))
           .orderBy("k")

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.{call_function, lit}
+
+/** Registration + Column-level API for the custom vector expressions.
+  *
+  * Two ways in, same expressions:
+  *  - `GraftFunctions.register(spark)` — idempotent runtime registration in
+  *    the session's FunctionRegistry (used by the library's own builders).
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
+  *    SparkSessionExtensions injection point for clusters that configure
+  *    the engine at session build time; also exposes the functions to pure
+  *    SQL (`SELECT graft_dot(a, b)`).
+  */
+object GraftFunctions {
+
+  private def constInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> (c => DotProduct(c(0), c(1))),
+    "graft_cosine" -> (c => CosineSimilarity(c(0), c(1))),
+    "graft_shingles" -> (c => TokenShingles(c(0), constInt(c(1)))),
+    "graft_minhash" -> (c => MinHashSignature(c(0), constInt(c(1)))),
+    "graft_simhash" -> (c => SimHash64(c(0))))
+
+  private def info(name: String, clazz: String) =
+    new ExpressionInfo(clazz, null, name, null, "", "", "", "", "", "", "built-in")
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  }
+
+  /** Codegen'd dot product of two array<double> columns (registers on use
+    * via the session bound to the calling DataFrame — call `register`
+    * first; the library's builders do).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd one-pass cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Distinct whitespace-token n-gram shingles of a string column. */
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  /** MinHash signature (k minima) of an array<string> shingle set. */
+  def minhash(shingleSet: Column, k: Int): Column =
+    call_function("graft_minhash", shingleSet, lit(k))
+
+  /** 64-bit SimHash of a string column (whitespace tokens vote per bit). */
+  def simhash(text: Column): Column = call_function("graft_simhash", text)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
+    def constInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
+    val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+      ("graft_dot", classOf[DotProduct].getName,
+        c => DotProduct(c(0), c(1))),
+      ("graft_cosine", classOf[CosineSimilarity].getName,
+        c => CosineSimilarity(c(0), c(1))),
+      ("graft_shingles", classOf[TokenShingles].getName,
+        c => TokenShingles(c(0), constInt(c(1)))),
+      ("graft_minhash", classOf[MinHashSignature].getName,
+        c => MinHashSignature(c(0), constInt(c(1)))),
+      ("graft_simhash", classOf[SimHash64].getName,
+        c => SimHash64(c(0))))
+    builders.foreach { case (name, clazz, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), b))
+    }
+  }
+}

@@ -60,15 +60,16 @@ object KMeans {
     (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 
-  private[ml] def centroidArray(cs: Seq[Centroid]): Column =
-    array(cs.map(c => struct(lit(c.idx).as("idx"), lit(c.lat).as("lat"),
-      lit(c.lon).as("lon"))): _*)
-
-  /** Squared Euclidean distances to every centroid, in centroid order. */
+  /** Squared Euclidean distances to every centroid, in centroid order.
+    * Built as `array(d_0, …, d_{k-1})` of plain arithmetic expressions —
+    * fully codegen'd (a `transform` lambda over a literal centroid array
+    * would be interpreted per element).
+    */
   private[ml] def distances(cs: Seq[Centroid]): Column =
-    transform(centroidArray(cs), c =>
-      (col("lat") - c.getField("lat")) * (col("lat") - c.getField("lat")) +
-      (col("lon") - c.getField("lon")) * (col("lon") - c.getField("lon")))
+    array(cs.sortBy(_.idx).map { c =>
+      (col("lat") - lit(c.lat)) * (col("lat") - lit(c.lat)) +
+      (col("lon") - lit(c.lon)) * (col("lon") - lit(c.lon))
+    }: _*)
 
   /** J3/J4: nearest-centroid assignment; adds `cidx`. First min wins,
     * matching the reference's strict `<` scan (KMeans.java:98–101).

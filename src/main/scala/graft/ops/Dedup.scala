@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,20 +37,27 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("fp")
 
-  /** Distinct token n-gram shingles per document. Empty array when the
-    * document has fewer than n tokens (sequence() would otherwise count
-    * DOWN for start > stop and fabricate shingles).
+  /** Spread CPU-heavy per-document work across the cluster: a small
+    * parquet table often arrives as one partition (single row group), which
+    * would serialize the whole shingle/hash stage on one core; documents
+    * also vary 10× in length, so round-robin rebalancing helps even at
+    * scale. The shuffled payload is just the raw text — cheap next to the
+    * per-doc compute it balances.
+    */
+  private def balanced(documents: DataFrame): DataFrame = {
+    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
+    if (documents.rdd.getNumPartitions >= parallelism) documents
+    else documents.repartition(parallelism)
+  }
+
+  /** Distinct token n-gram shingles per document (one-pass native kernel;
+    * empty array when the document has fewer than n tokens).
     */
   def shingleSets(documents: DataFrame, n: Int = 3): DataFrame = {
-    val toks = Text.tokens(col("text"))
-    documents.select(
+    GraftFunctions.register(documents.sparkSession)
+    balanced(documents).select(
       col("doc_id"),
-      when(size(toks) >= n,
-        array_distinct(transform(
-          sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " "))))
-        .otherwise(array().cast("array<string>"))
-        .as("shingles"))
+      GraftFunctions.shingles(col("text"), n).as("shingles"))
   }
 
   /** Exact n-gram Jaccard pairs via inverted-index join: explode
@@ -88,19 +96,15 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signature: for hash function h, min over shingles of
-    * xxhash64(h, shingle). `numHashes` functions banded into `bands`
-    * groups of numHashes/bands rows each.
+  /** MinHash signature: `numHashes` minima of the Kirsch–Mitzenmacher
+    * family h_i = h1 + i·h2 over the shingle set (single native pass).
     */
   def minhashSignatures(documents: DataFrame, n: Int = 3,
-                        numHashes: Int = 32): DataFrame = {
-    val sigs = array((0 until numHashes).map { h =>
-      array_min(transform(col("shingles"), s => xxhash64(lit(h), s)))
-    }: _*)
+                        numHashes: Int = 32): DataFrame =
     shingleSets(documents, n)
       .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"), sigs.as("sig"))
-  }
+      .select(col("doc_id"), col("shingles"),
+        GraftFunctions.minhash(col("shingles"), numHashes).as("sig"))
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band-hash), then verify candidates with EXACT Jaccard on the
@@ -136,22 +140,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its
-    * xxhash64; the signature takes the majority sign per bit. Pure
-    * aggregate — one shuffle on doc_id with map-side partials.
+    * XXH64; the signature takes the majority sign per bit. A single
+    * per-document native pass — NO shuffle (the earlier explode + 64-column
+    * aggregate formulation shuffled every token).
     */
   def simhashSignatures(documents: DataFrame): DataFrame = {
-    val tok = documents.select(col("doc_id"),
-      explode(Text.tokens(col("text"))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"v$b")
-    }
-    val sig = (0 until 64).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+    GraftFunctions.register(documents.sparkSession)
+    balanced(documents).select(col("doc_id"),
+      GraftFunctions.simhash(col("text")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, blocked by

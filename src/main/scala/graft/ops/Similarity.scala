@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,10 +8,12 @@ import org.apache.spark.sql.functions._
 /** Similarity search over embedding columns (north-star surface; no
   * reference citation — the reference has no vector ops, SURVEY.md §2.8).
   *
-  * All distance math uses built-in higher-order array functions
-  * (`zip_with`/`aggregate`/`transform`) — codegen'd, no UDFs — per the
-  * SURVEY §7.4 decision record. A custom Catalyst Expression is the
-  * fallback if these ever dominate a profile at bench scale.
+  * Distance kernels are custom codegen'd Catalyst expressions
+  * (graft.functions.DotProduct/CosineSimilarity): the built-in
+  * `aggregate`/`zip_with` forms are interpreted per element and spent
+  * >60 s on the sf0.1 all-pairs stage; the native kernels run the same
+  * math as a primitive loop inside whole-stage codegen (SURVEY §7.4's
+  * escalation path, taken deliberately).
   *
   * Scale design:
   *  - brute force is O(|corpus|·|queries|): the queries side is broadcast,
@@ -23,13 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (requires GraftFunctions.register — every
+    * DataFrame-level builder here does it; see SparkSpec for tests).
+    */
+  def dot(a: Column, b: Column): Column = GraftFunctions.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd one-pass cosine similarity. */
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   /** array<float> → array<double> (all scoring in double). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
@@ -39,6 +42,7 @@ object Similarity {
     */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   maxId: Long = Long.MaxValue): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val e = embeddings.filter(col("vec_id") < maxId)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
@@ -53,6 +57,7 @@ object Similarity {
     * Queries (small) are broadcast; ties broken by neighbor id.
     */
   def bruteForceKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val cand = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_emb"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
@@ -91,6 +96,7 @@ object Similarity {
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
              bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val dim = 64
     val planes = hyperplanes(dim, bits, tables, seed)
     def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {

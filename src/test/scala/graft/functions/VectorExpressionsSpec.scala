@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The codegen'd kernels must agree exactly with the built-in
+  * higher-order-function formulation they replaced (same fold order,
+  * same doubles) — this is what keeps the DuckDB oracle stable.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
+  test("graft_dot matches the aggregate/zip_with fold bit-for-bit") {
+    val rnd = new scala.util.Random(3L)
+    val df = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()),
+        Array.fill(64)(rnd.nextGaussian()))
+    }.toDF("id", "a", "b")
+    val r = df.select(
+      GraftFunctions.dot(col("a"), col("b")).as("native"),
+      hofDot("a", "b").as("hof")).collect()
+    r.foreach(x => assert(x.getDouble(0) == x.getDouble(1)))
+  }
+
+  test("graft_cosine: bounds, zero-norm guard, null propagation") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(2.0, 0.0)),
+      (Array(1.0, 0.0), Array(0.0, 0.0)),   // zero norm → 0.0
+      (Array(1.0, 2.0), Array(-1.0, -2.0))) // antiparallel → -1
+      .toDF("a", "b")
+    val r = df.select(GraftFunctions.cosine(col("a"), col("b"))).as[Double]
+      .collect()
+    assert(math.abs(r(0) - 1.0) < 1e-15)
+    assert(r(1) == 0.0)
+    assert(math.abs(r(2) + 1.0) < 1e-15)
+    val withNull = Seq((Some(Array(1.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("functions work from SQL after registration") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d").as[Double]
+    assert(r.head() == 11.0)
+  }
+}

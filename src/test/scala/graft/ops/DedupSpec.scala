@@ -15,6 +15,21 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(0L -> 2L, 2L -> 1L)) // keep_id 0 has 2 dups; doc 2 alone
   }
 
+  test("native shingles match the built-in HOF formulation exactly") {
+    import org.apache.spark.sql.functions._
+    val d = docs("a b c d e", " x  y\tz w ", "only two", "", "a b c a b c a")
+    val toks = Text.tokens(col("text"))
+    val hof = d.select(col("doc_id"),
+      when(size(toks) >= 3,
+        array_distinct(transform(sequence(lit(0), size(toks) - 3),
+          i => array_join(slice(toks, i + 1, lit(3)), " "))))
+        .otherwise(array().cast("array<string>")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val native = Dedup.shingleSets(d, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(native == hof)
+  }
+
   test("shingles: documents shorter than n yield no shingles, not garbage") {
     val r = Dedup.shingleSets(docs("a b"), n = 3).collect().head
     assert(r.getSeq[String](1).isEmpty)
