@@ -260,6 +260,110 @@ object SparkEntry {
       }),
 
     // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
+    // ---- windowing / analytic / set ops (SURVEY §2.8 engine surface) ----
+    q("q30_tumbling_window",
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_us,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .tumblingTypeCounts(Tables.events(s, d))
+        .orderBy("win_us", "event_type")),
+
+    q("q31_session_windows",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (SELECT user_id, us, value,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sess AS (SELECT user_id, us, value,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .userSessions(Tables.events(s, d))
+        .orderBy("user_id", "session_start_us")),
+
+    q("q32_window_rank",
+      """SELECT o_custkey, CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank,
+        |  o_orderkey, o_totalprice
+        |FROM orders QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{row_number, desc, asc}
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rank")
+      }),
+
+    q("q33_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .intersect(Tables.orders(s, d)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    q("q34_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderstatus = 'F'
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, d) => Tables.customer(s, d).select("c_custkey")
+        .except(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")),
+
+    q("q35_rollup",
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag NULLS FIRST, status NULLS FIRST""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, sum}
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag").as("flag"),
+            col("l_linestatus").as("status"))
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .orderBy("flag", "status") // Spark asc = NULLS FIRST
+      }),
+
+    q("q36_pivot_months",
+      """SELECT l_returnflag AS flag,
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 1)) AS INTEGER) AS "1",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 2)) AS INTEGER) AS "2",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 3)) AS INTEGER) AS "3",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 4)) AS INTEGER) AS "4",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 5)) AS INTEGER) AS "5",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 6)) AS INTEGER) AS "6",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 7)) AS INTEGER) AS "7",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 8)) AS INTEGER) AS "8",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 9)) AS INTEGER) AS "9",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 10)) AS INTEGER) AS "10",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 11)) AS INTEGER) AS "11",
+        |  CAST(ceil(avg(l_quantity) FILTER (month(l_shipdate) = 12)) AS INTEGER) AS "12"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY flag""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{avg, ceil, month}
+        Tables.lineitem(s, d)
+          .withColumn("mon", month(col("l_shipdate")))
+          .withColumn("flag", col("l_returnflag"))
+          .groupBy("flag")
+          .pivot("mon", 1 to 12)
+          .agg(ceil(avg("l_quantity")).cast("int"))
+          .orderBy("flag")
+      }),
+
     // The rounded-grid point cloud is tiny after dedup (≤ ~1e6 cells even
     // for a continent-scale 3-dp grid), while the Lloyd loop runs dozens of
     // tiny jobs over it — pin it to a few partitions so per-iteration task

@@ -105,14 +105,13 @@ object KMeans {
       math.abs(p.lat - q.lat) <= tol && math.abs(p.lon - q.lon) <= tol
     }
 
-  /** M2: the full Lloyd loop. `points` must have (lat, lon, cnt) — cache it
-    * before calling when running a sweep; `fit` does not manage persistence
-    * so sweeps can share one cached cloud.
+  /** M2 with caller-supplied initial centroids (the reference's golden
+    * `inputs/centroids/part-r-00000` path, and the deterministic route for
+    * fixture tests).
     */
-  def fit(points: DataFrame, k: Int, seed: Long, maxIter: Int = 20,
-          tol: Double = 0.001): KMeansResult = {
-    val (minLat, maxLat, minLon, maxLon) = bbox(points)
-    var cs = initUniform(k, seed, minLat, maxLat, minLon, maxLon)
+  def fitWithInit(points: DataFrame, init: Seq[Centroid], maxIter: Int = 20,
+                  tol: Double = 0.001): KMeansResult = {
+    var cs = init
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {
@@ -122,5 +121,16 @@ object KMeans {
       iter += 1
     }
     KMeansResult(cs, iter, done)
+  }
+
+  /** M2: the full Lloyd loop. `points` must have (lat, lon, cnt) — cache it
+    * before calling when running a sweep; `fit` does not manage persistence
+    * so sweeps can share one cached cloud.
+    */
+  def fit(points: DataFrame, k: Int, seed: Long, maxIter: Int = 20,
+          tol: Double = 0.001): KMeansResult = {
+    val (minLat, maxLat, minLon, maxLon) = bbox(points)
+    fitWithInit(points,
+      initUniform(k, seed, minLat, maxLat, minLon, maxLon), maxIter, tol)
   }
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (SURVEY.md §2.8 — the reference has no streaming; this is engine-surface
+  * extension, Spark-native by construction).
+  *
+  * Every transform here is written against an unbounded DataFrame and
+  * works identically on the batch `events` table — that is Spark's own
+  * unified-batch-streaming contract, and it is what lets the DuckDB oracle
+  * check the windowing semantics on the batch side while StreamingSpec
+  * drives the same code through MemoryStream with watermarks, late data,
+  * and state timeouts.
+  *
+  * `ts` is int64 nanoseconds (Tables.events); event time is derived with
+  * integer `div` — a double division would lose precision above 2^53.
+  */
+object EventStreams {
+
+  /** Attach an event-time column (µs precision, truncating ns). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts+sums per event type. In streaming mode the
+    * watermark bounds state and admits `delay` of lateness; append-mode
+    * emits each window once it is final.
+    */
+  def tumblingTypeCounts(events: DataFrame, window: String = "1 hour",
+                         delay: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"),
+        window), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Per-user session windows (gap-based). Built-in session_window merges
+    * events closer than `gap`; a new session starts when the inter-event
+    * gap is ≥ `gap`.
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+                   delay: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom state: KeyValueGroupedDataset.mapGroupsWithState ----
+
+  final case class Event(user_id: Long, ts: Long, event_type: String,
+                         value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long,
+                               total_value: Double, last_ts: Long)
+
+  /** Running per-user totals with explicit state + processing-time timeout
+    * — the custom-state template (flatMapGroupsWithState generalizes it).
+    */
+  def runningUserTotals(events: Dataset[Event],
+                        timeout: GroupStateTimeout =
+                          GroupStateTimeout.NoTimeout): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
+          val next = batch.foldLeft(prev) { (acc, e) =>
+            UserRunning(uid, acc.n_events + 1, acc.total_value + e.value,
+              math.max(acc.last_ts, e.ts))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** File-based streaming intake of an events-shaped parquet directory —
+    * the deployment path (`readStream` mirror of Tables.events).
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+  }
+}

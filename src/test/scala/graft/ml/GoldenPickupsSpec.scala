@@ -1,0 +1,49 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.ops.Pickups
+
+/** Golden-fixture replication of the reference's k-means pipeline
+  * (SURVEY.md §5.3) on its own committed inputs:
+  * `final/inputs/sample.csv` (1 000 NYC pickups) seeded with the 5 golden
+  * initial centroids from `final/inputs/centroids/part-r-00000`.
+  *
+  * The reference's own KResults.txt cannot be matched run-for-run — its
+  * init is an unseeded `new Random()` (CGenerator.java:99) and Lloyd's
+  * lands in init-dependent local optima (verified empirically: 12 random
+  * inits at k=3 give 10 distinct final silhouettes). With the init PINNED
+  * to the committed centroids the whole pipeline is deterministic; the
+  * expected values below were computed by an independent straight-line
+  * re-implementation of the reference semantics (round-3-HALF_UP dedup →
+  * Lloyd with rounded recenters → 0.001 convergence → weighted simplified
+  * silhouette) and must match this engine exactly.
+  */
+class GoldenPickupsSpec extends SparkSpec {
+
+  private val sampleCsv = "/root/reference/final/inputs/sample.csv"
+  private val goldenCentroids =
+    "/root/reference/final/inputs/centroids/part-r-00000"
+
+  private lazy val goldenInit: Seq[Centroid] =
+    scala.io.Source.fromFile(goldenCentroids).getLines().map { line =>
+      val Array(i, la, lo) = line.split(",")
+      Centroid(i.toInt, la.toDouble, lo.toDouble)
+    }.toSeq
+
+  test("golden pipeline: sample.csv + committed centroids is deterministic") {
+    assume(new java.io.File(sampleCsv).isFile)
+    val pts = Pickups.points(Pickups.load(spark, sampleCsv)).cache()
+    try {
+      assert(pts.count() == 735) // 1 000 pickups → 735 distinct rounded cells
+      val r = KMeans.fitWithInit(pts, goldenInit, maxIter = 20, tol = 0.001)
+      assert(r.converged)
+      assert(r.iterations == 12)
+      val got = r.centroids.sortBy(_.idx).map(c => (c.lat, c.lon))
+      assert(got == Seq(
+        (40.675, -73.734), (40.724, -74.194), (40.779, -73.876),
+        (40.769, -73.974), (40.727, -73.999)))
+      val sil = Silhouette.score(pts, r.centroids)
+      assert(math.abs(sil - 0.824746691962) < 1e-9, s"sil=$sil")
+    } finally { pts.unpersist(); () }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.{Event, UserRunning}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Drives the streaming transforms through MemoryStream: watermark
+  * finalization, late-data drop, session merging, and custom
+  * mapGroupsWithState accumulation across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in ns
+
+  private def ev(user: Long, tsNs: Long, typ: String = "view",
+                 value: Double = 1.0) = Event(user, tsNs, typ, value)
+
+  private def withQuery[T](q: StreamingQuery)(f: => T): T =
+    try f finally q.stop()
+
+  test("tumbling windows finalize on watermark; late data is dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.tumblingTypeCounts(in.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(ev(1, 0), ev(2, 10), ev(1, 3 * H)) // hour-0 ×2, hour-3 ×1
+      q.processAllAvailable() // watermark → 1h: hour-0 window final
+      val after1 = spark.table("tumbling").as[(Long, String, Long, Double)]
+        .collect().toSet
+      assert(after1 == Set((0L, "view", 2L, 2.0)))
+      in.addData(ev(1, 6 * H)) // watermark → 4h: hour-3 window final
+      q.processAllAvailable()
+      val after2 = spark.table("tumbling").as[(Long, String, Long, Double)]
+        .collect().toSet
+      assert(after2 == Set((0L, "view", 2L, 2.0),
+        (3 * H / 1000, "view", 1L, 1.0)))
+      in.addData(ev(9, 30)) // hour-0 event, far behind the 4h watermark
+      q.processAllAvailable()
+      assert(spark.table("tumbling").count() == 2) // dropped, not appended
+    }
+  }
+
+  test("session windows merge events within the gap, split at >= gap") {
+    // batch-mode execution of the same transform (unified semantics)
+    val gapNs = 1800L * 1000000000L
+    val df = Seq(
+      ev(1, 0), ev(1, gapNs - 1), // same session (gap not reached)
+      ev(1, 2 * gapNs + 10),      // new session
+      ev(2, 0)).toDF()
+    val r = EventStreams.userSessions(df, "30 minutes")
+      .orderBy("user_id", "session_start_us")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 0L, 2L, 2.0), (1L, (2 * gapNs + 10) / 1000, 1L, 1.0),
+      (2L, 0L, 1L, 1.0)))
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.runningUserTotals(in.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    withQuery(q) {
+      in.addData(ev(1, 10, value = 2.0), ev(1, 20, value = 3.0))
+      q.processAllAvailable()
+      in.addData(ev(1, 30, value = 5.0), ev(2, 5, value = 1.0))
+      q.processAllAvailable()
+      val byUser = spark.table("running").as[UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.n_events) }
+      assert(byUser(1L) == UserRunning(1L, 3L, 10.0, 30L))
+      assert(byUser(2L) == UserRunning(2L, 1L, 1.0, 5L))
+    }
+  }
+}
