@@ -364,6 +364,59 @@ object SparkEntry {
           .orderBy("flag")
       }),
 
+    // ---- text analysis: language ID (north star) ----
+    q("q37_lang_id",
+      """WITH s AS (SELECT doc_id,
+        |  CAST(contains(lower(text), ' th') AS INTEGER) + CAST(contains(lower(text), 'the') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ing') AS INTEGER) + CAST(contains(lower(text), ' an') AS INTEGER) +
+        |  CAST(contains(lower(text), 'and') AS INTEGER) + CAST(contains(lower(text), ' of') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ion') AS INTEGER) + CAST(contains(lower(text), ' to') AS INTEGER) AS score_en,
+        |  CAST(contains(lower(text), 'der') AS INTEGER) + CAST(contains(lower(text), 'sch') AS INTEGER) +
+        |  CAST(contains(lower(text), ' un') AS INTEGER) + CAST(contains(lower(text), 'und') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ein') AS INTEGER) + CAST(contains(lower(text), 'ich') AS INTEGER) +
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'cht') AS INTEGER) AS score_de,
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'la ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ión') AS INTEGER) + CAST(contains(lower(text), ' el') AS INTEGER) +
+        |  CAST(contains(lower(text), 'que') AS INTEGER) + CAST(contains(lower(text), ' qu') AS INTEGER) AS score_es,
+        |  CAST(contains(lower(text), ' le') AS INTEGER) + CAST(contains(lower(text), 'es ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ent') AS INTEGER) + CAST(contains(lower(text), ' et') AS INTEGER) +
+        |  CAST(contains(lower(text), 'une') AS INTEGER) + CAST(contains(lower(text), 'eur') AS INTEGER) AS score_fr
+        |FROM documents)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |       WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin)(
+      (s, d) => LangId.languageIdResult(Tables.documents(s, d))),
+
+    // ---- multimodal plumbing (north star; decode kernels stubbed) ----
+    qRowsOnly("q38_media_features")(
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+        Multimodal.extractFeatures(media, dim = 16)
+          .toDF().select(col("media_id"),
+            org.apache.spark.sql.functions.element_at(col("feature"), 1)
+              .as("f0"))
+          .orderBy("media_id")
+      }),
+
+    qRowsOnly("q39_media_decode_frames")(
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+        val decoded = Multimodal.decode(media).toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("channels"), col("n_bytes"))
+        val frames = Multimodal.sampleFrames(media).toDF()
+          .groupBy("media_id")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_frames"))
+        decoded.join(frames, Seq("media_id"), "left")
+          .orderBy("media_id")
+      }),
+
     // The rounded-grid point cloud is tiny after dedup (≤ ~1e6 cells even
     // for a continent-scale 3-dp grid), while the Lloyd loop runs dozens of
     // tiny jobs over it — pin it to a few partitions so per-iteration task

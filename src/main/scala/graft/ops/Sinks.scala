@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Sink surface (SURVEY.md §2.1 S3/S4/S5/S8).
+  *
+  * The reference's sinks are HDFS text part-files and HBase writes; the
+  * Spark-native analogues are columnar/text file writes — the buffer
+  * tuning the reference hand-rolls (20 MB vs 1 MB BufferedMutator, HFile
+  * bulk load) is subsumed by the file writers (SURVEY §4).
+  */
+object Sinks {
+
+  /** S3: text-style sink — key TAB value lines like TextOutputFormat.
+    * `singleFile` coalesces to one part for golden-output comparison.
+    */
+  def writeTextKV(df: DataFrame, keyCol: String, valueCol: String,
+                  path: String, singleFile: Boolean = false): Unit = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val lines = df.select(concat_ws("\t", col(keyCol), col(valueCol))
+      .as("value"))
+    (if (singleFile) lines.coalesce(1) else lines)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** S4: the general columnar sink (replaces HBase buffered puts). */
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** S5: bulk-load analogue — rows sorted within partitions by the key
+    * before the columnar write, the direct equivalent of sorted-HFile
+    * generation (gives parquet min/max row-group pruning on the key).
+    */
+  def writeSortedParquet(df: DataFrame, keyCols: Seq[String],
+                         path: String): Unit =
+    df.sortWithinPartitions(keyCols.head, keyCols.tail: _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** S8: tiny driver-side report file (the Summarizer.java analogue). */
+  def writeReport(lines: Seq[String], path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+    ()
+  }
+}
