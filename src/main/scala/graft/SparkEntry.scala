@@ -424,9 +424,12 @@ object SparkEntry {
     qRowsOnly("q28_kmeans_centers")(
       (s, d) => {
         val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
-          .repartition(4)
-        s.createDataFrame(graft.ml.KMeans.fit(pts, k = 5, seed = 42L).centroids)
-          .orderBy("idx")
+          .repartition(4).cache()
+        try {
+          s.createDataFrame(
+            graft.ml.KMeans.fit(pts, k = 5, seed = 42L).centroids)
+            .orderBy("idx")
+        } finally { pts.unpersist(blocking = false); () }
       }),
 
     qRowsOnly("q29_silhouette_sweep")(

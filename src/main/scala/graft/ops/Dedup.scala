@@ -71,8 +71,8 @@ object Dedup {
   def jaccardPairs(documents: DataFrame, n: Int = 3,
                    threshold: Double = 0.2,
                    maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh0 = shingleSets(documents, n)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val sets = shingleSets(documents, n)
+    val sh0 = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sh =
       if (maxDf == Long.MaxValue) sh0
       else {
@@ -80,7 +80,13 @@ object Dedup {
           .filter(col("df") <= maxDf)
         sh0.join(df.select("sh"), "sh")
       }
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // |set| per doc: a narrow array-size projection when no df-cap is
+    // active (no shuffle); with a cap, sizes must count surviving
+    // shingles, which needs the re-aggregation.
+    val sizes =
+      if (maxDf == Long.MaxValue)
+        sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
+      else sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("x")
       .join(sh.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
