@@ -1,0 +1,98 @@
+package graft
+
+import graft.ml.{Centroid, KMeans, Silhouette}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based invariants (SURVEY.md §5.4). Driver-side laws run on
+  * every generated case; Spark-backed laws sample fewer cases (one job
+  * each) but assert exact semantics.
+  */
+object PropertyProps extends Properties("graft") {
+
+  // Spark-backed properties run one job per case — keep sampling tight.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = SparkSpec.session
+
+  private val coord = Gen.chooseNum(-90.0, 90.0)
+
+  property("round3 is idempotent and within half a milli") =
+    Prop.forAll(coord) { v =>
+      val r = KMeans.round3(v)
+      KMeans.round3(r) == r && math.abs(r - v) <= 0.0005 + 1e-12
+    }
+
+  property("initUniform is deterministic and inside the bbox") =
+    Prop.forAll(Gen.chooseNum(1, 20), Gen.chooseNum(0L, 1000L)) { (k, seed) =>
+      val a = KMeans.initUniform(k, seed, -10, 10, -20, 20)
+      val b = KMeans.initUniform(k, seed, -10, 10, -20, 20)
+      a == b && a.forall(c =>
+        c.lat >= -10 && c.lat <= 10 && c.lon >= -20 && c.lon <= 20) &&
+        a.map(_.idx) == (0 until k)
+    }
+
+  property("convergence: reflexive, and any axis delta > tol breaks it") =
+    Prop.forAll(coord, coord, Gen.chooseNum(0.002, 1.0)) { (la, lo, d) =>
+      val c = Seq(Centroid(0, la, lo))
+      KMeans.converged(c, c) &&
+        !KMeans.converged(c, Seq(Centroid(0, la + d, lo)))
+    }
+
+  private val pointGen = for {
+    la <- Gen.chooseNum(-5.0, 5.0); lo <- Gen.chooseNum(-5.0, 5.0)
+    c <- Gen.chooseNum(1, 9)
+  } yield (la, lo, c)
+
+  property("assignment picks a true argmin for every point") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.listOfN(30, pointGen), Gen.chooseNum(2, 6), Gen.chooseNum(0L, 99L)) {
+      (ps, k, seed) =>
+        val pts = ps.toDF("lat", "lon", "cnt")
+        val cs = KMeans.initUniform(k, seed, -5, 5, -5, 5)
+        val assigned = KMeans.assign(pts, cs)
+          .select("lat", "lon", "cidx").collect()
+        assigned.forall { r =>
+          val (la, lo, ci) = (r.getDouble(0), r.getDouble(1), r.getInt(2))
+          def d(c: Centroid) =
+            (la - c.lat) * (la - c.lat) + (lo - c.lon) * (lo - c.lon)
+          val best = cs.map(d).min
+          d(cs(ci)) == best && cs.indexWhere(d(_) == best) == ci // first min
+        }
+    }
+  }
+
+  property("silhouette is within [0,1] for k >= 2 squared distances") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.listOfN(20, pointGen), Gen.chooseNum(2, 5), Gen.chooseNum(0L, 99L)) {
+      (ps, k, seed) =>
+        val pts = ps.toDF("lat", "lon", "cnt")
+        val cs = KMeans.initUniform(k, seed, -5, 5, -5, 5)
+        val s = Silhouette.score(pts, cs)
+        s >= 0.0 && s <= 1.0
+    }
+  }
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+  private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
+
+  property("jaccard of a document with itself is 1; bounded in (0,1]") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(Gen.listOfN(4, docGen)) { texts =>
+      val docs = (texts ++ texts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pairs = graft.ops.Dedup.jaccardPairs(docs, n = 2, threshold = 0.0)
+        .collect()
+      val dupPairs = texts.indices.map(i => (i.toLong, (i + texts.size).toLong))
+      pairs.forall { r =>
+        val j = r.getDouble(2); j > 0.0 && j <= 1.0
+      } && dupPairs.forall { case (a, b) =>
+        pairs.exists(r => r.getLong(0) == a && r.getLong(1) == b &&
+          r.getDouble(2) == 1.0)
+      }
+    }
+  }
+
+}
