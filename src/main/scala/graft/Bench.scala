@@ -12,6 +12,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session once (codegen compiler, shuffle machinery, JIT of
+    // the scan/agg paths) so the first measured query isn't charged the
+    // cold-start tax — Bench measures steady-state throughput.
+    try {
+      spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)")
+        .collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -364,6 +364,28 @@ object SparkEntry {
           .orderBy("flag")
       }),
 
+    q("q40_distinct_quantiles",
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{countDistinct, expr}
+        Tables.lineitem(s, d).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      }),
+
+    // HLL sketch distinct (approx_count_distinct) — algorithm-specific
+    // estimate, no cross-engine oracle; rows-only.
+    qRowsOnly("q41_hll_distinct")(
+      (s, d) => {
+        import org.apache.spark.sql.functions.approx_count_distinct
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      }),
+
     // ---- text analysis: language ID (north star) ----
     q("q37_lang_id",
       """WITH s AS (SELECT doc_id,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §4: the reference hand-salts HBase
+  * rowkeys — PopulatePt.java:125–127 — to force mapper parallelism; in
+  * Spark, AQE's skew-join handling covers sort-merge joins automatically,
+  * and these helpers cover the cases AQE does not).
+  */
+object Skew {
+
+  /** Salted equi-join for a heavy-hitter key distribution: the big side
+    * gets a random-but-stable salt in [0, saltFactor); the small side is
+    * replicated saltFactor times; the join key becomes (key, salt), so one
+    * hot key spreads over saltFactor reduce partitions.
+    *
+    * Correctness is unconditional (every big row still meets every small
+    * row of its key exactly once); use when the SMALL side fits
+    * replicated — the classic dimension-join skew case.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     saltFactor: Int,
+                     joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val salted = big.withColumn("graft_salt",
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+    val replicated = small.withColumn("graft_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "graft_salt"), joinType)
+      .drop("graft_salt")
+  }
+
+  /** Top-df heavy-hitter report for a key column — the diagnostic that
+    * decides between plain join, AQE, and salting.
+    */
+  def heavyHitters(df: DataFrame, key: String, topN: Int = 20): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df")).limit(topN)
+
+  /** Per-partition row-count histogram — skew visibility for any stage. */
+  def partitionHistogram(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(spark_partition_id().as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("rows"))
+      .orderBy("pid")
+  }
+}
