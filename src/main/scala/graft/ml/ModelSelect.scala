@@ -1,34 +1,99 @@
 package graft.ml
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Hyperparameter sweep + model selection (SURVEY.md §2.6 M5/M6, §2.4 A12).
   *
   * The reference's KDriver (/root/reference/final/src/main/java/program/
   * KDriver.java:60–63) runs one MR-job chain per k and parks results in
-  * HBase; here the sweep is a driver loop over ONE cached point cloud, and
-  * "model selection" is a max over a k-row list.
+  * HBase; a naive Spark port still schedules one job per (k, iteration).
+  * This sweep batches instead: each Lloyd ROUND unions the assignment
+  * frames of every still-active k (tagged by `kval`) and recenters them in
+  * ONE groupBy(kval, cidx) job — per-k math is untouched (identical
+  * centroids/iterations to sequential fits), but the job count drops from
+  * Σ iterations(k) to max iterations(k), which is what matters when the
+  * per-job scheduling overhead rivals the compute (the reference's own
+  * diagnosis of its 38–40 s/job bottleneck, BASELINE.md).
   */
 final case class SweepEntry(k: Int, silScore: Double, iterations: Int,
                             converged: Boolean)
 
 object ModelSelect {
 
-  /** M5: fit every k on the same cached points, score each with the
-    * simplified silhouette.
+  private final case class KState(cs: Seq[Centroid], iterations: Int,
+                                  converged: Boolean)
+
+  /** M5: fit every k on the same cached points (one job per round across
+    * all ks), then score all ks' silhouettes in one more job.
     */
   def sweep(points: DataFrame, ks: Seq[Int], seed: Long,
             maxIter: Int = 20, tol: Double = 0.001): Seq[SweepEntry] = {
+    require(ks.nonEmpty)
     val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val (minLat, maxLat, minLon, maxLon) = KMeans.bbox(cached)
+      val state = scala.collection.mutable.LinkedHashMap(ks.map { k =>
+        k -> KState(
+          KMeans.initUniform(k, seed, minLat, maxLat, minLon, maxLon), 0, false)
+      }: _*)
+
+      var roundNo = 0
+      while (roundNo < maxIter && state.values.exists(!_.converged)) {
+        val active = ks.filter(k => !state(k).converged)
+        val unioned = active.map { k =>
+          KMeans.assign(cached, state(k).cs).withColumn("kval", lit(k))
+        }.reduce(_ unionByName _)
+        val recentered = unioned
+          .groupBy("kval", "cidx")
+          .agg(
+            round(sum(col("lat") * col("cnt")) / sum(col("cnt")), 3).as("lat"),
+            round(sum(col("lon") * col("cnt")) / sum(col("cnt")), 3).as("lon"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (k, rows) =>
+            k -> rows.map(r =>
+              r.getInt(1) -> Centroid(r.getInt(1), r.getDouble(2),
+                r.getDouble(3))).toMap
+          }
+        active.foreach { k =>
+          val prev = state(k)
+          val next = prev.cs.map(c =>
+            recentered.getOrElse(k, Map.empty).getOrElse(c.idx, c))
+          state(k) = KState(next, prev.iterations + 1,
+            KMeans.converged(prev.cs, next, tol))
+        }
+        roundNo += 1
+      }
+
+      val sils = scoreMany(cached, ks.map(k => k -> state(k).cs).toMap)
       ks.map { k =>
-        val r = KMeans.fit(cached, k, seed, maxIter, tol)
-        SweepEntry(k, Silhouette.score(cached, r.centroids), r.iterations,
-          r.converged)
+        val s = state(k)
+        SweepEntry(k, sils(k), s.iterations, s.converged)
       }
     } finally { cached.unpersist(blocking = false); () }
   }
+
+  /** All ks' weighted silhouettes in one job (union + groupBy(kval)). */
+  private def scoreMany(points: DataFrame,
+                        css: Map[Int, Seq[Centroid]]): Map[Int, Double] =
+    css.map { case (k, cs) =>
+      val sorted = array_sort(KMeans.distances(cs))
+      val s =
+        if (cs.size < 2) lit(0.0)
+        else {
+          val d1 = element_at(sorted, 1)
+          val d2 = element_at(sorted, 2)
+          when(d2 > 0, (d2 - d1) / d2).otherwise(lit(0.0))
+        }
+      points.select(lit(k).as("kval"), s.as("sil"), col("cnt"))
+    }.reduce(_ unionByName _)
+      .groupBy("kval")
+      .agg((sum(col("sil") * col("cnt")) / sum(col("cnt"))).as("score"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
 
   /** M6/A12: argmax silhouette (first k wins ties, like the reference's
     * strict `>` driver scan, Summarizer.java:81–86).

@@ -63,4 +63,19 @@ class KMeansSpec extends SparkSpec {
     val entries = ModelSelect.sweep(blobs, Seq(2, 3), seed = 1L)
     assert(ModelSelect.best(entries).k == 2)
   }
+
+  test("batched sweep is job-batched but math-identical to sequential fits") {
+    val noisy = pts((0.0, 0.0, 2), (0.4, 0.1, 1), (3.0, 2.0, 1),
+      (10.0, 10.0, 3), (9.5, 10.5, 1), (5.0, 5.0, 1), (6.0, 4.0, 2))
+    val entries = ModelSelect.sweep(noisy, Seq(2, 3, 4), seed = 7L,
+      maxIter = 15)
+    entries.foreach { e =>
+      val fit = KMeans.fit(noisy, e.k, seed = 7L, maxIter = 15)
+      assert(fit.iterations == e.iterations, s"k=${e.k}")
+      assert(fit.converged == e.converged, s"k=${e.k}")
+      // union changes float summation order → compare to ULP tolerance
+      val sil = Silhouette.score(noisy, fit.centroids)
+      assert(math.abs(sil - e.silScore) < 1e-12, s"k=${e.k}")
+    }
+  }
 }
