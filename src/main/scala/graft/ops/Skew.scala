@@ -23,6 +23,11 @@ object Skew {
                      saltFactor: Int,
                      joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would surface each unmatched REPLICATED small row
+    // saltFactor times — semantically wrong under salting.
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin does not support joinType=$joinType")
     val salted = big.withColumn("graft_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("graft_salt",
