@@ -5,9 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.{call_function, lit}
 
-/** Registration + Column-level API for the custom vector expressions.
+/** Registration + Column-level API for the custom expressions.
   *
-  * Two ways in, same expressions:
+  * Two ways in, ONE builder table, same expressions:
   *  - `GraftFunctions.register(spark)` — idempotent runtime registration in
   *    the session's FunctionRegistry (used by the library's own builders).
   *  - `spark.sql.extensions=graft.functions.GraftExtensions` — the standard
@@ -20,24 +20,30 @@ object GraftFunctions {
   private def constInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue
 
-  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> (c => DotProduct(c(0), c(1))),
-    "graft_cosine" -> (c => CosineSimilarity(c(0), c(1))),
-    "graft_shingles" -> (c => TokenShingles(c(0), constInt(c(1)))),
-    "graft_minhash" -> (c => MinHashSignature(c(0), constInt(c(1)))),
-    "graft_simhash" -> (c => SimHash64(c(0))))
-
-  private def info(name: String, clazz: String) =
-    new ExpressionInfo(clazz, null, name, null, "", "", "", "", "", "", "built-in")
+  /** (name, implementing class, builder) — the single registry. */
+  private[functions] val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getName,
+      c => DotProduct(c(0), c(1))),
+    ("graft_cosine", classOf[CosineSimilarity].getName,
+      c => CosineSimilarity(c(0), c(1))),
+    ("graft_shingles", classOf[TokenShingles].getName,
+      c => TokenShingles(c(0), constInt(c(1)))),
+    ("graft_minhash", classOf[MinHashSignature].getName,
+      c => MinHashSignature(c(0), constInt(c(1)))),
+    ("graft_simhash", classOf[SimHash64].getName,
+      c => SimHash64(c(0))))
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  def register(spark: SparkSession): Unit = builders.foreach {
+    case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
   }
 
-  /** Codegen'd dot product of two array<double> columns (registers on use
-    * via the session bound to the calling DataFrame — call `register`
-    * first; the library's builders do).
+  /** Codegen'd dot product of two array<double> columns (requires a
+    * registered session — the library's DataFrame-level builders call
+    * `register` themselves).
     */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
@@ -56,29 +62,11 @@ object GraftFunctions {
   def simhash(text: Column): Column = call_function("graft_simhash", text)
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point — injects the same builder table. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftExtensions.inject(ext)
-}
-
-object GraftExtensions {
-  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
-    def constInt(e: Expression): Int = e.eval(null).asInstanceOf[Number].intValue
-    val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
-      ("graft_dot", classOf[DotProduct].getName,
-        c => DotProduct(c(0), c(1))),
-      ("graft_cosine", classOf[CosineSimilarity].getName,
-        c => CosineSimilarity(c(0), c(1))),
-      ("graft_shingles", classOf[TokenShingles].getName,
-        c => TokenShingles(c(0), constInt(c(1)))),
-      ("graft_minhash", classOf[MinHashSignature].getName,
-        c => MinHashSignature(c(0), constInt(c(1)))),
-      ("graft_simhash", classOf[SimHash64].getName,
-        c => SimHash64(c(0))))
-    builders.foreach { case (name, clazz, b) =>
+    GraftFunctions.builders.foreach { case (name, clazz, b) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), b))
     }
-  }
 }

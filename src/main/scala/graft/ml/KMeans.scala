@@ -71,15 +71,19 @@ object KMeans {
       (col("lon") - lit(c.lon)) * (col("lon") - lit(c.lon))
     }: _*)
 
-  /** J3/J4: nearest-centroid assignment; adds `cidx`. First min wins,
-    * matching the reference's strict `<` scan (KMeans.java:98–101).
+  /** J3/J4: nearest-centroid assignment; adds `cidx` = the CENTROID's own
+    * idx (not its array position — init idxs need not be 0..k-1, e.g. when
+    * seeding from a golden centroid file). First min wins, matching the
+    * reference's strict `<` scan (KMeans.java:98–101).
     */
-  def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame =
+  def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame = {
+    val idxArr = array(cs.sortBy(_.idx).map(c => lit(c.idx)): _*)
     points
       .withColumn("dists", distances(cs))
-      .withColumn("cidx",
-        (array_position(col("dists"), array_min(col("dists"))) - 1).cast("int"))
+      .withColumn("cidx", element_at(idxArr,
+        array_position(col("dists"), array_min(col("dists"))).cast("int")))
       .drop("dists")
+  }
 
   /** A10: weighted-mean recenter, 3 dp HALF_UP; empty clusters inherit the
     * previous centroid. Collects K rows to the driver.

@@ -79,15 +79,8 @@ object ModelSelect {
   private def scoreMany(points: DataFrame,
                         css: Map[Int, Seq[Centroid]]): Map[Int, Double] =
     css.map { case (k, cs) =>
-      val sorted = array_sort(KMeans.distances(cs))
-      val s =
-        if (cs.size < 2) lit(0.0)
-        else {
-          val d1 = element_at(sorted, 1)
-          val d2 = element_at(sorted, 2)
-          when(d2 > 0, (d2 - d1) / d2).otherwise(lit(0.0))
-        }
-      points.select(lit(k).as("kval"), s.as("sil"), col("cnt"))
+      points.select(lit(k).as("kval"), Silhouette.silColumn(cs).as("sil"),
+        col("cnt"))
     }.reduce(_ unionByName _)
       .groupBy("kval")
       .agg((sum(col("sil") * col("cnt")) / sum(col("cnt"))).as("score"))

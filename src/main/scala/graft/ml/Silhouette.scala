@@ -18,17 +18,26 @@ import org.apache.spark.sql.functions._
   */
 object Silhouette {
 
+  /** Per-point silhouette expression for the given centroids — the single
+    * source of the (d2nd − dmin)/d2nd formula (ModelSelect's batched
+    * scoring reuses it; keep the semantics in one place).
+    */
+  private[ml] def silColumn(cs: Seq[Centroid]): org.apache.spark.sql.Column =
+    if (cs.size < 2) lit(0.0)
+    else {
+      val sorted = array_sort(KMeans.distances(cs))
+      val d1 = element_at(sorted, 1)
+      val d2 = element_at(sorted, 2)
+      when(d2 > 0, (d2 - d1) / d2).otherwise(lit(0.0))
+    }
+
   /** Weighted mean silhouette of a weighted point cloud (lat, lon, cnt)
     * under the given centroids. Returns 0 when k < 2 (no second distance).
     */
   def score(points: DataFrame, cs: Seq[Centroid]): Double = {
     if (cs.size < 2) return 0.0
-    val sorted = array_sort(KMeans.distances(cs))
-    val d1 = element_at(sorted, 1)
-    val d2 = element_at(sorted, 2)
-    val s = when(d2 > 0, (d2 - d1) / d2).otherwise(lit(0.0))
     points
-      .select(s.as("sil"), col("cnt"))
+      .select(silColumn(cs).as("sil"), col("cnt"))
       .agg(sum(col("sil") * col("cnt")) / sum(col("cnt")))
       .head().getDouble(0)
   }

@@ -48,9 +48,13 @@ object Multimodal {
     */
   def repartitionByBytes(media: Dataset[Media],
                          targetBytes: Long = 128L << 20): Dataset[Media] = {
-    val total = media.select(sum(length(col("payload")))).head().getLong(0)
-    val parts = math.max(1, math.min(10000, (total / targetBytes).toInt + 1))
-    media.repartition(parts)
+    val row = media.select(sum(length(col("payload")))).head()
+    if (row.isNullAt(0)) media // empty input: nothing to balance
+    else {
+      val parts = math.max(1,
+        math.min(10000, (row.getLong(0) / targetBytes).toInt + 1))
+      media.repartition(parts)
+    }
   }
 
   /** ======== STUB ========

@@ -95,10 +95,26 @@ object Similarity {
     * SimilaritySpec, not here.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-             bits: Int = 12, tables: Int = 6, seed: Long = 42L): DataFrame = {
+             bits: Int = 12, tables: Int = 6, seed: Long = 42L,
+             dim: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val dim = 64
-    val planes = hyperplanes(dim, bits, tables, seed)
+    // dim <= 0 → probe the corpus (dot truncates to the common prefix, so
+    // a wrong hardcoded dim would silently ignore trailing dimensions)
+    val effDim =
+      if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => return queries.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rank",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("n_id",
+              org.apache.spark.sql.types.LongType))))
+      }
+    val planes = hyperplanes(effDim, bits, tables, seed)
     def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {
       val e = df.select(col("vec_id").as(idCol),
         asDouble(col("embedding")).as(embCol))

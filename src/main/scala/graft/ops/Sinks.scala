@@ -13,6 +13,9 @@ object Sinks {
 
   /** S3: text-style sink — key TAB value lines like TextOutputFormat.
     * `singleFile` coalesces to one part for golden-output comparison.
+    * Null handling matches TextOutputFormat: `concat_ws` skips nulls, so a
+    * null value writes the bare key with no separator — exactly what
+    * Hadoop's writer does for a null value.
     */
   def writeTextKV(df: DataFrame, keyCol: String, valueCol: String,
                   path: String, singleFile: Boolean = false): Unit = {

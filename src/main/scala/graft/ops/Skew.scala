@@ -28,6 +28,9 @@ object Skew {
     require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedEquiJoin does not support joinType=$joinType")
+    require(!big.columns.contains("graft_salt") &&
+      !small.columns.contains("graft_salt"),
+      "inputs already have a graft_salt column")
     val salted = big.withColumn("graft_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val replicated = small.withColumn("graft_salt",

@@ -54,14 +54,34 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
-  /** O1 analogue: the reference's semantic partitioner placed words
-    * m..q in dedicated partitions. The Spark-native equivalent when output
-    * LAYOUT matters is repartitioning by an expression before the write —
-    * the aggregation itself needs no custom partitioner.
+  /** O1: the reference's semantic partitioner — lowercase first char,
+    * `(c - 'm') % n` as the PARTITION INDEX (WordCount2/WordCount.java:
+    * 59–72; inputs are pre-filtered to ^[mnopqMNOPQ] so the index is
+    * 0..4). `repartition(n, expr)` would HASH the expression, scattering
+    * the groups, so this drops to an RDD `Partitioner` — the one place the
+    * reference's semantics are genuinely about data placement (SURVEY §2.5
+    * notes plain aggregation never needs this).
     */
-  def wordCountPartitionedLikeReference(documents: DataFrame): DataFrame =
-    wordCount(documents)
-      .repartition(5, (ascii(lower(substring(col("word"), 1, 1))) - ascii(lit("m"))) % 5)
+  def wordCountPartitionedLikeReference(documents: DataFrame,
+                                        numPartitions: Int = 5): DataFrame = {
+    val wc = wordCountFiltered(documents)
+    val spark = documents.sparkSession
+    val rdd = wc.rdd
+      .map(r => r.getString(0) -> r.getLong(1))
+      .partitionBy(new FirstCharPartitioner(numPartitions))
+      .map { case (w, c) => org.apache.spark.sql.Row(w, c) }
+    spark.createDataFrame(rdd, wc.schema)
+  }
+
+  /** The reference's WordPartitioner rule, with a positive-mod guard. */
+  private final class FirstCharPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = {
+      val c = Character.toLowerCase(key.asInstanceOf[String].charAt(0))
+      (((c - 'm') % n) + n) % n
+    }
+  }
 
   /** Token/char statistics per document (north-star token counting). */
   def tokenStats(documents: DataFrame): DataFrame =

@@ -86,6 +86,6 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
   }
 }

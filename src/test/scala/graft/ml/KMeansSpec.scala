@@ -38,6 +38,19 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.select("cidx").as[Int].head() == 0)
   }
 
+  test("assignment and recenter honor non-contiguous centroid idxs") {
+    // golden-file inits may carry arbitrary idxs; cidx must be the
+    // centroid's OWN idx, not its array position
+    val p = pts((0.0, 0.0, 1), (10.0, 10.0, 1))
+    val prev = Seq(Centroid(7, 0.0, 0.0), Centroid(3, 10.0, 10.0))
+    val assigned = KMeans.assign(p, prev)
+    val byIdx = assigned.select("lat", "cidx").collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(byIdx(0.0) == 7 && byIdx(10.0) == 3)
+    val r = KMeans.recenter(assigned, prev).sortBy(_.idx)
+    assert(r == Seq(Centroid(3, 10.0, 10.0), Centroid(7, 0.0, 0.0)))
+  }
+
   test("empty clusters keep their previous centroid") {
     val p = pts((0.0, 0.0, 1))
     val prev = Seq(Centroid(0, 0.0, 0.0), Centroid(1, 99.0, 99.0))

@@ -35,6 +35,17 @@ class TextSpec extends SparkSpec {
     assert(r(0) == r(1) && r(0) != r(2))
   }
 
+  test("O1: reference partitioner places each letter group in its partition") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val d = docs("map map nap order quit pick")
+    val placed = Text.wordCountPartitionedLikeReference(d)
+      .withColumn("pid", spark_partition_id())
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // m→0, n→1, o→2, p→3, q→4 (WordCount2/WordCount.java:59–72)
+    assert(placed == Map("map" -> 0, "nap" -> 1, "order" -> 2,
+      "pick" -> 3, "quit" -> 4))
+  }
+
   test("token stats count non-empty tokens only") {
     val r = Text.tokenStats(docs("  a  b  ")).collect().head
     assert(r.getAs[Int]("n_tokens") == 2)
