@@ -364,6 +364,61 @@ object SparkEntry {
           .orderBy("flag")
       }),
 
+    // ---- classic multi-join analytics (TPC-H Q3/Q5 shapes) ----
+    q("q42_top_revenue_orders",
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") <
+              lit("1998-01-01").cast("timestamp_ntz")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      }),
+
+    q("q43_regional_revenue",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // dims broadcast; the two fact joins stay shuffled on their keys
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+            2).as("revenue"))
+          .orderBy("n_name")
+      }),
+
     q("q40_distinct_quantiles",
       """SELECT count(DISTINCT l_partkey) AS n_parts,
         |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -1,0 +1,44 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("co-located join on bucketed tables plans zero exchanges") {
+    val orders = (1L to 200L).map(i => (i, s"o$i")).toDF("key", "o")
+    val items = (1L to 600L).map(i => (i % 200 + 1, s"i$i")).toDF("key", "i")
+    Bucketing.writeBucketed(orders, "b_orders", "key", buckets = 4)
+    Bucketing.writeBucketed(items, "b_items", "key", buckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // tiny test tables would auto-broadcast and bypass the bucketed
+      // path entirely — force the shuffle-join planner to show bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_items", "key")
+      assert(joined.count() == 600)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"bucketing unused in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+      ()
+    }
+  }
+
+  test("mismatched bucket counts still join correctly (with exchange)") {
+    val a = (1L to 50L).map(i => (i, i * 2)).toDF("key", "v")
+    val b = (1L to 50L).map(i => (i, i * 3)).toDF("key", "w")
+    Bucketing.writeBucketed(a, "b_a", "key", buckets = 4)
+    Bucketing.writeBucketed(b, "b_b", "key", buckets = 3)
+    try {
+      assert(Bucketing.coLocatedJoin(spark, "b_a", "b_b", "key").count() == 50)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_a")
+      spark.sql("DROP TABLE IF EXISTS b_b")
+      ()
+    }
+  }
+}
