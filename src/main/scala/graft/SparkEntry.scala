@@ -259,6 +259,13 @@ object SparkEntry {
         Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), k = 5)
       }),
 
+    qRowsOnly("q44_ann_ivf")(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 16, nprobe = 4)
+      }),
+
     // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
     // ---- windowing / analytic / set ops (SURVEY §2.8 engine surface) ----
     q("q30_tumbling_window",

@@ -1,0 +1,112 @@
+package graft.ml
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D-dimensional Lloyd's K-Means over an `array<double>` column — the
+  * vector generalization of ml.KMeans (M1–M3) used as the coarse
+  * quantizer for IVF similarity search (Similarity.annIvf).
+  *
+  * Execution shape per iteration (same discipline as the 2-D loop):
+  *  - assignment: ||x−c||² = ‖x‖² − 2·x·c + ‖c‖², with x·c and ‖x‖²
+  *    through the codegen'd graft_dot kernel and ‖c‖² folded as a literal
+  *    — one narrow pass, k dots per row;
+  *  - recenter: `posexplode` of the vector → groupBy(cluster, dim) sums —
+  *    one shuffle of k·d partial rows per partition (map-side combined),
+  *    collecting only k·d (cluster, dim, mean) cells to the driver.
+  */
+final case class VecCentroid(idx: Int, vec: Array[Double])
+
+final case class KMeansVecResult(centroids: Seq[VecCentroid],
+                                 iterations: Int, converged: Boolean)
+
+object KMeansVec {
+
+  /** Deterministic init: the k seeded-sample rows of the corpus (k-means||
+    * style sampling is unnecessary at coarse-quantizer k). Sampling uses a
+    * hash of the id column — stable across partitionings.
+    */
+  def initFromSample(vectors: DataFrame, idCol: String, vecCol: String,
+                     k: Int, seed: Long): Seq[VecCentroid] = {
+    val rows = vectors
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(k)
+      .collect()
+    rows.zipWithIndex.map { case (r, i) =>
+      VecCentroid(i, r.getSeq[Double](1).toArray)
+    }.toSeq
+  }
+
+  private def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+
+  /** Squared distances to every centroid (codegen'd dot products). */
+  private def distCols(vecCol: Column, cs: Seq[VecCentroid]): Seq[Column] = {
+    val xx = GraftFunctions.dot(vecCol, vecCol)
+    cs.sortBy(_.idx).map { c =>
+      val cc = c.vec.map(x => x * x).sum
+      xx - lit(2.0) * GraftFunctions.dot(vecCol, litVec(c.vec)) + lit(cc)
+    }
+  }
+
+  /** Adds `cidx` = idx of the nearest centroid (first minimum wins). */
+  def assign(vectors: DataFrame, vecCol: String,
+             cs: Seq[VecCentroid]): DataFrame = {
+    GraftFunctions.register(vectors.sparkSession)
+    val idxArr = array(cs.sortBy(_.idx).map(c => lit(c.idx)): _*)
+    vectors
+      .withColumn("dists", array(distCols(col(vecCol), cs): _*))
+      .withColumn("cidx", element_at(idxArr,
+        array_position(col("dists"), array_min(col("dists"))).cast("int")))
+      .drop("dists")
+  }
+
+  /** Mean vector per cluster via (cluster, dim) partial sums; empty
+    * clusters keep their previous centroid.
+    */
+  def recenter(assigned: DataFrame, vecCol: String,
+               prev: Seq[VecCentroid]): Seq[VecCentroid] = {
+    val cells = assigned
+      .select(col("cidx"), posexplode(col(vecCol)))
+      .groupBy("cidx", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val byCluster = cells.groupBy(_.getInt(0))
+    prev.map { c =>
+      byCluster.get(c.idx) match {
+        case Some(rows) =>
+          val vec = c.vec.clone()
+          rows.foreach { r =>
+            vec(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+          }
+          VecCentroid(c.idx, vec)
+        case None => c
+      }
+    }
+  }
+
+  def converged(prev: Seq[VecCentroid], next: Seq[VecCentroid],
+                tol: Double): Boolean =
+    prev.sortBy(_.idx).zip(next.sortBy(_.idx)).forall { case (p, q) =>
+      p.vec.zip(q.vec).forall { case (a, b) => math.abs(a - b) <= tol }
+    }
+
+  /** The Lloyd loop. Cache `vectors` before calling for multi-iteration
+    * runs (same contract as KMeans.fit).
+    */
+  def fit(vectors: DataFrame, vecCol: String, k: Int, seed: Long,
+          maxIter: Int = 10, tol: Double = 1e-4,
+          idCol: String = "vec_id"): KMeansVecResult = {
+    var cs = initFromSample(vectors, idCol, vecCol, k, seed)
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      val next = recenter(assign(vectors, vecCol, cs), vecCol, cs)
+      done = converged(cs, next, tol)
+      cs = next
+      iter += 1
+    }
+    KMeansVecResult(cs, iter, done)
+  }
+}

@@ -88,6 +88,49 @@ object Similarity {
       when(dot(emb, litPlane) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** ANN via IVF (inverted-file) lists: a coarse k-means quantizer
+    * (ml.KMeansVec, trained on the corpus) buckets every corpus vector
+    * into its nearest-centroid list; each query probes only its `nprobe`
+    * nearest lists and exact-reranks the candidates. The classic
+    * recall/cost dial for vector search at corpus scale: work per query
+    * drops from |corpus| to ~nprobe/nlist of it.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+             nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+             trainIter: Int = 10): DataFrame = {
+    import graft.ml.KMeansVec
+    GraftFunctions.register(corpus.sparkSession)
+    val corpusD = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val cached = corpusD.cache()
+    try {
+      val model = KMeansVec.fit(cached, "n_emb", nlist, seed,
+        maxIter = trainIter, idCol = "n_id")
+      val lists = KMeansVec.assign(cached, "n_emb", model.centroids)
+        .withColumnRenamed("cidx", "list")
+      // each query probes its nprobe nearest lists
+      val probeStructs = array(model.centroids.sortBy(_.idx).map { c =>
+        val cLit = array(c.vec.map(lit(_)): _*)
+        val xx = dot(col("q_emb"), col("q_emb"))
+        val d = xx - lit(2.0) * dot(col("q_emb"), cLit) +
+          lit(c.vec.map(x => x * x).sum)
+        struct(d.as("d"), lit(c.idx).as("i"))
+      }: _*)
+      val probes = broadcast(queries
+        .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+        .withColumn("probe",
+          explode(slice(array_sort(probeStructs), 1, nprobe)))
+        .select(col("q_id"), col("q_emb"), col("probe.i").as("list")))
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      probes.join(lists, Seq("list")).filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
   /** ANN via banded random-hyperplane LSH: explode each vector into
     * (table, signature) buckets, join queries to corpus bucket-mates,
     * exact-rerank the candidates, top-k. Misses are possible (tunable via

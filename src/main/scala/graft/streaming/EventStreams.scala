@@ -80,6 +80,67 @@ object EventStreams {
       }
   }
 
+  final case class TimedEvent(user_id: Long, ts: Long, event_type: String,
+                              value: Double, event_time: java.sql.Timestamp)
+  final case class SessionAcc(startUs: Long, lastUs: Long, n: Long,
+                              sum: Double)
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              session_end_us: Long, n_events: Long,
+                              sum_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState + EVENT-TIME
+    * timeout: sessions close when the WATERMARK passes last-event + gap,
+    * not when any new element arrives — the fully-general stateful form
+    * (session_window covers the common case declaratively; this is the
+    * template for session logic the built-in cannot express, e.g.
+    * emitting only closed sessions with custom payloads).
+    *
+    * Streaming-only semantics: in batch mode flatMapGroupsWithState never
+    * fires timeouts, so open sessions would go unemitted by design.
+    */
+  def sessionizeWithState(events: DataFrame,
+                          gapUs: Long = 30L * 60 * 1000000,
+                          delay: String = "1 hour"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = withEventTime(events).withWatermark("event_time", delay)
+      .as[TimedEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[TimedEvent],
+         state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.startUs, s.lastUs, s.n, s.sum))
+          } else {
+            val evs = batch.toArray.sortBy(_.ts)
+            val closed =
+              scala.collection.mutable.ListBuffer.empty[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val us = e.ts / 1000
+              cur match {
+                case Some(s) if us - s.lastUs < gapUs =>
+                  cur = Some(SessionAcc(s.startUs, us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.startUs, s.lastUs, s.n, s.sum)
+                  cur = Some(SessionAcc(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionAcc(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires when the watermark passes last + gap (ms)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** File-based streaming intake of an events-shaped parquet directory —
     * the deployment path (`readStream` mirror of Tables.events).
     */

@@ -44,6 +44,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annIvf: high recall vs brute force on clustered vectors") {
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val ivf = Similarity.annIvf(e, queries, k = 5, nlist = 8, nprobe = 3,
+      seed = 11L).collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("annLsh: high recall vs brute force on clustered vectors") {
     val e = vecs(clustered(120): _*)
     val queries = e.filter(col("vec_id") < 8)

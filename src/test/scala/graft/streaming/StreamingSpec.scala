@@ -58,6 +58,31 @@ class StreamingSpec extends SparkSpec {
       (2L, 0L, 1L, 1.0)))
   }
 
+  test("flatMapGroupsWithState closes sessions on event-time timeout only") {
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000000L // one minute in ns
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDF(),
+      gapUs = 30L * 60 * 1000000, delay = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    withQuery(q) {
+      // base offset keeps events off the initial watermark boundary at 0
+      val base = 60 * M
+      in.addData(ev(1, base, value = 2.0), ev(1, base + 10 * M, value = 3.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      in.addData(ev(2, base + 2 * 60 * M)) // watermark ≫ timeout at +40m
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .as[EventStreams.SessionOut].collect().toSeq
+      assert(out == Seq(EventStreams.SessionOut(1L, base / 1000,
+        (base + 10 * M) / 1000, 2L, 5.0)))
+      // user 2's session is still open: nothing advanced past its timeout
+      assert(!out.exists(_.user_id == 2L))
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
