@@ -41,8 +41,12 @@ object KMeansVec {
 
   private def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
 
-  /** Squared distances to every centroid (codegen'd dot products). */
-  private def distCols(vecCol: Column, cs: Seq[VecCentroid]): Seq[Column] = {
+  /** Squared distances to every centroid, in idx order (codegen'd dot
+    * products; ‖c‖² folded as a literal). Shared by assignment here and
+    * by Similarity.annIvf's query-probe scoring — one formula, no drift.
+    */
+  private[graft] def distCols(vecCol: Column,
+                              cs: Seq[VecCentroid]): Seq[Column] = {
     val xx = GraftFunctions.dot(vecCol, vecCol)
     cs.sortBy(_.idx).map { c =>
       val cc = c.vec.map(x => x * x).sum

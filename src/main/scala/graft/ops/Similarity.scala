@@ -108,14 +108,13 @@ object Similarity {
         maxIter = trainIter, idCol = "n_id")
       val lists = KMeansVec.assign(cached, "n_emb", model.centroids)
         .withColumnRenamed("cidx", "list")
-      // each query probes its nprobe nearest lists
-      val probeStructs = array(model.centroids.sortBy(_.idx).map { c =>
-        val cLit = array(c.vec.map(lit(_)): _*)
-        val xx = dot(col("q_emb"), col("q_emb"))
-        val d = xx - lit(2.0) * dot(col("q_emb"), cLit) +
-          lit(c.vec.map(x => x * x).sum)
-        struct(d.as("d"), lit(c.idx).as("i"))
-      }: _*)
+      // each query probes its nprobe nearest lists (same distance
+      // expression the corpus assignment uses — KMeansVec.distCols)
+      val sortedCs = model.centroids.sortBy(_.idx)
+      val probeStructs = array(
+        KMeansVec.distCols(col("q_emb"), sortedCs).zip(sortedCs).map {
+          case (d, c) => struct(d.as("d"), lit(c.idx).as("i"))
+        }: _*)
       val probes = broadcast(queries
         .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
         .withColumn("probe",
@@ -147,15 +146,9 @@ object Similarity {
       if (dim > 0) dim
       else corpus.select(size(col("embedding"))).take(1) match {
         case Array(r) => r.getInt(0)
-        case _ => return queries.sparkSession.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("q_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("rank",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("n_id",
-              org.apache.spark.sql.types.LongType))))
+        // empty corpus: any dim works — the join below is empty anyway,
+        // and the output schema stays the one the real pipeline produces
+        case _ => 1
       }
     val planes = hyperplanes(effDim, bits, tables, seed)
     def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {

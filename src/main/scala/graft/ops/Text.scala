@@ -66,9 +66,13 @@ object Text {
                                         numPartitions: Int = 5): DataFrame = {
     val wc = wordCountFiltered(documents)
     val spark = documents.sparkSession
+    // sort WITHIN partitions too: MR's sort phase key-sorts every
+    // reducer's output file (§2.5 O5), and layout parity is this
+    // function's whole purpose
     val rdd = wc.rdd
       .map(r => r.getString(0) -> r.getLong(1))
-      .partitionBy(new FirstCharPartitioner(numPartitions))
+      .repartitionAndSortWithinPartitions(
+        new FirstCharPartitioner(numPartitions))
       .map { case (w, c) => org.apache.spark.sql.Row(w, c) }
     spark.createDataFrame(rdd, wc.schema)
   }

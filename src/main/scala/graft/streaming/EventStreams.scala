@@ -123,7 +123,11 @@ object EventStreams {
               val us = e.ts / 1000
               cur match {
                 case Some(s) if us - s.lastUs < gapUs =>
-                  cur = Some(SessionAcc(s.startUs, us, s.n + 1, s.sum + e.value))
+                  // admitted-but-late events (< watermark delay) may sort
+                  // before the session's current bounds — never move the
+                  // bounds backward or the timeout would regress
+                  cur = Some(SessionAcc(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed += SessionOut(uid, s.startUs, s.lastUs, s.n, s.sum)
                   cur = Some(SessionAcc(us, us, 1, e.value))

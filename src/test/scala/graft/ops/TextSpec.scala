@@ -37,13 +37,18 @@ class TextSpec extends SparkSpec {
 
   test("O1: reference partitioner places each letter group in its partition") {
     import org.apache.spark.sql.functions.spark_partition_id
-    val d = docs("map map nap order quit pick")
-    val placed = Text.wordCountPartitionedLikeReference(d)
+    val d = docs("map map nap order quit pick mud mat")
+    val out = Text.wordCountPartitionedLikeReference(d)
       .withColumn("pid", spark_partition_id())
-      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    val placed = out.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
     // m→0, n→1, o→2, p→3, q→4 (WordCount2/WordCount.java:59–72)
-    assert(placed == Map("map" -> 0, "nap" -> 1, "order" -> 2,
-      "pick" -> 3, "quit" -> 4))
+    assert(placed == Map("map" -> 0, "mud" -> 0, "mat" -> 0, "nap" -> 1,
+      "order" -> 2, "pick" -> 3, "quit" -> 4))
+    // and each partition is key-sorted like an MR reducer's part file
+    val perPartition = out.rdd
+      .mapPartitions(it => Iterator(it.map(_.getString(0)).toSeq))
+      .collect()
+    perPartition.foreach(ws => assert(ws == ws.sorted, s"unsorted: $ws"))
   }
 
   test("token stats count non-empty tokens only") {

@@ -83,6 +83,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("late admitted events never move session bounds backward") {
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000000L
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDF(),
+      gapUs = 30L * 60 * 1000000, delay = "1 hour")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    withQuery(q) {
+      val base = 120 * M
+      in.addData(ev(1, base, value = 1.0), ev(1, base + 20 * M, value = 1.0))
+      q.processAllAvailable()
+      // late for the session (before its last event) but within the 1h
+      // watermark delay → admitted, must merge without regressing bounds
+      in.addData(ev(1, base + 10 * M, value = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(2, base + 180 * M)) // advance watermark → close user 1
+      q.processAllAvailable()
+      val out = spark.table("late_sessions")
+        .as[EventStreams.SessionOut].collect().toSeq
+      assert(out == Seq(EventStreams.SessionOut(1L, base / 1000,
+        (base + 20 * M) / 1000, 3L, 3.0)))
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
