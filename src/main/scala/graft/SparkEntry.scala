@@ -448,6 +448,20 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
       }),
 
+    q("q45_json_extract",
+      """SELECT event_type,
+        |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, get_json_object, lit, sum}
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
     // ---- text analysis: language ID (north star) ----
     q("q37_lang_id",
       """WITH s AS (SELECT doc_id,

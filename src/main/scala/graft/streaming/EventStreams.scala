@@ -80,6 +80,34 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream two-leg join — the streaming form of
+    * Joins.twoLegPairs: a `view` joined to the same user's `purchase`
+    * within the bounded event-time window. Both sides carry watermarks and
+    * the join condition bounds purchase_time to a range of view_time, so
+    * Spark can expire join state — the unbounded-state trap a naive
+    * stream join falls into.
+    */
+  def twoLegPairsStreaming(events: DataFrame,
+                           firstType: String = "view",
+                           secondType: String = "purchase",
+                           window: String = "24 hours",
+                           delay: String = "1 hour"): DataFrame = {
+    val v = withEventTime(events.filter(col("event_type") === firstType))
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), col("event_time").as("view_time"),
+        col("value").as("v1"))
+    val p = withEventTime(events.filter(col("event_type") === secondType))
+      .withWatermark("event_time", delay)
+      .select(col("user_id").as("uid2"), col("event_time").as("purchase_time"),
+        col("value").as("v2"))
+    v.join(p,
+      col("user_id") === col("uid2") &&
+      col("purchase_time") > col("view_time") &&
+      col("purchase_time") <= col("view_time") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("view_time"), col("purchase_time"),
+        (col("v1") + col("v2")).as("combined_value"))
+  }
+
   final case class TimedEvent(user_id: Long, ts: Long, event_type: String,
                               value: Double, event_time: java.sql.Timestamp)
   final case class SessionAcc(startUs: Long, lastUs: Long, n: Long,

@@ -83,6 +83,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream two-leg join matches within the window, per user") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.twoLegPairsStreaming(in.toDF(), window = "24 hours",
+      delay = "1 hour")
+      .writeStream.format("memory").queryName("legs")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, 10 * H, "view", 1.0), ev(1, 12 * H, "purchase", 2.0),
+        ev(1, 40 * H, "purchase", 9.0),  // outside 24h window
+        ev(2, 10 * H, "view", 1.0), ev(3, 12 * H, "purchase", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("legs")
+        .select("user_id", "combined_value")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((1L, 3.0))) // one valid connection, same user only
+    }
+  }
+
   test("late admitted events never move session bounds backward") {
     implicit val ctx = spark.sqlContext
     val M = 60L * 1000000000L
