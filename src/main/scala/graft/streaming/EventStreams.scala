@@ -179,6 +179,9 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // FileStreamSource needs a directory-rooted GLOB (a bare file path is
+    // rejected); events*.parquet scopes it to the event files only —
+    // other tables in the same directory must not leak into the stream
+    spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
   }
 }

@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("file-based intake streams the real events table end-to-end") {
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").isFile)
+    val stream = EventStreams.readEventStream(spark, src)
+    assert(stream.isStreaming)
+    val q = stream.groupBy("event_type")
+      .count()
+      .writeStream.format("memory").queryName("file_intake")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("file_intake")
+      .as[(String, Long)].collect().toMap
+    val batch = graft.Tables.events(spark, src)
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch && streamed.values.sum == 1000L)
+  }
+
   test("stream-stream two-leg join matches within the window, per user") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
