@@ -448,6 +448,13 @@ object SparkEntry {
           approx_count_distinct(col("l_partkey")).as("approx_parts"))
       }),
 
+    q("q46_bpe_token_count",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.tokenCounts(Tables.documents(s, d))),
+
     q("q45_json_extract",
       """SELECT event_type,
         |  CAST(sum(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,

@@ -96,6 +96,25 @@ object Text {
         length(col("text")).as("char_len"))
       .orderBy("doc_id")
 
+  /** GPT-2-style ("BPE-ish") pre-tokenizer pattern, restricted to the
+    * regex subset shared by Java and RE2 (no lookahead) so the DuckDB
+    * oracle can evaluate the identical pattern: contractions, letter
+    * runs, digit runs, punctuation runs — each optionally space-prefixed.
+    */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /** North-star token counting, both ways: whitespace tokens and BPE-ish
+    * subword-boundary tokens (`regexp_count` is codegen'd — no UDF).
+    */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text (north-star dedup/fingerprinting primitive; exact-dup key).
     */

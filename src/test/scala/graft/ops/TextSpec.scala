@@ -51,6 +51,13 @@ class TextSpec extends SparkSpec {
     perPartition.foreach(ws => assert(ws == ws.sorted, s"unsorted: $ws"))
   }
 
+  test("BPE-ish token count splits contractions, digits, punctuation") {
+    val r = Text.tokenCounts(docs("it's 42 degrees, isn't it?")).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 5)
+    // it|'s| 42| degrees|,| isn|'t| it|? → 9 BPE-ish tokens
+    assert(r.getAs[Int]("n_bpe_tokens") == 9)
+  }
+
   test("token stats count non-empty tokens only") {
     val r = Text.tokenStats(docs("  a  b  ")).collect().head
     assert(r.getAs[Int]("n_tokens") == 2)
