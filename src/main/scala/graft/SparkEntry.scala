@@ -136,27 +136,27 @@ object SparkEntry {
     // ---- word-count family + text analysis (SURVEY §2.2 P1/P2, §2.4 A1–A4) ----
     q("q11_word_count",
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |  SELECT unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS word FROM documents) t
         |WHERE length(word) > 0 GROUP BY word ORDER BY word""".stripMargin)(
       (s, d) => Text.wordCount(Tables.documents(s, d))),
 
     q("q12_word_count_filtered",
       """SELECT word, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |  SELECT unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS word FROM documents) t
         |WHERE length(word) > 0 AND regexp_matches(word, '^[mnopqMNOPQ]')
         |GROUP BY word ORDER BY word""".stripMargin)(
       (s, d) => Text.wordCountFiltered(Tables.documents(s, d))),
 
     q("q18_token_stats",
       """SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> length(w) > 0)) AS INTEGER) AS n_tokens,
         |  CAST(length(text) AS INTEGER) AS char_len
         |FROM documents ORDER BY doc_id""".stripMargin)(
       (s, d) => Text.tokenStats(Tables.documents(s, d))),
 
     q("q19_fingerprint",
       """SELECT doc_id,
-        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin)(
       (s, d) => Text.fingerprint(Tables.documents(s, d))),
 
@@ -167,8 +167,8 @@ object SparkEntry {
         |  CAST(length(array_to_string(toks, '')) AS INTEGER) / CAST(len(toks) AS INTEGER) AS mean_tok_len
         |FROM (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0) AS toks,
-        |    list_filter(string_split_regex(text, '\s+'),
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> length(w) > 0) AS toks,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
         |      w -> length(w) > 0 AND w IN ('the','a','an','of','and','to','in','is','it','for')) AS stops
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin)(
@@ -195,14 +195,14 @@ object SparkEntry {
     q("q21_dedup_exact",
       """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM (SELECT doc_id,
-        |        md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g')) AS fp
         |      FROM documents) t
         |GROUP BY fp ORDER BY fp""".stripMargin)(
       (s, d) => Dedup.exactDupGroups(Tables.documents(s, d))),
 
     q("q22_jaccard_pairs",
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
         |    w -> length(w) > 0) AS t FROM documents),
         |sh AS (
         |  SELECT doc_id, list_distinct(list_transform(
@@ -239,7 +239,9 @@ object SparkEntry {
 
     q("q26_knn_bruteforce",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings),
+        |           FROM embeddings
+        |           WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                 CAST(embedding AS DOUBLE[])) > 0),
         |q AS (SELECT * FROM e WHERE vec_id < 10)
         |SELECT q_id, rank, n_id FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -249,7 +251,14 @@ object SparkEntry {
         |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        // zero-norm vectors rank differently across engines (our kernel
+        // scores them 0, DuckDB's -1) — exclude them on both sides; the
+        // self-cosine is 1 for any nonzero vector, <= 0 for zero ones
+        graft.functions.GraftFunctions.register(s)
+        val nonZero = Similarity.cosine(
+          Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("embedding"))) > 0
+        val emb = Tables.embeddings(s, d).filter(nonZero)
         Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
       }),
 
@@ -450,8 +459,8 @@ object SparkEntry {
 
     q("q46_bpe_token_count",
       """SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), w -> length(w) > 0)) AS INTEGER) AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) AS INTEGER) AS n_bpe_tokens
+        |  CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), w -> length(w) > 0)) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin)(
       (s, d) => Text.tokenCounts(Tables.documents(s, d))),
 

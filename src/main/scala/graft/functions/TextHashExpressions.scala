@@ -36,9 +36,10 @@ private object Tok {
       if (i > start) f(bytes, start, i)
     }
   }
+  // mirrors graft.ops.Text.ws: the RE2-compatible class [ \t\n\r\f]
+  // (NOT Java's \s — that includes \x0B, which RE2/DuckDB's does not)
   @inline def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
-      b == 0x0b // matches java regex \s
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
 }
 
 /** Distinct whitespace-token n-gram shingles of a string column, joined by

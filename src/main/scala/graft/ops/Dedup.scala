@@ -20,11 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val ws = "\\s+"
-
-  /** Whitespace-normalized lowercase body — the exact-dup key. */
-  def normText(text: Column): Column =
-    regexp_replace(trim(lower(text)), ws, " ")
+  /** Whitespace-normalized lowercase body — the exact-dup key (shared
+    * with Text.fingerprint so the two stay byte-identical).
+    */
+  def normText(text: Column): Column = Text.normText(text)
 
   /** Exact dedup: group by content fingerprint; keep lowest doc_id.
     * One shuffle on the hash, map-side partial agg; at 100 TB the md5 is
@@ -123,8 +122,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minhashSignatures(documents, n, numHashes)
+    // band IDS ONLY through the bucket join — carrying the shingle arrays
+    // would copy every document's set `bands` times across both shuffle
+    // sides; candidates re-attach their sets after pair dedup, so each
+    // array crosses the wire once per surviving candidate
     val banded = sigs.select(
-      col("doc_id"), col("shingles"),
+      col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         hash(slice(col("sig"), b * rows + 1, rows)).as(s"b$b")
       }: _*)))
@@ -133,10 +136,14 @@ object Dedup {
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("x.shingles").as("sh_a"),
-              col("y.doc_id").as("id_b"), col("y.shingles").as("sh_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sets = sigs.select(col("doc_id"), col("shingles"))
     cands
+      .join(sets.select(col("doc_id").as("id_a"),
+        col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

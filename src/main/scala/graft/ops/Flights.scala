@@ -88,8 +88,15 @@ object Flights {
     twoLegPairs(flights, origin, dest, start, end)
       .agg(
         count(lit(1)).as("count"),
-        (sum(col("delay1") + col("delay2")).cast("long") /
-          count(lit(1))).as("average"))
+        // the reference computes `((long) totalDelay) * 1.0 / count`,
+        // which is NaN for an empty join; Spark 4's default ANSI mode
+        // makes ANY division by zero throw, so the zero case is guarded
+        // (CaseWhen evaluates only the matched branch) and NaN emitted
+        // explicitly
+        when(count(lit(1)) > 0,
+          sum(col("delay1") + col("delay2")).cast("long")
+            .cast("double") / count(lit(1)))
+          .otherwise(lit(Double.NaN)).as("average"))
 
   /** P5+P6+A6+A7: per-airline dense monthly ceil-average delay for one
     * year. Output stays relational (carrier, mon, avg_delay); the

@@ -47,7 +47,10 @@ object Geo {
   def weightedMean(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")
-      .agg(round(sum(col("value") * col("user_id")) / sum(col("user_id")), 4)
+      // zero total weight → NULL (matches the oracle's 0-divisor NULL and
+      // avoids surprises under Spark 4's default ANSI mode)
+      .agg(round(when(sum(col("user_id")) =!= 0,
+        sum(col("value") * col("user_id")) / sum(col("user_id"))), 4)
         .as("wmean"))
       .orderBy("event_type")
 

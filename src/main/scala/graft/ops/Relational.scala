@@ -79,12 +79,14 @@ object Relational {
     * The reference's secondary sort (O3/O4) vanishes: groupBy needs no
     * in-group ordering.
     */
-  def ceilAvgByMonth(lineitem: DataFrame): DataFrame =
+  private def ceilAvgAgg(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag").as("flag"),
                month(col("l_shipdate")).as("mon"))
       .agg(ceil(avg("l_quantity")).cast("int").as("avg_qty"))
-      .orderBy("flag", "mon")
+
+  def ceilAvgByMonth(lineitem: DataFrame): DataFrame =
+    ceilAvgAgg(lineitem).orderBy("flag", "mon")
 
   /** A7: dense domain fill — every (flag, month 1–12) cell, 0 where no
     * data. The reference streams sorted months in the reducer and emits
@@ -95,10 +97,7 @@ object Relational {
     val spark = lineitem.sparkSession
     val months = spark.range(1, 13).select(col("id").cast("int").as("mon"))
     val flags = lineitem.select(col("l_returnflag").as("flag")).distinct()
-    val agg = lineitem
-      .groupBy(col("l_returnflag").as("flag"),
-               month(col("l_shipdate")).as("mon"))
-      .agg(ceil(avg("l_quantity")).cast("int").as("avg_qty"))
+    val agg = ceilAvgAgg(lineitem) // A6 semantics defined once
     flags.crossJoin(broadcast(months))
       .join(agg, Seq("flag", "mon"), "left")
       .na.fill(0, Seq("avg_qty"))

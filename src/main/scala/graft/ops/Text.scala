@@ -26,11 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
-  private val ws = "\\s+"
+  /** The engine's whitespace definition: space, tab, LF, CR, FF — an
+    * explicit class rather than `\s` because Java's `\s` matches vertical
+    * tab U+000B and RE2's (the DuckDB oracle's) does not; pinning the
+    * class keeps Spark and oracle tokenization byte-identical on any
+    * input. graft.functions.Tok mirrors this set.
+    */
+  val ws = "[ \\t\\n\\r\\f]+"
 
   /** Non-empty whitespace tokens of a text column. */
   def tokens(text: Column): Column =
     filter(split(text, ws), w => length(w) > 0)
+
+  /** Whitespace-normalized lowercase body — the canonical form used by
+    * fingerprinting AND exact dedup (Dedup delegates here; the two must
+    * stay byte-identical).
+    */
+  def normText(text: Column): Column =
+    regexp_replace(trim(lower(text)), ws, " ")
 
   /** P1+A1: canonical word count, output sorted by word (MR reducers emit
     * key-sorted output — §2 O5 — so the oracle-visible order is pinned).
@@ -102,7 +115,7 @@ object Text {
     * runs, digit runs, punctuation runs — each optionally space-prefixed.
     */
   val bpePattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r\\f]+"
 
   /** North-star token counting, both ways: whitespace tokens and BPE-ish
     * subword-boundary tokens (`regexp_count` is codegen'd — no UDF).
@@ -115,15 +128,13 @@ object Text {
         regexp_count(col("text"), lit(bpePattern)).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
-  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
-    * text (north-star dedup/fingerprinting primitive; exact-dup key).
+  /** Document fingerprint: md5 of `normText` (north-star dedup/
+    * fingerprinting primitive; the exact-dup key — same expression as
+    * Dedup.exactDupGroups by construction).
     */
   def fingerprint(documents: DataFrame): DataFrame =
     documents
-      .select(
-        col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), ws, " ")
-          .cast("binary")).as("fp"))
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
       .orderBy("doc_id")
 
   val defaultStopwords: Seq[String] =
@@ -139,12 +150,15 @@ object Text {
     val nTokens = size(toks)
     val nStop = size(filter(toks, w => w.isin(stopwords: _*)))
     val sumTokLen = length(array_join(toks, ""))
+    // empty documents: ratios are NULL, not a DIVIDE_BY_ZERO crash (Spark
+    // 4 runs ANSI mode by default; the DuckDB oracle yields NULL for 0/0)
+    val guard = nTokens > 0
     documents.select(
       col("doc_id"),
       nTokens.as("n_tokens"),
       nStop.as("n_stop"),
-      (nStop / nTokens).as("stop_ratio"),
-      (sumTokLen / nTokens).as("mean_tok_len"))
+      when(guard, nStop / nTokens).as("stop_ratio"),
+      when(guard, sumTokLen / nTokens).as("mean_tok_len"))
       .orderBy("doc_id")
   }
 }

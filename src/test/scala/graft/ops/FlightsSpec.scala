@@ -56,6 +56,13 @@ class FlightsSpec extends SparkSpec {
     assert(stats.getDouble(1) == 1.5)
   }
 
+  test("no qualifying connections: count 0, NaN average, no ANSI crash") {
+    val df = flightsDf(row(origin = "ORD", dest = "DEN")) // one leg only
+    val stats = Flights.twoLegStats(df).collect().head
+    assert(stats.getLong(0) == 0)
+    assert(stats.getDouble(1).isNaN) // reference: delay*1.0/0 → NaN
+  }
+
   test("empty cancelled/diverted fields count as not cancelled") {
     val df = flightsDf(
       row(origin = "ORD", dest = "DEN", cancelled = "", diverted = ""),

@@ -29,6 +29,13 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_tok_len") == 9.0 / 3.0)
   }
 
+  test("quality on an empty document: zero counts, NULL ratios, no crash") {
+    val r = Text.qualityScore(docs("   ")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 0)
+    assert(r.isNullAt(r.fieldIndex("stop_ratio")))
+    assert(r.isNullAt(r.fieldIndex("mean_tok_len")))
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val r = Text.fingerprint(docs("The  Cat", "the cat", "the dog"))
       .collect().map(_.getString(1))
