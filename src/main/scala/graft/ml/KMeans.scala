@@ -57,6 +57,7 @@ object KMeans {
   /** A9: bounding box of the point cloud, one narrow aggregate. */
   def bbox(points: DataFrame): (Double, Double, Double, Double) = {
     val r = points.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
+    require(!r.isNullAt(0), "k-means needs a non-empty point cloud")
     (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
   }
 

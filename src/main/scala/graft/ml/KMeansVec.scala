@@ -34,6 +34,7 @@ object KMeansVec {
       .orderBy(xxhash64(col(idCol), lit(seed)))
       .limit(k)
       .collect()
+    require(rows.nonEmpty, "k-means needs a non-empty vector corpus")
     rows.zipWithIndex.map { case (r, i) =>
       VecCentroid(i, r.getSeq[Double](1).toArray)
     }.toSeq

@@ -80,6 +80,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup on an id column: duplicates arriving within
+    * the watermark window are dropped and the per-key state expires with
+    * the watermark — bounded-state dedup for an unbounded stream (the
+    * streaming face of Dedup.exactDupGroups; at-least-once sources make
+    * this the first stage of any production event pipeline).
+    */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  delay: String = "1 hour"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Stream-stream two-leg join — the streaming form of
     * Joins.twoLegPairs: a `view` joined to the same user's `purchase`
     * within the bounded event-time window. Both sides carry watermarks and

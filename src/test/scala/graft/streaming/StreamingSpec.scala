@@ -83,6 +83,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventStreams.Event]
+    // Event has no event_id; dedup on (user_id, ts) composite via user_id
+    // is ambiguous — use ts as the id column for this shape
+    val q = EventStreams.dedupStream(in.toDF(), idCol = "ts",
+      delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    withQuery(q) {
+      val base = 10 * H
+      in.addData(ev(1, base), ev(1, base), ev(2, base + 1)) // dup in-batch
+      q.processAllAvailable()
+      in.addData(ev(1, base)) // dup across batches, inside watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    }
+  }
+
   test("file-based intake streams the real events table end-to-end") {
     val src = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$src/events.parquet").isFile)
