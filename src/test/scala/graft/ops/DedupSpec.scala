@@ -17,7 +17,10 @@ class DedupSpec extends SparkSpec {
 
   test("native shingles match the built-in HOF formulation exactly") {
     import org.apache.spark.sql.functions._
-    val d = docs("a b c d e", " x  y\tz w ", "only two", "", "a b c a b c a")
+    // includes : NOT whitespace under the engine's pinned RE2-parity
+    // definition (Text.ws), in both the HOF regex and the native kernel
+    val d = docs("a b c d e", " x  y\tz w ", "only two", "",
+      "a b c a b c a", "ab c d e f")
     val toks = Text.tokens(col("text"))
     val hof = d.select(col("doc_id"),
       when(size(toks) >= 3,

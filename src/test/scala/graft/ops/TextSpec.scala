@@ -69,4 +69,11 @@ class TextSpec extends SparkSpec {
     val r = Text.tokenStats(docs("  a  b  ")).collect().head
     assert(r.getAs[Int]("n_tokens") == 2)
   }
+
+  test("vertical tab is NOT a token separator (RE2-parity whitespace)") {
+    // Java \s matches  but DuckDB's RE2 does not; the engine pins
+    // the explicit class [ \t\n\r\f] so both engines tokenize identically
+    val r = Text.tokenStats(docs("ab c")).collect().head
+    assert(r.getAs[Int]("n_tokens") == 2) // "ab" and "c"
+  }
 }
