@@ -93,4 +93,17 @@ object ModelSelect {
     */
   def best(entries: Seq[SweepEntry]): SweepEntry =
     entries.maxBy(_.silScore)
+
+  /** M6: the reference's Summary.txt shape (Summarizer.java:98–115) —
+    * `Max SilScore:<s> at kValue:<k> at iteration:<itr>`, then the winning
+    * centroid list. Write with Sinks.writeReport.
+    */
+  def summaryReport(bestEntry: SweepEntry,
+                    centroids: Seq[Centroid]): Seq[String] = {
+    val header = s"Max SilScore:${bestEntry.silScore} at " +
+      s"kValue:${bestEntry.k} at iteration:${bestEntry.iterations}"
+    Seq(header, "Corresponding centroids") ++
+      centroids.sortBy(_.idx)
+        .map(c => s"${c.idx}. Lat:${c.lat} Longitude:${c.lon}")
+  }
 }

@@ -77,6 +77,17 @@ class KMeansSpec extends SparkSpec {
     assert(ModelSelect.best(entries).k == 2)
   }
 
+  test("M6: summary report replicates the reference's Summary.txt shape") {
+    val report = ModelSelect.summaryReport(
+      SweepEntry(2, 0.9771, 6, converged = true),
+      Seq(Centroid(1, 40.657, -73.922), Centroid(0, 40.742, -73.976)))
+    assert(report == Seq(
+      "Max SilScore:0.9771 at kValue:2 at iteration:6",
+      "Corresponding centroids",
+      "0. Lat:40.742 Longitude:-73.976",
+      "1. Lat:40.657 Longitude:-73.922"))
+  }
+
   test("batched sweep is job-batched but math-identical to sequential fits") {
     val noisy = pts((0.0, 0.0, 2), (0.4, 0.1, 1), (3.0, 2.0, 1),
       (10.0, 10.0, 3), (9.5, 10.5, 1), (5.0, 5.0, 1), (6.0, 4.0, 2))
