@@ -380,6 +380,55 @@ object SparkEntry {
           .orderBy("flag")
       }),
 
+    // ---- scalar-function surfaces: dates, strings, conditional aggs ----
+    q("q47_date_arith",
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+          .orderBy("ym")
+      }),
+
+    q("q48_string_funcs",
+      """SELECT c_custkey, upper(c_name) AS uname,
+        |  substr(c_name, 1, 5) AS prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  replace(c_mktsegment, 'URE', '*') AS seg
+        |FROM customer ORDER BY c_custkey""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.customer(s, d).select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 5).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          regexp_replace(col("c_mktsegment"), "URE", "*").as("seg"))
+          .orderBy("c_custkey")
+      }),
+
+    q("q49_conditional_agg",
+      """SELECT l_returnflag AS flag,
+        |  count(*) FILTER (l_quantity > 25) AS n_big,
+        |  count(*) FILTER (l_discount >= 0.05) AS n_discounted,
+        |  sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_f
+        |FROM lineitem GROUP BY 1 ORDER BY flag""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            count_if(col("l_quantity") > 25).as("n_big"),
+            count_if(col("l_discount") >= 0.05).as("n_discounted"),
+            sum(when(col("l_linestatus") === "F", col("l_quantity")))
+              .as("qty_f"))
+          .orderBy("flag")
+      }),
+
     // ---- classic multi-join analytics (TPC-H Q3/Q5 shapes) ----
     q("q42_top_revenue_orders",
       """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
