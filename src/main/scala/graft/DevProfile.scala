@@ -40,6 +40,21 @@ object DevProfile {
       Dedup.minhashPairs(docs, 3, 32, 16, 0.2).count())
     val sigs = Dedup.minhashSignatures(docs, 3)
     time("minhash signatures only")(sigs.count())
+
+    // Lloyd-loop scheduling: AQE re-plans every tiny job; measure both
+    val pts = Geo.pointsFromEmbeddings(Tables.events(spark, dir)
+      .sparkSession.read.parquet(s"$dir/embeddings.parquet"))
+      .repartition(4).cache()
+    pts.count()
+    time("kmeans k=5 (AQE on)")(graft.ml.KMeans.fit(pts, 5, 42L))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("kmeans k=5 (AQE off)")(graft.ml.KMeans.fit(pts, 5, 42L))
+    time("sweep 2-5 (AQE off)")(
+      graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), 42L))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    time("sweep 2-5 (AQE on)")(
+      graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), 42L))
+    pts.unpersist()
     spark.stop()
   }
 }
