@@ -268,6 +268,10 @@ object SparkEntry {
         Similarity.annLsh(emb, emb.filter(col("vec_id") < 10), k = 5)
       }),
 
+    qRowsOnly("q50_embedding_neardup_lsh")(
+      (s, d) => Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
+        threshold = 0.4)),
+
     qRowsOnly("q44_ann_ivf")(
       (s, d) => {
         val emb = Tables.embeddings(s, d)

@@ -193,10 +193,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Embedding-cosine near-dup: pairs above threshold (exact baseline;
-    * swap in Similarity.annLsh buckets at corpus scale).
+  /** Embedding-cosine near-dup: pairs above threshold (exact O(n²)
+    * baseline; `embeddingNearDupsLsh` is the scale path).
     */
   def embeddingNearDups(embeddings: DataFrame,
                         threshold: Double = 0.4): DataFrame =
     Similarity.cosinePairs(embeddings, threshold)
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH buckets
+    * propose candidate pairs (corpus self-join on (table, signature)),
+    * exact cosine decides — the vector analogue of minhashPairs'
+    * propose-then-verify contract. Ids-only through the bucket shuffle;
+    * vectors re-attach per surviving candidate.
+    */
+  def embeddingNearDupsLsh(embeddings: DataFrame,
+                           threshold: Double = 0.4,
+                           bits: Int = 10, tables: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("emb"))
+    val dim = e.select(size(col("emb"))).take(1) match {
+      case Array(r) => r.getInt(0)
+      case _ => 1
+    }
+    val planes = Similarity.hyperplanes(dim, bits, tables, seed)
+    val bucketed = e.select(col("vec_id"),
+      posexplode(array((0 until tables).map { t =>
+        Similarity.signature(col("emb"), planes(t))
+      }: _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
+    val cands = bucketed.as("x")
+      .join(bucketed.as("y"),
+        col("x.table") === col("y.table") && col("x.sig") === col("y.sig") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), "id_b")
+      .filter(Similarity.cosine(col("emb_a"), col("emb_b")) > threshold)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -44,6 +44,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH embedding near-dup recovers the exact pairs on clustered vectors") {
+    val e = vecs(clustered(100): _*)
+    // clustered(…) points within a blob have cosine ≈ 1 → threshold 0.95
+    val exact = Dedup.embeddingNearDups(e, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.95,
+      bits = 10, tables = 8, seed = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // verify step: no false positives ever
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall of ${exact.size}")
+  }
+
   test("annIvf: high recall vs brute force on clustered vectors") {
     val e = vecs(clustered(120): _*)
     val queries = e.filter(col("vec_id") < 8)
