@@ -43,6 +43,21 @@ object Sinks {
     df.sortWithinPartitions(keyCols.head, keyCols.tail: _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Range-partitioned sorted layout: `repartitionByRange` gives each
+    * output file a disjoint key range, and the in-file sort tightens
+    * parquet row-group min/max stats — so a range predicate on the key
+    * prunes whole files at scan time. The complement of Bucketing (which
+    * co-locates equi-join keys): use this for time/range-scanned fact
+    * tables.
+    */
+  def writeRangePartitioned(df: DataFrame, keyCol: String, path: String,
+                            numPartitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(numPartitions, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

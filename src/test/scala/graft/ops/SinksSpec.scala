@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, max, min}
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +39,25 @@ class SinksSpec extends SparkSpec {
     Sinks.writeSortedParquet(df, Seq("k"), dir)
     val back = spark.read.parquet(dir).as[Long].collect()
     assert(back.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("range-partitioned write yields disjoint per-file key ranges") {
+    val dir = tmp("range") + "/out"
+    val df = spark.range(0, 1000).toDF("k")
+      .withColumn("k", (col("k") * 7919 % 1000)) // scrambled input order
+    Sinks.writeRangePartitioned(df, "k", dir, numPartitions = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString).agg(min("k"), max("k")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint, ordered ranges → a range predicate prunes whole files
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ =>
+    }
   }
 
   test("S8: driver-side report file") {
