@@ -344,6 +344,32 @@ object SparkEntry {
           .select(col("o_custkey").as("c_custkey")))
         .orderBy("c_custkey")),
 
+    q("q51_union_distinct",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |UNION SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderstatus = 'P'
+        |ORDER BY c_custkey""".stripMargin)(
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "MACHINERY").select("c_custkey")
+        .union(Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+          .select(col("o_custkey").as("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey")),
+
+    q("q52_cube",
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag NULLS FIRST, status NULLS FIRST""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit}
+        Tables.lineitem(s, d)
+          .cube(col("l_returnflag").as("flag"),
+            col("l_linestatus").as("status"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("flag", "status") // Spark asc = NULLS FIRST
+      }),
+
     q("q35_rollup",
       """SELECT l_returnflag AS flag, l_linestatus AS status,
         |  count(*) AS cnt, sum(l_quantity) AS sum_qty

@@ -103,6 +103,24 @@ object Multimodal {
     }
   }
 
+  /** ======== STUB ========
+    * Resize stage: deterministic downsample of the payload bytes standing
+    * in for an image resize (a real implementation swaps the body for a
+    * codec-level scale). Output metadata carries the target dimensions;
+    * payload shrinks by the same ratio — partition-streaming like decode.
+    */
+  def resize(media: Dataset[Media], targetW: Int = 224,
+             targetH: Int = 224): Dataset[Media] = {
+    implicit val enc: Encoder[Media] = Encoders.product[Media]
+    media.mapPartitions(_.map { m =>
+      // keep every k-th byte so output size tracks the scale ratio
+      val ratio = math.max(1, m.payload.length / math.max(1, targetW * targetH / 512))
+      val out = Array.range(0, m.payload.length / ratio)
+        .map(i => m.payload(i * ratio))
+      m.copy(payload = out)
+    })
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (explode-style fan-out, streamed).
     */

@@ -40,6 +40,18 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
+  test("resize stub: deterministic, shrinks payload, keeps schema") {
+    val media = Multimodal.syntheticMedia(docsDf)
+    val r1 = Multimodal.resize(media, 8, 8).collect().sortBy(_.media_id)
+    val r2 = Multimodal.resize(media, 8, 8).collect().sortBy(_.media_id)
+    assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
+    val orig = media.collect().sortBy(_.media_id)
+    r1.zip(orig).foreach { case (resized, o) =>
+      assert(resized.payload.length <= o.payload.length)
+      assert(resized.kind == o.kind && resized.media_id == o.media_id)
+    }
+  }
+
   test("frame sampling: only video, every stride-th chunk, indexed") {
     val media = Multimodal.syntheticMedia(docsDf)
     val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
