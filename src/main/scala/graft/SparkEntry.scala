@@ -226,6 +226,10 @@ object SparkEntry {
     qRowsOnly("q24_simhash_pairs")(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)),
 
+    qRowsOnly("q53_winnowing_pairs")(
+      (s, d) => Dedup.winnowingPairs(Tables.documents(s, d), k = 16, w = 8,
+        threshold = 0.2)),
+
     // ---- similarity search (north star) ----
     q("q25_cosine_pairs",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -32,7 +32,9 @@ object GraftFunctions {
     ("graft_minhash", classOf[MinHashSignature].getName,
       c => MinHashSignature(c(0), constInt(c(1)))),
     ("graft_simhash", classOf[SimHash64].getName,
-      c => SimHash64(c(0))))
+      c => SimHash64(c(0))),
+    ("graft_rolling_fp", classOf[RollingFingerprints].getName,
+      c => RollingFingerprints(c(0), constInt(c(1)), constInt(c(2)))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = builders.foreach {
@@ -60,6 +62,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a string column (whitespace tokens vote per bit). */
   def simhash(text: Column): Column = call_function("graft_simhash", text)
+
+  /** Winnowed Rabin–Karp rolling fingerprints of a string column. */
+  def rollingFingerprints(text: Column, k: Int, w: Int): Column =
+    call_function("graft_rolling_fp", text, lit(k), lit(w))
 }
 
 /** `spark.sql.extensions` entry point — injects the same builder table. */

@@ -183,6 +183,75 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Rolling (Rabin–Karp) document fingerprints with winnowing: the
+  * polynomial hash of every `k`-byte window slides in O(1) per byte, then
+  * winnowing keeps the MINIMUM hash of every `w` consecutive windows
+  * (deduplicated) — the standard local-fingerprint scheme whose guarantee
+  * is that any shared substring of length ≥ k+w−1 yields a shared
+  * fingerprint. Output: sorted distinct fingerprints (array<long>);
+  * empty array when the text is shorter than k bytes.
+  */
+case class RollingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "window sizes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_fp"
+
+  private val Base = 257L
+  private lazy val basePowK: Long = {
+    var p = 1L
+    var i = 0
+    while (i < k) { p *= Base; i += 1 } // mod 2^64 via natural overflow
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val nWin = n - k + 1
+    val hashes = new Array[Long](nWin)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    hashes(0) = h
+    while (i < n) {
+      h = h * Base + (bytes(i) & 0xffL) - basePowK * (bytes(i - k) & 0xffL)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    // winnowing: min of each w-window of hashes (unsigned compare)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s < nWin) {
+      val e = math.min(s + w, nWin)
+      var m = hashes(s)
+      var j = s + 1
+      while (j < e) {
+        if (java.lang.Long.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
+        j += 1
+      }
+      seen.add(m)
+      s += w
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprints =
+    copy(child = newChild)
+}
+
 /** Seeded XXH64 over UTF8String/byte-range — the same kernel Spark's
   * `xxhash64` uses.
   */

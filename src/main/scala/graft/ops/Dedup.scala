@@ -152,6 +152,36 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowed rolling-hash (Rabin–Karp) near-dup pairs: byte-level k-gram
+    * fingerprints winnowed per w windows (graft_rolling_fp) guarantee any
+    * shared substring of length ≥ k+w−1 shares a fingerprint; the
+    * inverted-index join then scores set overlap exactly like
+    * jaccardPairs. Catches copied PASSAGES that token-shingle Jaccard
+    * dilutes in long documents.
+    */
+  def winnowingPairs(documents: DataFrame, k: Int = 16, w: Int = 8,
+                     threshold: Double = 0.2): DataFrame = {
+    GraftFunctions.register(documents.sparkSession)
+    val sets = balanced(documents).select(col("doc_id"),
+      GraftFunctions.rollingFingerprints(col("text"), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val fp = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val sizes = sets.select(col("doc_id"), size(col("fps")).cast("long").as("sz"))
+    val inter = fp.as("x")
+      .join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its
     * XXH64; the signature takes the majority sign per bit. A single
     * per-document native pass — NO shuffle (the earlier explode + 64-column

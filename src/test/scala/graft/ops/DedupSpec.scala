@@ -66,6 +66,23 @@ class DedupSpec extends SparkSpec {
     assert(mh == exact)
   }
 
+  test("winnowing: shared long passage yields shared fingerprints") {
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    val d = docs(
+      "intro text one " + passage,
+      "completely different opening words here " + passage,
+      "no overlap with anything else at all whatsoever in this body")
+    val pairs = Dedup.winnowingPairs(d, k = 16, w = 8, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // the two passage-sharers, only them
+    // identical docs → jaccard exactly 1
+    val dup = Dedup.winnowingPairs(docs(passage, passage), 16, 8, 0.99)
+      .collect()
+    assert(dup.length == 1 && dup.head.getDouble(2) == 1.0)
+    // shorter than k bytes → no fingerprints, no pairs, no crash
+    assert(Dedup.winnowingPairs(docs("tiny", "tiny"), 16, 8, 0.0).count() == 0)
+  }
+
   test("simhash: identical docs at hamming 0, disjoint docs far apart") {
     val d = docs("spark makes big data small", "spark makes big data small",
                  "entirely unrelated words appear here")
