@@ -44,6 +44,20 @@ class GoldenPickupsSpec extends SparkSpec {
         (40.769, -73.974), (40.727, -73.999)))
       val sil = Silhouette.score(pts, r.centroids)
       assert(math.abs(sil - 0.824746691962) < 1e-9, s"sil=$sil")
+
+      // M6 end-to-end: the Summary.txt-format report for this run
+      val report = ModelSelect.summaryReport(
+        SweepEntry(5, sil, r.iterations, r.converged), r.centroids)
+      val out = java.nio.file.Files.createTempDirectory("golden")
+        .resolve("Summary.txt").toString
+      graft.ops.Sinks.writeReport(report, out)
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out))
+      assert(lines.get(0).startsWith("Max SilScore:0.8247466919615"))
+      assert(lines.get(0).endsWith("at kValue:5 at iteration:12"))
+      assert(lines.get(1) == "Corresponding centroids")
+      assert(lines.get(2) == "0. Lat:40.675 Longitude:-73.734")
+      assert(lines.size() == 7)
     } finally { pts.unpersist(); () }
   }
 }
