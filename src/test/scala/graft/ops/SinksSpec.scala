@@ -60,6 +60,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("ORC and JSON-lines formats round-trip (source-format breadth)") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    val orcDir = tmp("orc") + "/out"
+    df.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir).orderBy("id")
+    assert(orcBack.collect().map(_.toSeq).toSeq == df.orderBy("id")
+      .collect().map(_.toSeq).toSeq)
+    val jsonDir = tmp("json") + "/out"
+    df.write.mode("overwrite").json(jsonDir)
+    val jsonBack = spark.read.schema(df.schema).json(jsonDir).orderBy("id")
+    assert(jsonBack.collect().map(_.toSeq).toSeq == df.orderBy("id")
+      .collect().map(_.toSeq).toSeq)
+  }
+
   test("S8: driver-side report file") {
     val f = tmp("report") + "/r/summary.txt"
     Sinks.writeReport(Seq("Max SilScore:0.9", "k:2"), f)
