@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses ONE JSON line from the `sbt runMain`
+// output: send the forked process's stdout through unprefixed (no sbt
+// `[info] ` decoration) and drop the trailing `[success]` banner so the
+// JSON line is clean and last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,7 +11,9 @@ object Bench {
       // events.parquet is TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: stray WARNs between the timing loop and the JSON line would
+    // interleave with the one-line contract the driver parses
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once (codegen compiler, shuffle machinery, JIT of
     // the scan/agg paths) so the first measured query isn't charged the
     // cold-start tax — Bench measures steady-state throughput.

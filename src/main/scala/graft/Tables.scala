@@ -16,12 +16,19 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
+    if (name == "events") {
       // events.parquet is written as parquet TIMESTAMP(NANOS); Spark 4 only
-      // reads that behind this legacy flag, as int64 nanoseconds
-      // (FIXTURES.md §B gotcha). `ts` is therefore BIGINT nanos everywhere
-      // in this library.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reads that as int64 nanoseconds behind the legacy flag (FIXTURES.md
+      // §B gotcha), so `ts` is BIGINT nanos everywhere in this library.
+      // The flag must be set at session BUILD time (as Bench/Verify/the
+      // test harness do): setting it here as a hidden side effect would
+      // silently change later nanos-parquet reads in the caller's session.
+      val flag = "spark.sql.legacy.parquet.nanosAsLong"
+      require(spark.conf.getOption(flag).contains("true"),
+        s"reading the events table requires $flag=true in the session " +
+          "builder (events.parquet uses parquet TIMESTAMP(NANOS), which " +
+          "Spark 4 only reads as int64 nanos behind that flag)")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

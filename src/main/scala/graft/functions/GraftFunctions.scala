@@ -36,11 +36,17 @@ object GraftFunctions {
     ("graft_rolling_fp", classOf[RollingFingerprints].getName,
       c => RollingFingerprints(c(0), constInt(c(1)), constInt(c(2)))))
 
-  /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = builders.foreach {
-    case (name, _, b) =>
-      spark.sessionState.functionRegistry
-        .createOrReplaceTempFunction(name, b, "built-in")
+  /** Idempotent per-session registration — skips names already present so
+    * repeated calls (every DataFrame-level builder registers defensively)
+    * don't log a "replaced a previously registered function" warning per
+    * query.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, _, b) =>
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   /** Codegen'd dot product of two array<double> columns (requires a

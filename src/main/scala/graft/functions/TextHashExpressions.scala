@@ -227,19 +227,38 @@ case class RollingFingerprints(child: Expression, k: Int, w: Int)
       hashes(i - k + 1) = h
       i += 1
     }
-    // winnowing: min of each w-window of hashes (unsigned compare)
+    // winnowing: SLIDING window — the min of hashes[s, s+w) for EVERY s,
+    // deduped. A monotone deque gives O(1) amortized per position; the
+    // sliding (not strided) scheme is what guarantees that any shared
+    // substring of length >= k+w-1 yields a shared fingerprint regardless
+    // of byte offset (Schleimer/Wilkerson/Aiken, SIGMOD'03).
     val seen = new java.util.TreeSet[java.lang.Long]()
-    var s = 0
-    while (s < nWin) {
-      val e = math.min(s + w, nWin)
-      var m = hashes(s)
-      var j = s + 1
-      while (j < e) {
+    if (nWin <= w) {
+      // single (possibly short) window: one global min
+      var m = hashes(0)
+      var j = 1
+      while (j < nWin) {
         if (java.lang.Long.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
         j += 1
       }
       seen.add(m)
-      s += w
+    } else {
+      val deque = new Array[Int](nWin) // indices, increasing hash order
+      var head = 0
+      var tail = 0 // exclusive
+      var j = 0
+      while (j < nWin) {
+        // evict indices that left the window [j-w+1, j]
+        while (head < tail && deque(head) <= j - w) head += 1
+        // evict dominated hashes (>= incoming, unsigned)
+        while (head < tail &&
+          java.lang.Long.compareUnsigned(hashes(deque(tail - 1)),
+            hashes(j)) >= 0) tail -= 1
+        deque(tail) = j
+        tail += 1
+        if (j >= w - 1) seen.add(hashes(deque(head)))
+        j += 1
+      }
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()

@@ -43,11 +43,14 @@ object Dedup {
     * scale. The shuffled payload is just the raw text — cheap next to the
     * per-doc compute it balances.
     */
-  private def balanced(documents: DataFrame): DataFrame = {
-    val parallelism = documents.sparkSession.sparkContext.defaultParallelism
-    if (documents.rdd.getNumPartitions >= parallelism) documents
-    else documents.repartition(parallelism)
-  }
+  private def balanced(documents: DataFrame): DataFrame =
+    // Unconditional round-robin repartition: probing the input's partition
+    // count (df.rdd.getNumPartitions) would force physical planning + RDD
+    // conversion on every call just to read a number. For these CPU-bound
+    // stages the one extra shuffle of raw text is cheap insurance either
+    // way — at worst it rebalances an already-wide scan.
+    documents.repartition(
+      documents.sparkSession.sparkContext.defaultParallelism)
 
   /** Distinct token n-gram shingles per document (one-pass native kernel;
     * empty array when the document has fewer than n tokens).

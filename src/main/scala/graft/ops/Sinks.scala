@@ -62,7 +62,8 @@ object Sinks {
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, String.join("\n", lines: _*).getBytes)
+    java.nio.file.Files.write(p, String.join("\n", lines: _*)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 }

@@ -189,7 +189,11 @@ object EventStreams {
     * the deployment path (`readStream` mirror of Tables.events).
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same contract as Tables.load: the nanos flag must be set at session
+    // build time, never mutated here as a hidden side effect
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    require(spark.conf.getOption(flag).contains("true"),
+      s"streaming the events table requires $flag=true in the session builder")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource needs a directory-rooted GLOB (a bare file path is
     // rejected); events*.parquet scopes it to the event files only —
