@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Median of `reps` in-process repetitions per query: one noisy run
+    // (cold JVM, JIT, GC pause, a contended harness host) must not decide
+    // the recorded artifact. 3 is enough for a median to shed one outlier.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,18 +26,35 @@ object Bench {
         .collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      // a crashed query must not read as a fast success: report -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    val names = SparkEntry.queries.keys.toSeq
+    // rep-major order (full query set per rep) so a slow global phase (GC,
+    // page-cache warmup) spreads across all queries instead of biasing one
+    val samples: Seq[Map[String, Double]] = (1 to reps).map { rep =>
+      val m = names.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // a crashed query must not read as a fast success: report -1
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+      System.err.println(
+        s"[bench] rep $rep total=${m.values.filter(_ >= 0).sum}")
+      m
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+    val results = names.map { name =>
+      val ok = samples.map(_(name)).filter(_ >= 0)
+      // fail a query only if EVERY rep failed; otherwise median of successes
+      name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // -1 marks a failed query; only successes contribute to the total
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -39,6 +39,15 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
 
+  /** Partition width for the iterative k-means queries: an eighth of the
+    * session's core count (floor 2) — narrow enough that the dozens of tiny
+    * per-iteration jobs aren't dominated by task scheduling, yet derived,
+    * so a 1000-executor cluster widens proportionally instead of being
+    * pinned to a magic constant.
+    */
+  private def kmeansParts(s: SparkSession): Int =
+    math.max(2, s.sparkContext.defaultParallelism / 8)
+
   val specs: Seq[QuerySpec] = Seq(
     // ---- scans / filters / aggregates (SURVEY §2.1/§2.2/§2.4) ----
     q("q01_pricing_summary",
@@ -216,8 +225,13 @@ object SparkEntry {
         |SELECT id_a, id_b, round(inter / (sza + szb - inter), 4) AS jaccard
         |FROM px WHERE inter / (sza + szb - inter) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin)(
+      // maxDf arms the hot-shingle skew guard. 1000 is far above the
+      // fixtures' measured maxima (max shingle df: 7 at sf0.01, 25 at
+      // sf0.1), so the oracle comparison is unchanged — but a boilerplate
+      // shingle ubiquitous at corpus scale gets dropped before the
+      // inverted-index self-join can go quadratic in its bucket.
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), n = 3,
-        threshold = 0.2)),
+        threshold = 0.2, maxDf = 1000L)),
 
     qRowsOnly("q23_minhash_pairs")(
       (s, d) => Dedup.minhashPairs(Tables.documents(s, d), n = 3,
@@ -227,8 +241,11 @@ object SparkEntry {
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)),
 
     qRowsOnly("q53_winnowing_pairs")(
+      // same skew guard as q22; fixture maxima for (k=16,w=8) fingerprints
+      // are 34 (sf0.01) / 296 (sf0.1), so 1000 changes nothing at test
+      // scale while bounding the hottest fingerprint's join bucket at 100 TB
       (s, d) => Dedup.winnowingPairs(Tables.documents(s, d), k = 16, w = 8,
-        threshold = 0.2)),
+        threshold = 0.2, maxDf = 1000L)),
 
     // ---- similarity search (north star) ----
     q("q25_cosine_pairs",
@@ -616,12 +633,14 @@ object SparkEntry {
 
     // The rounded-grid point cloud is tiny after dedup (≤ ~1e6 cells even
     // for a continent-scale 3-dp grid), while the Lloyd loop runs dozens of
-    // tiny jobs over it — pin it to a few partitions so per-iteration task
-    // scheduling, not data, stops dominating.
+    // tiny jobs over it — derive a narrow width from the session's core
+    // count (a fraction of defaultParallelism, floor 2) so per-iteration
+    // task scheduling, not data, stops dominating, while a bigger cluster
+    // still widens proportionally.
     qRowsOnly("q28_kmeans_centers")(
       (s, d) => {
         val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
-          .repartition(4).cache()
+          .repartition(kmeansParts(s)).cache()
         try {
           s.createDataFrame(
             graft.ml.KMeans.fit(pts, k = 5, seed = 42L).centroids)
@@ -632,7 +651,7 @@ object SparkEntry {
     qRowsOnly("q29_silhouette_sweep")(
       (s, d) => {
         val pts = Geo.pointsFromEmbeddings(Tables.embeddings(s, d))
-          .repartition(4)
+          .repartition(kmeansParts(s))
         s.createDataFrame(
           graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), seed = 42L))
           .orderBy("k")

@@ -24,7 +24,8 @@ object Tables {
       // test harness do): setting it here as a hidden side effect would
       // silently change later nanos-parquet reads in the caller's session.
       val flag = "spark.sql.legacy.parquet.nanosAsLong"
-      require(spark.conf.getOption(flag).contains("true"),
+      // case-insensitive: Spark's boolean conf parsing accepts TRUE/True too
+      require(spark.conf.getOption(flag).exists(_.equalsIgnoreCase("true")),
         s"reading the events table requires $flag=true in the session " +
           "builder (events.parquet uses parquet TIMESTAMP(NANOS), which " +
           "Spark 4 only reads as int64 nanos behind that flag)")

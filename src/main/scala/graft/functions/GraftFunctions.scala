@@ -20,6 +20,21 @@ object GraftFunctions {
   private def constInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue
 
+  private def constInts(e: Expression): Seq[Int] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq
+
+  private def constDoubles(e: Expression): Seq[Double] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray().toSeq
+
+  private def constVecs(e: Expression): Seq[Seq[Double]] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq).toSeq
+
   /** (name, implementing class, builder) — the single registry. */
   private[functions] val builders
       : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
@@ -34,20 +49,32 @@ object GraftFunctions {
     ("graft_simhash", classOf[SimHash64].getName,
       c => SimHash64(c(0))),
     ("graft_rolling_fp", classOf[RollingFingerprints].getName,
-      c => RollingFingerprints(c(0), constInt(c(1)), constInt(c(2)))))
+      c => RollingFingerprints(c(0), constInt(c(1)), constInt(c(2)))),
+    ("graft_nearest_centroid", classOf[NearestCentroid2D].getName,
+      c => NearestCentroid2D(c(0), c(1), constInts(c(2)), constDoubles(c(3)),
+        constDoubles(c(4)))),
+    ("graft_nearest_vec_centroid", classOf[NearestVecCentroid].getName,
+      c => NearestVecCentroid(c(0), constInts(c(1)), constVecs(c(2)))))
 
-  /** Idempotent per-session registration — skips names already present so
-    * repeated calls (every DataFrame-level builder registers defensively)
-    * don't log a "replaced a previously registered function" warning per
-    * query.
+  /** Per-session registration. The first call for a session installs every
+    * builder with createOrReplace semantics — a pre-existing user temp
+    * function of the same name cannot silently shadow the library's
+    * expression (graft_* names are reserved by this library). Subsequent
+    * calls for the same session are no-ops (every DataFrame-level builder
+    * registers defensively), tracked in a weak map so dropped sessions
+    * don't leak.
     */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, b) =>
-      if (!registry.functionExists(FunctionIdentifier(name)))
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit =
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null) {
+      val registry = spark.sessionState.functionRegistry
+      builders.foreach { case (name, _, b) =>
         registry.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
-  }
 
   /** Codegen'd dot product of two array<double> columns (requires a
     * registered session — the library's DataFrame-level builders call
@@ -72,6 +99,27 @@ object GraftFunctions {
   /** Winnowed Rabin–Karp rolling fingerprints of a string column. */
   def rollingFingerprints(text: Column, k: Int, w: Int): Column =
     call_function("graft_rolling_fp", text, lit(k), lit(w))
+
+  /** Codegen-STABLE 2-D nearest-centroid (see NearestCentroid2D): the
+    * centroid arrays ride the codegen `references` array, so an iterative
+    * caller reuses ONE compiled plan across iterations. The array-literal
+    * arguments are consumed at analysis time (they become plain constructor
+    * fields, not expression children).
+    */
+  def nearestCentroid(lat: Column, lon: Column, idxs: Seq[Int],
+                      lats: Seq[Double], lons: Seq[Double]): Column =
+    call_function("graft_nearest_centroid", lat, lon,
+      org.apache.spark.sql.functions.array(idxs.map(i => lit(i)): _*),
+      org.apache.spark.sql.functions.array(lats.map(v => lit(v)): _*),
+      org.apache.spark.sql.functions.array(lons.map(v => lit(v)): _*))
+
+  /** Codegen-STABLE vector nearest-centroid (see NearestVecCentroid). */
+  def nearestVecCentroid(vec: Column, idxs: Seq[Int],
+                         centroids: Seq[Array[Double]]): Column =
+    call_function("graft_nearest_vec_centroid", vec,
+      org.apache.spark.sql.functions.array(idxs.map(i => lit(i)): _*),
+      org.apache.spark.sql.functions.array(centroids.map(c =>
+        org.apache.spark.sql.functions.array(c.toSeq.map(v => lit(v)): _*)): _*))
 }
 
 /** `spark.sql.extensions` entry point — injects the same builder table. */

@@ -76,14 +76,20 @@ object KMeans {
     * idx (not its array position — init idxs need not be 0..k-1, e.g. when
     * seeding from a golden centroid file). First min wins, matching the
     * reference's strict `<` scan (KMeans.java:98–101).
+    *
+    * Uses the codegen-STABLE NearestCentroid2D kernel: the centroid arrays
+    * travel via the codegen `references` array instead of inlined literals,
+    * so the Lloyd loop reuses ONE compiled plan across all iterations (the
+    * literal formulation recompiled 2 plans × every iteration — the
+    * dominant cost of the k-means bench queries). Arithmetic and tie-break
+    * are bit-identical to the literal `distances` formulation.
     */
   def assign(points: DataFrame, cs: Seq[Centroid]): DataFrame = {
-    val idxArr = array(cs.sortBy(_.idx).map(c => lit(c.idx)): _*)
-    points
-      .withColumn("dists", distances(cs))
-      .withColumn("cidx", element_at(idxArr,
-        array_position(col("dists"), array_min(col("dists"))).cast("int")))
-      .drop("dists")
+    graft.functions.GraftFunctions.register(points.sparkSession)
+    val sorted = cs.sortBy(_.idx)
+    points.withColumn("cidx",
+      graft.functions.GraftFunctions.nearestCentroid(col("lat"), col("lon"),
+        sorted.map(_.idx), sorted.map(_.lat), sorted.map(_.lon)))
   }
 
   /** A10: weighted-mean recenter, 3 dp HALF_UP; empty clusters inherit the

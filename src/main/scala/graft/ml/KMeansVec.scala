@@ -55,16 +55,22 @@ object KMeansVec {
     }
   }
 
-  /** Adds `cidx` = idx of the nearest centroid (first minimum wins). */
+  /** Adds `cidx` = idx of the nearest centroid (first minimum wins).
+    *
+    * Codegen-STABLE (NearestVecCentroid): the centroid matrix rides the
+    * codegen `references` array, so the Lloyd loop reuses one compiled
+    * plan across iterations instead of recompiling per-iteration literal
+    * plans. Distances here are Σ(x_i−c_i)² directly (not the ‖x‖²−2x·c+‖c‖²
+    * expansion distCols uses for query-probe scoring): both orderings agree
+    * except in FP noise far below centroid separation at quantizer scale.
+    */
   def assign(vectors: DataFrame, vecCol: String,
              cs: Seq[VecCentroid]): DataFrame = {
     GraftFunctions.register(vectors.sparkSession)
-    val idxArr = array(cs.sortBy(_.idx).map(c => lit(c.idx)): _*)
-    vectors
-      .withColumn("dists", array(distCols(col(vecCol), cs): _*))
-      .withColumn("cidx", element_at(idxArr,
-        array_position(col("dists"), array_min(col("dists"))).cast("int")))
-      .drop("dists")
+    val sorted = cs.sortBy(_.idx)
+    vectors.withColumn("cidx",
+      GraftFunctions.nearestVecCentroid(col(vecCol),
+        sorted.map(_.idx), sorted.map(_.vec)))
   }
 
   /** Mean vector per cluster via (cluster, dim) partial sums; empty

@@ -44,13 +44,18 @@ object Dedup {
     * per-doc compute it balances.
     */
   private def balanced(documents: DataFrame): DataFrame =
-    // Unconditional round-robin repartition: probing the input's partition
-    // count (df.rdd.getNumPartitions) would force physical planning + RDD
-    // conversion on every call just to read a number. For these CPU-bound
-    // stages the one extra shuffle of raw text is cheap insurance either
-    // way — at worst it rebalances an already-wide scan.
-    documents.repartition(
-      documents.sparkSession.sparkContext.defaultParallelism)
+    // Explicit round-robin width = max(core count, configured shuffle
+    // width). Not repartition(defaultParallelism) alone — that would
+    // COALESCE an input arriving wider than the core count (normal for a
+    // wide scan at 100 TB, and a 2 GB shuffle-block risk). Not the argless
+    // AQE REBALANCE either: AQE sizes partitions by BYTES, and these stages
+    // are CPU-bound on small byte volumes (shingling/hashing of text), so
+    // byte-targeted coalescing would serialize the compute the call exists
+    // to spread. A cluster tuned for 100 TB sets shuffle.partitions in the
+    // thousands, which this width follows.
+    documents.repartition(math.max(
+      documents.sparkSession.sparkContext.defaultParallelism,
+      documents.sparkSession.sessionState.conf.numShufflePartitions))
 
   /** Distinct token n-gram shingles per document (one-pass native kernel;
     * empty array when the document has fewer than n tokens).
@@ -72,7 +77,7 @@ object Dedup {
     */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
                    threshold: Double = 0.2,
-                   maxDf: Long = Long.MaxValue): DataFrame = {
+                   maxDf: Long = 10000L): DataFrame = {
     val sets = shingleSets(documents, n)
     val sh0 = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val sh =
@@ -161,15 +166,34 @@ object Dedup {
     * inverted-index join then scores set overlap exactly like
     * jaccardPairs. Catches copied PASSAGES that token-shingle Jaccard
     * dilutes in long documents.
+    *
+    * `maxDf` is the same skew guard as jaccardPairs': a fingerprint shared
+    * by a ubiquitous boilerplate passage would otherwise make its bucket in
+    * the self-join quadratic at corpus scale. Dropped fingerprints shrink
+    * both the intersection and the per-doc set size, so near-identical
+    * documents (the ones a dedup pass must keep finding) still score high.
     */
   def winnowingPairs(documents: DataFrame, k: Int = 16, w: Int = 8,
-                     threshold: Double = 0.2): DataFrame = {
+                     threshold: Double = 0.2,
+                     maxDf: Long = 10000L): DataFrame = {
     GraftFunctions.register(documents.sparkSession)
     val sets = balanced(documents).select(col("doc_id"),
       GraftFunctions.rollingFingerprints(col("text"), k, w).as("fps"))
       .filter(size(col("fps")) > 0)
-    val fp = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val sizes = sets.select(col("doc_id"), size(col("fps")).cast("long").as("sz"))
+    val fp0 = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fp =
+      if (maxDf == Long.MaxValue) fp0
+      else {
+        val df = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+        fp0.join(df.select("fp"), "fp")
+      }
+    // set sizes must count SURVIVING fingerprints when a cap is active so
+    // the Jaccard denominator matches the capped universe
+    val sizes =
+      if (maxDf == Long.MaxValue)
+        sets.select(col("doc_id"), size(col("fps")).cast("long").as("sz"))
+      else fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = fp.as("x")
       .join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))

@@ -30,9 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object Flights {
 
-  /** Positional quote-aware CSV scan (S1/S2). */
+  /** Positional quote-aware CSV scan (S1/S2). escape='"' pins RFC 4180
+    * doubled-quote escaping ("" inside a quoted field), which is opencsv's
+    * default and what TranStats exports use; Spark's own default escape is
+    * backslash, which would mangle such fields.
+    */
   def load(spark: SparkSession, path: String): DataFrame =
-    spark.read.csv(path)
+    spark.read.option("escape", "\"").csv(path)
 
   /** Name + type the positionally-indexed columns the reference reads.
     * Delay keeps P6 semantics: empty → 0.0 (truncation to int happens at

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * `binary` payloads with typed metadata, plus decode / feature-extract /
   * frame-sample stages as partition-streaming transforms.
   *
-  * The decode kernels themselves are STUBS — this container has no
-  * image/audio codecs — implemented as deterministic functions of the
-  * payload bytes and clearly marked below. Everything AROUND the stub is
-  * the real engineering and is real here:
+  * IMAGE decode and resize are REAL — the JDK's javax.imageio codec
+  * (PNG/JPEG/BMP/GIF) runs inside the partition stream, and the synthetic
+  * media table carries genuine PNG payloads to exercise it. Audio/video
+  * kernels remain STUBS (no ffmpeg in this container), implemented as
+  * deterministic functions of the payload bytes and clearly marked below.
+  * Everything AROUND the kernels is the real engineering and is real here:
   *  - schema: (media_id, kind, payload binary, meta struct) — the shape a
   *    100 TB media lake table has;
   *  - `mapPartitions` with Iterator-to-Iterator streaming (the Scala
@@ -29,7 +31,9 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /** Derive a deterministic media table from `documents` (the harness has
-    * no binary table): payload = UTF-8 bytes, kind cycles by doc_id.
+    * no binary table): kind cycles by doc_id; `image` rows carry a REAL
+    * deterministic PNG payload (so the decode stage exercises a genuine
+    * codec), audio/video keep the UTF-8 text bytes as an opaque payload.
     */
   def syntheticMedia(documents: DataFrame): Dataset[Media] = {
     implicit val enc: Encoder[Media] = Encoders.product[Media]
@@ -40,6 +44,34 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       col("source"))
       .as[Media]
+      .mapPartitions(_.map { m =>
+        if (m.kind == "image") m.copy(payload = syntheticPng(m.media_id))
+        else m
+      })
+  }
+
+  /** Deterministic small PNG for a media id: dimensions and pixel pattern
+    * are pure functions of the id, encoded by the JDK's ImageIO — a real
+    * compressed PNG byte stream, not a fake payload.
+    */
+  private[ops] def syntheticPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 32).toInt
+    val h = 8 + (id % 24).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (id * 31 + x * 7 + y * 131) & 0xffffff
+        img.setRGB(x, y, v.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Rebalance by payload bytes ahead of CPU-heavy decode: target
@@ -57,11 +89,13 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB ========
+  /** ======== STUB (audio/video only) ========
     * Deterministic fake decode: dimensions derived from payload bytes. A
     * real deployment swaps ONLY this function body for a codec call
-    * (e.g. javax.imageio / ffmpeg via JNI); the Spark plumbing — typed
-    * schema, Iterator streaming, partitioning — stays identical.
+    * (ffmpeg via JNI); the Spark plumbing — typed schema, Iterator
+    * streaming, partitioning — stays identical. Images take the REAL
+    * ImageIO path in `decodeOne` and never reach this stub unless the
+    * payload fails to parse.
     */
   private def decodeStub(m: Media): Decoded = {
     val n = m.payload.length
@@ -70,10 +104,35 @@ object Multimodal {
       math.abs((h >> 8) % 1080) + 1, if (m.kind == "audio") 1 else 3, n.toLong)
   }
 
-  /** Decode stage: partition-streaming, one pass, no materialization. */
+  /** Real image decode via the JDK codec (PNG/JPEG/BMP/GIF): width, height
+    * and channel count come from the decoded raster, not the payload hash.
+    * Returns None for payloads ImageIO cannot parse — callers fall back to
+    * the stub so one corrupt file never kills a 100 TB decode job.
+    */
+  private[ops] def decodeImage(m: Media): Option[Decoded] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      Option(img).map { i =>
+        Decoded(m.media_id, m.kind, i.getWidth, i.getHeight,
+          i.getColorModel.getNumComponents, m.payload.length.toLong)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def decodeOne(m: Media): Decoded =
+    if (m.kind == "image") decodeImage(m).getOrElse(decodeStub(m))
+    else decodeStub(m)
+
+  /** Decode stage: partition-streaming, one pass, no materialization.
+    * ImageIO's shared-tmpfile cache is off — executor threads would
+    * contend on it, and these payloads are already in memory.
+    */
   def decode(media: Dataset[Media]): Dataset[Decoded] = {
     implicit val enc: Encoder[Decoded] = Encoders.product[Decoded]
-    media.mapPartitions(_.map(decodeStub))
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(decodeOne)
+    }
   }
 
   /** ======== STUB ========
@@ -103,23 +162,57 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB ========
-    * Resize stage: deterministic downsample of the payload bytes standing
-    * in for an image resize (a real implementation swaps the body for a
-    * codec-level scale). Output metadata carries the target dimensions;
-    * payload shrinks by the same ratio — partition-streaming like decode.
+  /** Resize stage. Images: a REAL bilinear rescale through the JDK raster
+    * pipeline, re-encoded as PNG at (targetW, targetH). Audio/video
+    * payloads (STUB): deterministic byte downsample standing in for a
+    * codec-level scale. Partition-streaming like decode either way.
     */
   def resize(media: Dataset[Media], targetW: Int = 224,
              targetH: Int = 224): Dataset[Media] = {
     implicit val enc: Encoder[Media] = Encoders.product[Media]
-    media.mapPartitions(_.map { m =>
-      // keep every k-th byte so output size tracks the scale ratio
-      val ratio = math.max(1, m.payload.length / math.max(1, targetW * targetH / 512))
-      val out = Array.range(0, m.payload.length / ratio)
-        .map(i => m.payload(i * ratio))
-      m.copy(payload = out)
-    })
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val realResized =
+          if (m.kind == "image") resizeImage(m.payload, targetW, targetH)
+          else None
+        realResized match {
+          case Some(bytes) => m.copy(payload = bytes)
+          case None =>
+            // ======== STUB (audio/video + unparseable images) ========
+            // keep every k-th byte so output size tracks the scale ratio
+            val ratio = math.max(1,
+              m.payload.length / math.max(1, targetW * targetH / 512))
+            val out = Array.range(0, m.payload.length / ratio)
+              .map(i => m.payload(i * ratio))
+            m.copy(payload = out)
+        }
+      }
+    }
   }
+
+  /** Bilinear rescale of an encoded image to (w, h), re-encoded as PNG;
+    * None when the payload doesn't parse as an image.
+    */
+  private[ops] def resizeImage(payload: Array[Byte], w: Int,
+                               h: Int): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))).map { src =>
+        val dst = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: java.io.IOException => None }
 
   /** Frame sampling for video payloads: every `stride`-th fixed-size
     * chunk becomes a frame row (explode-style fan-out, streamed).

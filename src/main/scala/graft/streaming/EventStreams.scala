@@ -192,7 +192,8 @@ object EventStreams {
     // same contract as Tables.load: the nanos flag must be set at session
     // build time, never mutated here as a hidden side effect
     val flag = "spark.sql.legacy.parquet.nanosAsLong"
-    require(spark.conf.getOption(flag).contains("true"),
+    // case-insensitive: Spark's boolean conf parsing accepts TRUE/True too
+    require(spark.conf.getOption(flag).exists(_.equalsIgnoreCase("true")),
       s"streaming the events table requires $flag=true in the session builder")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource needs a directory-rooted GLOB (a bare file path is

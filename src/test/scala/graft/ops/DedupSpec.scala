@@ -55,6 +55,36 @@ class DedupSpec extends SparkSpec {
       threshold = 0.34).count() == 0)
   }
 
+  test("jaccard skew guard: maxDf drops a hot shingle before the join") {
+    // every doc shares the hot prefix "spam spam spam spam"; only docs 0/1
+    // share anything else. With the cap at 2 the ubiquitous hot shingles
+    // (df=4 > 2) are dropped, so candidate pairs can only come through the
+    // rare shingles — the 4-choose-2 hot-bucket blowup never happens.
+    val hot = "spam spam spam spam "
+    val d = docs(hot + "alpha beta gamma delta", hot + "alpha beta gamma zeta",
+      hot + "unrelated one two three", hot + "other words entirely here")
+    val capped = Dedup.jaccardPairs(d, n = 3, threshold = 0.1, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)))
+    // uncapped, the hot shingles alone push every pair over the threshold
+    val uncapped = Dedup.jaccardPairs(d, n = 3, threshold = 0.1,
+      maxDf = Long.MaxValue).count()
+    assert(uncapped == 6L) // all 4-choose-2 pairs — the quadratic bucket
+  }
+
+  test("winnowing skew guard: maxDf drops a hot boilerplate fingerprint") {
+    val boiler = "standard corporate disclaimer footer text repeated everywhere " * 2
+    val passage = "the quick brown fox jumps over the lazy dog repeatedly " * 3
+    val d = docs(boiler + " " + passage, boiler + " different middle " + passage,
+      boiler + " unrelated body content entirely its own words",
+      boiler + " another independent body with separate phrasing")
+    // cap of 2 kills fingerprints present in all 4 docs (the boilerplate);
+    // the passage-sharing pair still scores via its df=2 fingerprints
+    val capped = Dedup.winnowingPairs(d, k = 16, w = 8, threshold = 0.2,
+      maxDf = 2L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)))
+  }
+
   test("minhash candidates recover all high-jaccard pairs here") {
     val base = "q w e r t y u i o p a s d f g h j k l z x c v b n m"
     val d = docs(base, base + " extra", "completely different text with words")

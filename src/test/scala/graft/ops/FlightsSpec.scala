@@ -71,6 +71,46 @@ class FlightsSpec extends SparkSpec {
     assert(Flights.twoLegStats(df).collect().head.getLong(0) == 1)
   }
 
+  // ---- committed TranStats-schema fixture (tools/gen_flight_fixture.py):
+  // 318 rows × 110 positional columns, every field quoted, city columns
+  // with embedded commas BEFORE index 17 — a naive split(',') would shift
+  // Dest, so these goldens pin the quote-aware parse itself.
+  private lazy val fixture =
+    Flights.typed(Flights.load(spark,
+      "src/test/resources/flights_transtats.csv"))
+
+  test("TranStats fixture: quote-aware 110-column parse reaches the right columns") {
+    assert(fixture.count() == 318)
+    val l1a = fixture.filter(fixture("flight_num") === "100").collect().head
+    assert(l1a.getAs[String]("origin") == "ORD")
+    assert(l1a.getAs[String]("dest") == "DEN")   // shifted under naive split
+    assert(l1a.getAs[Int]("arr_time") == 1010)
+    assert(l1a.getAs[Double]("arr_delay_min") == 5.0)
+    // the escaped-quote row (Chicago "O'Hare", IL) still parses positionally
+    val esc = fixture.filter(fixture("flight_num") === "113").collect().head
+    assert(esc.getAs[String]("dest") == "DEN")
+  }
+
+  test("TranStats fixture golden: two-leg stats = 4 pairs, 12.25 average") {
+    // pairs (5+3), (5+7), (10.5+7), (0+12): sum 49.5 → (long)49 → 49/4
+    val stats = Flights.twoLegStats(fixture).collect().head
+    assert(stats.getLong(0) == 4)
+    assert(stats.getDouble(1) == 12.25)
+  }
+
+  test("TranStats fixture golden: 2008 airline monthly delay") {
+    val r = Flights.airlineMonthlyDelay(fixture, 2008).collect()
+    val byKey = r.map(x => (x.getAs[String]("carrier"), x.getAs[Int]("mon")) ->
+      x.getAs[Int]("avg_delay")).toMap
+    // carriers in 2008 with non-empty carrier: AA (4 rows incl. ORD/PHX
+    // legs), UA; the empty-carrier 2008 row is dropped by the guard
+    assert(r.map(_.getAs[String]("carrier")).distinct.sorted.toSeq ==
+      Seq("AA", "UA"))
+    assert(byKey(("AA", 1)) == 6)  // ceil(avg(0, 12))
+    assert(byKey(("UA", 2)) == 4)  // 3.7→3, 4.2→4 → avg 3.5 → ceil 4
+    assert(byKey(("UA", 7)) == 0)  // dense fill; cancelled row excluded
+  }
+
   test("airline monthly delay: ceil average, truncated delays, dense months") {
     val df = flightsDf(
       row(year = "2008", month = "3", carrier = "AA", delay = "10.90"),

@@ -12,20 +12,41 @@ class MultimodalSpec extends SparkSpec {
       "0123456789 abcdefghijklmnopqrstuvwxyz 0123456789 the end", "s2"))
     .toDF("doc_id", "text", "source")
 
-  test("synthetic media: stable schema, binary payload round-trips") {
+  test("synthetic media: stable schema, image rows carry a real PNG") {
     val m = Multimodal.syntheticMedia(docsDf).collect().sortBy(_.media_id)
     assert(m.map(_.kind).toSeq == Seq("image", "audio", "video"))
-    assert(new String(m(0).payload, "UTF-8") == "an image payload")
+    // PNG magic bytes — the image payload is a genuine encoded stream
+    assert(m(0).payload.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // non-image payloads stay the opaque UTF-8 bytes
+    assert(new String(m(1).payload, "UTF-8") == "an audio payload")
   }
 
-  test("decode stub: deterministic typed metadata, audio is mono") {
+  test("decode: images through the real codec, audio stub is mono") {
     val media = Multimodal.syntheticMedia(docsDf)
     val d1 = Multimodal.decode(media).collect().sortBy(_.media_id)
     val d2 = Multimodal.decode(media).collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq) // deterministic
     assert(d1.forall(d => d.width > 0 && d.height > 0))
     assert(d1.find(_.kind == "audio").get.channels == 1)
-    assert(d1.find(_.media_id == 0L).get.n_bytes == 16L)
+    // golden: syntheticPng(id) is (8 + id%32) × (8 + id%24) RGB — the real
+    // decoded raster must report exactly that, not a hash of the bytes
+    val img = d1.find(_.media_id == 0L).get
+    assert(img.width == 8 && img.height == 8 && img.channels == 3)
+  }
+
+  test("golden PNG decode/resize: exact dimensions through ImageIO") {
+    val png = Multimodal.syntheticPng(5L) // 13 × 13
+    val dec = Multimodal.decodeImage(
+      Multimodal.Media(5L, "image", png, "s")).get
+    assert(dec.width == 13 && dec.height == 13 && dec.channels == 3)
+    val resized = Multimodal.resizeImage(png, 4, 6).get
+    val dec2 = Multimodal.decodeImage(
+      Multimodal.Media(5L, "image", resized, "s")).get
+    assert(dec2.width == 4 && dec2.height == 6)
+    // garbage payload → None, never a crash
+    assert(Multimodal.decodeImage(
+      Multimodal.Media(6L, "image", Array[Byte](1, 2, 3), "s")).isEmpty)
   }
 
   test("feature extraction: fixed dim, deterministic, batch-shaped") {
@@ -40,15 +61,19 @@ class MultimodalSpec extends SparkSpec {
     assert(f.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
   }
 
-  test("resize stub: deterministic, shrinks payload, keeps schema") {
+  test("resize: real rescale for images, deterministic stub otherwise") {
     val media = Multimodal.syntheticMedia(docsDf)
-    val r1 = Multimodal.resize(media, 8, 8).collect().sortBy(_.media_id)
-    val r2 = Multimodal.resize(media, 8, 8).collect().sortBy(_.media_id)
+    val r1 = Multimodal.resize(media, 4, 4).collect().sortBy(_.media_id)
+    val r2 = Multimodal.resize(media, 4, 4).collect().sortBy(_.media_id)
     assert(r1.map(_.payload.toSeq).toSeq == r2.map(_.payload.toSeq).toSeq)
     val orig = media.collect().sortBy(_.media_id)
     r1.zip(orig).foreach { case (resized, o) =>
-      assert(resized.payload.length <= o.payload.length)
       assert(resized.kind == o.kind && resized.media_id == o.media_id)
+      if (o.kind == "image") {
+        // real path: re-decoded dimensions are exactly the target
+        val d = Multimodal.decodeImage(resized).get
+        assert(d.width == 4 && d.height == 4)
+      } else assert(resized.payload.length <= o.payload.length)
     }
   }
 
