@@ -233,7 +233,28 @@ object SparkEntry {
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), n = 3,
         threshold = 0.2, maxDf = 1000L)),
 
-    qRowsOnly("q23_minhash_pairs")(
+    // LSH only PROPOSES candidates; exact Jaccard on the shingle sets
+    // decides — so wherever band recall is total (it is on this corpus:
+    // verified equal to the exact q22 output), the result is the exact
+    // Jaccard pair set and the q22 oracle applies verbatim. A missed
+    // borderline pair would surface as a driver hash mismatch — that is
+    // the point: the oracle now pins the recall contract, not just rows.
+    q("q23_minhash_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE inter / (sza + szb - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.minhashPairs(Tables.documents(s, d), n = 3,
         numHashes = 32, bands = 16, threshold = 0.2)),
 
@@ -548,13 +569,22 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90_qty"))
       }),
 
-    // HLL sketch distinct (approx_count_distinct) — algorithm-specific
-    // estimate, no cross-engine oracle; rows-only.
-    qRowsOnly("q41_hll_distinct")(
+    // HLL sketch distinct — the estimate itself is algorithm-specific, so
+    // the driver-visible contract is a TOLERANCE check: the oracle pins
+    // the exact distinct count plus `approx_ok` = true, which hash-matches
+    // iff Spark's HLL lands within the documented ±5% standard bound.
+    q("q41_hll_distinct",
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST('t' AS BOOLEAN) AS approx_ok FROM lineitem""".stripMargin)(
       (s, d) => {
-        import org.apache.spark.sql.functions.approx_count_distinct
-        Tables.lineitem(s, d).agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        import org.apache.spark.sql.functions._
+        Tables.lineitem(s, d)
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          .select(col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("approx_ok"))
       }),
 
     q("q46_bpe_token_count",
@@ -617,17 +647,37 @@ object SparkEntry {
           .orderBy("media_id")
       }),
 
-    qRowsOnly("q39_media_decode_frames")(
+    // Driver-verifiable decode: image rows go through the REAL ImageIO
+    // codec, and because the synthetic PNG's dimensions are a pure
+    // function of media_id (8 + id%32 × 8 + id%24, RGB), the oracle can
+    // predict exactly what a correct decoder must report. Audio/video
+    // n_bytes and video frame counts are byte-length formulas the oracle
+    // reproduces with octet_length; the stub-derived width/height of
+    // non-images are masked out (hash-derived, not a contract).
+    q("q39_media_decode_frames",
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 32 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(8 + doc_id % 24 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(3 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 3 <> 0 THEN CAST(octet_length(ENCODE(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 2 AND octet_length(ENCODE(text)) > 0
+        |       THEN CAST(floor((ceil(octet_length(ENCODE(text)) / 64.0) - 1) / 4) + 1 AS BIGINT) END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)(
       (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, when}
         val media = Multimodal.syntheticMedia(Tables.documents(s, d))
         val decoded = Multimodal.decode(media).toDF()
-          .select(col("media_id"), col("kind"), col("width"), col("height"),
-            col("channels"), col("n_bytes"))
         val frames = Multimodal.sampleFrames(media).toDF()
-          .groupBy("media_id")
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n_frames"))
+          .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         decoded.join(frames, Seq("media_id"), "left")
+          .select(col("media_id"), col("kind"),
+            when(col("kind") === "image", col("width")).as("width"),
+            when(col("kind") === "image", col("height")).as("height"),
+            when(col("kind") === "image", col("channels")).as("channels"),
+            when(col("kind") =!= "image", col("n_bytes")).as("n_bytes"),
+            col("n_frames"))
           .orderBy("media_id")
       }),
 
