@@ -166,6 +166,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join state plateaus: a hot user's old views expire") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // 4h match window + 1h lateness → join state horizon ≈ 5–6h of events;
+    // feeding 96h of an adversarial hot user must NOT grow state linearly
+    val q = EventStreams.twoLegPairsStreaming(in.toDF(), window = "4 hours",
+      delay = "1 hour")
+      .writeStream.format("memory").queryName("hot_legs")
+      .outputMode("append").start()
+    withQuery(q) {
+      val stateSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (b <- 0 until 8) {
+        val hours = (b * 12) until ((b + 1) * 12)
+        // hot user 7: one view EVERY hour; a purchase every 3 hours
+        // (matching the views of the preceding 4h); plus a late-but-
+        // admitted view 30 min behind the batch head every batch
+        val batch = hours.map(h => ev(7, h * H, "view", 1.0)) ++
+          hours.filter(_ % 3 == 2).map(h => ev(7, h * H + 1, "purchase", 1.0)) ++
+          Seq(ev(7, (b * 12 + 11) * H - H / 2, "view", 1.0))
+        in.addData(batch: _*)
+        q.processAllAvailable()
+        stateSizes += q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      }
+      val fed = 8 * 13 // 96 hourly views + 32 purchases + 8 late views
+      // matches exist (the operator is doing real work)...
+      assert(spark.table("hot_legs").count() > 0)
+      // ...while state stays bounded: nowhere near the events fed, and no
+      // growth in the second half once the expiry horizon is reached —
+      // a leak would show monotone growth toward `fed`
+      assert(stateSizes.max < fed / 2,
+        s"state ${stateSizes.mkString(",")} not bounded vs $fed events")
+      assert(stateSizes.drop(4).max <= stateSizes.take(4).max,
+        s"state still growing in steady state: ${stateSizes.mkString(",")}")
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
