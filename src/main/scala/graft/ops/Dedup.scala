@@ -262,21 +262,29 @@ object Dedup {
     * exact cosine decides — the vector analogue of minhashPairs'
     * propose-then-verify contract. Ids-only through the bucket shuffle;
     * vectors re-attach per surviving candidate.
+    *
+    * (bits, tables) default to Similarity.lshPlan(threshold): banding
+    * tuned so a pair AT the threshold is proposed with ≥ ~90% probability
+    * — fixed parameters tuned for the near-dup regime silently dropped to
+    * ~10% recall when callers passed a borderline threshold like 0.4.
     */
   def embeddingNearDupsLsh(embeddings: DataFrame,
                            threshold: Double = 0.4,
-                           bits: Int = 10, tables: Int = 8,
+                           bits: Int = -1, tables: Int = -1,
                            seed: Long = 42L): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
+    val (planBits, planTables) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else Similarity.lshPlan(threshold)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
     val dim = e.select(size(col("emb"))).take(1) match {
       case Array(r) => r.getInt(0)
       case _ => 1
     }
-    val planes = Similarity.hyperplanes(dim, bits, tables, seed)
+    val planes = Similarity.hyperplanes(dim, planBits, planTables, seed)
     val bucketed = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map { t =>
+      posexplode(array((0 until planTables).map { t =>
         Similarity.signature(col("emb"), planes(t))
       }: _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")

@@ -81,6 +81,34 @@ object Similarity {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** LSH parameter planner: (bits, tables) for a cosine `threshold` and
+    * `targetRecall`. Per random hyperplane, two vectors at cosine t agree
+    * with probability p = 1 − arccos(t)/π; a pair collides in a b-bit
+    * table w.p. p^b, so recall over T tables is 1 − (1 − p^b)^T. The
+    * planner maximizes bits (bucket pruning is ~2^bits) subject to the
+    * table count for the recall target staying ≤ `maxTables`.
+    *
+    * The output quantifies the regime honestly: near-dup thresholds
+    * (t ≳ 0.8) get many bits and few tables — strong pruning; low
+    * thresholds degrade toward few bits + many tables because LSH
+    * fundamentally cannot prune borderline-similarity pairs (brute force
+    * or IVF is the right tool there). Fixed (bits, tables) chosen for one
+    * regime silently collapse recall in the other — the planner replaces
+    * that failure mode with an explicit cost/recall trade.
+    */
+  def lshPlan(threshold: Double, targetRecall: Double = 0.9,
+              maxTables: Int = 32): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0,
+      "cosine threshold must be in (-1, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      "target recall must be in (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(b: Int): Double =
+      math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))
+    val bits = (16 to 1 by -1).find(b => tablesFor(b) <= maxTables).getOrElse(1)
+    (bits, math.max(1, math.ceil(tablesFor(bits)).toInt))
+  }
+
   /** Bit-signature of `emb` (array<double>) for one table's planes. */
   def signature(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, h) =>

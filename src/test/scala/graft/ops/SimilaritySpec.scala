@@ -46,16 +46,34 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH embedding near-dup recovers the exact pairs on clustered vectors") {
     val e = vecs(clustered(100): _*)
-    // clustered(…) points within a blob have cosine ≈ 1 → threshold 0.95
+    // clustered(…) points within a blob have cosine ≈ 1 → threshold 0.95;
+    // (bits, tables) left to the planner — the operator's default path
     val exact = Dedup.embeddingNearDups(e, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.95,
-      bits = 10, tables = 8, seed = 3L)
+    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.95, seed = 3L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
     assert(lsh.subsetOf(exact)) // verify step: no false positives ever
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall of ${exact.size}")
+  }
+
+  test("lshPlan: recall-driven banding across similarity regimes") {
+    // near-dup regime: strong pruning (max bits, few tables)
+    val (b95, t95) = Similarity.lshPlan(0.95)
+    assert(b95 >= 14 && t95 <= 16)
+    // borderline regime: planner trades bits for tables to keep recall
+    val (b40, t40) = Similarity.lshPlan(0.4)
+    assert(b40 < b95 && t40 > t95)
+    // the planned recall at the threshold itself clears the target
+    def recallAt(t: Double, b: Int, tab: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, b), tab)
+    }
+    assert(recallAt(0.95, b95, t95) >= 0.9)
+    assert(recallAt(0.4, b40, t40) >= 0.9)
+    // pairs ABOVE the threshold are recalled strictly better
+    assert(recallAt(0.99, b95, t95) > recallAt(0.95, b95, t95))
   }
 
   test("annIvf: high recall vs brute force on clustered vectors") {
