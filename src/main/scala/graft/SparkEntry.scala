@@ -705,6 +705,78 @@ object SparkEntry {
         s.createDataFrame(
           graft.ml.ModelSelect.sweep(pts, Seq(2, 3, 4, 5), seed = 42L))
           .orderBy("k")
+      }),
+
+    // ---- as-of / range joins + deterministic split (training-pipeline
+    //      surface; DuckDB's ASOF/inequality joins are the oracle) ----
+    q("q54_asof_join",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        Joins.asOfJoin(purchases, clicks, "user_id", "ts")
+          .select(col("event_id").as("purchase_id"),
+            col("asof.event_id").as("click_id"),
+            // ts is int64 nanos (Tables.events) with real sub-μs precision;
+            // truncate EACH side to μs before differencing (DuckDB reads
+            // TIMESTAMP(NANOS) truncated to μs, so (a-b) div 1000 would be
+            // off by one whenever b's ns remainder exceeds a's). Integer
+            // div, not /1000.0 — epoch nanos exceed double's 2^53.
+            expr("(ts div 1000) - (asof.ts div 1000)").as("gap_us"))
+          .orderBy("purchase_id")
+      }),
+
+    q("q55_range_join",
+      """SELECT e.event_id AS incident_id, count(*) AS clicks_in_window
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts >= e.ts
+        | AND c.ts < e.ts + INTERVAL 24 HOURS
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit}
+        val ev = Tables.events(s, d)
+        val dayNs = 24L * 3600 * 1000000000L
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("user_id"),
+            col("ts").as("w_start"), (col("ts") + dayNs).as("w_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        Joins.rangeJoinBinned(clicks, errors, "user_id", "ts",
+            "w_start", "w_end", binWidth = dayNs, maxIntervalWidth = dayNs)
+          .groupBy("incident_id")
+          .agg(count(lit(1)).as("clicks_in_window"))
+          .orderBy("incident_id")
+      }),
+
+    q("q56_split_stats",
+      """WITH s AS (SELECT text, CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  round(avg(length(text)), 2) AS avg_chars
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{avg, count, length, lit, round}
+        Sampling.deterministicSplit(Tables.documents(s, d), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(length(col("text"))), 2).as("avg_chars"))
+          .orderBy("split")
       })
   )
 

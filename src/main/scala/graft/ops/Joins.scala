@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join operators (SURVEY.md §2.3).
@@ -86,4 +87,101 @@ object Joins {
       .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
+
+  /** As-of (point-in-time) join: for every left row, the single most recent
+    * right row with the same `key` and right `time` ≤ left `time` (strict
+    * `<` when `strict`). The feature-store / merge_asof operation a training
+    * pipeline uses to attach "state as of event time" without leakage.
+    *
+    * NOT a range join: the two sides are tagged and UNIONed, shuffled once
+    * on `key`, and the match is a running `last(right, ignoreNulls)` over
+    * `(time, side)` within each key — right rows sort before (inclusive) or
+    * after (strict) a left row at the same timestamp, which encodes the
+    * boundary rule in the sort instead of a second pass. One exchange, no
+    * per-pair blow-up, no broadcast: at 100 TB this is a single sort-shuffle
+    * of each side keyed identically, and a skewed key degrades to a big
+    * sort, never to a quadratic join bucket.
+    *
+    * Right columns come back nested under a single `asof` struct column
+    * (null when no right row precedes — `joinType = "left"` keeps such rows,
+    * `"inner"` drops them). Deterministic whenever `(key, time)` is unique
+    * on the right (the standard as-of precondition; ties beyond that are
+    * broken by the right row's position in `__r`'s struct order).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               key: String, time: String,
+               strict: Boolean = false,
+               joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"asOfJoin supports inner/left, got $joinType")
+    // side ordering encodes the boundary: inclusive → right(0) before
+    // left(1) at equal time so it is visible to the running last();
+    // strict → left(0) before right(1) so an equal-time right row is not.
+    val (leftSide, rightSide) = if (strict) (0, 1) else (1, 0)
+    val rStruct = struct(right.columns.map(col): _*)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lTagged = left.select(
+      col(key).as("__k"), col(time).as("__t"), lit(leftSide).as("__s"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(
+      col(key).as("__k"), col(time).as("__t"), lit(rightSide).as("__s"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(left.schema.fields))
+        .as("__l"),
+      rStruct.as("__r"))
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__s") === leftSide)
+      .select(col("__l.*"), col("asof"))
+    if (joinType == "inner") matched.filter(col("asof").isNotNull) else matched
+  }
+
+  /** Binned range join: points joined to bounded-width intervals
+    * `[start, end)` sharing `key`. Each interval is exploded onto the
+    * fixed-width time bins it overlaps and each point onto its single bin,
+    * so the match becomes an EQUI-join on `(key, bin)` plus an exact
+    * containment filter — a hash/sort shuffle Catalyst can plan, instead of
+    * the broadcast-nested-loop a raw inequality join degrades to. A point
+    * lands in exactly one bin, so a (point, interval) pair can only meet
+    * once: no dedup pass.
+    *
+    * `binWidth` should be ≥ the typical interval width (each interval then
+    * explodes to ≤ 2 bins); `maxIntervalWidth` bounds the blow-up of a
+    * pathological interval — wider ones fail fast rather than exploding to
+    * millions of bins. All time columns are int64 (nanoseconds in this
+    * library, per Tables.events).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      key: String, pointTime: String,
+                      start: String, end: String,
+                      binWidth: Long,
+                      maxIntervalWidth: Long = Long.MaxValue): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val guarded =
+      if (maxIntervalWidth == Long.MaxValue) intervals
+      else intervals.withColumn("__w", col(end) - col(start))
+        .withColumn(end,
+          when(col("__w") <= maxIntervalWidth, col(end))
+            .otherwise(raise_error(concat(
+              lit(s"rangeJoinBinned: interval wider than $maxIntervalWidth ns on key "),
+              col(key).cast("string")))))
+        .drop("__w")
+    // integer `div`, not floor(a / b): nanosecond epochs (~1.7e18) exceed
+    // double's 2^53 exact range, so float division would mis-bin
+    val binned = guarded
+      .withColumn("__bin", explode(sequence(
+        expr(s"`$start` div ${binWidth}L"),
+        // end is exclusive: an interval ending exactly on a bin boundary
+        // does not overlap that bin
+        expr(s"(`$end` - 1) div ${binWidth}L"))))
+    val pts = points
+      .withColumn("__bin", expr(s"`$pointTime` div ${binWidth}L"))
+      .withColumnRenamed(key, "__pk")
+    pts.join(binned,
+        pts("__pk") === binned(key) && pts("__bin") === binned("__bin"))
+      .filter(col(pointTime) >= col(start) && col(pointTime) < col(end))
+      .drop("__bin", "__pk")
+  }
 }

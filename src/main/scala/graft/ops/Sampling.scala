@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * The reference has no sampling surface; this is part of the
+  * LLM-data-pipeline extension (SURVEY §2.9 family). The operation every
+  * corpus pipeline needs before training: carve train/val/test so that
+  * (a) the assignment is a pure function of the row's id — re-running the
+  * pipeline, adding executors, or switching engines never reshuffles the
+  * split (no RNG state, no row order dependence), and (b) a given id lands
+  * in the same split even as the corpus grows (new ids fill in around it).
+  *
+  * Mechanics: bucket = first 4 hex digits of md5(id as string) as an
+  * integer (uniform over [0, 65536), folded to [0, 1000)), then cumulative
+  * fraction thresholds in per-mille. md5-of-decimal-string is chosen over
+  * xxhash64/crc32 precisely because it is engine-portable — DuckDB,
+  * Postgres, Python all produce the identical bucket, so the split can be
+  * reproduced (and audited) outside Spark. A narrow codegen'd projection:
+  * no shuffle, no UDF, scan-speed at 100 TB.
+  */
+object Sampling {
+
+  /** The [0, 1000) per-mille bucket for an id column. */
+  def splitBucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % 1000)
+
+  /** Adds a `split` column assigning each row to one of `fractions`'
+    * labels. Fraction values are per-unit (must sum to ≤ 1.0 within 1e-9;
+    * any remainder goes to the LAST label, so (0.8, 0.1, 0.1) is exact).
+    * Fractions are resolved at per-mille granularity — quantization error
+    * ≤ 0.001, which is noise against the sampling variance of any real
+    * corpus split.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "at least one split label required")
+    require(fractions.map(_._2).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must sum to at most 1")
+    val bucket = splitBucket(col(idCol))
+    // cumulative per-mille upper bounds; last label absorbs the remainder
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 1000).toInt)
+    val assign = fractions.init.map(_._1).zip(bounds.init)
+      .foldRight(lit(fractions.last._1): Column) { case ((label, hi), rest) =>
+        when(bucket < hi, label).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+}

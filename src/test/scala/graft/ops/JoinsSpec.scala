@@ -41,4 +41,84 @@ class JoinsSpec extends SparkSpec {
     assert(without.toSeq == Seq(2L))
     assert(withO.length + without.length == 3)
   }
+
+  // ---- as-of join ----
+
+  private def side(rows: (Long, Long, Long)*) =
+    rows.toDF("id", "user_id", "ts")
+
+  test("asOfJoin picks the latest right row at-or-before, per key") {
+    val l = side((100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L))
+    val r = side((200L, 1L, 20L), (201L, 1L, 40L), (202L, 1L, 60L),
+                 (203L, 2L, 50L))
+    val got = Joins.asOfJoin(l, r, "user_id", "ts")
+      .selectExpr("id", "asof.id").as[(Long, Long)].collect().toSet
+    // left 100 (ts 50) → right 201 (ts 40, latest ≤ 50); left 101 (ts 10)
+    // has no prior right → dropped (inner); left 102 matches equal-ts 203
+    assert(got == Set((100L, 201L), (102L, 203L)))
+  }
+
+  test("asOfJoin strict excludes the equal-timestamp right row") {
+    val l = side((100L, 1L, 50L))
+    val r = side((200L, 1L, 50L), (201L, 1L, 30L))
+    val inclusive = Joins.asOfJoin(l, r, "user_id", "ts")
+      .selectExpr("asof.id").as[Long].collect().toSeq
+    val strict = Joins.asOfJoin(l, r, "user_id", "ts", strict = true)
+      .selectExpr("asof.id").as[Long].collect().toSeq
+    assert(inclusive == Seq(200L))
+    assert(strict == Seq(201L))
+  }
+
+  test("asOfJoin left keeps unmatched rows with null asof") {
+    val l = side((100L, 1L, 10L), (101L, 1L, 50L))
+    val r = side((200L, 1L, 20L))
+    val got = Joins.asOfJoin(l, r, "user_id", "ts", joinType = "left")
+      .selectExpr("id", "asof.id as rid").collect()
+      .map(row => (row.getLong(0), if (row.isNullAt(1)) -1L else row.getLong(1)))
+      .toSet
+    assert(got == Set((100L, -1L), (101L, 200L)))
+    assert(Joins.asOfJoin(l, r, "user_id", "ts").count() == 1)
+  }
+
+  // ---- binned range join ----
+
+  test("rangeJoinBinned equals the naive inequality join") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("pid", "user_id", "ts")
+    val ivs = (0 until 60).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i.toLong, rnd.nextInt(5).toLong, s, s + 1 + rnd.nextInt(99))
+    }.toDF("iid", "user_id", "w_start", "w_end")
+    val binned = Joins.rangeJoinBinned(pts, ivs, "user_id", "ts",
+        "w_start", "w_end", binWidth = 100L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.as("p").join(ivs.as("i"),
+        $"p.user_id" === $"i.user_id" &&
+        $"p.ts" >= $"i.w_start" && $"p.ts" < $"i.w_end")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty) // the fixture actually exercises matches
+  }
+
+  test("rangeJoinBinned end bound is exclusive across a bin boundary") {
+    val pts = Seq((1L, 1L, 200L), (2L, 1L, 199L)).toDF("pid", "user_id", "ts")
+    val ivs = Seq((10L, 1L, 100L, 200L)).toDF("iid", "user_id", "w_start", "w_end")
+    val got = Joins.rangeJoinBinned(pts, ivs, "user_id", "ts",
+        "w_start", "w_end", binWidth = 100L)
+      .select("pid").as[Long].collect().toSeq
+    assert(got == Seq(2L)) // ts 200 == w_end: excluded
+  }
+
+  test("rangeJoinBinned fails fast on an interval wider than the cap") {
+    val pts = Seq((1L, 1L, 150L)).toDF("pid", "user_id", "ts")
+    val ivs = Seq((10L, 1L, 100L, 400L)).toDF("iid", "user_id", "w_start", "w_end")
+    val ex = intercept[Exception] {
+      Joins.rangeJoinBinned(pts, ivs, "user_id", "ts", "w_start", "w_end",
+        binWidth = 100L, maxIntervalWidth = 200L).count()
+    }
+    assert(ex.getMessage.contains("rangeJoinBinned") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoinBinned")))
+  }
 }

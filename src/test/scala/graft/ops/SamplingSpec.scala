@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the deterministic-split contract: md5-bucket assignment that is a
+  * pure function of the id (stable under reruns, repartitioning, and corpus
+  * growth) and portable across engines (the bucket matches a plain
+  * MessageDigest reference, which is also what the DuckDB oracle computes).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def ids(n: Int) = (0 until n).map(_.toLong).toDF("doc_id")
+
+  test("split is exhaustive, labeled from the given set, roughly sized") {
+    val got = Sampling.deterministicSplit(ids(2000), "doc_id", fractions)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 2000L)
+    // md5 buckets are uniform; ±5 points of slack at n=2000
+    assert(got("train") > 1500 && got("train") < 1700)
+    assert(got("val") > 100 && got("val") < 300)
+  }
+
+  test("assignment is a pure function of the id") {
+    val once = Sampling.deterministicSplit(ids(500), "doc_id", fractions)
+      .as[(Long, String)].collect().toMap
+    val again = Sampling.deterministicSplit(
+        ids(500).repartition(7), "doc_id", fractions)
+      .as[(Long, String)].collect().toMap
+    assert(once == again)
+    // subset invariance: the same ids inside a larger corpus keep their split
+    val grown = Sampling.deterministicSplit(ids(5000), "doc_id", fractions)
+      .filter("doc_id < 500").as[(Long, String)].collect().toMap
+    assert(grown == once)
+  }
+
+  test("bucket matches a plain-JVM md5 reference (engine portability)") {
+    val buckets = ids(50)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Sampling.splitBucket(org.apache.spark.sql.functions.col("doc_id")))
+      .as[(Long, Int)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0L until 50L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = Integer.parseInt(hex.take(4), 16) % 1000
+      assert(buckets(id) == expect, s"id $id")
+    }
+  }
+
+  test("fractions are validated") {
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(ids(1), "doc_id",
+        Seq("a" -> 0.8, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.deterministicSplit(ids(1), "doc_id", Seq.empty)
+    }
+  }
+}
