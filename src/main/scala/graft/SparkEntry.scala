@@ -777,7 +777,32 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs"),
             round(avg(length(col("text"))), 2).as("avg_chars"))
           .orderBy("split")
-      })
+      }),
+
+    // idf quantized ×10⁴ to an integer before ranking on BOTH sides —
+    // see Text.tfidfTopTerms: rank order is integer-exact, never at the
+    // mercy of the engines' last-ulp ln()
+    q("q57_tfidf_topterms",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '[ \t\n\r\f]+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * CAST(round(ln(n.n / df.df) * 10000) AS BIGINT) AS score_i
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, score_i,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_i DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, score_i / 10000.0 AS tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)(
+      (s, d) => Text.tfidfTopTerms(Tables.documents(s, d), topK = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

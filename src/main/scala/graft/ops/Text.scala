@@ -161,4 +161,41 @@ object Text {
       when(guard, sumTokLen / nTokens).as("mean_tok_len"))
       .orderBy("doc_id")
   }
+
+  /** Per-document top-`topK` terms by tf·idf (north-star text analysis:
+    * keyword extraction / salience scoring for corpus triage).
+    *
+    * idf = ln(N/df) is QUANTIZED to an integer (×10⁴, half-up) before the
+    * score multiply and the ranking. Ranking on raw doubles would make the
+    * top-k order depend on the engine's last-ulp `ln` behavior whenever two
+    * (tf, df) pairs are mathematically close — quantized, the sort key is
+    * exact integer arithmetic, so any engine (the DuckDB oracle included)
+    * ranks identically, and ties fall to the lexicographic term tiebreak.
+    * The reported score is score_i/10⁴ — the same double everywhere.
+    *
+    * `docCount` avoids an extra scan when the caller already knows N
+    * (≤ 0 → count here). Shuffle profile at scale: one agg on
+    * (doc_id, term), one agg on term (df), a term-keyed join that
+    * re-uses the df agg's partitioning, and the per-doc window — each a
+    * single hash exchange of already-aggregated rows, never raw tokens.
+    */
+  def tfidfTopTerms(documents: DataFrame, topK: Int = 3,
+                    docCount: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = if (docCount > 0) docCount else documents.count()
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idfQ = round(log(lit(n.toDouble) / col("df")) * 10000).cast("long")
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_i"), asc("term"))
+    tf.join(df, "term")
+      .withColumn("score_i", col("tf") * idfQ)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"),
+        (col("score_i") / 10000.0).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
 }

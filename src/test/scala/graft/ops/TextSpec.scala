@@ -76,4 +76,27 @@ class TextSpec extends SparkSpec {
     val r = Text.tokenStats(docs("ab c")).collect().head
     assert(r.getAs[Int]("n_tokens") == 2) // "ab" and "c"
   }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    // "common" in all 3 docs -> idf = ln(1) = 0 -> never a top term;
+    // "rare" appears twice in doc 0 -> tf*idf beats the singletons
+    val d = docs(
+      "common rare rare alpha",
+      "common beta",
+      "common gamma")
+    val got = Text.tfidfTopTerms(d, topK = 2)
+      .select("doc_id", "rank", "term").as[(Long, Int, String)]
+      .collect().toSeq
+    assert(got.filter(_._1 == 0L).map(_._3) == Seq("rare", "alpha"))
+    // "common" scores 0 in every doc: ranked last, only surfaces when a
+    // doc has fewer than topK positive-scoring terms
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq("beta", "common"))
+  }
+
+  test("tfidf equal scores break ties by term ascending") {
+    val d = docs("zz aa", "other")
+    val got = Text.tfidfTopTerms(d, topK = 2)
+      .filter("doc_id = 0").select("term").as[String].collect().toSeq
+    assert(got == Seq("aa", "zz")) // same tf, same df -> lexicographic
+  }
 }
