@@ -802,7 +802,27 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, term, score_i / 10000.0 AS tfidf
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)(
-      (s, d) => Text.tfidfTopTerms(Tables.documents(s, d), topK = 3))
+      (s, d) => Text.tfidfTopTerms(Tables.documents(s, d), topK = 3)),
+
+    q("q58_repetition_stats",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 1, 0)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks),
+        |counts AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |stats AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    round(1 - count(*) / CAST(sum(c) AS BIGINT), 4) AS dup_bigram_frac,
+        |    round(max(c) / CAST(sum(c) AS BIGINT), 4) AS top_bigram_frac
+        |  FROM counts GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  s.dup_bigram_frac, s.top_bigram_frac
+        |FROM documents d LEFT JOIN stats s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.repetitionStats(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -162,6 +162,36 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Within-document repetition statistics (the Gopher/C4-style quality
+    * filter family): per doc, the total word-bigram count, the fraction of
+    * bigram OCCURRENCES that are repeats (1 − distinct/total), and the
+    * share of the single most frequent bigram. High values flag the
+    * boilerplate/spam/looping documents a training-data pipeline drops.
+    *
+    * Shape: explode to (doc_id, bigram) rows, two-level aggregate — NOT a
+    * per-row O(tokens²) array-mode computation; the per-doc work is linear
+    * and the heavy lifting is two partial-agg shuffles. Documents with
+    * fewer than 2 tokens surface with n_bigrams = 0 and NULL fractions
+    * (left join back to the corpus keeps the stat total).
+    */
+  def repetitionStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = documents.select(col("doc_id"), explode(
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val stats = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        round(lit(1.0) - count(lit(1)) / sum("c"), 4).as("dup_bigram_frac"),
+        round(max("c") / sum("c"), 4).as("top_bigram_frac"))
+    documents.select(col("doc_id")).join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("dup_bigram_frac"), col("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-`topK` terms by tf·idf (north-star text analysis:
     * keyword extraction / salience scoring for corpus triage).
     *

@@ -99,4 +99,18 @@ class TextSpec extends SparkSpec {
       .filter("doc_id = 0").select("term").as[String].collect().toSeq
     assert(got == Seq("aa", "zz")) // same tf, same df -> lexicographic
   }
+
+  test("repetition stats: dup and top bigram fractions") {
+    // "a b a b a" -> bigrams [a b, b a, a b, b a]: 4 total, 2 distinct
+    val got = Text.repetitionStats(docs("a b a b a", "x y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 4L, 0.5, 0.5), (1L, 1L, 0.0, 1.0)))
+  }
+
+  test("repetition stats: short docs surface with zero bigrams") {
+    val got = Text.repetitionStats(docs("solo", "")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(0L, 0L))
+    assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
 }
