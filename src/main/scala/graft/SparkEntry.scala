@@ -822,7 +822,13 @@ object SparkEntry {
         |  s.dup_bigram_frac, s.top_bigram_frac
         |FROM documents d LEFT JOIN stats s USING (doc_id)
         |ORDER BY doc_id""".stripMargin)(
-      (s, d) => Text.repetitionStats(Tables.documents(s, d)))
+      (s, d) => Text.repetitionStats(Tables.documents(s, d))),
+
+    q("q59_grouped_quantiles",
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.groupedQuantiles(Tables.lineitem(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

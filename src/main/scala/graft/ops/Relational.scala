@@ -132,4 +132,20 @@ object Relational {
       .select(concat_ws("-", col("c_mktsegment"), col("c_nationkey"),
                         col("c_custkey")).as("rowkey"))
       .orderBy("rowkey")
+
+  /** Grouped exact quantiles (linear interpolation — the same convention
+    * as DuckDB's quantile_cont, pinned globally by q40). Spark's exact
+    * `percentile` aggregates a value→count map per group, so memory scales
+    * with DISTINCT values per group, not row count — cheap for bounded
+    * domains like l_quantity (50 values) at any corpus size; for unbounded
+    * high-cardinality doubles at 100 TB, switch to `approx_percentile`
+    * (t-digest, fixed memory) and accept the documented error bound.
+    */
+  def groupedQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+           expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
 }

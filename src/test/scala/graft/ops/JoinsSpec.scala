@@ -121,4 +121,27 @@ class JoinsSpec extends SparkSpec {
     assert(ex.getMessage.contains("rangeJoinBinned") ||
       Option(ex.getCause).exists(_.getMessage.contains("rangeJoinBinned")))
   }
+
+  test("asOfJoin equals the naive argmax join on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(500).toLong))
+      .toDF("id", "user_id", "ts")
+    // distinct (key, ts) on the right: the as-of determinism precondition
+    val r = rnd.shuffle((0 until 8).flatMap(u =>
+        rnd.shuffle((0 until 500).toList).take(60).map(t => (u, t))))
+      .zipWithIndex
+      .map { case ((u, t), i) => (1000L + i, u.toLong, t.toLong) }
+      .toDF("id", "user_id", "ts")
+    val got = Joins.asOfJoin(l, r, "user_id", "ts")
+      .selectExpr("id", "asof.id").as[(Long, Long)].collect().toSet
+    val naive = l.as("l").join(r.as("r"),
+        $"l.user_id" === $"r.user_id" && $"r.ts" <= $"l.ts")
+      .groupBy($"l.id")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"r.ts", $"r.id")).as("m"))
+      .selectExpr("id", "m.id").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(naive.size > 100) // the fixture exercises real matches
+  }
 }

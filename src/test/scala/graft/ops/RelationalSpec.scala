@@ -48,4 +48,17 @@ class RelationalSpec extends SparkSpec {
     val r = Relational.topKOrders(o, 2).collect().map(_.getLong(0))
     assert(r.toSeq == Seq(1L, 2L))
   }
+
+  test("grouped quantiles interpolate linearly within each group") {
+    val li = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 10.0),
+                 ("B", 5.0))
+      .toDF("l_returnflag", "l_quantity")
+    val r = Relational.groupedQuantiles(li).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2), x.getLong(3)))
+      .toMap
+    // A: median of [1,2,3,10] = 2.5; p90 = 3 + 0.7*(10-3) = 7.9
+    assert(r("A")._1 == 2.5 && r("A")._3 == 4L)
+    assert(math.abs(r("A")._2 - 7.9) < 1e-12)
+    assert(r("B") == ((5.0, 5.0, 1L)))
+  }
 }
