@@ -829,6 +829,25 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Relational.groupedQuantiles(Tables.lineitem(s, d)))
+  ,
+
+    // the streaming as-of enrichment run through Spark's unified
+    // batch-streaming contract: in batch mode the FMGWS operator sees each
+    // user's full history in one event-time-sorted pass, which IS the left
+    // as-of join — so DuckDB's ASOF LEFT JOIN pins the stateful operator's
+    // semantics, while StreamingSpec pins the incremental/TTL behavior
+    q("q60_stream_enrich_batch",
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) AS purchase_us, c.event_id AS click_id,
+        |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .enrichPurchasesWithLastClick(Tables.events(s, d))
+        .toDF()
+        .orderBy("purchase_id"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -185,6 +185,71 @@ object EventStreams {
       }
   }
 
+  final case class IdEvent(event_id: Long, user_id: Long, ts: Long,
+                           event_type: String, value: Double,
+                           event_time: java.sql.Timestamp)
+  final case class LastClick(click_id: Long, clickUs: Long)
+  final case class EnrichedPurchase(user_id: Long, purchase_id: Long,
+                                    purchase_us: Long,
+                                    click_id: Option[Long],
+                                    gap_us: Option[Long])
+
+  /** Streaming as-of enrichment — the streaming face of Joins.asOfJoin's
+    * q54 shape: every `purchase` is annotated with the same user's most
+    * recent `click` so far (None if no click is live). Per-user state
+    * holds ONE row (the latest click), and an event-time timeout drops a
+    * user's state once the watermark passes last-click + `ttlUs` — state
+    * is bounded by active users, not by stream length, the property that
+    * keeps this runnable forever at 100 TB/day.
+    *
+    * Semantics: events are processed in event-time order WITHIN a
+    * micro-batch (the batch is sorted), but a click arriving in a later
+    * batch cannot retro-enrich an earlier purchase — the standard
+    * low-latency enrichment contract (Joins.asOfJoin is the exact batch
+    * form when full retrospection matters).
+    */
+  def enrichPurchasesWithLastClick(events: DataFrame,
+                                   ttlUs: Long = 24L * 3600 * 1000000,
+                                   delay: String = "1 hour")
+      : Dataset[EnrichedPurchase] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = withEventTime(
+        events.filter(col("event_type").isin("click", "purchase")))
+      .withWatermark("event_time", delay)
+      .as[IdEvent]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, EnrichedPurchase](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[IdEvent], state: GroupState[LastClick]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[EnrichedPurchase]
+            var cur = state.getOption
+            batch.toArray.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              val us = e.ts / 1000
+              if (e.event_type == "click") {
+                // keep the LATEST click only — a late-arriving older click
+                // must not regress the state
+                if (cur.forall(_.clickUs <= us))
+                  cur = Some(LastClick(e.event_id, us))
+              } else {
+                out += EnrichedPurchase(uid, e.event_id, us,
+                  cur.map(_.click_id), cur.map(c => us - c.clickUs))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // expire once the watermark passes last click + ttl (ms)
+              state.setTimeoutTimestamp(c.clickUs / 1000 + ttlUs / 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** File-based streaming intake of an events-shaped parquet directory —
     * the deployment path (`readStream` mirror of Tables.events).
     */

@@ -220,4 +220,45 @@ class StreamingSpec extends SparkSpec {
       assert(byUser(2L) == UserRunning(2L, 1L, 1.0, 5L))
     }
   }
+
+  test("streaming as-of: purchases see the latest prior click, state expires") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String, Double)]
+    val df = in.toDF().toDF("event_id", "user_id", "ts", "event_type", "value")
+    val ttlUs = 2L * 3600 * 1000000 // 2h: click state lives 2h past the click
+    // all ts sit well above epoch 0: a first-batch event AT the initial
+    // watermark (0) is filtered as late by the streaming late-row guard
+    val q = EventStreams.enrichPurchasesWithLastClick(df, ttlUs, "1 hour")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    withQuery(q) {
+      // user 1: click then purchase in one batch -> enriched (in-batch order)
+      in.addData((10L, 1L, 10 * H, "click", 1.0),
+                 (20L, 1L, 10 * H + H / 2, "purchase", 5.0))
+      q.processAllAvailable()
+      val r1 = spark.table("enrich")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(r1 == Set((1L, 20L, (10 * H + H / 2) / 1000,
+        Some(10L), Some(H / 2000))))
+      // user 2 purchase with no live click -> None
+      in.addData((30L, 2L, 11 * H, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("enrich")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+        .contains((2L, 30L, 11 * H / 1000, None, None)))
+      // advance the watermark to 14h (15h event - 1h delay): past user 1's
+      // click TTL (10h + 2h). Timeouts for dataless keys fire against the
+      // PREVIOUS batch's watermark, so push two batches.
+      in.addData((40L, 9L, 15 * H, "click", 1.0))
+      q.processAllAvailable()
+      in.addData((41L, 9L, 15 * H + 1, "click", 1.0))
+      q.processAllAvailable()
+      // user 1's click state expired -> a fresh purchase enriches to None
+      in.addData((50L, 1L, 15 * H + 2, "purchase", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("enrich")
+        .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+      assert(last.contains((1L, 50L, (15 * H + 2) / 1000, None, None)))
+    }
+  }
 }
