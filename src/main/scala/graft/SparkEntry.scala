@@ -847,7 +847,38 @@ object SparkEntry {
       (s, d) => graft.streaming.EventStreams
         .enrichPurchasesWithLastClick(Tables.events(s, d))
         .toDF()
-        .orderBy("purchase_id"))
+        .orderBy("purchase_id")),
+
+    // transitive closure of the q22 pair list into dedup clusters; the
+    // oracle recomputes the same pairs in SQL and closes them with a
+    // recursive CTE (min reachable id = component representative)
+    q("q61_dedup_clusters",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM px
+        |  WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node)
+        |SELECT node AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Dedup.jaccardClusters(Tables.documents(s, d), n = 3,
+        threshold = 0.2, maxDf = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -124,4 +124,38 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(x => (x.getLong(0), x.getLong(1))).toSeq == Seq((0L, 1L)))
     assert(pairs.head.getAs[Int]("hamming") == 0)
   }
+
+  test("connected components: chains close transitively, singletons self-label") {
+    // edges 1-2, 2-3 (one chain) and 5-6; 4 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+      (5L, 5L), (6L, 5L)))
+  }
+
+  test("connected components: propagation crosses a long path within maxIter") {
+    // a 12-node path needs ~11 rounds: exercises multi-round convergence
+    val n = 12
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L))
+    // and FAILS (not silently partial) when maxIter is too small
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 3)
+    }
+  }
+
+  test("jaccard clusters: near-dup docs merge, distinct docs stay apart") {
+    val a1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a2 = "the quick brown fox jumps over the lazy dog near the river"
+    val b = "completely different content with no overlap whatsoever in any shingle text"
+    val got = Dedup.jaccardClusters(docs(a1, a2, b), threshold = 0.2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L), (1L, 0L), (2L, 2L)))
+  }
 }
