@@ -26,7 +26,11 @@ object Bench {
         .collect()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case _: Throwable => () }
+    // optional comma-separated allowlist for local iteration on a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
     // rep-major order (full query set per rep) so a slow global phase (GC,
     // page-cache warmup) spreads across all queries instead of biasing one
     val samples: Seq[Map[String, Double]] = (1 to reps).map { rep =>
@@ -55,7 +59,16 @@ object Bench {
       .mkString("{", ",", "}")
     // -1 marks a failed query; only successes contribute to the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // every rep is recorded beside the median so noise vs regression is
+    // adjudicable from the artifact alone: per-rep totals plus the full
+    // per-query sample vectors
+    val repTotals = samples
+      .map(m => m.values.filter(_ >= 0).sum)
+      .mkString("[", ",", "]")
+    val qReps = names.map { n =>
+      "\"" + n + "\":" + samples.map(_(n)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"query_reps":$qReps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

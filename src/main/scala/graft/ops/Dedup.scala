@@ -1,7 +1,8 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family over `documents` (north-star surface).
@@ -53,9 +54,10 @@ object Dedup {
     // byte-targeted coalescing would serialize the compute the call exists
     // to spread. A cluster tuned for 100 TB sets shuffle.partitions in the
     // thousands, which this width follows.
-    documents.repartition(math.max(
+    documents.repartition(Seq(
+      documents.rdd.getNumPartitions, // never NARROW an already-wide input
       documents.sparkSession.sparkContext.defaultParallelism,
-      documents.sparkSession.sessionState.conf.numShufflePartitions))
+      documents.sparkSession.sessionState.conf.numShufflePartitions).max)
 
   /** Distinct token n-gram shingles per document (one-pass native kernel;
     * empty array when the document has fewer than n tokens).
@@ -77,26 +79,45 @@ object Dedup {
     */
   def jaccardPairs(documents: DataFrame, n: Int = 3,
                    threshold: Double = 0.2,
-                   maxDf: Long = 10000L): DataFrame = {
-    val sets = shingleSets(documents, n)
-    val sh0 = sets.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val sh =
-      if (maxDf == Long.MaxValue) sh0
-      else {
-        val df = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+                   maxDf: Long = 10000L): DataFrame =
+    pairsBySetOverlap(shingleSets(documents, n), "shingles", threshold, maxDf)
+
+  /** Shared inverted-index Jaccard core for jaccardPairs/winnowingPairs.
+    *
+    * The per-document item sets come from a CPU-heavy native kernel
+    * (shingling / per-character Rabin–Karp), and the scoring graph consumes
+    * them in three subtrees (both self-join sides + the sizes aggregate).
+    * Without materialization Catalyst re-evaluates the kernel per subtree —
+    * recorded as the round-3 q53 3× regression — so exactly ONE
+    * `localCheckpoint` pins the frame: the kernel runs once, every
+    * downstream subtree reads the spill-safe (MEMORY_AND_DISK) blocks.
+    *
+    * With a df-cap armed, the cap is a single window pass
+    * (`count(*) OVER (PARTITION BY item) <= maxDf`) instead of the old
+    * aggregate + join round-trip — one shuffle, and the checkpoint lands
+    * AFTER the filter so the join reads only surviving items. Set sizes
+    * must then count surviving items (the Jaccard denominator matches the
+    * capped universe); uncapped, sizes are a narrow array-size projection.
+    */
+  private def pairsBySetOverlap(sets0: DataFrame, setCol: String,
+                                threshold: Double, maxDf: Long): DataFrame = {
+    val (items, sizes) =
+      if (maxDf == Long.MaxValue) {
+        val sets = sets0.localCheckpoint()
+        (sets.select(col("doc_id"), explode(col(setCol)).as("item")),
+          sets.select(col("doc_id"), size(col(setCol)).cast("long").as("sz")))
+      } else {
+        val capped = sets0
+          .select(col("doc_id"), explode(col(setCol)).as("item"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("item")))
           .filter(col("df") <= maxDf)
-        sh0.join(df.select("sh"), "sh")
+          .select("doc_id", "item")
+          .localCheckpoint()
+        (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
       }
-    // |set| per doc: a narrow array-size projection when no df-cap is
-    // active (no shuffle); with a cap, sizes must count surviving
-    // shingles, which needs the re-aggregation.
-    val sizes =
-      if (maxDf == Long.MaxValue)
-        sets.select(col("doc_id"), size(col("shingles")).cast("long").as("sz"))
-      else sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("x")
-      .join(sh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+    val inter = items.as("x")
+      .join(items.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -129,7 +150,10 @@ object Dedup {
                    threshold: Double = 0.2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(documents, n, numHashes)
+    // materialize once: the signature frame feeds both bucket-join sides
+    // AND the exact-verify set re-attach — without this the shingle+minhash
+    // kernels would re-evaluate per subtree (the q53-regression pattern)
+    val sigs = minhashSignatures(documents, n, numHashes).localCheckpoint()
     // band IDS ONLY through the bucket join — carrying the shingle arrays
     // would copy every document's set `bands` times across both shuffle
     // sides; candidates re-attach their sets after pair dedup, so each
@@ -180,33 +204,7 @@ object Dedup {
     val sets = balanced(documents).select(col("doc_id"),
       GraftFunctions.rollingFingerprints(col("text"), k, w).as("fps"))
       .filter(size(col("fps")) > 0)
-    val fp0 = sets.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val fp =
-      if (maxDf == Long.MaxValue) fp0
-      else {
-        val df = fp0.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf)
-        fp0.join(df.select("fp"), "fp")
-      }
-    // set sizes must count SURVIVING fingerprints when a cap is active so
-    // the Jaccard denominator matches the capped universe
-    val sizes =
-      if (maxDf == Long.MaxValue)
-        sets.select(col("doc_id"), size(col("fps")).cast("long").as("sz"))
-      else fp.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = fp.as("x")
-      .join(fp.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("jaccard",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
+    pairsBySetOverlap(sets, "fps", threshold, maxDf)
   }
 
   /** 64-bit SimHash per document: each token votes ±1 on every bit of its
@@ -321,9 +319,13 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    val und = edges
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair computation ONCE — the
+    // undirected edge list reads it twice (forward + reversed), and every
+    // round reads the edge list again
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint()
+    val und = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var iter = 0
@@ -334,15 +336,20 @@ object Dedup {
           .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min("dlbl").as("nlbl"))
+        // ONE job per round: the convergence signal rides the update action
+        // as an observed metric (CollectMetrics accumulates during the
+        // eager localCheckpoint) instead of a separate join+count job
+        val obs = Observation(s"cc_round_$iter")
         val next = labels
           .join(nbrMin, Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("lbl").as("old"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .observe(obs,
+            sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L))
+              .as("changed"))
+          .select("id", "lbl")
           .localCheckpoint()
-        val changed = next
-          .join(labels.select(col("id"), col("lbl").as("old")), "id")
-          .filter(col("lbl") =!= col("old")).count()
-        converged = changed == 0
+        converged = obs.get("changed").asInstanceOf[Long] == 0L
         labels = next
         iter += 1
       }
