@@ -46,18 +46,19 @@ object Dedup {
     */
   private def balanced(documents: DataFrame): DataFrame =
     // Explicit round-robin width = max(core count, configured shuffle
-    // width). Not repartition(defaultParallelism) alone — that would
-    // COALESCE an input arriving wider than the core count (normal for a
-    // wide scan at 100 TB, and a 2 GB shuffle-block risk). Not the argless
-    // AQE REBALANCE either: AQE sizes partitions by BYTES, and these stages
-    // are CPU-bound on small byte volumes (shingling/hashing of text), so
-    // byte-targeted coalescing would serialize the compute the call exists
-    // to spread. A cluster tuned for 100 TB sets shuffle.partitions in the
-    // thousands, which this width follows.
-    documents.repartition(Seq(
-      documents.rdd.getNumPartitions, // never NARROW an already-wide input
+    // width). Not the argless AQE REBALANCE: AQE sizes partitions by
+    // BYTES, and these stages are CPU-bound on small byte volumes
+    // (shingling/hashing of text), so byte-targeted coalescing would
+    // serialize the compute the call exists to spread. The width is NOT
+    // probed from `df.rdd.getNumPartitions` — under AQE, `.rdd` forces the
+    // adaptive plan to materialize, eagerly RUNNING every upstream shuffle
+    // stage just to read a count, and the repartition then recomputes the
+    // same work (double-execution for any non-scan input). A cluster tuned
+    // for 100 TB sets shuffle.partitions in the thousands, which this
+    // width follows — so a wide upstream is not narrowed in practice.
+    documents.repartition(math.max(
       documents.sparkSession.sparkContext.defaultParallelism,
-      documents.sparkSession.sessionState.conf.numShufflePartitions).max)
+      documents.sparkSession.sessionState.conf.numShufflePartitions))
 
   /** Distinct token n-gram shingles per document (one-pass native kernel;
     * empty array when the document has fewer than n tokens).
@@ -269,11 +270,12 @@ object Dedup {
   def embeddingNearDupsLsh(embeddings: DataFrame,
                            threshold: Double = 0.4,
                            bits: Int = -1, tables: Int = -1,
-                           seed: Long = 42L): DataFrame = {
+                           seed: Long = 42L,
+                           targetRecall: Double = 0.9): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     val (planBits, planTables) =
       if (bits > 0 && tables > 0) (bits, tables)
-      else Similarity.lshPlan(threshold)
+      else Similarity.lshPlan(threshold, targetRecall)
     val e = embeddings.select(col("vec_id"),
       Similarity.asDouble(col("embedding")).as("emb"))
     val dim = e.select(size(col("emb"))).take(1) match {
@@ -345,8 +347,13 @@ object Dedup {
           .select(col("id"), col("lbl").as("old"),
             least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .observe(obs,
-            sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L))
-              .as("changed"))
+            // coalesce: sum over an EMPTY labels frame is null, and
+            // null.asInstanceOf[Long] would silently unbox to 0
+            // ("converged") — make the empty case an explicit 0 instead.
+            // The eager localCheckpoint below is the action that flushes
+            // CollectMetrics; obs.get blocks until it has run.
+            coalesce(sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)),
+              lit(0L)).as("changed"))
           .select("id", "lbl")
           .localCheckpoint()
         converged = obs.get("changed").asInstanceOf[Long] == 0L

@@ -32,8 +32,9 @@ object Multimodal {
 
   /** Derive a deterministic media table from `documents` (the harness has
     * no binary table): kind cycles by doc_id; `image` rows carry a REAL
-    * deterministic PNG payload (so the decode stage exercises a genuine
-    * codec), audio/video keep the UTF-8 text bytes as an opaque payload.
+    * deterministic PNG payload and `audio` rows a REAL PCM WAV payload
+    * (so the decode stages exercise genuine codecs); `video` keeps the
+    * UTF-8 text bytes as an opaque payload (no video codec in the JDK).
     */
   def syntheticMedia(documents: DataFrame): Dataset[Media] = {
     implicit val enc: Encoder[Media] = Encoders.product[Media]
@@ -46,6 +47,7 @@ object Multimodal {
       .as[Media]
       .mapPartitions(_.map { m =>
         if (m.kind == "image") m.copy(payload = syntheticPng(m.media_id))
+        else if (m.kind == "audio") m.copy(payload = syntheticWav(m.media_id))
         else m
       })
   }
@@ -77,25 +79,94 @@ object Multimodal {
   /** Rebalance by payload bytes ahead of CPU-heavy decode: target
     * ~`targetBytes` per partition so one giant video cannot straggle a
     * task while 4 KB thumbnails idle elsewhere.
+    *
+    * The byte budget comes from Catalyst's OWN size statistic
+    * (`optimizedPlan.stats.sizeInBytes`): for a file scan that is the
+    * file-size statistic from the listing — free — where the previous
+    * `sum(length(payload))` aggregate was a full extra pass over the media
+    * lake before any decode started. For derived inputs it is an estimate,
+    * which is the right trade: partition WIDTH only needs to be
+    * order-of-magnitude right, and the 1..10000 clamp bounds both a
+    * missing statistic (defaults huge) and an empty input.
     */
   def repartitionByBytes(media: Dataset[Media],
                          targetBytes: Long = 128L << 20): Dataset[Media] = {
-    val row = media.select(sum(length(col("payload")))).head()
-    if (row.isNullAt(0)) media // empty input: nothing to balance
-    else {
-      val parts = math.max(1,
-        math.min(10000, (row.getLong(0) / targetBytes).toInt + 1))
-      media.repartition(parts)
-    }
+    val bytes = media.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes / targetBytes).min(BigInt(9999)).toInt + 1
+    media.repartition(math.max(1, parts))
   }
 
-  /** ======== STUB (audio/video only) ========
+  /** Deterministic small PCM WAV for a media id: sample rate, frame count
+    * and waveform are pure functions of the id, written through the JDK's
+    * javax.sound.sampled WAVE encoder — a real RIFF/WAVE byte stream
+    * (44-byte canonical header + 16-bit mono PCM), not a fake payload.
+    */
+  private[ops] val wavRates = Array(8000, 11025, 16000, 22050)
+
+  private[ops] def syntheticWav(id: Long): Array[Byte] = {
+    val rate = wavRates((id % 4).toInt)
+    val frames = 200 + (id % 800).toInt
+    val data = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * (220.0 + id % 220) * i / rate) * 3000).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio decode via the stock-JDK javax.sound.sampled reader
+    * (WAV/AIFF/AU): sample rate, channel count and frame length come from
+    * the parsed RIFF header, duration is integer-derived from them
+    * (`frames * 1_000_000 div rate` — no float rounding to disagree on).
+    * None for payloads the sound API cannot parse.
+    */
+  final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                             audio_frames: Long, duration_us: Long)
+
+  private[ops] def decodeAudioOne(m: Media): Option[AudioMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val rate = math.round(f.getSampleRate)
+        Some(AudioMeta(m.media_id, rate, f.getChannels, frames,
+          frames * 1000000L / rate))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Audio metadata stage: real header decode for `kind = audio` rows,
+    * partition-streaming; unparseable payloads are dropped (a corrupt file
+    * must not kill a 100 TB decode job — route them to a quarantine sink
+    * in a real pipeline).
+    */
+  def decodeAudio(media: Dataset[Media]): Dataset[AudioMeta] = {
+    implicit val enc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+    media.filter(col("kind") === "audio").mapPartitions(
+      _.flatMap(decodeAudioOne))
+  }
+
+  /** ======== STUB (video only, + unparseable fallbacks) ========
     * Deterministic fake decode: dimensions derived from payload bytes. A
     * real deployment swaps ONLY this function body for a codec call
     * (ffmpeg via JNI); the Spark plumbing — typed schema, Iterator
     * streaming, partitioning — stays identical. Images take the REAL
-    * ImageIO path in `decodeOne` and never reach this stub unless the
-    * payload fails to parse.
+    * ImageIO path and audio the REAL javax.sound path; only video lacks a
+    * stock-JDK codec and reaches this stub by design.
     */
   private def decodeStub(m: Media): Decoded = {
     val n = m.payload.length
@@ -121,6 +192,13 @@ object Multimodal {
 
   private def decodeOne(m: Media): Decoded =
     if (m.kind == "image") decodeImage(m).getOrElse(decodeStub(m))
+    else if (m.kind == "audio")
+      // real header decode: channel count from the RIFF header; width and
+      // height are not a concept for audio and stay 0
+      decodeAudioOne(m)
+        .map(a => Decoded(m.media_id, m.kind, 0, 0, a.channels,
+          m.payload.length.toLong))
+        .getOrElse(decodeStub(m))
     else decodeStub(m)
 
   /** Decode stage: partition-streaming, one pass, no materialization.

@@ -160,14 +160,28 @@ object Similarity {
 
   /** ANN via banded random-hyperplane LSH: explode each vector into
     * (table, signature) buckets, join queries to corpus bucket-mates,
-    * exact-rerank the candidates, top-k. Misses are possible (tunable via
-    * bits/tables) — the recall-vs-brute-force contract is pinned in
-    * SimilaritySpec, not here.
+    * exact-rerank the candidates, top-k.
+    *
+    * Parameters default to `lshPlan(simFloor, targetRecall, maxTables)` —
+    * the similarity level down to which the tables must retain recall
+    * (for top-k that is the expected k-th-neighbor similarity, NOT a
+    * near-dup threshold). The previous fixed `bits = 12, tables = 6`
+    * default was tuned for a high-similarity regime and silently collapsed
+    * recall on borderline neighbors — exactly the failure mode lshPlan's
+    * Scaladoc documents. At a low floor the planner's own output makes the
+    * cost explicit (few bits, many tables ⇒ little pruning): LSH
+    * fundamentally cannot prune borderline-similarity candidates, and
+    * `annIvf` is the scale path for that regime. Explicit bits/tables
+    * still override for callers that know their regime.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-             bits: Int = 12, tables: Int = 6, seed: Long = 42L,
-             dim: Int = 0): DataFrame = {
+             bits: Int = -1, tables: Int = -1, seed: Long = 42L,
+             dim: Int = 0, simFloor: Double = 0.25,
+             targetRecall: Double = 0.995, maxTables: Int = 64): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    val (planBits, planTables) =
+      if (bits > 0 && tables > 0) (bits, tables)
+      else lshPlan(simFloor, targetRecall, maxTables)
     // dim <= 0 → probe the corpus (dot truncates to the common prefix, so
     // a wrong hardcoded dim would silently ignore trailing dimensions)
     val effDim =
@@ -178,11 +192,11 @@ object Similarity {
         // and the output schema stays the one the real pipeline produces
         case _ => 1
       }
-    val planes = hyperplanes(effDim, bits, tables, seed)
+    val planes = hyperplanes(effDim, planBits, planTables, seed)
     def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {
       val e = df.select(col("vec_id").as(idCol),
         asDouble(col("embedding")).as(embCol))
-      val sigs = array((0 until tables).map { t =>
+      val sigs = array((0 until planTables).map { t =>
         struct(lit(t).as("table"), signature(col(embCol), planes(t)).as("sig"))
       }: _*)
       e.select(col(idCol), col(embCol), explode(sigs).as("bucket"))
