@@ -4,13 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Median of `reps` in-process repetitions per query: one noisy run
-    // (cold JVM, JIT, GC pause, a contended harness host) must not decide
-    // the recorded artifact. 5 (not 3): the round-4 per-rep record shows
-    // 7–60 s contention spikes hitting ~20% of (query, rep) samples — with
-    // 3 reps, two spikes poison a median (q24 recorded 23 s against a
-    // 1.5 s clean rep); a median of 5 sheds two.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Median of up to `reps` in-process repetitions per query: one noisy
+    // run (cold JVM, JIT, GC pause, a contended harness host) must not
+    // decide the recorded artifact. 3 by default — round 5 raised it to 5
+    // and the run was SIGTERM'd by the harness wall-clock limit mid-rep,
+    // losing the whole artifact. More reps only helps if the run survives,
+    // so the real protections are below: the JSON line is printed after
+    // EVERY completed rep (the driver's tail parse takes the LAST line, so
+    // a kill mid-rep still leaves the previous rep's artifact on stdout),
+    // and no new rep starts once cumulative wall time crosses `budgetSec`.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "240").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,54 +39,74 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
-    // rep-major order (full query set per rep) so a slow global phase (GC,
-    // page-cache warmup) spreads across all queries instead of biasing one
-    val samples: Seq[Map[String, Double]] = (1 to reps).map { rep =>
-      val m = names.map { name =>
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        // a crashed query must not read as a fast success: report -1
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
-      System.err.println(
-        s"[bench] rep $rep total=${m.values.filter(_ >= 0).sum}")
-      m
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       s(s.length / 2)
     }
-    val results = names.map { name =>
-      val ok = samples.map(_(name)).filter(_ >= 0)
-      // fail a query only if EVERY rep failed; otherwise median of successes
-      name -> (if (ok.isEmpty) -1.0 else median(ok))
-    }
     // The driver captures only the LAST ~2000 BYTES of stdout and parses
     // the JSON line out of that tail: rounds 3–4 emitted full-precision
     // doubles plus per-query rep vectors, pushed the line past the window,
-    // and the recorded artifact came back `parsed: null` — the judge was
-    // blind on perf for two rounds. So the stdout line stays minimal
-    // (3-decimal seconds, ~27 bytes/query) and the full per-rep vectors go
-    // to STDERR for post-hoc noise-vs-regression adjudication.
+    // and the recorded artifact came back `parsed: null`. So the stdout
+    // line stays minimal (3-decimal seconds, ~27 bytes/query), the length
+    // guard degrades queries→total-only rather than ship unparseable, and
+    // the full per-rep vectors go to STDERR for post-hoc adjudication.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    // -1 marks a failed query; only successes contribute to the total
-    val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    val repTotals = samples
-      .map(m => r3(m.values.filter(_ >= 0).sum))
-      .mkString("[", ",", "]")
-    val qReps = names.map { n =>
+    def emit(samples: Seq[Map[String, Double]]): Unit = {
+      val results = names.map { name =>
+        val ok = samples.map(_(name)).filter(_ >= 0)
+        // fail a query only if EVERY rep failed; else median of successes
+        name -> (if (ok.isEmpty) -1.0 else median(ok))
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      // -1 marks a failed query; only successes contribute to the total
+      val total = r3(results.map(_._2).filter(_ >= 0).sum)
+      val repTotals = samples
+        .map(m => r3(m.values.filter(_ >= 0).sum))
+        .mkString("[", ",", "]")
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length},"sf":"$sfDir"}"""
+      val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // belt-and-braces at every degradation level: a growing query set
+      // must never push the LAST line past the driver's tail window
+      val line =
+        if (full.length <= 1900) full
+        else if (noReps.length <= 1900) noReps
+        else s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+      println(line)
+      Console.out.flush()
+    }
+    val t0 = System.nanoTime()
+    var samples = Vector.empty[Map[String, Double]]
+    var rep = 0
+    var continue = true
+    while (continue && rep < reps) {
+      rep += 1
+      val m = names.map { name =>
+        val q0 = System.nanoTime()
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        // a crashed query must not read as a fast success: report -1
+        name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+      }.toMap
+      samples = samples :+ m
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        s"[bench] rep $rep total=${r3(m.values.filter(_ >= 0).sum)}" +
+          s" elapsed=${r3(elapsed)}")
+      // medians-so-far after EVERY rep: a wall-clock kill between here and
+      // the end of the run costs at most one rep, never the artifact
+      emit(samples)
+      if (elapsed > budgetSec) {
+        System.err.println(
+          s"[bench] wall budget ${budgetSec}s exceeded after rep $rep; " +
+            "stopping early")
+        continue = false
+      }
+    }
+    System.err.println("[bench] query_reps " + names.map { n =>
       "\"" + n + "\":" + samples.map(s => r3(s(n))).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    System.err.println(s"""[bench] query_reps $qReps""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"sf":"$sfDir"}"""
-    // belt-and-braces: if a future query-set growth pushes past the tail
-    // window, drop the rep totals rather than ship an unparseable artifact
-    println(if (line.length <= 1900) line
-      else s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

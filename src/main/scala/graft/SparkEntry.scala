@@ -28,11 +28,23 @@ object SparkEntry {
   final case class QuerySpec(
       name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String],
+      // Some(fixture) marks an oracle whose SQL is pinned LITERALS measured
+      // at that fixture (e.g. "sf0.01"): the Spark side computes from data
+      // at any scale, so comparing the literals at any OTHER scale would be
+      // wrong by construction. Verify emits such oracles only when sfDir
+      // matches; elsewhere the query degrades to a rows-only check.
+      pinnedFixture: Option[String] = None)
 
   private def q(name: String, oracle: String)(
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, Some(oracle))
+
+  /** Deterministic output pinned as a VALUES literal oracle, valid only at
+    * `fixture` (the driver's Verify scale). */
+  private def qPinned(name: String, fixture: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): QuerySpec =
+    QuerySpec(name, fn, Some(oracle), Some(fixture))
 
   /** Non-SQL-expressible ops: driver records a weaker rows-only check. */
   private def qRowsOnly(name: String)(
@@ -293,10 +305,51 @@ object SparkEntry {
       (s, d) => Dedup.minhashPairs(Tables.documents(s, d), n = 3,
         numHashes = 32, bands = 16, threshold = 0.2)),
 
-    qRowsOnly("q24_simhash_pairs")(
+    // SimHash/winnowing have no DuckDB-expressible formulation (native
+    // XXH64/Rabin–Karp kernels), but both are DETERMINISTIC pure functions
+    // of the fixture text — no seeds, no float accumulation — so the sf0.01
+    // output is a constant and the oracle pins it as literals (the q28/q29
+    // technique): any change to tokenization, hashing, blocking, or
+    // thresholding surfaces as a driver hash mismatch.
+    qPinned("q24_simhash_pairs", "sf0.01",
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES (4, 328, 5), (5, 401, 5), (5, 478, 5), (8, 245, 2), (9, 264, 5),
+        |      (9, 381, 5), (14, 296, 5), (14, 337, 4), (26, 455, 4),
+        |      (31, 296, 5), (31, 300, 5), (31, 383, 4), (31, 439, 5),
+        |      (44, 446, 4), (45, 267, 5), (45, 413, 3), (51, 369, 4),
+        |      (58, 293, 0), (61, 185, 0), (69, 113, 5), (69, 249, 5),
+        |      (70, 447, 1), (72, 377, 4), (76, 102, 2), (76, 142, 4),
+        |      (87, 134, 4), (92, 450, 4), (98, 290, 2), (102, 142, 4),
+        |      (107, 387, 1), (112, 274, 4), (113, 221, 4), (113, 259, 5),
+        |      (113, 453, 5), (120, 332, 3), (126, 128, 5), (128, 300, 4),
+        |      (128, 442, 5), (140, 280, 5), (142, 230, 5), (145, 280, 5),
+        |      (147, 318, 5), (147, 411, 5), (151, 495, 5), (152, 178, 5),
+        |      (155, 187, 5), (166, 323, 3), (167, 367, 4), (173, 230, 5),
+        |      (196, 278, 5), (197, 263, 5), (251, 439, 5), (251, 473, 3),
+        |      (258, 417, 5), (263, 461, 5), (264, 452, 5), (267, 413, 2),
+        |      (280, 321, 5), (285, 301, 0), (295, 374, 5), (300, 353, 5),
+        |      (302, 478, 4), (310, 389, 4), (326, 457, 2), (328, 381, 5),
+        |      (351, 453, 5), (353, 473, 5), (360, 478, 5), (381, 422, 5),
+        |      (393, 420, 0), (435, 486, 3), (453, 495, 5), (458, 462, 2))
+        |  AS t(id_a, id_b, hamming)
+        |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 5)),
 
-    qRowsOnly("q53_winnowing_pairs")(
+    qPinned("q53_winnowing_pairs", "sf0.01",
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(jaccard AS DOUBLE) AS jaccard
+        |FROM (VALUES (8, 245, 0.9897), (26, 455, 0.8750), (31, 383, 1.0000),
+        |      (44, 446, 0.9643), (45, 267, 0.9897), (45, 413, 0.9897),
+        |      (58, 293, 0.9875), (61, 185, 0.9846), (70, 447, 1.0000),
+        |      (72, 377, 0.9783), (87, 134, 0.9630), (92, 450, 0.9615),
+        |      (98, 290, 1.0000), (107, 387, 1.0000), (120, 332, 1.0000),
+        |      (152, 178, 0.9545), (166, 323, 0.9846), (267, 413, 1.0000),
+        |      (285, 301, 1.0000), (295, 374, 1.0000), (310, 389, 1.0000),
+        |      (326, 457, 0.9722), (393, 420, 0.9798), (435, 486, 1.0000),
+        |      (458, 462, 0.9853))
+        |  AS t(id_a, id_b, jaccard)
+        |ORDER BY id_a, id_b""".stripMargin)(
       // same skew guard as q22; fixture maxima for (k=16,w=8) fingerprints
       // are 34 (sf0.01) / 296 (sf0.1), so 1000 changes nothing at test
       // scale while bounding the hottest fingerprint's join bucket at 100 TB
@@ -759,7 +812,7 @@ object SparkEntry {
     // it as literals (the driver's Verify scale): any change to init,
     // assignment tie-break, rounding order, or convergence logic surfaces
     // as a driver hash mismatch.
-    q("q28_kmeans_centers",
+    qPinned("q28_kmeans_centers", "sf0.01",
       """SELECT CAST(idx AS INTEGER) AS idx, CAST(lat AS DOUBLE) AS lat,
         |  CAST(lon AS DOUBLE) AS lon
         |FROM (VALUES (0, 0.161, -0.006), (1, -0.148, -0.097),
@@ -781,7 +834,7 @@ object SparkEntry {
     // local[4] vs local[32] differ at 1e-15), so the query rounds to 6 dp
     // — far above ulp noise, far below anything model selection cares
     // about — making the result width-independent and pinnable.
-    q("q29_silhouette_sweep",
+    qPinned("q29_silhouette_sweep", "sf0.01",
       """SELECT CAST(k AS INTEGER) AS k, CAST(s AS DOUBLE) AS "silScore",
         |  CAST(i AS INTEGER) AS iterations, c AS converged
         |FROM (VALUES (2, 0.657901, 7, true), (3, 0.673674, 13, true),
@@ -986,4 +1039,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     specs.flatMap(s => s.oracle.map(o => s.name -> o)).toMap
+
+  /** Oracles valid at `sfDir`: literal-pinned oracles are dropped (→
+    * rows-only) when the verify scale is not the one their literals were
+    * measured at — a regenerated fixture or a different SF must not turn a
+    * harness artifact into a phantom kmeans/simhash bug. */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    specs.flatMap { s =>
+      val valid = s.pinnedFixture.forall(f =>
+        sfDir.stripSuffix("/").endsWith(f))
+      if (valid) s.oracle.map(o => s.name -> o) else None
+    }.toMap
 }

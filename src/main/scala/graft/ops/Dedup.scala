@@ -2,8 +2,8 @@ package graft.ops
 
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, Observation}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family over `documents` (north-star surface).
   *
@@ -89,31 +89,45 @@ object Dedup {
     * (shingling / per-character Rabin–Karp), and the scoring graph consumes
     * them in three subtrees (both self-join sides + the sizes aggregate).
     * Without materialization Catalyst re-evaluates the kernel per subtree —
-    * recorded as the round-3 q53 3× regression — so exactly ONE
-    * `localCheckpoint` pins the frame: the kernel runs once, every
-    * downstream subtree reads the spill-safe (MEMORY_AND_DISK) blocks.
+    * recorded as the round-3 q53 3× regression — so the kernel output is
+    * pinned with `persist(MEMORY_AND_DISK)`: lazy, but every subtree reads
+    * the same InMemoryRelation, so the kernel still runs exactly once.
+    * persist, NOT `localCheckpoint`: checkpoint blocks are executor-local
+    * and non-recoverable — one lost executor fails the job on a real
+    * cluster — while a lost cached partition recomputes from lineage.
+    * Blocks are freed by the ContextCleaner once the query's references
+    * go out of scope (callers holding the frame across many actions should
+    * unpersist explicitly).
     *
-    * With a df-cap armed, the cap is a single window pass
-    * (`count(*) OVER (PARTITION BY item) <= maxDf`) instead of the old
-    * aggregate + join round-trip — one shuffle, and the checkpoint lands
-    * AFTER the filter so the join reads only surviving items. Set sizes
-    * must then count surviving items (the Jaccard denominator matches the
+    * With a df-cap armed, per-item document frequency comes from a plain
+    * partial-agg `groupBy(item).count()`: map-side combine means the
+    * hottest item contributes ONE partial row per map task — the previous
+    * `count(*) OVER (PARTITION BY item)` window buffered the hot item's
+    * entire partition in a single WindowExec task (spill-then-straggle at
+    * 100 TB). Items over the cap number at most totalItems/maxDf, so the
+    * over-cap list is small by construction and AQE broadcasts the
+    * anti-join — the exploded index is filtered without an extra shuffle
+    * and no single task ever holds a hot item's full posting list. Set
+    * sizes count surviving items (the Jaccard denominator matches the
     * capped universe); uncapped, sizes are a narrow array-size projection.
     */
   private def pairsBySetOverlap(sets0: DataFrame, setCol: String,
                                 threshold: Double, maxDf: Long): DataFrame = {
     val (items, sizes) =
       if (maxDf == Long.MaxValue) {
-        val sets = sets0.localCheckpoint()
+        val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
         (sets.select(col("doc_id"), explode(col(setCol)).as("item")),
           sets.select(col("doc_id"), size(col(setCol)).cast("long").as("sz")))
       } else {
-        val capped = sets0
-          .select(col("doc_id"), explode(col(setCol)).as("item"))
-          .withColumn("df", count(lit(1)).over(Window.partitionBy("item")))
-          .filter(col("df") <= maxDf)
-          .select("doc_id", "item")
-          .localCheckpoint()
+        val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
+        val exploded =
+          sets.select(col("doc_id"), explode(col(setCol)).as("item"))
+        val overCap = exploded
+          .groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("item")
+        val capped = exploded.join(overCap, Seq("item"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
         (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
       }
     val inter = items.as("x")
@@ -153,8 +167,11 @@ object Dedup {
     val rows = numHashes / bands
     // materialize once: the signature frame feeds both bucket-join sides
     // AND the exact-verify set re-attach — without this the shingle+minhash
-    // kernels would re-evaluate per subtree (the q53-regression pattern)
-    val sigs = minhashSignatures(documents, n, numHashes).localCheckpoint()
+    // kernels would re-evaluate per subtree (the q53-regression pattern).
+    // persist, not localCheckpoint: recoverable on executor loss (see
+    // pairsBySetOverlap)
+    val sigs = minhashSignatures(documents, n, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band IDS ONLY through the bucket join — carrying the shingle arrays
     // would copy every document's set `bands` times across both shuffle
     // sides; candidates re-attach their sets after pair dedup, so each
@@ -315,48 +332,56 @@ object Dedup {
     * (dups of a page cluster around it), so this beats the constant-factor
     * complexity of star-contraction variants in practice; `maxIter` is the
     * explicit guard, and non-convergence FAILS rather than returning a
-    * silently-partial clustering. Per round: one edge⋈label shuffle + one
-    * min-agg — `localCheckpoint` truncates the otherwise
-    * linearly-deepening lineage, and the edge list is cached once.
+    * silently-partial clustering.
+    *
+    * Per round: ONE edge⋈label shuffle + one min-agg, nothing else — the
+    * adjacency carries a self-loop per node, so `min over neighbors` IS
+    * `least(own, neighbor min)` and the old second per-round join that
+    * folded the node's own label back in disappears. Convergence rides the
+    * same action as an observed metric: labels are NON-INCREASING under
+    * min-propagation, so the label sum strictly decreases every round
+    * until the fixed point — equal consecutive sums ⇔ converged. The sum
+    * is decimal(38,0), not long: a 64-bit sum could wrap on a huge-id
+    * corpus and alias a real decrease to "unchanged", i.e. a
+    * silently-partial clustering, exactly the failure mode this operator
+    * refuses. `localCheckpoint` per round truncates the otherwise
+    * linearly-deepening lineage (eager — it is also the action that
+    * flushes the metric); the edge list is cached once.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every
-    // round reads the edge list again
+    // round reads the adjacency again
     val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint()
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val sumCol =
+      // coalesce: sum over an EMPTY frame is null — make it an explicit 0
+      coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(BigDecimal(0))).as("lblsum")
+    val obs0 = Observation("cc_init")
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+      .observe(obs0, sumCol)
+      .localCheckpoint()
+    var prevSum = obs0.get("lblsum")
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val nbrMin = und
-          .join(labels.select(col("id").as("dst"), col("lbl").as("dlbl")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min("dlbl").as("nlbl"))
-        // ONE job per round: the convergence signal rides the update action
-        // as an observed metric (CollectMetrics accumulates during the
-        // eager localCheckpoint) instead of a separate join+count job
         val obs = Observation(s"cc_round_$iter")
-        val next = labels
-          .join(nbrMin, Seq("id"), "left")
-          .select(col("id"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .observe(obs,
-            // coalesce: sum over an EMPTY labels frame is null, and
-            // null.asInstanceOf[Long] would silently unbox to 0
-            // ("converged") — make the empty case an explicit 0 instead.
-            // The eager localCheckpoint below is the action that flushes
-            // CollectMetrics; obs.get blocks until it has run.
-            coalesce(sum(when(col("lbl") =!= col("old"), 1L).otherwise(0L)),
-              lit(0L)).as("changed"))
-          .select("id", "lbl")
+        val next = und
+          .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("lbl").as("lbl"))
+          .observe(obs, sumCol)
           .localCheckpoint()
-        converged = obs.get("changed").asInstanceOf[Long] == 0L
+        val s = obs.get("lblsum")
+        converged = s == prevSum
+        prevSum = s
         labels = next
         iter += 1
       }

@@ -88,6 +88,15 @@ object Multimodal {
     * which is the right trade: partition WIDTH only needs to be
     * order-of-magnitude right, and the 1..10000 clamp bounds both a
     * missing statistic (defaults huge) and an empty input.
+    *
+    * CAVEAT: the statistic measures the INPUT plan's bytes. For an
+    * upstream that synthesizes or inflates payloads downstream of the scan
+    * (`syntheticMedia` swapping text for encoded PNG/WAV is the in-repo
+    * example) the estimate can be off by the inflation factor — callers
+    * with such upstreams should size from known payload dimensions and
+    * `repartition(n)` explicitly, or sample actual payload sizes first.
+    * On a real media lake the payloads ARE the scanned bytes and the
+    * statistic is exact from the file listing.
     */
   def repartitionByBytes(media: Dataset[Media],
                          targetBytes: Long = 128L << 20): Dataset[Media] = {

@@ -72,6 +72,24 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 6L) // all 4-choose-2 pairs — the quadratic bucket
   }
 
+  test("df-cap is partial-agg + anti-join — no single-task Window funnel") {
+    // structural pin for the 100 TB skew story: per-item df must come from
+    // a partial-aggregating groupBy (hot item ⇒ one partial row per map
+    // task) + an anti-join against the small over-cap list — NOT from
+    // `count(*) OVER (PARTITION BY item)`, which buffers the hottest
+    // item's entire posting list in one WindowExec task.
+    val hot = "spam spam spam spam "
+    val d = docs(hot + "alpha beta gamma delta", hot + "alpha beta gamma zeta",
+      hot + "unrelated one two three", hot + "other words entirely here")
+    val df = Dedup.jaccardPairs(d, n = 3, threshold = 0.1, maxDf = 2L)
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("LeftAnti"))
+    // and the capped result is still correct with the hot shingle present
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
+
   test("winnowing skew guard: maxDf drops a hot boilerplate fingerprint") {
     val boiler = "standard corporate disclaimer footer text repeated everywhere " * 2
     val passage = "the quick brown fox jumps over the lazy dog repeatedly " * 3

@@ -18,8 +18,10 @@ class MultimodalSpec extends SparkSpec {
     // PNG magic bytes — the image payload is a genuine encoded stream
     assert(m(0).payload.take(4).toSeq ==
       Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
-    // non-image payloads stay the opaque UTF-8 bytes
-    assert(new String(m(1).payload, "UTF-8") == "an audio payload")
+    // RIFF magic bytes — the audio payload is a genuine encoded WAV stream
+    assert(new String(m(1).payload.take(4), "US-ASCII") == "RIFF")
+    // video has no stock-JDK codec: payload stays the opaque UTF-8 bytes
+    assert(new String(m(2).payload, "UTF-8").startsWith("a video payload"))
   }
 
   test("decode: images through the real codec, audio stub is mono") {
@@ -27,8 +29,11 @@ class MultimodalSpec extends SparkSpec {
     val d1 = Multimodal.decode(media).collect().sortBy(_.media_id)
     val d2 = Multimodal.decode(media).collect().sortBy(_.media_id)
     assert(d1.toSeq == d2.toSeq) // deterministic
-    assert(d1.forall(d => d.width > 0 && d.height > 0))
-    assert(d1.find(_.kind == "audio").get.channels == 1)
+    // width/height is an image/video concept; audio reports 0×0 mono from
+    // the parsed RIFF header
+    assert(d1.filter(_.kind != "audio").forall(d => d.width > 0 && d.height > 0))
+    val audio = d1.find(_.kind == "audio").get
+    assert(audio.channels == 1 && audio.width == 0 && audio.height == 0)
     // golden: syntheticPng(id) is (8 + id%32) × (8 + id%24) RGB — the real
     // decoded raster must report exactly that, not a hash of the bytes
     val img = d1.find(_.media_id == 0L).get
