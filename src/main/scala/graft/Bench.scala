@@ -52,8 +52,8 @@ object Bench {
     // the full per-rep vectors go to STDERR for post-hoc adjudication.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def emit(samples: Seq[Map[String, Double]]): Unit = {
-      val results = names.map { name =>
-        val ok = samples.map(_(name)).filter(_ >= 0)
+      val results = names.filter(samples.head.contains).map { name =>
+        val ok = samples.flatMap(_.get(name)).filter(_ >= 0)
         // fail a query only if EVERY rep failed; else median of successes
         name -> (if (ok.isEmpty) -1.0 else median(ok))
       }
@@ -64,14 +64,20 @@ object Bench {
       val repTotals = samples
         .map(m => r3(m.values.filter(_ >= 0).sum))
         .mkString("[", ",", "]")
-      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length},"sf":"$sfDir"}"""
-      val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // a mid-rep-1 artifact covers only the queries run so far: mark it so
+      // a kill during the first rep can't read as a (too-low) full total
+      val part =
+        if (results.length < names.length)
+          s""","partial":"${results.length}/${names.length}""""
+        else ""
+      val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length}$part,"sf":"$sfDir"}"""
+      val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$part,"sf":"$sfDir"}"""
       // belt-and-braces at every degradation level: a growing query set
       // must never push the LAST line past the driver's tail window
       val line =
         if (full.length <= 1900) full
         else if (noReps.length <= 1900) noReps
-        else s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
+        else s"""{"metric":"total","value":$total,"unit":"sec"$part,"sf":"$sfDir"}"""
       println(line)
       Console.out.flush()
     }
@@ -81,14 +87,21 @@ object Bench {
     var continue = true
     while (continue && rep < reps) {
       rep += 1
-      val m = names.map { name =>
+      var acc = Map.empty[String, Double]
+      names.foreach { name =>
         val q0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         // a crashed query must not read as a fast success: report -1
-        name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
-      }.toMap
+        acc += name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+        // during rep 1 there is no previous artifact on stdout yet, so a
+        // wall-clock kill mid-rep (judge measured a 320 s contended first
+        // rep) would lose everything: emit a partial line (marked
+        // "partial") after EVERY query until one full rep exists
+        if (rep == 1) emit(Vector(acc))
+      }
+      val m = acc
       samples = samples :+ m
       val elapsed = (System.nanoTime() - t0) / 1e9
       System.err.println(

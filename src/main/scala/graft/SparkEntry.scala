@@ -415,6 +415,36 @@ object SparkEntry {
           nlist = 16, nprobe = 16)
       }),
 
+    // The IVF PRUNING contract, driver-checkable (q44 can't carry it: on
+    // the near-uniform fixture it must probe every list to be exact).
+    // Similarity.clusteredEmbeddings manufactures the clustered regime
+    // deterministically AND SQL-reproducibly — the oracle builds the same
+    // vectors with a list_transform lambda — so nprobe=2 of nlist=8
+    // (~3/4 of the corpus never scored) runs against the EXACT top-k
+    // oracle at any scale: every intra-cluster neighbor sits in a probed
+    // list by construction, and a quantizer/probe/rerank regression that
+    // loses even one neighbor is a driver hash mismatch.
+    q("q62_ivf_pruned_recall",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        Similarity.annIvf(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 2)
+      }),
+
     // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
     // ---- windowing / analytic / set ops (SURVEY §2.8 engine surface) ----
     q("q30_tumbling_window",

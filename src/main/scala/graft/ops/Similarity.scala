@@ -53,6 +53,41 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Deterministic clustered view of a unit-norm embeddings table — the
+    * regime IVF pruning exists for. The raw fixture is near-uniform on the
+    * sphere (measured intra/inter-label cosine 0.0016/0.0003), where NO
+    * coarse quantizer can localize neighbors; shifting group
+    * g = vec_id % groups by the axis-unit center `scale·e_g` makes the
+    * original vector the intra-cluster noise: pairwise cosine ≈
+    * scale²/(scale²+1) (≈0.9 at the default 3.0) within a group, ≈ 1/10
+    * across. A pure per-row projection — no shuffle, no state — and simple
+    * enough to reproduce in ANSI SQL, so ANN-vs-exact contracts over it
+    * are oracle-checkable at ANY scale instead of pinned to one fixture.
+    * Requires groups ≤ dim (the center must have an axis to live on).
+    */
+  def clusteredEmbeddings(embeddings: DataFrame, groups: Int = 8,
+                          scale: Double = 3.0): DataFrame =
+    embeddings.select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        (x, i) => x + when(i === (col("vec_id") % groups).cast("int"),
+          lit(scale)).otherwise(lit(0.0))).as("embedding"))
+
+  /** One-row recall of an ANN result against the exact top-k (both in the
+    * (q_id, rank, n_id) shape every k-NN builder here emits): `hits`
+    * neighbors of `total` retrieved, `recall` rounded to 4 dp. Rank is
+    * deliberately ignored — recall@k is a SET contract.
+    */
+  def recall(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val hit = approx.select(col("q_id"), col("n_id"))
+      .withColumn("hit", lit(1L))
+    exact.select("q_id", "n_id")
+      .join(hit, Seq("q_id", "n_id"), "left")
+      .agg(coalesce(sum("hit"), lit(0L)).as("hits"),
+        count(lit(1)).as("total"))
+      .withColumn("recall",
+        round(col("hits").cast("double") / col("total"), 4))
+  }
+
   /** Exact top-k by cosine for each query vector (brute-force baseline).
     * Queries (small) are broadcast; ties broken by neighbor id.
     */

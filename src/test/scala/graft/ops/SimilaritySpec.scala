@@ -87,6 +87,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("clusteredEmbeddings + pruned IVF: recall 1.0, recall() reports it") {
+    // unit-norm random vectors (the fixture regime), then the q62
+    // construction: group g = vec_id % 8 shifted by 3·e_g
+    val rnd = new scala.util.Random(5L)
+    val raw = vecs((0L until 96L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      i -> v.map(x => (x / n).toFloat)
+    }: _*)
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+    val ivf = Similarity.annIvf(e, queries, k = 5, nlist = 8, nprobe = 2)
+    val row = Similarity.recall(exact, ivf).collect().head
+    // every true neighbor is intra-cluster and every intra-cluster vector
+    // sits in a probed list: pruning 6/8 lists must lose NOTHING
+    assert(row.getAs[Long]("total") == 40L)
+    assert(row.getAs[Long]("hits") == 40L)
+    assert(row.getAs[Double]("recall") == 1.0)
+  }
+
   test("annLsh: high recall vs brute force on clustered vectors") {
     val e = vecs(clustered(120): _*)
     val queries = e.filter(col("vec_id") < 8)
