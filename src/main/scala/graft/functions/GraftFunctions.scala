@@ -54,7 +54,20 @@ object GraftFunctions {
       c => NearestCentroid2D(c(0), c(1), constInts(c(2)), constDoubles(c(3)),
         constDoubles(c(4)))),
     ("graft_nearest_vec_centroid", classOf[NearestVecCentroid].getName,
-      c => NearestVecCentroid(c(0), constInts(c(1)), constVecs(c(2)))))
+      c => NearestVecCentroid(c(0), constInts(c(1)), constVecs(c(2)))),
+    ("graft_hyperplane_sigs", classOf[HyperplaneSignatures].getName,
+      c => HyperplaneSignatures(c(0), constMats(c(1)))))
+
+  private def constMats(e: Expression): Seq[Seq[Seq[Double]]] =
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+        .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray().toSeq).toSeq).toSeq
 
   /** Per-session registration. The first call for a session installs every
     * builder with createOrReplace semantics — a pre-existing user temp
@@ -112,6 +125,19 @@ object GraftFunctions {
       org.apache.spark.sql.functions.array(idxs.map(i => lit(i)): _*),
       org.apache.spark.sql.functions.array(lats.map(v => lit(v)): _*),
       org.apache.spark.sql.functions.array(lons.map(v => lit(v)): _*))
+
+  /** Codegen-STABLE banded LSH signatures (see HyperplaneSignatures): all
+    * `tables` bit-signatures of `vec` in one kernel, the [tables][bits][dim]
+    * plane tensor riding codegen `references` instead of ~tables·bits·dim
+    * inlined double literals.
+    */
+  def hyperplaneSignatures(vec: Column,
+                           planes: Seq[Array[Array[Double]]]): Column =
+    call_function("graft_hyperplane_sigs", vec,
+      org.apache.spark.sql.functions.array(planes.map(t =>
+        org.apache.spark.sql.functions.array(t.toSeq.map(p =>
+          org.apache.spark.sql.functions.array(
+            p.toSeq.map(v => lit(v)): _*)): _*)): _*))
 
   /** Codegen-STABLE vector nearest-centroid (see NearestVecCentroid). */
   def nearestVecCentroid(vec: Column, idxs: Seq[Int],

@@ -300,10 +300,11 @@ object Dedup {
       case _ => 1
     }
     val planes = Similarity.hyperplanes(dim, planBits, planTables, seed)
+    // one batched kernel for ALL table signatures (posexplode pos == table
+    // index) — see functions.HyperplaneSignatures
     val bucketed = e.select(col("vec_id"),
-      posexplode(array((0 until planTables).map { t =>
-        Similarity.signature(col("emb"), planes(t))
-      }: _*)))
+      posexplode(GraftFunctions.hyperplaneSignatures(col("emb"),
+        planes.toSeq)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
     val cands = bucketed.as("x")
       .join(bucketed.as("y"),

@@ -144,7 +144,12 @@ object Similarity {
     (bits, math.max(1, math.ceil(tablesFor(bits)).toInt))
   }
 
-  /** Bit-signature of `emb` (array<double>) for one table's planes. */
+  /** Bit-signature of `emb` (array<double>) for ONE table's planes — the
+    * reference formulation (and the semantics contract) for
+    * `GraftFunctions.hyperplaneSignatures`, which computes every table's
+    * signature in a single codegen'd kernel and is what the LSH operators
+    * actually run (VectorExpressionsSpec pins bit-for-bit agreement).
+    */
   def signature(emb: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, h) =>
       val litPlane = array(p.map(lit(_)): _*)
@@ -228,16 +233,16 @@ object Similarity {
         case _ => 1
       }
     val planes = hyperplanes(effDim, planBits, planTables, seed)
-    def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-      val e = df.select(col("vec_id").as(idCol),
-        asDouble(col("embedding")).as(embCol))
-      val sigs = array((0 until planTables).map { t =>
-        struct(lit(t).as("table"), signature(col(embCol), planes(t)).as("sig"))
-      }: _*)
-      e.select(col(idCol), col(embCol), explode(sigs).as("bucket"))
-        .select(col(idCol), col(embCol),
-          col("bucket.table").as("table"), col("bucket.sig").as("sig"))
-    }
+    // one batched kernel for ALL table signatures (posexplode pos == table
+    // index) — see HyperplaneSignatures for why this beats composing
+    // bits×tables literal-array dot columns
+    def bucketed(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol),
+          asDouble(col("embedding")).as(embCol))
+        .select(col(idCol), col(embCol), posexplode(
+          GraftFunctions.hyperplaneSignatures(col(embCol), planes.toSeq)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "sig")
     val qb = broadcast(bucketed(queries, "q_id", "q_emb"))
     val cb = bucketed(corpus, "n_id", "n_emb")
     val candidates = qb.join(cb,

@@ -26,6 +26,29 @@ class VectorExpressionsSpec extends SparkSpec {
     r.foreach(x => assert(x.getDouble(0) == x.getDouble(1)))
   }
 
+  test("graft_hyperplane_sigs matches the per-plane dot composition bit-for-bit") {
+    val rnd = new scala.util.Random(9L)
+    val planes = Array.fill(7, 5, 16)(rnd.nextGaussian())
+    val df = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian()))
+    }.toDF("id", "v")
+    // the composed formulation the kernel replaced: per (table, bit) a
+    // literal-array dot, bit h set iff dot >= 0
+    val composed = (0 until 7).map { t =>
+      (0 until 5).map { h =>
+        val p = array(planes(t)(h).map(lit(_)): _*)
+        when(GraftFunctions.dot(col("v"), p) >= 0, lit(1L << h))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val r = df.select(
+      GraftFunctions.hyperplaneSignatures(col("v"), planes.toSeq).as("k"),
+      array(composed: _*).as("c")).collect()
+    r.foreach { x =>
+      assert(x.getSeq[Long](0) == x.getSeq[Long](1))
+    }
+  }
+
   test("graft_cosine: bounds, zero-norm guard, null propagation") {
     val df = Seq(
       (Array(1.0, 0.0), Array(2.0, 0.0)),
