@@ -132,16 +132,34 @@ object Similarity {
     * that failure mode with an explicit cost/recall trade.
     */
   def lshPlan(threshold: Double, targetRecall: Double = 0.9,
-              maxTables: Int = 32): (Int, Int) = {
+              maxTables: Int = 32, probeRadius: Int = 0): (Int, Int) = {
     require(threshold > -1.0 && threshold < 1.0,
       "cosine threshold must be in (-1, 1)")
     require(targetRecall > 0.0 && targetRecall < 1.0,
       "target recall must be in (0, 1)")
+    require(probeRadius >= 0 && probeRadius <= 2,
+      "probeRadius 0 (exact bucket), 1, or 2 (multi-probe)")
     val p = 1.0 - math.acos(threshold) / math.Pi
-    def tablesFor(b: Int): Double =
-      math.log1p(-targetRecall) / math.log1p(-math.pow(p, b))
-    val bits = (16 to 1 by -1).find(b => tablesFor(b) <= maxTables).getOrElse(1)
-    (bits, math.max(1, math.ceil(tablesFor(bits)).toInt))
+    // multi-probe (Lv et al., VLDB'07 idea in its simplest form): a probe
+    // of every signature within Hamming distance r of the query's raises
+    // the per-table hit probability from p^b to Σ_{j≤r} C(b,j)·p^(b-j)
+    // ·(1-p)^j — the table count for the same recall drops ~(1 + b(1-p)/p)
+    // per radius step, and TABLES are what the corpus side pays for in
+    // shuffle volume at scale. Bits are still chosen by the r=0 criterion:
+    // bucket pruning (~2^bits) is the reason bits exist, and probing must
+    // not water it down.
+    def hitProb(b: Int, r: Int): Double =
+      (0 to r).map { j =>
+        var c = 1.0
+        for (x <- 0 until j) c = c * (b - x) / (x + 1)
+        c * math.pow(p, (b - j).toDouble) * math.pow(1.0 - p, j.toDouble)
+      }.sum
+    def tablesFor(b: Int, r: Int): Double =
+      math.log1p(-targetRecall) / math.log1p(-hitProb(b, r))
+    val bits = (16 to 1 by -1).find(b => tablesFor(b, 0) <= maxTables)
+      .getOrElse(1)
+    (bits,
+      math.max(1, math.ceil(tablesFor(bits, probeRadius)).toInt))
   }
 
   /** Bit-signature of `emb` (array<double>) for ONE table's planes — the
@@ -213,15 +231,24 @@ object Similarity {
     * fundamentally cannot prune borderline-similarity candidates, and
     * `annIvf` is the scale path for that regime. Explicit bits/tables
     * still override for callers that know their regime.
+    *
+    * `probeRadius` > 0 turns on multi-probe: queries additionally probe
+    * every signature within that Hamming distance, and the planner cuts
+    * the TABLE count accordingly (~4–5× at radius 1 in the default
+    * regime) at the same recall target. The corpus side — the one that
+    * scales — is exploded `tables` times into the bucket shuffle, so
+    * fewer tables is directly less shuffle volume at 100 TB; the probe
+    * expansion lands on the small broadcast query side.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
              bits: Int = -1, tables: Int = -1, seed: Long = 42L,
              dim: Int = 0, simFloor: Double = 0.25,
-             targetRecall: Double = 0.995, maxTables: Int = 64): DataFrame = {
+             targetRecall: Double = 0.995, maxTables: Int = 64,
+             probeRadius: Int = 0): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     val (planBits, planTables) =
       if (bits > 0 && tables > 0) (bits, tables)
-      else lshPlan(simFloor, targetRecall, maxTables)
+      else lshPlan(simFloor, targetRecall, maxTables, probeRadius)
     // dim <= 0 → probe the corpus (dot truncates to the common prefix, so
     // a wrong hardcoded dim would silently ignore trailing dimensions)
     val effDim =
@@ -243,7 +270,28 @@ object Similarity {
           GraftFunctions.hyperplaneSignatures(col(embCol), planes.toSeq)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "sig")
-    val qb = broadcast(bucketed(queries, "q_id", "q_emb"))
+    // Multi-probe rides the QUERY side (small, broadcast): each query
+    // bucket expands to every signature within Hamming distance
+    // `probeRadius` — the corpus pays for `tables`, and probing is what
+    // lets the planner keep that number low. Masks are enumerated on the
+    // driver (1 + b + C(b,2) longs at radius 2), XOR'd in-plan.
+    val probeMasks: Seq[Long] = {
+      val r1 = (0 until planBits).map(h => 1L << h)
+      val r2 = for {
+        a <- 0 until planBits; b2 <- (a + 1) until planBits
+      } yield (1L << a) | (1L << b2)
+      probeRadius match {
+        case 0 => Seq(0L)
+        case 1 => 0L +: r1
+        case _ => (0L +: r1) ++ r2
+      }
+    }
+    val qbBase = bucketed(queries, "q_id", "q_emb")
+    val qb = broadcast(
+      if (probeRadius <= 0) qbBase
+      else qbBase.select(col("q_id"), col("q_emb"), col("table"),
+        explode(array(probeMasks.map(m =>
+          col("sig").bitwiseXOR(lit(m))): _*)).as("sig")))
     val cb = bucketed(corpus, "n_id", "n_emb")
     val candidates = qb.join(cb,
         Seq("table", "sig")).filter(col("q_id") =!= col("n_id"))

@@ -87,6 +87,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("lshPlan multi-probe: same bits, ~4x fewer tables, same recall target") {
+    val (b0, t0) = Similarity.lshPlan(0.25, 0.995, 64)
+    val (b1, t1) = Similarity.lshPlan(0.25, 0.995, 64, probeRadius = 1)
+    assert(b1 == b0)          // pruning level unchanged
+    assert(t1 * 3 <= t0)      // the corpus-side shuffle factor collapses
+    // the radius-1 model actually clears the recall target with t1 tables
+    val p = 1.0 - math.acos(0.25) / math.Pi
+    val hit1 = math.pow(p, b1.toDouble) +
+      b1 * math.pow(p, (b1 - 1).toDouble) * (1 - p)
+    assert(1.0 - math.pow(1.0 - hit1, t1.toDouble) >= 0.995)
+  }
+
+  test("annLsh multi-probe: high recall vs brute force on clustered vectors") {
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val ann = Similarity.annLsh(e, queries, k = 5, seed = 42L,
+      simFloor = 0.9, targetRecall = 0.99, probeRadius = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("clusteredEmbeddings + pruned IVF: recall 1.0, recall() reports it") {
     // unit-norm random vectors (the fixture regime), then the q62
     // construction: group g = vec_id % 8 shifted by 3·e_g
