@@ -939,6 +939,44 @@ object SparkEntry {
           .orderBy("incident_id")
       }),
 
+    // The whole training-data preparation pipeline as ONE declarative
+    // plan (Pipeline.prepareCorpus): exact dedup → quality gate →
+    // deterministic split → per-split accounting. The oracle composes the
+    // same verified dialect pieces (q19 fingerprint, q20 token exprs, q56
+    // split CASE); every output number is a count, an integer sum, or a
+    // ratio of integer sums, so no partition-order float drift exists.
+    q("q63_corpus_prep",
+      """WITH fp AS (
+        |  SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |ded AS (SELECT f.doc_id, f.text FROM fp f JOIN keep k
+        |          ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |q AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |        w -> length(w) > 0)) AS n_tokens,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |        w -> length(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |                                     'in','is','it','for'))) AS n_stop
+        |  FROM ded),
+        |flt AS (SELECT * FROM q
+        |        WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05),
+        |s AS (SELECT *, CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM flt)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Pipeline.prepareCorpus(Tables.documents(s, d))),
+
     q("q56_split_stats",
       """WITH s AS (SELECT text, CASE
         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("prepareCorpus: dedups, gates quality, accounts exactly") {
+    val good1 = ("the cat sat on a mat and it is big for now " * 2).trim
+    val good2 = ("a dog ran to the park and it was fun in sun " * 2).trim
+    val docs = Seq(
+      1L -> good1,
+      2L -> good1,                              // exact dup: higher id drops
+      3L -> "short text here",                  // < 20 tokens: drops
+      4L -> Seq.fill(25)("zebra").mkString(" "), // no stopwords: drops
+      5L -> good2
+    ).toDF("doc_id", "text")
+    val r = Pipeline.prepareCorpus(docs).collect()
+    // split assignment is md5-bucketed, so assert over ALL splits: the two
+    // surviving docs (1 and 5) carry 24 whitespace tokens each
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 2L)
+    assert(r.map(_.getAs[Long]("total_tokens")).sum == 48L)
+    assert(r.length <= 3 && r.map(_.getAs[String]("split")).distinct.length == r.length)
+  }
+
+  test("prepareCorpus: keeps the LOWEST doc_id of a dup group") {
+    val text = ("the cat sat on a mat and it is big for now " * 2).trim
+    val docs = Seq(7L -> text, 3L -> text, 9L -> text).toDF("doc_id", "text")
+    // doc 3 survives; its md5 split bucket is deterministic, so exactly
+    // one split row with one doc
+    val r = Pipeline.prepareCorpus(docs).collect()
+    assert(r.length == 1 && r.head.getAs[Long]("n_docs") == 1L)
+  }
+}
