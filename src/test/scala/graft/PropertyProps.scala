@@ -75,6 +75,56 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("lshPlan: multi-probe keeps bits, never needs more tables") =
+    Prop.forAll(Gen.chooseNum(0.05, 0.95), Gen.chooseNum(0.5, 0.995)) {
+      (t, r) =>
+        val (b0, t0) = graft.ops.Similarity.lshPlan(t, r, 64)
+        val (b1, t1) = graft.ops.Similarity.lshPlan(t, r, 64, probeRadius = 1)
+        val (b2, t2) = graft.ops.Similarity.lshPlan(t, r, 64, probeRadius = 2)
+        b1 == b0 && b2 == b0 && t1 <= t0 && t2 <= t1 && t2 >= 1
+    }
+
+  property("lshPlan: planned (bits, tables) clears the recall target") =
+    Prop.forAll(Gen.chooseNum(0.05, 0.95), Gen.chooseNum(0.5, 0.995),
+      Gen.chooseNum(0, 2)) { (t, r, radius) =>
+      val (b, tb) = graft.ops.Similarity.lshPlan(t, r, 64, radius)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val hit = (0 to radius).map { j =>
+        var c = 1.0
+        for (x <- 0 until j) c = c * (b - x) / (x + 1)
+        c * math.pow(p, (b - j).toDouble) * math.pow(1.0 - p, j.toDouble)
+      }.sum
+      // ceil() in the planner guarantees the model recall ≥ the target
+      // (up to fp slack on the boundary)
+      1.0 - math.pow(1.0 - hit, tb.toDouble) >= r - 1e-9
+    }
+
+  property("hyperplane signature kernel agrees with a driver-side reference") = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    Prop.forAllNoShrink(Gen.listOfN(5, vecGen), Gen.chooseNum(0L, 999L)) {
+      (vs, seed) =>
+        val planes = graft.ops.Similarity.hyperplanes(8, 3, 4, seed)
+        val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "emb")
+        val got = df.select(col("vec_id"),
+          graft.functions.GraftFunctions
+            .hyperplaneSignatures(col("emb"), planes.toSeq).as("sigs"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+        vs.zipWithIndex.forall { case (v, i) =>
+          // same fold order as the kernel: sequential over the dimension
+          val expect = planes.toSeq.map { tp =>
+            tp.zipWithIndex.map { case (p, h) =>
+              val dot = v.zip(p).map { case (a, b) => a * b }.sum
+              if (dot >= 0) 1L << h else 0L
+            }.sum
+          }
+          got(i.toLong) == expect
+        }
+    }
+  }
+
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
   private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
 
