@@ -42,18 +42,26 @@ object Pipeline {
                     fractions: Seq[(String, Double)] =
                       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       : DataFrame = {
-    val withFp = documents.withColumn("fp",
-      md5(Text.normText(col("text")).cast("binary")))
-    val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val deduped = withFp.join(keepers, Seq("fp", "doc_id"), "left_semi")
+    // EVERYTHING derived from text — fingerprint AND quality stats — is
+    // computed in the scan stage, and text is dropped right there: the
+    // dedup semi-join then shuffles only (doc_id, fp, two ints) on both
+    // sides. The tempting "dedup first, tokenize survivors" order would
+    // ship the raw text through the fingerprint exchange — at corpus
+    // scale that IS the job's cost. Tokenizing a duplicate that dedup
+    // then drops is wasted CPU only on the (rare) dups, and it's scan-
+    // local; shuffled bytes are the resource that doesn't forgive.
     val toks = Text.tokens(col("text"))
-    val scored = deduped.select(
+    val slim = documents.select(
       col("doc_id"),
+      md5(Text.normText(col("text")).cast("binary")).as("fp"),
       size(toks).as("n_tokens"),
       size(filter(toks, w =>
         w.isin(Text.defaultStopwords: _*))).as("n_stop"))
+    val keepers = slim.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val scored = slim.join(keepers, Seq("fp", "doc_id"), "left_semi")
       .filter(col("n_tokens") >= minTokens &&
         col("n_stop") / col("n_tokens") >= minStopRatio)
+      .select("doc_id", "n_tokens", "n_stop")
     Sampling.deterministicSplit(scored, "doc_id", fractions)
       .groupBy("split")
       .agg(
