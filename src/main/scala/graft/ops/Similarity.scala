@@ -188,6 +188,14 @@ object Similarity {
     GraftFunctions.register(corpus.sparkSession)
     val corpusD = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_emb"))
+    // empty corpus: no quantizer to train — return the empty result with
+    // the schema every k-NN builder here emits (bruteForceKnn/annLsh
+    // degrade the same way; a crash inside k-means init would not)
+    if (corpusD.isEmpty) {
+      val s = corpus.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
+    }
     val cached = corpusD.cache()
     try {
       val model = KMeansVec.fit(cached, "n_emb", nlist, seed,

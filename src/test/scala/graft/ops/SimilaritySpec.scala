@@ -132,6 +132,19 @@ class SimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("recall") == 1.0)
   }
 
+  test("empty corpus: every k-NN builder returns empty, same schema, no crash") {
+    val empty = vecs()
+    val qs = vecs(0L -> Array(1f, 0f))
+    val cols = Seq("q_id", "rank", "n_id")
+    Seq(
+      Similarity.bruteForceKnn(empty, qs, k = 3),
+      Similarity.annLsh(empty, qs, k = 3),
+      Similarity.annIvf(empty, qs, k = 3)
+    ).foreach { r =>
+      assert(r.columns.toSeq == cols && r.count() == 0L)
+    }
+  }
+
   test("annLsh: high recall vs brute force on clustered vectors") {
     val e = vecs(clustered(120): _*)
     val queries = e.filter(col("vec_id") < 8)
