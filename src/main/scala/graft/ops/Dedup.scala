@@ -402,4 +402,25 @@ object Dedup {
       documents.select(col("doc_id").as("id")),
       jaccardPairs(documents, n, threshold, maxDf).select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
+
+  /** APPLY a near-dup clustering: keep one document per component (the
+    * minimum doc_id — each cluster's canonical representative is the row
+    * where `cluster_id == id` by the min-label construction) and drop the
+    * rest. `pairs` is any of the pair operators' output (jaccardPairs /
+    * minhashPairs / simhashPairs / winnowingPairs / embedding LSH — they
+    * all emit (id_a, id_b)), so the proposer and this applier compose
+    * freely. One semi-join on doc_id; the representative set is small
+    * relative to the corpus only when dup density is high, so no
+    * broadcast is assumed — AQE decides.
+    */
+  def dropNearDuplicates(documents: DataFrame, pairs: DataFrame,
+                         maxIter: Int = 20): DataFrame = {
+    val clusters = connectedComponents(
+      documents.select(col("doc_id").as("id")),
+      pairs.select("id_a", "id_b"), maxIter)
+    documents.join(
+      clusters.filter(col("id") === col("cluster_id"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
 }

@@ -176,4 +176,17 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((0L, 0L), (1L, 0L), (2L, 2L)))
   }
+
+  test("dropNearDuplicates keeps each cluster's min-id doc and all content") {
+    val a1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a2 = "the quick brown fox jumps over the lazy dog near the river"
+    val b = "completely different content with no overlap whatsoever in any shingle text"
+    val d = docs(a1, a2, b)
+    val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.2)
+    val kept = Dedup.dropNearDuplicates(d, pairs)
+      .orderBy("doc_id").collect()
+    // cluster {0,1} keeps 0; singleton 2 survives; full rows retained
+    assert(kept.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+    assert(kept.map(_.getString(1)).toSeq == Seq(a1, b))
+  }
 }
