@@ -977,6 +977,60 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Pipeline.prepareCorpus(Tables.documents(s, d))),
 
+    // The NEAR-dup variant of q63: duplicates are Jaccard components
+    // (q22's pair semantics closed by q61's transitive-closure
+    // machinery), each cluster keeps its min-id representative, then the
+    // same gate → split → accounting tail. The oracle composes the
+    // verified q61 recursive CTE with the q63 accounting CTEs.
+    q("q64_corpus_prep_neardup",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM px
+        |  WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |reps AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY 1
+        |  HAVING node = min(lbl)),
+        |q AS (
+        |  SELECT t.doc_id,
+        |    len(t.t) AS n_tokens,
+        |    len(list_filter(t.t, w -> w IN ('the','a','an','of','and','to',
+        |                                    'in','is','it','for'))) AS n_stop
+        |  FROM toks t JOIN reps r ON t.doc_id = r.doc_id),
+        |flt AS (SELECT * FROM q
+        |        WHERE n_tokens >= 20 AND n_stop * 1.0 / n_tokens >= 0.05),
+        |s AS (SELECT *, CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM flt)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  round(avg(n_tokens), 2) AS avg_tokens,
+        |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Pipeline.prepareCorpusNearDup(Tables.documents(s, d),
+        maxDf = 1000L)),
+
     q("q56_split_stats",
       """WITH s AS (SELECT text, CASE
         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))

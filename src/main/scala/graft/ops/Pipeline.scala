@@ -4,13 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus-preparation composition a training-data pipeline
-  * runs over raw documents: exact dedup → quality gate → deterministic
-  * split → per-split accounting. Nothing here is a new operator — the
-  * point is that the library's pieces COMPOSE declaratively, so Catalyst
-  * sees ONE plan: fingerprint + tokenization in the scan stage, one
+  * runs over raw documents: dedup → quality gate → deterministic split →
+  * per-split accounting. Nothing here is a new operator — the point is
+  * that the library's pieces COMPOSE declaratively, so Catalyst sees ONE
+  * plan: fingerprint + tokenization in the scan stage, one
   * map-side-combined shuffle for the dup-group keys, a semi-join back
   * (AQE picks broadcast when the keeper set allows), and one final
-  * aggregate by split. No stage materializes an intermediate frame.
+  * aggregate by split. No stage materializes an intermediate frame
+  * (except the iterative cluster closure in the near-dup variant, which
+  * is inherently multi-job — see Dedup.connectedComponents).
   *
   * Determinism discipline (what makes the result oracle-checkable):
   * every reported number is a count, an exact integer sum, or a ratio of
@@ -19,46 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Per-split corpus accounting after dedup + quality filtering:
-    * `(split, n_docs, total_tokens, avg_tokens, stop_share)`.
-    *
-    * Stages, with their scale shape:
-    *  - exact dedup in aggregate-then-semi-join form: `groupBy(fp)`
-    *    partial-aggregates map-side, so a pathologically hot fingerprint
-    *    (the same boilerplate duplicated across the corpus) contributes
-    *    one row per map task instead of funneling one reducer — the
-    *    window-min formulation would straggle exactly there (the df-cap
-    *    lesson, see Dedup.pairsBySetOverlap);
-    *  - quality gate on cheap per-row stats, computed in the same stage
-    *    as the scan (Gopher/C4-style: enough tokens, enough stopword
-    *    density to look like natural language);
-    *  - `Sampling.deterministicSplit`: a pure projection, engine-portable
-    *    md5 bucketing, no shuffle;
-    *  - final `groupBy(split)`: three-ish rows out.
+  /** (doc_id, n_tokens, n_stop) computed in the scan stage — text is
+    * dropped RIGHT HERE, so no downstream exchange ever carries it.
     */
-  def prepareCorpus(documents: DataFrame,
-                    minTokens: Int = 20,
-                    minStopRatio: Double = 0.05,
-                    fractions: Seq[(String, Double)] =
-                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      : DataFrame = {
-    // EVERYTHING derived from text — fingerprint AND quality stats — is
-    // computed in the scan stage, and text is dropped right there: the
-    // dedup semi-join then shuffles only (doc_id, fp, two ints) on both
-    // sides. The tempting "dedup first, tokenize survivors" order would
-    // ship the raw text through the fingerprint exchange — at corpus
-    // scale that IS the job's cost. Tokenizing a duplicate that dedup
-    // then drops is wasted CPU only on the (rare) dups, and it's scan-
-    // local; shuffled bytes are the resource that doesn't forgive.
+  private def tokenStats(documents: DataFrame): DataFrame = {
     val toks = Text.tokens(col("text"))
-    val slim = documents.select(
+    documents.select(
       col("doc_id"),
-      md5(Text.normText(col("text")).cast("binary")).as("fp"),
       size(toks).as("n_tokens"),
       size(filter(toks, w =>
         w.isin(Text.defaultStopwords: _*))).as("n_stop"))
-    val keepers = slim.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val scored = slim.join(keepers, Seq("fp", "doc_id"), "left_semi")
+  }
+
+  /** The shared pipeline tail: quality gate (Gopher/C4-style — enough
+    * tokens, enough stopword density to look like natural language) →
+    * engine-portable md5 split (pure projection, no shuffle) → per-split
+    * accounting, three-ish rows out.
+    */
+  private def gateSplitAccount(scored0: DataFrame, minTokens: Int,
+                               minStopRatio: Double,
+                               fractions: Seq[(String, Double)]): DataFrame = {
+    val scored = scored0
       .filter(col("n_tokens") >= minTokens &&
         col("n_stop") / col("n_tokens") >= minStopRatio)
       .select("doc_id", "n_tokens", "n_stop")
@@ -70,5 +53,70 @@ object Pipeline {
         round(avg("n_tokens"), 2).as("avg_tokens"),
         round(sum("n_stop") / sum("n_tokens"), 4).as("stop_share"))
       .orderBy("split")
+  }
+
+  /** Per-split corpus accounting after EXACT dedup + quality filtering:
+    * `(split, n_docs, total_tokens, avg_tokens, stop_share)`.
+    *
+    * Dedup runs in aggregate-then-semi-join form: `groupBy(fp)`
+    * partial-aggregates map-side, so a pathologically hot fingerprint
+    * (the same boilerplate duplicated across the corpus) contributes one
+    * row per map task instead of funneling one reducer — the window-min
+    * formulation would straggle exactly there (the df-cap lesson, see
+    * Dedup.pairsBySetOverlap). Fingerprint and quality stats are both
+    * computed in the scan stage and text is dropped there: the semi-join
+    * shuffles only (doc_id, fp, two ints) on both sides. The tempting
+    * "dedup first, tokenize survivors" order would ship the raw text
+    * through the fingerprint exchange — at corpus scale that IS the
+    * job's cost; tokenizing a duplicate that dedup then drops is wasted
+    * CPU only on the (rare) dups, and it's scan-local.
+    */
+  def prepareCorpus(documents: DataFrame,
+                    minTokens: Int = 20,
+                    minStopRatio: Double = 0.05,
+                    fractions: Seq[(String, Double)] =
+                      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val slim = documents.select(
+      col("doc_id"),
+      md5(Text.normText(col("text")).cast("binary")).as("fp"),
+      size(toks).as("n_tokens"),
+      size(filter(toks, w =>
+        w.isin(Text.defaultStopwords: _*))).as("n_stop"))
+    val keepers = slim.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val kept = slim.join(keepers, Seq("fp", "doc_id"), "left_semi")
+    gateSplitAccount(kept, minTokens, minStopRatio, fractions)
+  }
+
+  /** The NEAR-dup variant: duplicates are n-gram Jaccard components
+    * (Dedup.jaccardPairs closed by Dedup.connectedComponents), each
+    * cluster keeps its min-id representative, then the same quality gate
+    * → split → accounting tail. This is the full LLM-corpus story —
+    * boilerplate variants and trivially-edited copies collapse, not just
+    * byte-identical ones; exact dups are a special case (Jaccard 1).
+    *
+    * Scale shape: the pair proposer shuffles df-capped shingle postings
+    * and ids, the closure shuffles ids only, the representative semi-join
+    * keys on doc_id, and the stats ride the scan stage — the raw text
+    * never crosses an exchange here either.
+    */
+  def prepareCorpusNearDup(documents: DataFrame,
+                           n: Int = 3,
+                           jaccardThreshold: Double = 0.2,
+                           maxDf: Long = 10000L,
+                           minTokens: Int = 20,
+                           minStopRatio: Double = 0.05,
+                           fractions: Seq[(String, Double)] =
+                             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    val pairs = Dedup.jaccardPairs(documents, n, jaccardThreshold, maxDf)
+      .select("id_a", "id_b")
+    val reps = Dedup.connectedComponents(
+        documents.select(col("doc_id").as("id")), pairs)
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    val kept = tokenStats(documents).join(reps, Seq("doc_id"), "left_semi")
+    gateSplitAccount(kept, minTokens, minStopRatio, fractions)
   }
 }

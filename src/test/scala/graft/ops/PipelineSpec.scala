@@ -23,6 +23,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.length <= 3 && r.map(_.getAs[String]("split")).distinct.length == r.length)
   }
 
+  test("prepareCorpusNearDup: near-identical (not byte-equal) docs collapse") {
+    val a1 = "the quick brown fox jumps over a lazy dog and it is near " +
+      "the old river bank for fun today"                   // 20 toks, 7 stops
+    val a2 = a1.stripSuffix(" today")                      // near-dup of a1
+    val b = "it is a fine day and the sun shines over the tall green " +
+      "hills for everyone to enjoy in peace"               // 20 toks, 9 stops
+    val docs = Seq(0L -> a1, 1L -> a2, 2L -> b).toDF("doc_id", "text")
+    val r = Pipeline.prepareCorpusNearDup(docs).collect()
+    // {a1, a2} is one Jaccard cluster → rep a1 (min id); b is a singleton;
+    // exact dedup would have kept a2 too — that's the difference this
+    // variant exists for
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 2L)
+    assert(r.map(_.getAs[Long]("total_tokens")).sum == 40L)
+  }
+
   test("prepareCorpus: keeps the LOWEST doc_id of a dup group") {
     val text = ("the cat sat on a mat and it is big for now " * 2).trim
     val docs = Seq(7L -> text, 3L -> text, 9L -> text).toDF("doc_id", "text")
