@@ -347,7 +347,15 @@ object Dedup {
     * silently-partial clustering, exactly the failure mode this operator
     * refuses. `localCheckpoint` per round truncates the otherwise
     * linearly-deepening lineage (eager — it is also the action that
-    * flushes the metric); the edge list is cached once.
+    * flushes the metric); the edge list is cached once. Executor-loss
+    * story on a real cluster: a lost label block is NOT recomputable
+    * (that is the point of truncating), so a mid-convergence executor
+    * loss fails the round's job and the caller reruns the operator —
+    * acceptable because rounds are cheap (ids only) and the alternative,
+    * reliable `checkpoint()` to the cluster's checkpoint dir every round,
+    * costs a distributed write per round; flip to it via
+    * `sc.setCheckpointDir` + `df.checkpoint()` only when components are
+    * so deep that a rerun costs more than the writes.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
