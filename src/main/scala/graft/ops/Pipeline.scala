@@ -109,11 +109,27 @@ object Pipeline {
                            minStopRatio: Double = 0.05,
                            fractions: Seq[(String, Double)] =
                              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      : DataFrame = {
-    val pairs = Dedup.jaccardPairs(documents, n, jaccardThreshold, maxDf)
-      .select("id_a", "id_b")
+      : DataFrame =
+    prepareCorpusWithPairs(documents,
+      Dedup.jaccardPairs(documents, n, jaccardThreshold, maxDf),
+      minTokens, minStopRatio, fractions)
+
+  /** The pluggable form: any pair proposer's (id_a, id_b) output —
+    * minhashPairs at corpus scale, simhashPairs, winnowingPairs,
+    * embeddingNearDupsLsh — drives the same cluster → representative →
+    * gate → split → accounting tail. The exact-Jaccard default above is
+    * the oracle-checkable instance; this is what a user actually calls
+    * when the corpus is too big for exact pairs.
+    */
+  def prepareCorpusWithPairs(documents: DataFrame, pairs: DataFrame,
+                             minTokens: Int = 20,
+                             minStopRatio: Double = 0.05,
+                             fractions: Seq[(String, Double)] =
+                               Seq("train" -> 0.8, "val" -> 0.1,
+                                 "test" -> 0.1)): DataFrame = {
     val reps = Dedup.connectedComponents(
-        documents.select(col("doc_id").as("id")), pairs)
+        documents.select(col("doc_id").as("id")),
+        pairs.select("id_a", "id_b"))
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as("doc_id"))
     val kept = tokenStats(documents).join(reps, Seq("doc_id"), "left_semi")

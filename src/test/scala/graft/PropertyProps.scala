@@ -125,6 +125,25 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("deterministicSplit: total, stable, labels from the spec") = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val fracs = Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1)
+    Prop.forAllNoShrink(Gen.listOf(Gen.chooseNum(0L, 1000000L))) { ids0 =>
+      val ids = ids0.distinct
+      val df = ids.toDF("id")
+      def run() = graft.ops.Sampling.deterministicSplit(df, "id", fracs)
+        .select(col("id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val s1 = run()
+      // every row gets exactly one label, from the declared set, and the
+      // assignment is a pure function of the id — identical on re-run
+      s1.size == ids.size &&
+        s1.values.forall(Set("train", "val", "test")) &&
+        run() == s1
+    }
+  }
+
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
   private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
 

@@ -38,6 +38,21 @@ class PipelineSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("total_tokens")).sum == 40L)
   }
 
+  test("prepareCorpusWithPairs: a MinHash proposer plugs into the same tail") {
+    val a1 = "the quick brown fox jumps over a lazy dog and it is near " +
+      "the old river bank for fun today"
+    val a2 = a1.stripSuffix(" today")
+    val b = "it is a fine day and the sun shines over the tall green " +
+      "hills for everyone to enjoy in peace"
+    val docs = Seq(0L -> a1, 1L -> a2, 2L -> b).toDF("doc_id", "text")
+    val viaMinhash = Pipeline.prepareCorpusWithPairs(docs,
+      Dedup.minhashPairs(docs, n = 3, numHashes = 32, bands = 16,
+        threshold = 0.2)).collect()
+    // the scale-path proposer reaches the same accounting as the exact one
+    assert(viaMinhash.map(_.getAs[Long]("n_docs")).sum == 2L)
+    assert(viaMinhash.map(_.getAs[Long]("total_tokens")).sum == 40L)
+  }
+
   test("prepareCorpus: keeps the LOWEST doc_id of a dup group") {
     val text = ("the cat sat on a mat and it is big for now " * 2).trim
     val docs = Seq(7L -> text, 3L -> text, 9L -> text).toDF("doc_id", "text")
