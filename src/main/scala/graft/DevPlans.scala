@@ -12,7 +12,8 @@ object DevPlans {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q02_filter_project", "q06_orders_per_nation",
         "q07_two_leg_stats", "q01_pricing_summary", "q25_cosine_pairs",
-        "q54_asof_join", "q55_range_join")
+        "q54_asof_join", "q55_range_join", "q62_ivf_pruned_recall",
+        "q63_corpus_prep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

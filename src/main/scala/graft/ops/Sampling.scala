@@ -51,4 +51,19 @@ object Sampling {
       }
     df.withColumn("split", assign)
   }
+
+  /** Keep a deterministic `rate` fraction of rows (per-mille
+    * granularity): the same id is kept on every run, on every engine, and
+    * its fate never changes as the corpus grows — `df.sample()`
+    * guarantees none of those. The kept set at rate r and the kept set's
+    * complement partition the corpus exactly, and a smaller rate's keep
+    * set is a SUBSET of a larger one's (buckets are a fixed total order),
+    * so nested subsamples — 1%, 10%, 100% runs of the same pipeline —
+    * are possible without re-materializing anything.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+                          rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    df.filter(splitBucket(col(idCol)) < math.round(rate * 1000).toInt)
+  }
 }

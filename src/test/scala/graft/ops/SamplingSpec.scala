@@ -60,4 +60,18 @@ class SamplingSpec extends SparkSpec {
       Sampling.deterministicSplit(ids(1), "doc_id", Seq.empty)
     }
   }
+
+  test("deterministicSample: stable, nested across rates, partitions at r") {
+    def kept(rate: Double) = Sampling.deterministicSample(
+      ids(2000), "doc_id", rate).as[Long].collect().toSet
+    val k10 = kept(0.1)
+    val k50 = kept(0.5)
+    // nested: a smaller rate's keep set is a subset of a larger one's
+    assert(k10.subsetOf(k50))
+    // stable across re-runs, roughly sized (md5 buckets are uniform)
+    assert(kept(0.1) == k10)
+    assert(k10.size > 120 && k10.size < 280)
+    // rate 0 and 1 are exact
+    assert(kept(0.0).isEmpty && kept(1.0).size == 2000)
+  }
 }
