@@ -147,6 +147,34 @@ object PropertyProps extends Properties("graft") {
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
   private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
 
+  property("jaccardPairs equals a brute-force reference on random corpora") = {
+    import spark.implicits._
+    val doc = Gen.chooseNum(3, 10).flatMap(k => Gen.listOfN(k, wordGen))
+      .map(_.mkString(" "))
+    def refShingles(text: String): Set[String] = {
+      val toks = text.split("[ \t\n\r\f]+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    Prop.forAllNoShrink(Gen.listOfN(8, doc)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.Dedup.jaccardPairs(docs, n = 3, threshold = 0.0)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val sets = texts.map(refShingles)
+      val want = (for {
+        a <- texts.indices; b <- (a + 1) until texts.size
+        inter = (sets(a) intersect sets(b)).size
+        if inter > 0
+      } yield (a.toLong, b.toLong) ->
+        inter.toDouble / (sets(a).size + sets(b).size - inter)).toMap
+      got.keySet == want.keySet && want.forall { case (k, j) =>
+        math.abs(got(k) - j) <= 5e-5 // operator rounds to 4 dp
+      }
+    }
+  }
+
   property("jaccard of a document with itself is 1; bounded in (0,1]") = {
     import spark.implicits._
     Prop.forAllNoShrink(Gen.listOfN(4, docGen)) { texts =>
