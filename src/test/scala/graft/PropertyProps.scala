@@ -147,6 +147,52 @@ object PropertyProps extends Properties("graft") {
   private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
   private val docGen = Gen.listOfN(12, wordGen).map(_.mkString(" "))
 
+  property("rolling fingerprint kernel matches a driver-side reference") = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // reference winnowing: same Rabin–Karp (base 257 mod 2^64), every
+    // length-w window's unsigned min, deduped, signed-ascending output
+    def ref(text: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      if (n < k) return Seq.empty
+      var basePowK = 1L
+      for (_ <- 0 until k) basePowK *= 257L
+      val nWin = n - k + 1
+      val hashes = new Array[Long](nWin)
+      var h = 0L
+      for (i <- 0 until k) h = h * 257L + (bytes(i) & 0xffL)
+      hashes(0) = h
+      for (i <- k until n) {
+        h = h * 257L + (bytes(i) & 0xffL) - basePowK * (bytes(i - k) & 0xffL)
+        hashes(i - k + 1) = h
+      }
+      val mins = scala.collection.mutable.SortedSet.empty[Long]
+      for (s <- 0 to math.max(0, nWin - w)) {
+        val end = math.min(s + w, nWin)
+        var m = hashes(s)
+        for (j <- s + 1 until end)
+          if (java.lang.Long.compareUnsigned(hashes(j), m) < 0) m = hashes(j)
+        mins += m
+      }
+      mins.toSeq
+    }
+    val textGen = Gen.chooseNum(0, 14).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    Prop.forAllNoShrink(Gen.listOfN(6, textGen),
+      Gen.chooseNum(2, 6), Gen.chooseNum(2, 5)) { (texts, k, w) =>
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select(col("id"),
+          graft.functions.GraftFunctions
+            .rollingFingerprints(col("t"), k, w).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        got(i.toLong) == ref(t, k, w)
+      }
+    }
+  }
+
   property("jaccardPairs equals a brute-force reference on random corpora") = {
     import spark.implicits._
     val doc = Gen.chooseNum(3, 10).flatMap(k => Gen.listOfN(k, wordGen))
