@@ -100,6 +100,33 @@ object Text {
     }
   }
 
+  /** PII scrubbing patterns (training-pipeline redaction stage). Written
+    * in the Java∩RE2 regex subset (no lookarounds, no backrefs) so an
+    * external engine — or a SQL oracle — can evaluate the identical
+    * pattern, the same portability rule as `bpePattern`.
+    */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://[^ \\t\\n\\r\\f]+"
+  val phonePattern: String =
+    "(?:\\+?[0-9]{1,3}[- .]?)?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+
+  /** Redact emails, URLs, and phone-shaped numbers to fixed tags — the
+    * standard pre-training scrub. Order matters and is fixed: URLs first
+    * (an email-looking userinfo inside a URL must not leave a dangling
+    * scheme), then emails, then phones. Pure per-row projection —
+    * codegen'd `regexp_replace`, no shuffle, scan-speed at corpus scale.
+    */
+  def redact(documents: DataFrame,
+             emailTag: String = "<EMAIL>", urlTag: String = "<URL>",
+             phoneTag: String = "<PHONE>"): DataFrame =
+    documents.withColumn("text",
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), urlPattern, urlTag),
+          emailPattern, emailTag),
+        phonePattern, phoneTag))
+
   /** Token/char statistics per document (north-star token counting). */
   def tokenStats(documents: DataFrame): DataFrame =
     documents

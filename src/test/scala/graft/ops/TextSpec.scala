@@ -9,6 +9,22 @@ class TextSpec extends SparkSpec {
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
 
+  test("redact: emails, URLs, phones -> tags; clean text untouched") {
+    val d = docs(
+      "contact me at jane.doe+spam@example.co.uk or visit " +
+        "https://example.com/a?b=c#d for info",
+      "call +1-555-123-4567 or (555) 123 4567 today",
+      "no pii here at all")
+    val r = Text.redact(d).select("text").as[String].collect()
+    assert(r(0) == "contact me at <EMAIL> or visit <URL> for info")
+    assert(r(1) == "call <PHONE> or <PHONE> today")
+    assert(r(2) == "no pii here at all")
+    // order: an email-shaped userinfo inside a URL redacts as ONE url
+    val u = Text.redact(docs("see https://user@host.com/path now"))
+      .select("text").as[String].collect()
+    assert(u(0) == "see <URL> now")
+  }
+
   test("P1/A1: word count over whitespace tokens, sorted by word") {
     val r = Text.wordCount(docs("b a  b", "a c")).collect()
       .map(x => x.getString(0) -> x.getLong(1))
