@@ -1031,6 +1031,29 @@ object SparkEntry {
       (s, d) => Pipeline.prepareCorpusNearDup(Tables.documents(s, d),
         maxDf = 1000L)),
 
+    // Sequence packing (concat-and-chunk, budget 2048): pack_id =
+    // exclusive-prefix-sum(n_tokens) / budget over the doc_id order. The
+    // ORACLE can afford the single-task `sum() OVER (ORDER BY ...)`
+    // window — DuckDB on one node — while the Spark side runs the
+    // two-pass distributed prefix sum (Packing.packAssignments), so this
+    // query is precisely the scalable-vs-naive formulation equivalence,
+    // hash-checked. Integer-only arithmetic: no float drift possible.
+    q("q65_sequence_packing",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |         w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(start_tok // 2048 AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin)(
+      (s, d) => Packing.packAssignments(Tables.documents(s, d),
+        budget = 2048L)),
+
     q("q56_split_stats",
       """WITH s AS (SELECT text, CASE
         |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
