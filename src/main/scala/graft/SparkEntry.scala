@@ -1028,8 +1028,14 @@ object SparkEntry {
         |  round(avg(n_tokens), 2) AS avg_tokens,
         |  round(sum(n_stop) * 1.0 / sum(n_tokens), 4) AS stop_share
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
+      // maxDf = MaxValue: THIS instance is hash-checked against an
+      // UNCAPPED exact all-pairs oracle, so the skew guard must be
+      // structurally disarmed rather than "large enough for today's
+      // fixture" — a corpus where some 3-gram shingle crosses the cap
+      // would silently diverge from the oracle's Jaccard universe. The
+      // capped default (10000) remains the scale-path API.
       (s, d) => Pipeline.prepareCorpusNearDup(Tables.documents(s, d),
-        maxDf = 1000L)),
+        maxDf = Long.MaxValue)),
 
     // Sequence packing (concat-and-chunk, budget 2048): pack_id =
     // exclusive-prefix-sum(n_tokens) / budget over the doc_id order. The
@@ -1119,6 +1125,41 @@ object SparkEntry {
         |FROM documents d LEFT JOIN stats s USING (doc_id)
         |ORDER BY doc_id""".stripMargin)(
       (s, d) => Text.repetitionStats(Tables.documents(s, d))),
+
+    // PII redaction as a driver-visible query. Deterministic synthetic PII
+    // — an email, a phone, a URL, each a pure function of doc_id — is
+    // appended to every document identically on BOTH sides, so the oracle
+    // exercises all three patterns at every scale instead of hashing an
+    // identity projection of PII-free fixture text. The pattern strings
+    // are interpolated from Text.scala's constants (the Java∩RE2 subset:
+    // DuckDB's RE2 evaluates the IDENTICAL patterns; only the replacement
+    // backref syntax differs, $1 vs \1), and the phone pass runs twice on
+    // both sides — see Text.redact on boundary-guard consumption.
+    q("q66_pii_redaction",
+      s"""SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@example.com or +1 555-123-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      ' via https://data.example.com/d/', CAST(doc_id AS VARCHAR),
+        |      ' asap'),
+        |    '${Text.urlPattern}', '<URL>', 'g'),
+        |    '${Text.emailPattern}', '<EMAIL>', 'g'),
+        |    '${Text.phoneGuardedPattern}', '\\1<PHONE>\\3', 'g'),
+        |    '${Text.phoneGuardedPattern}', '\\1<PHONE>\\3', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, lpad}
+        val pii = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" via https://data.example.com/d/"),
+            col("doc_id").cast("string"),
+            lit(" asap")).as("text"))
+        Text.redact(pii).orderBy("doc_id")
+      }),
 
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -75,10 +75,14 @@ object Similarity {
   /** One-row recall of an ANN result against the exact top-k (both in the
     * (q_id, rank, n_id) shape every k-NN builder here emits): `hits`
     * neighbors of `total` retrieved, `recall` rounded to 4 dp. Rank is
-    * deliberately ignored — recall@k is a SET contract.
+    * deliberately ignored — recall@k is a SET contract, so the approx side
+    * is deduplicated here: a caller handing in multi-probe / multi-table
+    * candidate lists with repeats must not have each repeat fan out the
+    * left join and inflate both hits and total.
     */
   def recall(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hit = approx.select(col("q_id"), col("n_id"))
+      .dropDuplicates("q_id", "n_id")
       .withColumn("hit", lit(1L))
     exact.select("q_id", "n_id")
       .join(hit, Seq("q_id", "n_id"), "left")

@@ -111,21 +111,43 @@ object Text {
   val phonePattern: String =
     "(?:\\+?[0-9]{1,3}[- .]?)?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
 
+  /** The phone core wrapped in digit-boundary guards. The bare core
+    * matches INSIDE longer digit runs — a 16-digit card number would
+    * partially redact, and any embedded 10-digit identifier would scrub —
+    * so a real match must be flanked by non-digits (or the string ends).
+    * Lookarounds are off the table (the portability rule above: RE2 has
+    * none), so the guards are CAPTURING one-char groups that the
+    * replacement restores: `$1<PHONE>$3` / `\1<PHONE>\3`. The trailing
+    * alternation tries the character class before `$` so both engines
+    * consume a final newline identically.
+    */
+  val phoneGuardedPattern: String =
+    "(^|[^0-9])(" + phonePattern + ")([^0-9]|$)"
+
   /** Redact emails, URLs, and phone-shaped numbers to fixed tags — the
     * standard pre-training scrub. Order matters and is fixed: URLs first
     * (an email-looking userinfo inside a URL must not leave a dangling
     * scheme), then emails, then phones. Pure per-row projection —
     * codegen'd `regexp_replace`, no shuffle, scan-speed at corpus scale.
+    *
+    * The phone pass runs TWICE: the consumed trailing boundary means two
+    * phones separated by a single non-digit alternate — pass one takes
+    * the odd ones, pass two the rest (restored boundaries separate every
+    * remaining candidate, so two passes close any chain). Tags must not
+    * contain digits or `$`/`\` (they'd re-trigger the guards or read as
+    * replacement escapes).
     */
   def redact(documents: DataFrame,
              emailTag: String = "<EMAIL>", urlTag: String = "<URL>",
-             phoneTag: String = "<PHONE>"): DataFrame =
+             phoneTag: String = "<PHONE>"): DataFrame = {
+    def phonePass(c: Column): Column =
+      regexp_replace(c, phoneGuardedPattern, "$1" + phoneTag + "$3")
     documents.withColumn("text",
-      regexp_replace(
+      phonePass(phonePass(
         regexp_replace(
           regexp_replace(col("text"), urlPattern, urlTag),
-          emailPattern, emailTag),
-        phonePattern, phoneTag))
+          emailPattern, emailTag))))
+  }
 
   /** Token/char statistics per document (north-star token counting). */
   def tokenStats(documents: DataFrame): DataFrame =

@@ -25,6 +25,24 @@ class TextSpec extends SparkSpec {
     assert(u(0) == "see <URL> now")
   }
 
+  test("redact: digit-boundary guards on phone-shaped numbers") {
+    val r = Text.redact(docs(
+      // 16-digit card: no 10–13-digit phone shape flanked by non-digits
+      "card 1234567890123456 on file",
+      // bare 10-digit run IS phone-shaped — documented over-match
+      "id 5551234567 end",
+      "5551234567",
+      // single-char separators: the two-pass close catches the chain
+      "5551234567,5551234568,5551234569",
+      // inside a longer digit run: leading guard can't match
+      "big 123455512345679 num")).select("text").as[String].collect()
+    assert(r(0) == "card 1234567890123456 on file")
+    assert(r(1) == "id <PHONE> end")
+    assert(r(2) == "<PHONE>")
+    assert(r(3) == "<PHONE>,<PHONE>,<PHONE>")
+    assert(r(4) == "big 123455512345679 num")
+  }
+
   test("P1/A1: word count over whitespace tokens, sorted by word") {
     val r = Text.wordCount(docs("b a  b", "a c")).collect()
       .map(x => x.getString(0) -> x.getLong(1))
