@@ -1161,6 +1161,58 @@ object SparkEntry {
         Text.redact(pii).orderBy("doc_id")
       }),
 
+    // The two remaining test-pinned-only operators made driver-visible:
+    // dropNearDuplicates (the keep-one-per-component APPLIER returning
+    // surviving documents — q64 exercises only its accounting tail) and
+    // deterministicSample (the nested-keep-set md5 subsample) composed as
+    // a corpus half-run. The oracle closes the q61 recursive-CTE pair
+    // machinery into representatives and filters the q56 md5 bucket under
+    // 500 per-mille. Per-row output (doc_id + char length), no floats.
+    // maxDf = MaxValue for the same reason as q64: the oracle's Jaccard
+    // universe is uncapped, so the skew guard must be structurally off in
+    // the hash-checked instance (capped default stays the scale path).
+    q("q67_dedup_subsample",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM px
+        |  WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |reps AS (
+        |  SELECT node AS doc_id FROM reach GROUP BY 1
+        |  HAVING node = min(lbl))
+        |SELECT d.doc_id, length(d.text) AS char_len
+        |FROM documents d JOIN reps r USING (doc_id)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 < 500
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.length
+        val docs = Tables.documents(s, d)
+        val kept = Dedup.dropNearDuplicates(docs,
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.2,
+            maxDf = Long.MaxValue))
+        Sampling.deterministicSample(kept, "doc_id", 0.5)
+          .select(col("doc_id"), length(col("text")).as("char_len"))
+          .orderBy("doc_id")
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

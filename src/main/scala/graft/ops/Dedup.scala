@@ -345,25 +345,36 @@ object Dedup {
     * is decimal(38,0), not long: a 64-bit sum could wrap on a huge-id
     * corpus and alias a real decrease to "unchanged", i.e. a
     * silently-partial clustering, exactly the failure mode this operator
-    * refuses. `localCheckpoint` per round truncates the otherwise
+    * refuses. A per-round checkpoint truncates the otherwise
     * linearly-deepening lineage (eager — it is also the action that
-    * flushes the metric); the edge list is cached once. Executor-loss
-    * story on a real cluster: a lost label block is NOT recomputable
-    * (that is the point of truncating), so a mid-convergence executor
-    * loss fails the round's job and the caller reruns the operator —
-    * acceptable because rounds are cheap (ids only) and the alternative,
-    * reliable `checkpoint()` to the cluster's checkpoint dir every round,
-    * costs a distributed write per round; flip to it via
-    * `sc.setCheckpointDir` + `df.checkpoint()` only when components are
-    * so deep that a rerun costs more than the writes.
+    * flushes the metric); the edge list is cached once.
+    *
+    * Executor-loss story on a real cluster — the caller picks the trade
+    * via `reliable`. Default (false): `localCheckpoint`, executor-local
+    * blocks; a lost label block is NOT recomputable (that is the point of
+    * truncating), so a mid-convergence executor loss fails the round's
+    * job and the caller reruns the operator — acceptable because rounds
+    * are cheap (ids only). `reliable = true`: `checkpoint()` to the
+    * cluster's checkpoint dir (caller must `sc.setCheckpointDir` first —
+    * required loudly below), one distributed write per round buying
+    * executor-loss survival; worth it only when components are so deep
+    * that a rerun costs more than the writes.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
+    if (reliable)
+      require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable connectedComponents needs sc.setCheckpointDir(...) — " +
+          "the per-round label frames are written there")
+    // one knob, both pin sites: the round labels and the edge list live
+    // or die by the same recovery story
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every
     // round reads the adjacency again
-    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
+    val e = pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
@@ -373,21 +384,19 @@ object Dedup {
       coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(BigDecimal(0))).as("lblsum")
     val obs0 = Observation("cc_init")
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
-      .observe(obs0, sumCol)
-      .localCheckpoint()
+    var labels = pin(nodes.select(col("id"), col("id").as("lbl"))
+      .observe(obs0, sumCol))
     var prevSum = obs0.get("lblsum")
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
         val obs = Observation(s"cc_round_$iter")
-        val next = und
+        val next = pin(und
           .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min("lbl").as("lbl"))
-          .observe(obs, sumCol)
-          .localCheckpoint()
+          .observe(obs, sumCol))
         val s = obs.get("lblsum")
         converged = s == prevSum
         prevSum = s

@@ -189,4 +189,26 @@ class DedupSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSeq == Seq(0L, 2L))
     assert(kept.map(_.getString(1)).toSeq == Seq(a1, b))
   }
+
+  test("connected components: reliable checkpoint mode matches default") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    // without a checkpoint dir the reliable mode must fail LOUDLY, not
+    // fall back to lineage-truncation-free rounds
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, reliable = true)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val got = Dedup.connectedComponents(nodes, edges, reliable = true)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
+        (5L, 5L), (6L, 5L)))
+    } finally {
+      // the session is shared across suites: leave no checkpoint dir set
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
 }
