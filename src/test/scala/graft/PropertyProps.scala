@@ -238,4 +238,36 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  // Adversarial PII soup: digit runs of every length (phone-shaped,
+  // card-shaped, longer), single-char separators that chain phones, real
+  // emails/URLs, and tag-colliding punctuation — the shapes that broke or
+  // nearly broke the redaction patterns.
+  private val redactFrag: Gen[String] = Gen.oneOf(
+    Gen.chooseNum(1, 18).flatMap(n =>
+      Gen.listOfN(n, Gen.numChar).map(_.mkString)),
+    Gen.oneOf(" ", ",", "-", ".", "(", ")", "+", "x", "@", "<", ">",
+      "the ", "call "),
+    Gen.const("user.name@example.com"),
+    Gen.const("https://ex.com/a?b=c"),
+    Gen.const("+1 555-123-4567"))
+
+  property("redact is idempotent: a second full pass changes nothing") = {
+    import spark.implicits._
+    // Idempotence is the closure law for the whole scrub: the two phone
+    // passes leave no boundary-unblocked phone behind, and no replacement
+    // may CREATE a new email/URL/phone match (tags carry no digits, no
+    // scheme, no '@'-adjacent word chars).
+    Prop.forAllNoShrink(
+      Gen.listOfN(12, Gen.listOfN(8, redactFrag).map(_.mkString))) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = graft.ops.Text.redact(d)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val twice = graft.ops.Text.redact(
+          once.toDF("doc_id", "text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      once == twice
+    }
+  }
+
 }
