@@ -1213,6 +1213,23 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // The df census behind the maxDf skew guard (Dedup.hotShingles):
+    // top-k most ubiquitous shingles, deterministic tie-break on text.
+    // Oracle reuses q22's verified shingle CTE; df is an exact count.
+    q("q68_hot_shingles",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |ex AS (SELECT unnest(s) AS shingle FROM sh)
+        |SELECT shingle, count(*) AS df FROM ex
+        |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin)(
+      (s, d) => Dedup.hotShingles(Tables.documents(s, d), n = 3,
+        topK = 20)),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

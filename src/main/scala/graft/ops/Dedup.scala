@@ -70,6 +70,27 @@ object Dedup {
       GraftFunctions.shingles(col("text"), n).as("shingles"))
   }
 
+  /** Document-frequency census of the shingle universe: the top-k most
+    * ubiquitous n-gram shingles across the corpus — boilerplate headers,
+    * license blocks, navigation chrome. This is the OBSERVABILITY face of
+    * the `maxDf` skew guard: what a cap at X would drop is exactly what
+    * this surfaces, so a pipeline owner reads this census before arming
+    * the cap instead of guessing. Ties at the k-th df break on shingle
+    * text, so the cut is deterministic.
+    *
+    * Scale shape: explode → two-level count (partial agg map-side — the
+    * hottest shingle contributes ONE row per map task, the same
+    * no-hot-reducer property the guard itself relies on) → global top-k
+    * (`TakeOrderedAndProject`: per-partition heaps, k rows to the driver).
+    */
+  def hotShingles(documents: DataFrame, n: Int = 3,
+                  topK: Int = 20): DataFrame =
+    shingleSets(documents, n)
+      .select(explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(topK)
+
   /** Exact n-gram Jaccard pairs via inverted-index join: explode
     * (doc, shingle), self-join on shingle to count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 shingle are ever paired.

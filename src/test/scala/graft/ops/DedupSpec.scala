@@ -190,6 +190,21 @@ class DedupSpec extends SparkSpec {
     assert(kept.map(_.getString(1)).toSeq == Seq(a1, b))
   }
 
+  test("hotShingles: df census with deterministic tie-break") {
+    // "a b c" appears in all three docs; each doc contributes its other
+    // shingle once; ties (df=1) break on shingle text ascending
+    val d = docs("a b c d", "z z a b c", "a b c q")
+    val got = Dedup.hotShingles(d, n = 3, topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == ("a b c", 3L))
+    assert(got.tail == got.tail.sortBy(_._1))
+    assert(got.tail.forall(_._2 == 1L))
+    // distinct within a doc: a repeated shingle counts once per doc
+    val rep = Dedup.hotShingles(docs("x y z x y z x y z"), n = 3, topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(rep.forall(_._2 == 1L))
+  }
+
   test("connected components: reliable checkpoint mode matches default") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
