@@ -1230,6 +1230,37 @@ object SparkEntry {
       (s, d) => Dedup.hotShingles(Tables.documents(s, d), n = 3,
         topK = 20)),
 
+    // Benchmark decontamination (Dedup.contaminatedDocs): a deterministic
+    // md5 5% slice of the documents table plays the eval set, the rest is
+    // the training corpus; a training doc is flagged when ≥3 of its
+    // distinct 3-gram shingles appear anywhere in the benchmark's shingle
+    // union. The oracle reuses the verified shingle CTE and the q56 md5
+    // bucket expression for the identical split on both sides.
+    q("q69_decontamination",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |bkt AS (
+        |  SELECT doc_id, s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 AS bucket FROM sh),
+        |b AS (SELECT DISTINCT unnest(s) AS item FROM bkt WHERE bucket >= 950),
+        |c AS (SELECT doc_id, unnest(s) AS item FROM bkt WHERE bucket < 950)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM c JOIN b USING (item)
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Dedup.contaminatedDocs(
+          docs.filter(bucket < 950), docs.filter(bucket >= 950),
+          n = 3, minOverlap = 3L)
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

@@ -91,6 +91,34 @@ object Dedup {
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(topK)
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct n-gram shingles with the benchmark set — the
+    * standard pre-training leakage check (did an eval question's text end
+    * up in the training corpus?). Membership is against the benchmark's
+    * shingle UNIVERSE (union over its documents): the question "which
+    * benchmark doc leaked" matters less than "is this training doc
+    * tainted", and the union form needs no per-pair state.
+    *
+    * Scale shape: the benchmark side is eval sets — tiny next to the
+    * corpus — so its distinct shingles broadcast (AQE picks it; no hint
+    * needed) and the corpus postings stream through a broadcast semi
+    * filter: the only shuffle is the per-doc count of SURVIVING postings,
+    * which is bounded by actual contamination, not corpus size. Shingle
+    * sets are per-doc distinct by construction, so `count(*)` after the
+    * join IS the distinct-overlap count.
+    */
+  def contaminatedDocs(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+                       minOverlap: Long = 1L): DataFrame = {
+    val c = shingleSets(corpus, n)
+      .select(col("doc_id"), explode(col("shingles")).as("item"))
+    val b = shingleSets(benchmark, n)
+      .select(explode(col("shingles")).as("item")).distinct()
+    c.join(b, Seq("item"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join: explode
     * (doc, shingle), self-join on shingle to count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 shingle are ever paired.

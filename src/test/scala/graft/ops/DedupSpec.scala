@@ -205,6 +205,20 @@ class DedupSpec extends SparkSpec {
     assert(rep.forall(_._2 == 1L))
   }
 
+  test("contaminatedDocs: union membership, distinct counts, overlap gate") {
+    val bench = docs("the quick brown fox jumps high")
+    val corpus = docs(
+      // shares 3 shingles with the benchmark (the/quick/brown fox jumps)
+      "the quick brown fox jumps over something else entirely today",
+      "totally different words with no common trigrams at all here")
+    val got = Dedup.contaminatedDocs(corpus, bench, n = 3, minOverlap = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L)))
+    // the gate excludes, not truncates: overlap 3 < minOverlap 4 -> gone
+    assert(Dedup.contaminatedDocs(corpus, bench, n = 3, minOverlap = 4)
+      .isEmpty)
+  }
+
   test("connected components: reliable checkpoint mode matches default") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
