@@ -66,4 +66,30 @@ object Sampling {
     require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
     df.filter(splitBucket(col(idCol)) < math.round(rate * 1000).toInt)
   }
+
+  /** Stratified deterministic sampling: a per-stratum keep rate (strata
+    * not in `rates` get `defaultRate`) — the corpus-mixing primitive
+    * (keep 80% of English, 25% of everything else; rebalance domains;
+    * downweight a crawl). Same md5 bucket as `deterministicSample`, so
+    * all its guarantees carry over PER STRATUM: engine-portable,
+    * growth-stable, and nested (raising one stratum's rate only ADDS
+    * rows; every stratum's keep set is the global sample's restriction).
+    * Still a pure codegen'd projection — the rate lookup is a CASE
+    * chain, no shuffle, no join, scan-speed at corpus scale.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double = 0.0): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    require(rates.map(_._1).distinct.length == rates.length,
+      "duplicate stratum in rates")
+    val permille = rates.foldRight(
+        lit(math.round(defaultRate * 1000).toInt): Column) {
+      case ((stratum, r), rest) =>
+        when(col(stratumCol) === stratum,
+          lit(math.round(r * 1000).toInt)).otherwise(rest)
+    }
+    df.filter(splitBucket(col(idCol)) < permille)
+  }
 }

@@ -74,4 +74,28 @@ class SamplingSpec extends SparkSpec {
     // rate 0 and 1 are exact
     assert(kept(0.0).isEmpty && kept(1.0).size == 2000)
   }
+
+  test("stratifiedSample: per-stratum restriction of the global sample") {
+    // stratum = id parity; keep 80% of "even", default 25% for "odd"
+    val strat = ids(2000).selectExpr("doc_id",
+      "CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS stratum")
+    val got = Sampling.stratifiedSample(strat, "doc_id", "stratum",
+        rates = Seq("even" -> 0.8), defaultRate = 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    // the law: each stratum's keep set IS deterministicSample(rate)'s
+    // keep set restricted to that stratum — same buckets, same ids
+    def global(rate: Double) = Sampling.deterministicSample(
+      ids(2000), "doc_id", rate).as[Long].collect().toSet
+    val want = global(0.8).filter(_ % 2 == 0) ++ global(0.25).filter(_ % 2 == 1)
+    assert(got == want)
+    // validation: out-of-range rate, duplicate stratum
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(strat, "doc_id", "stratum",
+        Seq("even" -> 1.2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(strat, "doc_id", "stratum",
+        Seq("even" -> 0.5, "even" -> 0.6))
+    }
+  }
 }
