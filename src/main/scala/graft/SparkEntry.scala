@@ -1304,6 +1304,32 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // Domain census (Text.domainStats): per-host URL accounting — the
+    // governance view behind source-mix decisions. Fixture text carries
+    // no URLs, so both sides append a deterministic one per document
+    // (host = doc_id mod 7), exercising extract-ALL + host isolation +
+    // two-level count against real matches at every scale; the shared
+    // urlPattern is interpolated so both engines run identical regexes.
+    q("q71_domain_stats",
+      s"""WITH wu AS (
+        |  SELECT concat(text, ' ref https://cdn', CAST(doc_id % 7 AS VARCHAR),
+        |    '.example.org/p/', CAST(doc_id AS VARCHAR), ' end') AS text
+        |  FROM documents),
+        |u AS (SELECT unnest(regexp_extract_all(text,
+        |  '${Text.urlPattern}')) AS url FROM wu),
+        |d AS (SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS domain
+        |      FROM u)
+        |SELECT domain, count(*) AS n_urls FROM d GROUP BY 1
+        |ORDER BY n_urls DESC, domain LIMIT 20""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit}
+        val wu = Tables.documents(s, d).select(concat(col("text"),
+          lit(" ref https://cdn"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p/"), col("doc_id").cast("string"),
+          lit(" end")).as("text"))
+        Text.domainStats(wu, topK = 20)
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

@@ -149,6 +149,24 @@ object Text {
           emailPattern, emailTag))))
   }
 
+  /** Per-domain accounting of the URLs a corpus mentions — the
+    * governance census behind source-mix decisions (which hosts dominate,
+    * what to downweight or block). Extract-all with the shared
+    * `urlPattern` (every match, not just the first), explode, take the
+    * host part, two-level count, deterministic top-k — the same
+    * no-hot-reducer shape as the shingle census: a dominant domain
+    * arrives as one partial row per map task, and only k rows reach the
+    * driver.
+    */
+  def domainStats(documents: DataFrame, topK: Int = 20): DataFrame =
+    documents
+      .select(explode(
+        regexp_extract_all(col("text"), lit(urlPattern), lit(0))).as("url"))
+      .select(regexp_extract(col("url"), "https?://([^/]+)", 1).as("domain"))
+      .groupBy("domain").agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("n_urls").desc, col("domain").asc)
+      .limit(topK)
+
   /** Token/char statistics per document (north-star token counting). */
   def tokenStats(documents: DataFrame): DataFrame =
     documents

@@ -29,16 +29,16 @@ class BenchSpec extends AnyFunSuite {
     mapper.readTree(last)
   }
 
-  test("70-query full-form line stays small and parses from the tail") {
-    val ns = names(70)
+  test("80-query full-form line stays small and parses from the tail") {
+    val ns = names(80)
     val line = Bench.buildLine(ns, samples(ns, 3), "/root/testdata/sf0.1")
     // short keys keep the FULL form (with rep_totals) well under the
-    // window even at 70 queries — headroom the VERDICT asked for
+    // window even at 80 queries — headroom the VERDICT asked for
     assert(line.length <= 1600, s"line too long: ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("value").asDouble() > 0)
-    assert(node.get("queries").size() == 70)
+    assert(node.get("queries").size() == 80)
     assert(node.get("queries").has("q01"))
     assert(node.get("reps").asInt() == 3)
   }

@@ -43,6 +43,19 @@ class TextSpec extends SparkSpec {
     assert(r(4) == "big 123455512345679 num")
   }
 
+  test("domainStats: extract-ALL per doc, host isolation, tie-break") {
+    val d = docs(
+      "see https://a.com/x and http://b.org/y?z=1 plus https://a.com/w",
+      "no urls here at all",
+      "also https://b.org/q trailing")
+    val got = Text.domainStats(d, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    // a.com twice in ONE doc (extract-all, not extract-first); b.org
+    // across docs; tie at 2 breaks on domain ascending; URL-free doc
+    // contributes nothing
+    assert(got == Seq(("a.com", 2L), ("b.org", 2L)))
+  }
+
   test("P1/A1: word count over whitespace tokens, sorted by word") {
     val r = Text.wordCount(docs("b a  b", "a c")).collect()
       .map(x => x.getString(0) -> x.getLong(1))
