@@ -1330,6 +1330,31 @@ object SparkEntry {
         Text.domainStats(wu, topK = 20)
       }),
 
+    // Salting is semantics-neutral — driver-pinned (Skew.saltedEquiJoin
+    // was test-only): the salted orders⋈customer equals the PLAIN SQL
+    // join, hash-checked. Revenue sums as integer cents (round before
+    // sum), so the hash compare is drift-free regardless of how the salt
+    // reorders the addition.
+    q("q72_salted_join",
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum}
+        val orders = Tables.orders(s, d)
+          .withColumnRenamed("o_custkey", "c_custkey")
+        val cust = Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")
+        Skew.saltedEquiJoin(orders, cust, "c_custkey", saltFactor = 8)
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_cents"))
+          .orderBy("segment")
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n
