@@ -75,7 +75,11 @@ object Sampling {
     * growth-stable, and nested (raising one stratum's rate only ADDS
     * rows; every stratum's keep set is the global sample's restriction).
     * Still a pure codegen'd projection — the rate lookup is a CASE
-    * chain, no shuffle, no join, scan-speed at corpus scale.
+    * chain, no shuffle, no join, scan-speed at corpus scale. The CASE
+    * chain is right for the handful-of-strata case (languages, splits);
+    * for thousands of strata (per-domain rates) join a broadcast
+    * `(stratum, permille)` dimension instead — codegen'd comparisons
+    * don't scale to 10k-branch expressions.
     */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Seq[(String, Double)],

@@ -86,6 +86,17 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() == 2.0)
   }
 
+  test("degradation ladder keeps the line parseable at 200 queries") {
+    // even short keys overflow the window here; the ladder must drop to
+    // the no-reps then total-only form rather than ship an oversize line
+    val ns = (1 to 200).map(i => f"q$i%03d_synthetic_$i")
+    val line = Bench.buildLine(ns, samples(ns, 3), "sf")
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("value").asDouble() > 0)
+  }
+
   test("short-key collision falls back to full names") {
     val ns = Seq("q01_a", "q01_b")
     val keys = Bench.shortKeys(ns)
