@@ -1355,6 +1355,49 @@ object SparkEntry {
           .orderBy("segment")
       }),
 
+    // The absolute half of corpus mixing (Sampling.capPerStratum): at
+    // most 100 docs per predicted language, winners = first 100 in
+    // md5(doc_id) order (hash-stable, engine-portable). The oracle is
+    // the same q70 language CTE + the identical ROW_NUMBER window —
+    // DuckDB and Spark md5 hex strings sort identically.
+    q("q73_stratum_cap",
+      """WITH s AS (SELECT doc_id,
+        |  CAST(contains(lower(text), ' th') AS INTEGER) + CAST(contains(lower(text), 'the') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ing') AS INTEGER) + CAST(contains(lower(text), ' an') AS INTEGER) +
+        |  CAST(contains(lower(text), 'and') AS INTEGER) + CAST(contains(lower(text), ' of') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ion') AS INTEGER) + CAST(contains(lower(text), ' to') AS INTEGER) AS score_en,
+        |  CAST(contains(lower(text), 'der') AS INTEGER) + CAST(contains(lower(text), 'sch') AS INTEGER) +
+        |  CAST(contains(lower(text), ' un') AS INTEGER) + CAST(contains(lower(text), 'und') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ein') AS INTEGER) + CAST(contains(lower(text), 'ich') AS INTEGER) +
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'cht') AS INTEGER) AS score_de,
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'la ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ión') AS INTEGER) + CAST(contains(lower(text), ' el') AS INTEGER) +
+        |  CAST(contains(lower(text), 'que') AS INTEGER) + CAST(contains(lower(text), ' qu') AS INTEGER) AS score_es,
+        |  CAST(contains(lower(text), ' le') AS INTEGER) + CAST(contains(lower(text), 'es ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ent') AS INTEGER) + CAST(contains(lower(text), ' et') AS INTEGER) +
+        |  CAST(contains(lower(text), 'une') AS INTEGER) + CAST(contains(lower(text), 'eur') AS INTEGER) AS score_fr
+        |FROM documents),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |       WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |  FROM s),
+        |r AS (SELECT doc_id, lang_pred,
+        |  row_number() OVER (PARTITION BY lang_pred
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM l)
+        |SELECT doc_id, lang_pred FROM r WHERE rk <= 100
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val lang = LangId.languageId(Tables.documents(s, d))
+          .select("doc_id", "lang_pred")
+        Sampling.capPerStratum(lang, "doc_id", "lang_pred", n = 100)
+          .orderBy("doc_id")
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

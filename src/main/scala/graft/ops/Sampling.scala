@@ -96,4 +96,36 @@ object Sampling {
     }
     df.filter(splitBucket(col(idCol)) < permille)
   }
+
+  /** Absolute per-stratum cap: keep at most `n` rows per stratum — the
+    * other half of corpus mixing (stratifiedSample scales proportionally;
+    * a cap bounds a dominant domain/source outright). Which rows survive
+    * is deterministic and engine-portable: rank in md5(id) order (hash
+    * order — "random but stable", no bias toward low ids), id as the
+    * tie-break, keep rank ≤ n. Re-running, repartitioning, or switching
+    * engines keeps the same winners, and a grown corpus can only displace
+    * losers, never reorder the existing hash order.
+    *
+    * Scale note: the rank is a window per stratum, so one dominant
+    * stratum becomes one big sorted partition — acceptable because the
+    * cap is applied ONCE per layout decision, not per query; if a single
+    * stratum outgrows an executor, pre-filter with `deterministicSample`
+    * to shrink the window's input first. The composition stays fully
+    * deterministic and hash-unbiased, but note it picks the top-n of the
+    * SAMPLED pool, not of the full stratum — the sample keeps md5-bucket
+    * residues (`v % 1000 < T`), which is not a prefix of the md5 order
+    * this rank sorts by.
+    */
+  def capPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 1, "cap must be >= 1")
+    require(!df.columns.contains("graft_rank"),
+      "input already has a graft_rank column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("graft_rank", row_number().over(w))
+      .filter(col("graft_rank") <= n)
+      .drop("graft_rank")
+  }
 }

@@ -98,4 +98,30 @@ class SamplingSpec extends SparkSpec {
         Seq("even" -> 0.5, "even" -> 0.6))
     }
   }
+
+  test("capPerStratum: per-stratum cap, md5-order winners, layout-stable") {
+    val strat = ids(100).selectExpr("doc_id",
+      "CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS stratum")
+    val got = Sampling.capPerStratum(strat, "doc_id", "stratum", 10)
+      .as[(Long, String)].collect().toSet
+    assert(got.count(_._2 == "a") == 10 && got.count(_._2 == "b") == 10)
+    // winners = the 10 md5-smallest ids of each stratum (JVM reference,
+    // the same engine-portability pin as the bucket test)
+    def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def want(ids0: Seq[Long]) =
+      ids0.sortBy(id => (hex(id), id)).take(10).toSet
+    assert(got.filter(_._2 == "a").map(_._1) ==
+      want((0L until 100L by 2).toSeq))
+    assert(got.filter(_._2 == "b").map(_._1) ==
+      want((1L until 100L by 2).toSeq))
+    // the winner set must not depend on the physical layout
+    val reparted = Sampling.capPerStratum(
+        strat.repartition(7), "doc_id", "stratum", 10)
+      .as[(Long, String)].collect().toSet
+    assert(reparted == got)
+    // a stratum smaller than the cap survives whole
+    assert(Sampling.capPerStratum(strat, "doc_id", "stratum", 1000)
+      .count() == 100)
+  }
 }
