@@ -407,7 +407,10 @@ object Dedup {
     * cluster's checkpoint dir (caller must `sc.setCheckpointDir` first —
     * required loudly below), one distributed write per round buying
     * executor-loss survival; worth it only when components are so deep
-    * that a rerun costs more than the writes.
+    * that a rerun costs more than the writes. Reliable-mode checkpoint
+    * files accumulate one directory per round and are NOT auto-deleted
+    * unless `spark.cleaner.referenceTracking.cleanCheckpoints=true` —
+    * long-running cluster apps should set it or sweep the checkpoint dir.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
