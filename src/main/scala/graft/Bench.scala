@@ -27,12 +27,29 @@ object Bench {
     else names.map(n => n -> n).toMap
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  /** LOWER-middle median: for even-length samples `s(len/2)` is the upper
+    * middle, so a budget-stopped 2-rep run records the SLOWER rep — the
+    * round-7 artifact said 212.9 s (one rep contended by external host
+    * load) where clean steady state measured 67 s. The lower middle makes
+    * a single bad rep unable to become the recorded value; on odd lengths
+    * both formulas agree.
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    s((s.length - 1) / 2)
   }
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Host load context for the artifact's stderr tail: a contended run
+    * (other tenants on the harness host) produces honest-but-slow numbers;
+    * recording /proc/loadavg at the start and end makes such an artifact
+    * self-explaining without a re-run. Best-effort — absent proc fs reads
+    * as "unavailable" rather than failing the bench.
+    */
+  private def loadAvg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+    catch { case _: Throwable => "unavailable" }
 
   /** The one-line JSON artifact. Per-query value = median of the reps that
     * succeeded (-1 only if EVERY rep failed); total = sum of successes.
@@ -109,6 +126,7 @@ object Bench {
       println(buildLine(names, ss, sfDir))
       Console.out.flush()
     }
+    System.err.println(s"[bench] loadavg_start ${loadAvg()}")
     val t0 = System.nanoTime()
     var samples = Vector.empty[Map[String, Double]]
     var rep = 0
@@ -151,6 +169,7 @@ object Bench {
     System.err.println("[bench] query_reps " + names.map { n =>
       "\"" + n + "\":" + samples.map(s => r3(s(n))).mkString("[", ",", "]")
     }.mkString("{", ",", "}"))
+    System.err.println(s"[bench] loadavg_end ${loadAvg()}")
     System.err.flush()
     // stop() before the last print — it can log to stderr on shutdown
     spark.stop()

@@ -1398,6 +1398,72 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // The many-strata mixing form (Sampling.stratifiedSampleDim): keep
+    // rates as a broadcast (domain, permille) DIMENSION instead of a CASE
+    // chain — the per-domain rebalance a census like q71 feeds. Domains
+    // come from the q71 synthetic URLs (host = doc_id mod 7) via the same
+    // shared urlPattern; cdn6 is deliberately absent from the dimension to
+    // pin the defaultPermille path. Per-row output pins membership.
+    q("q74_stratified_sample_dim",
+      s"""WITH wu AS (
+        |  SELECT doc_id, concat(text, ' ref https://cdn',
+        |    CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+        |    CAST(doc_id AS VARCHAR), ' end') AS text
+        |  FROM documents),
+        |dom AS (SELECT doc_id, regexp_extract(
+        |  regexp_extract(text, '${Text.urlPattern}'),
+        |  'https?://([^/]+)', 1) AS domain FROM wu),
+        |r AS (SELECT * FROM (VALUES
+        |  ('cdn0.example.org', 900), ('cdn1.example.org', 750),
+        |  ('cdn2.example.org', 500), ('cdn3.example.org', 250),
+        |  ('cdn4.example.org', 100), ('cdn5.example.org', 50))
+        |  AS t(domain, permille))
+        |SELECT doc_id, domain FROM dom LEFT JOIN r USING (domain)
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 < coalesce(permille, 300)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.functions.{concat, lit, regexp_extract}
+        val wu = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" ref https://cdn"),
+            (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
+            col("doc_id").cast("string"), lit(" end")).as("text"))
+        val dom = wu.select(col("doc_id"), regexp_extract(
+          regexp_extract(col("text"), Text.urlPattern, 0),
+          "https?://([^/]+)", 1).as("domain"))
+        val rates = Seq(
+          "cdn0.example.org" -> 900, "cdn1.example.org" -> 750,
+          "cdn2.example.org" -> 500, "cdn3.example.org" -> 250,
+          "cdn4.example.org" -> 100, "cdn5.example.org" -> 50)
+          .toDF("domain", "permille")
+        Sampling.stratifiedSampleDim(dom, "doc_id", "domain", rates,
+            defaultPermille = 300)
+          .orderBy("doc_id")
+      }),
+
+    // The skew DIAGNOSTIC surface, driver-pinned (was test-only): the
+    // heavy-hitter census that decides between plain join, AQE, and
+    // salting. Ties break on the key so the cutoff row is deterministic.
+    q("q75_heavy_hitters",
+      """SELECT l_suppkey, count(*) AS df FROM lineitem
+        |GROUP BY 1 ORDER BY df DESC, l_suppkey LIMIT 15""".stripMargin)(
+      (s, d) => Skew.heavyHitters(
+        Tables.lineitem(s, d).select("l_suppkey"), "l_suppkey", topN = 15)),
+
+    // Partition-placement observability: partitionByKeyMod places each row
+    // at floorMod(key, n) — placement as pure arithmetic, not a Spark-
+    // internal hash — so the per-partition histogram is externally
+    // reproducible: DuckDB computes the identical census from the key
+    // alone. Pins BOTH diagnostics (the explicit partitioner feeds
+    // partitionHistogram) end to end.
+    q("q76_partition_histogram",
+      """SELECT CAST(c_custkey % 8 AS INTEGER) AS pid, count(*) AS "rows"
+        |FROM customer GROUP BY 1 ORDER BY pid""".stripMargin)(
+      (s, d) => Skew.partitionHistogram(
+        Skew.partitionByKeyMod(
+          Tables.customer(s, d).select("c_custkey"), "c_custkey", 8))),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

@@ -407,18 +407,43 @@ object Dedup {
     * cluster's checkpoint dir (caller must `sc.setCheckpointDir` first —
     * required loudly below), one distributed write per round buying
     * executor-loss survival; worth it only when components are so deep
-    * that a rerun costs more than the writes. Reliable-mode checkpoint
-    * files accumulate one directory per round and are NOT auto-deleted
-    * unless `spark.cleaner.referenceTracking.cleanCheckpoints=true` —
-    * long-running cluster apps should set it or sweep the checkpoint dir.
+    * that a rerun costs more than the writes. Superseded reliable-mode
+    * checkpoints are SWEPT as the operator runs: a round's label files
+    * are deleted the moment the round replacing them is materialized, and
+    * the edge checkpoint once convergence makes it unreachable — steady
+    * state is one label directory regardless of round count, so a
+    * long-running app cannot fill the checkpoint dir one round at a
+    * time. A failed run may leave its last round's files behind;
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` remains the
+    * belt-and-braces for that path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     if (reliable)
-      require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      require(sc.getCheckpointDir.isDefined,
         "reliable connectedComponents needs sc.setCheckpointDir(...) — " +
           "the per-round label frames are written there")
+    // Checkpoint-sweep bookkeeping (reliable mode only): each round's
+    // rdd-* directory is discovered by diffing the checkpoint root around
+    // the eager pin, and deleted once the round that supersedes it is on
+    // disk — a checkpoint's whole job is truncating lineage, so once the
+    // NEXT round is materialized nothing can recompute through the prior
+    // one and its files are dead weight.
+    def listCkpt(): Set[org.apache.hadoop.fs.Path] =
+      if (!reliable) Set.empty
+      else {
+        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+        val fs = root.getFileSystem(sc.hadoopConfiguration)
+        if (fs.exists(root)) fs.listStatus(root).map(_.getPath).toSet
+        else Set.empty
+      }
+    def sweep(paths: Set[org.apache.hadoop.fs.Path]): Unit =
+      if (reliable && paths.nonEmpty) {
+        val fs = paths.head.getFileSystem(sc.hadoopConfiguration)
+        paths.foreach(p => fs.delete(p, true))
+      }
     // one knob, both pin sites: the round labels and the edge list live
     // or die by the same recovery story
     def pin(df: DataFrame): DataFrame =
@@ -426,7 +451,9 @@ object Dedup {
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every
     // round reads the adjacency again
+    val beforeEdges = listCkpt()
     val e = pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val edgeCkpt = listCkpt() -- beforeEdges
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
@@ -436,28 +463,39 @@ object Dedup {
       coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(BigDecimal(0))).as("lblsum")
     val obs0 = Observation("cc_init")
+    val beforeInit = listCkpt()
     var labels = pin(nodes.select(col("id"), col("id").as("lbl"))
       .observe(obs0, sumCol))
+    var labelCkpt = listCkpt() -- beforeInit
     var prevSum = obs0.get("lblsum")
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
         val obs = Observation(s"cc_round_$iter")
+        val before = listCkpt()
         val next = pin(und
           .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min("lbl").as("lbl"))
           .observe(obs, sumCol))
+        val created = listCkpt() -- before
         val s = obs.get("lblsum")
         converged = s == prevSum
         prevSum = s
         labels = next
+        // `next` is on disk (pin is eager): the prior round's labels are
+        // unreachable from any live frame — sweep them now
+        sweep(labelCkpt)
+        labelCkpt = created
         iter += 1
       }
       require(converged,
         s"connectedComponents did not converge in $maxIter rounds — " +
           "a component's diameter exceeds maxIter; raise it")
+      // the returned frame reads only the FINAL label checkpoint; the
+      // edge list is no longer reachable from it
+      sweep(edgeCkpt)
       labels.select(col("id"), col("lbl").as("cluster_id")).orderBy("id")
     } finally { und.unpersist(blocking = false); () }
   }

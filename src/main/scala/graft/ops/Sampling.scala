@@ -77,9 +77,9 @@ object Sampling {
     * Still a pure codegen'd projection — the rate lookup is a CASE
     * chain, no shuffle, no join, scan-speed at corpus scale. The CASE
     * chain is right for the handful-of-strata case (languages, splits);
-    * for thousands of strata (per-domain rates) join a broadcast
-    * `(stratum, permille)` dimension instead — codegen'd comparisons
-    * don't scale to 10k-branch expressions.
+    * for thousands of strata (per-domain rates) use `stratifiedSampleDim`
+    * — a broadcast `(stratum, permille)` dimension join — because
+    * codegen'd comparisons don't scale to 10k-branch expressions.
     */
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Seq[(String, Double)],
@@ -95,6 +95,45 @@ object Sampling {
           lit(math.round(r * 1000).toInt)).otherwise(rest)
     }
     df.filter(splitBucket(col(idCol)) < permille)
+  }
+
+  /** The many-strata form of `stratifiedSample`: per-stratum keep rates
+    * arrive as a `(stratumCol, permille)` DATAFRAME broadcast-joined onto
+    * the corpus — the per-domain mixing case (thousands to millions of
+    * strata, typically fed by a domain census), where a CASE chain would
+    * become a 10k-branch codegen'd expression. Same md5 bucket, so every
+    * `deterministicSample` guarantee still holds per stratum; strata
+    * absent from `rates` get `defaultPermille`. One broadcast hash join +
+    * a codegen'd filter — no shuffle of the corpus, scan-speed at 100 TB
+    * as long as the dimension fits a broadcast (millions of strata do).
+    *
+    * Rates are integer per-mille (0..1000), not doubles: the threshold
+    * each engine applies is then a stored literal, never a rounding
+    * decision — the dimension can be written once and read back by any
+    * engine with identical keep sets. `rates` must carry one row per
+    * stratum; a duplicated stratum would duplicate its rows in the output
+    * (it multiplies the join), which is on the caller exactly as a
+    * duplicated dimension key is in any star join.
+    */
+  def stratifiedSampleDim(df: DataFrame, idCol: String, stratumCol: String,
+                          rates: DataFrame,
+                          defaultPermille: Int = 0): DataFrame = {
+    require(defaultPermille >= 0 && defaultPermille <= 1000,
+      "defaultPermille must be in [0, 1000]")
+    require(rates.columns.contains(stratumCol) &&
+      rates.columns.contains("permille"),
+      s"rates must have columns ($stratumCol, permille)")
+    require(!df.columns.contains("graft_permille"),
+      "input already has a graft_permille column")
+    val dim = broadcast(rates.select(col(stratumCol),
+      col("permille").cast("int").as("graft_permille")))
+    df.join(dim, Seq(stratumCol), "left")
+      .filter(splitBucket(col(idCol)) <
+        coalesce(col("graft_permille"), lit(defaultPermille)))
+      .drop("graft_permille")
+      // the left join reorders columns (join key first); restore the
+      // input's layout so the operator is a pure row filter to callers
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Absolute per-stratum cap: keep at most `n` rows per stratum — the

@@ -40,11 +40,13 @@ object Skew {
   }
 
   /** Top-df heavy-hitter report for a key column — the diagnostic that
-    * decides between plain join, AQE, and salting.
+    * decides between plain join, AQE, and salting. Ties break on the key
+    * ascending so the report (including its cutoff row) is deterministic —
+    * a diagnostic that changes between runs reads as a data change.
     */
   def heavyHitters(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("df"))
-      .orderBy(desc("df")).limit(topN)
+      .orderBy(desc("df"), col(key)).limit(topN)
 
   /** Per-partition row-count histogram — skew visibility for any stage. */
   def partitionHistogram(df: DataFrame): DataFrame = {
@@ -53,5 +55,39 @@ object Skew {
     df.select(spark_partition_id().as("pid"))
       .groupBy("pid").agg(count(lit(1)).as("rows"))
       .orderBy("pid")
+  }
+
+  /** Explicit placement: partition by `key mod numPartitions` for an
+    * integral key. Spark's own `repartition(n, expr)` places rows by
+    * murmur3 hash — fine for balance, but the row→partition map is a
+    * Spark internal no other engine reproduces; this partitioner makes
+    * placement a PURE ARITHMETIC function of the key, so partition-level
+    * facts (the `partitionHistogram` of the result) are externally
+    * checkable, and co-location contracts ("all of key k is in partition
+    * k mod n") can be stated to systems downstream of a write. Same
+    * family as the reference's semantic first-char partitioner
+    * (SURVEY §2.5 O1; Partition.java) — placement-as-semantics is the one
+    * case worth the RDD drop-down, and the map is narrow (no wide
+    * shuffle dependency beyond the partitioner's own exchange).
+    */
+  def partitionByKeyMod(df: DataFrame, key: String,
+                        numPartitions: Int): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val idx = schema.fieldIndex(key)
+    val n = numPartitions
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = n
+      override def getPartition(k: Any): Int =
+        // floorMod: a negative key must land in [0, n), not crash
+        java.lang.Math.floorMod(k.asInstanceOf[Number].longValue, n.toLong)
+          .toInt
+    }
+    val rdd = df.rdd
+      .map(r => (r.get(idx).asInstanceOf[Number].longValue, r))
+      .partitionBy(part)
+      .values
+    spark.createDataFrame(rdd, schema)
   }
 }

@@ -86,6 +86,25 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() == 2.0)
   }
 
+  test("even-length median takes the LOWER middle (budget-stopped 2-rep)") {
+    // the round-7 defect: a 2-rep run (wall budget hit) under external
+    // host load recorded the contended rep as the artifact value because
+    // median([fast, slow]) picked the upper middle. One slow rep must
+    // never become the recorded number.
+    assert(Bench.median(Seq(203.56, 78.006)) == 78.006)
+    assert(Bench.median(Seq(78.006, 203.56)) == 78.006)
+    // odd lengths: the true middle, unchanged
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    // 4 reps: lower of the two middles
+    assert(Bench.median(Seq(4.0, 1.0, 3.0, 2.0)) == 2.0)
+    // and through buildLine: a [slow, fast] 2-rep sample records fast
+    val ns = Seq("q01_x")
+    val ss = Seq(Map("q01_x" -> 200.0), Map("q01_x" -> 70.0))
+    val node = mapper.readTree(Bench.buildLine(ns, ss, "sf"))
+    assert(node.get("value").asDouble() == 70.0)
+  }
+
   test("degradation ladder keeps the line parseable at 200 queries") {
     // even short keys overflow the window here; the ladder must drop to
     // the no-reps then total-only form rather than ship an oversize line

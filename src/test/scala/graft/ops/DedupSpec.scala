@@ -221,23 +221,40 @@ class DedupSpec extends SparkSpec {
 
   test("connected components: reliable checkpoint mode matches default") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
-    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-    // without a checkpoint dir the reliable mode must fail LOUDLY, not
-    // fall back to lineage-truncation-free rounds
-    assert(spark.sparkContext.getCheckpointDir.isEmpty)
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, edges, reliable = true)
+    // a 5-edge chain: diameter 5 forces several propagation rounds, so
+    // the sweep assertion below actually has superseded rounds to catch
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    // snapshot the shared session's checkpoint dir so this test neither
+    // depends on suite order nor leaks its own setting to later suites
+    val prevDir = spark.sparkContext.getCheckpointDir
+    if (prevDir.isEmpty) {
+      // without a checkpoint dir the reliable mode must fail LOUDLY, not
+      // fall back to lineage-truncation-free rounds
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(nodes, edges, reliable = true)
+      }
     }
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     try {
       val got = Dedup.connectedComponents(nodes, edges, reliable = true)
         .as[(Long, Long)].collect().toSeq
-      assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L),
-        (5L, 5L), (6L, 5L)))
+      assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+        (5L, 1L), (6L, 1L)))
+      // superseded rounds are swept: ~6 rounds + init + edges ran, but
+      // only the FINAL label checkpoint may remain on disk (the edge
+      // checkpoint is swept after convergence) — the dir must not grow
+      // with round count
+      val root = new org.apache.hadoop.fs.Path(
+        spark.sparkContext.getCheckpointDir.get)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val left = fs.listStatus(root).map(_.getPath.getName).toSeq
+      assert(left.length <= 1, s"checkpoint dir not swept: $left")
     } finally {
-      // the session is shared across suites: leave no checkpoint dir set
-      spark.sparkContext.setCheckpointDir(null)
+      // restore whatever was set before (None -> unset; null is safe on
+      // a local master, where no executor re-reads the dir)
+      spark.sparkContext.setCheckpointDir(prevDir.orNull)
     }
   }
 }

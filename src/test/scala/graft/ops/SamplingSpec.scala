@@ -99,6 +99,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSampleDim: join form ≡ CASE form on identical rates") {
+    val strat = ids(2000).selectExpr("doc_id",
+      "CASE WHEN doc_id % 3 = 0 THEN 'en' " +
+        "WHEN doc_id % 3 = 1 THEN 'de' ELSE 'fr' END AS stratum")
+    val caseRates = Seq("en" -> 0.8, "de" -> 0.25)
+    // the law: the broadcast-dimension form with the SAME per-mille
+    // thresholds (math.round(rate*1000), the CASE form's own conversion)
+    // keeps exactly the same rows — including the default for strata
+    // absent from the dimension ('fr' here)
+    val dim = caseRates.map { case (s, r) =>
+      (s, math.round(r * 1000).toInt) }.toDF("stratum", "permille")
+    val viaCase = Sampling.stratifiedSample(strat, "doc_id", "stratum",
+        caseRates, defaultRate = 0.1)
+      .as[(Long, String)].collect().toSet
+    val viaDim = Sampling.stratifiedSampleDim(strat, "doc_id", "stratum",
+        dim, defaultPermille = 100)
+      .as[(Long, String)].collect().toSet
+    assert(viaDim == viaCase)
+    assert(viaDim.nonEmpty)
+    // column layout is preserved (the join must not surface as a reorder)
+    assert(Sampling.stratifiedSampleDim(strat, "doc_id", "stratum", dim)
+      .columns.toSeq == strat.columns.toSeq)
+    // validation: permille range, missing dimension columns
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleDim(strat, "doc_id", "stratum", dim,
+        defaultPermille = 1001)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleDim(strat, "doc_id", "stratum",
+        dim.withColumnRenamed("permille", "rate"))
+    }
+  }
+
   test("capPerStratum: per-stratum cap, md5-order winners, layout-stable") {
     val strat = ids(100).selectExpr("doc_id",
       "CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS stratum")

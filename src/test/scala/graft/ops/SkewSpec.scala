@@ -34,4 +34,36 @@ class SkewSpec extends SparkSpec {
     val top = Skew.heavyHitters(df, "key", 1).collect().head
     assert(top.getString(0) == "hot" && top.getLong(1) == 80L)
   }
+
+  test("heavy hitters breaks df ties on the key — deterministic cutoff") {
+    // 5 keys all df=2: the top-3 must be the 3 lexicographically smallest,
+    // identically on every run and layout
+    val df = Seq("e", "c", "a", "d", "b").flatMap(k => Seq(k, k)).toDF("key")
+    val got = Skew.heavyHitters(df, "key", 3).as[(String, Long)]
+      .collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+    assert(Skew.heavyHitters(df.repartition(5), "key", 3)
+      .as[(String, Long)].collect().toSeq == got)
+  }
+
+  test("partitionByKeyMod: pid is key mod n, arithmetically checkable") {
+    val df = Seq(0L, 1L, 2L, 7L, 8L, 15L, -1L, -8L).toDF("k")
+      .withColumn("payload", col("k") * 10)
+    val placed = Skew.partitionByKeyMod(df, "k", 4)
+    // the contract: spark_partition_id == floorMod(key, n) for every row
+    val check = placed.select(col("k"),
+      spark_partition_id().as("pid")).as[(Long, Int)].collect()
+    assert(check.nonEmpty)
+    check.foreach { case (k, pid) =>
+      assert(pid == java.lang.Math.floorMod(k, 4L).toInt, s"key $k")
+    }
+    // rows and payload survive the placement untouched
+    assert(placed.select("k", "payload").collect().map(_.toSeq).toSet ==
+      df.collect().map(_.toSeq).toSet)
+    // and the histogram of the result is the mod census
+    val hist = Skew.partitionHistogram(placed)
+      .as[(Int, Long)].collect().toMap
+    // keys 0,8,-8 → 0; 1 → 1; 2 → 2; 7,15,-1 → 3
+    assert(hist == Map(0 -> 3L, 1 -> 1L, 2 -> 1L, 3 -> 3L))
+  }
 }
