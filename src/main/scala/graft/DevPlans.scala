@@ -14,7 +14,9 @@ object DevPlans {
         "q07_two_leg_stats", "q01_pricing_summary", "q25_cosine_pairs",
         "q54_asof_join", "q55_range_join", "q62_ivf_pruned_recall",
         "q63_corpus_prep", "q66_pii_redaction", "q68_hot_shingles",
-        "q69_decontamination", "q71_domain_stats", "q72_salted_join")
+        "q69_decontamination", "q71_domain_stats", "q72_salted_join",
+        "q74_stratified_sample_dim", "q75_heavy_hitters",
+        "q76_partition_histogram")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
