@@ -16,7 +16,8 @@ object DevPlans {
         "q63_corpus_prep", "q66_pii_redaction", "q68_hot_shingles",
         "q69_decontamination", "q71_domain_stats", "q72_salted_join",
         "q74_stratified_sample_dim", "q75_heavy_hitters",
-        "q76_partition_histogram")
+        "q76_partition_histogram", "q77_boilerplate_lines",
+        "q78_token_chunks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

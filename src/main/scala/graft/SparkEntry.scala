@@ -1464,6 +1464,64 @@ object SparkEntry {
         Skew.partitionByKeyMod(
           Tables.customer(s, d).select("c_custkey"), "c_custkey", 8))),
 
+    // C4-style boilerplate removal (Text.removeBoilerplateLines): lines
+    // occurring in ≥ minDocs distinct documents are template artifacts and
+    // are deleted corpus-wide. Fixture docs are single-line, so both sides
+    // wrap each in a synthetic page: a header and footer shared by ALL
+    // docs plus a share-button line on every third — those cross the df
+    // threshold and vanish; the per-doc 'para N' line and the original
+    // text stay, order preserved. Docs reduced to nothing keep text = ''.
+    q("q77_boilerplate_lines",
+      """WITH wu AS (SELECT doc_id,
+        |    concat('corpus nav home about contact', chr(10), text, chr(10),
+        |      CASE WHEN doc_id % 3 = 0 THEN 'share this page'
+        |           ELSE concat('para ', CAST(doc_id AS VARCHAR)) END,
+        |      chr(10), 'copyright corpus example') AS text
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM wu),
+        |ex AS (SELECT doc_id, unnest(lines) AS line,
+        |       unnest(range(1, len(lines)+1)) AS pos FROM ls),
+        |freq AS (SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS df FROM ex
+        |    WHERE line <> '' GROUP BY 1) WHERE df >= 10),
+        |kept AS (SELECT e.* FROM ex e ANTI JOIN freq f USING (line))
+        |SELECT d.doc_id, coalesce(k.text, '') AS text FROM wu d
+        |LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+        |           AS text FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, when}
+        val wu = Tables.documents(s, d).select(col("doc_id"), concat(
+          lit("corpus nav home about contact\n"), col("text"), lit("\n"),
+          when(col("doc_id") % 3 === 0, lit("share this page"))
+            .otherwise(concat(lit("para "), col("doc_id").cast("string"))),
+          lit("\ncopyright corpus example")).as("text"))
+        Text.removeBoilerplateLines(wu, minDocs = 10)
+      }),
+
+    // Context-window preparation (Text.chunkTokens): sliding 64-token
+    // windows advancing by 48 (16-token overlap), the tail riding the
+    // last window so no token is dropped; short docs yield exactly one
+    // chunk. Pure codegen'd projection both sides; the shared whitespace
+    // class is interpolated so tokenization is byte-identical.
+    q("q78_token_chunks",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+        |  CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INTEGER)
+        |    AS n_tokens,
+        |  array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')
+        |    AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)(
+      (s, d) => Text.chunkTokens(Tables.documents(s, d),
+        window = 64, stride = 48)),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

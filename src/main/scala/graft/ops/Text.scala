@@ -259,6 +259,85 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** C4-style boilerplate-line removal: delete every line that occurs in
+    * at least `minDocs` DISTINCT documents (nav bars, cookie banners,
+    * share buttons, copyright footers — the lines that repeat across a
+    * crawl because they come from the template, not the author). Lines
+    * are `\n`-delimited; blank lines are never counted as boilerplate
+    * (removing them would collapse paragraph structure wholesale).
+    * Output is one row per input document, line order preserved; a
+    * document whose every line was boilerplate survives with empty text
+    * (dropping it is a separate filtering decision).
+    *
+    * Shape at scale: (1) posexplode lines; (2) two-level distinct-doc
+    * census per line — a template line present in every document arrives
+    * at the final count as one partial row per map task, never a hot
+    * reducer; (3) the frequent set is bounded by actual boilerplate
+    * volume (df ≥ minDocs lines are few by construction), so it
+    * BROADCASTS and the corpus anti-joins against it without shuffling;
+    * (4) the one corpus-wide shuffle is the doc_id reassembly group —
+    * inherent to any line-restructuring pass. At 100 TB, key the census
+    * and the anti-join on `xxhash64(line)` so step 2 shuffles 8-byte
+    * hashes instead of line text; the string form here keeps the operator
+    * engine-portable for the oracle (both joins are equivalent absent
+    * hash collisions).
+    */
+  def removeBoilerplateLines(documents: DataFrame,
+                             minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would delete every non-blank line")
+    val ex = documents.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val freq = ex.filter(col("line") =!= "")
+      .groupBy("line").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = ex.join(broadcast(freq), Seq("line"), "left_anti")
+    // collect_list is order-nondeterministic: sort the (pos, line) structs
+    // (pos is unique per doc, so the struct sort IS the positional sort)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("text"))
+    documents.select(col("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window token chunking: split each document's token stream
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride) — the context-window preparation stage of a
+    * training pipeline. Chunk i covers tokens [i·stride+1, i·stride+window];
+    * the chunk count is chosen so the last window reaches the final token
+    * (a short tail rides the last window's overlap rather than being
+    * dropped). Documents shorter than one window — including empty ones —
+    * yield exactly one (possibly short or empty) chunk, so every input
+    * row is represented.
+    *
+    * Pure per-row computation: split/sequence/explode/slice/concat_ws are
+    * all codegen'd builtins — no shuffle, no state, scan-speed at corpus
+    * scale; output size is input size × (1/stride overlap factor), the
+    * irreducible cost of overlap.
+    */
+  def chunkTokens(documents: DataFrame, window: Int = 64,
+                  stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    val n = size(col("toks"))
+    // ceil((n - window)/stride) + 1 for n > window, else 1; values are
+    // far inside double's exact-integer range, so ceil is drift-free
+    val nChunks = when(n <= window, lit(1)).otherwise(
+      (ceil((n - lit(window)).cast("double") / stride) + 1).cast("int"))
+    val start = col("chunk_id") * stride + 1
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), start, lit(window))).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), start, lit(window))).as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Per-document top-`topK` terms by tf·idf (north-star text analysis:
     * keyword extraction / salience scoring for corpus triage).
     *

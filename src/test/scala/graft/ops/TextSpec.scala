@@ -160,4 +160,72 @@ class TextSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).toSeq == Seq(0L, 0L))
     assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
+
+  test("boilerplate lines: frequent lines vanish, order kept, docs kept") {
+    // header in all 4 docs (df=4 >= 3), footer in 3; per-doc body unique;
+    // blank lines are never boilerplate regardless of df
+    val d = docs(
+      "HEAD\nbody zero\n\nFOOT",
+      "HEAD\nbody one\n\nFOOT",
+      "HEAD\nbody two\nFOOT",
+      "HEAD\nonly head")
+    val got = Text.removeBoilerplateLines(d, minDocs = 3)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "body zero\n"), (1L, "body one\n"),
+      (2L, "body two"), (3L, "only head")))
+    // a doc that was ALL boilerplate survives with empty text
+    val all = Text.removeBoilerplateLines(
+      docs("X", "X", "X\nkeep me"), minDocs = 3)
+      .as[(Long, String)].collect().toSeq
+    assert(all == Seq((0L, ""), (1L, ""), (2L, "keep me")))
+    // below-threshold lines are untouched even when repeated
+    val under = Text.removeBoilerplateLines(docs("dup\na", "dup\nb"),
+      minDocs = 3).as[(Long, String)].collect().toSeq
+    assert(under == Seq((0L, "dup\na"), (1L, "dup\nb")))
+    intercept[IllegalArgumentException] {
+      Text.removeBoilerplateLines(d, minDocs = 1)
+    }
+  }
+
+  test("boilerplate lines: df counts DISTINCT docs, not occurrences") {
+    // 'spam' appears 3 times but in only ONE doc -> df=1, stays
+    val got = Text.removeBoilerplateLines(
+      docs("spam\nspam\nspam", "other"), minDocs = 3)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((0L, "spam\nspam\nspam"), (1L, "other")))
+  }
+
+  test("chunking: windows cover every token, tail rides the overlap") {
+    // 10 tokens, window 4, stride 3 -> chunks at 1,4,7 (ceil(6/3)+1 = 3)
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = Text.chunkTokens(docs(text), window = 4, stride = 3)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0, 4, "t1 t2 t3 t4"),
+      (0L, 1, 4, "t4 t5 t6 t7"),
+      (0L, 2, 4, "t7 t8 t9 t10")))
+    // reconstruction law: stride-aligned prefixes of each chunk, plus the
+    // last chunk whole, reproduce the token stream exactly
+    val toks = got.dropRight(1).flatMap(_._4.split(" ").take(3)) ++
+      got.last._4.split(" ")
+    assert(toks == (1 to 10).map(i => s"t$i"))
+  }
+
+  test("chunking: short and empty docs yield exactly one chunk") {
+    val got = Text.chunkTokens(docs("a b", "", "  "), window = 4, stride = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq((0L, 0, 2, "a b"), (1L, 0, 0, ""), (2L, 0, 0, "")))
+    // exact-fit doc: one chunk, not two (n == window is the <= branch)
+    val fit = Text.chunkTokens(docs("a b c d"), window = 4, stride = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(fit == Seq((0L, 0, 4, "a b c d")))
+    // n = window + 1: the second window starts at stride+1 and holds the tail
+    val one = Text.chunkTokens(docs("a b c d e"), window = 4, stride = 2)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(one == Seq((0L, 0, 4, "a b c d"), (0L, 1, 3, "c d e")))
+    intercept[IllegalArgumentException] {
+      Text.chunkTokens(docs("a"), window = 2, stride = 3)
+    }
+  }
 }
