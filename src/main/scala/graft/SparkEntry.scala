@@ -1522,6 +1522,66 @@ object SparkEntry {
       (s, d) => Text.chunkTokens(Tables.documents(s, d),
         window = 64, stride = 48)),
 
+    // CCNet-family fluency score (Text.bigramLmScore): per-doc mean
+    // ln P(w2|w1) under the corpus's own bigram model. The engine-fragile
+    // ln is quantized per distinct bigram (×10⁴, the q57 trick) and the
+    // reported score is one IEEE division of exact integers, so the hash
+    // compare is drift-free; the shared whitespace class keeps
+    // tokenization byte-identical.
+    q("q79_bigram_lm_score",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> concat(toks[i], ' ', toks[i+1]))) AS bigram FROM t),
+        |bgc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |model AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS b12,
+        |    split_part(bigram, ' ', 1) AS w1 FROM bgc GROUP BY 1),
+        |uni AS (SELECT w1, CAST(sum(b12) AS BIGINT) AS u1
+        |  FROM model GROUP BY 1),
+        |lq AS (SELECT bigram, CAST(round(ln(b12 / u1) * 10000) AS BIGINT)
+        |    AS lq FROM model JOIN uni USING (w1)),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(CAST(sum(c * lq) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(sum(c) AS BIGINT) * 10000 AS DOUBLE) AS lm_score
+        |  FROM bgc JOIN lq USING (bigram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+        |  pd.lm_score
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.bigramLmScore(Tables.documents(s, d))),
+
+    // Token-budgeted corpus mixing (Sampling.capTokensPerStratum): each
+    // synthetic source keeps the longest md5-order prefix totalling
+    // ≤ 3000 tokens — the unit a training mix is actually specified in.
+    // Take-while cumsum over the same hash-order window as q73, integer
+    // arithmetic end to end.
+    q("q80_token_budget_cap",
+      s"""WITH s AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'web'
+        |         WHEN doc_id % 3 = 1 THEN 'book' ELSE 'code' END AS source,
+        |    CAST(len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM s)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 3000
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{size, when}
+        val src = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "web")
+            .when(col("doc_id") % 3 === 1, "book")
+            .otherwise("code").as("source"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        Sampling.capTokensPerStratum(src, "doc_id", "source",
+            "n_tokens", budget = 3000L)
+          .orderBy("doc_id")
+      }),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

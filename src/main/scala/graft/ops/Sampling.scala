@@ -167,4 +167,38 @@ object Sampling {
       .filter(col("graft_rank") <= n)
       .drop("graft_rank")
   }
+
+  /** Token-budget cap per stratum: keep the longest md5-order prefix of
+    * each stratum whose `tokenCol` total stays within `budget` — corpus
+    * mixing when the unit that matters is TOKENS, not documents
+    * (`capPerStratum` bounds row counts; a source of long documents blows
+    * a token budget long before a row cap trips). Take-while semantics:
+    * the running total INCLUDES skipped-over rows, so the kept set is
+    * exactly a prefix of the stratum's hash order — a row's fate depends
+    * only on the rows hashed before it, which makes the selection
+    * engine-portable (same window, same integer cumsum anywhere) and
+    * growth-stable the same way `capPerStratum`'s rank is. A single
+    * document larger than the whole budget at the prefix head blocks its
+    * stratum — by design: take-while, not best-fit (bin-packing here
+    * would make every row's fate depend on global layout).
+    *
+    * Same scale posture as `capPerStratum`: one window per stratum,
+    * applied once per layout decision; pre-shrink a dominant stratum with
+    * `deterministicSample` if it outgrows an executor (then the budget
+    * applies to the sampled pool's prefix, as documented there).
+    */
+  def capTokensPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                          tokenCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(!df.columns.contains("graft_cum"),
+      "input already has a graft_cum column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("graft_cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("graft_cum") <= budget)
+      .drop("graft_cum")
+  }
 }

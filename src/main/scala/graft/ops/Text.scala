@@ -259,6 +259,53 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** CCNet-family fluency scoring: per-document mean log-probability
+    * under a bigram language model trained on the corpus itself — the
+    * quality signal that separates natural prose (common word-to-word
+    * transitions) from gibberish, spam, and token salad (rare ones).
+    * P(w2|w1) = c(w1 w2)/c(w1 ·) over the corpus; a document's score is
+    * the occurrence-weighted mean of ln P over its bigrams. Model and
+    * scored corpus are the same here; training on a reference slice is
+    * the same code with a different `documents` for the model legs.
+    *
+    * ln P is QUANTIZED per distinct bigram (×10⁴, half-up) before the
+    * per-doc average, the q57 tf-idf trick: the cross-engine-fragile
+    * `ln` collapses to an integer, and the reported score is a single
+    * IEEE division of two exact integers — bit-identical on any engine.
+    * Docs with fewer than 2 tokens surface with n_bigrams = 0 and NULL
+    * score (a left join keeps the corpus total).
+    *
+    * Scale: raw text leaves the plan at the first projection — every
+    * shuffle after the (doc_id, bigram) count carries aggregated counts.
+    * The model is bounded by OBSERVED bigrams (far under vocab²), its
+    * unigram roll-up and the score join are aggregated-data joins, and
+    * the per-doc reduce is a two-level sum. No window, no driver state.
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bgc = documents.select(col("doc_id"), explode(
+      zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    val model = bgc.groupBy("bigram").agg(sum("c").as("b12"))
+      .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
+    val uni = model.groupBy("w1").agg(sum("b12").as("u1"))
+    val q = model.join(uni, "w1")
+      .select(col("bigram"),
+        round(log(col("b12") / col("u1")) * 10000).cast("long").as("lq"))
+    val perDoc = bgc.join(q, "bigram")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        (sum(col("c") * col("lq")).cast("double") /
+          (sum("c") * 10000).cast("double")).as("lm_score"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** C4-style boilerplate-line removal: delete every line that occurs in
     * at least `minDocs` DISTINCT documents (nav bars, cookie banners,
     * share buttons, copyright footers — the lines that repeat across a

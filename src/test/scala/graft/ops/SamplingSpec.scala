@@ -132,6 +132,50 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capTokensPerStratum: longest hash-order prefix within budget") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val rows = (0L until 60L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      (i % 7 + 1).toInt))
+    val df = rows.toDF("doc_id", "stratum", "n_tokens")
+    val got = Sampling.capTokensPerStratum(df, "doc_id", "stratum",
+      "n_tokens", budget = 20L).as[(Long, String, Int)].collect().toSet
+    // the oracle-in-Scala: per stratum, sort by (md5(id), id), take while
+    // the running total (INCLUDING the current row) stays <= budget
+    val expect = rows.groupBy(_._2).values.flatMap { g =>
+      val sorted = g.sortBy(r => (md5hex(r._1.toString), r._1))
+      sorted.scanLeft((null.asInstanceOf[(Long, String, Int)], 0L)) {
+        case ((_, cum), r) => (r, cum + r._3)
+      }.tail.takeWhile(_._2 <= 20L).map(_._1)
+    }.toSet
+    assert(got == expect && got.nonEmpty)
+    // take-while, not best-fit: rows after the first overflow are out
+    // even if they individually fit — per stratum the kept set is a
+    // PREFIX of hash order
+    for (s <- Seq("a", "b")) {
+      val order = rows.filter(_._2 == s)
+        .sortBy(r => (md5hex(r._1.toString), r._1)).map(_._1)
+      val keptIds = got.filter(_._2 == s).map(_._1)
+      assert(order.takeWhile(keptIds.contains).toSet == keptIds.toSet)
+    }
+    // layout-stable
+    assert(Sampling.capTokensPerStratum(df.repartition(7), "doc_id",
+      "stratum", "n_tokens", 20L).as[(Long, String, Int)]
+      .collect().toSet == got)
+    // a head row larger than the whole budget blocks its stratum
+    val big = Seq((1L, "x", 100), (2L, "x", 1)).toDF(
+      "doc_id", "stratum", "n_tokens")
+    val headFirst = Seq(1L, 2L).minBy(i => (md5hex(i.toString), i))
+    val kept = Sampling.capTokensPerStratum(big, "doc_id", "stratum",
+      "n_tokens", 50L).as[(Long, String, Int)].collect().toSeq
+    if (headFirst == 1L) assert(kept.isEmpty)
+    else assert(kept.map(_._1) == Seq(2L))
+    intercept[IllegalArgumentException] {
+      Sampling.capTokensPerStratum(df, "doc_id", "stratum", "n_tokens", 0L)
+    }
+  }
+
   test("capPerStratum: per-stratum cap, md5-order winners, layout-stable") {
     val strat = ids(100).selectExpr("doc_id",
       "CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS stratum")

@@ -161,6 +161,24 @@ class TextSpec extends SparkSpec {
     assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("bigram LM score: quantized mean log-prob, hand-checked") {
+    // corpus: doc0 = "a b a b" (bigrams: a b ×2, b a ×1), doc1 = "a c"
+    // model: c(a b)=2, c(b a)=1, c(a c)=1; c(a ·)=3, c(b ·)=1
+    // quantized ln P: a b -> round(ln(2/3)*1e4) = -4055; b a -> 0;
+    //                 a c -> round(ln(1/3)*1e4) = -10986
+    val got = Text.bigramLmScore(docs("a b a b", "a c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((0L, 3L, (2.0 * -4055 + 0) / 30000.0)))
+    assert(got(1) == ((1L, 1L, -10986 / 10000.0)))
+  }
+
+  test("bigram LM score: short docs surface with zero bigrams, NULL score") {
+    val got = Text.bigramLmScore(docs("a b", "solo", "")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 0L, 0L))
+    assert(got(0).getDouble(2) == 0.0) // only bigram: P(b|a)=1, ln=0
+    assert(got(1).isNullAt(2) && got(2).isNullAt(2))
+  }
+
   test("boilerplate lines: frequent lines vanish, order kept, docs kept") {
     // header in all 4 docs (df=4 >= 3), footer in 3; per-doc body unique;
     // blank lines are never boilerplate regardless of df
