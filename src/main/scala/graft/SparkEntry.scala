@@ -462,6 +462,24 @@ object SparkEntry {
         .tumblingTypeCounts(Tables.events(s, d))
         .orderBy("win_us", "event_type")),
 
+    // Hopping windows (EventStreams.hoppingTypeCounts): 1 h windows every
+    // 30 min — each event covers exactly window/slide = 2 windows. The
+    // oracle enumerates each event's covering window starts by stepping
+    // back from its slide-aligned bucket while start > t − window,
+    // mirroring Spark's epoch-aligned window assignment in µs integers.
+    q("q81_hopping_window",
+      """WITH e AS (SELECT epoch_us(ts) AS t_us, event_type, value
+        |  FROM events),
+        |x AS (SELECT unnest(range((t_us // 1800000000) * 1800000000,
+        |    t_us - 3600000000, -1800000000)) AS win_us, event_type, value
+        |  FROM e)
+        |SELECT win_us, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .hoppingTypeCounts(Tables.events(s, d))
+        .orderBy("win_us", "event_type")),
+
     q("q31_session_windows",
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |m AS (SELECT user_id, us, value,

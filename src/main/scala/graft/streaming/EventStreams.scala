@@ -38,6 +38,26 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Hopping (sliding) window counts+sums per event type: windows of
+    * `window` length starting every `slide` (< window ⇒ overlap, each
+    * event lands in window/slide windows). The smoothing form of
+    * `tumblingTypeCounts` — rate monitoring that doesn't jump at bucket
+    * boundaries. Same watermark/state contract: in streaming mode each
+    * of an event's covering windows finalizes independently as the
+    * watermark passes its end; state is window/slide × live windows,
+    * still watermark-bounded.
+    */
+  def hoppingTypeCounts(events: DataFrame, window: String = "1 hour",
+                        slide: String = "30 minutes",
+                        delay: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", delay)
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"),
+        window, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
   /** Per-user session windows (gap-based). Built-in session_window merges
     * events closer than `gap`; a new session starts when the inter-event
     * gap is ≥ `gap`.

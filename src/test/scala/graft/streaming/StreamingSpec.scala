@@ -44,6 +44,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hopping windows: each event covers window/slide windows; " +
+      "they finalize independently on watermark") {
+    implicit val ctx = spark.sqlContext
+    val halfH = H / 2
+    val in = MemoryStream[Event]
+    val q = EventStreams.hoppingTypeCounts(in.toDF(), "1 hour",
+        "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("append").start()
+    withQuery(q) {
+      // t=45min sits in windows starting at 0 and at 30min
+      in.addData(ev(1, 45 * 60 * 1000000000L), ev(1, 4 * H))
+      q.processAllAvailable() // watermark → 2h: both covering windows final
+      val after1 = spark.table("hopping").as[(Long, String, Long, Double)]
+        .collect().toSet
+      assert(after1 == Set(
+        (0L, "view", 1L, 1.0), (halfH / 1000, "view", 1L, 1.0)))
+      in.addData(ev(1, 7 * H)) // watermark → 5h: the 3.5h/4h windows final
+      q.processAllAvailable()
+      val after2 = spark.table("hopping").as[(Long, String, Long, Double)]
+        .collect().toSet
+      assert(after2 == after1 ++ Set(
+        ((4 * H - halfH) / 1000, "view", 1L, 1.0),
+        (4 * H / 1000, "view", 1L, 1.0)))
+    }
+  }
+
   test("session windows merge events within the gap, split at >= gap") {
     // batch-mode execution of the same transform (unified semantics)
     val gapNs = 1800L * 1000000000L
