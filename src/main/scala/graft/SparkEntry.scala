@@ -1600,6 +1600,72 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // Incremental dedup (Dedup.dedupAgainstHistory): today's batch vs
+    // yesterday's corpus, which exists only as its fingerprint table.
+    // History here = fps of every doc_id ≡ 0 (mod 3), so those docs (and
+    // any content-equal twin) drop; survivors are then within-batch
+    // exact-deduped keeping the lowest id — output appends cleanly to
+    // corpus and history both.
+    q("q82_incremental_dedup",
+      """WITH fp AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))
+        |      AS fp
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT f.doc_id, f.fp FROM fp f ANTI JOIN hist h
+        |  USING (fp)),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+        |SELECT d.doc_id, d.text FROM documents d SEMI JOIN keep
+        |USING (doc_id) ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.md5
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val hist = docs.filter(col("doc_id") % 3 === 0)
+          .select(md5(Dedup.normText(col("text")).cast("binary")).as("fp"))
+          .distinct()
+        Dedup.dedupAgainstHistory(docs, hist)
+      }),
+
+    // Deequ-style column profile (Profiling.numericProfile): exact
+    // completeness/uniqueness/range facts per column, one pass, no
+    // accumulation-sensitive metric anywhere — hash-comparable by
+    // construction.
+    q("q83_column_profile",
+      """SELECT * FROM (
+        |  SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(l_extendedprice) AS n_null,
+        |    count(DISTINCT l_extendedprice) AS n_distinct,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS min_val,
+        |    CAST(max(l_extendedprice) AS DOUBLE) AS max_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+        |    CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+        |    count(DISTINCT l_suppkey), CAST(min(l_suppkey) AS DOUBLE),
+        |    CAST(max(l_suppkey) AS DOUBLE) FROM lineitem
+        |) ORDER BY col_name""".stripMargin)(
+      (s, d) => Profiling.numericProfile(Tables.lineitem(s, d),
+        Seq("l_extendedprice", "l_quantity", "l_suppkey"))),
+
+    // Fixed-bound value histogram (Profiling.numericHistogram): 20 equal
+    // bins over [0, 200) on events.value, out-of-range clamped to the
+    // edge bins, empty bins surfaced as 0. The bin expression is written
+    // identically both sides so IEEE floor/divide agree bit for bit.
+    q("q84_value_histogram",
+      """WITH b AS (SELECT CAST(least(greatest(
+        |    floor((value - 0.0) * 20 / (200.0 - 0.0)), 0), 19) AS INTEGER)
+        |    AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1)
+        |SELECT CAST(t.i AS INTEGER) AS bin,
+        |  CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM range(20) t(i) LEFT JOIN c ON c.bin = t.i
+        |ORDER BY bin""".stripMargin)(
+      (s, d) => Profiling.numericHistogram(Tables.events(s, d),
+        "value", lo = 0.0, hi = 200.0, k = 20)),
+
     q("q59_grouped_quantiles",
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty, count(*) AS n

@@ -37,6 +37,29 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("fp")
 
+  /** Incremental exact dedup — the production shape: today's batch
+    * arrives, yesterday's corpus exists only as its FINGERPRINT table
+    * (id-free md5s, the compact artifact each run appends to). Drop every
+    * batch doc whose fingerprint is already in the history, then
+    * exact-dedup the survivors within the batch (keep lowest id), so the
+    * output is directly appendable to both the corpus and the history.
+    *
+    * Scale: the history is all prior content — far too big to broadcast —
+    * so membership is a plain shuffle anti-join on the 16-byte fp; the
+    * batch side computes fp in the scan stage and shuffles (fp, id), text
+    * stays columnar until the final semi-join re-read. Within-batch
+    * keep-min is the q21 groupBy reusing the anti-join's fp partitioning
+    * (no extra exchange).
+    */
+  def dedupAgainstHistory(docs: DataFrame, historyFps: DataFrame): DataFrame = {
+    val withFp = docs.select(col("doc_id"),
+      md5(normText(col("text")).cast("binary")).as("fp"))
+    val fresh = withFp.join(historyFps.select("fp"), Seq("fp"), "left_anti")
+    val keep = fresh.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    docs.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
   /** Spread CPU-heavy per-document work across the cluster: a small
     * parquet table often arrives as one partition (single row group), which
     * would serialize the whole shingle/hash stage on one core; documents

@@ -257,4 +257,22 @@ class DedupSpec extends SparkSpec {
       spark.sparkContext.setCheckpointDir(prevDir.orNull)
     }
   }
+
+  test("dedupAgainstHistory: history fps drop, then within-batch keep-min") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Seq(
+      (1L, "alpha"), (2L, "beta"),
+      (3L, "  ALPHA "),  // normalizes to doc 1's content
+      (4L, "gamma")).toDF("doc_id", "text")
+    val hist = Seq("beta").toDF("t")
+      .select(md5(Dedup.normText(col("t")).cast("binary")).as("fp"))
+    val got = Dedup.dedupAgainstHistory(docs, hist)
+      .as[(Long, String)].collect().toSeq
+    // beta is in history -> doc 2 drops; alpha keeps its lowest id only
+    assert(got == Seq((1L, "alpha"), (4L, "gamma")))
+    // empty history: pure within-batch exact dedup
+    val none = hist.filter(col("fp").isNull)
+    assert(Dedup.dedupAgainstHistory(docs, none)
+      .as[(Long, String)].collect().map(_._1).toSeq == Seq(1L, 2L, 4L))
+  }
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numericProfile: exact completeness/uniqueness/range per column") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, 1.5), (3L, null), (null, 4.0), (3L, -2.0))
+      .toDF("a", "b")
+    val got = Profiling.numericProfile(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == Seq(
+      ("a", 5L, 1L, 3L, 1.0, 3.0),    // distinct ignores the null
+      ("b", 5L, 1L, 3L, -2.0, 4.0)))  // 1.5 counted once
+    intercept[IllegalArgumentException] {
+      Profiling.numericProfile(df, Seq("a", "nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.numericProfile(df, Seq.empty)
+    }
+  }
+
+  test("numericHistogram: clamped edges, empty bins as zero, null skip") {
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.9, 1.0, 99.0, null)
+      .toDF("v")
+    // [0,4) in 4 bins of width 1: -5 clamps into bin 0, 99 into bin 3,
+    // bin 2 is genuinely empty and must surface as 0
+    val got = Profiling.numericHistogram(df, "v", lo = 0.0, hi = 4.0, k = 4)
+      .as[(Int, Long)].collect().toSeq
+    assert(got == Seq((0, 3L), (1, 1L), (2, 0L), (3, 1L)))
+    intercept[IllegalArgumentException] {
+      Profiling.numericHistogram(df, "v", 0.0, 4.0, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Profiling.numericHistogram(df, "v", 4.0, 4.0, 4)
+    }
+  }
+}
