@@ -18,7 +18,8 @@ object DevPlans {
         "q74_stratified_sample_dim", "q75_heavy_hitters",
         "q76_partition_histogram", "q77_boilerplate_lines",
         "q78_token_chunks", "q79_bigram_lm_score", "q80_token_budget_cap",
-        "q82_incremental_dedup", "q83_column_profile", "q84_value_histogram")
+        "q82_incremental_dedup", "q83_column_profile", "q84_value_histogram",
+        "q85_sq_pruned_knn")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -452,6 +452,32 @@ object SparkEntry {
           nlist = 8, nprobe = 2)
       }),
 
+    // SQ8 compressed-scan ANN (Similarity.annSq): the q62 contract for
+    // the MEMORY dial — candidates come from 1-byte-per-dim codes
+    // (asymmetric scoring against dequantized corpus), the rerank is
+    // exact by id join, and the result must STILL equal the exact top-k
+    // (same oracle as q62): a quantization/rerank regression that loses
+    // one neighbor is a driver hash mismatch.
+    q("q85_sq_pruned_knn",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        Similarity.annSq(emb, emb.filter(col("vec_id") < 10), k = 5)
+      }),
+
     // ---- iterative ML (SURVEY §2.6; non-SQL-expressible) ----
     // ---- windowing / analytic / set ops (SURVEY §2.8 engine surface) ----
     q("q30_tumbling_window",

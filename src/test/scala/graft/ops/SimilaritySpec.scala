@@ -139,10 +139,29 @@ class SimilaritySpec extends SparkSpec {
     Seq(
       Similarity.bruteForceKnn(empty, qs, k = 3),
       Similarity.annLsh(empty, qs, k = 3),
-      Similarity.annIvf(empty, qs, k = 3)
+      Similarity.annIvf(empty, qs, k = 3),
+      Similarity.annSq(empty, qs, k = 3)
     ).foreach { r =>
       assert(r.columns.toSeq == cols && r.count() == 0L)
     }
+  }
+
+  test("annSq: quantized candidate scan + exact rerank equals exact top-k") {
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    // the q85 contract: SQ8 compression must not lose a single neighbor
+    // OR disturb the exact-rerank order
+    val sq = Similarity.annSq(e, queries, k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(sq == exact)
+    // degenerate corpus (all-identical vectors): spans collapse, the
+    // MIN_NORMAL guard keeps dequantization finite, ranks fall to id ties
+    val flat = vecs((0L until 6L).map(i => i -> Array(1f, 2f, 3f)): _*)
+    val r = Similarity.annSq(flat, flat.filter(col("vec_id") === 0), k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(r == Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L)))
   }
 
   test("annLsh: high recall vs brute force on clustered vectors") {
