@@ -1486,6 +1486,42 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // Leakage-safe splitting (Sampling.deterministicSplit keyed on the
+    // GROUP, not the row): hashing the DOMAIN assigns every doc of a
+    // domain to the same split, so near-duplicate pages from one site can
+    // never straddle train/test — the group-coherence contract
+    // train/test decontamination needs from the split itself. Same q74
+    // synthetic domains; 80/10/10 per-mille thresholds.
+    q("q86_group_split",
+      s"""WITH wu AS (
+        |  SELECT doc_id, concat(text, ' ref https://cdn',
+        |    CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+        |    CAST(doc_id AS VARCHAR), ' end') AS text
+        |  FROM documents),
+        |dom AS (SELECT doc_id, regexp_extract(
+        |  regexp_extract(text, '${Text.urlPattern}'),
+        |  'https?://([^/]+)', 1) AS domain FROM wu),
+        |b AS (SELECT doc_id, domain,
+        |  CAST(('0x' || substr(md5(domain), 1, 4)) AS INTEGER) % 1000
+        |    AS bucket FROM dom)
+        |SELECT doc_id, domain,
+        |  CASE WHEN bucket < 800 THEN 'train'
+        |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, regexp_extract}
+        val wu = Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"), lit(" ref https://cdn"),
+            (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
+            col("doc_id").cast("string"), lit(" end")).as("text"))
+        val dom = wu.select(col("doc_id"), regexp_extract(
+          regexp_extract(col("text"), Text.urlPattern, 0),
+          "https?://([^/]+)", 1).as("domain"))
+        Sampling.deterministicSplit(dom, "domain",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .orderBy("doc_id")
+      }),
+
     // The skew DIAGNOSTIC surface, driver-pinned (was test-only): the
     // heavy-hitter census that decides between plain join, AQE, and
     // salting. Ties break on the key so the cutoff row is deterministic.

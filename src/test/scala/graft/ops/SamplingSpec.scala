@@ -24,6 +24,19 @@ class SamplingSpec extends SparkSpec {
     assert(got("val") > 100 && got("val") < 300)
   }
 
+  test("group-keyed split is group-coherent: a domain never straddles") {
+    // key the split on the GROUP column: every row of a group gets the
+    // group's split — the leakage-safe form (near-dup pages of one site
+    // cannot land on both sides of train/test)
+    val rows = ids(600).selectExpr("doc_id",
+      "concat('d', CAST(doc_id % 37 AS STRING)) AS domain")
+    val got = Sampling.deterministicSplit(rows, "domain", fractions)
+      .select("domain", "split").as[(String, String)].collect()
+    val perDomain = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(perDomain.values.forall(_.size == 1))
+    assert(got.length == 600)
+  }
+
   test("assignment is a pure function of the id") {
     val once = Sampling.deterministicSplit(ids(500), "doc_id", fractions)
       .as[(Long, String)].collect().toMap
