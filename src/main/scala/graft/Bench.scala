@@ -48,8 +48,9 @@ object Bench {
     * as "unavailable" rather than failing the bench.
     */
   private def loadAvg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-    catch { case _: Throwable => "unavailable" }
+    try scala.util.Using.resource(
+      scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
+    catch { case scala.util.control.NonFatal(_) => "unavailable" }
 
   /** The one-line JSON artifact. Per-query value = median of the reps that
     * succeeded (-1 only if EVERY rep failed); total = sum of successes.

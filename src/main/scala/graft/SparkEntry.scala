@@ -51,6 +51,34 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame): QuerySpec =
     QuerySpec(name, fn, None)
 
+  /** Shared synthetic-domain fixture for q74/q86 (q71 has its own
+    * extract-ALL shape): fixture text carries no URLs, so each document
+    * gets one appended, host = doc_id mod 7. The SQL CTE pair and the
+    * DataFrame builder below are the SAME construction and must change
+    * together — a tweak applied to one side silently makes its queries
+    * test a different corpus than the other's.
+    */
+  private val syntheticDomainCtes: String =
+    s"""wu AS (
+      |  SELECT doc_id, concat(text, ' ref https://cdn',
+      |    CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
+      |    CAST(doc_id AS VARCHAR), ' end') AS text
+      |  FROM documents),
+      |dom AS (SELECT doc_id, regexp_extract(
+      |  regexp_extract(text, '${Text.urlPattern}'),
+      |  'https?://([^/]+)', 1) AS domain FROM wu)""".stripMargin
+
+  private def syntheticDomains(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit, regexp_extract}
+    val wu = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" ref https://cdn"),
+        (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
+        col("doc_id").cast("string"), lit(" end")).as("text"))
+    wu.select(col("doc_id"), regexp_extract(
+      regexp_extract(col("text"), Text.urlPattern, 0),
+      "https?://([^/]+)", 1).as("domain"))
+  }
+
   /** Partition width for the iterative k-means queries: an eighth of the
     * session's core count (floor 2) — narrow enough that the dozens of tiny
     * per-iteration jobs aren't dominated by task scheduling, yet derived,
@@ -1449,14 +1477,7 @@ object SparkEntry {
     // shared urlPattern; cdn6 is deliberately absent from the dimension to
     // pin the defaultPermille path. Per-row output pins membership.
     q("q74_stratified_sample_dim",
-      s"""WITH wu AS (
-        |  SELECT doc_id, concat(text, ' ref https://cdn',
-        |    CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
-        |    CAST(doc_id AS VARCHAR), ' end') AS text
-        |  FROM documents),
-        |dom AS (SELECT doc_id, regexp_extract(
-        |  regexp_extract(text, '${Text.urlPattern}'),
-        |  'https?://([^/]+)', 1) AS domain FROM wu),
+      s"""WITH $syntheticDomainCtes,
         |r AS (SELECT * FROM (VALUES
         |  ('cdn0.example.org', 900), ('cdn1.example.org', 750),
         |  ('cdn2.example.org', 500), ('cdn3.example.org', 250),
@@ -1468,21 +1489,13 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin)(
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.functions.{concat, lit, regexp_extract}
-        val wu = Tables.documents(s, d).select(col("doc_id"),
-          concat(col("text"), lit(" ref https://cdn"),
-            (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
-            col("doc_id").cast("string"), lit(" end")).as("text"))
-        val dom = wu.select(col("doc_id"), regexp_extract(
-          regexp_extract(col("text"), Text.urlPattern, 0),
-          "https?://([^/]+)", 1).as("domain"))
         val rates = Seq(
           "cdn0.example.org" -> 900, "cdn1.example.org" -> 750,
           "cdn2.example.org" -> 500, "cdn3.example.org" -> 250,
           "cdn4.example.org" -> 100, "cdn5.example.org" -> 50)
           .toDF("domain", "permille")
-        Sampling.stratifiedSampleDim(dom, "doc_id", "domain", rates,
-            defaultPermille = 300)
+        Sampling.stratifiedSampleDim(syntheticDomains(s, d), "doc_id",
+            "domain", rates, defaultPermille = 300)
           .orderBy("doc_id")
       }),
 
@@ -1493,14 +1506,7 @@ object SparkEntry {
     // train/test decontamination needs from the split itself. Same q74
     // synthetic domains; 80/10/10 per-mille thresholds.
     q("q86_group_split",
-      s"""WITH wu AS (
-        |  SELECT doc_id, concat(text, ' ref https://cdn',
-        |    CAST(doc_id % 7 AS VARCHAR), '.example.org/p/',
-        |    CAST(doc_id AS VARCHAR), ' end') AS text
-        |  FROM documents),
-        |dom AS (SELECT doc_id, regexp_extract(
-        |  regexp_extract(text, '${Text.urlPattern}'),
-        |  'https?://([^/]+)', 1) AS domain FROM wu),
+      s"""WITH $syntheticDomainCtes,
         |b AS (SELECT doc_id, domain,
         |  CAST(('0x' || substr(md5(domain), 1, 4)) AS INTEGER) % 1000
         |    AS bucket FROM dom)
@@ -1508,19 +1514,9 @@ object SparkEntry {
         |  CASE WHEN bucket < 800 THEN 'train'
         |       WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin)(
-      (s, d) => {
-        import org.apache.spark.sql.functions.{concat, lit, regexp_extract}
-        val wu = Tables.documents(s, d).select(col("doc_id"),
-          concat(col("text"), lit(" ref https://cdn"),
-            (col("doc_id") % 7).cast("string"), lit(".example.org/p/"),
-            col("doc_id").cast("string"), lit(" end")).as("text"))
-        val dom = wu.select(col("doc_id"), regexp_extract(
-          regexp_extract(col("text"), Text.urlPattern, 0),
-          "https?://([^/]+)", 1).as("domain"))
-        Sampling.deterministicSplit(dom, "domain",
-            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-          .orderBy("doc_id")
-      }),
+      (s, d) => Sampling.deterministicSplit(syntheticDomains(s, d),
+          "domain", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
 
     // The skew DIAGNOSTIC surface, driver-pinned (was test-only): the
     // heavy-hitter census that decides between plain join, AQE, and

@@ -439,7 +439,21 @@ object Dedup {
     * time. A failed run may leave its last round's files behind;
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` remains the
     * belt-and-braces for that path.
+    *
+    * Sweep attribution: a round's files are found by diffing the
+    * checkpoint root around the eager pin. Concurrent reliable CC calls
+    * in one JVM are serialized through that window (`ckptLock`) so they
+    * never claim each other's directories; a NON-graft thread
+    * checkpointing on the same SparkContext inside the window would
+    * still be misattributed and swept — callers sharing a context with
+    * other checkpoint users should prefer `reliable = false` or the
+    * cleaner conf above instead of the sweep.
     */
+  /** Serializes reliable-mode checkpoint-attribution windows across
+    * concurrent connectedComponents calls in this JVM (see its Scaladoc).
+    */
+  private val ckptLock = new Object
+
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
@@ -454,29 +468,32 @@ object Dedup {
     // disk — a checkpoint's whole job is truncating lineage, so once the
     // NEXT round is materialized nothing can recompute through the prior
     // one and its files are dead weight.
-    def listCkpt(): Set[org.apache.hadoop.fs.Path] =
-      if (!reliable) Set.empty
-      else {
-        val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-        val fs = root.getFileSystem(sc.hadoopConfiguration)
-        if (fs.exists(root)) fs.listStatus(root).map(_.getPath).toSet
-        else Set.empty
-      }
+    def listCkpt(): Set[org.apache.hadoop.fs.Path] = {
+      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
+      val fs = root.getFileSystem(sc.hadoopConfiguration)
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath).toSet
+      else Set.empty
+    }
     def sweep(paths: Set[org.apache.hadoop.fs.Path]): Unit =
       if (reliable && paths.nonEmpty) {
         val fs = paths.head.getFileSystem(sc.hadoopConfiguration)
         paths.foreach(p => fs.delete(p, true))
       }
     // one knob, both pin sites: the round labels and the edge list live
-    // or die by the same recovery story
-    def pin(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // or die by the same recovery story. Reliable mode returns the pinned
+    // frame plus the files the pin created, attributed under the lock.
+    def pin(df: DataFrame): (DataFrame, Set[org.apache.hadoop.fs.Path]) =
+      if (!reliable) (df.localCheckpoint(), Set.empty)
+      else ckptLock.synchronized {
+        val before = listCkpt()
+        val pinned = df.checkpoint()
+        (pinned, listCkpt() -- before)
+      }
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every
     // round reads the adjacency again
-    val beforeEdges = listCkpt()
-    val e = pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
-    val edgeCkpt = listCkpt() -- beforeEdges
+    val (e, edgeCkpt) =
+      pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))
@@ -486,23 +503,20 @@ object Dedup {
       coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(BigDecimal(0))).as("lblsum")
     val obs0 = Observation("cc_init")
-    val beforeInit = listCkpt()
-    var labels = pin(nodes.select(col("id"), col("id").as("lbl"))
+    var (labels, labelCkpt) = pin(nodes
+      .select(col("id"), col("id").as("lbl"))
       .observe(obs0, sumCol))
-    var labelCkpt = listCkpt() -- beforeInit
     var prevSum = obs0.get("lblsum")
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
         val obs = Observation(s"cc_round_$iter")
-        val before = listCkpt()
-        val next = pin(und
+        val (next, created) = pin(und
           .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
           .groupBy(col("src").as("id"))
           .agg(min("lbl").as("lbl"))
           .observe(obs, sumCol))
-        val created = listCkpt() -- before
         val s = obs.get("lblsum")
         converged = s == prevSum
         prevSum = s

@@ -125,8 +125,16 @@ object Sampling {
       s"rates must have columns ($stratumCol, permille)")
     require(!df.columns.contains("graft_permille"),
       "input already has a graft_permille column")
+    // in-plan range check (the CASE form validates its literal rates up
+    // front; a DataFrame's contents can only be checked as they flow):
+    // an out-of-range permille poisons the mix silently — fail loudly
+    val checked = when(
+      col("permille").cast("int").between(0, 1000),
+      col("permille").cast("int")).otherwise(raise_error(concat(
+        lit(s"stratifiedSampleDim: permille out of [0, 1000] for $stratumCol="),
+        col(stratumCol).cast("string"))))
     val dim = broadcast(rates.select(col(stratumCol),
-      col("permille").cast("int").as("graft_permille")))
+      checked.as("graft_permille")))
     df.join(dim, Seq(stratumCol), "left")
       .filter(splitBucket(col(idCol)) <
         coalesce(col("graft_permille"), lit(defaultPermille)))

@@ -262,8 +262,12 @@ object Similarity {
       import s.implicits._
       return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
     }
+    // three consumers (range training, candidate scan, rerank) — cache
+    // once, same as annIvf; the training collect materializes it
+    val cached = corpusD.cache()
+    try {
     // train: global per-dimension ranges (the SQ "codebook")
-    val ranges = corpusD
+    val ranges = cached
       .select(posexplode(col("n_emb")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
       .orderBy("pos").collect()
@@ -280,7 +284,7 @@ object Similarity {
       transform(cs, (c, i) => element_at(loLit, i + 1) +
         c.cast("double") * element_at(spanLit, i + 1) / 255)
     // candidate scan: 1-byte codes are all the corpus this stage reads
-    val coded = corpusD.select(col("n_id"),
+    val coded = cached.select(col("n_id"),
       dequant(codes(col("n_emb"))).as("n_approx"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
       asDouble(col("embedding")).as("q_emb")))
@@ -292,12 +296,13 @@ object Similarity {
       .select("q_id", "q_emb", "n_id")
     // exact rerank against full precision, by id
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    cands.join(corpusD, "n_id")
+    cands.join(cached, "n_id")
       .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
+    } finally { cached.unpersist(blocking = false); () }
   }
 
   /** ANN via banded random-hyperplane LSH: explode each vector into

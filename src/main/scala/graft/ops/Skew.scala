@@ -84,8 +84,16 @@ object Skew {
         java.lang.Math.floorMod(k.asInstanceOf[Number].longValue, n.toLong)
           .toInt
     }
+    val keyName = key
     val rdd = df.rdd
-      .map(r => (r.get(idx).asInstanceOf[Number].longValue, r))
+      .map { r =>
+        val k = r.get(idx)
+        // fail with the contract, not a deep NPE from Number.longValue
+        require(k != null,
+          s"partitionByKeyMod: null key in column '$keyName' — " +
+            "placement is key mod n, which is undefined for null")
+        (k.asInstanceOf[Number].longValue, r)
+      }
       .partitionBy(part)
       .values
     spark.createDataFrame(rdd, schema)

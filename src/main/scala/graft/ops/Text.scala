@@ -376,7 +376,11 @@ object Text {
       (ceil((n - lit(window)).cast("double") / stride) + 1).cast("int"))
     val start = col("chunk_id") * stride + 1
     documents
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // null text reads as empty: a null would null out nChunks and the
+      // explode would silently DROP the row, breaking the every-input-
+      // row-represented contract above
+      .select(col("doc_id"),
+        tokens(coalesce(col("text"), lit(""))).as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),

@@ -228,12 +228,13 @@ class DedupSpec extends SparkSpec {
     // snapshot the shared session's checkpoint dir so this test neither
     // depends on suite order nor leaks its own setting to later suites
     val prevDir = spark.sparkContext.getCheckpointDir
-    if (prevDir.isEmpty) {
-      // without a checkpoint dir the reliable mode must fail LOUDLY, not
-      // fall back to lineage-truncation-free rounds
-      intercept[IllegalArgumentException] {
-        Dedup.connectedComponents(nodes, edges, reliable = true)
-      }
+    // without a checkpoint dir the reliable mode must fail LOUDLY, not
+    // fall back to lineage-truncation-free rounds — clear the dir so the
+    // guard is exercised REGARDLESS of what earlier suites left set
+    // (null clears: sc wraps the argument in Option)
+    spark.sparkContext.setCheckpointDir(null)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, reliable = true)
     }
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)

@@ -230,10 +230,14 @@ class TextSpec extends SparkSpec {
     assert(toks == (1 to 10).map(i => s"t$i"))
   }
 
-  test("chunking: short and empty docs yield exactly one chunk") {
-    val got = Text.chunkTokens(docs("a b", "", "  "), window = 4, stride = 2)
+  test("chunking: short, empty, and null docs yield exactly one chunk") {
+    // null text must NOT drop the row (a null would null out the chunk
+    // count and the explode would silently erase the document)
+    val got = Text.chunkTokens(docs("a b", "", "  ", null),
+        window = 4, stride = 2)
       .as[(Long, Int, Int, String)].collect().toSeq
-    assert(got == Seq((0L, 0, 2, "a b"), (1L, 0, 0, ""), (2L, 0, 0, "")))
+    assert(got == Seq((0L, 0, 2, "a b"), (1L, 0, 0, ""), (2L, 0, 0, ""),
+      (3L, 0, 0, "")))
     // exact-fit doc: one chunk, not two (n == window is the <= branch)
     val fit = Text.chunkTokens(docs("a b c d"), window = 4, stride = 2)
       .as[(Long, Int, Int, String)].collect().toSeq
