@@ -79,6 +79,14 @@ object SparkEntry {
       "https?://([^/]+)", 1).as("domain"))
   }
 
+  /** q87's suffix pair: the SAME canonical text (" café Å end"), one
+    * spelled with combining marks (e + U+0301, A + U+030A), one with
+    * precomposed characters (U+00E9, U+00C5). NFC must map both to the
+    * identical byte string in Spark and in DuckDB.
+    */
+  private val nfcDecomposedSuffix = " café Å end"
+  private val nfcComposedSuffix = " café Å end"
+
   /** Partition width for the iterative k-means queries: an eighth of the
     * session's core count (floor 2) — narrow enough that the dozens of tiny
     * per-iteration jobs aren't dominated by task scheduling, yet derived,
@@ -1517,6 +1525,31 @@ object SparkEntry {
       (s, d) => Sampling.deterministicSplit(syntheticDomains(s, d),
           "domain", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")),
+
+    // Unicode canonicalization before fingerprinting (graft_nfc, a native
+    // expression implementing the same Unicode NFC standard as DuckDB's
+    // nfc_normalize): composed and decomposed encodings of the same text
+    // are different byte strings, so un-normalized exact dedup misses
+    // encoding-variant duplicates. Each doc gets a suffix whose ENCODING
+    // alternates by parity (decomposed combining marks vs precomposed
+    // chars) while the canonical text is identical — after NFC the
+    // fingerprint depends only on the document body, and both engines
+    // must agree byte-for-byte on the normalized form.
+    q("q87_nfc_fingerprint",
+      s"""SELECT doc_id, md5(nfc_normalize(concat(text,
+        |    CASE WHEN doc_id % 2 = 0 THEN '$nfcDecomposedSuffix'
+        |         ELSE '$nfcComposedSuffix' END))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, md5, when}
+        graft.functions.GraftFunctions.register(s)
+        Tables.documents(s, d).select(col("doc_id"),
+          md5(graft.functions.GraftFunctions.nfc(concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(nfcDecomposedSuffix))
+              .otherwise(lit(nfcComposedSuffix))))
+            .cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      }),
 
     // The skew DIAGNOSTIC surface, driver-pinned (was test-only): the
     // heavy-hitter census that decides between plain join, AQE, and

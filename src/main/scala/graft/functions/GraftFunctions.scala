@@ -56,7 +56,9 @@ object GraftFunctions {
     ("graft_nearest_vec_centroid", classOf[NearestVecCentroid].getName,
       c => NearestVecCentroid(c(0), constInts(c(1)), constVecs(c(2)))),
     ("graft_hyperplane_sigs", classOf[HyperplaneSignatures].getName,
-      c => HyperplaneSignatures(c(0), constMats(c(1)))))
+      c => HyperplaneSignatures(c(0), constMats(c(1)))),
+    ("graft_nfc", classOf[NfcNormalize].getName,
+      c => NfcNormalize(c(0))))
 
   private def constMats(e: Expression): Seq[Seq[Seq[Double]]] =
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -108,6 +110,11 @@ object GraftFunctions {
 
   /** 64-bit SimHash of a string column (whitespace tokens vote per bit). */
   def simhash(text: Column): Column = call_function("graft_simhash", text)
+
+  /** Unicode NFC normalization (composed form) of a string column — run
+    * before fingerprinting when the corpus may mix encodings.
+    */
+  def nfc(text: Column): Column = call_function("graft_nfc", text)
 
   /** Winnowed Rabin–Karp rolling fingerprints of a string column. */
   def rollingFingerprints(text: Column, k: Int, w: Int): Column =

@@ -271,6 +271,42 @@ case class RollingFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column — the canonicalization
+  * step a dedup pipeline needs BEFORE fingerprinting: composed ("é") and
+  * decomposed ("e" + U+0301) encodings of the same text are different
+  * byte strings, so un-normalized exact dedup silently misses duplicates
+  * that differ only in encoding. Implements the same Unicode standard as
+  * DuckDB's `nfc_normalize` (oracle-checkable; java.text.Normalizer).
+  *
+  * Fast path: `isNormalized` is a cheap scan that succeeds for all-ASCII
+  * and already-composed text — the overwhelming majority of a real
+  * corpus — returning the input UTF8String with zero allocation; only
+  * strings that actually need composing pay the String round-trip.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Seeded XXH64 over UTF8String/byte-range — the same kernel Spark's
   * `xxhash64` uses.
   */

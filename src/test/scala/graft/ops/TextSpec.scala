@@ -161,6 +161,33 @@ class TextSpec extends SparkSpec {
     assert(got.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("nfc: composed and decomposed encodings merge; ascii is identity") {
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val decomposed = "café Å"   // e+combining acute, A+ring
+    val composed = "café Å"       // precomposed é, Å
+    val d = docs(decomposed, composed, "plain ascii")
+    val got = d.select(GraftFunctions.nfc(col("text")).as("t"))
+      .as[String].collect().toSeq
+    // both spellings normalize to the SAME byte string
+    assert(got(0) == got(1))
+    assert(got(0) == composed) // NFC is the composed form
+    assert(got(2) == "plain ascii")
+    // the dedup consequence: NFC before fingerprinting merges
+    // encoding-variant duplicates that byte-level hashing misses
+    assert(decomposed != composed)
+    // SQL-visible under the registered name
+    d.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql(
+      "SELECT graft_nfc(text) FROM nfc_docs ORDER BY doc_id")
+      .as[String].collect().toSeq
+    assert(viaSql == got)
+    // null flows through as null
+    assert(docs(null.asInstanceOf[String])
+      .select(GraftFunctions.nfc(col("text"))).collect().head.isNullAt(0))
+  }
+
   test("bigram LM score: quantized mean log-prob, hand-checked") {
     // corpus: doc0 = "a b a b" (bigrams: a b ×2, b a ×1), doc1 = "a c"
     // model: c(a b)=2, c(b a)=1, c(a c)=1; c(a ·)=3, c(b ·)=1
