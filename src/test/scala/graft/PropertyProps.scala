@@ -251,6 +251,80 @@ object PropertyProps extends Properties("graft") {
     Gen.const("https://ex.com/a?b=c"),
     Gen.const("+1 555-123-4567"))
 
+  property("chunkTokens: stride-prefixes + last chunk reconstruct the doc") = {
+    import spark.implicits._
+    val word: Gen[String] = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    Prop.forAllNoShrink(
+      Gen.listOfN(4, Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, word).map(_.mkString(" ")))),
+      Gen.chooseNum(2, 8), Gen.chooseNum(1, 8)) { (texts, w, s0) =>
+      val s = math.min(s0, w)
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.ops.Text.chunkTokens(d, w, s)
+        .as[(Long, Int, Int, String)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val cs = chunks(i.toLong)
+        def words(c: String) = if (c.isEmpty) Seq.empty[String]
+          else c.split(" ").toSeq
+        val rebuilt = cs.dropRight(1).flatMap(c => words(c._4).take(s)) ++
+          words(cs.last._4)
+        // every doc represented, every chunk within the window, and the
+        // stride-prefix reconstruction is exactly the token stream
+        cs.nonEmpty && cs.forall(_._3 <= w) && rebuilt == toks
+      }
+    }
+  }
+
+  property("capTokensPerStratum keeps the MAXIMAL in-budget hash prefix") = {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    Prop.forAllNoShrink(Gen.chooseNum(5, 40), Gen.chooseNum(1L, 60L)) {
+      (n, budget) =>
+      val rows = (0L until n.toLong).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", (i % 5 + 1).toInt))
+      val kept = graft.ops.Sampling.capTokensPerStratum(
+          rows.toDF("doc_id", "stratum", "n_tokens"),
+          "doc_id", "stratum", "n_tokens", budget)
+        .as[(Long, String, Int)].collect().toSeq
+      rows.groupBy(_._2).forall { case (stratum, g) =>
+        val order = g.sortBy(r => (md5hex(r._1.toString), r._1))
+        val keptIds = kept.filter(_._2 == stratum).map(_._1).toSet
+        val prefix = order.takeWhile(r => keptIds.contains(r._1))
+        val total = prefix.map(_._3.toLong).sum
+        // kept is exactly a prefix, within budget, and MAXIMAL: the next
+        // row (if any) would overflow
+        prefix.map(_._1).toSet == keptIds && total <= budget &&
+          order.drop(prefix.length).headOption
+            .forall(nxt => total + nxt._3 > budget)
+      }
+    }
+  }
+
+  property("nfc: idempotent and merges canonally-equal spellings") = {
+    // driver-side law over the same Normalizer the expression calls —
+    // strings mix ascii, precomposed chars, and combining marks
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+      Gen.const("é"), Gen.const("é"),
+      Gen.const("Å"), Gen.const("Å"),
+      Gen.const(" "), Gen.const("ö"), Gen.const("ö"))
+    def nfc(s: String) =
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    Prop.forAll(Gen.listOfN(8, frag).map(_.mkString)) { s =>
+      val once = nfc(s)
+      // idempotence, and decomposed spellings land on the composed form
+      nfc(once) == once &&
+        java.text.Normalizer.isNormalized(once,
+          java.text.Normalizer.Form.NFC)
+    }
+  }
+
   property("redact is idempotent: a second full pass changes nothing") = {
     import spark.implicits._
     // Idempotence is the closure law for the whole scrub: the two phone
