@@ -1811,7 +1811,74 @@ object SparkEntry {
         |SELECT node AS doc_id, min(lbl) AS cluster_id
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Dedup.jaccardClusters(Tables.documents(s, d), n = 3,
-        threshold = 0.2, maxDf = 1000L))
+        threshold = 0.2, maxDf = 1000L)),
+
+    // Changelog compaction (Cdc.compactChangelog): latest-wins-by-key
+    // upsert with tombstones — the batch form of the reference's HBase
+    // rowkey-overwrite ingest (HPopulate.java:92–105) over an explicit
+    // change stream. orders as the changelog: key = custkey, version =
+    // (orderdate, orderkey), status 'F' plays the delete marker. One
+    // hash-shuffle + per-key sort; the oracle is the identical ROW_NUMBER
+    // window. Cents as integers so the hash compare is drift-free.
+    q("q88_changelog_merge",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+        |    o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS cust, o_orderkey AS last_order,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM r WHERE rn = 1 AND o_orderstatus <> 'F'
+        |ORDER BY cust""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.round
+        Cdc.compactChangelog(Tables.orders(s, d),
+            key = col("o_custkey"), ts = col("o_orderdate"),
+            tiebreak = col("o_orderkey"),
+            tombstone = col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("cust"),
+            col("o_orderkey").as("last_order"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .orderBy("cust")
+      }),
+
+    // Snapshot diff (Cdc.snapshotDiff): per-customer 1995 vs 1996 order
+    // aggregates, keys classified added / removed / changed ('same'
+    // dropped — at 100 TB the diff must not re-emit the unchanged
+    // majority). Both sides pre-aggregate by the key BEFORE the full
+    // outer join, so the wide exchange carries one row per key and the
+    // aggregation's partitioning is reused by the join.
+    q("q89_snapshot_diff",
+      """WITH b AS (SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |a AS (SELECT o_custkey, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS cust,
+        |    CASE WHEN b.o_custkey IS NULL THEN 'added'
+        |         WHEN a.o_custkey IS NULL THEN 'removed'
+        |         WHEN b.n = a.n AND b.cents = a.cents THEN 'same'
+        |         ELSE 'changed' END AS status,
+        |    b.n AS b_n, a.n AS a_n, b.cents AS b_cents, a.cents AS a_cents
+        |  FROM b FULL JOIN a ON b.o_custkey = a.o_custkey)
+        |SELECT cust, status, b_n, a_n, b_cents, a_cents FROM j
+        |WHERE status <> 'same' ORDER BY cust""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum, year}
+        def snap(yr: Int): DataFrame = Tables.orders(s, d)
+          .filter(year(col("o_orderdate")) === yr)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        Cdc.snapshotDiff(snap(1995), snap(1996), "o_custkey",
+            Seq("n", "cents"))
+          .select(col("o_custkey").as("cust"), col("status"),
+            col("b_n"), col("a_n"), col("b_cents"), col("a_cents"))
+          .orderBy("cust")
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

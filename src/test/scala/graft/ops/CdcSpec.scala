@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the CDC contracts: latest-wins ordering, tombstone deletion, and
+  * the added/removed/changed/same classification (null-safe).
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log(rows: (Long, Long, Long, String)*) =
+    rows.toDF("key", "ts", "off", "op")
+
+  private def compact(df: org.apache.spark.sql.DataFrame) =
+    Cdc.compactChangelog(df, col("key"), col("ts"), col("off"),
+      tombstone = col("op") === "D")
+
+  test("compactChangelog keeps only the latest change per key") {
+    val c = compact(log((1L, 10L, 0L, "U"), (1L, 20L, 1L, "U"),
+      (2L, 5L, 2L, "U")))
+    val got = c.select("key", "ts").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 20L), (2L, 5L)))
+  }
+
+  test("compactChangelog breaks ts ties by the tiebreak column") {
+    val c = compact(log((1L, 10L, 0L, "U"), (1L, 10L, 1L, "D")))
+    assert(c.count() == 0) // offset 1 wins and is a tombstone
+    val c2 = compact(log((1L, 10L, 1L, "D"), (1L, 10L, 2L, "U")))
+    assert(c2.select("off").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("compactChangelog: a tombstone followed by a re-insert survives") {
+    val c = compact(log((1L, 10L, 0L, "U"), (1L, 20L, 1L, "D"),
+      (1L, 30L, 2L, "U")))
+    assert(c.select("off").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("snapshotDiff classifies added/removed/changed and drops same") {
+    val before = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val after = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")
+    val got = Cdc.snapshotDiff(before, after, "k", Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff null-vs-value is changed, null-vs-null is same") {
+    val before = Seq((1L, Some(10L)), (2L, None), (3L, None))
+      .toDF("k", "v")
+    val after = Seq((1L, None), (2L, None), (3L, Some(3L)))
+      .toDF("k", "v")
+    val got = Cdc.snapshotDiff(before, after, "k", Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 3L -> "changed")) // 2: same, dropped
+  }
+}
