@@ -1878,6 +1878,35 @@ object SparkEntry {
           .select(col("o_custkey").as("cust"), col("status"),
             col("b_n"), col("a_n"), col("b_cents"), col("a_cents"))
           .orderBy("cust")
+      }),
+
+    // Runtime-filter pruning (Joins.prunedSemiJoin): the Bloom-digest
+    // pattern — a broadcast hash-bucket set from the selective dim side
+    // prunes the fact scan before the exact semi join removes bucket
+    // collisions. Semantics-neutral by construction, so the oracle is the
+    // PLAIN semi join; the digest never appears in the output. buckets=64
+    // at verify scale forces real collisions through the exact stage.
+    q("q90_pruned_semi_join",
+      """WITH dim AS (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000)
+        |SELECT o_orderpriority AS priority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders SEMI JOIN dim ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum}
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_acctbal") > 8000)
+          .select("c_custkey")
+        Joins.prunedSemiJoin(Tables.orders(s, d), dim,
+            "o_custkey", "c_custkey", buckets = 64)
+          .groupBy(col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_cents"))
+          .orderBy("priority")
       })
   )
 

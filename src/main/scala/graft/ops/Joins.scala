@@ -184,4 +184,36 @@ object Joins {
       .filter(col(pointTime) >= col(start) && col(pointTime) < col(end))
       .drop("__bin", "__pk")
   }
+
+  /** Runtime-filter pruned semi join: `fact LEFT SEMI dim` where a compact
+    * hash-bucket digest of the dim keys is broadcast and applied to the
+    * fact side FIRST, so the expensive exchange only carries fact rows
+    * that can possibly match. The Bloom-filter pattern Spark's own
+    * `InjectRuntimeFilter` uses, expressed declaratively: the digest is
+    * `distinct(hash(key) mod buckets)` — a set of at most `buckets` longs
+    * — and the prefilter is a broadcast semi join on the bucket, entirely
+    * inside whole-stage codegen. False positives (bucket collisions) are
+    * removed by the exact semi join that follows, so the result is
+    * IDENTICAL to the plain semi join, which is what the oracle checks.
+    *
+    * 100 TB: when the dim side is selective (the common case — a filtered
+    * dimension), the digest is kilobytes while the fact exchange it
+    * avoids is terabytes; rows dropped by the broadcast prefilter never
+    * leave the scan stage. With `buckets` ≫ |dim| the collision rate is
+    * |dim|/buckets, so the exact stage's input is within a whisker of the
+    * true match set. The digest build is one shuffle of the (small) dim
+    * key set; the exact semi join reuses the same dim scan.
+    */
+  def prunedSemiJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String,
+                     buckets: Int = 1 << 20): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val digest = dim.select(
+      pmod(xxhash64(col(dimKey)), lit(buckets.toLong)).as("__bucket"))
+      .distinct()
+    val prefiltered = fact.join(broadcast(digest),
+      pmod(xxhash64(col(factKey)), lit(buckets.toLong)) === col("__bucket"),
+      "left_semi")
+    prefiltered.join(dim, col(factKey) === dim(dimKey), "left_semi")
+  }
 }

@@ -144,4 +144,28 @@ class JoinsSpec extends SparkSpec {
     assert(got == naive)
     assert(naive.size > 100) // the fixture exercises real matches
   }
+
+  test("prunedSemiJoin equals the plain semi join despite collisions") {
+    val rnd = new scala.util.Random(7)
+    val fact = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("row_id", "k")
+    val dim = Seq(3L, 17L, 42L, 99L).toDF("dk")
+    // buckets=2: every dim bucket collides with ~half the fact keys, so
+    // the exact stage must do real work for the results to match
+    val got = Joins.prunedSemiJoin(fact, dim, "k", "dk", buckets = 2)
+      .select("row_id").as[Long].collect().toSet
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got == plain)
+    assert(plain.nonEmpty && plain.size < 500)
+  }
+
+  test("prunedSemiJoin broadcasts the digest ahead of the exact join") {
+    val fact = (0 until 100).map(i => (i.toLong, i.toLong % 10)).toDF("row_id", "k")
+    val dim = Seq(1L, 2L).toDF("dk")
+    val plan = Joins.prunedSemiJoin(fact, dim, "k", "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
 }
