@@ -1907,7 +1907,71 @@ object SparkEntry {
             sum(round(col("o_totalprice") * 100).cast("long"))
               .as("revenue_cents"))
           .orderBy("priority")
-      })
+      }),
+
+    // Collocation census (Text.pmiPairs): top-30 token pairs by document
+    // PMI with support ≥ 5. The score crosses the oracle as the exact
+    // integer rational (score_num, score_den) — no log, no float sums —
+    // and the ORDER BY divides the two bigints once, an IEEE op both
+    // engines compute bit-identically (ties broken on the pair). The
+    // shared whitespace class is interpolated so tokenization matches.
+    q("q91_pmi_pairs",
+      s"""WITH toks AS (SELECT doc_id,
+        |    (list_sort(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0))))[1:64] AS ts
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        |df AS (SELECT t, count(*) AS df FROM ex GROUP BY 1),
+        |pr AS (SELECT a.t AS t1, b.t AS t2, count(*) AS pair_df
+        |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.t < b.t
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t1, t2, pair_df, d1.df AS df1, d2.df AS df2,
+        |  CAST(pair_df * n_docs AS BIGINT) AS score_num,
+        |  CAST(d1.df * d2.df AS BIGINT) AS score_den
+        |FROM pr
+        |JOIN df d1 ON pr.t1 = d1.t
+        |JOIN df d2 ON pr.t2 = d2.t
+        |CROSS JOIN n
+        |ORDER BY CAST(pair_df * n_docs AS DOUBLE) / (d1.df * d2.df) DESC,
+        |  t1, t2
+        |LIMIT 30""".stripMargin)(
+      (s, d) => Text.pmiPairs(Tables.documents(s, d), topK = 30,
+        minPairs = 5, maxTokensPerDoc = 64)),
+
+    // Model-shaped quality gate (Text.qualityClassify): the C4/Gopher
+    // rule ensemble as a scored classifier — integer-exact rules, fixed
+    // weights, keep = score ≥ 6. A logistic head over the same linear
+    // score orders identically (sigmoid is monotone), so the integer
+    // threshold IS the classifier and no exp() crosses the engines.
+    // Pure projection: zero shuffles at any scale.
+    q("q92_quality_classifier",
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |s AS (SELECT doc_id, n_tokens,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS score
+        |  FROM g)
+        |SELECT doc_id, n_tokens, score, CAST(score >= 6 AS INTEGER) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.qualityClassify(Tables.documents(s, d), minScore = 6))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

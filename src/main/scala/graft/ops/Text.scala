@@ -425,4 +425,84 @@ object Text {
         (col("score_i") / 10000.0).as("tfidf"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Token co-occurrence with PMI ranking: the top-`topK` token pairs by
+    * pointwise mutual information `pair_df·N / (df1·df2)` over document
+    * co-occurrence, with `minPairs` support. The collocation census a
+    * corpus linguist (or a tokenizer-vocab builder) runs first.
+    *
+    * Drift-free by construction: the emitted score is the exact integer
+    * RATIONAL (score_num = pair_df·N, score_den = df1·df2) — no log, no
+    * float accumulation; the ORDER BY divides the two bigints once per
+    * row, an exact IEEE op both engines compute bit-identically, with
+    * (t1, t2) breaking ties.
+    *
+    * Scale shape (100 TB): distinct tokens per doc are capped at
+    * `maxTokensPerDoc` (sorted-prefix, so the cap is deterministic and
+    * engine-portable), bounding the per-doc pair blow-up at K²/2; the
+    * census is explode → self-equi-join on doc_id → two-level count —
+    * all hash exchanges of (token, count) rows, and the df side of the
+    * final enrichment join reuses the df agg's partitioning on the token.
+    */
+  def pmiPairs(documents: DataFrame, topK: Int = 30, minPairs: Long = 5,
+               maxTokensPerDoc: Int = 64): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      slice(array_sort(array_distinct(tokens(lower(col("text"))))),
+        1, maxTokensPerDoc).as("ts"))
+    val ex = toks.select(col("doc_id"), explode(col("ts")).as("t"))
+    val df = ex.groupBy("t").agg(count(lit(1)).as("df"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("t1"), col("b.t").as("t2"))
+      .agg(count(lit(1)).as("pair_df"))
+      .filter(col("pair_df") >= minPairs)
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(df.select(col("t").as("t1"), col("df").as("df1")), "t1")
+      .join(df.select(col("t").as("t2"), col("df").as("df2")), "t2")
+      .crossJoin(broadcast(n))
+      .select(col("t1"), col("t2"), col("pair_df"), col("df1"), col("df2"),
+        (col("pair_df") * col("n_docs")).as("score_num"),
+        (col("df1") * col("df2")).as("score_den"))
+      .orderBy((col("score_num").cast("double") / col("score_den")).desc,
+        col("t1"), col("t2"))
+      .limit(topK)
+  }
+
+  /** Rule-ensemble quality classifier (the C4/Gopher-style gate, scored):
+    * four integer-exact heuristic rules, each worth a fixed weight, summed
+    * into a document quality score; `keep = score ≥ minScore`. A logistic
+    * head over these features orders documents identically (sigmoid is
+    * monotone in the linear score), so thresholding the integer score IS
+    * the classifier — and stays engine-exact where a sigmoid's `exp`
+    * would drift between runtimes.
+    *
+    * Rules (all ratio tests cross-multiplied to integer comparisons):
+    *   r1 (w=3): 3 ≤ n_tokens ≤ 1000          — fragment/blob length gate
+    *   r2 (w=2): n_stop·50 ≥ n_tokens          — stopword ratio ≥ 2%
+    *   r3 (w=2): 2·n ≤ Σ|tok| ≤ 12·n           — mean token length 2..12
+    *   r4 (w=1): n_digits·5 < max(n_chars, 1)  — digit ratio < 20%
+    *
+    * One codegen'd projection per document — no shuffle at all; at 100 TB
+    * this runs entirely inside the scan stage.
+    */
+  def qualityClassify(documents: DataFrame,
+                      stopwords: Seq[String] = defaultStopwords,
+                      minScore: Int = 6): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
+    val sumLen = length(array_join(toks, "")).cast("long")
+    val nDigits = length(regexp_replace(col("text"), "[^0-9]", ""))
+      .cast("long")
+    val nChars = length(col("text")).cast("long")
+    val r1 = (nTok >= 3 && nTok <= 1000).cast("int") * 3
+    val r2 = (nStop * 50 >= nTok).cast("int") * 2
+    val r3 = (nTok * 2 <= sumLen && sumLen <= nTok * 12).cast("int") * 2
+    val r4 = (nDigits * 5 < greatest(nChars, lit(1L))).cast("int") * 1
+    documents.select(col("doc_id"), nTok.as("n_tokens"),
+        (r1 + r2 + r3 + r4).as("score"))
+      .withColumn("keep", (col("score") >= minScore).cast("int"))
+      .orderBy("doc_id")
+  }
 }

@@ -277,4 +277,40 @@ class TextSpec extends SparkSpec {
       Text.chunkTokens(docs("a"), window = 2, stride = 3)
     }
   }
+
+  test("pmiPairs ranks an exclusive pair above an independent one") {
+    // x,y co-occur in 2/6 docs and NEVER apart → PMI ratio 2·6/(2·2)=3;
+    // p,q each appear 4 times, together only twice → 2·6/(4·4)=0.75
+    val d = docs("x y p q", "x y p q", "p z1", "q z2", "p z3", "q z4")
+    val got = Text.pmiPairs(d, topK = 10, minPairs = 2)
+      .select("t1", "t2", "pair_df", "score_num", "score_den")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.head == ("x", "y", 2L, 12L, 4L))
+    val pq = got.find(r => r._1 == "p" && r._2 == "q").get
+    assert(pq == ("p", "q", 2L, 12L, 16L))
+    assert(got.indexOf(pq) > 0) // independent pair ranks below
+    // pair below support threshold never surfaces
+    assert(!got.exists(r => r._1 == "z1" || r._2 == "z1"))
+  }
+
+  test("pmiPairs respects the per-doc distinct-token cap") {
+    // cap=2 keeps only the 2 sorted-first distinct tokens (a, b): the
+    // (a,z)/(b,z) pairs vanish even though z co-occurs in every doc
+    val d = docs("z a b", "z a b", "a b z")
+    val got = Text.pmiPairs(d, topK = 10, minPairs = 2, maxTokensPerDoc = 2)
+      .select("t1", "t2").as[(String, String)].collect().toSeq
+    assert(got == Seq(("a", "b")))
+  }
+
+  test("qualityClassify scores the rule ensemble exactly") {
+    val d = docs(
+      "the cat sat on the mat",        // all rules pass → 3+2+2+1 = 8
+      "a b",                           // n_tokens < 3: r1,r3 fail → 2+1=3
+      "zz yy xx ww vv",                // no stopword → r2 fails → 3+2+1=6
+      "the 12345 99999 00000 11111")   // digits ≥ 20% → r4 fails → 7
+    val got = Text.qualityClassify(d)
+      .select("doc_id", "score", "keep")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((0L, 8, 1), (1L, 3, 0), (2L, 6, 1), (3L, 7, 1)))
+  }
 }
