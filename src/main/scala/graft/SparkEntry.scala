@@ -1971,7 +1971,86 @@ object SparkEntry {
         |  FROM g)
         |SELECT doc_id, n_tokens, score, CAST(score >= 6 AS INTEGER) AS keep
         |FROM s ORDER BY doc_id""".stripMargin)(
-      (s, d) => Text.qualityClassify(Tables.documents(s, d), minScore = 6))
+      (s, d) => Text.qualityClassify(Tables.documents(s, d), minScore = 6)),
+
+    // Robust corpus stats (Profiling.winsorizedStats): per-language token
+    // counts clipped into the group's DISCRETE [p5, p95] rank percentiles
+    // — ranked values from the data, never interpolated (interpolation
+    // arithmetic is the classic cross-engine drift), and the clipped mean
+    // crosses as the exact rational (clipped_sum, n). Both sides run the
+    // identical rank formula ⌈p·n⌉ (floor 1).
+    q("q93_winsorized_stats",
+      s"""WITH t AS (SELECT lang, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      w -> length(w) > 0)) AS BIGINT) AS v
+        |  FROM documents),
+        |r AS (SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM t),
+        |b AS (SELECT lang,
+        |    max(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+        |      THEN v END) AS lo,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN v END) AS hi
+        |  FROM r GROUP BY 1)
+        |SELECT r.lang, min(b.lo) AS lo, min(b.hi) AS hi, count(*) AS n,
+        |  CAST(sum(least(greatest(v, lo), hi)) AS BIGINT) AS clipped_sum
+        |FROM r JOIN b USING (lang) GROUP BY r.lang
+        |ORDER BY r.lang""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.size
+        val t = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tok"))
+        Profiling.winsorizedStats(t, "lang", "n_tok", "doc_id")
+      }),
+
+    // Crawl-key dedup (Text.canonicalizeUrl + urlDedup): fragment and
+    // utm_* stripped, scheme/host lowercased, default port dropped —
+    // raw spellings that canonicalize equal are one resource. Fixture
+    // text carries no URLs, so both sides synthesize one per doc with
+    // spelling variants by doc_id (case/port by mod-4 parity, tracking
+    // params unique per doc); ids 350 apart collapse ACROSS spellings.
+    // Patterns are shared constants; replacements differ per engine
+    // ($1 Java, \\1 RE2) exactly as with the phone guards.
+    q("q94_url_dedup",
+      s"""WITH u AS (SELECT doc_id,
+        |    concat(
+        |      CASE WHEN doc_id % 4 < 2 THEN 'https://CDN'
+        |           ELSE 'https://cdn' END,
+        |      CAST(doc_id % 7 AS VARCHAR),
+        |      CASE WHEN doc_id % 4 < 2 THEN '.Example.ORG:443'
+        |           ELSE '.example.org' END,
+        |      '/p/', CAST(doc_id % 50 AS VARCHAR),
+        |      '?utm_source=s', CAST(doc_id AS VARCHAR), '&ref=1#sec',
+        |      CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(url, '${Text.urlFragmentPat}', ''),
+        |    '${Text.urlUtmMidPat}', '', 'g'),
+        |    '${Text.urlUtmLeadAmpPat}', '?'),
+        |    '${Text.urlUtmLeadEndPat}', '') AS u FROM u),
+        |c2 AS (SELECT doc_id, concat(
+        |    lower(regexp_extract(u, '${Text.urlPrefixPat}', 1)),
+        |    regexp_extract(u, '${Text.urlRestPat}', 1)) AS u FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '${Text.urlHttpsPortPat}', '\\1\\2'),
+        |    '${Text.urlHttpPortPat}', '\\1\\2') AS u FROM c2)
+        |SELECT u AS canon_url, count(*) AS n_raw, min(doc_id) AS first_doc
+        |FROM c3 GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, when}
+        val u = Tables.documents(s, d).select(col("doc_id"), concat(
+          when(col("doc_id") % 4 < 2, lit("https://CDN"))
+            .otherwise(lit("https://cdn")),
+          (col("doc_id") % 7).cast("string"),
+          when(col("doc_id") % 4 < 2, lit(".Example.ORG:443"))
+            .otherwise(lit(".example.org")),
+          lit("/p/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=s"), col("doc_id").cast("string"),
+          lit("&ref=1#sec"), col("doc_id").cast("string")).as("url"))
+        Text.urlDedup(u)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

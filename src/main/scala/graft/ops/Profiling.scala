@@ -81,4 +81,47 @@ object Profiling {
       .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("bin")
   }
+
+  /** Winsorized per-group statistics: clip `valueCol` (integral) into the
+    * group's discrete [pLo, pHi] percentiles, then report exact clipped
+    * sums — the robust-mean building block for outlier-tolerant corpus
+    * stats (a handful of 10M-token blobs must not own the average).
+    *
+    * DISCRETE percentiles by rank (the value at row ⌈p·n⌉ of the sorted
+    * group, floor 1) — not interpolated: interpolation arithmetic is the
+    * classic cross-engine drift source, while a ranked VALUE is a value
+    * from the data, compared exactly. The clipped mean crosses any oracle
+    * as the rational (clipped_sum, n); both are exact integers.
+    *
+    * Shape: one shuffle on the group key feeds BOTH the rank window and
+    * the final aggregate; the percentile-bound sub-aggregate is rows ≤
+    * |groups| and broadcast back. Exact ranks need the per-group sort —
+    * that IS the winsorize contract; callers at 100 TB with huge groups
+    * trade down to `approx_percentile` bounds explicitly.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      tieCol: String, pLo: Double = 0.05,
+                      pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "need 0 <= pLo <= pHi <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("__v"), col(tieCol))
+    val ranked = df
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val bounds = ranked.groupBy(groupCol).agg(
+      max(when(col("__rn") ===
+        greatest(ceil(lit(pLo) * col("__n")).cast("long"), lit(1L)),
+        col("__v"))).as("lo"),
+      max(when(col("__rn") === ceil(lit(pHi) * col("__n")).cast("long"),
+        col("__v"))).as("hi"))
+    ranked.join(broadcast(bounds), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        sum(least(greatest(col("__v"), col("lo")), col("hi")))
+          .as("clipped_sum"))
+      .orderBy(groupCol)
+  }
 }

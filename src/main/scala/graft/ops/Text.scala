@@ -149,6 +149,59 @@ object Text {
           emailPattern, emailTag))))
   }
 
+  /** URL canonicalization patterns — all in the Java∩RE2 subset and kept
+    * as named constants so a SQL oracle interpolates the IDENTICAL
+    * pattern (replacement syntax differs per engine: `$1` Java, `\1`
+    * RE2, as with `phoneGuardedPattern`). Order of application is part
+    * of the contract — see `canonicalizeUrl`.
+    */
+  val urlFragmentPat: String = "#.*$"
+  val urlUtmMidPat: String = "&utm_[^&#]*"
+  val urlUtmLeadAmpPat: String = "\\?utm_[^&#]*&"
+  val urlUtmLeadEndPat: String = "\\?utm_[^&#]*$"
+  val urlPrefixPat: String = "^(https?://[^/?#]+)"
+  val urlRestPat: String = "^https?://[^/?#]+(.*)$"
+  val urlHttpsPortPat: String = "^(https://[^/:]+):443([/?#].*)?$"
+  val urlHttpPortPat: String = "^(http://[^/:]+):80([/?#].*)?$"
+
+  /** Canonical form of a URL for dedup purposes: fragment stripped,
+    * `utm_*` tracking parameters removed (other params kept), scheme and
+    * host lowercased (path/query case is significant and preserved), and
+    * the scheme-default port dropped. Two raw spellings that canonicalize
+    * equal are the same resource — the crawl-dedup key every pipeline
+    * groups on before any content hashing.
+    *
+    * Fixed pass order (fragment → utm → lowercase prefix → default
+    * port); each pass is one anchored `regexp_replace`/`regexp_extract`
+    * in the shared-constant patterns above, all codegen'd projections —
+    * no shuffle, scan-speed.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, urlFragmentPat, "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, urlUtmMidPat, ""),
+        urlUtmLeadAmpPat, "?"),
+      urlUtmLeadEndPat, "")
+    val lowered = concat(
+      lower(regexp_extract(noUtm, urlPrefixPat, 1)),
+      regexp_extract(noUtm, urlRestPat, 1))
+    regexp_replace(
+      regexp_replace(lowered, urlHttpsPortPat, "$1$2"),
+      urlHttpPortPat, "$1$2")
+  }
+
+  /** URL dedup census: group by canonical form, count raw spellings and
+    * keep the smallest doc_id as the representative. One hash exchange
+    * of (canonical, partial-count) rows.
+    */
+  def urlDedup(urls: DataFrame, urlCol: String = "url"): DataFrame =
+    urls
+      .select(col("doc_id"), canonicalizeUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_raw"), min("doc_id").as("first_doc"))
+      .orderBy("canon_url")
+
   /** Per-domain accounting of the URLs a corpus mentions — the
     * governance census behind source-mix decisions (which hosts dominate,
     * what to downweight or block). Extract-all with the shared

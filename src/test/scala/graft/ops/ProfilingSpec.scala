@@ -38,4 +38,26 @@ class ProfilingSpec extends SparkSpec {
       Profiling.numericHistogram(df, "v", 4.0, 4.0, 4)
     }
   }
+
+  test("winsorizedStats clips into discrete rank percentiles") {
+    // g: sorted values 1..9,1000; n=10. pLo=0.1 → rank 1 → lo=1;
+    // pHi=0.8 → rank 8 → hi=8. Clipped: 1..8 kept, 9→8, 1000→8 ⇒ 52.
+    val df = ((1 to 9).map(i => ("g", i.toLong, i.toLong)) :+
+      ("g", 1000L, 10L)).toDF("grp", "v", "id")
+    val got = Profiling.winsorizedStats(df, "grp", "v", "id",
+        pLo = 0.1, pHi = 0.8)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 1L, 8L, 10L, 52L)))
+  }
+
+  test("winsorizedStats: pLo rank floors at 1 and groups are independent") {
+    val df = Seq(("a", 5L, 1L), ("a", 7L, 2L), ("b", 100L, 3L))
+      .toDF("grp", "v", "id")
+    // a: n=2, lo rank max(ceil(0.1),1)=1 → 5; hi rank ceil(1.8)=2 → 7
+    // b: n=1, lo=hi=100
+    val got = Profiling.winsorizedStats(df, "grp", "v", "id",
+        pLo = 0.05, pHi = 0.9)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 5L, 7L, 2L, 12L), ("b", 100L, 100L, 1L, 100L)))
+  }
 }

@@ -302,6 +302,37 @@ class TextSpec extends SparkSpec {
     assert(got == Seq(("a", "b")))
   }
 
+  test("canonicalizeUrl merges spelling variants, keeps real params") {
+    val urls = Seq(
+      (0L, "https://CDN1.Example.ORG:443/p/9?utm_source=a&ref=1#frag"),
+      (1L, "https://cdn1.example.org/p/9?utm_campaign=b&ref=1"),
+      (2L, "http://Host.COM:80/x?utm_a=1"),
+      (3L, "http://host.com/x"),
+      (4L, "https://cdn1.example.org/p/9?ref=2"), // real param differs
+      (5L, "https://cdn1.example.org/P/9?ref=1")) // path case significant
+      .toDF("doc_id", "url")
+    val got = Text.urlDedup(urls)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("http://host.com/x", 2L, 2L),
+      ("https://cdn1.example.org/P/9?ref=1", 1L, 5L),
+      ("https://cdn1.example.org/p/9?ref=1", 2L, 0L),
+      ("https://cdn1.example.org/p/9?ref=2", 1L, 4L)))
+  }
+
+  test("canonicalizeUrl: multiple utm params and port-only host") {
+    val urls = Seq(
+      (0L, "https://a.com:443?utm_x=1&utm_y=2&k=3&utm_z=4"),
+      (1L, "https://a.com?k=3"),
+      (2L, "https://a.com:4430/p")) // NOT the default port: kept
+      .toDF("doc_id", "url")
+    val got = Text.urlDedup(urls)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("https://a.com:4430/p", 1L, 2L),
+      ("https://a.com?k=3", 2L, 0L)))
+  }
+
   test("qualityClassify scores the rule ensemble exactly") {
     val d = docs(
       "the cat sat on the mat",        // all rules pass → 3+2+2+1 = 8
