@@ -33,14 +33,22 @@ object Cdc {
     * compacted topic → table, Delta/Hudi merge): deterministic whenever
     * `(key, ts, tiebreak)` is unique, which the caller should guarantee
     * (changelogs carry a unique offset — pass it as `tiebreak`).
+    *
+    * `keepTombstones = true` keeps a winning delete as a marker row
+    * instead of dropping the key — required when the compacted result is
+    * itself re-merged with later changes (streaming.UpsertSink): without
+    * the marker, a late out-of-order update older than the delete would
+    * resurrect the key.
     */
   def compactChangelog(changelog: DataFrame, key: Column, ts: Column,
-                       tiebreak: Column, tombstone: Column): DataFrame = {
+                       tiebreak: Column, tombstone: Column,
+                       keepTombstones: Boolean = false): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ts.desc, tiebreak.desc)
-    changelog
+    val latest = changelog
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !tombstone)
+      .filter(col("__rn") === 1)
       .drop("__rn")
+    if (keepTombstones) latest else latest.filter(!tombstone)
   }
 
   /** Snapshot diff: classify every key as `added` (only in `after`),

@@ -288,4 +288,45 @@ class StreamingSpec extends SparkSpec {
       assert(last.contains((1L, 50L, (15 * H + 2) / 1000, None, None)))
     }
   }
+
+  test("upsert sink: latest-wins snapshot with durable tombstones") {
+    import graft.streaming.UpsertSink.Change
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("upsert").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ck").toString
+    val in = MemoryStream[Change]
+    val q = UpsertSink.start(
+      in.toDF().withColumn("is_del", $"op" === "D"),
+      base, ckpt, "key", "ts", "off", "is_del")
+    withQuery(q) {
+      in.addData(Change(1, 10, 0, "U"), Change(2, 10, 1, "U"))
+      q.processAllAvailable()
+      in.addData(Change(1, 5, 2, "U"),  // out-of-order: older, ignored
+        Change(2, 20, 3, "D"),          // delete key 2
+        Change(3, 1, 4, "U"))
+      q.processAllAvailable()
+      val mid = UpsertSink.readMaterialized(spark, base, "is_del").get
+        .select("key", "ts", "off").as[(Long, Long, Long)].collect().toSet
+      assert(mid == Set((1L, 10L, 0L), (3L, 1L, 4L)))
+      // the tombstone is retained as a marker in the stored snapshot...
+      val stored = UpsertSink.readSnapshot(spark, base).get
+        .select("key").as[Long].collect().toSet
+      assert(stored == Set(1L, 2L, 3L))
+      // ...so a LATER batch's out-of-order update older than the delete
+      // cannot resurrect the key
+      in.addData(Change(2, 15, 5, "U"))
+      q.processAllAvailable()
+      val fin = UpsertSink.readMaterialized(spark, base, "is_del").get
+        .select("key", "ts", "off").as[(Long, Long, Long)].collect().toSet
+      assert(fin == Set((1L, 10L, 0L), (3L, 1L, 4L)))
+      // the streamed snapshot equals one batch compaction of ALL changes
+      val all = Seq(Change(1, 10, 0, "U"), Change(2, 10, 1, "U"),
+        Change(1, 5, 2, "U"), Change(2, 20, 3, "D"), Change(3, 1, 4, "U"),
+        Change(2, 15, 5, "U")).toDF().withColumn("is_del", $"op" === "D")
+      val batchEq = graft.ops.Cdc.compactChangelog(all, $"key", $"ts",
+          $"off", $"is_del")
+        .select("key", "ts", "off").as[(Long, Long, Long)].collect().toSet
+      assert(fin == batchEq)
+    }
+  }
 }
