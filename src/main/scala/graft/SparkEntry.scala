@@ -2050,7 +2050,76 @@ object SparkEntry {
           lit("?utm_source=s"), col("doc_id").cast("string"),
           lit("&ref=1#sec"), col("doc_id").cast("string")).as("url"))
         Text.urlDedup(u)
-      })
+      }),
+
+    // The skew trend metric (Skew.keyGini): Gini of the supplier load
+    // distribution in lineitem, emitted as the exact integer rational of
+    // the rank formula — no float division crosses the engines. The rank
+    // window runs on the aggregated census (one row per key).
+    q("q95_key_gini",
+      """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rn
+        |  FROM c)
+        |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |  CAST(2 * sum(rn * cnt) - (count(*) + 1) * sum(cnt) AS BIGINT)
+        |    AS gini_num,
+        |  CAST(count(*) * sum(cnt) AS BIGINT) AS gini_den
+        |FROM r""".stripMargin)(
+      (s, d) => Skew.keyGini(
+        Tables.lineitem(s, d).select("l_suppkey"), "l_suppkey")),
+
+    // Contrastive negative sampling (Sampling.negativeSample): per
+    // anchor, the 3 pool candidates ranked first by md5(anchor-cand)
+    // among DIFFERENT-source docs. The pair hash + md5-bucket pool are
+    // the proven engine-portable idioms (q70/q73), so the draw is a pure
+    // function of the ids on both sides.
+    q("q96_negative_sampling",
+      """WITH a AS (SELECT doc_id AS anchor_id, source AS a_src
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |p AS (SELECT doc_id AS cand_id, source AS c_src FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INTEGER) % 1000 < 200),
+        |x AS (SELECT anchor_id, cand_id,
+        |    md5(concat(CAST(anchor_id AS VARCHAR), '-',
+        |      CAST(cand_id AS VARCHAR))) AS h
+        |  FROM a CROSS JOIN p WHERE a_src <> c_src),
+        |r AS (SELECT anchor_id, cand_id,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY h, cand_id) AS rk
+        |  FROM x)
+        |SELECT anchor_id, rk, cand_id FROM r WHERE rk <= 3
+        |ORDER BY anchor_id, rk""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val anchors = docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("anchor_id"), col("source"))
+        val cands = docs
+          .select(col("doc_id").as("cand_id"), col("source"))
+        Sampling.negativeSample(anchors, cands, "anchor_id", "cand_id",
+          "source", k = 3, poolPermille = 200)
+      }),
+
+    // Class rebalance (Sampling.balancedUpsample): every language lands
+    // on EXACTLY 200 rows — small strata replicate with replacement
+    // (copy_idx numbers the replicas), large ones keep the md5-order
+    // prefix; one integer formula covers both, identical in the oracle.
+    q("q97_balanced_upsample",
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |c AS (SELECT lang, doc_id,
+        |    (200 // n) + CASE WHEN rn <= 200 % n THEN 1 ELSE 0 END
+        |      AS copies
+        |  FROM r)
+        |SELECT lang, doc_id, unnest(range(1, copies + 1)) AS copy_idx
+        |FROM c WHERE copies > 0
+        |ORDER BY lang, doc_id, copy_idx""".stripMargin)(
+      (s, d) => Sampling.balancedUpsample(
+        Tables.documents(s, d).select("lang", "doc_id"),
+        "doc_id", "lang", target = 200L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

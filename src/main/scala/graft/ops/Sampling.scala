@@ -209,4 +209,75 @@ object Sampling {
       .filter(col("graft_cum") <= budget)
       .drop("graft_cum")
   }
+
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor, the `k` candidates ranked first by `md5(anchor-cand)` among
+    * candidates whose `excludeCol` differs from the anchor's (the
+    * positive-group exclusion — same source, same cluster, same label).
+    * The pair hash makes every anchor's negative set an independent
+    * pseudo-random draw, yet a pure function of the ids: re-runs, engine
+    * swaps, and corpus re-partitioning reproduce byte-identical batches.
+    *
+    * `poolPermille` pre-shrinks the candidate side by the same md5 bucket
+    * as `deterministicSample` — THAT is the scale lever: the anchor ×
+    * pool product is linear in |anchors| with a bounded broadcast pool,
+    * instead of a quadratic blow-up against the full corpus. (With the
+    * pool at a few thousand rows the exact per-anchor top-k is cheap;
+    * growing the pool buys sampling diversity with compute, never
+    * correctness.)
+    */
+  def negativeSample(anchors: DataFrame, candidates: DataFrame,
+                     anchorIdCol: String, candIdCol: String,
+                     excludeCol: String, k: Int,
+                     poolPermille: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(poolPermille >= 1 && poolPermille <= 1000,
+      "poolPermille must be in [1, 1000]")
+    val pool = candidates
+      .filter(splitBucket(col(candIdCol)) < poolPermille)
+      .select(col(candIdCol), col(excludeCol).as("__cand_ex"))
+    val a = anchors.select(col(anchorIdCol),
+      col(excludeCol).as("__anchor_ex"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(anchorIdCol).orderBy(col("__h"), col(candIdCol))
+    a.crossJoin(broadcast(pool))
+      .filter(col("__anchor_ex") =!= col("__cand_ex"))
+      .withColumn("__h", md5(concat(col(anchorIdCol).cast("string"),
+        lit("-"), col(candIdCol).cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(anchorIdCol), col("rk"), col(candIdCol))
+      .orderBy(anchorIdCol, "rk")
+  }
+
+  /** Class-balanced resampling to an exact per-stratum row target: small
+    * strata are upsampled with replacement (each row gets ⌊target/n⌋
+    * copies, the first `target mod n` rows in md5(id) order one more),
+    * large strata are downsampled to the md5-order prefix — one formula,
+    * `copies = target div n + [rn ≤ target mod n]`, covers both, and
+    * every stratum lands on EXACTLY `target` rows. `copy_idx` numbers
+    * the replicas so downstream shuffles can keep them distinct.
+    *
+    * The standard rebalance before training on a skewed label/language
+    * mix. Deterministic end to end (hash order, integer arithmetic);
+    * explode emits copies inline — no shuffle beyond the per-stratum
+    * window's.
+    */
+  def balancedUpsample(df: DataFrame, idCol: String, stratumCol: String,
+                       target: Long): DataFrame = {
+    require(target >= 1, "target must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .withColumn("__copies",
+        expr(s"${target}L div __n") +
+          when(col("__rn") <= expr(s"${target}L % __n"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__copies"))))
+      .select(col(stratumCol), col(idCol), col("copy_idx"))
+      .orderBy(stratumCol, idCol, "copy_idx")
+  }
 }

@@ -48,6 +48,37 @@ object Skew {
     df.groupBy(key).agg(count(lit(1)).as("df"))
       .orderBy(desc("df"), col(key)).limit(topN)
 
+  /** Gini coefficient of a key's load distribution — the single-number
+    * skew metric that trends a census over time ("is this join key
+    * getting more skewed week over week?"), complementing `heavyHitters`'
+    * head view. 0 = perfectly even, → 1 = one key owns everything.
+    *
+    * Emitted as the EXACT integer rational of the rank formula
+    * `G = (2·Σ rnᵢ·cᵢ − (n+1)·Σ cᵢ) / (n·Σ cᵢ)` over counts sorted
+    * ascending (ties broken on the key): no float division crosses an
+    * engine boundary, so the metric is hash-comparable.
+    *
+    * The global rank window runs over the AGGREGATED key census (one row
+    * per key, not per fact row) — the same single-partition sort
+    * `heavyHitters` and every exact global rank pays. For a census too
+    * large for one task, bound it first (e.g. Gini of the top-1M census
+    * via `heavyHitters`), which is the standard monitoring trade.
+    */
+  def keyGini(df: DataFrame, key: String): DataFrame = {
+    val counts = df.groupBy(key).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt"), col(key))
+    counts
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        sum(col("rn") * col("cnt")).as("rc"))
+      .select(col("n_keys"),
+        col("total").cast("long").as("total"),
+        (lit(2L) * col("rc") - (col("n_keys") + 1) * col("total"))
+          .cast("long").as("gini_num"),
+        (col("n_keys") * col("total")).cast("long").as("gini_den"))
+  }
+
   /** Per-partition row-count histogram — skew visibility for any stage. */
   def partitionHistogram(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

@@ -214,4 +214,44 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerStratum(strat, "doc_id", "stratum", 1000)
       .count() == 100)
   }
+
+  test("negativeSample: k per anchor, positives excluded, deterministic") {
+    val docs = (0L until 40L).map(i => (i, s"src${i % 4}"))
+      .toDF("id", "source")
+    val anchors = docs.filter($"id" < 3)
+      .withColumnRenamed("id", "anchor_id")
+    val cands = docs.withColumnRenamed("id", "cand_id")
+    val got = Sampling.negativeSample(anchors, cands, "anchor_id",
+        "cand_id", "source", k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.map(_._1).distinct == Seq(0L, 1L, 2L))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2) == (1 to 5)) // exactly k, ranked 1..k
+    }
+    // positives (same source) never appear: anchor a excludes a % 4
+    got.foreach { case (a, _, c) => assert(c % 4 != a % 4) }
+    // pure function of ids: repartitioning changes nothing
+    val again = Sampling.negativeSample(anchors.repartition(7),
+        cands.repartition(5), "anchor_id", "cand_id", "source", k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("balancedUpsample lands every stratum on exactly target rows") {
+    val df = ((0L until 3L).map(i => (i, "small")) ++
+      (100L until 120L).map(i => (i, "big"))).toDF("doc_id", "lang")
+    val got = Sampling.balancedUpsample(df, "doc_id", "lang", target = 7L)
+      .as[(String, Long, Long)].collect().toSeq
+    val byLang = got.groupBy(_._1)
+    assert(byLang("small").size == 7 && byLang("big").size == 7)
+    // small (n=3): copies are 7 div 3 = 2 base + 1 extra on the first
+    // md5-ranked row → multiset {3,2,2}; every source row appears
+    val smallCopies = byLang("small").groupBy(_._2).view
+      .mapValues(_.size).toMap
+    assert(smallCopies.values.toSeq.sorted == Seq(2, 2, 3))
+    assert(smallCopies.keySet == (0L until 3L).toSet)
+    // big (n=20 > 7): a 7-row prefix, one copy each
+    assert(byLang("big").map(_._3).forall(_ == 1L))
+    assert(byLang("big").map(_._2).distinct.size == 7)
+  }
 }

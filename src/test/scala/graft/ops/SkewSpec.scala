@@ -66,4 +66,22 @@ class SkewSpec extends SparkSpec {
     // keys 0,8,-8 → 0; 1 → 1; 2 → 2; 7,15,-1 → 3
     assert(hist == Map(0 -> 3L, 1 -> 1L, 2 -> 1L, 3 -> 3L))
   }
+
+  test("keyGini: 0 for an even census, rising with concentration") {
+    import spark.implicits._
+    // even: 4 keys × 2 rows → gini_num = 0
+    val even = Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L).toDF("k")
+    val e = Skew.keyGini(even, "k")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(e == (4L, 8L, 0L, 32L))
+    // skewed: counts (1,1,1,5) sorted → num = 2*(1+2+3+20) - 5*8 = 12
+    val skewed = (Seq.fill(5)(9L) ++ Seq(1L, 2L, 3L)).toDF("k")
+    val s = Skew.keyGini(skewed, "k")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s == (4L, 8L, 12L, 32L))
+    // one-key census: num 2*1*c - 2*c = 0 (a single key is "even")
+    val one = Seq.fill(3)(7L).toDF("k")
+    assert(Skew.keyGini(one, "k")
+      .as[(Long, Long, Long, Long)].collect().head == (1L, 3L, 0L, 3L))
+  }
 }
