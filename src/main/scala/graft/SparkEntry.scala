@@ -2119,7 +2119,81 @@ object SparkEntry {
         |ORDER BY lang, doc_id, copy_idx""".stripMargin)(
       (s, d) => Sampling.balancedUpsample(
         Tables.documents(s, d).select("lang", "doc_id"),
-        "doc_id", "lang", target = 200L))
+        "doc_id", "lang", target = 200L)),
+
+    // One BPE training round (Text.bpePairCensus): the frequency-weighted
+    // adjacent-character-pair census whose argmax is the tokenizer's next
+    // merge. Words aggregate to (word, freq) BEFORE pairs explode, so the
+    // expansion runs over the vocabulary, not the corpus; pair slicing is
+    // character-substring arithmetic identical in both engines.
+    q("q98_bpe_pair_census",
+      s"""WITH w AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '${Text.ws}'),
+        |    x -> length(x) > 0)) AS word FROM documents),
+        |wc AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, length(word)),
+        |    i -> word[i:i+1])) AS pair, freq
+        |  FROM wc WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin)(
+      (s, d) => Text.bpePairCensus(Tables.documents(s, d), topK = 20)),
+
+    // Incremental view maintenance (Relational.mergePartials): the
+    // monthly partials of orders coarsen to (year, priority) by MERGING
+    // algebraic aggregates — sums of counts and of integer cents — and
+    // the oracle recomputes the coarse view directly from the facts, so
+    // a driver mismatch means the merge lost rows or double-counted.
+    q("q99_partial_agg_merge",
+      """WITH p AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |    CAST(month(o_orderdate) AS INTEGER) AS mon,
+        |    o_orderpriority AS priority, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT yr, priority, CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, month, round,
+          sum, year}
+        val partials = Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("yr"),
+            month(col("o_orderdate")).as("mon"),
+            col("o_orderpriority").as("priority"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        Relational.mergePartials(partials, Seq("yr", "priority"),
+          Seq("n", "cents"))
+      }),
+
+    // Time travel (Cdc.snapshotAsOf): the q88 changelog compaction
+    // replayed only up to an as-of cutoff — event-sourced historical
+    // state from the same log. The cutoff predicate sits on the scan
+    // (partition-prunable at scale); both engines compare the identical
+    // UTC timestamp literal.
+    q("q100_snapshot_asof",
+      """WITH ch AS (SELECT * FROM orders
+        |  WHERE o_orderdate <= TIMESTAMP '1996-12-31 23:59:59.999'),
+        |r AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM ch)
+        |SELECT o_custkey AS cust, o_orderkey AS last_order,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM r WHERE rn = 1 AND o_orderstatus <> 'F'
+        |ORDER BY cust""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{lit, round}
+        Cdc.snapshotAsOf(Tables.orders(s, d),
+            key = col("o_custkey"), ts = col("o_orderdate"),
+            tiebreak = col("o_orderkey"),
+            tombstone = col("o_orderstatus") === "F",
+            asOf = lit("1996-12-31 23:59:59.999").cast("timestamp"))
+          .select(col("o_custkey").as("cust"),
+            col("o_orderkey").as("last_order"),
+            round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+          .orderBy("cust")
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

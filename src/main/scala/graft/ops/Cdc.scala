@@ -51,6 +51,18 @@ object Cdc {
     if (keepTombstones) latest else latest.filter(!tombstone)
   }
 
+  /** Time travel: the latest-wins snapshot AS OF `asOf` — compaction
+    * restricted to changes with `ts` ≤ the cutoff. With an append-only
+    * changelog this reconstructs any historical table state from the one
+    * log (event sourcing); the predicate sits on the scan, so partition/
+    * file pruning on the change time bounds the replay cost.
+    */
+  def snapshotAsOf(changelog: DataFrame, key: Column, ts: Column,
+                   tiebreak: Column, tombstone: Column,
+                   asOf: Column): DataFrame =
+    compactChangelog(changelog.filter(ts <= asOf), key, ts, tiebreak,
+      tombstone)
+
   /** Snapshot diff: classify every key as `added` (only in `after`),
     * `removed` (only in `before`) or `changed` (in both, any `valueCols`
     * differ). Keys whose values are identical are dropped — at 100 TB the

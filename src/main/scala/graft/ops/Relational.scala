@@ -148,4 +148,26 @@ object Relational {
            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
            count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** Incremental-view maintenance: coarsen a pre-aggregated partials
+    * table to a coarser grain by MERGING the algebraic aggregates (sums
+    * add, counts add) — never rescanning the facts. The daily→monthly
+    * rollup every metrics pipeline runs: correctness rests on every
+    * merged aggregate being algebraic (sum/count/min/max merge; avg must
+    * travel as sum+count and divide at read time, which is why `sumCols`
+    * is the only merge this operator offers).
+    *
+    * At 100 TB the fact scan is the cost — a partials table is smaller
+    * by the fine-grain group count, and re-aggregating it is the only
+    * way period-over-period reporting stays O(|partials|).
+    */
+  def mergePartials(partials: DataFrame, keys: Seq[String],
+                    sumCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && sumCols.nonEmpty,
+      "need at least one key and one mergeable aggregate")
+    val aggs = sumCols.map(c => sum(col(c)).as(c))
+    partials.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(keys.map(col): _*)
+  }
 }

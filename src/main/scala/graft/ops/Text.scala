@@ -522,6 +522,30 @@ object Text {
       .limit(topK)
   }
 
+  /** One BPE training round: the corpus-wide census of adjacent
+    * character pairs inside words, weighted by word frequency — the
+    * argmax of this table IS the next merge a byte-pair-encoding
+    * tokenizer would learn, and the ranked tail is the merge queue.
+    *
+    * Aggregate-then-expand: words collapse to (word, freq) FIRST, pairs
+    * explode from DISTINCT words only, and the pair count is Σ freq — at
+    * 100 TB the explode runs over the vocabulary (millions), not the
+    * corpus (trillions of tokens). Pair extraction is character-based
+    * substring arithmetic available identically in any SQL engine.
+    */
+  def bpePairCensus(documents: DataFrame, topK: Int = 20): DataFrame = {
+    val wc = documents
+      .select(explode(tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    wc.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1)," +
+          " i -> substring(word, i, 2))")).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(desc("cnt"), col("pair"))
+      .limit(topK)
+  }
+
   /** Rule-ensemble quality classifier (the C4/Gopher-style gate, scored):
     * four integer-exact heuristic rules, each worth a fixed weight, summed
     * into a document quality score; `keep = score ≥ minScore`. A logistic

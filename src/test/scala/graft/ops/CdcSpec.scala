@@ -36,6 +36,17 @@ class CdcSpec extends SparkSpec {
     assert(c.select("off").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("snapshotAsOf replays only changes at or before the cutoff") {
+    val c = log((1L, 10L, 0L, "U"), (1L, 20L, 1L, "U"), (1L, 30L, 2L, "D"),
+      (2L, 25L, 3L, "U"))
+    def asOf(t: Long) = Cdc.snapshotAsOf(c.toDF(), col("key"), col("ts"),
+        col("off"), col("op") === "D", lit(t))
+      .select("key", "off").as[(Long, Long)].collect().toSet
+    assert(asOf(15L) == Set((1L, 0L)))           // key 2 not yet born
+    assert(asOf(25L) == Set((1L, 1L), (2L, 3L))) // pre-delete state
+    assert(asOf(40L) == Set((2L, 3L)))           // delete replayed
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops same") {
     val before = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val after = Seq((2L, 20L), (3L, 31L), (4L, 40L)).toDF("k", "v")

@@ -61,4 +61,29 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r("A")._2 - 7.9) < 1e-12)
     assert(r("B") == ((5.0, 5.0, 1L)))
   }
+
+  test("mergePartials: merged partials equal the direct aggregate") {
+    val facts = Seq((2024, 1, "a", 3L), (2024, 1, "a", 4L),
+      (2024, 2, "a", 5L), (2024, 2, "b", 1L), (2025, 1, "a", 7L))
+      .toDF("yr", "mon", "grp", "v")
+    val partials = facts.groupBy("yr", "mon", "grp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+    val merged = Relational.mergePartials(partials, Seq("yr", "grp"),
+        Seq("n", "s"))
+      .as[(Int, String, Long, Long)].collect().toSeq
+    val direct = facts.groupBy("yr", "grp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("s"))
+      .orderBy("yr", "grp")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(merged == direct)
+    assert(merged == Seq((2024, "a", 3L, 12L), (2024, "b", 1L, 1L),
+      (2025, "a", 1L, 7L)))
+    intercept[IllegalArgumentException] {
+      Relational.mergePartials(partials, Seq.empty, Seq("n"))
+    }
+  }
 }

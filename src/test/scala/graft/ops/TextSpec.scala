@@ -302,6 +302,21 @@ class TextSpec extends SparkSpec {
     assert(got == Seq(("a", "b")))
   }
 
+  test("bpePairCensus: frequency-weighted pairs, argmax is the merge") {
+    // "aab" ×3 → pairs aa,ab each ×3; "ab" ×2 → ab ×2; "x" has no pair
+    val d = docs("aab aab ab", "aab ab x")
+    val got = Text.bpePairCensus(d, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("ab", 5L), ("aa", 3L)))
+  }
+
+  test("bpePairCensus counts word occurrences, not distinct words") {
+    // same word in two docs: freq 2, pair weight 2 (corpus-weighted)
+    val d = docs("hi", "hi")
+    assert(Text.bpePairCensus(d, topK = 5)
+      .as[(String, Long)].collect().toSeq == Seq(("hi", 2L)))
+  }
+
   test("canonicalizeUrl merges spelling variants, keeps real params") {
     val urls = Seq(
       (0L, "https://CDN1.Example.ORG:443/p/9?utm_source=a&ref=1#frag"),
