@@ -2193,7 +2193,41 @@ object SparkEntry {
             col("o_orderkey").as("last_order"),
             round(col("o_totalprice") * 100).cast("long").as("price_cents"))
           .orderBy("cust")
-      })
+      }),
+
+    // Iterative graph analytics (Graph.pageRankMicro): 3 PageRank rounds
+    // in integer micro-units over a customer-derived 25-node graph —
+    // truncating integer division makes the fixpoint math a pure function
+    // of the edge set, so an ITERATIVE graph algorithm becomes hash-
+    // checkable across engines (float PageRank never is). The oracle
+    // unrolls the identical three rounds as CTE layers.
+    q("q101_pagerank",
+      """WITH e AS (SELECT DISTINCT c_nationkey AS src,
+        |    c_custkey % 25 AS dst FROM customer),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM n),
+        |i1 AS (SELECT e.dst AS node, sum(p0.pr // d.deg) AS m
+        |  FROM e JOIN d USING (src) JOIN p0 ON p0.node = e.src GROUP BY 1),
+        |p1 AS (SELECT n.node,
+        |    150000 + (850 * coalesce(i1.m, 0)) // 1000 AS pr
+        |  FROM n LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(p1.pr // d.deg) AS m
+        |  FROM e JOIN d USING (src) JOIN p1 ON p1.node = e.src GROUP BY 1),
+        |p2 AS (SELECT n.node,
+        |    150000 + (850 * coalesce(i2.m, 0)) // 1000 AS pr
+        |  FROM n LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(p2.pr // d.deg) AS m
+        |  FROM e JOIN d USING (src) JOIN p2 ON p2.node = e.src GROUP BY 1),
+        |p3 AS (SELECT n.node,
+        |    150000 + (850 * coalesce(i3.m, 0)) // 1000 AS pr
+        |  FROM n LEFT JOIN i3 USING (node))
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3
+        |ORDER BY node""".stripMargin)(
+      (s, d) => Graph.pageRankMicro(
+        Tables.customer(s, d).select(col("c_nationkey").as("src"),
+          (col("c_custkey") % 25).as("dst")),
+        iterations = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames. Engine-surface
+  * extension (the reference's only iterative job is k-means — SURVEY
+  * §2.6; the loop-until-fixed-iterations shape here is the same
+  * driver-side pattern as ml.KMeans, applied to a graph).
+  */
+object Graph {
+
+  /** PageRank in integer micro-units — every node starts at 1e6, one
+    * round computes
+    *
+    *   pr'(v) = (1000 − d)·1000 + (d · Σ_{u→v} pr(u) div deg(u)) div 1000
+    *
+    * with `d = dampPermille` and div = truncating integer division. All
+    * arithmetic is 64-bit integer, so the result is a pure function of
+    * the edge set — reproducible across engines, partitionings, and
+    * reruns, and therefore ORACLE-CHECKABLE, which float PageRank (whose
+    * per-key addition order drifts) is not. Truncation loses < 1 micro
+    * per term versus real division — noise for ranking, determinism for
+    * auditing. Dangling-node mass is dropped (the standard simplification)
+    * and isolated-but-linked-to nodes receive base rank.
+    *
+    * Scale: each round is one join of edges to the |nodes|-row rank table
+    * on `src` (shuffle or broadcast, planner's choice per size) and one
+    * aggregate on `dst` — the canonical distributed PageRank round. The
+    * loop builds the plan iteratively; for deep iteration counts
+    * checkpoint the rank table every few rounds to cut lineage (the same
+    * note as ml.KMeans; `iterations` here is small and fixed).
+    */
+  def pageRankMicro(edges: DataFrame, iterations: Int,
+                    dampPermille: Int = 850): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      "dampPermille must be in [0, 1000]")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (1000L - dampPermille) * 1000L
+    var pr = nodes.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(deg, "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      pr = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampPermille * coalesce(m, 0L)) div 1000")).as("pr"))
+    }
+    pr.orderBy("node")
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins the integer-micro PageRank arithmetic round by round. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1→2, 1→3, 2→3, 3→1: deg(1)=2, deg(2)=deg(3)=1
+  private val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    .toDF("src", "dst")
+
+  test("pageRankMicro: one round, hand-computed micro-units") {
+    // contribs: 1→{2,3}: 500000 each; 2→3: 1e6; 3→1: 1e6
+    // p1 = 150000 + 850·incoming // 1000
+    val got = Graph.pageRankMicro(edges, iterations = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1000000L), (2L, 575000L), (3L, 1425000L)))
+  }
+
+  test("pageRankMicro: second round compounds exactly") {
+    // contribs from p1: 1→{2,3}: 500000; 2→3: 575000; 3→1: 1425000
+    val got = Graph.pageRankMicro(edges, iterations = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1361250L), (2L, 575000L), (3L, 1063750L)))
+  }
+
+  test("pageRankMicro: sink-only node gets base, dangling mass drops") {
+    // 1→2 only: node 2 has no out-edges (dangling), node 1 no in-edges
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRankMicro(e, iterations = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 150000L), (2L, 1000000L)))
+    // duplicate edges must not double-contribute
+    val dup = Seq((1L, 2L), (1L, 2L)).toDF("src", "dst")
+    assert(Graph.pageRankMicro(dup, iterations = 1)
+      .as[(Long, Long)].collect().toSeq == got)
+  }
+}
