@@ -19,7 +19,11 @@ object DevPlans {
         "q76_partition_histogram", "q77_boilerplate_lines",
         "q78_token_chunks", "q79_bigram_lm_score", "q80_token_budget_cap",
         "q82_incremental_dedup", "q83_column_profile", "q84_value_histogram",
-        "q85_sq_pruned_knn")
+        "q85_sq_pruned_knn", "q88_changelog_merge", "q89_snapshot_diff",
+        "q90_pruned_semi_join", "q91_pmi_pairs", "q92_quality_classifier",
+        "q93_winsorized_stats", "q95_key_gini", "q96_negative_sampling",
+        "q97_balanced_upsample", "q98_bpe_pair_census",
+        "q99_partial_agg_merge", "q101_pagerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

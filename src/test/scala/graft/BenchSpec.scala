@@ -116,6 +116,18 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() > 0)
   }
 
+  test("the REAL query set still ships per-query detail in the window") {
+    // the degradation ladder is the safety net; the real set must not
+    // need it — per-query timings are the adjudicable artifact. If this
+    // fails, shrink the line (2-decimal seconds) before adding queries.
+    val real = SparkEntry.queries.keys.toSeq
+    val line = Bench.buildLine(real, samples(real, 3), "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("queries").size() == real.length)
+    assert(node.get("rep_totals").size() == 3)
+  }
+
   test("short-key collision falls back to full names") {
     val ns = Seq("q01_a", "q01_b")
     val keys = Bench.shortKeys(ns)
