@@ -2227,7 +2227,61 @@ object SparkEntry {
       (s, d) => Graph.pageRankMicro(
         Tables.customer(s, d).select(col("c_nationkey").as("src"),
           (col("c_custkey") % 25).as("dst")),
-        iterations = 3))
+        iterations = 3)),
+
+    // Ordered funnel (Behavior.funnel): view → click → purchase, each
+    // step's earliest event strictly after the previous step's time.
+    // A k-leg ordered join collapsed to per-user mins before every join
+    // — no event×event pairs at any scale. Counts only: exact.
+    q("q102_funnel",
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(ts) AS t1 FROM events e
+        |  JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t1 GROUP BY 1)
+        |SELECT count(*) AS step1,
+        |  (SELECT count(*) FROM s1) AS step2,
+        |  (SELECT count(*) FROM s2) AS step3
+        |FROM s0""".stripMargin)(
+      (s, d) => Behavior.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
+    // Triangle census (Graph.triangleCount) on the q101 graph: edges
+    // canonicalize to a<b, the a<b<c two-path closure counts each
+    // triangle exactly once — orientation is also the scale trick (no
+    // 6× materialization, fan-out bounded by oriented degree).
+    q("q103_triangle_count",
+      """WITH raw AS (SELECT c_nationkey AS src, c_custkey % 25 AS dst
+        |  FROM customer),
+        |c AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE least(src, dst) < greatest(src, dst))
+        |SELECT count(*) AS n_triangles
+        |FROM c e1 JOIN c e2 ON e1.b = e2.a
+        |JOIN c e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)(
+      (s, d) => Graph.triangleCount(
+        Tables.customer(s, d).select(col("c_nationkey").as("src"),
+          (col("c_custkey") % 25).as("dst")))),
+
+    // Weekly cohort retention (Behavior.cohortRetention): users cohorted
+    // by first-event epoch week (integer div of nanos — DuckDB reads the
+    // ns timestamps via epoch_ns, Spark the raw int64), distinct-user
+    // counts per (cohort, offset ≤ 3). The standard retention triangle
+    // as exact integers; both joins run on pre-aggregated sides.
+    q("q104_cohort_retention",
+      """WITH w AS (SELECT user_id,
+        |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM w)
+        |SELECT cohort_week, CAST(week - cohort_week AS INTEGER) AS "offset",
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |WHERE week - cohort_week <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.cohortRetention(Tables.events(s, d),
+        maxOffset = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

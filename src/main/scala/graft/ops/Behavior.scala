@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over event streams — funnel conversion and
+  * cohort retention. Engine-surface extension (the reference's closest
+  * shape is the two-leg flight join, SURVEY §2.3 J2 — a funnel IS a
+  * k-leg ordered join, collapsed here to per-user aggregates so no
+  * per-pair blow-up exists at any scale).
+  *
+  * Everything is exact integer arithmetic on int64 nanosecond timestamps
+  * (Tables.events): counts and min-timestamps only, no floats — every
+  * result is hash-comparable against a SQL oracle.
+  */
+object Behavior {
+
+  /** Ordered funnel: for each user, step i counts only if its earliest
+    * qualifying event is strictly AFTER the user's step-(i−1) time —
+    * `min(ts | type = stepᵢ ∧ ts > tᵢ₋₁)`. One row: users reaching each
+    * step. Conversion between steps is the adjacent-count ratio, left to
+    * the reader (a ratio would be float; the counts are the artifact).
+    *
+    * Shape: one scan per step, each collapsing to a per-user min BEFORE
+    * the next step's join — joins carry one row per user per step, never
+    * event×event pairs. A per-user sessionized funnel (windowed, ordered
+    * within session) composes from `EventStreams.userSessions` + this on
+    * the session-scoped slice.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least two steps")
+    var acc = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    for (i <- 1 until steps.length) {
+      val reach = events.filter(col("event_type") === steps(i))
+        .join(acc.filter(col(s"t${i - 1}").isNotNull)
+          .select(col("user_id"), col(s"t${i - 1}")), "user_id")
+        .filter(col("ts") > col(s"t${i - 1}"))
+        .groupBy("user_id").agg(min("ts").as(s"t$i"))
+      acc = acc.join(reach, Seq("user_id"), "left")
+    }
+    val aggs = steps.indices.map(i => count(col(s"t$i")).as(s"step${i + 1}"))
+    acc.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Weekly cohort retention: users cohorted by the calendar week (epoch
+    * week = ts div 7·86400·10⁹ ns) of their first event; cell (cohort,
+    * offset) = distinct users of that cohort active `offset` weeks later,
+    * for offsets 0..`maxOffset`. Offset 0 is the cohort size (every user
+    * is active in their first week by definition) — the standard
+    * triangle-shaped retention table, as exact integers.
+    *
+    * Shape: per-user min-week aggregate, distinct (user, week) activity
+    * set, one join on user_id (both sides pre-aggregated), then a
+    * two-level count — no fact-row exchange.
+    */
+  def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be >= 0")
+    val weekNs = 7L * 86400L * 1000000000L
+    val withWeek = events.select(col("user_id"),
+      expr(s"ts div ${weekNs}L").as("week"))
+    val cohorts = withWeek.groupBy("user_id")
+      .agg(min("week").as("cohort_week"))
+    val activity = withWeek.distinct()
+    activity.join(cohorts, "user_id")
+      .withColumn("offset", (col("week") - col("cohort_week")).cast("int"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy("cohort_week", "offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "offset")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Pins funnel step ordering (strictly-after semantics) and the cohort
+  * retention table's exact cells.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, t, ty) => (u, t, ty, 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+
+  test("funnel: steps must occur strictly after the previous step") {
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full
+      (2L, 10L, "view"), (2L, 10L, "click"),  // click NOT after view
+      (3L, 10L, "view"), (3L, 20L, "click"),  // no purchase
+      (4L, 20L, "click"), (4L, 30L, "purchase"), // no view: not in funnel
+      (5L, 50L, "purchase"), (5L, 60L, "view"), (5L, 70L, "click"))
+      // user 5's purchase precedes view→click: steps 1-2 only
+    val got = Behavior.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((4L, 3L, 1L))) // views: 1,2,3,5; clicks after: 1,3,5
+  }
+
+  test("funnel uses the EARLIEST qualifying event per step") {
+    // user's first view at 10; click at 5 (before) must not count, the
+    // one at 15 does; purchase must then be after 15
+    val e = ev((1L, 10L, "view"), (1L, 5L, "click"), (1L, 15L, "click"),
+      (1L, 12L, "purchase"))
+    val got = Behavior.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 0L))) // purchase at 12 ≤ t1=15: dropped
+  }
+
+  test("cohortRetention: exact cells, offset capped") {
+    val wk = 7L * 86400L * 1000000000L
+    val e = ev(
+      (1L, 0L, "view"), (1L, wk + 1, "view"), (1L, 5 * wk, "view"),
+      (2L, 10L, "view"), (2L, 2 * wk, "view"),
+      (3L, wk, "view"), (3L, wk * 2 + 5, "view"))
+    val got = Behavior.cohortRetention(e, maxOffset = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    // cohort 0: users 1,2 → offset 0: 2; offset 1: {1}; offset 2: {2};
+    // user 1's 5wk event exceeds maxOffset. cohort 1: user 3 → 0 and 1.
+    assert(got == Seq((0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L),
+      (1L, 0, 1L), (1L, 1, 1L)))
+  }
+}

@@ -36,4 +36,15 @@ class GraphSpec extends SparkSpec {
     assert(Graph.pageRankMicro(dup, iterations = 1)
       .as[(Long, Long)].collect().toSeq == got)
   }
+
+  test("triangleCount: orientation counts each triangle exactly once") {
+    // K4 minus one edge = 2 triangles; edges given in mixed directions
+    // with duplicates and a self-loop, all of which must collapse
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 4L), (2L, 4L), (3L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCount(e).as[Long].collect().head == 2L)
+    // no triangle: a path
+    val p = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(Graph.triangleCount(p).as[Long].collect().head == 0L)
+  }
 }
