@@ -2281,7 +2281,26 @@ object SparkEntry {
         |WHERE week - cohort_week <= 3
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => Behavior.cohortRetention(Tables.events(s, d),
-        maxOffset = 3))
+        maxOffset = 3)),
+
+    // Label-conditioned centroids in quantized space
+    // (Similarity.quantizedCentroids): fixed-grid codes
+    // clamp(round(x·127)) summed per (label, dim) — the centroid as an
+    // exact integer rational, hash-checkable where a float mean never is.
+    // Components are cast to DOUBLE before the multiply on BOTH sides so
+    // neither engine rounds in float32.
+    q("q105_quantized_centroids",
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |c AS (SELECT label, pos,
+        |    CAST(least(greatest(round(CAST(x AS DOUBLE) * 127), -127), 127)
+        |      AS BIGINT) AS code
+        |  FROM e)
+        |SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n,
+        |  CAST(sum(code) AS BIGINT) AS sum_code
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Similarity.quantizedCentroids(Tables.embeddings(s, d),
+        scale = 127))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

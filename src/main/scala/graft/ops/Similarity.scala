@@ -394,4 +394,31 @@ object Similarity {
       .select("q_id", "rank", "n_id")
       .orderBy("q_id", "rank")
   }
+
+  /** Per-label embedding centroids in fixed-grid quantized space: each
+    * component maps to `code = clamp(round(x·scale), ±scale)` and the
+    * centroid crosses as the exact integer pair (Σ code, n) per (label,
+    * dimension) — the mean is one division away for the consumer, while
+    * the ARTIFACT stays drift-free (a float mean's partition-order
+    * addition drift makes it un-hashable across engines; integer sums
+    * commute exactly). The fixed grid (right-sized for unit-norm inputs)
+    * is what makes the codes a pure per-element function — no trained
+    * codebook to ship, unlike `sqKnn`'s range-trained SQ8.
+    *
+    * Shape: posexplode to (label, pos) rows with map-side partial sums —
+    * the shuffle carries |labels|·dims aggregated rows, never vectors.
+    * The class-prototype / centroid-init primitive for label-conditioned
+    * retrieval at corpus scale.
+    */
+  def quantizedCentroids(embeddings: DataFrame, scale: Int = 127): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    embeddings
+      .select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("code", least(greatest(round(col("x") * scale),
+        lit(-scale.toDouble)), lit(scale.toDouble)).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("code").as("sum_code"))
+      .orderBy("label", "pos")
+  }
 }

@@ -174,4 +174,19 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect ann).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall")
   }
+
+  test("quantizedCentroids: exact integer sums per (label, dim)") {
+    val e = Seq(
+      (0L, Array(0.5f, -1.0f), 1),
+      (1L, Array(0.504f, 2.0f), 1),   // 2.0 clamps to 127
+      (2L, Array(0.0f, 0.25f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.quantizedCentroids(e, scale = 127)
+      .as[(Int, Int, Long, Long)].collect().toSeq
+    // label 1: pos0 codes round(63.5)=64, round(64.008)=64 → 128;
+    //          pos1 codes -127, 127 → 0
+    // label 2: pos0 0; pos1 round(31.75)=32
+    assert(got == Seq((1, 0, 2L, 128L), (1, 1, 2L, 0L),
+      (2, 0, 1L, 0L), (2, 1, 1L, 32L)))
+  }
 }
