@@ -58,6 +58,23 @@ object Sinks {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Columnar sink in any Spark-built-in format ("parquet", "orc",
+    * "json", "csv") — the interchange surface for downstream systems
+    * that dictate their input format. Parquet stays this library's
+    * native layout (every fixture and sink contract above); ORC carries
+    * the same columnar/pruning properties, json/csv are row formats for
+    * small exports only — at 100 TB a row-format sink is a 5–10×
+    * size/scan regression and should be a deliberate choice.
+    */
+  def writeFormat(df: DataFrame, path: String, format: String,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    require(Seq("parquet", "orc", "json", "csv").contains(format),
+      s"unsupported format: $format")
+    val w = df.write.mode("overwrite").format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -74,6 +74,20 @@ class SinksSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq)
   }
 
+  test("writeFormat: unified sink validates and partitions") {
+    val df = Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "a"))
+      .toDF("id", "part", "s")
+    val dir = tmp("fmt") + "/orc"
+    Sinks.writeFormat(df, dir, "orc", partitionBy = Seq("part"))
+    // partition directories exist and the read-back filter prunes on them
+    val back = spark.read.orc(dir).filter($"part" === "x")
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(new java.io.File(dir, "part=x").isDirectory)
+    intercept[IllegalArgumentException] {
+      Sinks.writeFormat(df, dir, "avro")
+    }
+  }
+
   test("S8: driver-side report file") {
     val f = tmp("report") + "/r/summary.txt"
     Sinks.writeReport(Seq("Max SilScore:0.9", "k:2"), f)
