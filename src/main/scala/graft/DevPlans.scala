@@ -23,7 +23,9 @@ object DevPlans {
         "q90_pruned_semi_join", "q91_pmi_pairs", "q92_quality_classifier",
         "q93_winsorized_stats", "q95_key_gini", "q96_negative_sampling",
         "q97_balanced_upsample", "q98_bpe_pair_census",
-        "q99_partial_agg_merge", "q101_pagerank")
+        "q99_partial_agg_merge", "q101_pagerank", "q102_funnel",
+        "q103_triangle_count", "q104_cohort_retention",
+        "q105_quantized_centroids")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
