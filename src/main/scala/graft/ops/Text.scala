@@ -159,8 +159,8 @@ object Text {
   val urlUtmMidPat: String = "&utm_[^&#]*"
   val urlUtmLeadAmpPat: String = "\\?utm_[^&#]*&"
   val urlUtmLeadEndPat: String = "\\?utm_[^&#]*$"
-  val urlPrefixPat: String = "^(https?://[^/?#]+)"
-  val urlRestPat: String = "^https?://[^/?#]+(.*)$"
+  val urlPrefixPat: String = "^((?i:https?)://[^/?#]+)"
+  val urlRestPat: String = "^(?i:https?)://[^/?#]+(.*)$"
   val urlHttpsPortPat: String = "^(https://[^/:]+):443([/?#].*)?$"
   val urlHttpPortPat: String = "^(http://[^/:]+):80([/?#].*)?$"
 

@@ -344,4 +344,107 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("compactChangelog is idempotent and tombstone-consistent") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val change = for {
+      k <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(1L, 20L)
+      del <- Gen.prob(0.3)
+    } yield (k, t, del)
+    Prop.forAllNoShrink(Gen.listOfN(25, change)) { cs0 =>
+      // unique (key, ts, off): off = index makes the log deterministic
+      val cs = cs0.zipWithIndex.map { case ((k, t, d), i) =>
+        (k, t, i.toLong, d)
+      }
+      val df = cs.toDF("key", "ts", "off", "del")
+      def compact(in: org.apache.spark.sql.DataFrame) =
+        graft.ops.Cdc.compactChangelog(in, col("key"), col("ts"),
+          col("off"), col("del"))
+      val once = compact(df).as[(Long, Long, Long, Boolean)]
+        .collect().toSet
+      // law 1: compacting the compacted state is the identity
+      val twice = compact(once.toSeq.toDF("key", "ts", "off", "del"))
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      // law 2: the winner per key is the (ts, off) max; deleted keys gone
+      val want = cs.groupBy(_._1).view.mapValues(
+          _.maxBy(r => (r._2, r._3))).values
+        .filterNot(_._4).toSet
+      once == twice && once == want
+    }
+  }
+
+  property("funnel counts are monotone non-increasing down the steps") = {
+    import spark.implicits._
+    val ev = for {
+      u <- Gen.chooseNum(1L, 6L)
+      t <- Gen.chooseNum(1L, 50L)
+      ty <- Gen.oneOf("view", "click", "purchase")
+    } yield (u, t, ty, 1.0)
+    Prop.forAllNoShrink(Gen.listOfN(40, ev)) { es =>
+      val df = es.toDF("user_id", "ts", "event_type", "value")
+      val Array(s1, s2, s3) = graft.ops.Behavior
+        .funnel(df, Seq("view", "click", "purchase"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      s1 >= s2 && s2 >= s3 && s1 >= 0
+    }
+  }
+
+  property("balancedUpsample: every stratum lands on exactly target") = {
+    import spark.implicits._
+    val row = for {
+      id <- Gen.chooseNum(0L, 500L)
+      s <- Gen.oneOf("a", "b", "c")
+    } yield (id, s)
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(row).map(_.distinct),
+      Gen.chooseNum(1L, 12L)) { (rows, target) =>
+      val df = rows.toDF("doc_id", "lang").dropDuplicates("doc_id")
+      val got = graft.ops.Sampling
+        .balancedUpsample(df, "doc_id", "lang", target)
+        .as[(String, Long, Long)].collect().toSeq
+      val present = df.select("lang").distinct().as[String].collect().toSet
+      val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+      present.forall(l => sizes.getOrElse(l, 0) == target) &&
+        got.forall(r => r._3 >= 1)
+    }
+  }
+
+  property("keyGini is within [0, 1) and zero iff counts are even") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.nonEmptyListOf(Gen.chooseNum(1L, 8L))) { keys =>
+      val df = keys.toDF("k")
+      val r = graft.ops.Skew.keyGini(df, "k").collect().head
+      val (num, den) = (r.getLong(2), r.getLong(3))
+      val counts = keys.groupBy(identity).values.map(_.size).toSet
+      num >= 0 && num < den &&
+        ((counts.size == 1) == (num == 0L))
+    }
+  }
+
+  property("canonicalizeUrl is idempotent") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val urlGen = for {
+      scheme <- Gen.oneOf("https://", "http://", "HTTPS://")
+      host <- Gen.oneOf("A.com", "a.com", "cdn7.Example.ORG")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/p/1", "/X")
+      qs <- Gen.oneOf("", "?utm_a=1", "?k=2", "?utm_a=1&k=2",
+        "?k=2&utm_b=3&utm_c=4")
+      frag <- Gen.oneOf("", "#f", "#utm_x=9")
+    } yield scheme + host + port + path + qs + frag
+    Prop.forAllNoShrink(Gen.listOfN(12, urlGen)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("doc_id", "url")
+      val once = df.select(col("doc_id"),
+          graft.ops.Text.canonicalizeUrl(col("url")).as("url"))
+      val c1 = once.orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val c2 = once.select(col("doc_id"),
+          graft.ops.Text.canonicalizeUrl(col("url")).as("url"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      c1 == c2
+    }
+  }
+
 }
