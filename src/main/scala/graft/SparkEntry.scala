@@ -2300,7 +2300,37 @@ object SparkEntry {
         |  CAST(sum(code) AS BIGINT) AS sum_code
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => Similarity.quantizedCentroids(Tables.embeddings(s, d),
-        scale = 127))
+        scale = 127)),
+
+    // Trend smoothing (Behavior.rollingPeriodCounts): weekly order
+    // counts with a trailing 4-week RANGE window — gaps in the week
+    // sequence shorten the frame instead of being silently bridged
+    // (the rows-frame bug). The window runs on the aggregated period
+    // table; both engines integer-divide epoch millis.
+    q("q106_rolling_orders",
+      """WITH w AS (SELECT epoch_ms(o_orderdate) // 604800000 AS period
+        |  FROM orders),
+        |c AS (SELECT period, count(*) AS n FROM w GROUP BY 1)
+        |SELECT period, n, CAST(sum(n) OVER (ORDER BY period
+        |    RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_trail
+        |FROM c ORDER BY period""".stripMargin)(
+      (s, d) => Behavior.rollingPeriodCounts(Tables.orders(s, d),
+        "o_orderdate", periodMs = 604800000L, trailing = 4)),
+
+    // Migration gate (Profiling.tableChecksum): the order-insensitive
+    // (n_rows, Σ md5-prefix) fingerprint of customer's stable columns —
+    // equal multisets hash equal under ANY partitioning or engine, and
+    // the oracle recomputing it in DuckDB is itself the cross-engine
+    // migration check the operator exists for.
+    q("q107_table_checksum",
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
+        |    c_custkey, c_name, c_mktsegment, c_nationkey)), 1, 8))
+        |    AS BIGINT)) AS BIGINT) AS checksum
+        |FROM customer""".stripMargin)(
+      (s, d) => Profiling.tableChecksum(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -54,6 +54,33 @@ object Behavior {
     * set, one join on user_id (both sides pre-aggregated), then a
     * two-level count — no fact-row exchange.
     */
+  /** Trailing moving sum of per-period row counts: periods are integer
+    * divisions of epoch-millis timestamps, the window is RANGE-based
+    * (`trailing − 1` periods back through the current one), so GAPS in
+    * the period sequence behave correctly — a rows-based frame would
+    * silently stretch across missing periods. The week-over-week trend
+    * smoother; exact integers throughout.
+    *
+    * Shape: the fact scan collapses to one row per period before the
+    * (global, |periods|-row) window — at 100 TB the window input is
+    * thousands of rows regardless of corpus size.
+    */
+  def rollingPeriodCounts(df: DataFrame, tsCol: String,
+                          periodMs: Long = 7L * 86400000L,
+                          trailing: Int = 4): DataFrame = {
+    require(periodMs >= 1 && trailing >= 1, "need positive period/window")
+    // cast covers TIMESTAMP_NTZ columns (parquet ms fixtures): identity
+    // under the library's pinned UTC session timezone
+    val perPeriod = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("period")
+      .rangeBetween(-(trailing - 1).toLong, 0)
+    perPeriod.withColumn("n_trail", sum("n").over(w)).orderBy("period")
+  }
+
   def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     require(maxOffset >= 0, "maxOffset must be >= 0")
     val weekNs = 7L * 86400L * 1000000000L

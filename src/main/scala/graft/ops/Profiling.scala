@@ -99,6 +99,30 @@ object Profiling {
     * that IS the winsorize contract; callers at 100 TB with huge groups
     * trade down to `approx_percentile` bounds explicitly.
     */
+  /** Order-insensitive table checksum: Σ over rows of a 32-bit integer
+    * drawn from `md5(concat_ws('|', cols))`, plus the row count — equal
+    * multisets of rows ⇒ equal (n, checksum) regardless of partitioning,
+    * sort order, or engine. The constant-size "did the copy/migration/
+    * engine-swap preserve the data" probe: compare two 2-value rows, not
+    * two tables. md5-of-concat is the engine-portable choice (same
+    * reason as Sampling.splitBucket); integer SUM commutes exactly where
+    * a float accumulation would not. Collision odds for detecting a
+    * single changed row are 2⁻³², and any row-count change is caught
+    * exactly — right-sized for a monitoring gate, not a security
+    * boundary.
+    *
+    * Restricted to integral/string columns by contract: float formatting
+    * differs across engines (the q13 rowkey rule), so the caller picks
+    * the stable columns (or pre-rounds to cents-style integers).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    df.select(conv(substring(md5(
+        concat_ws("|", cols.map(col): _*)), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
+  }
+
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
                       tieCol: String, pLo: Double = 0.05,
                       pHi: Double = 0.95): DataFrame = {

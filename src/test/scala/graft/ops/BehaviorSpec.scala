@@ -35,6 +35,18 @@ class BehaviorSpec extends SparkSpec {
     assert(got == ((1L, 1L, 0L))) // purchase at 12 ≤ t1=15: dropped
   }
 
+  test("rollingPeriodCounts: gaps shorten the RANGE frame") {
+    // periods 0,1,4 with period=10ms, trailing=3: period 4's frame is
+    // [2,4] → only itself; a rows-frame would wrongly include 0 and 1
+    val ts = Seq(0L, 5L, 12L, 41L, 43L).map(ms =>
+      new java.sql.Timestamp(ms))
+    val df = ts.toDF("t")
+    val got = Behavior.rollingPeriodCounts(df, "t", periodMs = 10L,
+        trailing = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L), (4L, 2L, 2L)))
+  }
+
   test("cohortRetention: exact cells, offset capped") {
     val wk = 7L * 86400L * 1000000000L
     val e = ev(

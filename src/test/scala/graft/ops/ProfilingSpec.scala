@@ -39,6 +39,22 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("tableChecksum: order-insensitive, change-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "s")
+      .repartition(3)
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      Profiling.tableChecksum(df, Seq("id", "s"))
+        .as[(Long, Long)].collect().head
+    assert(ck(a) == ck(shuffled)) // layout/order neutral
+    val changed = Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "s")
+    assert(ck(a) != ck(changed)) // one cell flips the sum
+    assert(ck(a)._1 == 3L)
+    intercept[IllegalArgumentException] {
+      Profiling.tableChecksum(a, Seq.empty)
+    }
+  }
+
   test("winsorizedStats clips into discrete rank percentiles") {
     // g: sorted values 1..9,1000; n=10. pLo=0.1 → rank 1 → lo=1;
     // pHi=0.8 → rank 8 → hi=8. Clipped: 1..8 kept, 9→8, 1000→8 ⇒ 52.
