@@ -2330,7 +2330,32 @@ object SparkEntry {
         |    AS BIGINT)) AS BIGINT) AS checksum
         |FROM customer""".stripMargin)(
       (s, d) => Profiling.tableChecksum(Tables.customer(s, d),
-        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey")))
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))),
+
+    // Sweep line (Behavior.intervalConcurrency): orders modeled as
+    // 30-day-open intervals; +1/−1 boundary deltas merge per instant,
+    // the running sum is the in-flight count — the no-join concurrency
+    // profile (a quadratic interval self-join never exists). Epoch-ms
+    // integer boundaries on both engines.
+    q("q108_order_concurrency",
+      """WITH iv AS (SELECT epoch_ms(o_orderdate) AS s,
+        |    epoch_ms(o_orderdate) + 2592000000 AS e FROM orders),
+        |d AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM (
+        |    SELECT s AS t, 1 AS d FROM iv
+        |    UNION ALL SELECT e, -1 FROM iv)
+        |  GROUP BY 1)
+        |SELECT t, delta, CAST(sum(delta) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_open
+        |FROM d ORDER BY t""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val iv = Tables.orders(s, d).select(
+          expr("unix_millis(cast(o_orderdate as timestamp))").as("s"),
+          expr("unix_millis(cast(o_orderdate as timestamp)) + 2592000000")
+            .as("e"))
+        Behavior.intervalConcurrency(iv, "s", "e")
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -43,17 +43,6 @@ object Behavior {
     acc.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Weekly cohort retention: users cohorted by the calendar week (epoch
-    * week = ts div 7·86400·10⁹ ns) of their first event; cell (cohort,
-    * offset) = distinct users of that cohort active `offset` weeks later,
-    * for offsets 0..`maxOffset`. Offset 0 is the cohort size (every user
-    * is active in their first week by definition) — the standard
-    * triangle-shaped retention table, as exact integers.
-    *
-    * Shape: per-user min-week aggregate, distinct (user, week) activity
-    * set, one join on user_id (both sides pre-aggregated), then a
-    * two-level count — no fact-row exchange.
-    */
   /** Trailing moving sum of per-period row counts: periods are integer
     * divisions of epoch-millis timestamps, the window is RANGE-based
     * (`trailing − 1` periods back through the current one), so GAPS in
@@ -81,6 +70,44 @@ object Behavior {
     perPeriod.withColumn("n_trail", sum("n").over(w)).orderBy("period")
   }
 
+  /** Sweep-line interval concurrency: each `[start, end)` interval emits
+    * a +1 at `start` and a −1 at `end`; the running sum over boundary
+    * order IS the number of concurrently-open intervals after each
+    * boundary. Deltas at the same instant merge first (one row per
+    * boundary), so an interval ending exactly where another starts never
+    * produces a phantom overlap and the output is deterministic without
+    * a tiebreak column.
+    *
+    * The no-join answer to "how many X are open at once" (sessions,
+    * orders in flight, leases): one aggregate + one |boundaries|-row
+    * window; the quadratic interval self-join never exists. Integer
+    * counts: exact. Same global-window posture as `rollingPeriodCounts`
+    * — the window input is the merged boundary set, not the fact rows.
+    */
+  def intervalConcurrency(intervals: DataFrame, startCol: String,
+                          endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(col(startCol).as("t"), lit(1L).as("d"))
+      .unionByName(intervals.select(col(endCol).as("t"),
+        lit(-1L).as("d")))
+      .groupBy("t").agg(sum("d").as("delta"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    deltas.withColumn("n_open", sum("delta").over(w)).orderBy("t")
+  }
+
+  /** Weekly cohort retention: users cohorted by the calendar week (epoch
+    * week = ts div 7·86400·10⁹ ns) of their first event; cell (cohort,
+    * offset) = distinct users of that cohort active `offset` weeks later,
+    * for offsets 0..`maxOffset`. Offset 0 is the cohort size (every user
+    * is active in their first week by definition) — the standard
+    * triangle-shaped retention table, as exact integers.
+    *
+    * Shape: per-user min-week aggregate, distinct (user, week) activity
+    * set, one join on user_id (both sides pre-aggregated), then a
+    * two-level count — no fact-row exchange.
+    */
   def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     require(maxOffset >= 0, "maxOffset must be >= 0")
     val weekNs = 7L * 86400L * 1000000000L

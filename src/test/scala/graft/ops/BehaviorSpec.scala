@@ -47,6 +47,17 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 2L), (1L, 1L, 3L), (4L, 2L, 2L)))
   }
 
+  test("intervalConcurrency: merged boundaries, no phantom overlap") {
+    // [0,10) [5,15) overlap; [10,20) starts exactly where the first
+    // ends — same-instant merge means t=10 nets -1+1 = 0 (no phantom)
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("s", "e")
+    val got = Behavior.intervalConcurrency(iv, "s", "e")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L), (5L, 1L, 2L), (10L, 0L, 2L),
+      (15L, -1L, 1L), (20L, -1L, 0L)))
+    assert(got.last._3 == 0L) // every interval closes
+  }
+
   test("cohortRetention: exact cells, offset capped") {
     val wk = 7L * 86400L * 1000000000L
     val e = ev(
