@@ -75,6 +75,45 @@ object Sinks {
       .save(path)
   }
 
+  /** Sharded training-set export with a verifiable manifest: rows are
+    * assigned to `numShards` files by the same engine-portable md5
+    * bucket as Sampling.splitBucket (shard = bucket(id) mod shards — a
+    * pure function of the id, so re-exports and engine swaps produce
+    * byte-identical shard membership), written as one file per shard,
+    * and a `_manifest` parquet records each shard's row count and
+    * order-insensitive checksum (Profiling.tableChecksum semantics, on
+    * the caller-named stable columns).
+    *
+    * The manifest is the handoff contract: a downstream trainer (or the
+    * same pipeline a month later) re-derives (n_rows, checksum) per
+    * shard and diffs two tiny tables to prove the export is intact — no
+    * row-level comparison, no trust in file timestamps. Returns the
+    * manifest DataFrame.
+    */
+  def writeShardedWithManifest(df: DataFrame, idCol: String,
+                               checksumCols: Seq[String], path: String,
+                               numShards: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    require(numShards >= 1, "numShards must be >= 1")
+    require(checksumCols.nonEmpty, "name the stable checksum columns")
+    val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast("int") % numShards).as("shard")
+    val sharded = df.withColumn("shard", shard)
+    sharded
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = sharded.groupBy("shard").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+      org.apache.spark.sql.functions.sum(
+        conv(substring(md5(org.apache.spark.sql.functions.concat_ws("|",
+          checksumCols.map(col): _*)), 1, 8), 16, 10).cast("long"))
+        .as("checksum"))
+      .orderBy("shard")
+    manifest.write.mode("overwrite").parquet(s"$path/_manifest")
+    manifest
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
