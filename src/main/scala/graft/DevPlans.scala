@@ -25,7 +25,8 @@ object DevPlans {
         "q97_balanced_upsample", "q98_bpe_pair_census",
         "q99_partial_agg_merge", "q101_pagerank", "q102_funnel",
         "q103_triangle_count", "q104_cohort_retention",
-        "q105_quantized_centroids")
+        "q105_quantized_centroids", "q106_rolling_orders",
+        "q107_table_checksum", "q108_order_concurrency")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
