@@ -2355,7 +2355,48 @@ object SparkEntry {
           expr("unix_millis(cast(o_orderdate as timestamp)) + 2592000000")
             .as("e"))
         Behavior.intervalConcurrency(iv, "s", "e")
-      })
+      }),
+
+    // Session-flow matrix (Behavior.transitionCensus): corpus-wide
+    // adjacent (from, to) event-type transitions per user, ordered by
+    // (ts, event_id) so same-instant order is deterministic. One lag
+    // window shuffle + a pair census — the Markov view of user flows.
+    q("q109_transition_census",
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS n
+        |FROM s WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.transitionCensus(Tables.events(s, d))),
+
+    // Conversion latency (Behavior.conversionLatency): discrete rank
+    // percentiles (⌈p·n⌉, the winsorize convention — ranked values,
+    // never interpolated) of earliest-purchase minus earliest-view per
+    // converting user. Quantized to µs on BOTH sides (DuckDB reads the
+    // ns fixtures at µs TIMESTAMP precision; quantize-then-compare
+    // keeps the conversion test identical too).
+    q("q110_conversion_latency",
+      """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS t_from
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |t AS (SELECT user_id, min(epoch_us(ts)) AS t_to
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT f.user_id, t_to - t_from AS lat
+        |  FROM f JOIN t USING (user_id) WHERE t_to > t_from),
+        |r AS (SELECT user_id, lat,
+        |    row_number() OVER (ORDER BY lat, user_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM l)
+        |SELECT count(*) AS n_converted,
+        |  max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+        |    THEN lat END) AS p50_us,
+        |  max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+        |    THEN lat END) AS p90_us
+        |FROM r""".stripMargin)(
+      (s, d) => Behavior.conversionLatency(Tables.events(s, d),
+        "view", "purchase", ps = Seq(0.5, 0.9), quantumNs = 1000L,
+        unitSuffix = "us"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -97,6 +97,75 @@ object Behavior {
     deltas.withColumn("n_open", sum("delta").over(w)).orderBy("t")
   }
 
+  /** Markov transition census: for each user's event sequence (ordered
+    * by `(ts, tiebreakCol)` — the tiebreak makes same-instant order
+    * deterministic), count corpus-wide adjacent `(from_type, to_type)`
+    * transitions. The session-flow matrix behind "what do users do
+    * next"; row-normalizing to probabilities is one division the
+    * consumer applies (counts stay the exact artifact).
+    *
+    * Shape: one hash-shuffle on user_id for the lag window, then a
+    * two-level count on the (from, to) pair — the window's sort is
+    * per-user, the census exchange carries pair partials only.
+    */
+  def transitionCensus(events: DataFrame,
+                       tiebreakCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col(tiebreakCol))
+    events
+      .select(col("user_id"), col("ts"), col(tiebreakCol),
+        col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Conversion-latency distribution: for users whose earliest `to`
+    * event follows their earliest `from` event, the discrete rank
+    * percentiles (value at ⌈p·n⌉ — the winsorize convention: ranked
+    * VALUES from the data, never interpolated) of `t_to − t_from`,
+    * plus the converting-user count. Integer arithmetic end to end.
+    *
+    * `quantumNs` floors timestamps to a coarser grid BEFORE the min —
+    * floor commutes with min, so this equals quantizing the mins.
+    * Default 1 (full ns); an oracle engine that reads the ns fixtures
+    * at µs precision (DuckDB's TIMESTAMP) needs 1000, which also makes
+    * the `t_to > t_from` conversion test identical on both sides —
+    * quantize-then-compare, or a sub-quantum conversion counts on one
+    * engine only. `unitSuffix` names the percentile columns to match.
+    */
+  def conversionLatency(events: DataFrame, from: String, to: String,
+                        ps: Seq[Double] = Seq(0.5, 0.9),
+                        quantumNs: Long = 1L,
+                        unitSuffix: String = "ns"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "percentiles must be in (0, 1]")
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val qts = expr(s"ts div ${quantumNs}L")
+    val f = events.filter(col("event_type") === from)
+      .groupBy("user_id").agg(min(qts).as("t_from"))
+    val t = events.filter(col("event_type") === to)
+      .groupBy("user_id").agg(min(qts).as("t_to"))
+    val lat = f.join(t, "user_id")
+      .filter(col("t_to") > col("t_from"))
+      .select(col("user_id"), (col("t_to") - col("t_from")).as("lat"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lat"), col("user_id"))
+    val ranked = lat
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+    val aggs = count(lit(1)).as("n_converted") +: ps.map { p =>
+      max(when(col("rn") ===
+        greatest(ceil(lit(p) * col("n")).cast("long"), lit(1L)),
+        col("lat"))).as(s"p${(p * 100).round}_$unitSuffix")
+    }
+    ranked.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Weekly cohort retention: users cohorted by the calendar week (epoch
     * week = ts div 7·86400·10⁹ ns) of their first event; cell (cohort,
     * offset) = distinct users of that cohort active `offset` weeks later,

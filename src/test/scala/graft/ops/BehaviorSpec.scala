@@ -58,6 +58,41 @@ class BehaviorSpec extends SparkSpec {
     assert(got.last._3 == 0L) // every interval closes
   }
 
+  test("transitionCensus: per-user adjacency, deterministic tiebreak") {
+    val df = Seq(
+      (1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"),
+      (1L, 30L, 102L, "view"),
+      (2L, 10L, 103L, "view"), (2L, 10L, 104L, "click"), // same ts: by id
+      (3L, 5L, 105L, "purchase")) // single event: no transition
+      .map { case (u, t, id, ty) => (u, t, id, ty, 1.0) }
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.transitionCensus(df)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("click", "view", 1L), ("view", "click", 2L)))
+  }
+
+  test("conversionLatency: rank percentiles over converting users only") {
+    val df = Seq(
+      (1L, 0L, "view"), (1L, 100L, "purchase"),   // lat 100
+      (2L, 0L, "view"), (2L, 200L, "purchase"),   // lat 200
+      (3L, 0L, "view"), (3L, 300L, "purchase"),   // lat 300
+      (4L, 50L, "view"),                          // never converts
+      (5L, 80L, "purchase"))                      // purchase w/o view
+      .map { case (u, t, ty) => (u, t, ty, 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.conversionLatency(df, "view", "purchase")
+      .as[(Long, Long, Long)].collect().head
+    // n=3: p50 rank ceil(1.5)=2 → 200; p90 rank ceil(2.7)=3 → 300
+    assert(got == ((3L, 200L, 300L)))
+    // a purchase BEFORE the first view is not a conversion
+    val rev = Seq((1L, 100L, "purchase"), (1L, 200L, "view"))
+      .map { case (u, t, ty) => (u, t, ty, 1.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    assert(Behavior.conversionLatency(rev, "view", "purchase")
+      .as[(Long, Option[Long], Option[Long])].collect().head ==
+      ((0L, None, None)))
+  }
+
   test("cohortRetention: exact cells, offset capped") {
     val wk = 7L * 86400L * 1000000000L
     val e = ev(
