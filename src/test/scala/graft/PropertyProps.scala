@@ -422,6 +422,61 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("transitionCensus total = sum over users of (n_events - 1)") = {
+    import spark.implicits._
+    val ev = for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(1L, 100L)
+      ty <- Gen.oneOf("a", "b", "c")
+    } yield (u, t, ty)
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(ev)) { es0 =>
+      // unique event_id; (user, ts, id) unique ⇒ deterministic order
+      val es = es0.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u, t, i.toLong, ty, 1.0)
+      }
+      val df = es.toDF("user_id", "ts", "event_id", "event_type", "value")
+      // a corpus of single-event users has an EMPTY census: sum → null
+      val total = graft.ops.Behavior.transitionCensus(df)
+        .agg(org.apache.spark.sql.functions.sum("n")).as[Option[Long]]
+        .collect().head.getOrElse(0L)
+      val want = es.groupBy(_._1).values.map(_.size - 1L).sum
+      total == want
+    }
+  }
+
+  property("intervalConcurrency: never negative, closes at zero") = {
+    import spark.implicits._
+    val iv = for {
+      s <- Gen.chooseNum(0L, 50L)
+      w <- Gen.chooseNum(1L, 20L)
+    } yield (s, s + w)
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(iv)) { ivs =>
+      val got = graft.ops.Behavior
+        .intervalConcurrency(ivs.toDF("s", "e"), "s", "e")
+        .as[(Long, Long, Long)].collect().toSeq
+      got.forall(_._3 >= 0) && got.last._3 == 0L &&
+        got.map(_._2).sum == 0L // deltas balance
+    }
+  }
+
+  property("tableChecksum is invariant under permutation and layout") = {
+    import spark.implicits._
+    val row = for {
+      id <- Gen.chooseNum(0L, 1000L)
+      s <- Gen.alphaStr.map(_.take(6))
+    } yield (id, s)
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(row),
+      Gen.chooseNum(1, 7)) { (rows, parts) =>
+      val a = rows.toDF("id", "s")
+      val b = scala.util.Random.shuffle(rows).toDF("id", "s")
+        .repartition(parts)
+      def ck(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Profiling.tableChecksum(df, Seq("id", "s"))
+          .as[(Long, Long)].collect().head
+      ck(a) == ck(b)
+    }
+  }
+
   property("canonicalizeUrl is idempotent") = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
