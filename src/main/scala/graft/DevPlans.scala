@@ -26,7 +26,8 @@ object DevPlans {
         "q99_partial_agg_merge", "q101_pagerank", "q102_funnel",
         "q103_triangle_count", "q104_cohort_retention",
         "q105_quantized_centroids", "q106_rolling_orders",
-        "q107_table_checksum", "q108_order_concurrency")
+        "q107_table_checksum", "q108_order_concurrency",
+        "q109_transition_census", "q110_conversion_latency")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
