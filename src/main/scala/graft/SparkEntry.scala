@@ -2319,18 +2319,26 @@ object SparkEntry {
         "o_orderdate", periodMs = 604800000L, trailing = 4)),
 
     // Migration gate (Profiling.tableChecksum): the order-insensitive
-    // (n_rows, Σ md5-prefix) fingerprint of customer's stable columns —
+    // (n_rows, Σ row-digest) fingerprint of customer's stable columns —
     // equal multisets hash equal under ANY partitioning or engine, and
     // the oracle recomputing it in DuckDB is itself the cross-engine
-    // migration check the operator exists for.
+    // migration check the operator exists for. The digest is fixed-width
+    // per-column md5s (null ⇒ literal 'null'), so delimiter injection
+    // and null-skipping cannot alias two different rows; the sum crosses
+    // as a string (Spark DECIMAL(38,0) vs DuckDB HUGEINT render equal).
     q("q107_table_checksum",
       """SELECT count(*) AS n_rows,
-        |  CAST(sum(CAST(('0x' || substr(md5(concat_ws('|',
-        |    c_custkey, c_name, c_mktsegment, c_nationkey)), 1, 8))
-        |    AS BIGINT)) AS BIGINT) AS checksum
+        |  CAST(sum(CAST(('0x' || substr(md5(concat(
+        |    coalesce(md5(CAST(c_custkey AS VARCHAR)), 'null'),
+        |    coalesce(md5(c_name), 'null'),
+        |    coalesce(md5(c_mktsegment), 'null'),
+        |    coalesce(md5(CAST(c_nationkey AS VARCHAR)), 'null'))), 1, 8))
+        |    AS BIGINT)) AS VARCHAR) AS checksum
         |FROM customer""".stripMargin)(
       (s, d) => Profiling.tableChecksum(Tables.customer(s, d),
-        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))),
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .select(col("n_rows"), col("checksum").cast("string")
+          .as("checksum"))),
 
     // Sweep line (Behavior.intervalConcurrency): orders modeled as
     // 30-day-open intervals; +1/−1 boundary deltas merge per instant,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,12 +208,17 @@ object Joins {
                      factKey: String, dimKey: String,
                      buckets: Int = 1 << 20): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val digest = dim.select(
-      pmod(xxhash64(col(dimKey)), lit(buckets.toLong)).as("__bucket"))
-      .distinct()
+    // hash the STRING form on both sides: xxhash64 is type-sensitive, so
+    // an int-keyed fact against a bigint-keyed dim would hash the same
+    // key to different buckets and the prefilter would silently drop
+    // true matches the exact join's implicit cast would have kept
+    def bucketOf(c: Column): Column =
+      pmod(xxhash64(c.cast("string")), lit(buckets.toLong))
+    val digest = dim.select(bucketOf(col(dimKey)).as("__bucket")).distinct()
     val prefiltered = fact.join(broadcast(digest),
-      pmod(xxhash64(col(factKey)), lit(buckets.toLong)) === col("__bucket"),
-      "left_semi")
-    prefiltered.join(dim, col(factKey) === dim(dimKey), "left_semi")
+      bucketOf(col(factKey)) === col("__bucket"), "left_semi")
+    // df-qualified references: factKey == dimKey by name must resolve,
+    // not throw AMBIGUOUS_REFERENCE
+    prefiltered.join(dim, prefiltered(factKey) === dim(dimKey), "left_semi")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the observability layer a 100 TB pipeline
@@ -82,6 +82,47 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Fixed-width per-row digest for `tableChecksum` and the sharded-
+    * export manifest: each column contributes `md5(cast(col as string))`
+    * (32 hex chars) or the literal `"null"` (4 chars) — fields are
+    * FIXED-WIDTH and the null marker cannot collide with any md5, so
+    * neither delimiter injection (`('a|b','c')` vs `('a','b|c')`) nor
+    * null-skipping (`(1, NULL, 'x')` vs `(1, 'x', NULL)`) can make two
+    * different rows serialize equal, which a bare `concat_ws` allows.
+    * The digest is expressible verbatim in any SQL engine with md5.
+    */
+  def rowDigest(cols: Seq[String]): Column =
+    conv(substring(md5(concat(cols.map(c =>
+      coalesce(md5(col(c).cast("string")), lit("null"))): _*)),
+      1, 8), 16, 10).cast("long")
+
+  /** Order-insensitive table checksum: Σ over rows of a 32-bit integer
+    * drawn from `rowDigest` (fixed-width, null-safe — see above), plus
+    * the row count — equal multisets of rows ⇒ equal (n, checksum)
+    * regardless of partitioning, sort order, or engine. The
+    * constant-size "did the copy/migration/engine-swap preserve the
+    * data" probe: compare two 2-value rows, not two tables.
+    *
+    * The sum accumulates in DECIMAL(38,0): the per-row term is < 2³²,
+    * so a 64-bit sum overflows around 4.3e9 rows — exactly the scale
+    * the gate exists for (Spark 4's ANSI mode would throw; DuckDB's
+    * BIGINT sum promotes to HUGEINT, which the decimal matches).
+    * Collision odds for a single changed row are 2⁻³², and any
+    * row-count change is caught exactly — right-sized for a monitoring
+    * gate, not a security boundary.
+    *
+    * Restricted to integral/string columns by contract: float
+    * formatting differs across engines (the q13 rowkey rule), so the
+    * caller picks the stable columns (or pre-rounds to cents-style
+    * integers).
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum at least one column")
+    df.select(rowDigest(cols).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h").cast("decimal(38,0)")).as("checksum"))
+  }
+
   /** Winsorized per-group statistics: clip `valueCol` (integral) into the
     * group's discrete [pLo, pHi] percentiles, then report exact clipped
     * sums — the robust-mean building block for outlier-tolerant corpus
@@ -99,30 +140,6 @@ object Profiling {
     * that IS the winsorize contract; callers at 100 TB with huge groups
     * trade down to `approx_percentile` bounds explicitly.
     */
-  /** Order-insensitive table checksum: Σ over rows of a 32-bit integer
-    * drawn from `md5(concat_ws('|', cols))`, plus the row count — equal
-    * multisets of rows ⇒ equal (n, checksum) regardless of partitioning,
-    * sort order, or engine. The constant-size "did the copy/migration/
-    * engine-swap preserve the data" probe: compare two 2-value rows, not
-    * two tables. md5-of-concat is the engine-portable choice (same
-    * reason as Sampling.splitBucket); integer SUM commutes exactly where
-    * a float accumulation would not. Collision odds for detecting a
-    * single changed row are 2⁻³², and any row-count change is caught
-    * exactly — right-sized for a monitoring gate, not a security
-    * boundary.
-    *
-    * Restricted to integral/string columns by contract: float formatting
-    * differs across engines (the q13 rowkey rule), so the caller picks
-    * the stable columns (or pre-rounds to cents-style integers).
-    */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "checksum at least one column")
-    df.select(conv(substring(md5(
-        concat_ws("|", cols.map(col): _*)), 1, 8), 16, 10)
-        .cast("long").as("h"))
-      .agg(count(lit(1)).as("n_rows"), sum("h").as("checksum"))
-  }
-
   def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
                       tieCol: String, pLo: Double = 0.05,
                       pHi: Double = 0.95): DataFrame = {

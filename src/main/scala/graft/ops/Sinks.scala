@@ -93,22 +93,24 @@ object Sinks {
   def writeShardedWithManifest(df: DataFrame, idCol: String,
                                checksumCols: Seq[String], path: String,
                                numShards: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    import org.apache.spark.sql.functions.{col, conv, count, lit, md5,
+      substring, sum}
     require(numShards >= 1, "numShards must be >= 1")
     require(checksumCols.nonEmpty, "name the stable checksum columns")
     val shard = (conv(substring(md5(col(idCol).cast("string")), 1, 4),
       16, 10).cast("int") % numShards).as("shard")
-    val sharded = df.withColumn("shard", shard)
-    sharded
+    df.withColumn("shard", shard)
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = sharded.groupBy("shard").agg(
-      org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
-      org.apache.spark.sql.functions.sum(
-        conv(substring(md5(org.apache.spark.sql.functions.concat_ws("|",
-          checksumCols.map(col): _*)), 1, 8), 16, 10).cast("long"))
-        .as("checksum"))
+    // the manifest is computed from the FILES ON DISK, not by a second
+    // pass over the input plan: it must describe the export it ships
+    // with even if an upstream stage was nondeterministic, and the
+    // read-back scans shard-pruned parquet instead of re-running the
+    // whole upstream DAG
+    val manifest = df.sparkSession.read.parquet(path)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"),
+        sum(Profiling.rowDigest(checksumCols).cast("decimal(38,0)"))
+          .as("checksum"))
       .orderBy("shard")
     manifest.write.mode("overwrite").parquet(s"$path/_manifest")
     manifest

@@ -183,9 +183,13 @@ object Text {
         regexp_replace(noFrag, urlUtmMidPat, ""),
         urlUtmLeadAmpPat, "?"),
       urlUtmLeadEndPat, "")
-    val lowered = concat(
-      lower(regexp_extract(noUtm, urlPrefixPat, 1)),
-      regexp_extract(noUtm, urlRestPat, 1))
+    val prefix = regexp_extract(noUtm, urlPrefixPat, 1)
+    // non-http(s) inputs (ftp:, mailto:, relative paths) pass through
+    // with only the fragment/utm passes applied — collapsing them all
+    // to '' would alias every such URL into one bogus dedup group
+    val lowered = when(prefix === "", noUtm)
+      .otherwise(concat(lower(prefix),
+        regexp_extract(noUtm, urlRestPat, 1)))
     regexp_replace(
       regexp_replace(lowered, urlHttpsPortPat, "$1$2"),
       urlHttpPortPat, "$1$2")

@@ -38,8 +38,15 @@ object UpsertSink {
 
   final case class Change(key: Long, ts: Long, off: Long, op: String)
 
-  /** Highest committed (has `_SUCCESS`) version under `basePath`. */
-  def latestVersion(spark: SparkSession, basePath: String): Option[Long] = {
+  /** Highest committed (has `_SUCCESS`) version under `basePath`,
+    * optionally restricted to versions strictly below `below` — the
+    * restriction is what makes at-least-once REPLAY safe: re-delivered
+    * batch N must merge onto N's PREDECESSOR, never read the v=N it is
+    * about to overwrite (a same-path read-overwrite throws, and without
+    * the guard a replayed batch would double-merge its own output).
+    */
+  def latestVersion(spark: SparkSession, basePath: String,
+                    below: Long = Long.MaxValue): Option[Long] = {
     val base = new Path(basePath)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(base)) None
@@ -51,6 +58,7 @@ object UpsertSink {
           n.stripPrefix("v=").toLongOption
         else None
       }
+      .filter(_ < below)
       .maxOption
   }
 
@@ -71,8 +79,13 @@ object UpsertSink {
                  keyCol: String, tsCol: String, tiebreakCol: String,
                  tombstoneCol: String): Unit = {
     val spark = batch.sparkSession
-    val all = readSnapshot(spark, basePath) match {
-      case Some(prev) => prev.unionByName(batch.toDF())
+    // merge onto the predecessor of THIS batch, never onto v=batchId
+    // itself: a replayed batch (crash after commit, before checkpoint)
+    // would otherwise read the path it is about to overwrite
+    val prev = latestVersion(spark, basePath, below = batchId)
+      .map(v => spark.read.parquet(s"$basePath/v=$v"))
+    val all = prev match {
+      case Some(p) => p.unionByName(batch.toDF())
       case None => batch.toDF()
     }
     Cdc.compactChangelog(all, col(keyCol), col(tsCol), col(tiebreakCol),

@@ -160,6 +160,24 @@ class JoinsSpec extends SparkSpec {
     assert(plain.nonEmpty && plain.size < 500)
   }
 
+  test("prunedSemiJoin: mixed key types and same-named keys still exact") {
+    // int fact key vs long dim key: the digest hashes the STRING form,
+    // so the implicit-cast matches of the exact join survive prefilter
+    val fact = (0 until 50).map(i => (i.toLong, i % 10)).toDF("row_id", "k")
+    val dim = Seq(3L, 7L).toDF("dk")
+    val got = Joins.prunedSemiJoin(fact, dim, "k", "dk", buckets = 8)
+      .select("row_id").as[Long].collect().toSet
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got == plain && plain.size == 10)
+    // factKey == dimKey by name: must resolve, not throw
+    val dimSame = Seq(3L).toDF("k")
+    val same = Joins.prunedSemiJoin(fact, dimSame, "k", "k", buckets = 8)
+      .select("row_id").as[Long].collect().toSet
+    assert(same == fact.filter($"k" === 3).select("row_id")
+      .as[Long].collect().toSet)
+  }
+
   test("prunedSemiJoin broadcasts the digest ahead of the exact join") {
     val fact = (0 until 100).map(i => (i.toLong, i.toLong % 10)).toDF("row_id", "k")
     val dim = Seq(1L, 2L).toDF("dk")

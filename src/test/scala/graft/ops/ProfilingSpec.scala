@@ -44,8 +44,9 @@ class ProfilingSpec extends SparkSpec {
     val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "s")
       .repartition(3)
     def ck(df: org.apache.spark.sql.DataFrame) =
-      Profiling.tableChecksum(df, Seq("id", "s"))
-        .as[(Long, Long)].collect().head
+      Profiling.tableChecksum(df, df.columns.toSeq)
+        .selectExpr("n_rows", "cast(checksum as string)")
+        .as[(Long, String)].collect().head
     assert(ck(a) == ck(shuffled)) // layout/order neutral
     val changed = Seq((1L, "x"), (2L, "y"), (3L, "w")).toDF("id", "s")
     assert(ck(a) != ck(changed)) // one cell flips the sum
@@ -53,6 +54,19 @@ class ProfilingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profiling.tableChecksum(a, Seq.empty)
     }
+  }
+
+  test("tableChecksum digest defeats null-skip and delimiter aliasing") {
+    def ck(rows: Seq[(Option[String], Option[String])]) =
+      Profiling.tableChecksum(rows.toDF("a", "b"), Seq("a", "b"))
+        .selectExpr("cast(checksum as string)").as[String].collect().head
+    // value-in-wrong-column with a NULL: concat_ws would alias these
+    assert(ck(Seq((Some("x"), None))) != ck(Seq((None, Some("x")))))
+    // delimiter injection: ('a|b','c') vs ('a','b|c')
+    assert(ck(Seq((Some("a|b"), Some("c")))) !=
+      ck(Seq((Some("a"), Some("b|c")))))
+    // null vs the literal string "null"
+    assert(ck(Seq((Some("null"), Some("x")))) != ck(Seq((None, Some("x")))))
   }
 
   test("winsorizedStats clips into discrete rank percentiles") {

@@ -92,26 +92,30 @@ class SinksSpec extends SparkSpec {
     val df = (0L until 200L).map(i => (i, s"doc$i", s"src${i % 3}"))
       .toDF("id", "name", "src")
     val dir = tmp("shards") + "/out"
-    val manifest = Sinks.writeShardedWithManifest(df, "id",
-      Seq("id", "name", "src"), dir, numShards = 4)
-      .as[(Int, Long, Long)].collect().toSeq
+    def longs(m: org.apache.spark.sql.DataFrame) =
+      m.selectExpr("shard", "n_rows", "cast(checksum as long)")
+        .as[(Int, Long, Long)].collect().toSeq
+    val manifest = longs(Sinks.writeShardedWithManifest(df, "id",
+      Seq("id", "name", "src"), dir, numShards = 4))
     assert(manifest.map(_._2).sum == 200L)
     assert(manifest.map(_._1) == manifest.map(_._1).sorted)
     // the auditor's side: recompute per shard from the written files
     val back = spark.read.parquet(dir)
     val audit = Profiling.tableChecksum(back, Seq("id", "name", "src"))
+      .selectExpr("n_rows", "cast(checksum as long)")
       .as[(Long, Long)].collect().head
     assert(audit._1 == 200L)
     manifest.foreach { case (s, n, ck) =>
       val part = back.filter($"shard" === s)
       val a = Profiling.tableChecksum(part, Seq("id", "name", "src"))
+        .selectExpr("n_rows", "cast(checksum as long)")
         .as[(Long, Long)].collect().head
       assert(a == ((n, ck)), s"shard $s")
     }
     // shard membership is a pure function of the id: re-export agrees
-    val again = Sinks.writeShardedWithManifest(df.repartition(7), "id",
-      Seq("id", "name", "src"), tmp("shards2") + "/out", numShards = 4)
-      .as[(Int, Long, Long)].collect().toSeq
+    val again = longs(Sinks.writeShardedWithManifest(df.repartition(7),
+      "id", Seq("id", "name", "src"), tmp("shards2") + "/out",
+      numShards = 4))
     assert(again == manifest)
   }
 

@@ -348,6 +348,24 @@ class TextSpec extends SparkSpec {
       ("https://a.com?k=3", 2L, 0L)))
   }
 
+  test("canonicalizeUrl: non-http URLs pass through, never collapse") {
+    val urls = Seq(
+      (0L, "ftp://Files.example.com/x"),
+      (1L, "mailto:bob@example.com"),
+      (2L, "/relative/path?utm_a=1#frag"),
+      (3L, "HTTPS://A.com/x")) // case-insensitive scheme still canonical
+      .toDF("doc_id", "url")
+    val got = Text.urlDedup(urls)
+      .as[(String, Long, Long)].collect().toSeq
+    // ftp/mailto/relative keep their identity (fragment/utm still
+    // stripped) instead of all aliasing to ''
+    assert(got == Seq(
+      ("/relative/path", 1L, 2L),
+      ("ftp://Files.example.com/x", 1L, 0L),
+      ("https://a.com/x", 1L, 3L),
+      ("mailto:bob@example.com", 1L, 1L)))
+  }
+
   test("qualityClassify scores the rule ensemble exactly") {
     val d = docs(
       "the cat sat on the mat",        // all rules pass → 3+2+2+1 = 8

@@ -327,6 +327,18 @@ class StreamingSpec extends SparkSpec {
           $"off", $"is_del")
         .select("key", "ts", "off").as[(Long, Long, Long)].collect().toSet
       assert(fin == batchEq)
+      // at-least-once REPLAY: re-merging the LAST batch under its own
+      // batchId must read the predecessor (not v=batchId itself) and
+      // leave the materialized state unchanged
+      val lastBatch = Seq(Change(2, 15, 5, "U")).toDF()
+        .withColumn("is_del", $"op" === "D")
+      val lastId = UpsertSink.latestVersion(spark, base).get
+      UpsertSink.mergeBatch(lastBatch, lastId, base, "key", "ts", "off",
+        "is_del")
+      val replayed = UpsertSink.readMaterialized(spark, base, "is_del")
+        .get.select("key", "ts", "off").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(replayed == fin)
     }
   }
 }
