@@ -472,7 +472,8 @@ object PropertyProps extends Properties("graft") {
         .repartition(parts)
       def ck(df: org.apache.spark.sql.DataFrame) =
         graft.ops.Profiling.tableChecksum(df, Seq("id", "s"))
-          .as[(Long, Long)].collect().head
+          .selectExpr("n_rows", "cast(checksum as string)")
+          .as[(Long, String)].collect().head
       ck(a) == ck(b)
     }
   }
