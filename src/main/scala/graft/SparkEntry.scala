@@ -2404,7 +2404,50 @@ object SparkEntry {
         |FROM r""".stripMargin)(
       (s, d) => Behavior.conversionLatency(Tables.events(s, d),
         "view", "purchase", ps = Seq(0.5, 0.9), quantumNs = 1000L,
-        unitSuffix = "us"))
+        unitSuffix = "us")),
+
+    // Source curation, novelty view (Dedup.sourceNovelty): what each
+    // source adds — distinct 3-gram shingles, first-contributed count
+    // (attribution = min source name, order-deterministic), cumulative
+    // novelty. The shared shingle construction is the q61/q68 SQL idiom.
+    q("q111_source_novelty",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(text, '${Text.ws}'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |ss AS (SELECT DISTINCT source, s FROM sh),
+        |nd AS (SELECT source, count(*) AS n_distinct FROM ss GROUP BY 1),
+        |nn AS (SELECT source, count(*) AS n_new FROM (
+        |    SELECT s, min(source) AS source FROM ss GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT nd.source, n_distinct,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY nd.source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_new
+        |FROM nd LEFT JOIN nn USING (source)
+        |ORDER BY nd.source""".stripMargin)(
+      (s, d) => Dedup.sourceNovelty(Tables.documents(s, d), n = 3)),
+
+    // Source curation, overlap view (Dedup.sourceOverlap): the pairwise
+    // shared-shingle matrix — which sources duplicate each other. The
+    // self-join keys on the shingle (inverted-index shape).
+    q("q112_source_overlap",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, list_filter(
+        |    string_split_regex(text, '${Text.ws}'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s FROM toks),
+        |ss AS (SELECT DISTINCT source, s FROM sh)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d), n = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

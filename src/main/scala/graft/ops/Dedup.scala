@@ -114,6 +114,60 @@ object Dedup {
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(topK)
 
+  /** Distinct (source, shingle) membership — the inverted census the
+    * two source-curation views below share. Distinct per source, not per
+    * doc: a shingle repeated across a source's documents counts once.
+    */
+  private def sourceShingles(documents: DataFrame, n: Int): DataFrame =
+    shingleSets(documents.select(col("doc_id"), col("source"),
+        col("text")), n)
+      .join(documents.select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("shingles")).as("sh"))
+      .distinct()
+
+  /** Marginal source novelty: per source (in source-name order), the
+    * distinct shingles it contains, how many it contributes FIRST (i.e.
+    * appear in no earlier-named source), and the cumulative novel count
+    * — the "what does adding this source actually buy" curve a corpus
+    * curator reads before paying to ingest it. Attribution is
+    * min(source), so the census is order-deterministic and exact.
+    *
+    * Scale shape: one distinct on (source, shingle) partials, one
+    * min-aggregate on the shingle, two source-sized aggregates and a
+    * |sources|-row cumulative window — the corpus-sized stages are all
+    * partial-agg exchanges, and nothing keyed hotter than a shingle's
+    * source set crosses the wire.
+    */
+  def sourceNovelty(documents: DataFrame, n: Int = 3): DataFrame = {
+    val ss = sourceShingles(documents, n)
+    val nDist = ss.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    val nNew = ss.groupBy("sh").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    nDist.join(nNew, Seq("source"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("cum_new", sum("n_new").over(w))
+      .orderBy("source")
+  }
+
+  /** Pairwise source overlap matrix: for every source pair (a < b), the
+    * number of distinct shingles both contain — which sources duplicate
+    * each other, the first question of any source-mix dedup decision.
+    * The self-join keys on the shingle (inverted-index shape): a
+    * shingle in k sources contributes k·(k−1)/2 pairs, bounded by the
+    * source count squared, never by corpus size.
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val ss = sourceShingles(documents, n)
+    ss.as("a").join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Benchmark decontamination: corpus documents sharing at least
     * `minOverlap` distinct n-gram shingles with the benchmark set — the
     * standard pre-training leakage check (did an eval question's text end

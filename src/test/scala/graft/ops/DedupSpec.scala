@@ -276,4 +276,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupAgainstHistory(docs, none)
       .as[(Long, String)].collect().map(_._1).toSeq == Seq(1L, 2L, 4L))
   }
+
+  test("sourceNovelty attributes shingles to the first-named source") {
+    // shingle sets (n=2): A: {a b, b c}; B: {a b}; C: {x y}
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "B", "a b"), (3L, "C", "x y"),
+      (4L, "A", "a b"))  // repeat within A: counted once
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceNovelty(df, n = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 2L, 2L, 2L), ("B", 1L, 0L, 2L),
+      ("C", 1L, 1L, 3L)))
+  }
+
+  test("sourceOverlap counts distinct shared shingles per pair") {
+    val df = Seq(
+      (1L, "A", "a b c"),   // A: {a b, b c}
+      (2L, "B", "a b c d"), // B: {a b, b c, c d}
+      (3L, "C", "zz ww"))   // C: {zz ww} — disjoint
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(df, n = 2)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L))) // disjoint pairs absent, not 0
+  }
 }
