@@ -2447,7 +2447,55 @@ object SparkEntry {
         |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
         |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
-      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d), n = 3))
+      (s, d) => Dedup.sourceOverlap(Tables.documents(s, d), n = 3)),
+
+    // Batch sessionization (Behavior.sessionStats): gaps-and-islands —
+    // session id = running count of ≥30min gap-breaks. Quantized to µs
+    // on both sides (q110 rationale: identical gap comparisons AND
+    // ordering). The oracle-checkable twin of the streaming
+    // session_window, whose semantics StreamingSpec pins.
+    q("q113_session_stats",
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS qts
+        |  FROM events),
+        |s AS (SELECT user_id, qts, event_id,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 1800000000
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM q),
+        |w AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |g AS (SELECT user_id, sess, count(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.sessionStats(Tables.events(s, d),
+        gapNs = 30L * 60 * 1000000000L, quantumNs = 1000L)),
+
+    // Duplication-depth histogram (Dedup.dupGroupHistogram): groups per
+    // exact-fingerprint group size — how deep duplication runs, in one
+    // max-group-size-row table. Both sides inject a copy of every third
+    // doc (new ids) so the histogram has real mass beyond size 1 at
+    // every scale; the fp is the q21 normalization.
+    q("q114_dup_group_histogram",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |fp AS (SELECT md5(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp FROM aug),
+        |g AS (SELECT fp, count(*) AS sz FROM fp GROUP BY 1)
+        |SELECT sz, count(*) AS n_groups FROM g GROUP BY 1
+        |ORDER BY sz""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.dupGroupHistogram(aug)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -70,6 +70,48 @@ object Behavior {
     perPeriod.withColumn("n_trail", sum("n").over(w)).orderBy("period")
   }
 
+  /** Batch sessionization stats, gaps-and-islands form: a session is a
+    * maximal run of a user's events with inter-event gap < `gapNs`; the
+    * session id is the running count of gap-breaks in `(ts, tiebreak)`
+    * order — the classic SQL formulation, fully deterministic and
+    * integer-exact, and therefore oracle-checkable where the streaming
+    * `session_window` (EventStreams.userSessions) is spec-pinned.
+    * Per user: sessions, events, and the largest session's event count.
+    *
+    * Shape: ONE exchange on user_id serves both stacked windows (lag
+    * and running sum share the partition/order) and the two aggregates
+    * that follow re-use the same keys — nothing wider than per-user
+    * rows ever shuffles.
+    *
+    * `quantumNs` floors timestamps before the gap test AND the window
+    * order (same rationale as `conversionLatency`: a µs-precision
+    * oracle engine must see the identical gap comparisons — and the
+    * identical ordering — or a sub-quantum gap straddling the threshold
+    * breaks sessions on one engine only).
+    */
+  def sessionStats(events: DataFrame, gapNs: Long,
+                   tiebreakCol: String = "event_id",
+                   quantumNs: Long = 1L): DataFrame = {
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol))
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L)) // first event: lag null → comparison null → 1
+      .withColumn("sess", sum("brk").over(cum))
+      .groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
+        max("n").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Sweep-line interval concurrency: each `[start, end)` interval emits
     * a +1 at `start` and a −1 at `end`; the running sum over boundary
     * order IS the number of concurrently-open intervals after each

@@ -114,6 +114,21 @@ object Dedup {
       .orderBy(col("df").desc, col("shingle").asc)
       .limit(topK)
 
+  /** Duplication-depth histogram: group documents by the exact-dedup
+    * fingerprint (normalized text, the q21 key), then count GROUPS per
+    * group size — "how deep does duplication run" in one small table
+    * (size 1 = unique, the tail = heavy re-posts). The observability
+    * face of exact dedup, read before choosing keep-one vs weighting.
+    * Two stacked two-level counts: nothing larger than (fp, count)
+    * crosses the wire, and the output is ≤ max-group-size rows.
+    */
+  def dupGroupHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(md5(Text.normText(col("text")).cast("binary")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_groups"))
+      .orderBy("sz")
+
   /** Distinct (source, shingle) membership — the inverted census the
     * two source-curation views below share. Distinct per source, not per
     * doc: a shingle repeated across a source's documents counts once.

@@ -93,6 +93,32 @@ class BehaviorSpec extends SparkSpec {
       ((0L, None, None)))
   }
 
+  test("sessionStats: gaps split sessions at >= gap, exact counts") {
+    val G = 100L
+    val df = Seq(
+      (1L, 0L, 0L), (1L, 50L, 1L), (1L, 149L, 2L),  // one session (gaps<100)
+      (1L, 249L, 3L),                               // gap 100: new session
+      (2L, 0L, 4L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Behavior.sessionStats(df, gapNs = G)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("sessionStats quantization: sub-quantum gaps cannot split") {
+    // raw gap 1999 ns >= gap 1000 would split un-quantized; with
+    // quantum 1000 both events land on qts 0 and 1 → diff 1 < qgap 2?
+    // gap 2000/quantum 1000 → qgap 2: diff 1 < 2 → same session
+    val df = Seq((1L, 0L, 0L), (1L, 1999L, 1L))
+      .toDF("user_id", "ts", "event_id")
+    val q = Behavior.sessionStats(df, gapNs = 2000L, quantumNs = 1000L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(q == ((1L, 1L, 2L, 2L)))
+    intercept[IllegalArgumentException] {
+      Behavior.sessionStats(df, gapNs = 1500L, quantumNs = 1000L)
+    }
+  }
+
   test("cohortRetention: exact cells, offset capped") {
     val wk = 7L * 86400L * 1000000000L
     val e = ev(

@@ -277,6 +277,16 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().map(_._1).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("dupGroupHistogram counts groups per size, normalization-aware") {
+    val df = Seq((1L, "alpha"), (2L, " ALPHA "), (3L, "beta"),
+      (4L, "beta"), (5L, "beta"), (6L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupGroupHistogram(df)
+      .as[(Long, Long)].collect().toSeq
+    // gamma alone (1×1), alpha≡ALPHA (1×2), beta ×3 (1×3)
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
   test("sourceNovelty attributes shingles to the first-named source") {
     // shingle sets (n=2): A: {a b, b c}; B: {a b}; C: {x y}
     val df = Seq(
