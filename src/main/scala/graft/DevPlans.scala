@@ -28,7 +28,8 @@ object DevPlans {
         "q105_quantized_centroids", "q106_rolling_orders",
         "q107_table_checksum", "q108_order_concurrency",
         "q109_transition_census", "q110_conversion_latency",
-        "q111_source_novelty", "q112_source_overlap")
+        "q111_source_novelty", "q112_source_overlap",
+        "q113_session_stats", "q114_dup_group_histogram")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
