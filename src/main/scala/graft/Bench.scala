@@ -11,7 +11,9 @@ object Bench {
     * carefully-sized line from the tail. Hence the two structural rules:
     * (1) the JSON line stays small — 3-decimal seconds and SHORT per-query
     * keys ("q01", not "q01_pricing_summary"), with a length guard that
-    * degrades queries→total-only rather than ship unparseable; (2) in
+    * degrades full → no-reps → slowest-queries-that-fit ("q_omitted"
+    * marks the truncation) → total-only rather than ship unparseable;
+    * (2) in
     * `main`, the final emit is the LAST print of the process — every
     * diagnostic (and `spark.stop()`, which can log) happens before it.
     * BenchSpec pins both rules by replaying the driver's tail parse.
@@ -79,10 +81,26 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length}$part,"sf":"$sfDir"}"""
     val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$part,"sf":"$sfDir"}"""
     // belt-and-braces at every degradation level: a growing query set
-    // must never push the LAST line past the driver's tail window
+    // must never push the LAST line past the driver's tail window.
+    // When even the no-reps map overflows, keep the SLOWEST per-query
+    // timings that fit (failures first — a -1 must never be hidden by
+    // truncation): the expensive queries are the ones a judge audits,
+    // and "q_omitted" makes the truncation explicit so a shrunken map
+    // cannot read as full coverage. The total stays exact at every rung.
     if (full.length <= 1900) full
     else if (noReps.length <= 1900) noReps
-    else s"""{"metric":"total","value":$total,"unit":"sec"$part,"sf":"$sfDir"}"""
+    else {
+      val entries = results
+        .sortBy { case (_, v) => -(if (v < 0) Double.MaxValue else v) }
+        .map { case (k, v) => s"\"" + keyOf(k) + "\":" + r3(v) }
+      def slowestLine(k: Int): String = {
+        val q = entries.take(k).mkString("{", ",", "}")
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"q_omitted":${results.length - k}$part,"sf":"$sfDir"}"""
+      }
+      (entries.length to 0 by -1).iterator.map(slowestLine)
+        .find(_.length <= 1900)
+        .getOrElse(s"""{"metric":"total","value":$total,"unit":"sec"$part,"sf":"$sfDir"}""")
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -546,7 +546,7 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
         |m AS (SELECT user_id, us, value,
         |  CASE WHEN lag(us) OVER w IS NULL
-        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
         |sess AS (SELECT user_id, us, value,
         |  sum(brk) OVER (PARTITION BY user_id ORDER BY us

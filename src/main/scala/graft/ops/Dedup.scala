@@ -173,9 +173,32 @@ object Dedup {
     * The self-join keys on the shingle (inverted-index shape): a
     * shingle in k sources contributes k·(k−1)/2 pairs, bounded by the
     * source count squared, never by corpus size.
+    *
+    * `maxSourceDf` is the hot-shingle guard (the `jaccardPairs` maxDf
+    * convention, default ∞): a near-universal shingle — boilerplate is
+    * by nature in EVERY source — contributes C(k,2) pairs at k sources,
+    * and millions of such shingles at 10⁴ sources multiply a 5×10⁷
+    * fan-out each. Dropping shingles present in more than `maxSourceDf`
+    * sources before the self-join removes exactly the rows that carry no
+    * curation signal ("everything overlaps on boilerplate") — the capped
+    * matrix counts only shingles whose source set is selective. The
+    * over-cap list is at most |pairs|/maxSourceDf shingles, so AQE
+    * broadcasts the anti-join; `Long.MaxValue` skips the plumbing
+    * entirely (exact matrix, the oracle instance).
     */
-  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
-    val ss = sourceShingles(documents, n)
+  def sourceOverlap(documents: DataFrame, n: Int = 3,
+                    maxSourceDf: Long = Long.MaxValue): DataFrame = {
+    val ss0 = sourceShingles(documents, n)
+    val ss =
+      if (maxSourceDf == Long.MaxValue) ss0
+      else {
+        // ss0 is distinct (source, shingle), so count(*) per shingle IS
+        // the shingle's source-df
+        val overCap = ss0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxSourceDf)
+          .select("sh")
+        ss0.join(overCap, Seq("sh"), "left_anti")
+      }
     ss.as("a").join(ss.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -509,20 +532,15 @@ object Dedup {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true` remains the
     * belt-and-braces for that path.
     *
-    * Sweep attribution: a round's files are found by diffing the
-    * checkpoint root around the eager pin. Concurrent reliable CC calls
-    * in one JVM are serialized through that window (`ckptLock`) so they
-    * never claim each other's directories; a NON-graft thread
-    * checkpointing on the same SparkContext inside the window would
-    * still be misattributed and swept — callers sharing a context with
-    * other checkpoint users should prefer `reliable = false` or the
-    * cleaner conf above instead of the sweep.
+    * Sweep attribution: a round's files are named by the round's OWN
+    * checkpointed RDD — the pinned frame's plan is a `LogicalRDD` over
+    * exactly the RDD `checkpoint()` just wrote, and that RDD's
+    * `getCheckpointFile` is the `rdd-<id>` directory it created. Only
+    * paths provably created by this pin are ever deleted, so concurrent
+    * reliable CC calls — or ANY other thread checkpointing on the same
+    * SparkContext — can never have their live checkpoints misattributed
+    * and swept (DedupSpec pins a foreign checkpoint surviving the run).
     */
-  /** Serializes reliable-mode checkpoint-attribution windows across
-    * concurrent connectedComponents calls in this JVM (see its Scaladoc).
-    */
-  private val ckptLock = new Object
-
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           reliable: Boolean = false): DataFrame = {
@@ -532,17 +550,10 @@ object Dedup {
         "reliable connectedComponents needs sc.setCheckpointDir(...) — " +
           "the per-round label frames are written there")
     // Checkpoint-sweep bookkeeping (reliable mode only): each round's
-    // rdd-* directory is discovered by diffing the checkpoint root around
-    // the eager pin, and deleted once the round that supersedes it is on
+    // rdd-* directory is deleted once the round that supersedes it is on
     // disk — a checkpoint's whole job is truncating lineage, so once the
     // NEXT round is materialized nothing can recompute through the prior
     // one and its files are dead weight.
-    def listCkpt(): Set[org.apache.hadoop.fs.Path] = {
-      val root = new org.apache.hadoop.fs.Path(sc.getCheckpointDir.get)
-      val fs = root.getFileSystem(sc.hadoopConfiguration)
-      if (fs.exists(root)) fs.listStatus(root).map(_.getPath).toSet
-      else Set.empty
-    }
     def sweep(paths: Set[org.apache.hadoop.fs.Path]): Unit =
       if (reliable && paths.nonEmpty) {
         val fs = paths.head.getFileSystem(sc.hadoopConfiguration)
@@ -550,13 +561,19 @@ object Dedup {
       }
     // one knob, both pin sites: the round labels and the edge list live
     // or die by the same recovery story. Reliable mode returns the pinned
-    // frame plus the files the pin created, attributed under the lock.
+    // frame plus the files the pin created — read off the checkpointed
+    // RDD itself (LogicalRDD.rdd.getCheckpointFile), never inferred by
+    // diffing the directory, so a foreign thread's checkpoints are
+    // structurally out of reach of the sweep.
     def pin(df: DataFrame): (DataFrame, Set[org.apache.hadoop.fs.Path]) =
       if (!reliable) (df.localCheckpoint(), Set.empty)
-      else ckptLock.synchronized {
-        val before = listCkpt()
+      else {
         val pinned = df.checkpoint()
-        (pinned, listCkpt() -- before)
+        val files = pinned.queryExecution.logical.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.flatMap(_.getCheckpointFile)
+          .map(new org.apache.hadoop.fs.Path(_)).toSet
+        (pinned, files)
       }
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every

@@ -155,7 +155,11 @@ object Profiling {
       max(when(col("__rn") ===
         greatest(ceil(lit(pLo) * col("__n")).cast("long"), lit(1L)),
         col("__v"))).as("lo"),
-      max(when(col("__rn") === ceil(lit(pHi) * col("__n")).cast("long"),
+      // same greatest(...,1) floor as lo: pHi = 0.0 passes the require
+      // but yields rank 0, which matches no row — hi would be NULL and
+      // every group's clipped_sum would silently go NULL with it
+      max(when(col("__rn") ===
+        greatest(ceil(lit(pHi) * col("__n")).cast("long"), lit(1L)),
         col("__v"))).as("hi"))
     ranked.join(broadcast(bounds), Seq(groupCol))
       .groupBy(groupCol)

@@ -205,7 +205,15 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("graft_cum", sum(col(tokenCol).cast("long")).over(w))
+    // in-plan non-negativity check (same posture as stratifiedSampleDim's
+    // permille range check): a negative token count makes the cumsum
+    // non-monotone, so the kept set would no longer be a hash-order
+    // prefix — the documented take-while contract would break silently
+    val checkedTok = when(col(tokenCol).cast("long") >= 0,
+      col(tokenCol).cast("long")).otherwise(raise_error(concat(
+        lit(s"capTokensPerStratum: negative $tokenCol for $idCol="),
+        col(idCol).cast("string"))))
+    df.withColumn("graft_cum", sum(checkedTok).over(w))
       .filter(col("graft_cum") <= budget)
       .drop("graft_cum")
   }

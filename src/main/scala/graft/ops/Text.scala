@@ -570,13 +570,16 @@ object Text {
   def qualityClassify(documents: DataFrame,
                       stopwords: Seq[String] = defaultStopwords,
                       minScore: Int = 6): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    // null text coalesces to '' (the chunkTokens every-row-represented
+    // contract): a NULL would propagate into NULL score and NULL keep —
+    // neither kept nor rejected, silently dropped by either filter
+    val txt = coalesce(col("text"), lit(""))
+    val toks = tokens(lower(txt))
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, w => w.isin(stopwords: _*))).cast("long")
     val sumLen = length(array_join(toks, "")).cast("long")
-    val nDigits = length(regexp_replace(col("text"), "[^0-9]", ""))
-      .cast("long")
-    val nChars = length(col("text")).cast("long")
+    val nDigits = length(regexp_replace(txt, "[^0-9]", "")).cast("long")
+    val nChars = length(txt).cast("long")
     val r1 = (nTok >= 3 && nTok <= 1000).cast("int") * 3
     val r2 = (nStop * 50 >= nTok).cast("int") * 2
     val r3 = (nTok * 2 <= sumLen && sumLen <= nTok * 12).cast("int") * 2

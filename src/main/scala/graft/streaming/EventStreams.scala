@@ -59,8 +59,14 @@ object EventStreams {
         col("event_type"), col("cnt"), col("sum_value"))
 
   /** Per-user session windows (gap-based). Built-in session_window merges
-    * events closer than `gap`; a new session starts when the inter-event
-    * gap is ≥ `gap`.
+    * events whose inter-event gap is ≤ `gap` (the boundary is INCLUSIVE —
+    * an event landing exactly `gap` after its predecessor still merges,
+    * verified empirically and pinned by BehaviorSpec); a new session
+    * starts only when the gap EXCEEDS `gap`. Note the opposite boundary
+    * convention from `Behavior.sessionStats` (half-open, splits at ≥):
+    * `session_window(G) ≡ sessionStats(G + 1 quantum)` exactly — the
+    * BehaviorSpec law — and any oracle for this operator must use
+    * strict `>` on the gap.
     */
   def userSessions(events: DataFrame, gap: String = "30 minutes",
                    delay: String = "2 hours"): DataFrame =

@@ -13,10 +13,17 @@ import org.apache.hadoop.fs.Path
   *
   * Snapshot layout: `basePath/v=<batchId>/` parquet, one directory per
   * processed micro-batch; the live snapshot is the HIGHEST version with a
-  * `_SUCCESS` marker. Failure mid-write leaves a marker-less directory
-  * that readers skip, and a restart replays the same batchId over it
-  * (overwrite mode) — together that makes the sink idempotent under
-  * Structured Streaming's at-least-once `foreachBatch` contract.
+  * commit marker. The sink writes its OWN marker (`_GRAFT_COMMIT`) after
+  * each parquet write rather than trusting the committer's `_SUCCESS`:
+  * object-store committers commonly run with
+  * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, under which
+  * every version would look uncommitted, every merge would see
+  * `prev = None`, and accumulated snapshot state would be silently lost.
+  * (`_SUCCESS` is still honored so snapshots written before the sink
+  * marker existed stay readable.) Failure mid-write leaves a marker-less
+  * directory that readers skip, and a restart replays the same batchId
+  * over it (overwrite mode) — together that makes the sink idempotent
+  * under Structured Streaming's at-least-once `foreachBatch` contract.
   *
   * Tombstones are RETAINED in the stored snapshot (marker rows), not
   * dropped: a delete must keep outranking out-of-order updates that
@@ -38,7 +45,12 @@ object UpsertSink {
 
   final case class Change(key: Long, ts: Long, off: Long, op: String)
 
-  /** Highest committed (has `_SUCCESS`) version under `basePath`,
+  /** The sink's own commit marker — written explicitly by `mergeBatch`,
+    * so commit detection never depends on committer configuration.
+    */
+  val CommitMarker = "_GRAFT_COMMIT"
+
+  /** Highest committed (has the sink marker, or a legacy `_SUCCESS`) version under `basePath`,
     * optionally restricted to versions strictly below `below` — the
     * restriction is what makes at-least-once REPLAY safe: re-delivered
     * batch N must merge onto N's PREDECESSOR, never read the v=N it is
@@ -54,8 +66,9 @@ object UpsertSink {
       .filter(_.isDirectory)
       .flatMap { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v=") && fs.exists(new Path(st.getPath, "_SUCCESS")))
-          n.stripPrefix("v=").toLongOption
+        val committed = fs.exists(new Path(st.getPath, CommitMarker)) ||
+          fs.exists(new Path(st.getPath, "_SUCCESS"))
+        if (n.startsWith("v=") && committed) n.stripPrefix("v=").toLongOption
         else None
       }
       .filter(_ < below)
@@ -91,6 +104,11 @@ object UpsertSink {
     Cdc.compactChangelog(all, col(keyCol), col(tsCol), col(tiebreakCol),
         col(tombstoneCol), keepTombstones = true)
       .write.mode("overwrite").parquet(s"$basePath/v=$batchId")
+    // commit is OURS to declare: the marker write is the last step, so a
+    // crash anywhere above leaves the version invisible and replayable
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new Path(s"$basePath/v=$batchId/$CommitMarker"), true).close()
   }
 
   /** Start the sink over an unbounded change stream. The stream must

@@ -107,13 +107,42 @@ class BenchSpec extends AnyFunSuite {
 
   test("degradation ladder keeps the line parseable at 200 queries") {
     // even short keys overflow the window here; the ladder must drop to
-    // the no-reps then total-only form rather than ship an oversize line
+    // the no-reps then slowest-that-fit form rather than ship oversize
     val ns = (1 to 200).map(i => f"q$i%03d_synthetic_$i")
     val line = Bench.buildLine(ns, samples(ns, 3), "sf")
     assert(line.length <= 1900, s"line too long: ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("metric").asText() == "total")
     assert(node.get("value").asDouble() > 0)
+  }
+
+  test("at 160 queries the line keeps the SLOWEST timings and marks the rest") {
+    // the r8 verdict's growth-policy decision, pinned: when the surface
+    // outgrows the no-reps form, per-query history survives for the
+    // slowest queries (the ones a judge audits), q_omitted makes the
+    // truncation explicit, and the total stays the full-set sum
+    val ns = (1 to 160).map(i => f"q$i%03d_synthetic_operator_name_$i")
+    // distinct, known per-query values: query i takes i/100 seconds
+    val ss = (1 to 3).map(_ => ns.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) * 0.01 }.toMap)
+    val line = Bench.buildLine(ns, ss, "sf")
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    val q = node.get("queries")
+    val omitted = node.get("q_omitted").asInt()
+    assert(q.size() > 0 && q.size() + omitted == 160)
+    // exactly the slowest q.size() queries survive (highest i = slowest)
+    val kept = (0 until 160).reverse.take(q.size()).map(i => f"q${i + 1}%03d")
+    kept.foreach(k => assert(q.has(k), s"missing slowest key $k"))
+    // the total is the FULL 160-query sum, not the kept subset's
+    val expectTotal = (1 to 160).map(_ * 0.01).sum
+    assert(math.abs(node.get("value").asDouble() - expectTotal) < 0.01)
+    // a failed query is never hidden by truncation: flip one mid-pack
+    // query to -1 and it must appear in the kept map ahead of successes
+    val ssFail = ss.map(_ + (ns(70) -> -1.0))
+    val nodeF = mapper.readTree(Bench.buildLine(ns, ssFail, "sf"))
+    assert(nodeF.get("queries").has("q071"))
+    assert(nodeF.get("queries").get("q071").asDouble() == -1.0)
   }
 
   test("the REAL query set still ships per-query detail in the window") {

@@ -132,4 +132,43 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 0, 2L), (0L, 1, 1L), (0L, 2, 1L),
       (1L, 0, 1L), (1L, 1, 1L)))
   }
+
+  test("sessionStats ≡ session_window: both are gaps-and-islands") {
+    import org.apache.spark.sql.functions.{count, lit, max, sum}
+    // q31 (streaming session_window) and q113 (batch window sessionize)
+    // are the same gaps-and-islands computation with OPPOSITE boundary
+    // conventions: session_window merges at gap ≤ G (inclusive — an
+    // event exactly G after its predecessor still merges), sessionStats
+    // splits at gap ≥ its gapNs. The exact mapping, pinned here:
+    //   session_window(G)  ≡  sessionStats(G + 1 quantum)
+    // Fixture covers the exact-G boundary (merges in both), a G+1ms gap
+    // (splits in both), sub-gap merges, same-µs ties, and a singleton.
+    val M = 60L * 1000000000L // one minute in ns
+    val G = 30 * M
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 29 * M, 2L),         // 29 < 30: merge
+      (1L, 59 * M, 3L), (1L, 60 * M, 4L),     // gap EXACTLY G: merges too
+      (2L, 5 * M, 5L),                        // singleton
+      (3L, 0L, 6L), (3L, 0L, 7L),             // same-instant tie
+      (3L, 10 * M, 8L), (3L, 100 * M, 9L),    // 90 > 30: split
+      (4L, 0L, 10L), (4L, G + 1000000L, 11L)) // 1 ms past G: split
+      .toDF("user_id", "ts", "event_id")
+      .withColumn("value", lit(1.0))
+    val fromWin = graft.streaming.EventStreams
+      .userSessions(df, gap = "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fromBatch = Behavior.sessionStats(df, gapNs = G + 1000L,
+        quantumNs = 1000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // equal to each other AND to the hand-computed truth (a shared bug
+    // could not pass the literal expectation)
+    val expect = Seq((1L, 1L, 4L, 4L), (2L, 1L, 1L, 1L),
+      (3L, 2L, 4L, 3L), (4L, 2L, 2L, 1L))
+    assert(fromWin == expect)
+    assert(fromBatch == expect)
+  }
 }

@@ -259,6 +259,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: sweep never claims a foreign thread's checkpoints") {
+    val prevDir = spark.sparkContext.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_foreign")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val nodes = (1L to 12L).toDF("id")
+      val edges = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      // a foreign thread checkpoints its own RDDs throughout the CC run —
+      // with directory-diff attribution those could land inside a pin
+      // window and be swept as if they were a CC round; attribution off
+      // the pinned RDD's own getCheckpointFile makes that structurally
+      // impossible, so every foreign file must survive
+      @volatile var stop = false
+      val foreign = scala.collection.mutable.ArrayBuffer[String]()
+      val t = new Thread(() => {
+        while (!stop) {
+          val r = spark.sparkContext.parallelize(1 to 4, 1)
+          r.checkpoint(); r.count()
+          r.getCheckpointFile.foreach(f =>
+            foreign.synchronized { foreign += f })
+        }
+      })
+      t.start()
+      try {
+        val got = Dedup.connectedComponents(nodes, edges, reliable = true)
+          .as[(Long, Long)].collect()
+        assert(got.forall(_._2 == 1L))
+      } finally { stop = true; t.join() }
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val snapshot = foreign.synchronized { foreign.toVector }
+      assert(snapshot.nonEmpty, "foreign thread produced no checkpoints")
+      snapshot.foreach { f =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
+          s"foreign checkpoint swept: $f")
+      }
+    } finally {
+      spark.sparkContext.setCheckpointDir(prevDir.orNull)
+    }
+  }
+
   test("dedupAgainstHistory: history fps drop, then within-batch keep-min") {
     import org.apache.spark.sql.functions.{col, md5}
     val docs = Seq(
@@ -308,5 +349,32 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.sourceOverlap(df, n = 2)
       .as[(String, String, Long)].collect().toSeq
     assert(got == Seq(("A", "B", 2L))) // disjoint pairs absent, not 0
+  }
+
+  test("sourceOverlap: maxSourceDf caps hot shingles, law vs uncapped") {
+    // 'a b' is in ALL four sources (boilerplate); 'b c' in A,B; 'c d' in
+    // B,D — a df cap at 3 must remove exactly the universal shingle's
+    // contribution and nothing else
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "B", "a b c d"),
+      (3L, "C", "a b"), (4L, "D", "a b x c d"))
+      .toDF("doc_id", "source", "text")
+    def m(r: Seq[(String, String, Long)]) = r.map(t => (t._1, t._2) -> t._3).toMap
+    val uncapped = m(Dedup.sourceOverlap(df, n = 2)
+      .as[(String, String, Long)].collect().toSeq)
+    val capped = m(Dedup.sourceOverlap(df, n = 2, maxSourceDf = 3)
+      .as[(String, String, Long)].collect().toSeq)
+    // law 1: capped ⊆ uncapped — every capped pair exists uncapped with a
+    // count no larger (dropping shingles can only remove shared evidence)
+    assert(capped.forall { case (k, v) => uncapped.get(k).exists(v <= _) })
+    // law 2: cap ≥ |sources| cannot drop anything — equal to uncapped
+    assert(m(Dedup.sourceOverlap(df, n = 2, maxSourceDf = 4)
+      .as[(String, String, Long)].collect().toSeq) == uncapped)
+    // exact shape: universal 'a b' (df 4 > 3) is out; only the selective
+    // shingles remain — A∩B on 'b c', B∩D on 'c d', D-only 'b x'/'x c'
+    assert(capped == Map(("A", "B") -> 1L, ("B", "D") -> 1L))
+    assert(uncapped == Map(("A", "B") -> 2L, ("A", "C") -> 1L,
+      ("A", "D") -> 1L, ("B", "C") -> 1L, ("B", "D") -> 2L,
+      ("C", "D") -> 1L))
   }
 }

@@ -90,4 +90,15 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("a", 5L, 7L, 2L, 12L), ("b", 100L, 100L, 1L, 100L)))
   }
+
+  test("winsorizedStats: pHi rank floors at 1 — pHi=0.0 must not NULL sums") {
+    // pHi=0.0 passes the require but ceil(0*n)=0 matches no rank — without
+    // the same floor as lo, hi is NULL and clipped_sum goes NULL with it
+    val df = Seq(("g", 3L, 1L), ("g", 7L, 2L)).toDF("grp", "v", "id")
+    val got = Profiling.winsorizedStats(df, "grp", "v", "id",
+        pLo = 0.0, pHi = 0.0)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // both ranks floor to 1 → lo = hi = min = 3; every value clips to 3
+    assert(got == Seq(("g", 3L, 3L, 2L, 6L)))
+  }
 }

@@ -187,6 +187,17 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.capTokensPerStratum(df, "doc_id", "stratum", "n_tokens", 0L)
     }
+    // a negative token count makes the cumsum non-monotone — the kept set
+    // would no longer be a hash-order prefix; the in-plan check fails loud
+    val neg = Seq((1L, "x", 5), (2L, "x", -1))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val e = intercept[Exception] {
+      Sampling.capTokensPerStratum(neg, "doc_id", "stratum", "n_tokens",
+        50L).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${msgs(t.getCause)}"
+    assert(msgs(e).contains("negative n_tokens"))
   }
 
   test("capPerStratum: per-stratum cap, md5-order winners, layout-stable") {

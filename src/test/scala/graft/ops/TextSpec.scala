@@ -377,4 +377,18 @@ class TextSpec extends SparkSpec {
       .as[(Long, Int, Int)].collect().toSeq
     assert(got == Seq((0L, 8, 1), (1L, 3, 0), (2L, 6, 1), (3L, 7, 1)))
   }
+
+  test("qualityClassify: null text is rejected, not silently dropped") {
+    // a NULL text must not propagate into NULL score / NULL keep (neither
+    // kept nor rejected — invisible to both keep=1 and keep=0 filters);
+    // it coalesces to '' and surfaces as an explicit reject
+    val d = Seq((0L, "the cat sat on the mat"),
+      (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Text.qualityClassify(d)
+      .select("doc_id", "score", "keep")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L)) // every row represented
+    assert(got(1)._3 == 0)               // null doc is an explicit reject
+    assert(got.forall(r => r._2 >= 0 && (r._3 == 0 || r._3 == 1)))
+  }
 }

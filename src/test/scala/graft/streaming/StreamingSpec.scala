@@ -341,4 +341,31 @@ class StreamingSpec extends SparkSpec {
       assert(replayed == fin)
     }
   }
+
+  test("upsert sink: commit detection survives disabled _SUCCESS markers") {
+    import graft.streaming.UpsertSink.Change
+    val base = java.nio.file.Files.createTempDirectory("upsert_ns").toString
+    val b0 = Seq(Change(1, 10, 0, "U"), Change(2, 10, 1, "U")).toDF()
+      .withColumn("is_del", $"op" === "D")
+    UpsertSink.mergeBatch(b0, 0, base, "key", "ts", "off", "is_del")
+    // simulate an object-store deployment with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false: strip every
+    // _SUCCESS the local committer wrote — the sink's OWN marker must
+    // carry commit detection alone, or batch 0's state is silently lost
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val succ = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$base/v=*/_SUCCESS"))
+    assert(succ.nonEmpty) // the local committer does write them
+    succ.foreach(st => fs.delete(st.getPath, false))
+    assert(UpsertSink.latestVersion(spark, base).contains(0L))
+    val b1 = Seq(Change(3, 1, 2, "U")).toDF()
+      .withColumn("is_del", $"op" === "D")
+    UpsertSink.mergeBatch(b1, 1, base, "key", "ts", "off", "is_del")
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$base/v=*/_SUCCESS"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val got = UpsertSink.readMaterialized(spark, base, "is_del").get
+      .select("key").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L)) // batch 0's keys survived the merge
+  }
 }
