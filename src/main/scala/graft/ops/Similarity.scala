@@ -166,6 +166,43 @@ object Similarity {
       math.max(1, math.ceil(tablesFor(bits, probeRadius)).toInt))
   }
 
+  /** Corpus-size-aware LSH plan — the 100-TB companion to `lshPlan`,
+    * prompted by DevScale's measured scaling curve: `lshPlan(0.6, 0.999)`
+    * under `maxTables` resolves to 4 bits / 25 tables, and 2^4 buckets on
+    * an n-vector corpus means ~n/16 vectors PER BUCKET — candidate pairs
+    * grow quadratically (measured 8.7× time for 4× data on the x4→x16
+    * leg; theory says n^1.5 for threshold-recall plans at t = 0.6). That
+    * is inherent to demanding recall at the borderline threshold: p at
+    * t = 0.6 is only 0.705/bit, so bits can't rise without the table
+    * count exploding.
+    *
+    * This planner instead targets recall at the DUPLICATE similarity
+    * (`dupSim`, default 0.9) — the pairs a near-dup pass actually exists
+    * to find — and scales bits with the corpus: `bits = clamp(log2 n)`
+    * keeps the EXPECTED random-background bucket at ~1 vector, so
+    * per-table candidates are O(n) and total work is
+    * n^(1 + ln p₁/ln 2) ≈ n^1.22 at dupSim 0.9 (the classic ρ exponent),
+    * with the table count still set by the recall formula — at dupSim 0.9
+    * and recall 0.9 that is ~23 tables at n = 32k, growing ~n^0.22.
+    * Borderline pairs (cosine just over the reporting threshold) are
+    * found opportunistically rather than with a guarantee; DevScale's
+    * re-measured curve and the PLANS.md scaling table pin the resulting
+    * ≲ linear growth with total planted-dup recall.
+    */
+  def lshPlanAt(n: Long, dupSim: Double = 0.9, targetRecall: Double = 0.9,
+                minBits: Int = 8, maxBits: Int = 24): (Int, Int) = {
+    require(n > 0, "corpus size must be positive")
+    require(dupSim > 0.0 && dupSim < 1.0, "dupSim must be in (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      "target recall must be in (0, 1)")
+    val p = 1.0 - math.acos(dupSim) / math.Pi
+    val bits = math.min(maxBits,
+      math.max(minBits, math.ceil(math.log(n.toDouble) / math.log(2)).toInt))
+    val tables = math.max(1, math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-math.pow(p, bits))).toInt)
+    (bits, tables)
+  }
+
   /** Bit-signature of `emb` (array<double>) for ONE table's planes — the
     * reference formulation (and the semantics contract) for
     * `GraftFunctions.hyperplaneSignatures`, which computes every table's
