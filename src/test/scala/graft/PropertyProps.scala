@@ -478,6 +478,132 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("connectedComponents equals union-find on random graphs") = {
+    import spark.implicits._
+    // the most complex iterative operator in the repo vs the textbook
+    // driver-side reference: cluster_id = min id of the component, every
+    // node labelled (singletons label themselves)
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 11L); b <- Gen.chooseNum(0L, 11L)
+    } yield (math.min(a, b), math.max(a, b))
+    Prop.forAllNoShrink(Gen.chooseNum(1L, 12L), Gen.listOf(edgeGen)) {
+      (n, es0) =>
+      val es = es0.filter { case (a, b) => a != b && a < n && b < n }
+      val nodes = (0L until n).toDF("id")
+      val edges = es.toDF("id_a", "id_b")
+      val got = graft.ops.Dedup.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0L until n).map(i =>
+        i -> (0L until n).filter(j => find(j.toInt) == find(i.toInt)).min)
+        .toMap
+      got == want
+    }
+  }
+
+  property("asOfJoin equals the per-row latest-preceding reference") = {
+    import spark.implicits._
+    // right (key, time) unique by construction (distinct pairs); both
+    // boundary rules and both join types against the obvious reference
+    val keyGen = Gen.chooseNum(1L, 3L)
+    val lrow = for { k <- keyGen; t <- Gen.chooseNum(0L, 30L) } yield (k, t)
+    Prop.forAllNoShrink(Gen.listOfN(12, lrow), Gen.listOfN(12, lrow),
+      Gen.oneOf(true, false), Gen.oneOf("inner", "left")) {
+      (ls0, rs0, strict, joinType) =>
+      val ls = ls0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rs = rs0.distinct.zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, t) }
+      val left = ls.toDF("l_id", "key", "ts")
+      val right = rs.toDF("r_id", "key", "ts")
+      val got = graft.ops.Joins
+        .asOfJoin(left, right, "key", "ts", strict, joinType)
+        .selectExpr("l_id", "asof.r_id as rid")
+        .as[(Long, Option[Long])].collect().toMap
+      val want = ls.flatMap { case (lid, k, t) =>
+        val preceding = rs.filter { case (_, rk, rt) =>
+          rk == k && (if (strict) rt < t else rt <= t) }
+        val m = preceding.sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+        if (m.isEmpty && joinType == "inner") None
+        else Some(lid -> m)
+      }.toMap
+      got == want
+    }
+  }
+
+  property("packAssignments equals the exact prefix-sum reference") = {
+    import spark.implicits._
+    val word: Gen[String] = Gen.chooseNum(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(doc), Gen.chooseNum(1L, 20L),
+      Gen.chooseNum(1, 5)) { (texts, budget, parts) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.ops.Packing
+        .packAssignments(docs.toDF("doc_id", "text"), budget, parts)
+        .as[(Long, Long, Long)].collect().toSeq
+      // reference: token counts in doc_id order, pack = floor(prefix/budget)
+      var cum = 0L
+      val want = docs.sortBy(_._1).map { case (id, t) =>
+        val nt = t.split("\\s+").count(_.nonEmpty).toLong
+        val start = cum; cum += nt
+        (id, nt, start / budget)
+      }
+      got == want
+    }
+  }
+
+  property("pageRankMicro equals the integer-arithmetic reference") = {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 7L); b <- Gen.chooseNum(0L, 7L)
+    } yield (a, b)
+    Prop.forAllNoShrink(Gen.nonEmptyListOf(edgeGen), Gen.chooseNum(1, 3),
+      Gen.chooseNum(0, 1000)) { (es0, iters, damp) =>
+      val es = es0.distinct
+      val got = graft.ops.Graph
+        .pageRankMicro(es.toDF("src", "dst"), iters, damp)
+        .as[(Long, Long)].collect().toMap
+      // same micro-unit truncating arithmetic, driver-side
+      val nodes = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = (1000L - damp) * 1000L
+      var pr = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val m = es.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+        pr = nodes.map(n =>
+          n -> (base + damp * m.getOrElse(n, 0L) / 1000L)).toMap
+      }
+      got == pr
+    }
+  }
+
+  property("triangleCount equals brute force on random graphs") = {
+    import spark.implicits._
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+    } yield (a, b)
+    Prop.forAllNoShrink(Gen.listOf(edgeGen)) { es0 =>
+      val canon = es0.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a < b }.toSet
+      val got = graft.ops.Graph.triangleCount(es0.toDF("src", "dst"))
+        .as[Long].collect().head
+      val ns = canon.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val want = (for {
+        a <- ns; b <- ns if a < b && canon((a, b))
+        c <- ns if b < c && canon((b, c)) && canon((a, c))
+      } yield 1).size.toLong
+      got == want
+    }
+  }
+
   property("canonicalizeUrl is idempotent") = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
