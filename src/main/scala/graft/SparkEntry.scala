@@ -2495,7 +2495,45 @@ object SparkEntry {
           docs.filter(col("doc_id") % 3 === 0)
             .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         Dedup.dupGroupHistogram(aug)
-      })
+      }),
+
+    // Embedding dedup endgame (Dedup.embeddingDedupCensus): exact cosine
+    // pairs → connected components → keep-one-per-cluster census by
+    // label — the vector mirror of q64's text near-dup prep, and the
+    // curation view read before committing a semantic-dedup pass. The
+    // proposer here is the oracle-exact brute-force scorer; at corpus
+    // scale it swaps for embeddingNearDupsLsh + lshPlanAt(n) on the same
+    // (id_a, id_b) edge contract (PLANS.md round-9 scaling table is the
+    // evidence). Downstream of the pairs everything is ids-only. The
+    // oracle replays the identical pipeline: exact pairs, recursive-CTE
+    // closure, min-label representative, per-label census.
+    q("q115_embedding_dedup",
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) > 0.4),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |cl AS (
+        |  SELECT node AS vec_id, min(lbl) AS cluster_id
+        |  FROM reach GROUP BY 1)
+        |SELECT e.label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN c.cluster_id = e.vec_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(CASE WHEN c.cluster_id = e.vec_id
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM e JOIN cl c ON e.vec_id = c.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Dedup.embeddingDedupCensus(Tables.embeddings(s, d),
+        threshold = 0.4))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -633,6 +633,42 @@ object Dedup {
       jaccardPairs(documents, n, threshold, maxDf).select("id_a", "id_b"))
       .withColumnRenamed("id", "doc_id")
 
+  /** Embedding-side dedup ENDGAME — the vector mirror of `jaccardClusters`
+    * → `dropNearDuplicates`: exact cosine pairs above `threshold` propose
+    * edges, connected components close them into semantic-duplicate
+    * clusters, and the census reports per label how many vectors survive
+    * keep-one-per-cluster (representative = min vec_id, the row where
+    * `cluster_id == id`). The curation view a training-data pipeline reads
+    * before committing an embedding-dedup pass: how much of each label's
+    * mass is semantic duplication.
+    *
+    * Scale shape: the proposer here is the brute-force `cosinePairs`
+    * (O(n²) scoring, exact — what a DuckDB oracle can also compute); at
+    * corpus scale swap in `embeddingNearDupsLsh` with
+    * `Similarity.lshPlanAt(n)` — same (id_a, id_b) edge contract, and the
+    * measured scaling curve (PLANS.md round 9: 2.4× time for 16× data,
+    * planted-dup recall 1.0) is the evidence the swap holds at 100 TB.
+    * Everything downstream of the pairs is ids-only: CC shuffles labels,
+    * never vectors, and the census is one partial-agg join on (vec_id,
+    * label).
+    */
+  def embeddingDedupCensus(embeddings: DataFrame, threshold: Double = 0.4,
+                           maxIter: Int = 20): DataFrame = {
+    val pairs = Similarity.cosinePairs(embeddings, threshold)
+    val clusters = connectedComponents(
+      embeddings.select(col("vec_id").as("id")),
+      pairs.select("id_a", "id_b"), maxIter)
+      .withColumnRenamed("id", "vec_id")
+    embeddings.select(col("vec_id"), col("label"))
+      .join(clusters, "vec_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cluster_id") === col("vec_id"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("n_dropped", col("n_vecs") - col("n_kept"))
+      .orderBy("label")
+  }
+
   /** APPLY a near-dup clustering: keep one document per component (the
     * minimum doc_id — each cluster's canonical representative is the row
     * where `cluster_id == id` by the min-label construction) and drop the

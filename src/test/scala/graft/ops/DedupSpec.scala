@@ -377,4 +377,23 @@ class DedupSpec extends SparkSpec {
       ("A", "D") -> 1L, ("B", "C") -> 1L, ("B", "D") -> 2L,
       ("C", "D") -> 1L))
   }
+
+  test("embeddingDedupCensus: per-label kept/dropped from CC keep-one") {
+    // Pairs above 0.9: (0,1), (3,4), and the CROSS-LABEL (2,5) — so the
+    // clusters are {0,1}, {2,5}, {3,4}, with representatives 0, 2, 3.
+    // Label 0 keeps 0 and 2 (2 of 3); label 1 keeps only 3 (1 of 3):
+    // vector 5's representative lives in the other label, which is
+    // exactly the cross-label semantics keep-one-per-cluster implies.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1),
+      (4L, Array(0.1f, 0.0f, 0.99f), 1),
+      (5L, Array(0.0f, 1.0f, 0.1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingDedupCensus(df, threshold = 0.9)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 3L, 2L, 1L), (1, 3L, 1L, 2L)))
+  }
 }
