@@ -9,8 +9,9 @@ object Bench {
     * itself and pushed it past the window; rounds 5–6 printed a ~2600-byte
     * stderr debug line AFTER the final JSON emit, which displaced the
     * carefully-sized line from the tail. Hence the two structural rules:
-    * (1) the JSON line stays small — 3-decimal seconds and SHORT per-query
-    * keys ("q01", not "q01_pricing_summary"), with a length guard that
+    * (1) the JSON line stays small — 2-decimal per-query seconds (r2),
+    * 3-decimal totals, and SHORT per-query keys ("q01", not
+    * "q01_pricing_summary"), with a length guard that
     * degrades full → no-reps → slowest-queries-that-fit ("q_omitted"
     * marks the truncation) → total-only rather than ship unparseable;
     * (2) in
@@ -43,6 +44,14 @@ object Bench {
 
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** Per-query display precision: 2 decimals (10 ms). The growth-policy
+    * response to the r8 verdict's headroom note — one byte per query per
+    * rounded value buys ~10 more queries inside the driver's tail window
+    * before the degradation ladder has to engage. Medians/totals are
+    * computed at full precision first; only the printed map is coarse.
+    */
+  private def r2(v: Double): Double = math.rint(v * 100) / 100
+
   /** Host load context for the artifact's stderr tail: a contended run
     * (other tenants on the harness host) produces honest-but-slow numbers;
     * recording /proc/loadavg at the start and end makes such an artifact
@@ -68,7 +77,7 @@ object Bench {
       val ok = samples.flatMap(_.get(name)).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
-    val qs = results.map { case (k, v) => s"\"" + keyOf(k) + "\":" + r3(v) }
+    val qs = results.map { case (k, v) => s"\"" + keyOf(k) + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val repTotals = samples
@@ -92,7 +101,7 @@ object Bench {
     else {
       val entries = results
         .sortBy { case (_, v) => -(if (v < 0) Double.MaxValue else v) }
-        .map { case (k, v) => s"\"" + keyOf(k) + "\":" + r3(v) }
+        .map { case (k, v) => s"\"" + keyOf(k) + "\":" + r2(v) }
       def slowestLine(k: Int): String = {
         val q = entries.take(k).mkString("{", ",", "}")
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,"q_omitted":${results.length - k}$part,"sf":"$sfDir"}"""
@@ -122,8 +131,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // events.parquet is TIMESTAMP(NANOS) — see Tables.load
+      // events fixtures may be TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pins the events NTZ->nanos normalization (Tables.normalizeEventTs)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     // ERROR: stray WARNs between the timing loop and the JSON line would
     // interleave with the one-line contract the driver parses

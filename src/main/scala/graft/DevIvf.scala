@@ -11,6 +11,8 @@ object DevIvf {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pins the events NTZ->nanos normalization (Tables.normalizeEventTs)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {

@@ -15,6 +15,8 @@ object DevProfile {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pins the events NTZ->nanos normalization (Tables.normalizeEventTs)
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](name: String)(f: => T): T = {

@@ -15,6 +15,8 @@ object DevRecall {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC pins the events NTZ->nanos normalization (Tables.normalizeEventTs)
+      .config("spark.sql.session.timeZone", "UTC")
         .appName(s"dev-recall-$cpus")
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")

@@ -2533,7 +2533,99 @@ object SparkEntry {
         |FROM e JOIN cl c ON e.vec_id = c.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Dedup.embeddingDedupCensus(Tables.embeddings(s, d),
-        threshold = 0.4))
+        threshold = 0.4)),
+
+    // Data-layout audit (Layout.zorderCensus): Morton z-value over
+    // (l_partkey, l_suppkey), exact equi-depth ntile buckets, per-bucket
+    // bounding boxes in BOTH dimensions — the evidence view for file-
+    // skipping effectiveness before a Delta-style OPTIMIZE ZORDER rewrite
+    // (the production write path is Layout.zorderPartitioned:
+    // repartitionByRange + sortWithinPartitions, spec-tested). The bit-
+    // interleave formula is GENERATED into both engines from the same
+    // Scala code (Layout.zValueSql), so the plans cannot drift.
+    q("q116_zorder_layout",
+      s"""WITH z AS (
+        |  SELECT l_partkey, l_suppkey, l_orderkey * 10 + l_linenumber AS tie,
+        |    ${Layout.zValueSql("l_partkey", "l_suppkey", 16)} AS zval
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(ntile(16) OVER (ORDER BY zval, tie) AS BIGINT) AS bucket
+        |  FROM z)
+        |SELECT bucket, count(*) AS n,
+        |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+        |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Layout.zorderCensus(
+        Tables.lineitem(s, d)
+          .withColumn("tie",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+        xCol = "l_partkey", yCol = "l_suppkey", tieCol = "tie",
+        buckets = 16, bits = 16)),
+
+    // SCD type-2 dimension build (Cdc.scd2Build): the orders changelog for
+    // a deterministic custkey slice becomes a versioned dimension — one
+    // row per change with [valid_from, valid_to) validity and a current
+    // flag. Interval bounds compare cross-engine as exact epoch
+    // microseconds (unix_micros / epoch_us), open end as -1.
+    q("q117_scd2_build",
+      """WITH ch AS (SELECT * FROM orders WHERE o_custkey % 20 = 0),
+        |v AS (
+        |  SELECT o_custkey AS cust,
+        |    CAST(row_number() OVER w AS BIGINT) AS version,
+        |    o_orderkey AS order_key,
+        |    epoch_us(o_orderdate) AS from_us,
+        |    lead(epoch_us(o_orderdate)) OVER w AS to_us
+        |  FROM ch
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey))
+        |SELECT cust, version, order_key, from_us,
+        |  COALESCE(to_us, -1) AS to_us,
+        |  CAST(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS INT)
+        |    AS is_current
+        |FROM v ORDER BY cust, version""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{coalesce, lit, unix_micros}
+        Cdc.scd2Build(
+            Tables.orders(s, d).filter(col("o_custkey") % 20 === 0),
+            key = col("o_custkey"), ts = col("o_orderdate"),
+            tiebreak = col("o_orderkey"))
+          .select(col("o_custkey").as("cust"), col("version"),
+            col("o_orderkey").as("order_key"),
+            // parquet timestamps arrive as NTZ; the UTC session makes the
+            // LTZ cast a wall-clock no-op, so unix_micros == epoch_us
+            unix_micros(col("valid_from").cast("timestamp_ltz"))
+              .as("from_us"),
+            coalesce(unix_micros(col("valid_to").cast("timestamp_ltz")),
+              lit(-1L)).as("to_us"),
+            col("is_current"))
+          .orderBy("cust", "version")
+      }),
+
+    // Asymmetric containment dedup (Dedup.containmentPairs): directed
+    // pairs where ≥60% of A's 3-gram shingles occur in B — catches the
+    // quoted-wholesale / wrapped-reprint duplicates whose union-dominated
+    // Jaccard stays under any q22 threshold. Integer-exact decision
+    // (n_inter*1000 >= 600*n_a), evidence columns instead of a rounded
+    // ratio.
+    q("q118_containment_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_inter,
+        |    CAST(len(a.s) AS BIGINT) AS n_a
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b, n_inter, n_a
+        |FROM px WHERE n_inter > 0 AND n_inter * 1000 >= 600 * n_a
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), n = 3,
+        minPermille = 600L, maxDf = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

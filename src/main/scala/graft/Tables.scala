@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -15,22 +17,48 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The library-wide `events.ts` contract is BIGINT NANOSECONDS — every
+    * window/session/as-of operator quantizes in integer nanos, and the
+    * DuckDB oracles compare through `epoch_us`/`epoch_ns` (an engine that
+    * reads the same parquet natively as a timestamp). The fixtures have
+    * shipped `ts` under TWO physical encodings across harness generations
+    * — parquet TIMESTAMP(NANOS) (arrives as int64 nanos behind the legacy
+    * flag) and TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ) — so the
+    * contract is enforced HERE, at the load boundary, not scattered
+    * through the operators: a timestamp-typed `ts` is converted to epoch
+    * nanos (`unix_micros * 1000`; the UTC session every graft entry point
+    * pins makes the NTZ→LTZ cast a wall-clock no-op, matching how the
+    * oracle engine treats the naive timestamp). The conversion is a
+    * codegen'd projection riding the scan — no shuffle, no UDF.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) fixtures behind the legacy flag
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected int64 nanos or " +
+          "a timestamp)")
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet is written as parquet TIMESTAMP(NANOS); Spark 4 only
-      // reads that as int64 nanoseconds behind the legacy flag (FIXTURES.md
-      // §B gotcha), so `ts` is BIGINT nanos everywhere in this library.
-      // The flag must be set at session BUILD time (as Bench/Verify/the
-      // test harness do): setting it here as a hidden side effect would
-      // silently change later nanos-parquet reads in the caller's session.
+      // Required for the TIMESTAMP(NANOS) fixture generation (Spark 4 only
+      // reads parquet NANOS as int64 behind this legacy flag; FIXTURES.md
+      // §B gotcha); harmless for MICROS fixtures. The flag must be set at
+      // session BUILD time (as Bench/Verify/the test harness do): setting
+      // it here as a hidden side effect would silently change later
+      // nanos-parquet reads in the caller's session.
       val flag = "spark.sql.legacy.parquet.nanosAsLong"
       // case-insensitive: Spark's boolean conf parsing accepts TRUE/True too
       require(spark.conf.getOption(flag).exists(_.equalsIgnoreCase("true")),
         s"reading the events table requires $flag=true in the session " +
-          "builder (events.parquet uses parquet TIMESTAMP(NANOS), which " +
-          "Spark 4 only reads as int64 nanos behind that flag)")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+          "builder (events.parquet fixtures may use parquet " +
+          "TIMESTAMP(NANOS), which Spark 4 only reads as int64 nanos " +
+          "behind that flag)")
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

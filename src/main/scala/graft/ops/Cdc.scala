@@ -63,6 +63,34 @@ object Cdc {
     compactChangelog(changelog.filter(ts <= asOf), key, ts, tiebreak,
       tombstone)
 
+  /** Slowly-changing-dimension type-2 build: turn a changelog into a
+    * VERSIONED dimension — one row per change, carrying its validity
+    * interval `[valid_from, valid_to)` and a current-row flag. `valid_to`
+    * is the NEXT change's timestamp for the same key (null while current),
+    * so the intervals tile each key's timeline exactly: an as-of lookup is
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`, and joining
+    * facts to the dimension state that was current at fact time is a plain
+    * as-of join against this table (Joins.asOf).
+    *
+    * `version` is the 1-based change ordinal per key. Determinism needs
+    * `(key, ts, tiebreak)` unique — same contract as `compactChangelog`.
+    *
+    * Scale shape: ONE hash-shuffle of the changelog by key feeding a
+    * single per-key sorted window that evaluates `row_number` and `lead`
+    * together (one WindowExec, not two) — the same minimum-work shape as
+    * `compactChangelog`; a hot key degrades to a bigger sort bucket, never
+    * a join blow-up.
+    */
+  def scd2Build(changelog: DataFrame, key: Column, ts: Column,
+                tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts.asc, tiebreak.asc)
+    changelog
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", ts)
+      .withColumn("valid_to", lead(ts, 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+  }
+
   /** Snapshot diff: classify every key as `added` (only in `after`),
     * `removed` (only in `before`) or `changed` (in both, any `valueCols`
     * differ). Keys whose values are identical are dropped — at 100 TB the

@@ -247,6 +247,64 @@ object Dedup {
                    maxDf: Long = 10000L): DataFrame =
     pairsBySetOverlap(shingleSets(documents, n), "shingles", threshold, maxDf)
 
+  /** Directed shingle-CONTAINMENT pairs: (id_a, id_b) where at least
+    * `minPermille`/1000 of A's shingles also occur in B. The asymmetric
+    * complement to `jaccardPairs`: a short document quoted wholesale inside
+    * a long one (wrapped reprints, quote-with-commentary, boilerplate
+    * around a core) has near-total containment but LOW Jaccard — the
+    * union is dominated by the long side — so a Jaccard-only dedup pass
+    * never sees it. Containment is the standard catch (ExactSubstr/
+    * suffix-array dedup approximated at shingle granularity).
+    *
+    * The decision is integer-exact — `n_inter * 1000 >= minPermille * n_a`
+    * — and the output carries the evidence (`n_inter`, `n_a`) rather than
+    * a rounded ratio, so the contract is engine-portable with no float in
+    * the filter. Documents with empty shingle sets (< n tokens) have no
+    * inverted-index postings and emit nothing.
+    *
+    * Scale shape: identical to `pairsBySetOverlap` — inverted-index join
+    * keyed on the shingle (never all-pairs), partial-agg intersection
+    * counts, and the same `maxDf` hot-shingle guard: a boilerplate shingle
+    * present in k docs would contribute k² candidate rows, and shingles
+    * over the cap are exactly the ones carrying no containment signal.
+    * The `=!=` join emits both directions of each candidate pair from the
+    * same bucket — same asymptotics as the undirected join, no mirror
+    * union needed.
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3,
+                       minPermille: Long = 600L,
+                       maxDf: Long = 10000L): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      "need 1 <= minPermille <= 1000")
+    val sets = shingleSets(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded =
+      sets.select(col("doc_id"), explode(col("shingles")).as("item"))
+    val (items, sizes) =
+      if (maxDf == Long.MaxValue)
+        (exploded, sets.select(col("doc_id"),
+          size(col("shingles")).cast("long").as("sz")))
+      else {
+        val overCap = exploded
+          .groupBy("item").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select("item")
+        val capped = exploded.join(overCap, Seq("item"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+      }
+    val inter = items.as("x")
+      .join(items.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("n_a")),
+        "id_a")
+      .filter(col("n_inter") * lit(1000L) >= lit(minPermille) * col("n_a"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared inverted-index Jaccard core for jaccardPairs/winnowingPairs.
     *
     * The per-document item sets come from a CPU-heavy native kernel

@@ -289,7 +289,11 @@ object EventStreams {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // FileStreamSource needs a directory-rooted GLOB (a bare file path is
     // rejected); events*.parquet scopes it to the event files only —
-    // other tables in the same directory must not leak into the stream
-    spark.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    // other tables in the same directory must not leak into the stream.
+    // normalizeEventTs: the int64-nanos `ts` contract is enforced at the
+    // intake boundary for BOTH fixture encodings (stateless codegen'd
+    // projection — streaming-safe), exactly like the batch loader.
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
   }
 }

@@ -64,4 +64,25 @@ class CdcSpec extends SparkSpec {
       .select("k", "status").as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "changed", 3L -> "changed")) // 2: same, dropped
   }
+
+  test("scd2Build: tiling validity intervals, version ordinals, current flag") {
+    val got = Cdc.scd2Build(
+        log((1L, 10L, 0L, "U"), (1L, 20L, 1L, "U"), (1L, 30L, 2L, "U"),
+          (2L, 5L, 3L, "U")),
+        key = col("key"), ts = col("ts"), tiebreak = col("off"))
+      .select("key", "version", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Int)].collect().toSeq.sorted
+    assert(got == Seq(
+      (1L, 1L, 10L, Some(20L), 0), (1L, 2L, 20L, Some(30L), 0),
+      (1L, 3L, 30L, None, 1), (2L, 1L, 5L, None, 1)))
+  }
+
+  test("scd2Build breaks ts ties by the tiebreak column") {
+    val got = Cdc.scd2Build(log((1L, 10L, 1L, "U"), (1L, 10L, 0L, "U")),
+        key = col("key"), ts = col("ts"), tiebreak = col("off"))
+      .select("off", "version", "is_current")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    // off=0 sorts first: version 1, superseded; off=1 is current
+    assert(got == Seq((0L, 1L, 0), (1L, 2L, 1)))
+  }
 }

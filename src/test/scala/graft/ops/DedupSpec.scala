@@ -396,4 +396,39 @@ class DedupSpec extends SparkSpec {
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0, 3L, 2L, 1L), (1, 3L, 1L, 2L)))
   }
+
+  test("containmentPairs: directed, integer-exact, catches low-Jaccard quotes") {
+    // doc 1 ("a b c d e") has 3 shingles, ALL present in doc 2's 5 — so
+    // containment 1→2 is 1000‰ while Jaccard is only 3/5; the reverse
+    // direction is 3/5 = exactly 600‰ (boundary inclusive). doc 3 shares
+    // nothing.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d e y"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val at600 = Dedup.containmentPairs(docs, n = 3, minPermille = 600L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(at600 == Seq((1L, 2L, 3L, 3L), (2L, 1L, 3L, 5L)))
+    // raising the bar past the reverse direction's 600‰ keeps only the
+    // full containment — the asymmetry is the contract
+    val at700 = Dedup.containmentPairs(docs, n = 3, minPermille = 700L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(at700 == Seq((1L, 2L, 3L, 3L)))
+  }
+
+  test("containmentPairs maxDf cap drops hot shingles from both sides") {
+    // shingle "a b c" appears in all 4 docs; cap at 3 removes it, so doc 4
+    // (ONLY that shingle) vanishes and doc 1's denominator shrinks to 2.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d e y"),
+      (3L, "z a b c w"),
+      (4L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, n = 3, minPermille = 1000L,
+        maxDf = 3L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // post-cap sets: 1={b c d, c d e} (2), 2={x a b, b c d, c d e, d e y}
+    // (4), 3={z a b, b c w} (2), 4={} — full containment only 1→2
+    assert(got == Seq((1L, 2L, 2L, 2L)))
+  }
 }
