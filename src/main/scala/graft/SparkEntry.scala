@@ -2625,7 +2625,72 @@ object SparkEntry {
         |FROM px WHERE n_inter > 0 AND n_inter * 1000 >= 600 * n_a
         |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), n = 3,
-        minPermille = 600L, maxDf = 1000L))
+        minPermille = 600L, maxDf = 1000L)),
+
+    // Split-leakage audit (Sampling.splitLeakage): content fingerprints
+    // straddling the id-keyed train/val/test boundary — the pre-training
+    // check that catches eval inflation from exact-dup leakage (remedy:
+    // group-coherent split keyed on the fingerprint, the q86 pattern).
+    // Same md5 split CASE as q56's oracle, same normText fingerprint as
+    // q19's; `splits` is a sorted CSV string so the hash compare never
+    // touches engine array rendering. Both sides inject a new-id copy of
+    // every third doc (the q114 pattern): the fixture corpus is
+    // duplicate-free, and an audit pinned only on its own silence would
+    // be a weak oracle — the injected dups' id-keyed assignments DO
+    // straddle, so the leaked set has real mass at every scale.
+    q("q119_split_leakage",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |s AS (SELECT text, CASE
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM aug),
+        |f AS (SELECT md5(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp, split FROM s)
+        |SELECT fp, count(DISTINCT split) AS n_splits, count(*) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+        |FROM f GROUP BY fp HAVING count(DISTINCT split) > 1
+        |ORDER BY fp""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val aug = docs.unionByName(
+          docs.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Sampling.splitLeakage(aug, idCol = "doc_id", textCol = "text",
+          fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      }),
+
+    // Char-class entropy (Text.charClassEntropy): the gibberish/blob
+    // detector — five-class (lower/upper/digit/ws/other) Shannon entropy
+    // as one codegen'd scan projection; identical five-term expression
+    // shape both engines, quantized at 4 decimals (q79 precedent), with
+    // per-term negation so a one-class document cannot emit IEEE -0.0.
+    q("q120_char_entropy",
+      """WITH c AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        |k AS (SELECT doc_id, length(t) AS n,
+        |    length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS c1,
+        |    length(t) - length(regexp_replace(t, '[A-Z]', '', 'g')) AS c2,
+        |    length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS c3,
+        |    length(t) - length(regexp_replace(t, '[ \t\n\r\f]', '', 'g'))
+        |      AS c4,
+        |    length(regexp_replace(t, '[a-zA-Z0-9 \t\n\r\f]', '', 'g')) AS c5
+        |  FROM c)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_chars,
+        |  CASE WHEN n > 0 THEN round(
+        |    CASE WHEN c1 > 0 THEN -(c1/n)*ln(c1/n) ELSE 0.0 END +
+        |    CASE WHEN c2 > 0 THEN -(c2/n)*ln(c2/n) ELSE 0.0 END +
+        |    CASE WHEN c3 > 0 THEN -(c3/n)*ln(c3/n) ELSE 0.0 END +
+        |    CASE WHEN c4 > 0 THEN -(c4/n)*ln(c4/n) ELSE 0.0 END +
+        |    CASE WHEN c5 > 0 THEN -(c5/n)*ln(c5/n) ELSE 0.0 END, 4)
+        |  ELSE 0.0 END AS class_entropy
+        |FROM k ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.charClassEntropy(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

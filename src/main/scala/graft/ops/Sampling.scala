@@ -52,6 +52,36 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Split-LEAKAGE audit: exact-duplicate content that STRADDLES the
+    * train/val/test boundary. `deterministicSplit` is keyed on the id, so
+    * two byte-identical documents with different ids can land in
+    * different splits — and a test document whose text also sits in train
+    * silently inflates eval scores. This is the audit a pipeline runs
+    * BEFORE training: every content fingerprint (md5 of the same
+    * `Text.normText` canonical form dedup uses) appearing in more than
+    * one split, with the straddled split set and the duplicate count.
+    * Empty result = leakage-free split. The remedy is group-coherent
+    * splitting keyed on the FINGERPRINT (the q86 pattern with `fp` as the
+    * group column) — this operator is how you discover you need it.
+    *
+    * Scale shape: one partial-agg groupBy on the 16-byte fingerprint
+    * (text never shuffles — the fingerprint is computed in the scan
+    * projection); leaked fingerprints are a tiny filtered tail of the
+    * census. `splits` is emitted as a sorted CSV string, deterministic
+    * and engine-portable.
+    */
+  def splitLeakage(documents: DataFrame, idCol: String, textCol: String,
+                   fractions: Seq[(String, Double)]): DataFrame =
+    deterministicSplit(documents, idCol, fractions)
+      .select(md5(graft.ops.Text.normText(col(textCol)).cast("binary"))
+        .as("fp"), col("split"))
+      .groupBy("fp")
+      .agg(count_distinct(col("split")).as("n_splits"),
+        count(lit(1)).as("n_docs"),
+        concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("fp")
+
   /** Keep a deterministic `rate` fraction of rows (per-mille
     * granularity): the same id is kept on every run, on every engine, and
     * its fate never changes as the corpus grows — `df.sample()`

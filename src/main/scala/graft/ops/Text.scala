@@ -589,4 +589,48 @@ object Text {
       .withColumn("keep", (col("score") >= minScore).cast("int"))
       .orderBy("doc_id")
   }
+
+  /** Character-CLASS Shannon entropy — the gibberish/blob detector that
+    * complements `qualityClassify`'s ratio rules. Natural prose spreads
+    * mass across lowercase + whitespace + some punctuation (entropy well
+    * above 0.5 nat over the 5 classes); base64/hex blobs concentrate in
+    * letters+digits with no whitespace, minified code concentrates in
+    * `other`, and padding/ASCII-art concentrates in one class — all score
+    * LOW. Five classes (lower, upper, digit, whitespace, other) rather
+    * than per-character distribution: the census stays a fixed-width
+    * codegen'd projection (class counts by regexp strip-and-subtract, no
+    * explode), and the classes are what separate prose from blobs.
+    *
+    * Cross-engine parity: every count is an exact integer; the entropy
+    * -Σ (cᵢ/n)·ln(cᵢ/n) is evaluated in the SAME left-to-right five-term
+    * expression shape both engines and rounded to 4 decimals (the q79
+    * quantized-ln precedent — IEEE doubles agree far beyond 1e-4).
+    * Null/empty text scores entropy 0 with n_chars 0 (every row
+    * represented — the `qualityClassify` contract).
+    *
+    * Scale shape: zero shuffle — one projection inside the scan stage.
+    */
+  def charClassEntropy(documents: DataFrame): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val n = length(txt)
+    def classCount(pattern: String): Column =
+      n - length(regexp_replace(txt, pattern, ""))
+    val counts = Seq(
+      classCount("[a-z]"), classCount("[A-Z]"), classCount("[0-9]"),
+      classCount("[ \\t\\n\\r\\f]"),
+      length(regexp_replace(txt, "[a-zA-Z0-9 \\t\\n\\r\\f]", "")))
+    // each term is negated INDIVIDUALLY (not the sum): a one-class
+    // document's lone term is 1·ln(1) = 0, and -(0.0) is IEEE NEGATIVE
+    // zero — which the oracle hash distinguishes from 0.0. Summing the
+    // negated term with the other classes' +0.0 terms normalizes the sign
+    // (-0.0 + 0.0 = +0.0) in both engines.
+    val terms = counts.map { c =>
+      when(c > 0, -(c.cast("double") / n.cast("double")) *
+        log(c.cast("double") / n.cast("double"))).otherwise(lit(0.0))
+    }
+    val ent = when(n > 0, round(terms.reduce(_ + _), 4)).otherwise(lit(0.0))
+    documents.select(col("doc_id"), n.cast("int").as("n_chars"),
+        ent.as("class_entropy"))
+      .orderBy("doc_id")
+  }
 }

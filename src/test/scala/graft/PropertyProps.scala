@@ -629,4 +629,76 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("zValue matches the reference interleave and is injective") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // reference Morton implementation, independent of the Column formula
+    def morton(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val pairGen = for {
+      x <- Gen.chooseNum(0L, 255L); y <- Gen.chooseNum(0L, 255L)
+    } yield (x, y)
+    Prop.forAllNoShrink(Gen.listOfN(20, pairGen)) { pairs =>
+      val df = pairs.toDF("x", "y")
+      val got = df.select(col("x"), col("y"),
+          graft.ops.Layout.zValue(col("x"), col("y"), 8).as("z"))
+        .as[(Long, Long, Long)].collect()
+      got.forall { case (x, y, z) => z == morton(x, y, 8) } &&
+        got.map(r => (r._1, r._2)).distinct.length ==
+          got.map(_._3).distinct.length
+    }
+  }
+
+  property("scd2Build intervals tile each key's timeline exactly") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      key <- Gen.chooseNum(1L, 3L); ts <- Gen.chooseNum(0L, 50L)
+    } yield (key, ts)
+    Prop.forAllNoShrink(Gen.listOfN(12, rowGen)) { rows0 =>
+      // unique (key, ts, off): the off index is the determinism tiebreak
+      val rows = rows0.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, i.toLong)
+      }
+      val got = graft.ops.Cdc.scd2Build(rows.toDF("key", "ts", "off"),
+          key = col("key"), ts = col("ts"), tiebreak = col("off"))
+        .select("key", "version", "valid_from", "valid_to", "is_current")
+        .as[(Long, Long, Long, Option[Long], Int)].collect().toSeq
+      got.groupBy(_._1).values.forall { g =>
+        val byV = g.sortBy(_._2)
+        byV.map(_._2) == (1L to g.length.toLong) && // consecutive versions
+          byV.init.zip(byV.tail).forall { case (a, b) =>
+            a._4.contains(b._3) && a._5 == 0 // valid_to chains to next from
+          } && byV.last._4.isEmpty && byV.last._5 == 1 // open current row
+      }
+    }
+  }
+
+  property("charClassEntropy is in [0, ln 5] and permutation-invariant") = {
+    import spark.implicits._
+    val charGen = Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++
+      ('0' to '9') ++ Seq(' ', '\t', '\n', '.', ',', '!', '#'))
+    val textGen = Gen.listOfN(40, charGen).map(_.mkString)
+    Prop.forAllNoShrink(Gen.listOfN(6, textGen), Gen.chooseNum(1L, 999L)) {
+      (texts, seed) =>
+        val rng = new scala.util.Random(seed)
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val shuf = texts.zipWithIndex
+          .map { case (t, i) => (i.toLong, rng.shuffle(t.toList).mkString) }
+          .toDF("doc_id", "text")
+        val a = graft.ops.Text.charClassEntropy(df)
+          .as[(Long, Int, Double)].collect().toSeq
+        val b = graft.ops.Text.charClassEntropy(shuf)
+          .as[(Long, Int, Double)].collect().toSeq
+        a == b && a.forall { case (_, _, e) =>
+          e >= 0.0 && e <= math.log(5.0) + 1e-9 &&
+            java.lang.Double.doubleToRawLongBits(e) !=
+              java.lang.Double.doubleToRawLongBits(-0.0)
+        }
+    }
+  }
+
 }

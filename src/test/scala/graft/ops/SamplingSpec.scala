@@ -265,4 +265,26 @@ class SamplingSpec extends SparkSpec {
     assert(byLang("big").map(_._3).forall(_ == 1L))
     assert(byLang("big").map(_._2).distinct.size == 7)
   }
+
+  test("splitLeakage flags only fingerprints straddling splits") {
+    val fr = Seq("train" -> 0.5, "test" -> 0.5)
+    // 16 ids share one text; md5-bucket halves deterministically hit both
+    // splits at this width (pinned by the reference check below)
+    val docs = ((1L to 16L).map(i => (i, "shared  leaked\ttext")) ++
+      Seq((100L, "unique alpha"), (101L, "unique beta"))).toDF("doc_id", "text")
+    val refSplits = Sampling.deterministicSplit(docs, "doc_id", fr)
+      .filter(org.apache.spark.sql.functions.col("doc_id") <= 16L)
+      .select("split").distinct().as[String].collect().toSeq.sorted
+    assert(refSplits == Seq("test", "train")) // the fixture DOES straddle
+    val got = Sampling.splitLeakage(docs, "doc_id", "text", fr)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got.length == 1) // unique texts never flagged
+    val (fp, nSplits, nDocs, splits) = got.head
+    assert(nSplits == 2L && nDocs == 16L && splits == "test,train")
+    // fingerprint = md5 of the normText canonical form (ws-collapsed)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("shared leaked text".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp == want)
+  }
 }

@@ -391,4 +391,23 @@ class TextSpec extends SparkSpec {
     assert(got(1)._3 == 0)               // null doc is an explicit reject
     assert(got.forall(r => r._2 >= 0 && (r._3 == 0 || r._3 == 1)))
   }
+
+  test("charClassEntropy: hand-computed values, one-class and null docs") {
+    val d = Seq(
+      (0L, "ab12"),       // lower 2 + digit 2 -> 2·(-.5·ln .5) = ln 2
+      (1L, "Aa 1!"),      // one char per class -> ln 5
+      (2L, "aaaa"),       // one class -> 0.0 exactly (and NOT -0.0)
+      (3L, ""),           // empty -> n 0, entropy 0
+      (4L, null.asInstanceOf[String])) // null ≡ empty (every row scored)
+      .toDF("doc_id", "text")
+    val got = Text.charClassEntropy(d)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4, math.rint(math.log(2) * 10000) / 10000),
+      (1L, 5, math.rint(math.log(5) * 10000) / 10000),
+      (2L, 4, 0.0), (3L, 0, 0.0), (4L, 0, 0.0)))
+    // the one-class doc's 0.0 must be POSITIVE zero — IEEE -0.0 would
+    // hash-differ from the oracle's 0.0
+    assert(java.lang.Double.doubleToRawLongBits(got(2)._3) == 0L)
+  }
 }
