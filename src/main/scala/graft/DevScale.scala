@@ -119,6 +119,10 @@ object DevScale {
           bits = bits, tables = tables)
       }),
       "q53_winnow" -> SparkEntry.queries("q53_winnowing_pairs"),
+      // same inverted-index core as q22 with the directed =!= join: the
+      // copy-unique token suffixes keep shingles disjoint across copies,
+      // so the directed pair set also grows exactly F×
+      "q118_contain" -> SparkEntry.queries("q118_containment_pairs"),
       "q61_cc" -> SparkEntry.queries("q61_dedup_clusters"),
       "q64_prep" -> SparkEntry.queries("q64_corpus_prep_neardup"),
       "q85_sq8" -> SparkEntry.queries("q85_sq_pruned_knn"),

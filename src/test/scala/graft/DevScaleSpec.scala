@@ -55,6 +55,14 @@ class DevScaleSpec extends SparkSpec {
     val h3 = Dedup.dupGroupHistogram(inflated)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(h3 == h1.map { case (sz, n) => sz -> (3 * n) })
+    // the directed containment pair set obeys the same law (same
+    // inverted-index core, =!= join): pairs never cross copies
+    val c1 = Dedup.containmentPairs(docs, n = 3, minPermille = 600L,
+      maxDf = 1000L)
+    val c3 = Dedup.containmentPairs(inflated, n = 3, minPermille = 600L,
+      maxDf = 1000L)
+    assert(c3.count() == 3 * c1.count())
+    assert(c1.count() > 0)
   }
 
   test("embedding inflation: deterministic, planted near-dup, novel rest") {
