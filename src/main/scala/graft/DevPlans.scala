@@ -29,7 +29,10 @@ object DevPlans {
         "q107_table_checksum", "q108_order_concurrency",
         "q109_transition_census", "q110_conversion_latency",
         "q111_source_novelty", "q112_source_overlap",
-        "q113_session_stats", "q114_dup_group_histogram")
+        "q113_session_stats", "q114_dup_group_histogram",
+        "q115_embedding_dedup", "q116_zorder_layout", "q117_scd2_build",
+        "q118_containment_pairs", "q119_split_leakage",
+        "q120_char_entropy")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

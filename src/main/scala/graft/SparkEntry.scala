@@ -2690,7 +2690,20 @@ object SparkEntry {
         |    CASE WHEN c5 > 0 THEN -(c5/n)*ln(c5/n) ELSE 0.0 END, 4)
         |  ELSE 0.0 END AS class_entropy
         |FROM k ORDER BY doc_id""".stripMargin)(
-      (s, d) => Text.charClassEntropy(Tables.documents(s, d)))
+      (s, d) => Text.charClassEntropy(Tables.documents(s, d))),
+
+    // Per-group percent-rank (Profiling.groupPercentRank): document
+    // length percentile WITHIN language — the cross-group quantile
+    // transform for length-outlier curation. (rank−1)/(n−1) is an exact
+    // integer rational, bit-identical on any engine; doc_id makes the
+    // order total.
+    q("q121_length_percentile",
+      """SELECT lang, n_chars, doc_id,
+        |  percent_rank() OVER (PARTITION BY lang
+        |    ORDER BY n_chars, doc_id) AS pct
+        |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin)(
+      (s, d) => Profiling.groupPercentRank(Tables.documents(s, d),
+        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -169,4 +169,31 @@ object Profiling {
           .as("clipped_sum"))
       .orderBy(groupCol)
   }
+
+  /** Per-group percent-rank normalization: each row's rank position in
+    * [0, 1] within its group's `(valueCol, tieCol)` total order — the
+    * quantile-transform feature a curation pipeline uses to compare
+    * values ACROSS heterogeneous groups ("this document is at the 97th
+    * length percentile FOR ITS LANGUAGE" — an outlier test that a global
+    * threshold gets wrong for every low-resource language at once).
+    *
+    * percent_rank = (rank − 1) / (n − 1) is an exact rational of two
+    * integers, so the double is bit-identical on any engine — no rounding
+    * needed (unlike mean/stddev z-scores, whose accumulation order
+    * drifts). The tie column makes the order total and the output
+    * deterministic; a single-row group scores 0.0.
+    *
+    * Scale shape: ONE hash-shuffle on the group key feeding one per-group
+    * sorted window — the `scd2Build` minimum; no join, no global sort. A
+    * giant group degrades to a bigger sort bucket (the same trade every
+    * rank statistic makes — `winsorizedStats` above shares it).
+    */
+  def groupPercentRank(df: DataFrame, groupCol: String, valueCol: String,
+                       tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col(valueCol), col(tieCol))
+    df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("pct", percent_rank().over(w))
+      .orderBy(groupCol, valueCol, tieCol)
+  }
 }

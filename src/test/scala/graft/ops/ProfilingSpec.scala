@@ -101,4 +101,19 @@ class ProfilingSpec extends SparkSpec {
     // both ranks floor to 1 → lo = hi = min = 3; every value clips to 3
     assert(got == Seq(("g", 3L, 3L, 2L, 6L)))
   }
+
+  test("groupPercentRank: exact rationals, ties ranked by tie column") {
+    val df = Seq(
+      ("en", 10L, 1L), ("en", 10L, 2L), ("en", 30L, 3L), ("en", 40L, 4L),
+      ("de", 99L, 5L)).toDF("grp", "v", "id")
+    val got = Profiling.groupPercentRank(df, "grp", "v", "id")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // en (n=4): the tie column makes the window ORDER total, so the two
+    // 10s take DISTINCT ranks (1, 2) -> pct 0 and 1/3 — deterministic
+    // where a value-only ordering would let rank() tie them both at 0
+    assert(got == Seq(
+      ("de", 99L, 5L, 0.0), // single-row group scores 0
+      ("en", 10L, 1L, 0.0), ("en", 10L, 2L, 1.0 / 3),
+      ("en", 30L, 3L, 2.0 / 3), ("en", 40L, 4L, 1.0)))
+  }
 }
