@@ -2703,7 +2703,38 @@ object SparkEntry {
         |    ORDER BY n_chars, doc_id) AS pct
         |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin)(
       (s, d) => Profiling.groupPercentRank(Tables.documents(s, d),
-        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id"))
+        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id")),
+
+    // Source-drift census (Text.sourceDivergence): KL(source ‖ corpus)
+    // over unigram distributions — ranks sources by distributional
+    // distance before a mixing decision. The per-term log-ratio is
+    // quantized to an integer (q79 pattern) so the cross-engine sum is
+    // EXACT; the final value is one division of two exact integers.
+    q("q122_source_divergence",
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0)) AS tok FROM documents),
+        |bysrc AS (SELECT source, tok, count(*) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |  FROM bysrc GROUP BY 1),
+        |gl AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g
+        |  FROM bysrc GROUP BY 1),
+        |t AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gl),
+        |lq AS (
+        |  SELECT b.source, b.c, st.n_s,
+        |    CAST(round(ln(CAST(b.c * t.n AS DOUBLE) /
+        |      CAST(st.n_s * gl.g AS DOUBLE)) * 10000) AS BIGINT) AS lq
+        |  FROM bysrc b
+        |  JOIN gl ON b.tok = gl.tok
+        |  JOIN st ON b.source = st.source
+        |  CROSS JOIN t)
+        |SELECT source, min(n_s) AS n_tokens,
+        |  CAST(CAST(sum(c * lq) AS BIGINT) AS DOUBLE) /
+        |    CAST(min(n_s) * 10000 AS DOUBLE) AS kl
+        |FROM lq GROUP BY source ORDER BY source""".stripMargin)(
+      (s, d) => Text.sourceDivergence(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -590,6 +590,48 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Per-SOURCE token-distribution divergence: KL(source ‖ corpus) over
+    * unigram distributions — the source-drift curation view. A source
+    * whose token distribution sits far from the corpus mixture is either
+    * a different register (code vs prose), a different language slice, or
+    * contamination; this census ranks sources by that distance BEFORE a
+    * mixing decision, where `domainStats` only ranks them by volume.
+    *
+    * Determinism across engines: a float Σ over thousands of tokens is
+    * order-sensitive, so the log-ratio is quantized PER TERM to an
+    * integer (`round(ln((c·N)/(n_s·g)) · 10000)` — the `bigramLmScore`
+    * pattern) and the sum runs in exact integers; the final value is ONE
+    * division of two exact integers. Every token of a source occurs in
+    * the corpus by construction (the corpus census is the union), so the
+    * ratio is never zero or infinite.
+    *
+    * Scale shape: two token censuses (partial-agg, map-side combined) and
+    * aggregated-data joins — (source, token) rows join token-keyed global
+    * counts and a broadcast-size per-source total; fact rows never
+    * self-join. The wide exchanges carry census rows, not text.
+    */
+  def sourceDivergence(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val srcTotals = bySrc.groupBy("source").agg(sum("c").as("n_s"))
+    val global = bySrc.groupBy("tok").agg(sum("c").as("g"))
+    val total = global.agg(sum("g").as("n")).select(col("n"))
+    val lq = bySrc
+      .join(global, "tok")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("c"), col("n_s"),
+        round(log((col("c") * col("n")).cast("double") /
+          (col("n_s") * col("g")).cast("double")) * 10000)
+          .cast("long").as("lq"))
+    lq.groupBy("source")
+      .agg(min(col("n_s")).as("n_tokens"),
+        (sum(col("c") * col("lq")).cast("double") /
+          (min(col("n_s")) * lit(10000L)).cast("double")).as("kl"))
+      .orderBy("source")
+  }
+
   /** Character-CLASS Shannon entropy — the gibberish/blob detector that
     * complements `qualityClassify`'s ratio rules. Natural prose spreads
     * mass across lowercase + whitespace + some punctuation (entropy well

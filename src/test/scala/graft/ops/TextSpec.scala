@@ -410,4 +410,26 @@ class TextSpec extends SparkSpec {
     // hash-differ from the oracle's 0.0
     assert(java.lang.Double.doubleToRawLongBits(got(2)._3) == 0L)
   }
+
+  test("sourceDivergence: hand-computed KL, identical source scores 0") {
+    // corpus: a={x x y}, b={x y y}. N=6, g(x)=3, g(y)=3.
+    // KL(a) = (2·lq(2·6/(3·3)) + 1·lq(1·6/(3·3))) / (3·10000) with
+    // lq(r) = round(ln(r)·10000): lq(4/3)=2877, lq(2/3)=-4055
+    //   → (2·2877 − 4055) / 30000 = 1699/30000
+    val d = Seq(
+      (0L, "x x y", "en", "a", 0L), (1L, "x y y", "en", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.sourceDivergence(d)
+      .as[(String, Long, Double)].collect().toSeq
+    val lq = (r: Double) => math.rint(math.log(r) * 10000)
+    val want = (2 * lq(4.0 / 3) + lq(2.0 / 3)) / 30000.0
+    assert(got == Seq(("a", 3L, want), ("b", 3L, want)))
+    // a source distributed exactly like the corpus diverges by 0
+    val same = Seq(
+      (0L, "x y", "en", "a", 0L), (1L, "x y", "en", "b", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got2 = Text.sourceDivergence(same)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got2 == Seq(("a", 2L, 0.0), ("b", 2L, 0.0)))
+  }
 }
