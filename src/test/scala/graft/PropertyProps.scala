@@ -676,6 +676,51 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("containmentPairs is monotone: a higher bar keeps a subset") = {
+    import spark.implicits._
+    // random word-soup docs over a tiny vocabulary so shingle overlap is
+    // common; the 800-permille pair set must be contained in the 500 one
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.chooseNum(3, 8)
+      .flatMap(k => Gen.listOfN(k, wordGen).map(_.mkString(" ")))
+    Prop.forAllNoShrink(Gen.listOfN(5, docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def pairs(p: Long) =
+        graft.ops.Dedup.containmentPairs(docs, n = 3, minPermille = p)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      pairs(800L).subsetOf(pairs(500L))
+    }
+  }
+
+  property("splitLeakage ≡ independent straddle computation") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fr = Seq("train" -> 0.7, "test" -> 0.3)
+    // ids drawn from a small range force duplicate TEXTS across ids
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 60L); t <- Gen.oneOf("aa bb", "cc dd", "ee ff")
+    } yield (id, t)
+    Prop.forAllNoShrink(Gen.listOfN(20, rowGen)) { rows0 =>
+      val rows = rows0.distinctBy(_._1)
+      val docs = rows.toDF("doc_id", "text")
+      val got = graft.ops.Sampling
+        .splitLeakage(docs, "doc_id", "text", fr)
+        .select("fp", "n_docs").as[(String, Long)].collect().toMap
+      // reference: assign splits independently, group texts in Scala
+      val assigned = graft.ops.Sampling.deterministicSplit(docs, "doc_id", fr)
+        .select(col("text"), col("split")).as[(String, String)]
+        .collect().toSeq
+      val want = assigned.groupBy(_._1).collect {
+        case (t, g) if g.map(_._2).distinct.length > 1 =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString -> g.length.toLong
+      }.toMap
+      got == want
+    }
+  }
+
   property("charClassEntropy is in [0, ln 5] and permutation-invariant") = {
     import spark.implicits._
     val charGen = Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++
