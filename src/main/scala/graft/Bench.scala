@@ -112,6 +112,22 @@ object Bench {
     }
   }
 
+  /** Early-stop decision after a completed rep. The wall budget is honored
+    * ONLY once at least two reps exist (unless the caller asked for one):
+    * BENCH_r09 recorded 359.5 s for a surface that runs in 90 s clean
+    * because a single cold contended first rep crossed the 240 s budget
+    * and the run stopped at `reps: 1` — one sample, so the lower-middle
+    * median defense had nothing to work with. A warm rep is the whole
+    * point of repeating; the mid-rep partial emits already bound the cost
+    * of a wall-clock kill, so letting rep 2 start never risks the
+    * artifact, only its staleness.
+    */
+  private[graft] def stopAfterRep(completedReps: Int, maxReps: Int,
+                                  elapsedSec: Double,
+                                  budgetSec: Double): Boolean =
+    completedReps >= maxReps ||
+      (elapsedSec > budgetSec && completedReps >= math.min(2, maxReps))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -186,8 +202,8 @@ object Bench {
       // medians-so-far after EVERY rep: a wall-clock kill between here and
       // the end of the run costs at most one rep, never the artifact
       emit(samples)
-      if (elapsed > budgetSec) {
-        System.err.println(
+      if (stopAfterRep(rep, reps, elapsed, budgetSec)) {
+        if (rep < reps) System.err.println(
           s"[bench] wall budget ${budgetSec}s exceeded after rep $rep; " +
             "stopping early")
         continue = false

@@ -32,7 +32,8 @@ object DevPlans {
         "q113_session_stats", "q114_dup_group_histogram",
         "q115_embedding_dedup", "q116_zorder_layout", "q117_scd2_build",
         "q118_containment_pairs", "q119_split_leakage",
-        "q120_char_entropy")
+        "q120_char_entropy", "q121_length_percentile",
+        "q122_source_divergence")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4,18 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Text}
 
-/** Empirical scaling curves for the expensive dedup/ANN family.
+/** Empirical scaling curves for the expensive dedup/ANN family AND (round
+  * 10) the window/behavioral family.
   *
   * Every 100-TB claim in the operator Scaladoc rests on plan shape
   * (PLANS.md) and asymptotic argument; this harness converts the claims to
-  * measurement. It deterministically inflates the sf0.1 `documents` and
-  * `embeddings` tables 4× and 16× (the q114 dup-inject / HeadlineBench
-  * seeded-jitter construction), writes each factor as a real parquet
-  * directory under `target/devscale/`, and times the expensive family —
-  * q22 (Jaccard inverted index), q23 (MinHash-LSH), near-dup embedding LSH,
-  * q53 (winnowing), q61 (connected components), q64 (near-dup corpus prep),
-  * q85 (SQ8 pruned k-NN), q112 (source-overlap census) — at 1×/4×/16×,
-  * printing a time-vs-size table for PLANS.md.
+  * measurement. It deterministically inflates the sf0.1 `documents`,
+  * `embeddings`, `events`, `orders`, and `lineitem` tables 4× and 16× (the
+  * q114 dup-inject / HeadlineBench seeded-jitter construction), writes each
+  * factor as a real parquet directory under `target/devscale/`, and times
+  * the expensive family — q22 (Jaccard inverted index), q23 (MinHash-LSH),
+  * near-dup embedding LSH, q53 (winnowing), q61 (connected components),
+  * q64 (near-dup corpus prep), q85 (SQ8 pruned k-NN), q112 (source-overlap
+  * census) — plus the window family — q108 (sweep-line), q110 (conversion
+  * latency), q113 (sessionization), q117 (SCD2 build), and the two
+  * global-order windows q116 (ntile census) and q121 (per-group
+  * percent-rank) — at 1×/4×/16×, printing a time-vs-size table for
+  * PLANS.md.
   *
   * Inflation is designed so the WORKLOAD's intrinsic output scales exactly
   * linearly — then any superlinear runtime is the operator's fault, not the
@@ -33,6 +38,23 @@ import graft.ops.{Dedup, Text}
   *    fresh hash-uniform vectors in [-0.5, 0.5]^d (novel mass, near-dup to
   *    nothing). Near-dup output is thus ~constant past 4× while the corpus
   *    — and the work an inverted/bucketed index must do — grows linearly.
+  *  - Events, copy c ≥ 1: user_id and event_id shift by `c · idStride`,
+  *    timestamps/types/values untouched — F disjoint user populations with
+  *    identical per-user structure, so session/transition/funnel output
+  *    grows exactly F× and per-user window partitions keep their size
+  *    (the partitioned-window scale contract: more partitions, not bigger
+  *    ones).
+  *  - Orders, copy c ≥ 1: o_orderkey and o_custkey shift by `c · idStride`
+  *    (idStride ≡ 0 mod 20, so q117's custkey-slice filter selects the
+  *    same fraction at every factor); dates untouched. q117's keyed SCD2
+  *    output grows exactly F×; q108's sweep-line sees F× boundary deltas
+  *    but the MERGED breakpoint set — and so the global running-sum window
+  *    underneath — stays at the fixture's distinct-instant cardinality:
+  *    work scales in the partial-agg stage, not the ordered window.
+  *  - Lineitem, copy c ≥ 1: l_orderkey shifts by `c · idStride` (the
+  *    (orderkey·10+linenumber) tie stays unique); partkey/suppkey — the
+  *    z-value inputs — untouched, so q116 ranks F× rows over an identical
+  *    z distribution: the pure global-window stressor.
   *
   * Why the LSH measurement runs at threshold 0.6, not q50's 0.4: the
   * fixture's pairwise-cosine distribution is essentially the random-vector
@@ -72,6 +94,22 @@ object DevScale {
     }.reduce(_ unionByName _)
   }
 
+  /** F deterministic copies of a table by shifting its id columns by
+    * `c · idStride` — the shared construction for events/orders/lineitem:
+    * every copy is a key-disjoint population with identical structure, so
+    * keyed-window output grows exactly F× while per-key partition sizes
+    * stay fixed. Non-id columns (timestamps, dims, measures) pass through
+    * untouched.
+    */
+  def inflateByIds(df: DataFrame, factor: Int, idCols: Seq[String]): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    (0 until factor).map { c =>
+      if (c == 0) df
+      else idCols.foldLeft(df)((d, ic) =>
+        d.withColumn(ic, col(ic) + lit(c * idStride)))
+    }.reduce(_ unionByName _)
+  }
+
   /** F deterministic copies of `embeddings`; copy 0 original, copy 1 a
     * planted near-dup (hash-seeded ±0.01/dim jitter), copies ≥ 2 fresh
     * hash-uniform vectors in [-0.5, 0.5]^d. Element type stays FLOAT.
@@ -103,10 +141,11 @@ object DevScale {
     Seq(
       "q22_jaccard" -> SparkEntry.queries("q22_jaccard_pairs"),
       "q23_minhash" -> SparkEntry.queries("q23_minhash_pairs"),
-      // the fixture-oracle config: recall guaranteed at the borderline
-      // threshold — auto-plans to 4 bits / 25 tables, which CANNOT prune
-      // a random background (measured quadratic-ish; see lshPlanAt doc)
-      "q50_lsh@0.6" -> ((s: SparkSession, d: String) =>
+      // the guarantee-recall-at-borderline config (q50's oracle plan until
+      // r10, now a SimilaritySpec law only): auto-plans to 4 bits /
+      // 25 tables, which CANNOT prune a random background (measured
+      // quadratic-ish; see lshPlanAt doc)
+      "lsh_guar@0.6" -> ((s: SparkSession, d: String) =>
         Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
           threshold = 0.6, targetRecall = 0.999)),
       // the corpus-scale config: bits = log2(n) bucket pruning, recall
@@ -118,6 +157,10 @@ object DevScale {
         Dedup.embeddingNearDupsLsh(emb, threshold = 0.6,
           bits = bits, tables = tables)
       }),
+      // the DRIVER-VISIBLE q50 verbatim (r10: lshPlanAt bits/tables,
+      // planted +0.001 copies, threshold 0.9) — the row the verdict asked
+      // for: the adjudicable query surface measured at scale
+      "q50_planted" -> SparkEntry.queries("q50_embedding_neardup_lsh"),
       "q53_winnow" -> SparkEntry.queries("q53_winnowing_pairs"),
       // same inverted-index core as q22 with the directed =!= join: the
       // copy-unique token suffixes keep shingles disjoint across copies,
@@ -126,7 +169,18 @@ object DevScale {
       "q61_cc" -> SparkEntry.queries("q61_dedup_clusters"),
       "q64_prep" -> SparkEntry.queries("q64_corpus_prep_neardup"),
       "q85_sq8" -> SparkEntry.queries("q85_sq_pruned_knn"),
-      "q112_overlap" -> SparkEntry.queries("q112_source_overlap"))
+      "q112_overlap" -> SparkEntry.queries("q112_source_overlap"),
+      // ---- window/behavioral family (r10): driver-visible configs
+      // verbatim. q108/q110 reduce to tiny outputs (distinct breakpoints /
+      // one percentile row); q113/q117 are keyed windows whose output
+      // grows exactly F×; q116/q121 are the GLOBAL-ORDER windows — the
+      // single-task-sort wall the PLANS.md prose prices.
+      "q108_sweep" -> SparkEntry.queries("q108_order_concurrency"),
+      "q110_latency" -> SparkEntry.queries("q110_conversion_latency"),
+      "q113_sessions" -> SparkEntry.queries("q113_session_stats"),
+      "q117_scd2" -> SparkEntry.queries("q117_scd2_build"),
+      "q116_ntile" -> SparkEntry.queries("q116_zorder_layout"),
+      "q121_pctrank" -> SparkEntry.queries("q121_length_percentile"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
@@ -152,9 +206,10 @@ object DevScale {
     // already complete on disk — ONLY safe when the inflation construction
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
+    val tables = Seq("documents", "embeddings", "events", "orders", "lineitem")
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
-      val complete = Seq("documents", "embeddings").forall(t =>
+      val complete = tables.forall(t =>
         new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
       if (!(reuse && complete)) {
         spark.read.parquet(s"$base/documents.parquet")
@@ -163,16 +218,33 @@ object DevScale {
         spark.read.parquet(s"$base/embeddings.parquet")
           .transform(inflateEmbeddings(_, f))
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        // events ts passes through raw (TIMESTAMP or int64-nanos physical
+        // encoding preserved verbatim) — queries re-enter via Tables.events
+        // and normalize at the load boundary exactly as on the fixture
+        spark.read.parquet(s"$base/events.parquet")
+          .transform(inflateByIds(_, f, Seq("event_id", "user_id")))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        spark.read.parquet(s"$base/orders.parquet")
+          .transform(inflateByIds(_, f, Seq("o_orderkey", "o_custkey")))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        spark.read.parquet(s"$base/lineitem.parquet")
+          .transform(inflateByIds(_, f, Seq("l_orderkey")))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       }
-      val nd = spark.read.parquet(s"$dir/documents.parquet").count()
-      val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      println(s"[devscale] built x$f: docs=$nd vecs=$ne")
+      val counts = tables.map(t =>
+        spark.read.parquet(s"$dir/$t.parquet").count())
+      println(s"[devscale] built x$f: " +
+        tables.zip(counts).map { case (t, n) => s"$t=$n" }.mkString(" "))
       f -> dir
     }
 
     // SPARK_GRAFT_SCALE_ONLY=recall: skip the timing loop, report only the
     // planted-dup recall check below (reads the materialized dirs).
     val recallOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("recall")
+    // dev iteration: comma-separated family-name allowlist
+    val famOnly = sys.env.get("SPARK_GRAFT_SCALE_FAMILY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measured = family.filter { case (n, _) => famOnly.forall(_.contains(n)) }
 
     // warm codegen/shuffle paths once so x1 isn't charged the cold tax
     spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)")
@@ -181,7 +253,7 @@ object DevScale {
     // rows and min-of-reps seconds per (query, factor)
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
     val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
-    for ((f, dir) <- dirs if !recallOnly; (name, fn) <- family) {
+    for ((f, dir) <- dirs if !recallOnly; (name, fn) <- measured) {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
@@ -198,7 +270,7 @@ object DevScale {
       val hdr = factors.flatMap(f => Seq(s"t(x$f) s", s"rows(x$f)"))
       println("\n| query | " + hdr.mkString(" | ") + " | t16/t1 | ideal |")
       println("|---|" + ("---|" * (hdr.length + 2)))
-      for ((name, _) <- family) {
+      for ((name, _) <- measured) {
         val cells = factors.flatMap(f =>
           Seq(r2(times((name, f))).toString, rows((name, f)).toString))
         val growth =

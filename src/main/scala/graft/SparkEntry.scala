@@ -428,19 +428,44 @@ object SparkEntry {
           probeRadius = 1)
       }),
 
-    // target recall .999 (vs the .9 default) buys total candidate recall
-    // at the fixture's 0.4 threshold, so the exact q25 pair oracle applies
-    // verbatim — the LSH path must find every pair brute force finds or
-    // the driver hash mismatches
+    // The SCALE-CORRECT near-dup plan, driver-visible (the r9 verdict's
+    // surface-honesty ask): bits = ⌈log₂ n⌉ bucket pruning with tables
+    // targeting recall at the DUPLICATE similarity (Similarity.lshPlanAt
+    // — measured ≲ linear, 2.4× time for 16× data, planted recall 1.0 in
+    // PLANS.md), not the guarantee-recall-at-borderline config DevScale
+    // measured quadratic (that config survives as a SimilaritySpec law:
+    // capped ⊆ exact, recall ≥ target vs q25's exact pairs). The oracle
+    // pins the plan deterministically by PLANTING the near-dups (the
+    // DevScale recall construction): every third vector re-enters under
+    // id+1e6 with +0.001 on each component — cosine ≈ 0.9999, far above
+    // the 0.9 reporting threshold, while the fixture background maxes at
+    // 0.60 (measured, sf0.001/0.01/0.1) — so the exact pair set IS the
+    // planted set and a single missed dup hash-mismatches. Per-pair miss
+    // probability at the plan's bits/tables is < 1e-9; verified exact at
+    // all three fixture scales.
     q("q50_embedding_neardup_lsh",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings)
+        |           FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, emb FROM e
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, list_transform(emb, x -> x + 0.001)
+        |  FROM e WHERE vec_id % 3 = 0)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.emb, b.emb) > 0.4
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) > 0.9
         |ORDER BY id_a, id_b""".stripMargin)(
-      (s, d) => Dedup.embeddingNearDupsLsh(Tables.embeddings(s, d),
-        threshold = 0.4, targetRecall = 0.999)),
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("embedding"))
+        val copies = e.filter(col("vec_id") % 3 === 0)
+          .selectExpr("vec_id + 1000000L AS vec_id",
+            "transform(embedding, x -> x + 0.001d) AS embedding")
+        val aug = e.unionByName(copies)
+        val (bits, tables) = Similarity.lshPlanAt(aug.count())
+        Dedup.embeddingNearDupsLsh(aug, threshold = 0.9,
+          bits = bits, tables = tables)
+      }),
 
     // nprobe = nlist: the fixture's embeddings are near-uniform random, so
     // coarse k-means lists do NOT localize neighbors (measured: nprobe=8
@@ -2607,7 +2632,10 @@ object SparkEntry {
     // quoted-wholesale / wrapped-reprint duplicates whose union-dominated
     // Jaccard stays under any q22 threshold. Integer-exact decision
     // (n_inter*1000 >= 600*n_a), evidence columns instead of a rounded
-    // ratio.
+    // ratio. The oracle-checked instance disarms the df cap
+    // (maxDf=Long.MaxValue, the q64 pattern) because the DuckDB SQL is
+    // uncapped and divides by the uncapped len(a.s) — the capped default
+    // stays the documented scale path.
     q("q118_containment_pairs",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
@@ -2625,7 +2653,7 @@ object SparkEntry {
         |FROM px WHERE n_inter > 0 AND n_inter * 1000 >= 600 * n_a
         |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), n = 3,
-        minPermille = 600L, maxDf = 1000L)),
+        minPermille = 600L, maxDf = Long.MaxValue)),
 
     // Split-leakage audit (Sampling.splitLeakage): content fingerprints
     // straddling the id-keyed train/val/test boundary — the pre-training

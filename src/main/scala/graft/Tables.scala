@@ -35,6 +35,14 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df // TIMESTAMP(NANOS) fixtures behind the legacy flag
       case TimestampNTZType | TimestampType =>
+        // The NTZ→LTZ cast below is a wall-clock no-op ONLY under a UTC
+        // session — enforce it as loudly as the nanosAsLong flag above so a
+        // non-UTC caller fails here instead of silently shifting every ts.
+        val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"events.ts normalization requires spark.sql.session.timeZone=UTC " +
+            s"in the session builder (got '$tz'): the MICROS-encoded fixture " +
+            "is a naive timestamp and any other zone shifts every value")
         df.withColumn("ts",
           unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
       case other => throw new IllegalArgumentException(

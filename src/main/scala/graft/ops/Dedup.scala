@@ -276,22 +276,8 @@ object Dedup {
                        maxDf: Long = 10000L): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       "need 1 <= minPermille <= 1000")
-    val sets = shingleSets(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val exploded =
-      sets.select(col("doc_id"), explode(col("shingles")).as("item"))
     val (items, sizes) =
-      if (maxDf == Long.MaxValue)
-        (exploded, sets.select(col("doc_id"),
-          size(col("shingles")).cast("long").as("sz")))
-      else {
-        val overCap = exploded
-          .groupBy("item").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .select("item")
-        val capped = exploded.join(overCap, Seq("item"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
-      }
+      cappedInvertedIndex(shingleSets(documents, n), "shingles", maxDf)
     val inter = items.as("x")
       .join(items.as("y"),
         col("x.item") === col("y.item") && col("x.doc_id") =!= col("y.doc_id"))
@@ -333,25 +319,33 @@ object Dedup {
     * sizes count surviving items (the Jaccard denominator matches the
     * capped universe); uncapped, sizes are a narrow array-size projection.
     */
+  /** Shared (items, sizes) construction for the inverted-index pair
+    * operators — ONE copy of the hot-shingle guard so the undirected
+    * (pairsBySetOverlap) and directed (containmentPairs) joins can't drift.
+    * Returns the exploded (doc_id, item) postings (df-capped when armed)
+    * and the per-doc surviving-item counts the scorers divide by.
+    */
+  private def cappedInvertedIndex(sets0: DataFrame, setCol: String,
+                                  maxDf: Long): (DataFrame, DataFrame) = {
+    val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col("doc_id"), explode(col(setCol)).as("item"))
+    if (maxDf == Long.MaxValue)
+      (exploded,
+        sets.select(col("doc_id"), size(col(setCol)).cast("long").as("sz")))
+    else {
+      val overCap = exploded
+        .groupBy("item").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select("item")
+      val capped = exploded.join(overCap, Seq("item"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+    }
+  }
+
   private def pairsBySetOverlap(sets0: DataFrame, setCol: String,
                                 threshold: Double, maxDf: Long): DataFrame = {
-    val (items, sizes) =
-      if (maxDf == Long.MaxValue) {
-        val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
-        (sets.select(col("doc_id"), explode(col(setCol)).as("item")),
-          sets.select(col("doc_id"), size(col(setCol)).cast("long").as("sz")))
-      } else {
-        val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
-        val exploded =
-          sets.select(col("doc_id"), explode(col(setCol)).as("item"))
-        val overCap = exploded
-          .groupBy("item").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .select("item")
-        val capped = exploded.join(overCap, Seq("item"), "left_anti")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
-      }
+    val (items, sizes) = cappedInvertedIndex(sets0, setCol, maxDf)
     val inter = items.as("x")
       .join(items.as("y"),
         col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))

@@ -104,4 +104,40 @@ object Layout {
     df.withColumn("zval", zValue(col(xCol), col(yCol), bits))
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** Linear quantization of `c` from [lo, hi] onto [0, 2^bits) — the
+    * balanced-bit-width preprocessing the object doc requires before
+    * interleaving dimensions of very different ranges (a 15-bit partkey
+    * interleaved raw with a 10-bit suppkey leaves the top z bits
+    * partkey-only, so file ranges stripe by partkey and the second
+    * dimension never prunes). Monotone, so sorting by the interleave of
+    * quantized dims still clusters the RAW columns — footer min/max stats
+    * on the raw columns stay tight. For uniform keys this is the
+    * rank-quantization the doc points at (Profiling.valueHistogram) in
+    * closed form; pure codegen'd arithmetic riding the scan.
+    */
+  def quantize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    require(hi >= lo, "need hi >= lo")
+    least(lit((1L << bits) - 1),
+      floor((c - lit(lo)) * lit(1L << bits) / lit(hi - lo + 1L))
+        .cast("long"))
+  }
+
+  /** Per-file min/max statistics of a written parquet directory — exactly
+    * what a footer-stats pruning reader (Spark's parquet row-group filter,
+    * a lakehouse file-skipping index) consults. One scan + partial agg
+    * keyed on `input_file_name()`; the audit a layout owner runs to count
+    * how many files a predicate on either dimension would touch. Actual
+    * per-file min/max EQUALS the parquet footer stat for these columns, so
+    * the overlap count computed from this frame is the skipped-file truth,
+    * engine-independent.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                xCol: String, yCol: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"),
+        min(xCol).as("x_min"), max(xCol).as("x_max"),
+        min(yCol).as("y_min"), max(yCol).as("y_max"))
 }

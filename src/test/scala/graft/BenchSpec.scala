@@ -157,6 +157,24 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("rep_totals").size() == 3)
   }
 
+  test("wall budget is not honored until at least 2 reps exist") {
+    // the round-9 defect: a single cold contended first rep (~360 s at
+    // 122 queries) crossed the 240 s budget, the run stopped at reps:1,
+    // and the artifact recorded cold-JIT numbers the median could not
+    // defend against. Rep 2 must always be allowed to start.
+    assert(!Bench.stopAfterRep(completedReps = 1, maxReps = 3,
+      elapsedSec = 360.0, budgetSec = 240.0))
+    // after rep 2 the budget applies
+    assert(Bench.stopAfterRep(completedReps = 2, maxReps = 3,
+      elapsedSec = 420.0, budgetSec = 240.0))
+    // under budget: keep going to maxReps, then stop regardless
+    assert(!Bench.stopAfterRep(2, 3, 100.0, 240.0))
+    assert(Bench.stopAfterRep(3, 3, 100.0, 240.0))
+    // an explicit reps=1 override still stops after its one rep
+    assert(Bench.stopAfterRep(1, 1, 360.0, 240.0))
+    assert(Bench.stopAfterRep(1, 1, 10.0, 240.0))
+  }
+
   test("short-key collision falls back to full names") {
     val ns = Seq("q01_a", "q01_b")
     val keys = Bench.shortKeys(ns)

@@ -65,6 +65,43 @@ class DevScaleSpec extends SparkSpec {
     assert(c1.count() > 0)
   }
 
+  test("id-shift inflation: deterministic, F x n, copy 0 = original, " +
+    "keyed-window output exactly Fx, merged breakpoints constant") {
+    import graft.ops.{Behavior, Cdc}
+    val ev = Seq(
+      (1L, 1000L, 10L, "view", 1.0, "{}"),
+      (2L, 2000L, 10L, "purchase", 2.0, "{}"),
+      (3L, 1500L, 11L, "view", 1.0, "{}"),
+      (4L, 9L * 3600L * 1000000000L, 10L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = DevScale.inflateByIds(ev, 3, Seq("event_id", "user_id"))
+    assert(a.count() == 3 * ev.count())
+    assert(a.filter(col("user_id") < 10000000L).exceptAll(ev).count() == 0)
+    assert(DevScale.inflateByIds(ev, 1, Seq("event_id")).exceptAll(ev)
+      .count() == 0)
+    assert(a.collect().toSeq.sortBy(_.getLong(0)) ==
+      DevScale.inflateByIds(ev, 3, Seq("event_id", "user_id"))
+        .collect().toSeq.sortBy(_.getLong(0)))
+    // keyed windows: session stats rows grow exactly Fx (disjoint users,
+    // identical per-user structure)
+    val s1 = Behavior.sessionStats(ev, gapNs = 1800L * 1000000000L,
+      quantumNs = 1000L)
+    val s3 = Behavior.sessionStats(a, gapNs = 1800L * 1000000000L,
+      quantumNs = 1000L)
+    assert(s1.count() > 0 && s3.count() == 3 * s1.count())
+    // sweep-line: copies share every boundary instant, so the merged
+    // breakpoint set (and the global ordered window under it) does NOT
+    // grow — deltas stack instead
+    val iv = ev.select(col("ts").as("s"), (col("ts") + lit(500L)).as("e"))
+    val iv3 = DevScale.inflateByIds(ev, 3, Seq("event_id", "user_id"))
+      .select(col("ts").as("s"), (col("ts") + lit(500L)).as("e"))
+    val c1 = Behavior.intervalConcurrency(iv, "s", "e").collect()
+    val c3 = Behavior.intervalConcurrency(iv3, "s", "e").collect()
+    assert(c3.length == c1.length)
+    assert(c3.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      c1.map(r => (r.getLong(0), 3 * r.getLong(2))).toSeq)
+  }
+
   test("embedding inflation: deterministic, planted near-dup, novel rest") {
     val a = DevScale.inflateEmbeddings(emb, 4)
     assert(a.count() == 4 * emb.count())

@@ -58,6 +58,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall of ${exact.size}")
   }
 
+  test("guarantee-recall config law: capped ⊆ exact, total recall at 0.4 " +
+    "on the fixture (the pre-r10 q50 contract, kept as a law)") {
+    // q50's driver-visible instance now runs the scale-correct lshPlanAt
+    // plan; the guarantee-recall-at-borderline config (lshPlan(0.4, .999)
+    // — measured quadratic at scale, see PLANS.md) lives on HERE: against
+    // q25's exact pair set on the real sf0.001 embeddings it must propose
+    // no false positive (exact rerank) and clear its recall target.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(e, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(e, threshold = 0.4,
+      targetRecall = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact))
+    // at target .999 the planner's banding makes recall total on the
+    // fixture — the property the old oracle depended on
+    assert(lsh == exact, s"recall ${ (exact intersect lsh).size }/${exact.size}")
+  }
+
+  test("q50 construction: lshPlanAt plan finds exactly the planted near-dup " +
+    "set on the fixture") {
+    // pins the new q50 oracle's premise: with every third vector planted
+    // back at id+1e6 and +0.001 per component (cosine ≈ 0.9999), the
+    // corpus-size-aware plan reports EXACTLY the exact-cosine pair set
+    // above 0.9 — background (max 0.48 at sf0.001) never intrudes and no
+    // planted pair is missed.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("embedding"))
+    val copies = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.001)).as("embedding"))
+    val aug = e.unionByName(copies)
+    val (bits, tables) = Similarity.lshPlanAt(aug.count())
+    val got = Dedup.embeddingNearDupsLsh(aug, threshold = 0.9,
+      bits = bits, tables = tables)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingNearDups(aug, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(exact.forall { case (a, b) => b - a == 1000000L })
+    assert(got == exact)
+  }
+
   test("lshPlan: recall-driven banding across similarity regimes") {
     // near-dup regime: strong pruning (max bits, few tables)
     val (b95, t95) = Similarity.lshPlan(0.95)
