@@ -180,7 +180,10 @@ object DevScale {
       "q113_sessions" -> SparkEntry.queries("q113_session_stats"),
       "q117_scd2" -> SparkEntry.queries("q117_scd2_build"),
       "q116_ntile" -> SparkEntry.queries("q116_zorder_layout"),
-      "q121_pctrank" -> SparkEntry.queries("q121_length_percentile"))
+      "q121_pctrank" -> SparkEntry.queries("q121_length_percentile"),
+      // the sharded alternative to q116's single-task sort, measured
+      // side-by-side (Layout.zorderCensusSharded — identical output)
+      "q123_shard" -> SparkEntry.queries("q123_sharded_zorder_census"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

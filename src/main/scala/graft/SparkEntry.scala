@@ -2762,7 +2762,126 @@ object SparkEntry {
         |  CAST(CAST(sum(c * lq) AS BIGINT) AS DOUBLE) /
         |    CAST(min(n_s) * 10000 AS DOUBLE) AS kl
         |FROM lq GROUP BY source ORDER BY source""".stripMargin)(
-      (s, d) => Text.sourceDivergence(Tables.documents(s, d)))
+      (s, d) => Text.sourceDivergence(Tables.documents(s, d))),
+
+    // The SHARDED z-order census (Layout.zorderCensusSharded): the same
+    // artifact as q116 — same DuckDB ntile oracle, bit-identical output —
+    // but the global-order ntile window is replaced by the two-pass
+    // distributed rank (Layout.shardedRanks: range partition, per-partition
+    // counts to the driver, broadcast base offsets) + the closed-form
+    // NTILE bucket formula. q116 is the offline audit view; THIS is the
+    // plan you run the census with at corpus scale, and DevScale measures
+    // it side-by-side with q116's single-task sort at 1×/4×/16×.
+    q("q123_sharded_zorder_census",
+      s"""WITH z AS (
+        |  SELECT l_partkey, l_suppkey, l_orderkey * 10 + l_linenumber AS tie,
+        |    ${Layout.zValueSql("l_partkey", "l_suppkey", 16)} AS zval
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(ntile(16) OVER (ORDER BY zval, tie) AS BIGINT) AS bucket
+        |  FROM z)
+        |SELECT bucket, count(*) AS n,
+        |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+        |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Layout.zorderCensusSharded(
+        Tables.lineitem(s, d)
+          .withColumn("tie",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+        xCol = "l_partkey", yCol = "l_suppkey", tieCol = "tie",
+        buckets = 16, bits = 16)),
+
+    // Frequency-ranked vocabulary coverage (Text.vocabCoverage): top-V
+    // corpus vocabulary (count desc, token asc — the deterministic cut a
+    // tokenizer-training frequency threshold makes), then per-source OOV
+    // token mass. V=20 against the fixture's 31-token universe so the OOV
+    // side carries real mass; the rate is the exact rational of two
+    // integer counts.
+    q("q124_vocab_coverage",
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0)) AS tok FROM documents),
+        |bysrc AS (SELECT source, tok, count(*) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM bysrc GROUP BY 1
+        |  ORDER BY g DESC, tok ASC LIMIT 20)),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM bysrc GROUP BY 1),
+        |oov AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_oov
+        |  FROM bysrc b ANTI JOIN vocab v USING (tok) GROUP BY 1)
+        |SELECT t.source, t.n_tokens,
+        |  CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+        |  CAST(coalesce(o.n_oov, 0) AS DOUBLE) /
+        |    CAST(t.n_tokens AS DOUBLE) AS oov_rate
+        |FROM tot t LEFT JOIN oov o USING (source)
+        |ORDER BY source""".stripMargin)(
+      (s, d) => Text.vocabCoverage(Tables.documents(s, d), vocabSize = 20)),
+
+    // Data-mixing planner (Sampling.mixturePlan): uniform target mixture
+    // over the 20 sources at a 1M-token budget — per-source target
+    // allocation, sampling rate, and epoch count, all integer/rational
+    // exact. epochs > 1 = the repetition an undersized source pays to
+    // hold its mixture weight.
+    q("q125_mixture_plan",
+      """WITH toks AS (
+        |  SELECT source, len(list_filter(
+        |    string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0)) AS nt FROM documents),
+        |per AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens
+        |  FROM toks GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        |  CAST(count(*) AS BIGINT) AS s FROM per)
+        |SELECT source, n_tokens,
+        |  n_tokens * 1000 // tok_total AS share_permille,
+        |  CAST(1000000 AS BIGINT) // s AS target_tokens,
+        |  CAST(CAST(1000000 AS BIGINT) // s AS DOUBLE) /
+        |    CAST(n_tokens AS DOUBLE) AS rate,
+        |  (CAST(1000000 AS BIGINT) // s + n_tokens - 1) // n_tokens
+        |    AS epochs
+        |FROM per CROSS JOIN t ORDER BY source""".stripMargin)(
+      (s, d) => Sampling.mixturePlan(Tables.documents(s, d),
+        budgetTokens = 1000000L)),
+
+    // Contamination span coverage (Dedup.contaminationCoverage): the
+    // fine-grained complement of q69 on the same deterministic 95/5
+    // train/benchmark split — the fraction of each tainted doc's token
+    // positions inside at least one benchmark 3-gram. Span positions are
+    // 1-based in the oracle and 0-based in Spark; the covered-position
+    // COUNT is shift-invariant, and only the count crosses the contract.
+    q("q126_contamination_coverage",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |bkt AS (
+        |  SELECT doc_id, t,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS INTEGER) % 1000 AS bucket FROM toks),
+        |b AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS item
+        |  FROM bkt WHERE bucket >= 950),
+        |c AS (SELECT doc_id, len(t) AS n_tokens,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS item
+        |  FROM bkt WHERE bucket < 950),
+        |cov AS (SELECT doc_id, n_tokens,
+        |    unnest(generate_series(i, i + 2)) AS p
+        |  FROM c JOIN b USING (item))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  count(DISTINCT p) AS n_covered,
+        |  CAST(count(DISTINCT p) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |    AS coverage
+        |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Dedup.contaminationCoverage(
+          docs.filter(bucket < 950), docs.filter(bucket >= 950), n = 3)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

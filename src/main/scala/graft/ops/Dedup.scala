@@ -234,6 +234,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Contamination SPAN coverage — the fine-grained face of
+    * `contaminatedDocs`: for every corpus document touching the benchmark
+    * shingle universe, the fraction of its token POSITIONS lying inside
+    * at least one contaminated n-gram. `contaminatedDocs` answers "is
+    * this doc tainted"; this answers "HOW MUCH of it" — the number that
+    * separates a doc quoting one eval question (strip or keep) from a
+    * verbatim eval-set dump (drop), which a shingle COUNT conflates when
+    * overlapping shingles pile onto the same short span.
+    *
+    * Positional shingles come from a sequence/slice projection (0-based
+    * start `i`, tokens `[i, i+n)`); a hit covers positions `i .. i+n−1`;
+    * coverage = |∪ hit spans| / n_tokens, counted exactly via a distinct
+    * position explode. `coverage` is the exact rational of two integers —
+    * bit-identical cross-engine.
+    *
+    * Scale shape: same as `contaminatedDocs` — the benchmark universe
+    * broadcasts, corpus postings stream through the broadcast join, and
+    * the position explode (×n) runs on HITS only, bounded by actual
+    * contamination, never corpus size.
+    */
+  def contaminationCoverage(corpus: DataFrame, benchmark: DataFrame,
+                            n: Int = 3): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val t = Text.tokens(col("text"))
+    val c = balanced(corpus).select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        when(size(t) >= n,
+          transform(sequence(lit(0), size(t) - n),
+            i => struct(i.cast("long").as("pos"),
+              concat_ws(" ", slice(t, i + 1, lit(n))).as("item"))))
+          .otherwise(array().cast(
+            "array<struct<pos:bigint,item:string>>")).as("ps"))
+      .select(col("doc_id"), col("n_tokens"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("p.pos").as("pos"), col("p.item").as("item"))
+    val b = shingleSets(benchmark, n)
+      .select(explode(col("shingles")).as("item")).distinct()
+    c.join(b, Seq("item"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .groupBy("doc_id", "n_tokens")
+      .agg(countDistinct(col("p")).as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        (col("n_covered").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join: explode
     * (doc, shingle), self-join on shingle to count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 shingle are ever paired.

@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *    window is a single-task sort at corpus scale — the census is the
   *    small-sample/offline view a layout owner reads to SEE the per-bucket
   *    bounding boxes shrink (tight boxes = effective skipping), never the
-  *    production write path.
+  *    production write path. `zorderCensusSharded` computes the IDENTICAL
+  *    census with `shardedRanks` (two-pass distributed rank) instead of
+  *    the window — the corpus-scale form, measured vs the single-task
+  *    sort in PLANS.md.
   *  - Raw bit-interleave assumes the dimensions use comparable bit ranges;
   *    a dimension whose values occupy far more bits than the other
   *    dominates the interleave. For skewed/continuous dimensions,
@@ -140,4 +143,111 @@ object Layout {
       .agg(count(lit(1)).as("n"),
         min(xCol).as("x_min"), max(xCol).as("x_max"),
         min(yCol).as("y_min"), max(yCol).as("y_max"))
+
+  /** Exact global `row_number() OVER (ORDER BY orderCols)` WITHOUT a
+    * single-task sort — the sharded alternative to the global-order window
+    * (the wall `zorderCensus` and any ungrouped rank statistic hit at
+    * corpus scale). Packing.packAssignments' two-pass distributed prefix
+    * sum generalized from token sums to row counts: range-partition on the
+    * order (one exchange, sampled boundaries — the SAME machinery a global
+    * sort uses for its first stage; what's removed is the single merge
+    * task), pass 1 collects one count per partition to the driver, pass 2
+    * streams each partition once adding its broadcast base offset. Nothing
+    * wider than `parts` rows reaches the driver, every stage is
+    * partition-parallel.
+    *
+    * `orderCols` must be a TOTAL order (include a tie column) — rows that
+    * compare equal would receive an arbitrary rank assignment (and range
+    * boundaries could split them nondeterministically across runs).
+    * Determinism does NOT depend on where the sampled boundaries fall: the
+    * rank of a row in a total order is a property of the order alone, so
+    * moving a boundary moves which pass computes an offset, never a row's
+    * rank (LayoutSpec pins equality across partition counts).
+    *
+    * Output: the input columns plus `rnk` (1-based global rank). The
+    * mapPartitions pass is row-streaming (no buffering) but does leave
+    * whole-stage codegen — the trade for removing the single-task sort;
+    * downstream aggregation re-enters codegen.
+    */
+  def shardedRanks(df: DataFrame, orderCols: Seq[String],
+                   parts: Int = 0): DataFrame =
+    shardedRanksWithTotal(df, orderCols, parts)._1
+
+  private[graft] def shardedRanksWithTotal(
+      df: DataFrame, orderCols: Seq[String],
+      parts: Int = 0): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val session = df.sparkSession
+    val n =
+      if (parts > 0) parts
+      else math.max(session.sparkContext.defaultParallelism,
+        session.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    // persist: pass 1's eager collect and the caller's eventual action on
+    // pass 2 both read this frame (the Packing convention — ContextCleaner
+    // frees the blocks once references are gone; an eager unpersist would
+    // evict before the lazy pass 2 runs)
+    val ranged = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single((pid, it.size.toLong))
+    }.collect().toMap
+    val base = (0 until n).scanLeft(0L)(
+      (acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val bBase = session.sparkContext.broadcast(base)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rnk", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = bBase.value(pid)
+      it.map { row =>
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+      }
+    }
+    (session.createDataFrame(rows, outSchema), base(n))
+  }
+
+  /** SQL `NTILE(buckets)` bucket of 1-based rank `rnk` over `nRows` rows,
+    * in closed form: the first `nRows mod buckets` buckets take
+    * `⌈nRows/buckets⌉` rows, the rest `⌊nRows/buckets⌋` — exactly the SQL
+    * semantics, as pure codegen'd arithmetic. This is what turns
+    * `shardedRanks` into a sharded NTILE: the window function needed the
+    * total order; the bucket id needs only (rank, total), both of which
+    * the two-pass machinery provides.
+    */
+  def ntileFromRank(rnk: Column, nRows: Long, buckets: Int): Column = {
+    require(buckets >= 1, "need buckets >= 1")
+    val q = nRows / buckets
+    val m = nRows % buckets
+    val cut = m * (q + 1) // rows in the first m (larger) buckets
+    when(rnk <= lit(cut), (rnk - 1) / lit(q + 1) + 1)
+      .otherwise(lit(m) + (rnk - lit(cut) - 1) / lit(math.max(q, 1L)) + 1)
+      .cast("long")
+  }
+
+  /** `zorderCensus` computed the sharded way: identical output (bucket
+    * sizes and bounding boxes — LayoutSpec pins frame equality; the
+    * driver-visible q123 pins it against the SAME DuckDB ntile oracle as
+    * q116), but the global-order `ntile` window is replaced by
+    * `shardedRanks` + `ntileFromRank`, so no single task ever sees more
+    * than one range partition. This is the version of the census you run
+    * at corpus scale; `zorderCensus` stays the small-sample offline view.
+    */
+  def zorderCensusSharded(df: DataFrame, xCol: String, yCol: String,
+                          tieCol: String, buckets: Int = 16,
+                          bits: Int = 16, parts: Int = 0): DataFrame = {
+    val z = df.select(col(xCol), col(yCol), col(tieCol),
+      zValue(col(xCol), col(yCol), bits).as("zval"))
+    val (ranked, total) =
+      shardedRanksWithTotal(z, Seq("zval", tieCol), parts)
+    ranked
+      .withColumn("bucket", ntileFromRank(col("rnk"), total, buckets))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(xCol).as("x_min"), max(xCol).as("x_max"),
+        min(yCol).as("y_min"), max(yCol).as("y_max"))
+      .orderBy("bucket")
+  }
 }

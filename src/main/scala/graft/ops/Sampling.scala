@@ -318,4 +318,49 @@ object Sampling {
       .select(col(stratumCol), col(idCol), col("copy_idx"))
       .orderBy(stratumCol, idCol, "copy_idx")
   }
+
+  /** Data-mixing planner: given a token budget and per-source mixture
+    * weights (empty = uniform), report for each source its token total,
+    * its actual corpus share, the TARGET token allocation
+    * `budget · w / Σw`, the sampling rate needed to hit it, and the epoch
+    * count `⌈target / n_tokens⌉` (> 1 = the source repeats — the
+    * oversampling a small high-weight source pays). This is the artifact
+    * a pre-training run is configured from once the mixture is chosen
+    * (the census feeding the choice is q122's divergence / q111's
+    * novelty); rate > 1 flags an infeasible weight before any data moves.
+    *
+    * Every decision column is integer arithmetic (div / ceil-div of
+    * exact token counts); `rate` is the exact rational target/n_tokens of
+    * two integers — bit-identical cross-engine.
+    *
+    * Scale shape: one (source) aggregate of a scan-stage token count, an
+    * S-row broadcast of the (Σw, Σtokens) totals, and S rows out — the
+    * corpus is read once, nothing else scales with data.
+    */
+  def mixturePlan(documents: DataFrame, budgetTokens: Long,
+                  weights: Map[String, Long] = Map.empty): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    require(weights.values.forall(_ >= 0), "weights must be >= 0")
+    val perSrc = documents
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val w =
+      if (weights.isEmpty) lit(1L)
+      else coalesce(
+        element_at(typedLit(weights), col("source")), lit(0L))
+    val withW = perSrc.withColumn("__w", w)
+    val totals = withW.agg(sum("__w").as("__wsum"),
+      sum("n_tokens").as("__tok_total"))
+    withW.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"${budgetTokens}L * __w div __wsum"))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000L div __tok_total").as("share_permille"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("rate"),
+        expr("(target_tokens + n_tokens - 1L) div n_tokens").as("epochs"))
+      .orderBy("source")
+  }
 }

@@ -675,4 +675,45 @@ object Text {
         ent.as("class_entropy"))
       .orderBy("doc_id")
   }
+
+  /** Frequency-ranked vocabulary coverage per source: build the top-`V`
+    * token vocabulary over the WHOLE corpus (count desc, token asc — the
+    * deterministic cut every tokenizer-training pipeline uses for its
+    * frequency threshold), then report each source's token total, its
+    * out-of-vocabulary token count, and the OOV rate. The pre-tokenizer
+    * audit: a source whose OOV rate is an outlier either needs its own
+    * vocab budget or is the wrong kind of text for the planned tokenizer.
+    *
+    * The OOV rate is the exact rational n_oov / n_tokens of two exact
+    * integers — bit-identical cross-engine, no rounding needed.
+    *
+    * Scale shape: ONE (source, token) census is the base for everything —
+    * the global census is a second-level aggregate of it (tokens shuffle
+    * once, as (source, tok) partials), the vocabulary is a global top-V
+    * (`TakeOrderedAndProject`: per-partition heaps, V rows to the driver),
+    * and the per-source OOV sum is a broadcast anti-join of the census
+    * against the V-row vocab — nothing wider than the census ever
+    * shuffles, and the census is bounded by distinct (source, token),
+    * not corpus tokens.
+    */
+  def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val bySrc = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = bySrc.groupBy("tok").agg(sum("c").as("g"))
+      .orderBy(col("g").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok")
+    val tot = bySrc.groupBy("source").agg(sum("c").as("n_tokens"))
+    val oov = bySrc.join(broadcast(vocab), Seq("tok"), "left_anti")
+      .groupBy("source").agg(sum("c").as("n_oov"))
+    tot.join(oov, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (coalesce(col("n_oov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("oov_rate"))
+      .orderBy("source")
+  }
 }

@@ -431,4 +431,23 @@ class DedupSpec extends SparkSpec {
     // (4), 3={z a b, b c w} (2), 4={} — full containment only 1→2
     assert(got == Seq((1L, 2L, 2L, 2L)))
   }
+
+  test("contaminationCoverage: overlapping hit spans count once; " +
+    "flagged set equals contaminatedDocs at minOverlap=1") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4 x y z w"), // hits at pos 0 and 1 → union {0,1,2,3}
+      (2L, "x y z w1 w2 w3 q"),    // one hit → 3 of 7 covered
+      (3L, "none here at all"))    // clean → absent
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val got = Dedup.contaminationCoverage(corpus, bench, n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 4L, 0.5),
+      (2L, 7L, 3L, 3.0 / 7.0)))
+    // the coarse flag and the fine-grained coverage agree on WHO is tainted
+    val flagged = Dedup.contaminatedDocs(corpus, bench, n = 3,
+      minOverlap = 1L).select("doc_id").as[Long].collect().toSet
+    assert(got.map(_._1).toSet == flagged)
+  }
 }

@@ -117,4 +117,47 @@ class LayoutSpec extends SparkSpec {
       case _         => true
     }, "partition z ranges disjoint and ordered")
   }
+
+  test("shardedRanks equals the row_number window, at every partition count") {
+    // deliberately awkward order: ranks must come out identical to the
+    // single-task window regardless of where range boundaries fall
+    val df = (1 to 500).map(i => ((i * 7919L) % 101, i.toLong))
+      .toDF("v", "tie")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v", "tie")
+    val expect = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Layout.shardedRanks(df, Seq("v", "tie"), parts)
+        .orderBy("rnk").as[(Long, Long, Long)].collect().toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("ntileFromRank matches SQL NTILE for ragged row/bucket combinations") {
+    for ((n, b) <- Seq((16L, 4), (17L, 4), (23L, 5), (5L, 8), (1L, 3))) {
+      val ranks = (1L to n).toDF("rnk")
+      val got = ranks
+        .select(col("rnk"), Layout.ntileFromRank(col("rnk"), n, b).as("g"))
+      val viaSql = ranks.withColumn("g2",
+        ntile(b).over(
+          org.apache.spark.sql.expressions.Window.orderBy("rnk"))
+          .cast("long"))
+      val joined = got.join(viaSql, "rnk")
+      assert(joined.filter(col("g") =!= col("g2")).count() == 0,
+        s"n=$n buckets=$b")
+    }
+  }
+
+  test("zorderCensusSharded is frame-identical to zorderCensus") {
+    val grid = (for { x <- 0 to 15; y <- 0 to 15 }
+      yield ((x * 31L + y * 17L) % 16, (x * 13L + y * 7L) % 16,
+        (x * 16 + y).toLong)).toDF("x", "y", "tie")
+    val offline = Layout.zorderCensus(grid, "x", "y", "tie",
+      buckets = 7, bits = 4).collect().toSeq
+    for (parts <- Seq(2, 32)) {
+      val sharded = Layout.zorderCensusSharded(grid, "x", "y", "tie",
+        buckets = 7, bits = 4, parts = parts).collect().toSeq
+      assert(sharded == offline, s"parts=$parts")
+    }
+  }
 }

@@ -287,4 +287,27 @@ class SamplingSpec extends SparkSpec {
       .map("%02x".format(_)).mkString
     assert(fp == want)
   }
+
+  test("mixturePlan: uniform and weighted targets, ceil epochs, exact rates") {
+    val d = Seq(
+      ("s1", "t t t t t t t t"), // 8 tokens
+      ("s2", "t t"),             // 2
+      ("s3", "t t t t t t t t t t")) // 10; total 20
+      .toDF("source", "text")
+    val u = Sampling.mixturePlan(d, budgetTokens = 30L)
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    // uniform: target = 30 div 3 = 10 each; epochs = ceil(10 / n)
+    assert(u == Seq(
+      ("s1", 8L, 400L, 10L, 1.25, 2L),
+      ("s2", 2L, 100L, 10L, 5.0, 5L),
+      ("s3", 10L, 500L, 10L, 1.0, 1L)))
+    // weighted: wsum 3 → targets 20/10/0; zero weight → rate 0, epochs 0
+    val w = Sampling.mixturePlan(d, 30L,
+        Map("s1" -> 2L, "s2" -> 1L, "s3" -> 0L))
+      .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+    assert(w == Seq(
+      ("s1", 8L, 400L, 20L, 2.5, 3L),
+      ("s2", 2L, 100L, 10L, 5.0, 5L),
+      ("s3", 10L, 500L, 0L, 0.0, 0L)))
+  }
 }

@@ -432,4 +432,22 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(got2 == Seq(("a", 2L, 0.0), ("b", 2L, 0.0)))
   }
+
+  test("vocabCoverage: (count desc, token asc) cut; exact OOV mass per source") {
+    val d = Seq(
+      ("s1", "aa aa aa bb cc"),
+      ("s2", "aa bb bb dd")).toDF("source", "text")
+    // corpus counts: aa=4 bb=3 cc=1 dd=1 — cc and dd tie at the V=3
+    // boundary; token-asc tie-break must admit cc, not dd
+    val v3 = Text.vocabCoverage(d, vocabSize = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(v3 == Seq(("s1", 5L, 0L, 0.0), ("s2", 4L, 1L, 0.25)))
+    val v2 = Text.vocabCoverage(d, vocabSize = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(v2 == Seq(("s1", 5L, 1L, 0.2), ("s2", 4L, 1L, 0.25)))
+    // vocab >= universe: zero OOV everywhere
+    val vAll = Text.vocabCoverage(d, vocabSize = 100)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(vAll.forall(r => r._3 == 0L && r._4 == 0.0))
+  }
 }
