@@ -257,18 +257,27 @@ object Dedup {
   def contaminationCoverage(corpus: DataFrame, benchmark: DataFrame,
                             n: Int = 3): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val t = Text.tokens(col("text"))
-    val c = balanced(corpus).select(col("doc_id"),
-        size(t).cast("long").as("n_tokens"),
-        when(size(t) >= n,
-          transform(sequence(lit(0), size(t) - n),
-            i => struct(i.cast("long").as("pos"),
-              concat_ws(" ", slice(t, i + 1, lit(n))).as("item"))))
-          .otherwise(array().cast(
-            "array<struct<pos:bigint,item:string>>")).as("ps"))
-      .select(col("doc_id"), col("n_tokens"), explode(col("ps")).as("p"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("p.pos").as("pos"), col("p.item").as("item"))
+    // The explode carries only the POSITION sequence; the shingle string
+    // is built after the Generate. Exploding a precomputed
+    // array<struct<pos,item>> instead measured 8.5 s (vs ~1 s) on the
+    // sf0.1 bench: Catalyst's explode-pushdown infers `size(arr) > 0` /
+    // `isnotnull(arr)` predicates and pushes them below the projection,
+    // re-inlining the whole struct-building transform — including the
+    // per-element token split, O(tokens²) per doc — into a scan-side
+    // Filter. A position sequence re-derives from ONE size() cheaply, so
+    // the same pushdown is harmless, and the token array is a bound
+    // attribute built once per row in its own projection (CollapseProject
+    // keeps a non-cheap multiply-referenced alias separate).
+    val c = balanced(corpus)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"), col("t"),
+        explode(when(size(col("t")) >= n,
+            sequence(lit(0L), (size(col("t")) - n).cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as("pos"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        concat_ws(" ",
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(n))).as("item"))
     val b = shingleSets(benchmark, n)
       .select(explode(col("shingles")).as("item")).distinct()
     c.join(b, Seq("item"))
