@@ -33,7 +33,9 @@ object DevPlans {
         "q115_embedding_dedup", "q116_zorder_layout", "q117_scd2_build",
         "q118_containment_pairs", "q119_split_leakage",
         "q120_char_entropy", "q121_length_percentile",
-        "q122_source_divergence", "q123_sharded_zorder_census")
+        "q122_source_divergence", "q123_sharded_zorder_census",
+        "q124_vocab_coverage", "q125_mixture_plan",
+        "q126_contamination_coverage")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
