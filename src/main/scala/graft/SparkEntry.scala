@@ -2881,7 +2881,53 @@ object SparkEntry {
         val bucket = Sampling.splitBucket(col("doc_id"))
         Dedup.contaminationCoverage(
           docs.filter(bucket < 950), docs.filter(bucket >= 950), n = 3)
-      })
+      }),
+
+    // BPE tokenizer-merge training (Text.bpeTrainMerges): 3 merge rounds
+    // on the word-frequency census — pair census weighted by word count,
+    // deterministic (wc desc, pair asc) top-1, merge applied via the
+    // sentinel-wrapped replace that both engines execute identically
+    // (left-to-right non-overlapping = BPE's greedy order). The oracle
+    // chains the same three rounds as CTEs.
+    q("q127_bpe_train",
+      """WITH wcen AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      x -> length(x) > 0)) AS w FROM documents) GROUP BY 1),
+        |w0 AS (SELECT array_to_string(list_transform(
+        |    generate_series(1, length(w)), i -> '|' || w[i] || '|'), ' ')
+        |    AS s, cnt FROM wcen),
+        |p1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w0) GROUP BY 1),
+        |b1 AS (SELECT pair, wc FROM p1 ORDER BY wc DESC, pair ASC LIMIT 1),
+        |w1 AS (SELECT replace(s, b1.pair, replace(b1.pair, '| |', '')) AS s,
+        |  cnt FROM w0 CROSS JOIN b1),
+        |p2 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w1) GROUP BY 1),
+        |b2 AS (SELECT pair, wc FROM p2 ORDER BY wc DESC, pair ASC LIMIT 1),
+        |w2 AS (SELECT replace(s, b2.pair, replace(b2.pair, '| |', '')) AS s,
+        |  cnt FROM w1 CROSS JOIN b2),
+        |p3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w2) GROUP BY 1),
+        |b3 AS (SELECT pair, wc FROM p3 ORDER BY wc DESC, pair ASC LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS round, pair,
+        |    replace(pair, '| |', '') AS merged, wc FROM b1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), pair,
+        |    replace(pair, '| |', ''), wc FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), pair,
+        |    replace(pair, '| |', ''), wc FROM b3)
+        |ORDER BY round""".stripMargin)(
+      (s, d) => Text.bpeTrainMerges(Tables.documents(s, d), rounds = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

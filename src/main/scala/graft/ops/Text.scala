@@ -696,6 +696,64 @@ object Text {
     * shuffles, and the census is bounded by distinct (source, token),
     * not corpus tokens.
     */
+  /** BPE tokenizer-merge training as iterative censuses on the WORD
+    * FREQUENCY table — the standard trick that makes corpus-scale BPE
+    * cheap: the corpus is read once for a (word, count) census, and every
+    * merge round thereafter runs on distinct words weighted by count,
+    * never on raw text. Each round: adjacent-symbol-pair census (weighted
+    * by word count) → top-1 merge rule (weighted count desc, pair asc —
+    * the deterministic tie every BPE implementation needs) → apply the
+    * merge to every word. Output: one row per round,
+    * `(round, pair, merged, wc)` — the ordered merge table a tokenizer
+    * ships.
+    *
+    * Words are represented as sentinel-wrapped symbol strings
+    * (`"low"` → `"|l| |o| |w|"`) so a merge is ONE engine-portable
+    * `replace(s, "|l| |o|", "|lo|")`: left-to-right non-overlapping
+    * replacement is exactly BPE's greedy application order, and the `|`
+    * wrappers make a pair match impossible across symbol boundaries.
+    * Assumes `|` does not occur inside tokens (true of the fixture and of
+    * any pre-normalized corpus; a production caller picks any unused
+    * codepoint).
+    *
+    * Fully declarative — NO driver-side loop state: each round's best
+    * pair is a 1-row frame cross-joined (broadcast) into the word table,
+    * so the R-round pipeline is one lazy DAG and the optimizer sees all
+    * of it. The round-r census recomputes rounds 1..r−1's transforms
+    * (cost R× the word census — fine for the single-digit R this query
+    * ships); a long production run would checkpoint the word table every
+    * few rounds, same contract. The pair explode materializes the symbol
+    * array first (q126's generate-pushdown lesson: the inferred
+    * `size() > 0` filter must re-derive from one cheap `size`, not
+    * re-split per element).
+    */
+  def bpeTrainMerges(documents: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val words = documents
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var w = words.select(
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> concat('|', substr(w, i, 1), '|')), ' ')").as("s"),
+      col("cnt"))
+    val bests = (1 to rounds).map { r =>
+      val pairs = w
+        .select(col("cnt"), split(col("s"), " ").as("a"))
+        .select(col("cnt"), explode(when(size(col("a")) > 1,
+            expr("transform(sequence(1, size(a) - 1), " +
+              "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+      val best = pairs.groupBy("pair").agg(sum("cnt").as("wc"))
+        .orderBy(col("wc").desc, col("pair").asc).limit(1)
+      w = w.crossJoin(broadcast(best.select(col("pair").as("bp"))))
+        .select(expr("replace(s, bp, replace(bp, '| |', ''))").as("s"),
+          col("cnt"))
+      best.select(lit(r.toLong).as("round"), col("pair"),
+        expr("replace(pair, '| |', '')").as("merged"), col("wc"))
+    }
+    bests.reduce(_ unionByName _).orderBy("round")
+  }
+
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     val bySrc = documents

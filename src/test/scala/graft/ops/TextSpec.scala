@@ -450,4 +450,34 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(vAll.forall(r => r._3 == 0L && r._4 == 0.0))
   }
+
+  test("bpeTrainMerges: greedy merges with deterministic tie-break") {
+    val d = Seq(("x", "low low lower")).toDF("source", "text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(1L))
+    val got = Text.bpeTrainMerges(d, rounds = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // counts: low×2, lower×1. Round 1: |l| |o| and |o| |w| tie at wc 3 —
+    // pair-asc admits |l| |o|. Round 2: |lo| |w| wc 3. Round 3: |low|'s
+    // remaining pairs in "lower" tie at 1 — |e| |r| < |low| |e|.
+    assert(got == Seq(
+      (1L, "|l| |o|", "|lo|", 3L),
+      (2L, "|lo| |w|", "|low|", 3L),
+      (3L, "|e| |r|", "|er|", 1L)))
+  }
+
+  test("bpeTrainMerges: left-to-right non-overlapping application (aaaa)") {
+    val d = Seq(("x", "aaaa aaa")).toDF("source", "text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(1L))
+    val got = Text.bpeTrainMerges(d, rounds = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // Round 1: aaaa has 3 adjacent |a| |a| positions, aaa has 2 → wc 5.
+    // Greedy left-to-right application: aaaa → |aa| |aa| (first and
+    // third pairs; the middle pair was consumed), aaa → |aa| |a|.
+    // Round 2: |aa| |aa| and |aa| |a| tie at wc 1 — BYTE-order asc
+    // ('a' 0x61 < '|' 0x7C, identical in Spark's UTF8String and
+    // DuckDB's VARCHAR compare) admits |aa| |aa|.
+    assert(got == Seq(
+      (1L, "|a| |a|", "|aa|", 5L),
+      (2L, "|aa| |aa|", "|aaaa|", 1L)))
+  }
 }
