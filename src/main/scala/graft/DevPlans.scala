@@ -35,7 +35,8 @@ object DevPlans {
         "q120_char_entropy", "q121_length_percentile",
         "q122_source_divergence", "q123_sharded_zorder_census",
         "q124_vocab_coverage", "q125_mixture_plan",
-        "q126_contamination_coverage", "q127_bpe_train")
+        "q126_contamination_coverage", "q127_bpe_train",
+        "q128_bpe_segment")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -2927,7 +2927,54 @@ object SparkEntry {
         |  UNION ALL SELECT CAST(3 AS BIGINT), pair,
         |    replace(pair, '| |', ''), wc FROM b3)
         |ORDER BY round""".stripMargin)(
-      (s, d) => Text.bpeTrainMerges(Tables.documents(s, d), rounds = 3))
+      (s, d) => Text.bpeTrainMerges(Tables.documents(s, d), rounds = 3)),
+
+    // Token counts under the TRAINED tokenizer (Text.bpeSegmentCounts):
+    // the q127 merges applied to the word census, each word's post-merge
+    // symbol count joined back to the corpus tokens — segmentation work
+    // is O(distinct words). The oracle re-runs the same three CTE rounds
+    // carrying the word key.
+    q("q128_bpe_segment",
+      """WITH wcen AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      x -> length(x) > 0)) AS w FROM documents) GROUP BY 1),
+        |w0 AS (SELECT w, array_to_string(list_transform(
+        |    generate_series(1, length(w)), i -> '|' || w[i] || '|'), ' ')
+        |    AS s, cnt FROM wcen),
+        |p1 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w0) GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY wc DESC, pair ASC LIMIT 1),
+        |w1 AS (SELECT w, replace(s, b1.pair, replace(b1.pair, '| |', ''))
+        |  AS s, cnt FROM w0 CROSS JOIN b1),
+        |p2 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w1) GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY wc DESC, pair ASC LIMIT 1),
+        |w2 AS (SELECT w, replace(s, b2.pair, replace(b2.pair, '| |', ''))
+        |  AS s, cnt FROM w1 CROSS JOIN b2),
+        |p3 AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS wc FROM (
+        |  SELECT cnt, unnest(list_transform(
+        |    generate_series(1, len(string_split(s, ' ')) - 1),
+        |    i -> string_split(s, ' ')[i] || ' ' || string_split(s, ' ')[i+1]))
+        |    AS pair FROM w2) GROUP BY 1),
+        |b3 AS (SELECT pair FROM p3 ORDER BY wc DESC, pair ASC LIMIT 1),
+        |w3 AS (SELECT w, replace(s, b3.pair, replace(b3.pair, '| |', ''))
+        |  AS s FROM w2 CROSS JOIN b3),
+        |nsym AS (SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT)
+        |  AS n_syms FROM w3),
+        |dt AS (SELECT doc_id, unnest(list_filter(
+        |  string_split_regex(text, '[ \t\n\r\f]+'),
+        |  x -> length(x) > 0)) AS w FROM documents)
+        |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+        |FROM dt JOIN nsym USING (w)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.bpeSegmentCounts(Tables.documents(s, d), rounds = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

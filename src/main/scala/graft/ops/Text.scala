@@ -727,12 +727,40 @@ object Text {
     * `size() > 0` filter must re-derive from one cheap `size`, not
     * re-split per element).
     */
-  def bpeTrainMerges(documents: DataFrame, rounds: Int): DataFrame = {
+  def bpeTrainMerges(documents: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(documents, rounds)._1.reduce(_ unionByName _).orderBy("round")
+
+  /** Per-document token count UNDER THE TRAINED TOKENIZER — the number a
+    * context-budget / packing / pricing decision actually needs (the
+    * whitespace and BPE-ish regex counts of `tokenCounts` are proxies).
+    * Applies the `rounds` merges `bpeTrainMerges` learns to the word
+    * census, counts each word's post-merge symbols once, and joins the
+    * S-row (word → n_syms) map back to the corpus tokens — segmentation
+    * work is O(distinct words), never O(corpus tokens).
+    */
+  def bpeSegmentCounts(documents: DataFrame, rounds: Int): DataFrame = {
+    val (_, wordsFinal) = bpeLoop(documents, rounds)
+    val nSyms = wordsFinal.select(col("w"),
+      size(split(col("s"), " ")).cast("long").as("n_syms"))
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(nSyms, Seq("w"))
+      .groupBy("doc_id").agg(sum("n_syms").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** The shared R-round merge loop: returns one (round, pair, merged, wc)
+    * frame per round plus the final word table (w, s, cnt) with merges
+    * applied — `bpeTrainMerges` reads the former, `bpeSegmentCounts` the
+    * latter.
+    */
+  private def bpeLoop(documents: DataFrame,
+                      rounds: Int): (Seq[DataFrame], DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
     val words = documents
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var w = words.select(
+    var w = words.select(col("w"),
       expr("array_join(transform(sequence(1, length(w)), " +
         "i -> concat('|', substr(w, i, 1), '|')), ' ')").as("s"),
       col("cnt"))
@@ -746,12 +774,13 @@ object Text {
       val best = pairs.groupBy("pair").agg(sum("cnt").as("wc"))
         .orderBy(col("wc").desc, col("pair").asc).limit(1)
       w = w.crossJoin(broadcast(best.select(col("pair").as("bp"))))
-        .select(expr("replace(s, bp, replace(bp, '| |', ''))").as("s"),
+        .select(col("w"),
+          expr("replace(s, bp, replace(bp, '| |', ''))").as("s"),
           col("cnt"))
       best.select(lit(r.toLong).as("round"), col("pair"),
         expr("replace(pair, '| |', '')").as("merged"), col("wc"))
     }
-    bests.reduce(_ unionByName _).orderBy("round")
+    (bests, w)
   }
 
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {

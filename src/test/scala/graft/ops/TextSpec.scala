@@ -480,4 +480,15 @@ class TextSpec extends SparkSpec {
       (1L, "|a| |a|", "|aa|", 5L),
       (2L, "|aa| |aa|", "|aaaa|", 1L)))
   }
+
+  test("bpeSegmentCounts: per-doc token count under the trained merges") {
+    val d = Seq((1L, "low low lower"), (2L, "low"))
+      .toDF("doc_id", "text").withColumn("source",
+        org.apache.spark.sql.functions.lit("x"))
+    // merges after 3 rounds (first test): lo, low, er →
+    // "low" = 1 symbol; "lower" = |low| |er| = 2
+    val got = Text.bpeSegmentCounts(d, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L + 1L + 2L), (2L, 1L)))
+  }
 }
