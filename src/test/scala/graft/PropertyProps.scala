@@ -746,4 +746,67 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("shardedRanks is a bijection onto 1..n in the total order") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rowGen = for {
+      v <- Gen.chooseNum(0L, 20L); t <- Gen.chooseNum(0L, 10000L)
+    } yield (v, t)
+    Prop.forAllNoShrink(Gen.listOfN(40, rowGen), Gen.chooseNum(1, 8)) {
+      (rows0, parts) =>
+        val rows = rows0.distinct // (v, t) must be a total order
+        val df = rows.toDF("v", "t")
+        val got = graft.ops.Layout.shardedRanks(df, Seq("v", "t"), parts)
+          .select(col("v"), col("t"), col("rnk"))
+          .as[(Long, Long, Long)].collect().toSeq
+        val want = rows.sorted.zipWithIndex
+          .map { case ((v, t), i) => (v, t, i + 1L) }.toSet
+        got.toSet == want
+    }
+  }
+
+  property("ntileFromRank buckets are contiguous, sized within one") = {
+    // driver-side law over the closed form itself (no Spark job): for any
+    // (n, b), bucket ids over ranks 1..n are non-decreasing, cover
+    // 1..min(n,b), and sizes differ by at most one with the larger
+    // buckets first — the SQL NTILE contract
+    Prop.forAll(Gen.chooseNum(1L, 200L), Gen.chooseNum(1, 12)) { (n, b) =>
+      val q = n / b; val m = n % b; val cut = m * (q + 1)
+      def bucket(r: Long): Long =
+        if (r <= cut) (r - 1) / (q + 1) + 1
+        else m + (r - cut - 1) / math.max(q, 1L) + 1
+      val ids = (1L to n).map(bucket)
+      val sizes = ids.groupBy(identity).view.mapValues(_.size).toMap
+      ids == ids.sorted &&
+        ids.distinct == (1L to math.min(n, b.toLong)) &&
+        (sizes.values.max - sizes.values.min) <= 1 &&
+        sizes.toSeq.sortBy(_._1).map(_._2).reverse.sorted ==
+          sizes.toSeq.sortBy(_._1).map(_._2).reverse
+    }
+  }
+
+  property("mixturePlan: targets sum within Σw of budget; epochs = ceil") = {
+    import spark.implicits._
+    val srcGen = for {
+      s <- Gen.oneOf("a", "b", "c", "d")
+      n <- Gen.chooseNum(1, 30)
+    } yield (s, Seq.fill(n)("t").mkString(" "))
+    Prop.forAllNoShrink(Gen.listOfN(8, srcGen),
+        Gen.chooseNum(10L, 5000L)) { (docs, budget) =>
+      val df = docs.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, t, s) }
+        .toDF("doc_id", "text", "source")
+      val got = graft.ops.Sampling.mixturePlan(df, budget)
+        .as[(String, Long, Long, Long, Double, Long)].collect().toSeq
+      val nSrc = got.length
+      // uniform weights: every target is budget div nSrc; floor rounding
+      // loses < nSrc tokens in total; epochs is the exact ceil-div
+      got.forall { case (_, n, _, target, rate, epochs) =>
+        target == budget / nSrc &&
+          epochs == (target + n - 1) / n &&
+          rate == target.toDouble / n.toDouble
+      } && got.map(_._4).sum > budget - nSrc
+    }
+  }
+
 }
