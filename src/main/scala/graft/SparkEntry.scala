@@ -2974,7 +2974,28 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
         |FROM dt JOIN nsym USING (w)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin)(
-      (s, d) => Text.bpeSegmentCounts(Tables.documents(s, d), rounds = 3))
+      (s, d) => Text.bpeSegmentCounts(Tables.documents(s, d), rounds = 3)),
+
+    // Exact global quantiles via the sharded rank (Profiling
+    // .globalQuantilesSharded): percentile_disc semantics — the value at
+    // rank ceil(p*n) of the (n_chars, doc_id) total order — with the
+    // target ranks as pure integer arithmetic, no interpolation. The
+    // oracle spells out the SAME rank formula over a row_number window
+    // (single-task is fine at oracle scale; the Spark side is the
+    // two-pass sharded plan the round-10 DevScale table prices).
+    q("q129_sharded_quantiles",
+      """WITH r AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ps AS (SELECT CAST(unnest([500, 900, 990]) AS BIGINT) AS p_permille)
+        |SELECT p_permille, n_chars
+        |FROM ps CROSS JOIN t
+        |JOIN r ON r.rnk = (t.n * ps.p_permille + 999) // 1000
+        |ORDER BY p_permille""".stripMargin)(
+      (s, d) => Profiling.globalQuantilesSharded(Tables.documents(s, d),
+        valueCol = "n_chars", tieCol = "doc_id",
+        permilles = Seq(500L, 900L, 990L)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -188,6 +188,39 @@ object Profiling {
     * giant group degrades to a bigger sort bucket (the same trade every
     * rank statistic makes — `winsorizedStats` above shares it).
     */
+  /** EXACT global quantiles (percentile_disc semantics: the value at rank
+    * ⌈p·n⌉ of the total order) WITHOUT a single-task sort — the second
+    * driver-visible consumer of `Layout.shardedRanks`. approx-quantile
+    * sketches answer this with an error bound; rank statistics that feed
+    * a CONTRACT (token-budget caps, SLA thresholds, the q73-style
+    * stratum cut) want the exact value, and the classic exact plan — one
+    * global-order window — is the single-task wall the sharded rank
+    * removes (measured: PLANS.md round-10 table).
+    *
+    * Target ranks are pure integer arithmetic (`⌈p·n⌉ = (n·p‰ + 999) div
+    * 1000`), computed from the two-pass machinery's exact row count and
+    * joined as a broadcast k-row frame — so the answer is engine-exact,
+    * no interpolation, no float thresholds. The tie column only makes
+    * the ORDER total (determinism of the rank pass); the value at a
+    * given global rank is tie-break-invariant among equal values, so the
+    * output is a property of the value distribution alone.
+    */
+  def globalQuantilesSharded(df: DataFrame, valueCol: String, tieCol: String,
+                             permilles: Seq[Long] = Seq(500L, 900L, 990L),
+                             parts: Int = 0): DataFrame = {
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    val session = df.sparkSession
+    import session.implicits._
+    val (ranked, n) = graft.ops.Layout.shardedRanksWithTotal(
+      df.select(col(valueCol), col(tieCol)), Seq(valueCol, tieCol), parts)
+    val targets = permilles.map(p => (p, (n * p + 999L) / 1000L))
+      .toDF("p_permille", "target_rnk")
+    ranked.join(broadcast(targets), col("rnk") === col("target_rnk"))
+      .select(col("p_permille"), col(valueCol))
+      .orderBy("p_permille")
+  }
+
   def groupPercentRank(df: DataFrame, groupCol: String, valueCol: String,
                        tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

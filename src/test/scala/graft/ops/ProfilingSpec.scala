@@ -116,4 +116,22 @@ class ProfilingSpec extends SparkSpec {
       ("en", 10L, 1L, 0.0), ("en", 10L, 2L, 1.0 / 3),
       ("en", 30L, 3L, 2.0 / 3), ("en", 40L, 4L, 1.0)))
   }
+
+  test("globalQuantilesSharded: percentile_disc at exact integer ranks") {
+    val df = (1L to 10L).map(i => (i, i * 11))
+      .toDF("doc_id", "v") // values 11,22,...,110
+    val got = Profiling.globalQuantilesSharded(df, "v", "doc_id",
+        permilles = Seq(1L, 500L, 900L, 1000L))
+      .as[(Long, Long)].collect().toSeq
+    // ceil(p*n): p=.001 -> rank 1; .5 -> 5; .9 -> 9; 1.0 -> 10
+    assert(got == Seq((1L, 11L), (500L, 55L), (900L, 99L), (1000L, 110L)))
+    // tie-break-invariance: the value at a rank is a property of the
+    // value distribution — duplicate values with any ids agree
+    val ties = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 9L), (5L, 9L))
+      .toDF("doc_id", "v")
+    val g2 = Profiling.globalQuantilesSharded(ties, "v", "doc_id",
+        permilles = Seq(500L, 1000L))
+      .as[(Long, Long)].collect().toSeq
+    assert(g2 == Seq((500L, 7L), (1000L, 9L)))
+  }
 }
