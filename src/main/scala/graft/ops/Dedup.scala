@@ -428,6 +428,33 @@ object Dedup {
       .select(col("doc_id"), col("shingles"),
         GraftFunctions.minhash(col("shingles"), numHashes).as("sig"))
 
+  /** (doc_id, band, bhash) LSH band keys of a signature frame — the ONE
+    * banding construction, shared by the batch bucket join
+    * (`minhashPairs`) and the streaming band-bucket state
+    * (`streaming.NearDupStream`) so the two surfaces can never drift.
+    * Pure per-row projection (posexplode of `bands` slice-hashes): no
+    * shuffle, streaming-safe.
+    */
+  private[graft] def bandKeysOf(sigs: DataFrame, bands: Int,
+                                rows: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        hash(slice(col("sig"), b * rows + 1, rows)).as(s"b$b")
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+
+  /** Public banding entry over raw documents (signature kernel + band
+    * keys in the scan projection) — what the streaming near-dup state
+    * keys on.
+    */
+  def bandKeys(documents: DataFrame, n: Int = 3, numHashes: Int = 32,
+               bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    bandKeysOf(minhashSignatures(documents, n, numHashes), bands,
+      numHashes / bands)
+  }
+
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, band-hash), then verify candidates with EXACT Jaccard on the
     * shingle sets — LSH only proposes, it never decides. Output schema
@@ -449,12 +476,7 @@ object Dedup {
     // would copy every document's set `bands` times across both shuffle
     // sides; candidates re-attach their sets after pair dedup, so each
     // array crosses the wire once per surviving candidate
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(array((0 until bands).map { b =>
-        hash(slice(col("sig"), b * rows + 1, rows)).as(s"b$b")
-      }: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+    val banded = bandKeysOf(sigs, bands, rows)
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&

@@ -368,4 +368,43 @@ class StreamingSpec extends SparkSpec {
       .select("key").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L)) // batch 0's keys survived the merge
   }
+
+  test("streaming near-dup: band-bucket state flags the batch candidate " +
+    "set under doc_id-ordered arrival") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines here today"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (4L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (5L, "another unrelated line of text with many more words"))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.NearDupStream
+      .candidates(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(texts.take(2): _*) // micro-batch 1: ids 1, 2
+      q.processAllAvailable()
+      in.addData(texts.drop(2): _*) // micro-batch 2: ids 3, 4, 5
+      q.processAllAvailable()
+      val out = spark.table("neardup")
+        .as[(Long, Long, Int)].collect().toSeq
+      // keep-first: every candidate's canonical is the bucket's first doc
+      assert(out.forall { case (a, b, _) => a < b })
+      val flagged = out.map(_._2).toSet
+      // cross-surface law: the flagged set equals the BATCH banded
+      // candidate id_b set (same corpus, same shared banding formula)
+      val banded = graft.ops.Dedup.bandKeys(texts.toDF("doc_id", "text"))
+      val ref = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("y.doc_id")).as[Long].collect().toSet
+      assert(flagged == ref)
+      assert(ref.contains(3L)) // the exact dup is always proposed
+      assert(!ref.contains(2L) && !ref.contains(5L)) // unrelated: never
+    }
+  }
 }
