@@ -183,7 +183,13 @@ object DevScale {
       "q121_pctrank" -> SparkEntry.queries("q121_length_percentile"),
       // the sharded alternative to q116's single-task sort, measured
       // side-by-side (Layout.zorderCensusSharded — identical output)
-      "q123_shard" -> SparkEntry.queries("q123_sharded_zorder_census"))
+      "q123_shard" -> SparkEntry.queries("q123_sharded_zorder_census"),
+      // ---- round-10 additions: census/vocab/BPE/quantile family
+      "q124_vocab" -> SparkEntry.queries("q124_vocab_coverage"),
+      "q126_contam" -> SparkEntry.queries("q126_contamination_coverage"),
+      "q127_bpe" -> SparkEntry.queries("q127_bpe_train"),
+      "q128_bpeseg" -> SparkEntry.queries("q128_bpe_segment"),
+      "q129_quant" -> SparkEntry.queries("q129_sharded_quantiles"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
