@@ -36,7 +36,8 @@ object DevPlans {
         "q122_source_divergence", "q123_sharded_zorder_census",
         "q124_vocab_coverage", "q125_mixture_plan",
         "q126_contamination_coverage", "q127_bpe_train",
-        "q128_bpe_segment", "q129_sharded_quantiles")
+        "q128_bpe_segment", "q129_sharded_quantiles",
+        "q130_keep_best_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

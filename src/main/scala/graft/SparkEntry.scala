@@ -2995,7 +2995,37 @@ object SparkEntry {
         |ORDER BY p_permille""".stripMargin)(
       (s, d) => Profiling.globalQuantilesSharded(Tables.documents(s, d),
         valueCol = "n_chars", tieCol = "doc_id",
-        permilles = Seq(500L, 900L, 990L)))
+        permilles = Seq(500L, 900L, 990L))),
+
+    // Keep-BEST exact dedup (Dedup.keepBestExact): the fixture corpus is
+    // duplicate-free, so every 4th doc re-enters under id+1e6 as an
+    // UPPERCASED copy with two trailing spaces — same normalized-text
+    // fingerprint, longer raw text — and keep-best (score = raw length)
+    // must select the copy while q21's keep-first would keep the
+    // original. Pure argmax aggregate on Spark; the oracle's row_number
+    // window is the same decision spelled slowly.
+    q("q130_keep_best_dedup",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  '
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))
+        |      AS fp,
+        |    CAST(length(text) AS BIGINT) AS score FROM aug),
+        |r AS (SELECT fp, doc_id, score, row_number() OVER (
+        |    PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn FROM fp)
+        |SELECT fp, doc_id, score FROM r WHERE rn = 1
+        |ORDER BY fp""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, length, lit, upper}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text"))
+        Dedup.keepBestExact(docs.unionByName(copies), length(col("text")))
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

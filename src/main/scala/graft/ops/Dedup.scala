@@ -234,6 +234,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Keep-BEST exact dedup: among exact duplicates (same normalized-text
+    * fingerprint — the q21 key), keep the row MAXIMIZING a caller score
+    * (ties → lowest doc_id) instead of blindly keeping the first. The
+    * real-world dedup decision: duplicate groups usually contain a most
+    * complete / highest-quality variant (longest body, best source), and
+    * keep-first throws it away whenever it isn't the lowest id.
+    *
+    * Pure two-level aggregate — `max(struct(score, −doc_id))` is an
+    * argmax with a deterministic tie, combiner-friendly (each map task
+    * contributes one partial per fingerprint), NO per-group window and no
+    * sort: strictly better scale shape than the row_number form the
+    * oracle uses (oracle scale doesn't care; 100 TB does).
+    */
+  def keepBestExact(documents: DataFrame, score: Column): DataFrame =
+    documents
+      .select(md5(normText(col("text"))).as("fp"), col("doc_id"),
+        score.cast("long").as("score"))
+      .groupBy("fp")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select(col("fp"), (-col("best.neg_id")).as("doc_id"),
+        col("best.score").as("score"))
+      .orderBy("fp")
+
   /** Contamination SPAN coverage — the fine-grained face of
     * `contaminatedDocs`: for every corpus document touching the benchmark
     * shingle universe, the fraction of its token POSITIONS lying inside

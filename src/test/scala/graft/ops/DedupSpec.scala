@@ -450,4 +450,24 @@ class DedupSpec extends SparkSpec {
       minOverlap = 1L).select("doc_id").as[Long].collect().toSet
     assert(got.map(_._1).toSet == flagged)
   }
+
+  test("keepBestExact: argmax score per fingerprint, lowest id on ties") {
+    val docs = Seq(
+      (1L, "the cat", 0L),  // dup group A, score 7
+      (2L, "THE  CAT  ", 0L), // dup group A, score 10 → kept
+      (3L, "the cat", 0L),  // dup group A, score 7
+      (4L, "unique body", 0L), // singleton → kept
+      (5L, "tie text", 0L), (6L, "tie text", 0L)) // equal scores → id 5
+      .toDF("doc_id", "text", "ignore")
+    val got = Dedup.keepBestExact(docs,
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .as[(String, Long, Long)].collect().toSeq
+    val kept = got.map(r => r._2 -> r._3).toMap
+    assert(kept == Map(2L -> 10L, 4L -> 11L, 5L -> 8L))
+    // and the keep-first baseline disagrees exactly where scores differ
+    val first = Dedup.exactDupGroups(docs).select("keep_id")
+      .as[Long].collect().toSet
+    assert(first == Set(1L, 4L, 5L))
+  }
 }
