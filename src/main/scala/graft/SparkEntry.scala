@@ -3025,7 +3025,24 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(upper(col("text")), lit("  ")).as("text"))
         Dedup.keepBestExact(docs.unionByName(copies), length(col("text")))
-      })
+      }),
+
+    // Rolling distinct active users (Behavior.rollingActiveUsers): exact
+    // DAU + 7-day WAU per observed epoch day via window-membership
+    // explode on the (day, user) deduped frame — sliding DISTINCT cannot
+    // be summed from daily partials, and this is the linear exact plan.
+    q("q131_active_users",
+      """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+        |    user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |c AS (SELECT DISTINCT wend, user_id FROM (
+        |  SELECT unnest(generate_series(day, day + 6)) AS wend, user_id
+        |  FROM du)),
+        |wa AS (SELECT wend, count(*) AS wau FROM c GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wa ON day = wend
+        |ORDER BY day""".stripMargin)(
+      (s, d) => Behavior.rollingActiveUsers(Tables.events(s, d),
+        windowDays = 7))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

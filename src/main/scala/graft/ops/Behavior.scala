@@ -219,6 +219,36 @@ object Behavior {
     * set, one join on user_id (both sides pre-aggregated), then a
     * two-level count — no fact-row exchange.
     */
+  /** Rolling distinct active users — the DAU/WAU dashboard staple, EXACT.
+    * Sliding distinct counts cannot be summed from daily partials
+    * (distinct is not additive), and the naive per-day range self-join is
+    * quadratic; the standard exact plan is WINDOW-MEMBERSHIP EXPLODE:
+    * each distinct (day, user) row contributes to the `windowDays`
+    * windows ending on day..day+windowDays−1, so WAU(d) = distinct users
+    * in (d−windowDays, d] falls out of a plain two-level count. The ×7
+    * explode runs on the per-(day, user) DEDUPED frame — bounded by
+    * active users × days, not raw events, which the first distinct
+    * collapses in its map-side partial.
+    *
+    * Output: (day, dau, wau) for every day with ≥1 event (the dau side
+    * of the inner join pins the observed-day set; window ends beyond the
+    * horizon drop out).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val dayNs = 86400L * 1000000000L
+    val du = events
+      .select(expr(s"ts div ${dayNs}L").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wa = du
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wa, Seq("day")).orderBy("day")
+  }
+
   def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     require(maxOffset >= 0, "maxOffset must be >= 0")
     val weekNs = 7L * 86400L * 1000000000L

@@ -171,4 +171,21 @@ class BehaviorSpec extends SparkSpec {
     assert(fromWin == expect)
     assert(fromBatch == expect)
   }
+
+  test("rollingActiveUsers: sliding distinct never sums daily partials") {
+    val D = 86400L * 1000000000L
+    // user 1 active days 0,1,8; user 2 day 0 (twice); user 3 day 8
+    val df = Seq(
+      (1L, 0L), (1L, D + 5L), (1L, 8 * D), (2L, 0L), (2L, 100L),
+      (3L, 8 * D + 7L))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (u, t, i.toLong, "view", 1.0)
+      }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.rollingActiveUsers(df, windowDays = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    // day 0: dau 2 (u1,u2), wau(−6..0] = 2; day 1: dau 1, wau covers
+    // days −5..1 → {u1,u2} = 2 — NOT dau-sum 3: u1 counted once;
+    // day 8: dau 2 (u1,u3), window 2..8 → 2
+    assert(got == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 2L, 2L)))
+  }
 }
