@@ -3042,7 +3042,26 @@ object SparkEntry {
         |SELECT day, dau, wau FROM dau JOIN wa ON day = wend
         |ORDER BY day""".stripMargin)(
       (s, d) => Behavior.rollingActiveUsers(Tables.events(s, d),
-        windowDays = 7))
+        windowDays = 7)),
+
+    // Quality-weighted sampling without replacement (Sampling
+    // .weightedSample): Efraimidis–Spirakis A-Res keys ln(u)/w over the
+    // 32-bit md5 uniform, top-5 per language weighted by n_chars — the
+    // reproducible weighted corpus draw; both engines recompute the
+    // identical u, key, and sample.
+    q("q132_weighted_sample",
+      """WITH s AS (SELECT lang, doc_id,
+        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) + 1) / 4294967297.0)
+        |      / CAST(n_chars AS DOUBLE) AS skey
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, skey, row_number() OVER (
+        |    PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rn FROM s)
+        |SELECT lang, doc_id, skey FROM r WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin)(
+      (s, d) => Sampling.weightedSample(Tables.documents(s, d),
+        idCol = "doc_id", stratumCol = "lang", weight = col("n_chars"),
+        k = 5))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -319,6 +319,38 @@ object Sampling {
       .orderBy(stratumCol, idCol, "copy_idx")
   }
 
+  /** Weighted sampling WITHOUT replacement, k rows per stratum —
+    * Efraimidis–Spirakis A-Res keys, deterministic: each row draws the
+    * reproducible uniform `u = (md5₃₂(id)+1) / (2³²+1)` (the `splitBucket`
+    * device widened to 32 bits) and scores `key = ln(u) / w`; the k
+    * LARGEST keys per stratum are distributed identically to k sequential
+    * weighted draws without replacement. THE quality-weighted corpus
+    * sampler: w = a quality/length score upweights the documents a
+    * training mix should prefer, while staying auditable — any engine
+    * recomputes the same u, the same key, the same sample (`ln` and one
+    * division are bit-identical IEEE on both engines; (b+1) ≤ 2³² is
+    * exactly representable).
+    *
+    * Scale shape: the key is a codegen'd scan projection; selection is
+    * one per-stratum top-k window (single key shuffle — the q73 stratum
+    * cap's shape). Rows with non-positive weight are excluded by
+    * definition (they can never be drawn).
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+                     weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + 1.0) / 4294967297.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
+    df.filter(weight > 0)
+      .withColumn("skey", log(u) / weight.cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(stratumCol), col(idCol), col("skey"))
+      .orderBy(stratumCol, idCol)
+  }
+
   /** Data-mixing planner: given a token budget and per-source mixture
     * weights (empty = uniform), report for each source its token total,
     * its actual corpus share, the TARGET token allocation

@@ -310,4 +310,28 @@ class SamplingSpec extends SparkSpec {
       ("s2", 2L, 100L, 10L, 5.0, 5L),
       ("s3", 10L, 500L, 0L, 0.0, 0L)))
   }
+
+  test("weightedSample: A-Res keys reproduce a driver-side reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 20L)
+      .map(i => (i, if (i % 2 == 0) "even" else "odd", i * 10))
+      .toDF("doc_id", "strat", "wt")
+    val got = Sampling.weightedSample(docs, "doc_id", "strat",
+        col("wt"), k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.count(_._1 == "even") == 3 && got.count(_._1 == "odd") == 3)
+    // independent reimplementation of u and key on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long): Double = {
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
+      math.log(u) / (i * 10.0)
+    }
+    val ref = (1L to 20L)
+      .map(i => (if (i % 2 == 0) "even" else "odd", i, key(i)))
+      .groupBy(_._1).values.flatMap(_.sortBy(r => (-r._3, r._2)).take(3))
+      .toSet
+    assert(got.toSet == ref) // exact doubles: same u, same ln, same division
+  }
 }
