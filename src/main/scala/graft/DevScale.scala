@@ -189,7 +189,10 @@ object DevScale {
       "q126_contam" -> SparkEntry.queries("q126_contamination_coverage"),
       "q127_bpe" -> SparkEntry.queries("q127_bpe_train"),
       "q128_bpeseg" -> SparkEntry.queries("q128_bpe_segment"),
-      "q129_quant" -> SparkEntry.queries("q129_sharded_quantiles"))
+      "q129_quant" -> SparkEntry.queries("q129_sharded_quantiles"),
+      "q130_keepbest" -> SparkEntry.queries("q130_keep_best_dedup"),
+      "q131_dauwau" -> SparkEntry.queries("q131_active_users"),
+      "q132_wsample" -> SparkEntry.queries("q132_weighted_sample"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

@@ -3061,7 +3061,41 @@ object SparkEntry {
         |ORDER BY lang, doc_id""".stripMargin)(
       (s, d) => Sampling.weightedSample(Tables.documents(s, d),
         idCol = "doc_id", stratumCol = "lang", weight = col("n_chars"),
-        k = 5))
+        k = 5)),
+
+    // BM25 top-k retrieval (Text.bm25TopK): Lucene-form BM25 over a
+    // 3-term query with one rare and two common terms; per-term scores
+    // quantized to integer micro-units before the per-doc sum (q79
+    // device) so the only float math is deterministic single values.
+    // The oracle writes (1.2 + 1.0), not 2.2: the exact sum is a
+    // round-to-even TIE between adjacent doubles, so both engines must
+    // fold the same addition rather than parse the same literal.
+    q("q133_bm25_topk",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM toks),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS tok_total FROM d),
+        |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(t) AS term FROM d)
+        |  WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, CAST(round(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |              (CAST(df AS DOUBLE) + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+        |    (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |      CAST(dl AS DOUBLE) /
+        |      (CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+        |    1000000.0) AS BIGINT) AS q
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN st)
+        |SELECT doc_id, CAST(sum(q) AS DOUBLE) / 1000000.0 AS score
+        |FROM sc GROUP BY 1
+        |ORDER BY sum(q) DESC, doc_id ASC LIMIT 10""".stripMargin)(
+      (s, d) => Text.bm25TopK(Tables.documents(s, d),
+        queryTerms = Seq("dup", "vector", "scan"), k = 10))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -783,6 +783,60 @@ object Text {
     (bests, w)
   }
 
+  /** BM25 top-k retrieval — the text-side counterpart of the vector ANN
+    * family: score every document against a term query with the Lucene
+    * BM25 form `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))`, and return the top `k`. The
+    * curation use is targeted-domain mining: "find the documents about X"
+    * over a raw corpus, before any embedding exists.
+    *
+    * Cross-engine exactness: per-term scores are doubles from the same
+    * expression shape both engines, then QUANTIZED to integer
+    * micro-units before the per-doc sum (the q79/q122 device) — so the
+    * only float reduction happens in deterministic single values, the
+    * Σ runs in exact integers in any partitioning, and the final score
+    * is one division. Ranking breaks ties on doc_id.
+    *
+    * Scale shape: tokens are filtered to the |q|-term query IN the scan
+    * stage (`isin` on a literal list), so everything after the scan is
+    * bounded by documents-matching-query, not corpus tokens; N/avgdl/df
+    * are one global and one |q|-row aggregate, both broadcast; top-k is
+    * `TakeOrderedAndProject`.
+    */
+  def bm25TopK(documents: DataFrame, queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k >= 1, "k must be >= 1")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+        col("t"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("tok_total"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("tok_total").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("tscore", col("idf") *
+        (col("tf").cast("double") * (k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("q", round(col("tscore") * 1000000.0).cast("long"))
+    scored.groupBy("doc_id").agg(sum("q").as("qsum"))
+      .orderBy(col("qsum").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"),
+        (col("qsum").cast("double") / 1000000.0).as("score"))
+  }
+
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     val bySrc = documents

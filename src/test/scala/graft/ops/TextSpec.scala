@@ -481,6 +481,25 @@ class TextSpec extends SparkSpec {
       (2L, "|aa| |aa|", "|aaaa|", 1L)))
   }
 
+  test("bm25TopK: hand-computed Lucene BM25, rare term dominates") {
+    val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = Text.bm25TopK(d, Seq("a", "c"), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // N=3, dl=(3,2,4), avgdl=3; df: a=1, c=2
+    val idfA = math.log(1.0 + 2.5 / 1.5)
+    val idfC = math.log(1.0 + 1.5 / 2.5)
+    val s1 = idfA * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3))
+    val s2 = idfC * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3))
+    val s3 = idfC * (4 * 2.2) / (4 + 1.2 * (0.25 + 0.75 * 4.0 / 3))
+    // the rare term's doc outranks the c-heavy doc despite lower tf
+    assert(s1 > s3 && s3 > s2)
+    assert(got.map(_._1) == Seq(1L, 3L, 2L))
+    got.map(_._2).zip(Seq(s1, s3, s2)).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 2e-6, s"$g vs $w")
+    }
+  }
+
   test("bpeSegmentCounts: per-doc token count under the trained merges") {
     val d = Seq((1L, "low low lower"), (2L, "low"))
       .toDF("doc_id", "text").withColumn("source",
