@@ -3095,7 +3095,51 @@ object SparkEntry {
         |FROM sc GROUP BY 1
         |ORDER BY sum(q) DESC, doc_id ASC LIMIT 10""".stripMargin)(
       (s, d) => Text.bm25TopK(Tables.documents(s, d),
-        queryTerms = Seq("dup", "vector", "scan"), k = 10))
+        queryTerms = Seq("dup", "vector", "scan"), k = 10)),
+
+    // In-domain LM quality scoring (Text.inDomainLmScore): the bigram LM
+    // trains on the deterministic 5% md5 slice (the q69 split reused as
+    // the curated seed) and scores the other 95% — CCNet's "does this
+    // look like the reference corpus" filter. Unknown bigrams are counted
+    // (coverage), not scored; lm_score is the q79 integer-quantized mean
+    // log-prob over the covered slice.
+    q("q134_indomain_lm",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 AS bucket
+        |  FROM documents),
+        |bg AS (SELECT doc_id, bucket,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> concat(toks[i], ' ', toks[i+1]))) AS bigram FROM t),
+        |bgc AS (SELECT doc_id, bucket, bigram, count(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |model AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS b12,
+        |    split_part(bigram, ' ', 1) AS w1
+        |  FROM bgc WHERE bucket >= 950 GROUP BY 1),
+        |uni AS (SELECT w1, CAST(sum(b12) AS BIGINT) AS u1
+        |  FROM model GROUP BY 1),
+        |lq AS (SELECT bigram, CAST(round(ln(b12 / u1) * 10000) AS BIGINT)
+        |    AS lq FROM model JOIN uni USING (w1)),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bgc WHERE bucket < 950 GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_covered,
+        |    CAST(CAST(sum(c * lq) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(sum(c) AS BIGINT) * 10000 AS DOUBLE) AS lm_score
+        |  FROM bgc JOIN lq USING (bigram)
+        |  WHERE bucket < 950 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(tot.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(cov.n_covered, 0) AS n_covered, cov.lm_score
+        |FROM (SELECT doc_id FROM t WHERE bucket < 950) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Text.inDomainLmScore(
+          docs.filter(bucket < 950), docs.filter(bucket >= 950))
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

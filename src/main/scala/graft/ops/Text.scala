@@ -338,19 +338,33 @@ object Text {
     * unigram roll-up and the score join are aggregated-data joins, and
     * the per-doc reduce is a two-level sum. No window, no driver state.
     */
-  def bigramLmScore(documents: DataFrame): DataFrame = {
+  /** Per-doc bigram counts — shared base of `bigramLmScore` and
+    * `inDomainLmScore` (one construction, the two scorers cannot drift).
+    */
+  private def bigramCounts(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val n1 = greatest(size(toks) - 1, lit(0))
-    val bgc = documents.select(col("doc_id"), explode(
+    documents.select(col("doc_id"), explode(
       zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+  }
+
+  /** (bigram, lq) conditional-log-prob table from a bigram-count frame,
+    * quantized to integer 1e-4 units (the exact-sum device).
+    */
+  private def bigramModelLq(bgc: DataFrame): DataFrame = {
     val model = bgc.groupBy("bigram").agg(sum("c").as("b12"))
       .withColumn("w1", element_at(split(col("bigram"), " ", 2), 1))
     val uni = model.groupBy("w1").agg(sum("b12").as("u1"))
-    val q = model.join(uni, "w1")
+    model.join(uni, "w1")
       .select(col("bigram"),
         round(log(col("b12") / col("u1")) * 10000).cast("long").as("lq"))
+  }
+
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bgc = bigramCounts(documents)
+    val q = bigramModelLq(bgc)
     val perDoc = bgc.join(q, "bigram")
       .groupBy("doc_id")
       .agg(sum("c").as("n_bigrams"),
@@ -359,6 +373,40 @@ object Text {
     documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style IN-DOMAIN language-model scoring: the bigram LM trains
+    * on a curated `domain` frame and scores a DIFFERENT corpus — the
+    * standard quality filter ("keep web text that looks like Wikipedia")
+    * that `bigramLmScore`'s self-trained form cannot express. Out-of-model
+    * bigrams cannot be scored by a count-based model; they are COUNTED
+    * instead (`n_covered` vs `n_bigrams`), because coverage itself is the
+    * first quality signal — a document whose bigrams are mostly unknown
+    * to the in-domain LM is off-domain regardless of its score on the
+    * covered slice. `lm_score` is the exact integer-quantized mean
+    * log-prob over covered bigrams (NULL when nothing is covered).
+    *
+    * Scale shape: the model is aggregated-data — (bigram, lq) census
+    * rows, bounded by the DOMAIN's vocabulary — joined to the corpus
+    * bigram census; both inputs to every join are post-aggregation.
+    */
+  def inDomainLmScore(documents: DataFrame, domain: DataFrame): DataFrame = {
+    val q = bigramModelLq(bigramCounts(domain))
+    val bgc = bigramCounts(documents)
+    val tot = bgc.groupBy("doc_id").agg(sum("c").as("n_bigrams"))
+    val cov = bgc.join(q, "bigram")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_covered"),
+        (sum(col("c") * col("lq")).cast("double") /
+          (sum("c") * 10000).cast("double")).as("lm_score"))
+    documents.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
         col("lm_score"))
       .orderBy("doc_id")
   }

@@ -481,6 +481,32 @@ class TextSpec extends SparkSpec {
       (2L, "|aa| |aa|", "|aaaa|", 1L)))
   }
 
+  test("inDomainLmScore: coverage separates off-domain; self-train " +
+    "degenerates to bigramLmScore") {
+    val domain = docs("the cat sat", "the cat ran")
+    val corpus = Seq(
+      (10L, "the cat sat"),       // fully covered
+      (11L, "purple monkey dishwasher"), // zero coverage
+      (12L, "the cat flew away")) // partial: 'the cat' known, rest not
+      .toDF("doc_id", "text")
+    val got = Text.inDomainLmScore(corpus, domain)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // model: 'the cat' p=1 (lq 0), 'cat sat'/'cat ran' p=.5
+    val lnHalf = math.rint(math.log(0.5) * 10000) / 10000.0
+    assert(got == Seq(
+      (10L, 2L, 2L, Some(lnHalf / 2)), // (0 + ln .5)/2 over 2 bigrams
+      (11L, 2L, 0L, None),
+      (12L, 3L, 1L, Some(0.0))))
+    // law: training on the corpus itself reproduces bigramLmScore with
+    // full coverage
+    val self = Text.inDomainLmScore(corpus, corpus)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    val base = Text.bigramLmScore(corpus)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(self.map(r => (r._1, r._2, r._4)) == base)
+    assert(self.forall(r => r._2 == r._3))
+  }
+
   test("bm25TopK: hand-computed Lucene BM25, rare term dominates") {
     val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c c"))
       .toDF("doc_id", "text")
