@@ -192,7 +192,9 @@ object DevScale {
       "q129_quant" -> SparkEntry.queries("q129_sharded_quantiles"),
       "q130_keepbest" -> SparkEntry.queries("q130_keep_best_dedup"),
       "q131_dauwau" -> SparkEntry.queries("q131_active_users"),
-      "q132_wsample" -> SparkEntry.queries("q132_weighted_sample"))
+      "q132_wsample" -> SparkEntry.queries("q132_weighted_sample"),
+      "q133_bm25" -> SparkEntry.queries("q133_bm25_topk"),
+      "q134_inlm" -> SparkEntry.queries("q134_indomain_lm"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
