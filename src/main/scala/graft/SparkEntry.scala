@@ -3139,7 +3139,24 @@ object SparkEntry {
         val bucket = Sampling.splitBucket(col("doc_id"))
         Text.inDomainLmScore(
           docs.filter(bucket < 950), docs.filter(bucket >= 950))
-      })
+      }),
+
+    // Exact phrase search (Text.phraseSearch): consecutive-token match
+    // with occurrence counts via positional 3-grams built AFTER the
+    // explode (the q126 pushdown discipline). The oracle counts the same
+    // positional grams; LIKE would miss token boundaries.
+    q("q135_phrase_search",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM g WHERE g = 'slow hash batch'
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.phraseSearch(Tables.documents(s, d),
+        phrase = Seq("slow", "hash", "batch")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -831,6 +831,40 @@ object Text {
     (bests, w)
   }
 
+  /** Exact phrase search: documents containing `phrase` as CONSECUTIVE
+    * whitespace tokens, with occurrence counts — the retrieval primitive
+    * `LIKE '%...%'` answers with a full unindexed string scan and an
+    * n-gram posting answers with an index probe. This operator is the
+    * build+probe fused (positional |phrase|-grams in the scan projection,
+    * equality filter, per-doc count); a corpus serving MANY phrase
+    * queries materializes the same (shingle → doc, pos) postings ONCE
+    * (Dedup.shingleSets machinery) and probes it per query — identical
+    * contract, amortized build.
+    *
+    * The explode carries positions only and builds the gram string after
+    * the Generate — the q126 generate-pushdown lesson; the inferred
+    * `size() > 0` pushdown then re-derives from one cheap `size`.
+    */
+  def phraseSearch(documents: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "phrase tokens must be non-empty and whitespace-free")
+    val n = phrase.length
+    val target = phrase.mkString(" ")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(when(size(col("t")) >= n,
+            sequence(lit(0L), (size(col("t")) - n).cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as("pos"))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(n))).as("g"))
+      .filter(col("g") === target)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 top-k retrieval — the text-side counterpart of the vector ANN
     * family: score every document against a term query with the Lucene
     * BM25 form `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`,

@@ -507,6 +507,22 @@ class TextSpec extends SparkSpec {
     assert(self.forall(r => r._2 == r._3))
   }
 
+  test("phraseSearch: consecutive tokens only, overlaps counted, " +
+    "boundaries respected") {
+    val d = docs(
+      "a b c a b c",       // 2 occurrences of "a b c"
+      "a b x c",           // broken phrase: no hit
+      "x a b c",           // at end: 1
+      "a a a a")           // overlapping "a a a": positions 0 and 1
+    assert(Text.phraseSearch(d, Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toSeq == Seq((0L, 2L), (2L, 1L)))
+    assert(Text.phraseSearch(d, Seq("a", "a", "a"))
+      .as[(Long, Long)].collect().toSeq == Seq((3L, 2L)))
+    // single-token phrase degenerates to a term-frequency filter
+    assert(Text.phraseSearch(d, Seq("x"))
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("bm25TopK: hand-computed Lucene BM25, rare term dominates") {
     val d = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c c"))
       .toDF("doc_id", "text")
