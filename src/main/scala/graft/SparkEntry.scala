@@ -3156,7 +3156,36 @@ object SparkEntry {
         |FROM g WHERE g = 'slow hash batch'
         |GROUP BY 1 ORDER BY doc_id""".stripMargin)(
       (s, d) => Text.phraseSearch(Tables.documents(s, d),
-        phrase = Seq("slow", "hash", "batch")))
+        phrase = Seq("slow", "hash", "batch"))),
+
+    // Duplicated-span fraction (Text.dupSpanFraction): how much of each
+    // document is text recycled ANYWHERE else in the corpus — per-doc
+    // union of 5-gram spans whose gram has distinct-doc df >= 2. The
+    // ExactSubstr-style dup census a dedup policy reads before choosing
+    // aggressiveness; corpus-internal sibling of q126 on the shared
+    // positional-gram construction.
+    q("q136_dup_span_fraction",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |pg AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks),
+        |sh AS (SELECT g FROM (
+        |  SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS ndp FROM (
+        |  SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+        |  FROM pg JOIN sh USING (g)) GROUP BY 1)
+        |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cov.ndp, 0) AS BIGINT) AS n_dup_positions,
+        |  CASE WHEN len(toks.t) > 0
+        |       THEN CAST(coalesce(cov.ndp, 0) AS DOUBLE) /
+        |            CAST(len(toks.t) AS DOUBLE) END AS dup_fraction
+        |FROM toks LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.dupSpanFraction(Tables.documents(s, d), n = 5))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -281,27 +281,11 @@ object Dedup {
   def contaminationCoverage(corpus: DataFrame, benchmark: DataFrame,
                             n: Int = 3): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    // The explode carries only the POSITION sequence; the shingle string
-    // is built after the Generate. Exploding a precomputed
-    // array<struct<pos,item>> instead measured 8.5 s (vs ~1 s) on the
-    // sf0.1 bench: Catalyst's explode-pushdown infers `size(arr) > 0` /
-    // `isnotnull(arr)` predicates and pushes them below the projection,
-    // re-inlining the whole struct-building transform — including the
-    // per-element token split, O(tokens²) per doc — into a scan-side
-    // Filter. A position sequence re-derives from ONE size() cheaply, so
-    // the same pushdown is harmless, and the token array is a bound
-    // attribute built once per row in its own projection (CollapseProject
-    // keeps a non-cheap multiply-referenced alias separate).
-    val c = balanced(corpus)
-      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"), col("t"),
-        explode(when(size(col("t")) >= n,
-            sequence(lit(0L), (size(col("t")) - n).cast("long")))
-          .otherwise(array().cast("array<bigint>"))).as("pos"))
-      .select(col("doc_id"), col("n_tokens"), col("pos"),
-        concat_ws(" ",
-          slice(col("t"), (col("pos") + 1).cast("int"), lit(n))).as("item"))
+    // positional grams via the ONE shared construction (Text
+    // .positionalGrams — it owns the generate-pushdown discipline this
+    // operator's 8.5 s → 1.7 s fix established)
+    val c = Text.positionalGrams(balanced(corpus), n)
+      .withColumnRenamed("gram", "item")
     val b = shingleSets(benchmark, n)
       .select(explode(col("shingles")).as("item")).distinct()
     c.join(b, Seq("item"))

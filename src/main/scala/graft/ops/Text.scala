@@ -831,6 +831,67 @@ object Text {
     (bests, w)
   }
 
+  /** (doc_id, n_tokens, pos, gram): positional whitespace-token n-grams —
+    * the ONE construction behind contamination span coverage
+    * (Dedup.contaminationCoverage), phrase search, and the duplicated-span
+    * census, so the three surfaces cannot drift. The explode carries only
+    * the 0-based position sequence and the gram string is built AFTER the
+    * Generate from the once-materialized token array: Catalyst's
+    * explode-pushdown infers `size() > 0` / `isnotnull` predicates and
+    * pushes them below the projection, and a sequence re-derives from one
+    * cheap `size` where an inlined gram-array transform would re-split
+    * the text per element (measured 8.5 s vs 1.7 s — the q126 lesson).
+    */
+  def positionalGrams(documents: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        col("t"),
+        explode(when(size(col("t")) >= n,
+            sequence(lit(0L), (size(col("t")) - n).cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as("pos"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"),
+        concat_ws(" ",
+          slice(col("t"), (col("pos") + 1).cast("int"), lit(n))).as("gram"))
+  }
+
+  /** Duplicated-span fraction — the ExactSubstr-style dup-rate metric:
+    * for each document, the fraction of token positions covered by at
+    * least one n-gram that ALSO occurs in some other document. The
+    * corpus-internal sibling of `Dedup.contaminationCoverage` (same span
+    * union, the reference set is the corpus itself instead of a
+    * benchmark): doc-level Jaccard/MinHash answer "is this a near-dup";
+    * this answers "how much of every document is recycled text" — the
+    * census a dedup policy reads to pick its aggressiveness.
+    *
+    * Scale shape: the shared-gram set is an ids-only two-level
+    * distinct-doc census with df ≥ 2 (never wider than distinct grams);
+    * the span explode runs on positions whose gram is shared — bounded
+    * by actual duplication. `dup_fraction` is the exact rational of two
+    * integers.
+    */
+  def dupSpanFraction(documents: DataFrame, n: Int = 5): DataFrame = {
+    val pg = positionalGrams(documents, n)
+    val shared = pg.select(col("gram"), col("doc_id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val cov = pg.join(shared, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("n_dup_positions"))
+    documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        when(col("n_tokens") > 0,
+          coalesce(col("n_dup_positions"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
   /** Exact phrase search: documents containing `phrase` as CONSECUTIVE
     * whitespace tokens, with occurrence counts — the retrieval primitive
     * `LIKE '%...%'` answers with a full unindexed string scan and an
@@ -849,18 +910,8 @@ object Text {
     require(phrase.nonEmpty, "phrase must have at least one token")
     require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
       "phrase tokens must be non-empty and whitespace-free")
-    val n = phrase.length
-    val target = phrase.mkString(" ")
-    documents
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"),
-        explode(when(size(col("t")) >= n,
-            sequence(lit(0L), (size(col("t")) - n).cast("long")))
-          .otherwise(array().cast("array<bigint>"))).as("pos"))
-      .select(col("doc_id"),
-        concat_ws(" ",
-          slice(col("t"), (col("pos") + 1).cast("int"), lit(n))).as("g"))
-      .filter(col("g") === target)
+    positionalGrams(documents, phrase.length)
+      .filter(col("gram") === phrase.mkString(" "))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }

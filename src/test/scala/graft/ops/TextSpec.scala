@@ -507,6 +507,26 @@ class TextSpec extends SparkSpec {
     assert(self.forall(r => r._2 == r._3))
   }
 
+  test("dupSpanFraction: span union across overlapping shared grams") {
+    val d = docs(
+      "a b c d e x y z",  // shares "a b c d e" (n=5) with doc 1
+      "a b c d e q r",    // ...and one private tail
+      "totally private words here now")
+    val got = Text.dupSpanFraction(d, n = 5)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // docs 0/1 share exactly one 5-gram: positions 0..4 covered in both
+    assert(got == Seq(
+      (0L, 8L, 5L, Some(5.0 / 8)),
+      (1L, 7L, 5L, Some(5.0 / 7)),
+      (2L, 5L, 0L, Some(0.0))))
+    // overlapping shared grams union, never double-count: two docs with
+    // the same 6 tokens share two overlapping 5-grams → 6 positions
+    val ov = docs("p q r s t u", "p q r s t u")
+    val g2 = Text.dupSpanFraction(ov, n = 5)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(g2 == Seq((0L, 6L, 6L, Some(1.0)), (1L, 6L, 6L, Some(1.0))))
+  }
+
   test("phraseSearch: consecutive tokens only, overlaps counted, " +
     "boundaries respected") {
     val d = docs(
