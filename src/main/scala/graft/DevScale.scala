@@ -194,7 +194,9 @@ object DevScale {
       "q131_dauwau" -> SparkEntry.queries("q131_active_users"),
       "q132_wsample" -> SparkEntry.queries("q132_weighted_sample"),
       "q133_bm25" -> SparkEntry.queries("q133_bm25_topk"),
-      "q134_inlm" -> SparkEntry.queries("q134_indomain_lm"))
+      "q134_inlm" -> SparkEntry.queries("q134_indomain_lm"),
+      "q135_phrase" -> SparkEntry.queries("q135_phrase_search"),
+      "q136_dupspan" -> SparkEntry.queries("q136_dup_span_fraction"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

@@ -3185,7 +3185,26 @@ object SparkEntry {
         |            CAST(len(toks.t) AS DOUBLE) END AS dup_fraction
         |FROM toks LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin)(
-      (s, d) => Text.dupSpanFraction(Tables.documents(s, d), n = 5))
+      (s, d) => Text.dupSpanFraction(Tables.documents(s, d), n = 5)),
+
+    // Diversity-capped sampling by semantic sign-bucket (Similarity
+    // .signBucketCap): 2^8 orthant cells over the first 8 embedding
+    // dims, at most 10 vectors kept per cell in md5 order — the
+    // training-free SemDeDup-lite budget spreader. The bucket formula is
+    // generated into both engines from the same bit weights.
+    q("q137_diversity_cap",
+      s"""WITH b AS (SELECT vec_id,
+        |    CAST(${(1 to 8).map(i =>
+              s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+              .mkString(" + ")} AS BIGINT) AS bucket
+        |  FROM embeddings),
+        |r AS (SELECT bucket, vec_id, row_number() OVER (
+        |    PARTITION BY bucket
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn FROM b)
+        |SELECT bucket, vec_id FROM r WHERE rn <= 10
+        |ORDER BY bucket, vec_id""".stripMargin)(
+      (s, d) => Similarity.signBucketCap(Tables.embeddings(s, d),
+        bits = 8, k = 10))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

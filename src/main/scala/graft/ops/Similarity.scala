@@ -37,6 +37,37 @@ object Similarity {
   /** array<float> → array<double> (all scoring in double). */
   def asDouble(a: Column): Column = transform(a, _.cast("double"))
 
+  /** Diversity-capped sampling by coarse semantic bucket (SemDeDup-lite):
+    * bucket = the sign bits of the first `bits` embedding dimensions
+    * (2^bits orthant cells — the crudest possible semantic hash, but
+    * engine-portable arithmetic rather than a learned codebook), keep at
+    * most `k` vectors per bucket in md5(vec_id) order. The cheap first
+    * cut at "don't spend the whole budget on one dense semantic region":
+    * a full SemDeDup pass (cluster → within-cluster near-dup drop) is
+    * q115's census with the k-means front end; this is the version that
+    * needs NO training, NO pair computation, and one keyed window.
+    *
+    * Scale shape: the bucket id and hash key are codegen'd scan
+    * projections; selection is one per-bucket top-k window (q73's
+    * shape). Deterministic end to end.
+    */
+  def signBucketCap(embeddings: DataFrame, bits: Int = 8,
+                    k: Int = 10): DataFrame = {
+    require(bits >= 1 && bits <= 62, "need 1 <= bits <= 62")
+    require(k >= 1, "k must be >= 1")
+    val bucket = (0 until bits).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("bucket")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    embeddings.select(col("vec_id"), bucket.as("bucket"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("bucket"), col("vec_id"))
+      .orderBy("bucket", "vec_id")
+  }
+
   /** All pairs (id_a < id_b) with cosine above `threshold` — brute-force
     * exact; also the embedding-cosine near-dup primitive (Dedup).
     */

@@ -233,4 +233,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 0, 2L, 128L), (1, 1, 2L, 0L),
       (2, 0, 1L, 0L), (2, 1, 1L, 32L)))
   }
+
+  test("signBucketCap: orthant buckets, cap per bucket, md5-order keeps") {
+    val e = Seq(
+      (1L, Array(1.0f, 1.0f)),   // ++ → bucket 3
+      (2L, Array(1.0f, -1.0f)),  // +- → bucket 1
+      (3L, Array(-1.0f, -1.0f)), // -- → bucket 0
+      (4L, Array(1.0f, 1.0f)),   // bucket 3
+      (5L, Array(1.0f, 1.0f)),   // bucket 3
+      (6L, Array(0.0f, -1.0f)))  // zero counts as non-negative → bucket 1
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val all = Similarity.signBucketCap(e, bits = 2, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(all == Seq((0L, 3L), (1L, 2L), (1L, 6L),
+      (3L, 1L), (3L, 4L), (3L, 5L)))
+    // k=2 keeps the two lowest md5(vec_id) of bucket 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(i: Long) = md.digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val keep3 = Seq(1L, 4L, 5L).sortBy(h).take(2).sorted
+    val capped = Similarity.signBucketCap(e, bits = 2, k = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(capped.filter(_._1 == 3L).map(_._2) == keep3)
+    assert(capped.groupBy(_._1).values.forall(_.size <= 2))
+  }
 }
