@@ -39,7 +39,8 @@ object DevPlans {
         "q128_bpe_segment", "q129_sharded_quantiles",
         "q130_keep_best_dedup", "q131_active_users", "q132_weighted_sample",
         "q133_bm25_topk", "q134_indomain_lm", "q135_phrase_search",
-        "q136_dup_span_fraction", "q137_diversity_cap")
+        "q136_dup_span_fraction", "q137_diversity_cap",
+        "q138_join_cardinality")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

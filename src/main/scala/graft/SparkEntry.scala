@@ -3204,7 +3204,36 @@ object SparkEntry {
         |SELECT bucket, vec_id FROM r WHERE rn <= 10
         |ORDER BY bucket, vec_id""".stripMargin)(
       (s, d) => Similarity.signBucketCap(Tables.embeddings(s, d),
-        bits = 8, k = 10))
+        bits = 8, k = 10)),
+
+    // Pre-join cardinality audit (Profiling.joinCardinalityAudit):
+    // exact predicted inner-join size and worst-key pair product for
+    // orders⋈customer on custkey — the explosion/skew numbers read
+    // BEFORE running a 100-TB join. Pure census arithmetic.
+    q("q138_join_cardinality",
+      """WITH la AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |ra AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |ls AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS l_rows,
+        |  CAST(count(*) AS BIGINT) AS l_keys,
+        |  CAST(coalesce(max(c), 0) AS BIGINT) AS l_max_mult FROM la),
+        |ln AS (SELECT CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+        |  AS BIGINT) AS l_null_keys FROM orders),
+        |rs AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS r_rows,
+        |  CAST(count(*) AS BIGINT) AS r_keys,
+        |  CAST(coalesce(max(c), 0) AS BIGINT) AS r_max_mult FROM ra),
+        |rn AS (SELECT CAST(count(CASE WHEN c_custkey IS NULL THEN 1 END)
+        |  AS BIGINT) AS r_null_keys FROM customer),
+        |j AS (SELECT CAST(coalesce(sum(la.c * ra.c), 0) AS BIGINT)
+        |    AS join_rows,
+        |  CAST(coalesce(max(la.c * ra.c), 0) AS BIGINT) AS max_key_pairs
+        |  FROM la JOIN ra USING (k))
+        |SELECT * FROM ls CROSS JOIN ln CROSS JOIN rs CROSS JOIN rn
+        |CROSS JOIN j""".stripMargin)(
+      (s, d) => Profiling.joinCardinalityAudit(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -188,6 +188,43 @@ object Profiling {
     * giant group degrades to a bigger sort bucket (the same trade every
     * rank statistic makes — `winsorizedStats` above shares it).
     */
+  /** Pre-join cardinality audit for an equi-join: per side the row count,
+    * distinct-key count, null-key count, and max key multiplicity, plus
+    * the EXACT inner-join output size `Σ_k cntA(k)·cntB(k)` and the
+    * worst single key's pair product — the numbers that predict a join
+    * explosion or a skewed straggler BEFORE the join runs. Every input
+    * to every arithmetic step is a post-aggregation census (one partial
+    * agg per side, a key-census join, three 1-row aggregates crossed),
+    * so the audit costs two scans and shuffles only (key, count) pairs —
+    * run it on the 100-TB pair first, then decide broadcast/salt/cap.
+    * Null keys are counted but excluded from the prediction (SQL equi
+    * semantics).
+    */
+  def joinCardinalityAudit(left: DataFrame, leftKey: String,
+                           right: DataFrame, rightKey: String): DataFrame = {
+    def census(df: DataFrame, key: String) =
+      df.filter(col(key).isNotNull)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def nulls(df: DataFrame, key: String) =
+      df.agg(count(when(col(key).isNull, 1)).as("n"))
+    val la = census(left, leftKey)
+    val ra = census(right, rightKey)
+    val lstats = la.agg(coalesce(sum("c"), lit(0L)).as("l_rows"),
+      count(lit(1)).as("l_keys"),
+      coalesce(max("c"), lit(0L)).as("l_max_mult"))
+    val rstats = ra.agg(coalesce(sum("c"), lit(0L)).as("r_rows"),
+      count(lit(1)).as("r_keys"),
+      coalesce(max("c"), lit(0L)).as("r_max_mult"))
+    val j = la.join(ra.withColumnRenamed("c", "c2"), Seq("k"))
+      .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).as("join_rows"),
+        coalesce(max(col("c") * col("c2")), lit(0L)).as("max_key_pairs"))
+    lstats
+      .crossJoin(nulls(left, leftKey).withColumnRenamed("n", "l_null_keys"))
+      .crossJoin(rstats)
+      .crossJoin(nulls(right, rightKey).withColumnRenamed("n", "r_null_keys"))
+      .crossJoin(j)
+  }
+
   /** EXACT global quantiles (percentile_disc semantics: the value at rank
     * ⌈p·n⌉ of the total order) WITHOUT a single-task sort — the second
     * driver-visible consumer of `Layout.shardedRanks`. approx-quantile

@@ -117,6 +117,24 @@ class ProfilingSpec extends SparkSpec {
       ("en", 30L, 3L, 2.0 / 3), ("en", 40L, 4L, 1.0)))
   }
 
+  test("joinCardinalityAudit: exact prediction equals the actual join") {
+    val l = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k1")
+    val r = Seq(Some(1L), Some(1L), Some(2L), Some(9L), None, None)
+      .toDF("k2")
+    val got = Profiling.joinCardinalityAudit(l, "k1", r, "k2")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    // l: 5 non-null rows, keys {1×3, 2, 3}; r: 4 non-null, {1×2, 2, 9}
+    // join_rows = 3·2 (key 1) + 1·1 (key 2) = 7; worst key pairs 6
+    assert(got == ((5L, 3L, 3L, 1L, 4L, 3L, 2L, 2L, 7L, 6L)))
+    // the prediction IS the actual inner-join size (nulls never match)
+    val actual = l.join(r,
+      org.apache.spark.sql.functions.col("k1") ===
+        org.apache.spark.sql.functions.col("k2")).count()
+    assert(actual == got._9)
+  }
+
   test("globalQuantilesSharded: percentile_disc at exact integer ranks") {
     val df = (1L to 10L).map(i => (i, i * 11))
       .toDF("doc_id", "v") // values 11,22,...,110
