@@ -3233,7 +3233,37 @@ object SparkEntry {
         |CROSS JOIN j""".stripMargin)(
       (s, d) => Profiling.joinCardinalityAudit(
         Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d), "c_custkey"))
+        Tables.customer(s, d), "c_custkey")),
+
+    // Robust MAD outlier census (Profiling.groupMadOutliers): per-lang
+    // discrete median, median absolute deviation, and |x−med| > 3·mad
+    // outlier count over n_chars — every comparison integer-exact, the
+    // heavy-tail-safe complement to q93's winsorized clipping.
+    q("q139_mad_outliers",
+      """WITH b AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, doc_id
+        |  FROM documents),
+        |r1 AS (SELECT lang, v, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY v, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM b),
+        |med AS (SELECT lang,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT)
+        |    AS med,
+        |  CAST(count(*) AS BIGINT) AS n FROM r1 GROUP BY 1),
+        |dev AS (SELECT b.lang, abs(b.v - med.med) AS d, b.doc_id,
+        |  med.n, med.med FROM b JOIN med USING (lang)),
+        |r2 AS (SELECT lang, d, row_number() OVER (
+        |    PARTITION BY lang ORDER BY d, doc_id) AS rn, n FROM dev),
+        |mad AS (SELECT lang,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS BIGINT)
+        |    AS mad FROM r2 GROUP BY 1)
+        |SELECT dev.lang, dev.n, dev.med, mad.mad,
+        |  CAST(count(CASE WHEN dev.d > 3 * mad.mad THEN 1 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev JOIN mad USING (lang)
+        |GROUP BY 1, 2, 3, 4 ORDER BY lang""".stripMargin)(
+      (s, d) => Profiling.groupMadOutliers(Tables.documents(s, d),
+        groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id",
+        k = 3L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -258,6 +258,50 @@ object Profiling {
       .orderBy("p_permille")
   }
 
+  /** Robust per-group outlier census via median absolute deviation:
+    * `med = value@rank⌈n/2⌉`, `mad = |x−med|@rank⌈n/2⌉`, outlier ⇔
+    * `|x−med| > k·mad` — the heavy-tail-safe alternative to mean/stddev
+    * z-scores, whose estimates a single extreme value drags
+    * (`winsorizedStats` clips; this DETECTS, with a scale estimate the
+    * outliers themselves cannot corrupt). Discrete (percentile_disc)
+    * medians on integer values keep every comparison integer-exact —
+    * no float in any decision, so the census is engine-portable
+    * bit-for-bit.
+    *
+    * Scale shape: two keyed window passes (rank of x, then rank of
+    * |x−med| after a broadcast of the S-row med table) + one count
+    * aggregate — the q93/q121 family shape; a giant group degrades to a
+    * bigger sort bucket, never a join.
+    */
+  def groupMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                       tieCol: String, k: Long = 3L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+      col(tieCol))
+    val w1 = Window.partitionBy(groupCol).orderBy(col("__v"), col(tieCol))
+    val n = Window.partitionBy(groupCol)
+    val med = base
+      .withColumn("__rn", row_number().over(w1).cast("long"))
+      .withColumn("__n", count(lit(1)).over(n))
+      .groupBy(groupCol)
+      .agg(max(when(col("__rn") === expr("(__n + 1L) div 2L"), col("__v")))
+        .as("med"), count(lit(1)).as("n"))
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("__d", abs(col("__v") - col("med")))
+    val w2 = Window.partitionBy(groupCol).orderBy(col("__d"), col(tieCol))
+    val mad = dev
+      .withColumn("__rn", row_number().over(w2).cast("long"))
+      .groupBy(groupCol)
+      .agg(max(when(col("__rn") === expr("(n + 1L) div 2L"), col("__d")))
+        .as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol), col("n"), col("med"), col("mad"))
+      .agg(count(when(col("__d") > lit(k) * col("mad"), 1)).as("n_outliers"))
+      .select(col(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"))
+      .orderBy(groupCol)
+  }
+
   def groupPercentRank(df: DataFrame, groupCol: String, valueCol: String,
                        tieCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -135,6 +135,21 @@ class ProfilingSpec extends SparkSpec {
     assert(actual == got._9)
   }
 
+  test("groupMadOutliers: discrete median/MAD, integer decision") {
+    val df = Seq(
+      // g: values 1..5 plus a wild 1000 → med of 6 = value@rank 3 = 3,
+      // |x-med| = {2,1,0,1,2,997} → mad = value@rank 3 = 1 →
+      // outliers (d > 3): {5: d=2 no, 1000: d=997 yes} → 1
+      ("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L),
+      ("g", 5L, 5L), ("g", 1000L, 6L),
+      // h: constant values → mad 0, every deviation 0 → no outliers
+      ("h", 7L, 7L), ("h", 7L, 8L))
+      .toDF("grp", "v", "id")
+    val got = Profiling.groupMadOutliers(df, "grp", "v", "id", k = 3L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 6L, 3L, 1L, 1L), ("h", 2L, 7L, 0L, 0L)))
+  }
+
   test("globalQuantilesSharded: percentile_disc at exact integer ranks") {
     val df = (1L to 10L).map(i => (i, i * 11))
       .toDF("doc_id", "v") // values 11,22,...,110
