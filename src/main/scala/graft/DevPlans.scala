@@ -40,7 +40,8 @@ object DevPlans {
         "q130_keep_best_dedup", "q131_active_users", "q132_weighted_sample",
         "q133_bm25_topk", "q134_indomain_lm", "q135_phrase_search",
         "q136_dup_span_fraction", "q137_diversity_cap",
-        "q138_join_cardinality", "q139_mad_outliers")
+        "q138_join_cardinality", "q139_mad_outliers",
+        "q140_corpus_datasheet")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3263,7 +3263,28 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4 ORDER BY lang""".stripMargin)(
       (s, d) => Profiling.groupMadOutliers(Tables.documents(s, d),
         groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id",
-        k = 3L))
+        k = 3L)),
+
+    // One-row corpus datasheet (Text.corpusDatasheet): the dataset-card
+    // header — totals, diversity, exact-dup mass (count + integer
+    // per-mille), mean doc length as an exact rational.
+    q("q140_corpus_datasheet",
+      """WITH b AS (SELECT lang, source,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0)) AS BIGINT) AS nt,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))
+        |      AS fp FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+        |  (count(*) - count(DISTINCT fp)) * 1000 // count(*)
+        |    AS dup_permille,
+        |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_doc_tokens
+        |FROM b""".stripMargin)(
+      (s, d) => Text.corpusDatasheet(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

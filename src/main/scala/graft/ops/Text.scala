@@ -831,6 +831,33 @@ object Text {
     (bests, w)
   }
 
+  /** One-row corpus datasheet — the header numbers of every dataset card:
+    * document and token totals, language and source diversity, exact-
+    * duplicate mass (docs minus distinct content fingerprints, as a count
+    * and an integer per-mille), and mean document length as the exact
+    * rational of the two totals. One scan, one aggregate (the multi-
+    * distinct Expand is priced in `Profiling.numericProfile`'s note —
+    * a release-time artifact, not a per-batch metric).
+    */
+  def corpusDatasheet(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("nt"),
+      md5(normText(col("text"))).as("fp"))
+    base.agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("fp")).as("n_unique_docs"))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"),
+        (col("n_docs") - col("n_unique_docs")).as("n_exact_dups"),
+        expr("(n_docs - n_unique_docs) * 1000L div n_docs")
+          .as("dup_permille"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_doc_tokens"))
+  }
+
   /** (doc_id, n_tokens, pos, gram): positional whitespace-token n-grams —
     * the ONE construction behind contamination span coverage
     * (Dedup.contaminationCoverage), phrase search, and the duplicated-span

@@ -507,6 +507,16 @@ class TextSpec extends SparkSpec {
     assert(self.forall(r => r._2 == r._3))
   }
 
+  test("corpusDatasheet: dup mass from normalized fingerprints") {
+    val d = Seq(
+      (1L, "The Cat", "en", "a"), (2L, "the  cat", "en", "b"), // exact dups
+      (3L, "other words here", "de", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Text.corpusDatasheet(d)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((3L, 7L, 2L, 2L, 1L, 333L, 7.0 / 3)))
+  }
+
   test("dupSpanFraction: span union across overlapping shared grams") {
     val d = docs(
       "a b c d e x y z",  // shares "a b c d e" (n=5) with doc 1
