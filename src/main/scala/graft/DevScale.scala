@@ -196,7 +196,11 @@ object DevScale {
       "q133_bm25" -> SparkEntry.queries("q133_bm25_topk"),
       "q134_inlm" -> SparkEntry.queries("q134_indomain_lm"),
       "q135_phrase" -> SparkEntry.queries("q135_phrase_search"),
-      "q136_dupspan" -> SparkEntry.queries("q136_dup_span_fraction"))
+      "q136_dupspan" -> SparkEntry.queries("q136_dup_span_fraction"),
+      "q137_divcap" -> SparkEntry.queries("q137_diversity_cap"),
+      "q138_joincard" -> SparkEntry.queries("q138_join_cardinality"),
+      "q139_mad" -> SparkEntry.queries("q139_mad_outliers"),
+      "q140_datasheet" -> SparkEntry.queries("q140_corpus_datasheet"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
@@ -222,7 +226,8 @@ object DevScale {
     // already complete on disk — ONLY safe when the inflation construction
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
-    val tables = Seq("documents", "embeddings", "events", "orders", "lineitem")
+    val tables = Seq("documents", "embeddings", "events", "orders",
+      "lineitem", "customer")
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
       val complete = tables.forall(t =>
@@ -246,6 +251,11 @@ object DevScale {
         spark.read.parquet(s"$base/lineitem.parquet")
           .transform(inflateByIds(_, f, Seq("l_orderkey")))
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        // dim side of q138's audit: copied VERBATIM (constant across
+        // factors — the fact side's custkeys shift into new populations,
+        // which is exactly the dangling-FK regime the audit prices)
+        spark.read.parquet(s"$base/customer.parquet")
+          .write.mode("overwrite").parquet(s"$dir/customer.parquet")
       }
       val counts = tables.map(t =>
         spark.read.parquet(s"$dir/$t.parquet").count())

@@ -78,9 +78,14 @@ class LayoutSpec extends SparkSpec {
     assert(kSupp == 16L, s"single-key layout read $kSupp files")
     assert(zSupp <= 8L, s"z layout read $zSupp files for the suppkey probe")
     // first dimension (partkey band): BOTH layouts prune — z must still
-    // skip most files (its boxes are tight in both dims, not stripes)
+    // skip files (its boxes are tight in both dims, not stripes). The
+    // bound is deliberately loose (≤10 of 16): zorderPartitioned's range
+    // boundaries come from SAMPLING (Layout doc — not bit-reproducible
+    // across runs), and a 10% band's file overlap moves ±1-2 files with
+    // them; 9-of-16 was observed on a green layout. The LOAD-BEARING
+    // claims are the suppkey probe and the decoded-row ratio above/below.
     val zPart = overlaps(s"$tmp/z", "x_min", "x_max", 40L, 59L)
-    assert(zPart <= 8L, s"z layout read $zPart files for the partkey band")
+    assert(zPart <= 10L, s"z layout read $zPart files for the partkey band")
     // and the live Spark scan agrees: with parquet filter pushdown, the
     // row groups the stats exclude are never decoded, so the scan node
     // outputs fewer rows on the z layout than the by-key layout
