@@ -3284,7 +3284,62 @@ object SparkEntry {
         |  CAST(sum(nt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS mean_doc_tokens
         |FROM b""".stripMargin)(
-      (s, d) => Text.corpusDatasheet(Tables.documents(s, d)))
+      (s, d) => Text.corpusDatasheet(Tables.documents(s, d))),
+
+    // The curation funnel (Pipeline.curationFunnel): per-stage surviving
+    // doc/token mass through raw → keep-best dedup → recycled-text gate.
+    // The q130 dup injection gives the dedup stage real mass (the fixture
+    // is duplicate-free); the span gate trips naturally (47 of 500 docs
+    // at sf0.01 exceed 50% recycled coverage). Pure composition of
+    // oracle-verified stages; every number an exact count/sum.
+    q("q141_curation_funnel",
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  '
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))
+        |      AS fp,
+        |    CAST(length(text) AS BIGINT) AS score FROM aug),
+        |rk AS (SELECT doc_id, row_number() OVER (
+        |    PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn FROM fp),
+        |ded AS (SELECT f.doc_id, f.text FROM fp f
+        |  JOIN (SELECT doc_id FROM rk WHERE rn = 1) k USING (doc_id)),
+        |toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM ded),
+        |pg AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks),
+        |sh AS (SELECT g FROM (
+        |  SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS ndp FROM (
+        |  SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+        |  FROM pg JOIN sh USING (g)) GROUP BY 1),
+        |clean AS (SELECT toks.doc_id FROM toks LEFT JOIN cov USING (doc_id)
+        |  WHERE coalesce(cov.ndp, 0) * 2 <= len(toks.t)),
+        |ts AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM toks)
+        |SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0))) AS BIGINT) AS n_tokens FROM aug
+        |UNION ALL
+        |SELECT '2_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(nt) AS BIGINT) FROM ts
+        |UNION ALL
+        |SELECT '3_spanclean', CAST(count(*) AS BIGINT),
+        |  CAST(sum(nt) AS BIGINT) FROM ts JOIN clean USING (doc_id)
+        |ORDER BY stage""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, upper}
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text"))
+        Pipeline.curationFunnel(docs.unionByName(copies), n = 5)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

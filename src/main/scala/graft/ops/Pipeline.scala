@@ -135,4 +135,35 @@ object Pipeline {
     val kept = tokenStats(documents).join(reps, Seq("doc_id"), "left_semi")
     gateSplitAccount(kept, minTokens, minStopRatio, fractions)
   }
+
+  /** The curation FUNNEL census — per-stage surviving doc/token mass
+    * through raw → keep-best exact dedup (`Dedup.keepBestExact`, longest
+    * variant wins) → recycled-text gate (`Text.dupSpanFraction`: drop
+    * docs more than half covered by n-grams occurring in other surviving
+    * docs). The first report every curation run publishes ("we started
+    * with X tokens, dedup kept Y, the span gate kept Z") — and, like
+    * `prepareCorpus`, a pure composition: the stages are the library's
+    * own oracle-checked operators, re-used verbatim.
+    *
+    * Every number is a count or an exact integer sum; the span decision
+    * is integer arithmetic (`2·n_dup ≤ n_tokens`), so the funnel is
+    * hash-comparable end to end.
+    */
+  def curationFunnel(documents: DataFrame, n: Int = 5): DataFrame = {
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(lit(name).as("stage"), count(lit(1)).as("n_docs"),
+        coalesce(sum(size(Text.tokens(col("text"))).cast("long")), lit(0L))
+          .as("n_tokens"))
+    val keepIds = Dedup.keepBestExact(documents, length(col("text")))
+      .select("doc_id")
+    val ded = documents.join(keepIds, Seq("doc_id"), "left_semi")
+    val spanOk = Text.dupSpanFraction(ded, n)
+      .filter(col("n_dup_positions") * 2 <= col("n_tokens"))
+      .select("doc_id")
+    val cleaned = ded.join(spanOk, Seq("doc_id"), "left_semi")
+    stage("1_raw", documents)
+      .unionByName(stage("2_dedup", ded))
+      .unionByName(stage("3_spanclean", cleaned))
+      .orderBy("stage")
+  }
 }

@@ -61,4 +61,24 @@ class PipelineSpec extends SparkSpec {
     val r = Pipeline.prepareCorpus(docs).collect()
     assert(r.length == 1 && r.head.getAs[Long]("n_docs") == 1L)
   }
+
+  test("curationFunnel: dedup keeps the longest variant, span gate drops " +
+    "mostly-recycled docs") {
+    val shared = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq(
+      (1L, "the cat"), (2L, "THE  CAT  "),       // dups; 2 is longer
+      (3L, s"$shared a b c d e f g h"),           // <50% recycled: kept
+      (4L, s"$shared x"),                         // 6/7 recycled: dropped
+      (5L, s"$shared y"))                         // 6/7 recycled: dropped
+      .toDF("doc_id", "text")
+    val got = Pipeline.curationFunnel(docs, n = 5)
+      .as[(String, Long, Long)].collect().toSeq
+    // raw: 5 docs, 2+2+14+7+7 = 32 tokens; dedup drops doc 1 (2 wins on
+    // length); span: docs 4/5 share w1..w6 with 3 → >50% covered → out;
+    // doc 3 is 6/14 covered → kept
+    assert(got == Seq(
+      ("1_raw", 5L, 32L),
+      ("2_dedup", 4L, 30L),
+      ("3_spanclean", 2L, 16L)))
+  }
 }
