@@ -200,7 +200,8 @@ object DevScale {
       "q137_divcap" -> SparkEntry.queries("q137_diversity_cap"),
       "q138_joincard" -> SparkEntry.queries("q138_join_cardinality"),
       "q139_mad" -> SparkEntry.queries("q139_mad_outliers"),
-      "q140_datasheet" -> SparkEntry.queries("q140_corpus_datasheet"))
+      "q140_datasheet" -> SparkEntry.queries("q140_corpus_datasheet"),
+      "q141_funnel" -> SparkEntry.queries("q141_curation_funnel"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
