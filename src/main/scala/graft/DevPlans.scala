@@ -41,7 +41,8 @@ object DevPlans {
         "q133_bm25_topk", "q134_indomain_lm", "q135_phrase_search",
         "q136_dup_span_fraction", "q137_diversity_cap",
         "q138_join_cardinality", "q139_mad_outliers",
-        "q140_corpus_datasheet", "q141_curation_funnel")
+        "q140_corpus_datasheet", "q141_curation_funnel",
+        "q142_source_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3339,6 +3339,60 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(upper(col("text")), lit("  ")).as("text"))
         Pipeline.curationFunnel(docs.unionByName(copies), n = 5)
+      }),
+
+    // The funnel attributed per source (Pipeline.curationFunnelBySource):
+    // which sources lose the most mass at each gate — the acquisition
+    // report behind the q141 totals. Same injected corpus with the
+    // source column carried through.
+    q("q142_source_funnel",
+      """WITH aug AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text) || '  ', source
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |fp AS (SELECT doc_id, text, source,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g'))
+        |      AS fp,
+        |    CAST(length(text) AS BIGINT) AS score FROM aug),
+        |rk AS (SELECT doc_id, row_number() OVER (
+        |    PARTITION BY fp ORDER BY score DESC, doc_id ASC) AS rn FROM fp),
+        |ded AS (SELECT f.doc_id, f.text, f.source FROM fp f
+        |  JOIN (SELECT doc_id FROM rk WHERE rn = 1) k USING (doc_id)),
+        |toks AS (SELECT doc_id, source,
+        |  list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM ded),
+        |pg AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i,
+        |    unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS g FROM toks),
+        |sh AS (SELECT g FROM (
+        |  SELECT g, count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS ndp FROM (
+        |  SELECT doc_id, unnest(generate_series(i, i + 4)) AS p
+        |  FROM pg JOIN sh USING (g)) GROUP BY 1),
+        |clean AS (SELECT toks.doc_id FROM toks LEFT JOIN cov USING (doc_id)
+        |  WHERE coalesce(cov.ndp, 0) * 2 <= len(toks.t)),
+        |raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        |  FROM aug GROUP BY 1),
+        |d2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dedup
+        |  FROM ded GROUP BY 1),
+        |cl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clean
+        |  FROM ded JOIN clean USING (doc_id) GROUP BY 1)
+        |SELECT raw.source, raw.n_raw,
+        |  CAST(coalesce(d2.n_dedup, 0) AS BIGINT) AS n_dedup,
+        |  CAST(coalesce(cl.n_clean, 0) AS BIGINT) AS n_clean
+        |FROM raw LEFT JOIN d2 USING (source) LEFT JOIN cl USING (source)
+        |ORDER BY source""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, upper}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("source"))
+        val copies = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(upper(col("text")), lit("  ")).as("text"), col("source"))
+        Pipeline.curationFunnelBySource(docs.unionByName(copies), n = 5)
       })
   )
 

@@ -166,4 +166,29 @@ object Pipeline {
       .unionByName(stage("3_spanclean", cleaned))
       .orderBy("stage")
   }
+
+  /** `curationFunnel` attributed per source: which sources lose the most
+    * documents at each gate — the report that turns a funnel number into
+    * an acquisition decision ("this crawl is 40% recycled; renegotiate
+    * or drop it"). Same stages, same integer decisions; three grouped
+    * counts left-joined on the source axis (≤ |sources| rows throughout
+    * the join tree).
+    */
+  def curationFunnelBySource(documents: DataFrame, n: Int = 5): DataFrame = {
+    val keepIds = Dedup.keepBestExact(documents, length(col("text")))
+      .select("doc_id")
+    val ded = documents.join(keepIds, Seq("doc_id"), "left_semi")
+    val spanOk = Text.dupSpanFraction(ded, n)
+      .filter(col("n_dup_positions") * 2 <= col("n_tokens"))
+      .select("doc_id")
+    val raw = documents.groupBy("source").agg(count(lit(1)).as("n_raw"))
+    val d2 = ded.groupBy("source").agg(count(lit(1)).as("n_dedup"))
+    val cl = ded.join(spanOk, Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_clean"))
+    raw.join(d2, Seq("source"), "left").join(cl, Seq("source"), "left")
+      .select(col("source"), col("n_raw"),
+        coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+      .orderBy("source")
+  }
 }

@@ -81,4 +81,24 @@ class PipelineSpec extends SparkSpec {
       ("2_dedup", 4L, 30L),
       ("3_spanclean", 2L, 16L)))
   }
+
+  test("curationFunnelBySource: per-source attribution sums to the funnel") {
+    val shared = "w1 w2 w3 w4 w5 w6"
+    val docs = Seq(
+      (1L, "the cat", "sA"), (2L, "THE  CAT  ", "sB"),
+      (3L, s"$shared a b c d e f g h", "sA"),
+      (4L, s"$shared x", "sB"), (5L, s"$shared y", "sB"))
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.curationFunnelBySource(docs, n = 5)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // sA: raw 2 (1, 3) — doc 1 loses the dedup to sB's longer doc 2 —
+    // dedup 1, clean 1; sB: raw 3, dedup 3, clean 1 (docs 4/5 recycled)
+    assert(got == Seq(("sA", 2L, 1L, 1L), ("sB", 3L, 3L, 1L)))
+    // attribution sums to the unattributed funnel's stage counts
+    val funnel = Pipeline.curationFunnel(docs, n = 5)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got.map(_._2).sum == funnel("1_raw"))
+    assert(got.map(_._3).sum == funnel("2_dedup"))
+    assert(got.map(_._4).sum == funnel("3_spanclean"))
+  }
 }
