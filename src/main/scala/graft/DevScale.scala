@@ -201,7 +201,8 @@ object DevScale {
       "q138_joincard" -> SparkEntry.queries("q138_join_cardinality"),
       "q139_mad" -> SparkEntry.queries("q139_mad_outliers"),
       "q140_datasheet" -> SparkEntry.queries("q140_corpus_datasheet"),
-      "q141_funnel" -> SparkEntry.queries("q141_curation_funnel"))
+      "q141_funnel" -> SparkEntry.queries("q141_curation_funnel"),
+      "q142_srcfunnel" -> SparkEntry.queries("q142_source_funnel"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
