@@ -42,7 +42,11 @@ object DevPlans {
         "q136_dup_span_fraction", "q137_diversity_cap",
         "q138_join_cardinality", "q139_mad_outliers",
         "q140_corpus_datasheet", "q141_curation_funnel",
-        "q142_source_funnel")
+        "q142_source_funnel", "q143_interval_overlap",
+        "q144_dsir_weights", "q145_decayed_counts", "q146_dow_anomaly",
+        "q147_zipf_census", "q148_curriculum_order",
+        "q149_pareto_frontier", "q150_epoch_plan", "q151_grouping_sets",
+        "q152_cluster_split")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3393,7 +3393,322 @@ object SparkEntry {
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(upper(col("text")), lit("  ")).as("text"), col("source"))
         Pipeline.curationFunnelBySource(docs.unionByName(copies), n = 5)
-      })
+      }),
+
+    // Interval×interval overlap join (Joins.intervalOverlapJoin): all
+    // pairs of high-value orders whose 30-day active windows overlap,
+    // with the overlap region. The binned equi-join + responsibility-bin
+    // emit replaces the raw inequality join's nested loop; the oracle IS
+    // that raw theta join, so the dedup-free binning is proven identical.
+    // Self-join orientation collapsed to unordered pairs by id_a < id_b.
+    q("q143_interval_overlap",
+      """WITH iv AS (SELECT o_orderkey AS id,
+        |    epoch_ms(o_orderdate) AS s,
+        |    epoch_ms(o_orderdate) + 2592000000 AS e
+        |  FROM orders WHERE o_totalprice > 495000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  greatest(a.s, b.s) AS ov_start, least(a.e, b.e) AS ov_end
+        |FROM iv a JOIN iv b
+        |  ON a.id < b.id AND a.s < b.e AND b.s < a.e
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        val iv = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 495000)
+          .select(col("o_orderkey").as("id"),
+            expr("unix_millis(cast(o_orderdate as timestamp))").as("s"),
+            expr("unix_millis(cast(o_orderdate as timestamp)) + 2592000000")
+              .as("e"))
+        Joins.intervalOverlapJoin(iv, iv, "id", "id", "s", "e",
+            binWidth = 2592000000L, maxIntervalWidth = 2592000000L)
+          .filter(col("id_a") < col("id_b"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    // Exponentially-decayed daily order counts
+    // (Behavior.decayedPeriodCounts): trailing half-life-one trend
+    // signal; all weights dyadic (1 << gap), so the float sum is EXACT in
+    // any order and the hash compare has no rounding to hide behind.
+    // The oracle mirrors the bounded self-join on the aggregated period
+    // table — 2^gap via integer shift, never pow().
+    q("q145_decayed_counts",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS period
+        |  FROM orders),
+        |c AS (SELECT period, count(*) AS n FROM p GROUP BY 1)
+        |SELECT a.period, CAST(a.n AS BIGINT) AS n,
+        |  sum(CAST(b.n AS DOUBLE) /
+        |    CAST(1 << CAST(a.period - b.period AS INTEGER) AS DOUBLE))
+        |    AS decayed_n
+        |FROM c a JOIN c b
+        |  ON b.period <= a.period AND b.period > a.period - 8
+        |GROUP BY 1, 2 ORDER BY a.period""".stripMargin)(
+      (s, d) => Behavior.decayedPeriodCounts(Tables.orders(s, d),
+        "o_orderdate", periodMs = 86400000L, window = 8)),
+
+    // Seasonal anomaly flags (Behavior.seasonalAnomalies): daily order
+    // counts vs their day-of-week population mean/variance, decided
+    // integer-exactly with cleared denominators — (m·x−S)² > k²(m·Q−S²)
+    // — in DECIMAL so the squares can't wrap at cluster-scale counts.
+    // DuckDB's integer ops promote to HUGEINT, so both sides are exact.
+    q("q146_dow_anomaly",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS period
+        |  FROM orders),
+        |c AS (SELECT period, period % 7 AS season, count(*) AS n
+        |  FROM p GROUP BY 1, 2),
+        |st AS (SELECT season, count(*) AS m, sum(n) AS s,
+        |    sum(n * n) AS q FROM c GROUP BY 1)
+        |SELECT c.period, CAST(c.season AS BIGINT) AS season,
+        |  CAST(c.n AS BIGINT) AS n,
+        |  (c.n * st.m - st.s) * (c.n * st.m - st.s)
+        |    > 4 * (st.m * st.q - st.s * st.s) AS is_anomaly
+        |FROM c JOIN st USING (season)
+        |ORDER BY c.period""".stripMargin)(
+      (s, d) => Behavior.seasonalAnomalies(Tables.orders(s, d),
+        "o_orderdate", periodMs = 86400000L, seasonLen = 7, k = 2L)),
+
+    // DSIR importance weights (Text.dsirWeights): unigram log-likelihood
+    // ratio between the 5% md5-slice target LM (the q134 seed) and the
+    // background LM trained on the scored 95% itself. Positive = looks
+    // more in-domain than average. Same integer-quantized-log exact-sum
+    // device as q134; the ratio terms exist only where BOTH models cover
+    // the word.
+    q("q144_dsir_weights",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 AS bucket
+        |  FROM documents),
+        |wz AS (SELECT doc_id, bucket, unnest(toks) AS w FROM t),
+        |wc AS (SELECT doc_id, bucket, w, count(*) AS c
+        |  FROM wz GROUP BY 1, 2, 3),
+        |tm AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM wc
+        |  WHERE bucket >= 950 GROUP BY 1),
+        |tn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tm),
+        |lqt AS (SELECT w, CAST(round(ln(CAST(tm.c AS DOUBLE) / tn.n)
+        |    * 10000) AS BIGINT) AS lq_t FROM tm CROSS JOIN tn),
+        |bm AS (SELECT w, CAST(sum(c) AS BIGINT) AS c FROM wc
+        |  WHERE bucket < 950 GROUP BY 1),
+        |bn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bm),
+        |lqb AS (SELECT w, CAST(round(ln(CAST(bm.c AS DOUBLE) / bn.n)
+        |    * 10000) AS BIGINT) AS lq_b FROM bm CROSS JOIN bn),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM wc WHERE bucket < 950 GROUP BY 1),
+        |cov AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_covered,
+        |    CAST(CAST(sum(c * (lq_t - lq_b)) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(sum(c) AS BIGINT) * 10000 AS DOUBLE) AS dsir_w
+        |  FROM wc JOIN lqt USING (w) JOIN lqb USING (w)
+        |  WHERE bucket < 950 GROUP BY 1)
+        |SELECT d.doc_id, coalesce(tot.n_tokens, 0) AS n_tokens,
+        |  coalesce(cov.n_covered, 0) AS n_covered, cov.dsir_w
+        |FROM (SELECT doc_id FROM t WHERE bucket < 950) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Text.dsirWeights(
+          docs.filter(bucket < 950), docs.filter(bucket >= 950))
+      }),
+
+    // Per-source vocabulary health (Text.zipfCensus): token/type mass,
+    // integer TTR, and the Zipf slope over the top-50 terms quantized at
+    // 1e-6 — the one-number distributional check per source.
+    q("q147_zipf_census",
+      s"""WITH wz AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS c FROM wz GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+        |r AS (SELECT source, c, row_number() OVER (
+        |    PARTITION BY source ORDER BY c DESC, w ASC) AS rnk FROM c),
+        |s AS (SELECT source, CAST(round(regr_slope(
+        |      ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))
+        |    * 1000000) AS BIGINT) AS zipf_slope_q6
+        |  FROM r WHERE rnk <= 50 GROUP BY 1)
+        |SELECT t.source, t.n_tokens, t.n_types,
+        |  t.n_types * 1000 // t.n_tokens AS ttr_permille, s.zipf_slope_q6
+        |FROM t JOIN s USING (source) ORDER BY source""".stripMargin)(
+      (s, d) => Text.zipfCensus(Tables.documents(s, d), topK = 50)),
+
+    // Curriculum interleave (Sampling.curriculumInterleave): global
+    // best-first round-robin training order with a CLOSED-FORM global
+    // position (rank×size census + live-predecessor broadcast join) —
+    // the oracle's global row_number window IS the single-task plan the
+    // operator exists to avoid, which makes it the perfect referee.
+    q("q148_curriculum_order",
+      s"""WITH q AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      w -> len(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |        'in','is','it','for'))) * 1000
+        |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |        w -> len(w) > 0)) AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score, row_number() OVER (
+        |    PARTITION BY source ORDER BY score DESC, doc_id)
+        |    AS rank_in_stratum FROM q)
+        |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+        |  CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum,
+        |  row_number() OVER (ORDER BY rank_in_stratum, source)
+        |    AS global_pos
+        |FROM r ORDER BY global_pos""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, size}
+        val stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+          "is", "it", "for")
+        val toks = Text.tokens(col("text"))
+        val stops = org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(stopwords))
+        Sampling.curriculumInterleave(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+              size(stops).cast("long").as("__ns"),
+              size(toks).cast("long").as("__nt"))
+            .select(col("doc_id"), col("source"),
+              expr("__ns * 1000L div __nt").as("score")),
+          "doc_id", "source", "score")
+      }),
+
+    // 2-D Pareto frontier (Profiling.paretoFrontier): the documents no
+    // other beats on BOTH stop-ratio (maximize) and length (minimize) —
+    // the data-dependent "best trade-offs" set a top-k can't express.
+    // The oracle is the quadratic NOT-EXISTS the running-extreme windows
+    // replace.
+    q("q149_pareto_frontier",
+      s"""WITH q AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      w -> len(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |        'in','is','it','for'))) * 1000
+        |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |        w -> len(w) > 0)) AS score,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT a.doc_id, CAST(a.score AS BIGINT) AS score, a.n_chars
+        |FROM q a
+        |WHERE NOT EXISTS (SELECT 1 FROM q b
+        |  WHERE b.score >= a.score AND b.n_chars <= a.n_chars
+        |    AND (b.score > a.score OR b.n_chars < a.n_chars))
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, size}
+        val stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+          "is", "it", "for")
+        val toks = Text.tokens(col("text"))
+        val stops = org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(stopwords))
+        Profiling.paretoFrontier(
+          Tables.documents(s, d).select(col("doc_id"),
+              size(stops).cast("long").as("__ns"),
+              size(toks).cast("long").as("__nt"), col("n_chars"))
+            .select(col("doc_id"),
+              expr("__ns * 1000L div __nt").as("score"), col("n_chars")),
+          "doc_id", "score", "n_chars")
+      }),
+
+    // Data-constrained epoch waterfill (Sampling.epochPlan): 100k-token
+    // budget, ≤4 epochs per source; small sources saturate their cap and
+    // the remainder waterfills to the big ones — prefix-sum saturation
+    // test and integer-division share, all BIGINT.
+    q("q150_epoch_plan",
+      s"""WITH c AS (SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text,
+        |      '${Text.ws}'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT source, n_tokens, n_tokens * 4 AS cap_tokens FROM c),
+        |o AS (SELECT source, n_tokens, cap_tokens,
+        |    row_number() OVER (ORDER BY cap_tokens, source) AS i,
+        |    sum(cap_tokens) OVER (ORDER BY cap_tokens, source
+        |      ROWS UNBOUNDED PRECEDING) AS pk,
+        |    count(*) OVER () AS n FROM k),
+        |f AS (SELECT *, cap_tokens * (n - i + 1) + pk - cap_tokens
+        |    <= 100000 AS is_full FROM o),
+        |a AS (SELECT coalesce(sum(CASE WHEN is_full THEN cap_tokens END), 0)
+        |    AS sum_full,
+        |  coalesce(sum(CASE WHEN is_full THEN 1 END), 0) AS n_full,
+        |  max(n) AS n FROM f),
+        |al AS (SELECT f.source, f.n_tokens, f.cap_tokens,
+        |    CASE WHEN f.is_full THEN f.cap_tokens
+        |      ELSE least(f.cap_tokens,
+        |        (100000 - a.sum_full) // (a.n - a.n_full)) END AS alloc
+        |  FROM f CROSS JOIN a)
+        |SELECT source, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
+        |  CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(alloc * 1000 // n_tokens AS BIGINT) AS epochs_permille
+        |FROM al ORDER BY source""".stripMargin)(
+      (s, d) => Sampling.epochPlan(Tables.documents(s, d),
+        budgetTokens = 100000L, maxEpochs = 4L)),
+
+    // GROUPING SETS (beyond q35 rollup / q52 cube): the explicit
+    // marginal set {(nation, yr), (nation), (yr), ()} over the
+    // orders→customer→nation roll-up, revenue in exact cents.
+    q("q151_grouping_sets",
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER)
+        |    AS yr,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((nation, yr), (nation), (yr), ())
+        |ORDER BY nation NULLS FIRST, yr NULLS FIRST""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{broadcast, count, lit,
+          round, sum, year}
+        val base = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("yr"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        base.groupingSets(
+            Seq(Seq(col("nation"), col("yr")), Seq(col("nation")),
+              Seq(col("yr")), Seq()),
+            col("nation"), col("yr"))
+          .agg(count(lit(1)).as("cnt"), sum("cents").as("revenue_cents"))
+          .orderBy("nation", "yr") // Spark asc = NULLS FIRST
+      }),
+
+    // Leakage-proof split (Sampling.clusterCoherentSplit): the split key
+    // is the q61 Jaccard-cluster representative run through the q56 md5
+    // bucketing — near-dups can never straddle train/val/test (q119
+    // audits the failure; this op removes it). Uncapped df like q61's
+    // oracle (the q64 pattern).
+    q("q152_cluster_split",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM px
+        |  WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |cl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |  FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+        |      1, 4)) AS INTEGER) % 1000 < 800 THEN 'train'
+        |    WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+        |      1, 4)) AS INTEGER) % 1000 < 900 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin)(
+      (s, d) => Sampling.clusterCoherentSplit(Tables.documents(s, d),
+        n = 3, threshold = 0.2, maxDf = Long.MaxValue))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -249,6 +249,85 @@ object Behavior {
     dau.join(wa, Seq("day")).orderBy("day")
   }
 
+  /** Exponentially-decayed trailing count per period: for each period t,
+    * `decayed_n = Σ_{g=0..window-1} n_{t−g} · 2^−g` over the OBSERVED
+    * periods in the trailing frame (gaps contribute nothing — the q106
+    * no-silent-bridging law). The EWMA-style trend signal with a hard
+    * horizon, kept hash-exact by construction: the decay base is fixed at
+    * ½, so every weight is a dyadic rational (`1 / (1 << g)`), every
+    * term `count · 2^−g` is exactly representable, and the sum is exact
+    * in ANY addition order — no float rounding exists for an oracle
+    * engine to disagree with.
+    *
+    * Shape: the raw scan collapses to one row per period in a partial
+    * agg; the decay is a self-join of that period table against itself
+    * over a `window`-bounded gap — size (periods × window), independent
+    * of row count. At 100 TB the period table for years of daily data is
+    * thousands of rows: the join broadcasts and nothing after the first
+    * partial agg scales with data.
+    */
+  def decayedPeriodCounts(df: DataFrame, tsCol: String,
+                          periodMs: Long = 86400000L,
+                          window: Int = 8): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    require(window >= 1 && window <= 62, "need 1 <= window <= 62")
+    val perPeriod = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n"))
+    val past = perPeriod
+      .select(col("period").as("__p0"), col("n").as("__n0"))
+    perPeriod.join(broadcast(past),
+        col("__p0") <= col("period") &&
+          col("__p0") > col("period") - window.toLong)
+      .groupBy("period", "n")
+      .agg(sum(col("__n0").cast("double") /
+        expr("cast(shiftleft(1L, cast(period - __p0 as int)) as double)"))
+        .as("decayed_n"))
+      .orderBy("period")
+  }
+
+  /** Seasonal anomaly census: daily (or any-period) counts flagged
+    * against their own position in the seasonal cycle — day-of-week by
+    * default — using the per-season population mean/variance over the
+    * whole span. A count is anomalous iff `|x − μ_s| > k·σ_s`, evaluated
+    * INTEGER-EXACTLY by clearing denominators:
+    * `(m·x − S)² > k²·(m·Q − S²)` with m = season size, S = Σx, Q = Σx²
+    * — no float ever enters the decision, so the flag is bit-identical
+    * on any engine. The squares are computed in DECIMAL(38,0): counts
+    * near 2³¹ would overflow BIGINT squared, and a silent Long wraparound
+    * would flip flags at exactly the 100 TB scales this targets.
+    *
+    * Shape: two stacked partial aggs (per-period, then per-season over
+    * ≤ `seasonLen` rows) and a broadcast join back — nothing after the
+    * first partial agg scales with data.
+    */
+  def seasonalAnomalies(df: DataFrame, tsCol: String,
+                        periodMs: Long = 86400000L,
+                        seasonLen: Int = 7,
+                        k: Long = 2L): DataFrame = {
+    require(periodMs >= 1 && seasonLen >= 1 && k >= 1,
+      "need positive period/seasonLen/k")
+    val perPeriod = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n"))
+      .withColumn("season", pmod(col("period"), lit(seasonLen.toLong)))
+    val bySeason = perPeriod.groupBy("season")
+      .agg(count(lit(1)).as("m"), sum("n").as("s"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("q"))
+    perPeriod.join(broadcast(bySeason), Seq("season"))
+      .select(col("period"), col("season"), col("n"),
+        ((col("m") * col("n") - col("s")).cast("decimal(38,0)") *
+          (col("m") * col("n") - col("s")) >
+          lit(k * k) * (col("m").cast("decimal(38,0)") * col("q") -
+            col("s").cast("decimal(38,0)") * col("s")))
+          .as("is_anomaly"))
+      .orderBy("period")
+  }
+
   def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     require(maxOffset >= 0, "maxOffset must be >= 0")
     val weekNs = 7L * 86400L * 1000000000L

@@ -185,6 +185,66 @@ object Joins {
       .drop("__bin", "__pk")
   }
 
+  /** Binned interval×interval OVERLAP join: all pairs of half-open
+    * intervals `[s, e)` (one from `left`, one from `right`) with
+    * `l.s < r.e ∧ r.s < l.e`. The interval-interval complement to
+    * `rangeJoinBinned`'s point-in-interval: both sides are exploded onto
+    * the fixed-width bins they cover, candidates meet on an EQUI-join on
+    * the bin, and the exact overlap predicate filters false bin
+    * neighbours. A pair can share many bins, so each survivor is emitted
+    * exactly once via the RESPONSIBILITY bin — the bin containing
+    * `max(l.s, r.s)` (the start of the overlap region, which every
+    * overlapping pair has and both sides cover) — instead of a distinct
+    * pass, so no dedup shuffle ever exists.
+    *
+    * Output: `(id_a, id_b, ov_start, ov_end)` with the overlap region
+    * `[max(s), min(e))`. Self-join use (same frame both sides) emits both
+    * orientations; callers wanting unordered pairs filter `id_a < id_b`.
+    *
+    * 100 TB shape: the only shuffle is the hash exchange on `__bin`; with
+    * `binWidth` ≈ the typical interval width each interval covers ≤ 2
+    * bins, so the exploded inputs are ≤ 2× the filtered interval sets.
+    * The per-bin candidate product is (concurrency per bin)² — inherent
+    * to any overlap join; the `maxIntervalWidth` guard fails pathological
+    * intervals fast (same contract as rangeJoinBinned), and a skewed hot
+    * bin re-splits under AQE. When only aggregate concurrency is needed,
+    * `Behavior.intervalConcurrency`'s sweep line avoids the pair set
+    * entirely — this operator exists for when the PAIRS are the product.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          leftId: String, rightId: String,
+                          start: String, end: String,
+                          binWidth: Long,
+                          maxIntervalWidth: Long = Long.MaxValue): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def prep(df: DataFrame, id: String, idOut: String, sOut: String,
+             eOut: String): DataFrame = {
+      val base = df.select(col(id).as(idOut),
+        col(start).cast("long").as(sOut), col(end).cast("long").as(eOut))
+      val guarded =
+        if (maxIntervalWidth == Long.MaxValue) base
+        else base.withColumn(eOut,
+          when(col(eOut) - col(sOut) <= maxIntervalWidth, col(eOut))
+            .otherwise(raise_error(concat(
+              lit(s"intervalOverlapJoin: interval wider than " +
+                s"$maxIntervalWidth on id "), col(idOut).cast("string")))))
+      // integer `div`, not floor(a / b): epoch nanos exceed double's 2^53
+      // exact range, so float division would mis-bin (rangeJoinBinned law)
+      guarded.withColumn("__bin", explode(sequence(
+        expr(s"$sOut div ${binWidth}L"),
+        expr(s"($eOut - 1) div ${binWidth}L"))))
+    }
+    val l = prep(left, leftId, "id_a", "__s_a", "__e_a")
+    val r = prep(right, rightId, "id_b", "__s_b", "__e_b")
+    l.join(r, Seq("__bin"))
+      .filter(col("__s_a") < col("__e_b") && col("__s_b") < col("__e_a") &&
+        // responsibility bin: emit only where the overlap region starts
+        col("__bin") === expr(s"greatest(__s_a, __s_b) div ${binWidth}L"))
+      .select(col("id_a"), col("id_b"),
+        greatest(col("__s_a"), col("__s_b")).as("ov_start"),
+        least(col("__e_a"), col("__e_b")).as("ov_end"))
+  }
+
   /** Runtime-filter pruned semi join: `fact LEFT SEMI dim` where a compact
     * hash-bucket digest of the dim keys is broadcast and applied to the
     * fact side FIRST, so the expensive exchange only carries fact rows

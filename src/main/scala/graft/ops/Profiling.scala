@@ -310,4 +310,41 @@ object Profiling {
       .withColumn("pct", percent_rank().over(w))
       .orderBy(groupCol, valueCol, tieCol)
   }
+
+  /** 2-D Pareto frontier (skyline): rows not DOMINATED under
+    * (maximize `maxCol`, minimize `minCol`) — dominated means some other
+    * row is ≥ on the max-dimension and ≤ on the min-dimension with at
+    * least one strict. Equal (max, min) pairs are mutually non-dominating
+    * and all survive. The "best trade-offs" selector (shortest
+    * highest-quality documents, cheapest fastest plans) — a top-k can't
+    * express it because the frontier's size is data-dependent.
+    *
+    * In 2-D the quadratic NOT-EXISTS collapses to a running extreme: a
+    * row survives iff its `minCol` is (a) strictly below every
+    * STRICTLY-better `maxCol` row's minimum — a range frame ending at
+    * −1 on the descending order, which excludes the current tie group —
+    * and (b) the minimum within its own tie group. Window (b) is an
+    * ordinary hash-partitioned agg; window (a) is a GLOBAL ordered frame
+    * — the same single-task wall as q116's ntile and q121's percent-rank,
+    * priced the same way (Layout.scala:30): at 100 TB, pre-filter with
+    * the per-partition local skyline first (a row dominated within any
+    * subset is dominated globally, so local-then-global is exact), which
+    * shrinks the global pass to the per-partition frontier union.
+    * `maxCol` must be numeric: the strictly-better frame is a RANGE
+    * bound, integer offsets.
+    */
+  def paretoFrontier(df: DataFrame, idCol: String, maxCol: String,
+                     minCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wTies = Window.partitionBy(maxCol)
+    val wBetter = Window.orderBy(col(maxCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(maxCol), col(minCol))
+      .withColumn("__minSame", min(minCol).over(wTies))
+      .withColumn("__minBetter", min(minCol).over(wBetter))
+      .filter(col(minCol) === col("__minSame") &&
+        (col("__minBetter").isNull || col(minCol) < col("__minBetter")))
+      .select(col(idCol), col(maxCol), col(minCol))
+      .orderBy(idCol)
+  }
 }

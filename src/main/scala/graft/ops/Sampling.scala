@@ -395,4 +395,131 @@ object Sampling {
         expr("(target_tokens + n_tokens - 1L) div n_tokens").as("epochs"))
       .orderBy("source")
   }
+
+  /** Data-CONSTRAINED epoch allocation (the Muennighoff et al. 2023
+    * regime): split `budgetTokens` across sources proportionally, but no
+    * source may repeat more than `maxEpochs` times — its capacity is
+    * `maxEpochs · n_tokens` — and budget a capped source can't absorb
+    * waterfills to the uncapped ones. `mixturePlan` reports the
+    * unconstrained target (and flags rate > 1); this operator RESOLVES
+    * the constraint: sources sorted by capacity, the classic prefix-sum
+    * waterfill decides which saturate, and the survivors share the
+    * remainder by integer division (≤ S tokens of the budget go
+    * unallocated — the deterministic no-remainder-juggling rule).
+    * `alloc_tokens = min(capacity, λ)` with the SATURATION TEST
+    * `k·(S−i+1) + pk−k ≤ B` evaluated row-wise over the prefix sums —
+    * all integer arithmetic, bit-identical cross-engine.
+    *
+    * Scale shape: one per-source aggregate of a scan-stage token count;
+    * the waterfill windows run over S source rows. Nothing after the
+    * first partial agg scales with data.
+    */
+  def epochPlan(documents: DataFrame, budgetTokens: Long,
+                maxEpochs: Long = 4L): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val census = documents
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy("cap_tokens", "source")
+    val ord = census
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("pk", sum("cap_tokens").over(
+        wOrd.rowsBetween(Long.MinValue, 0)))
+      .withColumn("full",
+        col("cap_tokens") *
+          (count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy()) - col("i") + 1) +
+          col("pk") - col("cap_tokens") <= budgetTokens)
+    val agg = ord.agg(
+      coalesce(sum(when(col("full"), col("cap_tokens"))), lit(0L))
+        .as("__sum_full"),
+      coalesce(sum(when(col("full"), 1L)), lit(0L)).as("__n_full"),
+      count(lit(1)).as("__n"))
+    ord.crossJoin(broadcast(agg))
+      .withColumn("alloc_tokens",
+        when(col("full"), col("cap_tokens"))
+          .otherwise(least(col("cap_tokens"),
+            expr(s"(${budgetTokens}L - __sum_full) div (__n - __n_full)"))))
+      .select(col("source"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"),
+        expr("alloc_tokens * 1000L div n_tokens").as("epochs_permille"))
+      .orderBy("source")
+  }
+
+  /** Mixture-proportional curriculum interleave: a deterministic GLOBAL
+    * training order where each source's documents appear best-first
+    * (ranked by `scoreCol` descending) and the sources round-robin — the
+    * no-RNG form of "shuffle so no source clumps". Round r of the order
+    * is every source's rank-r document, sources in name order; a source
+    * exhausts and the remaining ones keep rotating. `global_pos` is
+    * CLOSED-FORM, not a global window: position = Σ_s min(r−1, n_s)
+    * (all earlier rounds' mass, from the rank×size census) + the number
+    * of still-live predecessor sources in round r (a broadcast join
+    * against the S-row size table) — so the one place a naive
+    * implementation plants a single-task global sort (the q116/q121
+    * wall) is replaced by two broadcast joins.
+    *
+    * Scale shape: the per-source rank window shuffles once on stratum
+    * (the q73/q80 pattern); everything else joins against S-row or
+    * rank-census aggregates. Output: one row per input row with
+    * (rank_in_stratum, global_pos), both exact integers.
+    */
+  def curriculumInterleave(df: DataFrame, idCol: String, stratumCol: String,
+                           scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    val ranked = df.select(col(idCol), col(stratumCol), col(scoreCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ranked.groupBy(stratumCol).agg(max("rnk").as("__n_s"))
+    // mass of all earlier rounds, per distinct rank: Σ_s min(r−1, n_s)
+    val before = ranked.select(col("rnk")).distinct()
+      .crossJoin(broadcast(sizes.select(col("__n_s"))))
+      .groupBy("rnk")
+      .agg(sum(least(col("rnk") - 1, col("__n_s"))).as("__n_before"))
+    // predecessors still live in this round: strata before mine with
+    // n_s ≥ my rank
+    val pred = broadcast(sizes
+      .select(col(stratumCol).as("__s2"), col("__n_s")))
+    val withOff = ranked
+      .join(pred, col("__s2") < col(stratumCol) &&
+        col("__n_s") >= col("rnk"), "left")
+      .groupBy(col(idCol), col(stratumCol), col(scoreCol), col("rnk"))
+      .agg(count(col("__s2")).as("__n_off"))
+    withOff.join(broadcast(before), "rnk")
+      .select(col(idCol), col(stratumCol), col(scoreCol),
+        col("rnk").as("rank_in_stratum"),
+        (col("__n_before") + col("__n_off") + 1L).as("global_pos"))
+      .orderBy("global_pos")
+  }
+
+  /** Dedup-cluster-coherent split assignment: near-duplicate documents
+    * must never straddle a train/val/test boundary (q119 measures the
+    * leakage; this PREVENTS it). The split key is the document's
+    * Jaccard-dedup CLUSTER representative (`Dedup.jaccardClusters`' min
+    * reachable doc_id), run through the same md5 per-mille bucketing as
+    * `deterministicSplit` — so every member of a near-dup cluster lands
+    * in the same split, singletons split exactly as before (their
+    * representative is themselves), and the assignment stays a pure
+    * engine-portable function of content relationships.
+    *
+    * Scale shape = jaccardPairs + the iterative min-label closure
+    * (bounded by component diameter, and dedup components are shallow),
+    * then one codegen'd projection for the bucket.
+    */
+  def clusterCoherentSplit(documents: DataFrame, n: Int = 3,
+                           threshold: Double = 0.2,
+                           maxDf: Long = 10000L,
+                           fractions: Seq[(String, Double)] =
+                             Seq("train" -> 0.8, "val" -> 0.1,
+                               "test" -> 0.1)): DataFrame = {
+    val clusters = Dedup.jaccardClusters(documents, n, threshold, maxDf)
+    deterministicSplit(clusters, "cluster_id", fractions)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
 }

@@ -1017,4 +1017,94 @@ object Text {
           col("n_tokens").cast("double")).as("oov_rate"))
       .orderBy("source")
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per document, the mean
+    * log-likelihood RATIO between a target-domain unigram LM and the
+    * background-corpus unigram LM — `(1/n) Σ_w c_w·(log p_t(w) −
+    * log p_b(w))` — positive where the document looks more like the
+    * target than like the background. The unigram form is the cheap
+    * family DSIR actually ships (hashed n-gram features); the bigram
+    * in-domain scorer (`inDomainLmScore`) is the coverage-aware
+    * complement. Ratio terms exist only for words in BOTH models
+    * (out-of-either-vocabulary words are counted, not scored — the q134
+    * coverage law); each log is integer-quantized at 1e-4 before the
+    * per-doc sum, so the sum is exact and engine-portable, with one final
+    * double division.
+    *
+    * Scale shape: two vocabulary-sized (word, lq) censuses joined to the
+    * per-doc word census — every join input is post-aggregation; the
+    * target model is domain-vocabulary-sized and broadcasts.
+    */
+  def dsirWeights(documents: DataFrame, domain: DataFrame): DataFrame = {
+    def unigramLq(df: DataFrame): DataFrame = {
+      val c = df.select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = c.agg(sum("c").as("n"))
+      c.crossJoin(broadcast(n))
+        .select(col("w"),
+          round(log(col("c").cast("double") / col("n").cast("double")) *
+            10000).cast("long").as("lq"))
+    }
+    val lqT = unigramLq(domain)
+      .withColumnRenamed("lq", "lq_t")
+    val lqB = unigramLq(documents)
+      .withColumnRenamed("lq", "lq_b")
+    val perDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val tot = perDoc.groupBy("doc_id").agg(sum("c").as("n_tokens"))
+    val cov = perDoc.join(lqT, "w").join(lqB, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_covered"),
+        (sum(col("c") * (col("lq_t") - col("lq_b"))).cast("double") /
+          (sum("c") * 10000).cast("double")).as("dsir_w"))
+    documents.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        col("dsir_w"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source vocabulary-statistics census: token mass N, type count V,
+    * type-token ratio (per-mille, integer), and the Zipf slope — the OLS
+    * slope of log(freq) against log(rank) over the top `topK` terms,
+    * which for natural text sits near −1 (Zipf's law) and drifts toward 0
+    * for template/spam sources — a one-number distributional-health
+    * signal per source. The slope is the only float; it is quantized at
+    * 1e-6 (`zipf_slope_q6`) so sub-ulp libm/accumulation differences
+    * between engines cannot surface in a hash compare.
+    *
+    * Scale shape: one (source, word) census with map-side partials; the
+    * rank window runs per source over only the census rows, and the
+    * regression consumes `topK` rows per source. Nothing after the first
+    * partial agg scales with corpus size (vocabulary-bounded).
+    */
+  def zipfCensus(documents: DataFrame, topK: Int = 50): DataFrame = {
+    require(topK >= 2, "topK must be >= 2 for a slope")
+    val census = documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = census.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("w").asc)
+    val slope = census
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), log(col("c").cast("double")).as("ly"),
+        log(col("rnk").cast("double")).as("lx"))
+      .groupBy("source")
+      .agg(expr("round(regr_slope(ly, lx) * 1000000)").cast("long")
+        .as("zipf_slope_q6"))
+    totals.join(slope, "source")
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        expr("n_types * 1000L div n_tokens").as("ttr_permille"),
+        col("zipf_slope_q6"))
+      .orderBy("source")
+  }
 }

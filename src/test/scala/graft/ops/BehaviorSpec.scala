@@ -188,4 +188,31 @@ class BehaviorSpec extends SparkSpec {
     // day 8: dau 2 (u1,u3), window 2..8 → 2
     assert(got == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 2L, 2L)))
   }
+
+  test("decayedPeriodCounts: dyadic weights, gaps contribute nothing") {
+    // periods 0 (2 events), 1 (1), 4 (2); window=3. p1 sees p0 at half
+    // weight → 1 + 2/2 = 2.0 exactly; p4's frame (1,4] holds no observed
+    // neighbour (p2/p3 are gaps, p1 is outside) → just itself.
+    val ts = Seq(0L, 5L, 12L, 41L, 43L).map(ms =>
+      new java.sql.Timestamp(ms))
+    val got = Behavior.decayedPeriodCounts(ts.toDF("t"), "t",
+        periodMs = 10L, window = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2.0), (1L, 1L, 2.0), (4L, 2L, 2.0)))
+  }
+
+  test("seasonalAnomalies: integer-exact within-season flag") {
+    // periodMs=10, seasonLen=2. Season 0 = {p0:1, p2:1, p4:4}:
+    // m=3, S=6, Q=18 → p4: (3·4−6)² = 36 > 1²·(3·18−36) = 18 → anomaly;
+    // p0/p2: (3·1−6)² = 9 ≤ 18. Season 1 = {p1:1, p3:1}: zero variance,
+    // zero deviation → (2·1−2)² = 0 > 0 is false (no self-anomaly on a
+    // constant season).
+    val ts = Seq(1L, 11L, 21L, 31L, 40L, 42L, 44L, 46L).map(ms =>
+      new java.sql.Timestamp(ms))
+    val got = Behavior.seasonalAnomalies(ts.toDF("t"), "t",
+        periodMs = 10L, seasonLen = 2, k = 1L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 0L, 1L, false), (1L, 1L, 1L, false),
+      (2L, 0L, 1L, false), (3L, 1L, 1L, false), (4L, 0L, 4L, true)))
+  }
 }

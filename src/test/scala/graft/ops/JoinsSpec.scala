@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{greatest, least}
 
 /** Pins the J2 theta-join conjuncts: strict `<` ordering (PLAIN.java's
   * ArrTime < DepTime) and the bounded window, plus semi/anti semantics.
@@ -176,6 +177,47 @@ class JoinsSpec extends SparkSpec {
       .select("row_id").as[Long].collect().toSet
     assert(same == fact.filter($"k" === 3).select("row_id")
       .as[Long].collect().toSet)
+  }
+
+  test("intervalOverlapJoin: equals the theta join, one row per pair") {
+    // widths 1..30 over a 0..100 span, bins of 10: many pairs share
+    // several bins — the responsibility-bin emit must still yield each
+    // exactly once, and exactly the brute-force overlap set
+    val iv = (0 until 40).map { i =>
+      val s = (i * 37) % 100; (i.toLong, s.toLong, (s + 1 + i % 30).toLong)
+    }.toDF("id", "s", "e")
+    val got = Joins.intervalOverlapJoin(iv, iv, "id", "id", "s", "e",
+        binWidth = 10L)
+      .filter($"id_a" < $"id_b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val brute = iv.as("a").join(iv.as("b"),
+        $"a.id" < $"b.id" && $"a.s" < $"b.e" && $"b.s" < $"a.e")
+      .select($"a.id", $"b.id",
+        greatest($"a.s", $"b.s"), least($"a.e", $"b.e"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == got.distinct.size) // no double emission
+    assert(got.toSet == brute.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("intervalOverlapJoin: half-open — touching intervals don't pair") {
+    val iv = Seq((1L, 0L, 10L), (2L, 10L, 20L), (3L, 9L, 11L))
+      .toDF("id", "s", "e")
+    val got = Joins.intervalOverlapJoin(iv, iv, "id", "id", "s", "e",
+        binWidth = 10L)
+      .filter($"id_a" < $"id_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 1–2 touch at 10: no overlap; 3 overlaps both
+    assert(got == Set((1L, 3L, 9L, 10L), (2L, 3L, 10L, 11L)))
+  }
+
+  test("intervalOverlapJoin: maxIntervalWidth fails fast") {
+    val iv = Seq((1L, 0L, 1000L), (2L, 0L, 5L)).toDF("id", "s", "e")
+    val ex = intercept[Exception] {
+      Joins.intervalOverlapJoin(iv, iv, "id", "id", "s", "e",
+        binWidth = 10L, maxIntervalWidth = 100L).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("prunedSemiJoin broadcasts the digest ahead of the exact join") {

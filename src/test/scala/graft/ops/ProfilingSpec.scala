@@ -167,4 +167,25 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(g2 == Seq((500L, 7L), (1000L, 9L)))
   }
+
+  test("paretoFrontier: dominance exact, equal points co-survive") {
+    val pts = Seq(
+      (1L, 10L, 5L),  // frontier
+      (2L, 10L, 7L),  // same q as 1, longer → dominated
+      (3L, 9L, 4L),   // frontier (shorter than every q>9)
+      (4L, 8L, 4L),   // dominated by 3 (q 9>8, len 4≤4)
+      (5L, 8L, 6L),   // dominated
+      (6L, 7L, 3L),   // frontier
+      (7L, 9L, 4L))   // EQUAL to 3: mutually non-dominating, survives
+      .toDF("id", "q", "len")
+    val got = Profiling.paretoFrontier(pts, "id", "q", "len")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 6L, 7L))
+    // brute-force NOT EXISTS agrees
+    val rows = pts.as[(Long, Long, Long)].collect()
+    val brute = rows.filter { a => !rows.exists(b =>
+      b._2 >= a._2 && b._3 <= a._3 && (b._2 > a._2 || b._3 < a._3))
+    }.map(_._1).sorted.toSeq
+    assert(got.map(_._1) == brute)
+  }
 }

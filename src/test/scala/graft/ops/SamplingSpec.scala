@@ -334,4 +334,65 @@ class SamplingSpec extends SparkSpec {
       .toSet
     assert(got.toSet == ref) // exact doubles: same u, same ln, same division
   }
+
+  test("curriculumInterleave: closed-form pos equals the global window") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // strata of sizes 3/2/1: round-robin order A1 B1 C1 A2 B2 A3
+    val df = Seq(
+      ("a1", "A", 30L), ("a2", "A", 20L), ("a3", "A", 10L),
+      ("b1", "B", 9L), ("b2", "B", 1L),
+      ("c1", "C", 5L)).toDF("id", "strat", "score")
+    val got = Sampling.curriculumInterleave(df, "id", "strat", "score")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("a1", "b1", "c1", "a2", "b2", "a3"))
+    assert(got.map(_._5) == (1L to 6L))
+    // and equals the single-task window formulation it replaces
+    val w = Window.partitionBy("strat")
+      .orderBy(col("score").desc, col("id"))
+    val brute = df.withColumn("rnk", row_number().over(w))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rnk"), col("strat"))))
+      .select("id", "pos").as[(String, Long)].collect().toMap
+    assert(got.map(r => r._1 -> r._5).toMap == brute)
+  }
+
+  test("epochPlan: caps saturate, remainder waterfills, integer-exact") {
+    // tokens 10/20/100, maxEpochs=2 → caps 20/40/200; B=100: the two
+    // small sources saturate (prefix test 60 ≤ 100, then 100 ≤ 100),
+    // the big one takes the λ = (100−60)/1 = 40 remainder
+    def doc(src: String, n: Int) = (src, Seq.fill(n)("w").mkString(" "))
+    val df = Seq(doc("s1", 10), doc("s2", 20), doc("s3", 100))
+      .toDF("source", "text")
+    val got = Sampling.epochPlan(df, budgetTokens = 100L, maxEpochs = 2L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 10L, 20L, 20L, 2000L),
+      ("s2", 20L, 40L, 40L, 2000L), ("s3", 100L, 200L, 40L, 400L)))
+    // budget ≥ total capacity: everyone runs maxEpochs flat
+    val flat = Sampling.epochPlan(df, budgetTokens = 1000L, maxEpochs = 2L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(flat.forall(r => r._4 == r._3 && r._5 == 2000L))
+  }
+
+  test("clusterCoherentSplit: near-dups share the representative's split") {
+    import org.apache.spark.sql.functions.col
+    // 1 and 2 are identical → one cluster rep'd by 1; 7 is a singleton
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (7L, "utterly unrelated content entirely different words"))
+      .toDF("doc_id", "text")
+    val got = Sampling.clusterCoherentSplit(df, n = 3, threshold = 0.2,
+        maxDf = Long.MaxValue)
+      .as[(Long, Long, String)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 1L && byId(2L)._2 == 1L && byId(7L)._2 == 7L)
+    assert(byId(1L)._3 == byId(2L)._3) // coherent: same split
+    // the split is the plain deterministicSplit of the REP id
+    val repSplit = Sampling.deterministicSplit(
+        Seq(1L).toDF("cluster_id"), "cluster_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("split")).as[String].collect().head
+    assert(byId(2L)._3 == repSplit)
+  }
 }

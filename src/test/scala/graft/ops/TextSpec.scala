@@ -582,4 +582,27 @@ class TextSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L + 1L + 2L), (2L, 1L)))
   }
+
+  test("dsirWeights: quantized unigram log-ratio, hand-computed") {
+    val domain = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b"), (2L, "c c")).toDF("doc_id", "text")
+    val got = Text.dsirWeights(corpus, domain)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    // target: p(a)=2/3 → lq −4055, p(b)=1/3 → −10986;
+    // background: p(a)=p(b)=1/4 → −13863, p(c)=2/4 → −6931.
+    // doc 1: ((−4055+13863)+(−10986+13863))/(2·10000) = 12685/20000
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 2L, 2L), (2L, 2L, 0L)))
+    assert(got.head._4.contains(12685.0 / 20000.0))
+    assert(got(1)._4.isEmpty) // 'c' unknown to the target model
+  }
+
+  test("zipfCensus: two-point slope is exactly −1 on a halving law") {
+    val d = Seq((1L, "x x x x y y", "s")).toDF("doc_id", "text", "source")
+    val got = Text.zipfCensus(d, topK = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // N=6, V=2, ttr = 2·1000 div 6 = 333; freqs (4, 2) at ranks (1, 2)
+    // → slope ln(2/4)/ln(2) = −1 → −1_000_000 at q6
+    assert(got == Seq(("s", 6L, 2L, 333L, -1000000L)))
+  }
 }
