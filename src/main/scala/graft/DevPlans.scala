@@ -46,7 +46,9 @@ object DevPlans {
         "q144_dsir_weights", "q145_decayed_counts", "q146_dow_anomaly",
         "q147_zipf_census", "q148_curriculum_order",
         "q149_pareto_frontier", "q150_epoch_plan", "q151_grouping_sets",
-        "q152_cluster_split")
+        "q152_cluster_split", "q153_sketch_quantiles", "q154_hybrid_rrf",
+        "q155_quantile_buckets", "q156_logodds_keywords",
+        "q157_attribution")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

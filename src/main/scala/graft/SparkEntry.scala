@@ -3708,7 +3708,184 @@ object SparkEntry {
         |    ELSE 'test' END AS split
         |FROM cl ORDER BY doc_id""".stripMargin)(
       (s, d) => Sampling.clusterCoherentSplit(Tables.documents(s, d),
-        n = 3, threshold = 0.2, maxDf = Long.MaxValue))
+        n = 3, threshold = 0.2, maxDf = Long.MaxValue)),
+
+    // Histogram-sketch quantiles WITH their own error audit
+    // (Profiling.sketchQuantiles vs globalQuantilesSharded): the
+    // mergeable one-partial-agg estimate next to the exact rank answer,
+    // err = est − exact — the sketch ships with its accuracy measured,
+    // not assumed. All integer arithmetic (HUGEINT/decimal products).
+    q("q153_sketch_quantiles",
+      """WITH v AS (SELECT CAST(n_chars AS BIGINT) AS v, doc_id
+        |  FROM documents),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx, count(*) AS n FROM v),
+        |b AS (SELECT CAST(CAST(v - mn AS HUGEINT) * 64 // (mx - mn + 1)
+        |    AS BIGINT) AS bin FROM v CROSS JOIN st),
+        |c AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |t AS (SELECT unnest([250, 500, 750, 900, 990]) AS p_permille),
+        |est AS (SELECT p_permille,
+        |    CAST(mn + CAST(min(bin) + 1 AS HUGEINT) * (mx - mn + 1) // 64
+        |      - 1 AS BIGINT) AS est
+        |  FROM cum CROSS JOIN st CROSS JOIN t
+        |  WHERE cum * 1000 >= p_permille * n
+        |  GROUP BY p_permille, mn, mx),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rnk,
+        |    count(*) OVER () AS n FROM v),
+        |ex AS (SELECT t.p_permille, r.v AS exact FROM r JOIN t
+        |  ON r.rnk = (r.n * t.p_permille + 999) // 1000)
+        |SELECT CAST(est.p_permille AS BIGINT) AS p_permille, est.est,
+        |  ex.exact, est.est - ex.exact AS err
+        |FROM est JOIN ex USING (p_permille)
+        |ORDER BY p_permille""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ps = Seq(250L, 500L, 750L, 900L, 990L)
+        val est = Profiling.sketchQuantiles(docs, "n_chars", bins = 64,
+          permilles = ps)
+        val exact = Profiling.globalQuantilesSharded(
+            docs.select(col("n_chars"), col("doc_id")),
+            "n_chars", "doc_id", permilles = ps)
+          .select(col("p_permille"), col("n_chars").as("exact"))
+        est.join(exact, "p_permille")
+          .select(col("p_permille"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("err"))
+          .orderBy("p_permille")
+      }),
+
+    // Hybrid retrieval fusion (Similarity.rrfFuse): BM25 top-20 (q133's
+    // lexical leg) ⊕ cosine top-20 for query vector 0 (q26's vector leg)
+    // under integer reciprocal-rank fusion — 10⁹ div (60+rank) per list,
+    // exact sum, so the fused ORDER is engine-portable. doc_id ≡ vec_id
+    // is the fixture's 1:1 synthetic mapping (the q74 convention).
+    q("q154_hybrid_rrf",
+      s"""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |tf AS (SELECT doc_id, unnest(t) AS term, len(t) AS dl FROM toks),
+        |tfc AS (SELECT doc_id, term, count(*) AS f, max(dl) AS dl
+        |  FROM tf WHERE term IN ('dup', 'vector', 'scan') GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len(t)) AS BIGINT) AS tok_total FROM toks),
+        |sc AS (SELECT doc_id,
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (CAST(f AS DOUBLE) * 2.2) /
+        |      (CAST(f AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |        CAST(dl AS DOUBLE) /
+        |        (CAST(tok_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))) *
+        |      1000000.0) AS BIGINT) AS q
+        |  FROM tfc JOIN dfr USING (term) CROSS JOIN st),
+        |bm AS (SELECT doc_id AS id, rnk AS rank FROM (
+        |  SELECT doc_id, row_number() OVER (ORDER BY sum(q) DESC,
+        |    doc_id ASC) AS rnk FROM sc GROUP BY doc_id) WHERE rnk <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])) > 0),
+        |kn AS (SELECT id, rank FROM (
+        |  SELECT c.vec_id AS id, row_number() OVER (
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+        |        c.vec_id) AS rank
+        |    FROM (SELECT emb FROM e WHERE vec_id = 0) q
+        |    CROSS JOIN e c WHERE c.vec_id <> 0) t WHERE rank <= 20)
+        |SELECT coalesce(b.id, k.id) AS id,
+        |  CAST(b.rank AS BIGINT) AS rank_a,
+        |  CAST(k.rank AS BIGINT) AS rank_b,
+        |  coalesce(1000000000 // (60 + b.rank), 0) +
+        |    coalesce(1000000000 // (60 + k.rank), 0) AS rrf_q9
+        |FROM bm b FULL OUTER JOIN kn k ON b.id = k.id
+        |ORDER BY rrf_q9 DESC, id ASC""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.row_number
+        val bm = Text.bm25TopK(Tables.documents(s, d),
+            queryTerms = Seq("dup", "vector", "scan"), k = 20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id").asc)))
+          .select(col("doc_id").as("id"), col("rank"))
+        val emb = nonZeroEmbeddings(s, d)
+        val kn = Similarity.bruteForceKnn(emb,
+            emb.filter(col("vec_id") === 0), k = 20)
+          .select(col("n_id").as("id"), col("rank"))
+        Similarity.rrfFuse(bm, kn, k0 = 60L)
+      }),
+
+    // Equal-frequency bucketing (Profiling.quantileBuckets): n_chars
+    // deciles for every document via sharded rank + closed-form NTILE —
+    // bit-identical to the oracle's global ntile window with no
+    // single-task sort (the q123/q129 machinery as a row transform).
+    q("q155_quantile_buckets",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |    AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Profiling.quantileBuckets(Tables.documents(s, d),
+        "doc_id", "n_chars", "doc_id", k = 10)),
+
+    // Discriminative keywords per source (Text.logOddsKeywords):
+    // Monroe et al. weighted log-odds with the corpus as Dirichlet
+    // prior, variance-standardized, z quantized at 1e-4 — word-level
+    // "what makes this source itself", where q57 is per-doc tf-idf and
+    // q122 is one KL number per source.
+    q("q156_logodds_keywords",
+      s"""WITH wz AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0)) AS w FROM documents),
+        |c AS (SELECT source, w, count(*) AS y_sw FROM wz GROUP BY 1, 2),
+        |m AS (SELECT w, CAST(sum(y_sw) AS BIGINT) AS y_w FROM c
+        |  GROUP BY 1),
+        |stt AS (SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s FROM c
+        |  GROUP BY 1),
+        |ct AS (SELECT CAST(sum(y_w) AS BIGINT) AS n FROM m),
+        |sc AS (SELECT c.source, c.w, c.y_sw, m.y_w, stt.n_s, ct.n,
+        |    (100.0 * CAST(m.y_w AS DOUBLE)) / CAST(ct.n AS DOUBLE) AS a_w,
+        |    CAST(m.y_w - c.y_sw AS DOUBLE) AS y_rw
+        |  FROM c JOIN m USING (w) JOIN stt USING (source) CROSS JOIN ct
+        |  WHERE c.y_sw >= 3),
+        |z AS (SELECT source, w, y_sw,
+        |    CAST(round((ln((y_sw + a_w) / (n_s - y_sw + 100.0 - a_w)) -
+        |      ln((y_rw + a_w) / (n - n_s - y_rw + 100.0 - a_w))) /
+        |      sqrt(1.0 / (y_sw + a_w) + 1.0 / (y_rw + a_w)) * 10000)
+        |      AS BIGINT) AS z_q4
+        |  FROM sc),
+        |r AS (SELECT source, w, y_sw, z_q4, row_number() OVER (
+        |    PARTITION BY source ORDER BY z_q4 DESC, w ASC) AS rnk FROM z)
+        |SELECT source, w AS word, CAST(y_sw AS BIGINT) AS y_sw,
+        |  CAST(rnk AS BIGINT) AS rnk, z_q4
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)(
+      (s, d) => Text.logOddsKeywords(Tables.documents(s, d), topK = 5,
+        priorMass = 100.0, minCount = 3L)),
+
+    // Multi-touch linear attribution (Behavior.linearAttribution): every
+    // purchase splits one credit unit over the user's clicks in the
+    // trailing hour — the (conv, touch, n_touches) assignment table with
+    // exact-rational credit, paired via the binned range join (q55's
+    // engine), unattributed conversions surfaced with NULL touch.
+    q("q157_attribution",
+      """WITH t AS (SELECT user_id, event_id AS touch_id,
+        |    epoch_us(ts) * 1000 AS tns FROM events
+        |  WHERE event_type = 'click'),
+        |c AS (SELECT user_id, event_id AS conv_id,
+        |    epoch_us(ts) * 1000 AS cns FROM events
+        |  WHERE event_type = 'purchase'),
+        |p AS (SELECT c.user_id, c.conv_id, t.touch_id,
+        |    c.cns - t.tns AS gap_ns
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |    AND t.tns > c.cns - 3600000000000 AND t.tns <= c.cns),
+        |n AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_touches
+        |  FROM p GROUP BY 1)
+        |SELECT p.user_id, p.conv_id, p.touch_id, p.gap_ns, n.n_touches
+        |FROM p JOIN n USING (conv_id)
+        |UNION ALL
+        |SELECT c.user_id, c.conv_id, CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+        |FROM c LEFT JOIN n USING (conv_id) WHERE n.conv_id IS NULL
+        |ORDER BY conv_id, touch_id NULLS FIRST""".stripMargin)(
+      (s, d) => Behavior.linearAttribution(Tables.events(s, d),
+        touchType = "click", convType = "purchase",
+        windowNs = 3600L * 1000000000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

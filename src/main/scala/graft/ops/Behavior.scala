@@ -328,6 +328,54 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Multi-touch LINEAR attribution: every conversion event distributes
+    * one unit of credit equally across the user's touch events in the
+    * lookback window `(t_conv − windowNs, t_conv]` — the assignment
+    * table `(conv, touch, n_touches)` with credit the exact rational
+    * `1/n_touches` (numerator/denominator, never a float — summing
+    * per-touch credit downstream is Σ 1/d, left to the caller's
+    * precision policy). Conversions with zero touches surface with a
+    * NULL touch and `n_touches = 0` (unattributed conversions are the
+    * first thing an attribution report gets asked about).
+    *
+    * Shape: the touch×conversion pairing is `Joins.rangeJoinBinned` —
+    * touches as points, conversions as `[t−w+1, t+1)` intervals keyed on
+    * the user — so the match is an equi-join on (user, time-bin), never
+    * a raw inequality join; the per-conversion count rides a window over
+    * the already-bounded pair set.
+    */
+  def linearAttribution(events: DataFrame,
+                        touchType: String = "click",
+                        convType: String = "purchase",
+                        windowNs: Long = 3600L * 1000000000L): DataFrame = {
+    require(windowNs >= 1, "windowNs must be >= 1")
+    val touches = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts").as("touch_ts"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        (col("ts") - windowNs + 1L).as("w_start"),
+        (col("ts") + 1L).as("w_end"))
+    val pairs = Joins.rangeJoinBinned(touches, convs,
+      key = "user_id", pointTime = "touch_ts",
+      start = "w_start", end = "w_end", binWidth = windowNs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val attributed = pairs
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        (col("w_end") - 1L - col("touch_ts")).as("gap_ns"),
+        col("n_touches"))
+    // conversions nothing touched: left anti against the attributed set
+    val unattributed = convs
+      .join(attributed.select(col("conv_id").as("__c")).distinct(),
+        col("conv_id") === col("__c"), "left_anti")
+      .select(col("user_id"), col("conv_id"),
+        lit(null).cast("long").as("touch_id"),
+        lit(null).cast("long").as("gap_ns"), lit(0L).as("n_touches"))
+    attributed.unionByName(unattributed)
+      .orderBy("conv_id", "touch_id")
+  }
+
   def cohortRetention(events: DataFrame, maxOffset: Int = 3): DataFrame = {
     require(maxOffset >= 0, "maxOffset must be >= 0")
     val weekNs = 7L * 86400L * 1000000000L

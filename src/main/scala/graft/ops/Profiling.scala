@@ -347,4 +347,74 @@ object Profiling {
       .select(col(idCol), col(maxCol), col(minCol))
       .orderBy(idCol)
   }
+
+  /** Histogram-sketch quantile ESTIMATES: a two-pass equi-width integer
+    * binning (pass 1: min/max/count; pass 2: per-bin counts), with the
+    * quantile read off the cumulative bin table as the covering bin's
+    * inclusive upper edge. The mergeable-sketch shape every monitoring
+    * system runs where `globalQuantilesSharded`'s exact rank pass is too
+    * heavy: the census is ONE partial agg (map-side combine over ≤ `bins`
+    * distinct keys — no sort, no rank pass, no per-row shuffle), and two
+    * sketches merge by adding bin counts. Error is bounded by the bin
+    * width `⌈span/bins⌉`; q153 AUDITS that bound against the exact rank
+    * answer instead of trusting it. Everything is integer arithmetic —
+    * the bin index multiplication runs in DECIMAL(38,0) so a full-range
+    * int64 value column cannot overflow the product (DuckDB's HUGEINT
+    * promotion, made explicit on the Spark side).
+    */
+  def sketchQuantiles(df: DataFrame, valueCol: String,
+                      bins: Int = 256,
+                      permilles: Seq[Long] = Seq(500L, 900L, 990L))
+      : DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "permilles must be in [1, 1000]")
+    val v = col(valueCol).cast("long")
+    val stats = df.agg(min(v).as("__min"), max(v).as("__max"),
+      count(lit(1)).as("__n"))
+    // integral `div`, never `/`: decimal true-division rounds at result
+    // scale, which could flip a value sitting on a bin edge
+    val binned = df.select(v.as("__v")).crossJoin(broadcast(stats))
+      .select(expr(s"cast(__v - __min as decimal(38,0)) * $bins" +
+        " div (__max - __min + 1)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(Long.MinValue, 0)
+    val cum = binned.withColumn("cum", sum("c").over(wCum))
+    val session = df.sparkSession
+    import session.implicits._
+    val targets = permilles.toDF("p_permille")
+    cum.crossJoin(broadcast(stats)).crossJoin(broadcast(targets))
+      .filter(col("cum") * 1000 >= col("p_permille") * col("__n"))
+      .groupBy("p_permille")
+      .agg(min("bin").as("__bin"), first("__min").as("__mn"),
+        first("__max").as("__mx"))
+      .select(col("p_permille"),
+        expr(s"__mn + cast(__bin + 1 as decimal(38,0))" +
+          s" * (__mx - __mn + 1) div $bins - 1").as("est"))
+      .orderBy("p_permille")
+  }
+
+  /** Quantile-bucket feature transform: every row labeled with its
+    * `NTILE(k)` bucket over `(valueCol, tieCol)` — equal-frequency
+    * binning (length deciles, price quartiles) as a SCALABLE transform:
+    * the global-order window NTILE plants a single-task sort; this runs
+    * `Layout.shardedRanks` (range-partitioned two-pass rank) and maps
+    * rank→bucket with the closed-form `ntileFromRank`, so the output is
+    * bit-identical to SQL `ntile(k) OVER (ORDER BY value, tie)` — which
+    * IS the oracle — with no task ever holding more than one range
+    * partition.
+    */
+  def quantileBuckets(df: DataFrame, idCol: String, valueCol: String,
+                      tieCol: String, k: Int,
+                      parts: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // idCol may double as tieCol — select each needed column once
+    val cols = Seq(idCol, valueCol, tieCol).distinct
+    val (ranked, n) = graft.ops.Layout.shardedRanksWithTotal(
+      df.select(cols.map(col): _*), Seq(valueCol, tieCol), parts)
+    ranked.select(col(idCol), col(valueCol),
+        graft.ops.Layout.ntileFromRank(col("rnk"), n, k).as("bucket"))
+      .orderBy(idCol)
+  }
 }

@@ -489,4 +489,35 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("code").as("sum_code"))
       .orderBy("label", "pos")
   }
+
+  /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.
+    * 2009) — the standard hybrid-search merge of a lexical (BM25) and a
+    * vector (k-NN) result list: each list contributes `1/(k₀ + rank)`
+    * and the fused order is by the sum. Here the contribution is
+    * INTEGER-quantized per term — `10⁹ div (k₀ + rank)` — so the fused
+    * score is an exact integer sum and the merged ordering is
+    * engine-portable with no float anywhere (RRF only consumes RANKS, so
+    * quantizing the reciprocal loses nothing the method cares about).
+    * Ids present in only one list keep the other side's contribution at
+    * zero (rank NULL surfaces the miss).
+    *
+    * Scale shape: a FULL OUTER hash join of two top-k lists — inputs are
+    * k rows each by construction (the retrieval ops already limited
+    * them), so the join broadcasts and the fuse is a constant-size
+    * postprocess no matter the corpus behind the lists.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k0: Long = 60L): DataFrame = {
+    require(k0 >= 1, "k0 must be >= 1")
+    val l = a.select(col("id").as("id"), col("rank").cast("long")
+      .as("rank_a"))
+    val r = b.select(col("id").as("__id_b"), col("rank").cast("long")
+      .as("rank_b"))
+    l.join(r, col("id") === col("__id_b"), "full_outer")
+      .select(coalesce(col("id"), col("__id_b")).as("id"),
+        col("rank_a"), col("rank_b"),
+        (coalesce(expr(s"1000000000L div (${k0}L + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000000L div (${k0}L + rank_b)"), lit(0L)))
+          .as("rrf_q9"))
+      .orderBy(col("rrf_q9").desc, col("id").asc)
+  }
 }

@@ -1018,6 +1018,62 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source discriminative keywords by weighted log-odds with an
+    * informative Dirichlet prior (Monroe/Colaresi/Quinn 2008 "Fightin'
+    * Words") — the standard "what words make this source ITSELF"
+    * statistic: for word w in source s vs the rest of the corpus,
+    * `δ = ln((y_sw+a_w)/(n_s+a₀−y_sw−a_w)) − ln((y_rw+a_w)/(n_r+a₀−y_rw−a_w))`
+    * with prior `a_w = a₀·y_w/n` (the corpus distribution as prior mass
+    * a₀), standardized by `σ² ≈ 1/(y_sw+a_w) + 1/(y_rw+a_w)`. Unlike
+    * tf-idf (q57: per-document) or KL divergence (q122: one number per
+    * source), this ranks WORDS per source with shrinkage on rare counts.
+    * The z-score is the only float — a fixed scalar expression tree over
+    * exact integer counts, quantized at 1e-4 (`z_q4`), the q134 device.
+    *
+    * Scale shape: one (source, word) census with map-side partials; the
+    * corpus-margin table is vocabulary-sized and joins the census on the
+    * word; top-k runs per source over census rows. Nothing after the
+    * first partial agg scales with corpus size.
+    */
+  def logOddsKeywords(documents: DataFrame, topK: Int = 5,
+                      priorMass: Double = 100.0,
+                      minCount: Long = 3L): DataFrame = {
+    require(topK >= 1 && priorMass > 0 && minCount >= 1,
+      "need positive topK/priorMass/minCount")
+    val census = documents
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("y_sw"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val margins = census.groupBy("w").agg(sum("y_sw").as("y_w"))
+    val srcTot = census.groupBy("source").agg(sum("y_sw").as("n_s"))
+    val corpusTot = margins.agg(sum("y_w").as("n"))
+    val scored = census
+      .join(margins, "w")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpusTot))
+      .filter(col("y_sw") >= minCount)
+      .withColumn("a_w",
+        lit(priorMass) * col("y_w").cast("double") / col("n").cast("double"))
+      .withColumn("y_rw", (col("y_w") - col("y_sw")).cast("double"))
+      .withColumn("delta",
+        log((col("y_sw") + col("a_w")) /
+          (col("n_s") - col("y_sw") + lit(priorMass) - col("a_w"))) -
+        log((col("y_rw") + col("a_w")) /
+          (col("n") - col("n_s") - col("y_rw") + lit(priorMass) -
+            col("a_w"))))
+      .withColumn("z", col("delta") /
+        sqrt(lit(1.0) / (col("y_sw") + col("a_w")) +
+          lit(1.0) / (col("y_rw") + col("a_w"))))
+      .withColumn("z_q4", round(col("z") * 10000).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("z_q4").desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("w").as("word"), col("y_sw"),
+        col("rnk").cast("long").as("rnk"), col("z_q4"))
+      .orderBy("source", "rnk")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): per document, the mean
     * log-likelihood RATIO between a target-domain unigram LM and the

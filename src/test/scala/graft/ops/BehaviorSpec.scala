@@ -215,4 +215,32 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 1L, false), (1L, 1L, 1L, false),
       (2L, 0L, 1L, false), (3L, 1L, 1L, false), (4L, 0L, 4L, true)))
   }
+
+  test("linearAttribution: window-bounded credit split, NULL when none") {
+    val W = 100L
+    // user 1: clicks at 10, 50, purchase at 100 → both attributed
+    // (gap 90 and 50; click at 10 is exactly conv−W+10 > conv−W: in);
+    // click at 150 is AFTER the purchase: out.
+    // user 2: click at 0, purchase at 200 → gap 200 > W−1: out → the
+    // purchase surfaces unattributed with n_touches 0.
+    // boundary: user 3 click exactly AT the purchase instant: included
+    // (gap 0); click exactly W before (gap == W): excluded.
+    val rows = Seq(
+      (1L, 10L, "click", 101L), (1L, 50L, "click", 102L),
+      (1L, 100L, "purchase", 103L), (1L, 150L, "click", 104L),
+      (2L, 0L, "click", 201L), (2L, 200L, "purchase", 202L),
+      (3L, 300L, "click", 301L), (3L, 200L, "click", 302L),
+      (3L, 300L, "purchase", 303L))
+      .map { case (u, t, ty, id) => (id, t, u, ty, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Behavior.linearAttribution(rows, "click", "purchase",
+        windowNs = 100L)
+      .as[(Long, Long, Option[Long], Option[Long], Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 103L, Some(101L), Some(90L), 2L),
+      (1L, 103L, Some(102L), Some(50L), 2L),
+      (2L, 202L, None, None, 0L),
+      (3L, 303L, Some(301L), Some(0L), 1L)))
+  }
 }

@@ -188,4 +188,35 @@ class ProfilingSpec extends SparkSpec {
     }.map(_._1).sorted.toSeq
     assert(got.map(_._1) == brute)
   }
+
+  test("sketchQuantiles: covering-bin upper edge, error within one bin") {
+    // values 1..100, 10 bins over span 100 → bin width 10, bin i covers
+    // [1+10i, 10+10i]; p500 target rank 50 → value 50 sits in bin 4
+    // (41..50) → est = its upper edge 50: exact here by construction
+    val df = (1L to 100L).toDF("v")
+    val got = Profiling.sketchQuantiles(df, "v", bins = 10,
+        permilles = Seq(500L, 990L, 1000L))
+      .as[(Long, Long)].collect().toMap
+    assert(got(500L) == 50L && got(990L) == 100L && got(1000L) == 100L)
+    // error bound law on a skewed set: est within one bin width of exact
+    val skew = (1L to 99L).map(_ => 5L) ++ Seq(1000L)
+    val est2 = Profiling.sketchQuantiles(skew.toDF("v"), "v", bins = 64,
+        permilles = Seq(500L))
+      .as[(Long, Long)].collect().head._2
+    val width = (1000L - 5L + 1L) / 64L + 1L
+    assert(math.abs(est2 - 5L) <= width)
+  }
+
+  test("quantileBuckets: bit-identical to the ntile window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.ntile
+    val df = (1L to 23L).map(i => (i, (i * 7) % 13)).toDF("id", "v")
+    val got = Profiling.quantileBuckets(df, "id", "v", "id", k = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val win = df.withColumn("bucket",
+        ntile(4).over(Window.orderBy($"v", $"id")).cast("long"))
+      .select($"id", $"v", $"bucket").orderBy($"id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == win)
+  }
 }

@@ -258,4 +258,19 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.filter(_._1 == 3L).map(_._2) == keep3)
     assert(capped.groupBy(_._1).values.forall(_.size <= 2))
   }
+
+  test("rrfFuse: integer fusion, one-list ids keep a zero contribution") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(a, b, k0 = 60L)
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    def t(r: Long) = 1000000000L / (60L + r)
+    // 20 leads: both lists; 10 (rank 1, one list) beats 40 (rank 2)
+    assert(got.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    val by = got.map(r => r._1 -> r).toMap
+    assert(by(20L)._4 == t(2) + t(1) && by(20L)._2.contains(2L) &&
+      by(20L)._3.contains(1L))
+    assert(by(10L)._4 == t(1) && by(10L)._3.isEmpty)
+    assert(by(40L)._4 == t(2) && by(40L)._2.isEmpty)
+  }
 }

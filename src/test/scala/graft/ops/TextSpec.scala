@@ -605,4 +605,22 @@ class TextSpec extends SparkSpec {
     // → slope ln(2/4)/ln(2) = −1 → −1_000_000 at q6
     assert(got == Seq(("s", 6L, 2L, 333L, -1000000L)))
   }
+
+  test("logOddsKeywords: the source-exclusive word tops its source") {
+    // 'zebra' lives only in source A (5×); shared filler everywhere
+    val d = Seq(
+      (1L, "zebra zebra zebra zebra zebra the the the the", "A"),
+      (2L, "the the the the the and and and and", "B"),
+      (3L, "and and and and the the the the", "A"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.logOddsKeywords(d, topK = 2, minCount = 3L)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val aTop = got.filter(_._1 == "A").minBy(_._4)
+    assert(aTop._2 == "zebra" && aTop._5 > 0) // exclusive ⇒ positive z
+    // every source's rows are rank-ordered by descending z
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._5) == sorted.map(_._5).sorted.reverse)
+    }
+  }
 }
