@@ -51,6 +51,7 @@ object Bench {
     * computed at full precision first; only the printed map is coarse.
     */
   private def r2(v: Double): Double = math.rint(v * 100) / 100
+  private def r1(v: Double): Double = math.rint(v * 10) / 10
 
   /** Host load context for the artifact's stderr tail: a contended run
     * (other tenants on the harness host) produces honest-but-slow numbers;
@@ -77,8 +78,10 @@ object Bench {
       val ok = samples.flatMap(_.get(name)).filter(_ >= 0)
       name -> (if (ok.isEmpty) -1.0 else median(ok))
     }
-    val qs = results.map { case (k, v) => s"\"" + keyOf(k) + "\":" + r2(v) }
-      .mkString("{", ",", "}")
+    def qsAt(p: Double => Double): String =
+      results.map { case (k, v) => s"\"" + keyOf(k) + "\":" + p(v) }
+        .mkString("{", ",", "}")
+    val qs = qsAt(r2)
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val repTotals = samples
       .map(m => r3(m.values.filter(_ >= 0).sum))
@@ -88,6 +91,12 @@ object Bench {
         s""","partial":"${results.length}/${names.length}""""
       else ""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length}$part,"sf":"$sfDir"}"""
+    // growth rung between full and no-reps (the 159-query surface pushed
+    // the r2 full form past the window): keep rep_totals/reps — the
+    // adjudication evidence — and coarsen per-query display to 1 decimal
+    // instead. Full-precision per-query vectors still ship via the
+    // stderr query_reps dump.
+    val fullR1 = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsAt(r1)},"rep_totals":$repTotals,"reps":${samples.length}$part,"sf":"$sfDir"}"""
     val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$part,"sf":"$sfDir"}"""
     // belt-and-braces at every degradation level: a growing query set
     // must never push the LAST line past the driver's tail window.
@@ -97,6 +106,7 @@ object Bench {
     // and "q_omitted" makes the truncation explicit so a shrunken map
     // cannot read as full coverage. The total stays exact at every rung.
     if (full.length <= 1900) full
+    else if (fullR1.length <= 1900) fullR1
     else if (noReps.length <= 1900) noReps
     else {
       val entries = results

@@ -48,7 +48,8 @@ object DevPlans {
         "q149_pareto_frontier", "q150_epoch_plan", "q151_grouping_sets",
         "q152_cluster_split", "q153_sketch_quantiles", "q154_hybrid_rrf",
         "q155_quantile_buckets", "q156_logodds_keywords",
-        "q157_attribution")
+        "q157_attribution", "q158_backoff_lm", "q159_token_fertility",
+        "q160_sharded_pareto")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

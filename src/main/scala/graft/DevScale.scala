@@ -202,7 +202,26 @@ object DevScale {
       "q139_mad" -> SparkEntry.queries("q139_mad_outliers"),
       "q140_datasheet" -> SparkEntry.queries("q140_corpus_datasheet"),
       "q141_funnel" -> SparkEntry.queries("q141_curation_funnel"),
-      "q142_srcfunnel" -> SparkEntry.queries("q142_source_funnel"))
+      "q142_srcfunnel" -> SparkEntry.queries("q142_source_funnel"),
+      // ---- round-11 additions. q143: order copies share the time axis,
+      // so the high-value interval set's CONCURRENCY grows F× and the
+      // true overlap-pair output grows ~F² — intrinsic to the workload,
+      // not the operator; the reading to check is runtime tracking
+      // output rows (output-bound), not candidates. q148/q152/q155/q156:
+      // linear-output shapes (per-source ranks, q61-family closure,
+      // sharded rank, vocabulary census). q157: events inflate as
+      // disjoint user populations → attribution pairs grow exactly F×.
+      "q143_overlap" -> SparkEntry.queries("q143_interval_overlap"),
+      "q148_curric" -> SparkEntry.queries("q148_curriculum_order"),
+      "q152_clsplit" -> SparkEntry.queries("q152_cluster_split"),
+      "q155_qbucket" -> SparkEntry.queries("q155_quantile_buckets"),
+      // the skyline pair: q149 is the global-window wall (q116's shape),
+      // q160 the sharded local-prefilter form — same output, the curve
+      // difference IS the claim
+      "q149_pareto" -> SparkEntry.queries("q149_pareto_frontier"),
+      "q160_shpareto" -> SparkEntry.queries("q160_sharded_pareto"),
+      "q156_logodds" -> SparkEntry.queries("q156_logodds_keywords"),
+      "q157_attrib" -> SparkEntry.queries("q157_attribution"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

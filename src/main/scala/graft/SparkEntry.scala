@@ -3885,7 +3885,126 @@ object SparkEntry {
         |ORDER BY conv_id, touch_id NULLS FIRST""".stripMargin)(
       (s, d) => Behavior.linearAttribution(Tables.events(s, d),
         touchType = "click", convType = "purchase",
-        windowNs = 3600L * 1000000000L))
+        windowNs = 3600L * 1000000000L)),
+
+    // Stupid-Backoff scoring (Text.stupidBackoffScore): q134's in-domain
+    // bigram LM with the 0.4·p(w₂) unigram backoff where the model lacks
+    // the bigram — coverage jumps from bigram-hits to vocab-hits, OOV
+    // still counted. Both log branches integer-quantized at 1e-4; the
+    // backoff is ONE ln on one product so the oracle reproduces it
+    // term-for-term.
+    q("q158_backoff_lm",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 AS bucket
+        |  FROM documents),
+        |bg AS (SELECT doc_id, bucket,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> concat(toks[i], ' ', toks[i+1]))) AS bigram FROM t),
+        |bgc AS (SELECT doc_id, bucket, bigram, count(*) AS c
+        |  FROM bg GROUP BY 1, 2, 3),
+        |model AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS b12,
+        |    split_part(bigram, ' ', 1) AS w1
+        |  FROM bgc WHERE bucket >= 950 GROUP BY 1),
+        |uni AS (SELECT w1, CAST(sum(b12) AS BIGINT) AS u1
+        |  FROM model GROUP BY 1),
+        |lqb AS (SELECT bigram, CAST(round(ln(b12 / u1) * 10000) AS BIGINT)
+        |    AS lq_bi FROM model JOIN uni USING (w1)),
+        |ut AS (SELECT unnest(toks) AS w FROM t WHERE bucket >= 950),
+        |ucs AS (SELECT w, count(*) AS uc FROM ut GROUP BY 1),
+        |un AS (SELECT CAST(sum(uc) AS BIGINT) AS un FROM ucs),
+        |ubo AS (SELECT w AS w2, CAST(round(ln(0.4 *
+        |    (CAST(uc AS DOUBLE) / CAST(un AS DOUBLE))) * 10000) AS BIGINT)
+        |    AS lq_bo FROM ucs CROSS JOIN un),
+        |sc AS (SELECT doc_id, bigram, c, split_part(bigram, ' ', 2) AS w2
+        |  FROM bgc WHERE bucket < 950),
+        |j AS (SELECT sc.doc_id, sc.c, lqb.lq_bi,
+        |    coalesce(lqb.lq_bi, ubo.lq_bo) AS lq
+        |  FROM sc LEFT JOIN lqb USING (bigram) LEFT JOIN ubo USING (w2)),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams
+        |  FROM bgc WHERE bucket < 950 GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_scored,
+        |    CAST(coalesce(sum(CASE WHEN lq_bi IS NOT NULL THEN c END), 0)
+        |      AS BIGINT) AS n_bi_hits,
+        |    CAST(CAST(sum(c * lq) AS BIGINT) AS DOUBLE) /
+        |      CAST(CAST(sum(c) AS BIGINT) * 10000 AS DOUBLE) AS sb_score
+        |  FROM j WHERE lq IS NOT NULL GROUP BY 1)
+        |SELECT d.doc_id, coalesce(tot.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(agg.n_scored, 0) AS n_scored,
+        |  coalesce(agg.n_bi_hits, 0) AS n_bi_hits, agg.sb_score
+        |FROM (SELECT doc_id FROM t WHERE bucket < 950) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Text.stupidBackoffScore(
+          docs.filter(bucket < 950), docs.filter(bucket >= 950))
+      }),
+
+    // Tokenizer-fertility census (Text.fertilityCensus): per-language
+    // BPE-proxy tokens per 1000 whitespace tokens and bytes per 1000
+    // tokens — the cost factor a token budget needs per language before
+    // q125/q150 can plan a multilingual mixture. All-integer ratios.
+    q("q159_token_fertility",
+      """SELECT lang,
+        |  CAST(sum(len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0))) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')))
+        |    AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')))
+        |    * 1000 // sum(len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0))) AS BIGINT)
+        |    AS fert_permille,
+        |  CAST(sum(strlen(text)) * 1000 // sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')))
+        |    AS BIGINT) AS bytes_per_tok_q3
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(
+      (s, d) => Text.fertilityCensus(Tables.documents(s, d))),
+
+    // The SCALE-CORRECT skyline, driver-visible (the q116→q123
+    // discipline): hash-bucketed local skyline prefilter (ordinary
+    // partitioned windows, parallel) then the global pass on the
+    // per-bucket frontier union — bit-identical to q149, so q149's
+    // quadratic NOT-EXISTS oracle applies verbatim and pins the
+    // exactness of the local-prefilter argument.
+    q("q160_sharded_pareto",
+      s"""WITH q AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      w -> len(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |        'in','is','it','for'))) * 1000
+        |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |        w -> len(w) > 0)) AS score,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT a.doc_id, CAST(a.score AS BIGINT) AS score, a.n_chars
+        |FROM q a
+        |WHERE NOT EXISTS (SELECT 1 FROM q b
+        |  WHERE b.score >= a.score AND b.n_chars <= a.n_chars
+        |    AND (b.score > a.score OR b.n_chars < a.n_chars))
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, size}
+        val stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+          "is", "it", "for")
+        val toks = Text.tokens(col("text"))
+        val stops = org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(stopwords))
+        Profiling.paretoFrontierSharded(
+          Tables.documents(s, d).select(col("doc_id"),
+              size(stops).cast("long").as("__ns"),
+              size(toks).cast("long").as("__nt"), col("n_chars"))
+            .select(col("doc_id"),
+              expr("__ns * 1000L div __nt").as("score"), col("n_chars")),
+          "doc_id", "score", "n_chars", buckets = 32)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -333,18 +333,54 @@ object Profiling {
     * `maxCol` must be numeric: the strictly-better frame is a RANGE
     * bound, integer offsets.
     */
-  def paretoFrontier(df: DataFrame, idCol: String, maxCol: String,
-                     minCol: String): DataFrame = {
+  /** One skyline pass — the shared core of `paretoFrontier` (global) and
+    * `paretoFrontierSharded` (per-shard prefilter): within each
+    * `extraPart` group (none = globally), keep rows not dominated inside
+    * that group. ONE copy of the dominance windows so the global and
+    * sharded forms cannot drift.
+    */
+  private def skylinePass(df: DataFrame, maxCol: String, minCol: String,
+                          extraPart: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wTies = Window.partitionBy(maxCol)
-    val wBetter = Window.orderBy(col(maxCol).desc)
-      .rangeBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(maxCol), col(minCol))
-      .withColumn("__minSame", min(minCol).over(wTies))
+    val wTies = Window.partitionBy((extraPart :+ maxCol).map(col): _*)
+    val wBetterBase =
+      if (extraPart.isEmpty) Window.orderBy(col(maxCol).desc)
+      else Window.partitionBy(extraPart.map(col): _*)
+        .orderBy(col(maxCol).desc)
+    val wBetter = wBetterBase.rangeBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__minSame", min(minCol).over(wTies))
       .withColumn("__minBetter", min(minCol).over(wBetter))
       .filter(col(minCol) === col("__minSame") &&
         (col("__minBetter").isNull || col(minCol) < col("__minBetter")))
-      .select(col(idCol), col(maxCol), col(minCol))
+      .drop("__minSame", "__minBetter")
+  }
+
+  def paretoFrontier(df: DataFrame, idCol: String, maxCol: String,
+                     minCol: String): DataFrame =
+    skylinePass(df.select(col(idCol), col(maxCol), col(minCol)),
+        maxCol, minCol, Nil)
+      .orderBy(idCol)
+
+  /** `paretoFrontier` without the single-task wall: a row dominated in
+    * ANY subset is dominated globally, so a hash-bucketed LOCAL skyline
+    * pass (an ordinary partitioned window — parallel across `buckets`)
+    * first removes everything dominated within its bucket, and the
+    * global pass runs only on the per-bucket frontier union — bounded by
+    * buckets × frontier size, not data. Output is BIT-IDENTICAL to
+    * `paretoFrontier` (the local pass only ever removes dominated rows;
+    * equal (max, min) pairs co-survive both passes) — which is what the
+    * q149 oracle checks when this form is driver-visible. The q116→q123
+    * discipline applied to skylines.
+    */
+  def paretoFrontierSharded(df: DataFrame, idCol: String, maxCol: String,
+                            minCol: String, buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val local = skylinePass(
+      df.select(col(idCol), col(maxCol), col(minCol))
+        .withColumn("__b",
+          pmod(xxhash64(col(idCol).cast("string")), lit(buckets.toLong))),
+      maxCol, minCol, Seq("__b"))
+    skylinePass(local.drop("__b"), maxCol, minCol, Nil)
       .orderBy(idCol)
   }
 

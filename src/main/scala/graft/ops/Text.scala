@@ -1018,6 +1018,89 @@ object Text {
       .orderBy("source")
   }
 
+  /** Stupid-Backoff in-domain scoring (Brants et al. 2007): bigram
+    * conditional where the domain model has the bigram, `0.4 · p(w₂)`
+    * unigram backoff where it has only the second word, OOV counted where
+    * it has neither — the production fix for `inDomainLmScore`'s
+    * coverage cliff (a count-based bigram model scores nothing it never
+    * saw; backoff keeps scoring smooth on sparse models without the
+    * renormalization a proper Katz model would need — that non-normalized
+    * "stupid" shortcut is the published method, chosen precisely because
+    * it scales). Both branches integer-quantize their log at 1e-4 before
+    * the per-doc sum (the q134 exact-sum device); the backoff branch is
+    * written `ln(0.4 · (u/N))` — ONE log call on one product — so the
+    * oracle can reproduce it term-for-term.
+    *
+    * Scale shape: bigram + unigram model censuses are domain-vocabulary-
+    * sized; the corpus side is the per-doc bigram census joined against
+    * both — every join input is post-aggregation.
+    */
+  def stupidBackoffScore(documents: DataFrame, domain: DataFrame)
+      : DataFrame = {
+    val biModel = bigramModelLq(bigramCounts(domain))
+      .withColumnRenamed("lq", "lq_bi")
+    val uniCounts = domain
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val uniN = uniCounts.agg(sum("uc").as("un"))
+    val uniModel = uniCounts.crossJoin(broadcast(uniN))
+      .select(col("w").as("w2"),
+        round(log(lit(0.4) *
+          (col("uc").cast("double") / col("un").cast("double"))) * 10000)
+          .cast("long").as("lq_bo"))
+    val bgc = bigramCounts(documents)
+      .withColumn("w2", element_at(split(col("bigram"), " ", 2), 2))
+    val tot = bgc.groupBy("doc_id").agg(sum("c").as("n_bigrams"))
+    val scored = bgc
+      .join(biModel, Seq("bigram"), "left")
+      .join(uniModel, Seq("w2"), "left")
+      .withColumn("lq", coalesce(col("lq_bi"), col("lq_bo")))
+      .filter(col("lq").isNotNull)
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_scored"),
+        sum(when(col("lq_bi").isNotNull, col("c"))).as("__bi"),
+        (sum(col("c") * col("lq")).cast("double") /
+          (sum("c") * 10000).cast("double")).as("sb_score"))
+    documents.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        coalesce(col("__bi"), lit(0L)).as("n_bi_hits"),
+        col("sb_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language tokenizer-fertility census: whitespace tokens, BPE-ish
+    * regex tokens (the q46 proxy), characters, and UTF-8 bytes summed per
+    * language, with the two ratios a mixture planner budgets from —
+    * `fert_permille` (BPE tokens per 1000 whitespace tokens: how much a
+    * subword tokenizer fragments this language) and `bytes_per_tok_q3`
+    * (bytes per 1000 BPE tokens: storage-per-token). Tokenizer fertility
+    * is THE per-language cost factor when a token budget meets a
+    * multilingual corpus — a high-fertility language burns budget faster
+    * than its byte share suggests. All-integer ratios (exact div).
+    *
+    * Scale shape: one projection + one per-language partial agg;
+    * scan-speed at any corpus size.
+    */
+  def fertilityCensus(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        regexp_count(col("text"), lit(bpePattern)).cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang")
+      .agg(sum("ws").as("n_ws_tokens"), sum("bpe").as("n_bpe_tokens"),
+        sum("chars").as("n_chars"), sum("bytes").as("n_bytes"))
+      .select(col("lang"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("n_chars"), col("n_bytes"),
+        expr("n_bpe_tokens * 1000L div n_ws_tokens").as("fert_permille"),
+        expr("n_bytes * 1000L div n_bpe_tokens").as("bytes_per_tok_q3"))
+      .orderBy("lang")
+
   /** Per-source discriminative keywords by weighted log-odds with an
     * informative Dirichlet prior (Monroe/Colaresi/Quinn 2008 "Fightin'
     * Words") — the standard "what words make this source ITSELF"

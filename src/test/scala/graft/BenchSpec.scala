@@ -116,12 +116,13 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() > 0)
   }
 
-  test("at 160 queries the line keeps the SLOWEST timings and marks the rest") {
+  test("past the r1 rung the line keeps the SLOWEST timings, marks the rest") {
     // the r8 verdict's growth-policy decision, pinned: when the surface
-    // outgrows the no-reps form, per-query history survives for the
-    // slowest queries (the ones a judge audits), q_omitted makes the
-    // truncation explicit, and the total stays the full-set sum
-    val ns = (1 to 160).map(i => f"q$i%03d_synthetic_operator_name_$i")
+    // outgrows even the 1-decimal full form (300 queries — the 159-query
+    // real set now rides the r1 rung instead), per-query history survives
+    // for the slowest queries (the ones a judge audits), q_omitted makes
+    // the truncation explicit, and the total stays the full-set sum
+    val ns = (1 to 300).map(i => f"q$i%03d_synthetic_operator_name_$i")
     // distinct, known per-query values: query i takes i/100 seconds
     val ss = (1 to 3).map(_ => ns.zipWithIndex
       .map { case (n, i) => n -> (i + 1) * 0.01 }.toMap)
@@ -130,12 +131,12 @@ class BenchSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     val q = node.get("queries")
     val omitted = node.get("q_omitted").asInt()
-    assert(q.size() > 0 && q.size() + omitted == 160)
+    assert(q.size() > 0 && q.size() + omitted == 300)
     // exactly the slowest q.size() queries survive (highest i = slowest)
-    val kept = (0 until 160).reverse.take(q.size()).map(i => f"q${i + 1}%03d")
+    val kept = (0 until 300).reverse.take(q.size()).map(i => f"q${i + 1}%03d")
     kept.foreach(k => assert(q.has(k), s"missing slowest key $k"))
-    // the total is the FULL 160-query sum, not the kept subset's
-    val expectTotal = (1 to 160).map(_ * 0.01).sum
+    // the total is the FULL 300-query sum, not the kept subset's
+    val expectTotal = (1 to 300).map(_ * 0.01).sum
     assert(math.abs(node.get("value").asDouble() - expectTotal) < 0.01)
     // a failed query is never hidden by truncation: flip one mid-pack
     // query to -1 and it must appear in the kept map ahead of successes
@@ -154,7 +155,11 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length <= 1900, s"line too long: ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("queries").size() == real.length)
-    assert(node.get("rep_totals").size() == 3)
+    // rep evidence must survive query-set growth: the r1 display rung
+    // exists so rep_totals/reps never fall off before per-query precision
+    assert(node.get("rep_totals") != null && node.get("rep_totals").size() == 3,
+      s"rep_totals lost; line length ${line.length}")
+    assert(node.get("reps").asInt() == 3)
   }
 
   test("wall budget is not honored until at least 2 reps exist") {

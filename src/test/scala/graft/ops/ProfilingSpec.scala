@@ -207,6 +207,22 @@ class ProfilingSpec extends SparkSpec {
     assert(math.abs(est2 - 5L) <= width)
   }
 
+  test("paretoFrontierSharded ≡ paretoFrontier at every bucket count") {
+    // local-pass exactness law: dominated-in-any-subset ⇒ dominated
+    // globally, so the bucketed prefilter may never change the result —
+    // including co-surviving equal points split across buckets
+    val pts = ((1L to 60L).map(i => (i, (i * 13) % 17, (i * 7) % 23)) ++
+      Seq((100L, 5L, 5L), (101L, 5L, 5L))).toDF("id", "q", "len")
+    val global = Profiling.paretoFrontier(pts, "id", "q", "len")
+      .as[(Long, Long, Long)].collect().toSeq
+    for (b <- Seq(1, 2, 7, 32)) {
+      val sharded = Profiling.paretoFrontierSharded(pts, "id", "q", "len",
+          buckets = b)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(sharded == global, s"buckets=$b diverged")
+    }
+  }
+
   test("quantileBuckets: bit-identical to the ntile window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.ntile

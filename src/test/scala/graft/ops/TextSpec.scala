@@ -606,6 +606,37 @@ class TextSpec extends SparkSpec {
     assert(got == Seq(("s", 6L, 2L, 333L, -1000000L)))
   }
 
+  test("stupidBackoffScore: bigram branch, 0.4-unigram backoff, OOV") {
+    // domain "a b a b a": bigrams {a b:2, b a:2} → p(b|a)=2/3? no:
+    // u1(a)=2 (from bigram marginals a→: "a b" ×2), u1(b)=2 → both
+    // conditionals = 1.0 → lq_bi = 0. unigram model: a:3, b:2, N=5.
+    val domain = Seq((100L, "a b a b a")).toDF("doc_id", "text")
+    // doc 1 "a b": bigram in model → lq 0 → score 0.0, n_bi_hits 1.
+    // doc 2 "b b": bigram NOT in model, w2 'b' in vocab → backoff
+    //   lq = round(ln(0.4·(2/5))·1e4) = round(ln(0.16)·1e4) = −18326.
+    // doc 3 "a z": bigram unknown AND w2 'z' unknown → OOV: counted in
+    //   n_bigrams, absent from n_scored, score NULL.
+    val corpus = Seq((1L, "a b"), (2L, "b b"), (3L, "a z"))
+      .toDF("doc_id", "text")
+    val got = Text.stupidBackoffScore(corpus, domain)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got(0) == ((1L, 1L, 1L, 1L, Some(0.0))))
+    assert(got(1)._1 == 2L && got(1)._2 == 1L && got(1)._3 == 1L &&
+      got(1)._4 == 0L)
+    assert(math.abs(got(1)._5.get - (-1.8326)) < 1e-9)
+    assert(got(2) == ((3L, 1L, 0L, 0L, None)))
+  }
+
+  test("fertilityCensus: integer ratios over summed per-lang counts") {
+    // "héllo wörld x": ws=3; chars=13; bytes=15 (two 2-byte chars);
+    // bpe regex splits " ?[a-zA-Z]+" runs around the non-ascii bytes:
+    // h|é|llo|_w|ö|rld|_x → 7 proxy tokens
+    val d = Seq((1L, "héllo wörld x", "de")).toDF("doc_id", "text", "lang")
+    val got = Text.fertilityCensus(d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("de", 3L, 7L, 13L, 15L, 7000L / 3L, 15000L / 7L)))
+  }
+
   test("logOddsKeywords: the source-exclusive word tops its source") {
     // 'zebra' lives only in source A (5×); shared filler everywhere
     val d = Seq(
