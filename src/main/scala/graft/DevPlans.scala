@@ -49,7 +49,8 @@ object DevPlans {
         "q152_cluster_split", "q153_sketch_quantiles", "q154_hybrid_rrf",
         "q155_quantile_buckets", "q156_logodds_keywords",
         "q157_attribution", "q158_backoff_lm", "q159_token_fertility",
-        "q160_sharded_pareto")
+        "q160_sharded_pareto", "q161_nation_trend",
+        "q162_windowed_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

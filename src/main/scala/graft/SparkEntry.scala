@@ -4004,7 +4004,56 @@ object SparkEntry {
             .select(col("doc_id"),
               expr("__ns * 1000L div __nt").as("score"), col("n_chars")),
           "doc_id", "score", "n_chars", buckets = 32)
-      })
+      }),
+
+    // Per-nation order-volume trend (Behavior.periodTrend): OLS slope of
+    // monthly counts per nation — "which segment is growing" as one
+    // number per group, slope quantized at 1e-6 (the q147 device).
+    q("q161_nation_trend",
+      """WITH m AS (SELECT n.n_name AS nation,
+        |    epoch_ms(o.o_orderdate) // 2592000000 AS period,
+        |    count(*) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT nation, CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(round(regr_slope(CAST(cnt AS DOUBLE),
+        |    CAST(period AS DOUBLE)) * 1000000) AS BIGINT) AS trend_q6
+        |FROM m GROUP BY 1 ORDER BY nation""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.broadcast
+        val base = Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("o_orderdate"))
+        Behavior.periodTrend(base, "nation", "o_orderdate",
+          periodMs = 2592000000L)
+      }),
+
+    // Deadline funnel (Behavior.funnelWithin): view → click → purchase
+    // where each step must land within ONE DAY of the previous — the
+    // active-conversion form q102's unbounded funnel can't express
+    // (fixture: 150 → 60 → 25 vs unbounded 150 → 150 → 150).
+    q("q162_windowed_funnel",
+      """WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t
+        |    AND e.ts <= t1.t + INTERVAL 1 DAY GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+        |    AND e.ts <= t2.t + INTERVAL 1 DAY GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS step1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS step2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS step3""".stripMargin)(
+      (s, d) => Behavior.funnelWithin(Tables.events(s, d),
+        Seq("view", "click", "purchase"),
+        maxGapNs = 86400L * 1000000000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

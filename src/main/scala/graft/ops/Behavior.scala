@@ -27,20 +27,63 @@ object Behavior {
     * within session) composes from `EventStreams.userSessions` + this on
     * the session-scoped slice.
     */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame =
+    funnelWithin(events, steps, maxGapNs = Long.MaxValue)
+
+  /** `funnel` with a PER-STEP deadline: step i counts only if its
+    * earliest qualifying event lands in `(tᵢ₋₁, tᵢ₋₁ + maxGapNs]` — the
+    * business form ("purchased within a day of clicking") that separates
+    * an active conversion path from users who merely returned months
+    * later, which the unbounded q102 funnel cannot tell apart.
+    * `Long.MaxValue` disables the deadline (and the arithmetic that
+    * would overflow with it), making the unbounded funnel the same code
+    * path — one definition, two contracts.
+    */
+  def funnelWithin(events: DataFrame, steps: Seq[String],
+                   maxGapNs: Long): DataFrame = {
     require(steps.length >= 2, "a funnel needs at least two steps")
+    require(maxGapNs >= 1, "maxGapNs must be >= 1")
     var acc = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t0"))
     for (i <- 1 until steps.length) {
+      val within =
+        if (maxGapNs == Long.MaxValue) lit(true)
+        else col("ts") <= col(s"t${i - 1}") + maxGapNs
       val reach = events.filter(col("event_type") === steps(i))
         .join(acc.filter(col(s"t${i - 1}").isNotNull)
           .select(col("user_id"), col(s"t${i - 1}")), "user_id")
-        .filter(col("ts") > col(s"t${i - 1}"))
+        .filter(col("ts") > col(s"t${i - 1}") && within)
         .groupBy("user_id").agg(min("ts").as(s"t$i"))
       acc = acc.join(reach, Seq("user_id"), "left")
     }
     val aggs = steps.indices.map(i => count(col(s"t$i")).as(s"step${i + 1}"))
     acc.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group activity TREND: the OLS slope of per-period row counts
+    * against the period index, one row per group — "which segment is
+    * growing/shrinking, and how fast" as a single number (counts/period
+    * per period), quantized at 1e-6 like q147's Zipf slope so the only
+    * float crosses engines safely. Groups observed in fewer than two
+    * periods have no slope and surface NULL rather than a fake 0.
+    *
+    * Shape: the scan collapses to (group, period, count) partials; the
+    * regression consumes |groups|×|periods| aggregated rows. Nothing
+    * after the first partial agg scales with data.
+    */
+  def periodTrend(df: DataFrame, groupCol: String, tsCol: String,
+                  periodMs: Long = 2592000000L): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    df.select(col(groupCol), expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"))
+      .groupBy(groupCol, "period").agg(count(lit(1)).as("cnt"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_periods"), sum("cnt").as("n_rows"),
+        expr("round(regr_slope(cast(cnt as double)," +
+          " cast(period as double)) * 1000000)").cast("long")
+          .as("trend_q6"))
+      .orderBy(groupCol)
   }
 
   /** Trailing moving sum of per-period row counts: periods are integer

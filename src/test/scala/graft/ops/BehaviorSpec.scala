@@ -216,6 +216,38 @@ class BehaviorSpec extends SparkSpec {
       (2L, 0L, 1L, false), (3L, 1L, 1L, false), (4L, 0L, 4L, true)))
   }
 
+  test("funnelWithin: per-step deadline, boundary inclusive") {
+    // user 1: click exactly AT t0+gap (inclusive) counts; purchase at
+    // t1+gap+1 (late) does not. user 2: click after the deadline —
+    // stops at step 1. MaxValue disables the deadline entirely.
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 31L, "purchase"),
+      (2L, 10L, "view"), (2L, 21L, "click"))
+    val got = Behavior.funnelWithin(e, Seq("view", "click", "purchase"),
+        maxGapNs = 10L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 1L, 0L)))
+    val unbounded = Behavior.funnelWithin(e,
+        Seq("view", "click", "purchase"), maxGapNs = Long.MaxValue)
+      .as[(Long, Long, Long)].collect().head
+    assert(unbounded == ((2L, 2L, 1L)))
+    // and ≡ the unbounded funnel's own entry point
+    assert(Behavior.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head == unbounded)
+  }
+
+  test("periodTrend: exact unit slope, single-period group is NULL") {
+    // group a: counts 1,2,3 at periods 0,1,2 → OLS slope exactly 1
+    // (quantized 1_000_000); group b: one period → no slope, NULL
+    val ts = (Seq.fill(1)(1L) ++ Seq.fill(2)(11L) ++ Seq.fill(3)(21L))
+      .map(ms => ("a", new java.sql.Timestamp(ms))) ++
+      Seq(("b", new java.sql.Timestamp(5L)))
+    val got = Behavior.periodTrend(ts.toDF("g", "t"), "g", "t",
+        periodMs = 10L)
+      .as[(String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("a", 3L, 6L, Some(1000000L)), ("b", 1L, 1L, None)))
+  }
+
   test("linearAttribution: window-bounded credit split, NULL when none") {
     val W = 100L
     // user 1: clicks at 10, 50, purchase at 100 → both attributed
