@@ -680,9 +680,24 @@ object Dedup {
     * SparkContext — can never have their live checkpoints misattributed
     * and swept (DedupSpec pins a foreign checkpoint surviving the run).
     */
+  /** `driverUnionFindMaxEdges`: below this edge count the closure runs as
+    * a DRIVER-SIDE union-find over the collected (pinned) edge list — the
+    * broadcast-join trade applied to connectivity. Near-dup edge sets are
+    * bounded by actual duplication, not corpus size, so at every real
+    * scale the pair list is millions of rows while the corpus is
+    * billions; collecting two longs per edge (4M edges ≈ 64 MB) replaces
+    * diameter-many shuffle rounds with one action + one broadcast join,
+    * and NODES are never collected — un-edged documents label themselves
+    * through the coalesce. Labels are identical by construction (union
+    * by min root ⇒ root = component min id = the min-label fixed point;
+    * DedupSpec pins path equality). Only engaged for integral ids; 0
+    * forces the iterative path.
+    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          driverUnionFindMaxEdges: Long = 4000000L)
+      : DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     if (reliable)
       require(sc.getCheckpointDir.isDefined,
@@ -719,6 +734,45 @@ object Dedup {
     // round reads the adjacency again
     val (e, edgeCkpt) =
       pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val integralIds = Seq("src", "dst").forall(c =>
+      e.schema(c).dataType == org.apache.spark.sql.types.LongType ||
+        e.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && driverUnionFindMaxEdges > 0 &&
+        e.count() <= driverUnionFindMaxEdges) {
+      val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union by MIN root: the root of every set stays its smallest
+        // member, so find(x) IS the component's min id — the same fixed
+        // point min-label propagation converges to
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val touched = pairs.iterator
+        .flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      val session = nodes.sparkSession
+      import session.implicits._
+      val labelDf = touched.toSeq.map(x => (x, find(x)))
+        .toDF("id", "__cl")
+      sweep(edgeCkpt)
+      return nodes.select(col("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__cl"), col("id")).as("cluster_id"))
+        .orderBy("id")
+    }
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .union(nodes.select(col("id").as("src"), col("id").as("dst")))

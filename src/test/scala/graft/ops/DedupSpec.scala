@@ -159,13 +159,34 @@ class DedupSpec extends SparkSpec {
     val nodes = (1 to n).map(_.toLong).toDF("id")
     val edges = (1 until n).map(i => (i.toLong, i.toLong + 1))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(nodes, edges, maxIter = 15)
+    // force the ITERATIVE path (0 disables the driver union-find rung):
+    // multi-round convergence and the maxIter guard are its laws
+    val got = Dedup.connectedComponents(nodes, edges, maxIter = 15,
+        driverUnionFindMaxEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L))
     // and FAILS (not silently partial) when maxIter is too small
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, edges, maxIter = 3)
+      Dedup.connectedComponents(nodes, edges, maxIter = 3,
+        driverUnionFindMaxEdges = 0L)
     }
+  }
+
+  test("driver union-find rung ≡ iterative min-label on a random graph") {
+    // the q61-family fast path: same labels, bit for bit, on a graph
+    // with chains, a cycle, merged components, self-loops, singletons
+    val nodes = (1L to 40L).toDF("id")
+    val edges = ((1L to 12L).map(i => (i, i + 1)) ++       // chain
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++           // cycle
+      Seq((5L, 30L), (30L, 31L), (17L, 17L)) ++            // merge + self
+      Seq((35L, 36L))).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toSeq
+    val slow = Dedup.connectedComponents(nodes, edges, maxIter = 20,
+        driverUnionFindMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(fast == slow)
+    assert(fast.toMap.apply(31L) == 1L) // 30-31 merged into the chain via 5
   }
 
   test("jaccard clusters: near-dup docs merge, distinct docs stay apart") {
@@ -234,12 +255,15 @@ class DedupSpec extends SparkSpec {
     // (null clears: sc wraps the argument in Option)
     spark.sparkContext.setCheckpointDir(null)
     intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, edges, reliable = true)
+      Dedup.connectedComponents(nodes, edges, reliable = true,
+        driverUnionFindMaxEdges = 0L)
     }
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
     try {
-      val got = Dedup.connectedComponents(nodes, edges, reliable = true)
+      // iterative path forced: the per-round checkpoint sweep is ITS law
+      val got = Dedup.connectedComponents(nodes, edges, reliable = true,
+          driverUnionFindMaxEdges = 0L)
         .as[(Long, Long)].collect().toSeq
       assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
         (5L, 1L), (6L, 1L)))
