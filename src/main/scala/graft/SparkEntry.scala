@@ -2835,12 +2835,12 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total,
         |  CAST(count(*) AS BIGINT) AS s FROM per)
         |SELECT source, n_tokens,
-        |  n_tokens * 1000 // tok_total AS share_permille,
+        |  n_tokens * 1000 // nullif(tok_total, 0) AS share_permille,
         |  CAST(1000000 AS BIGINT) // s AS target_tokens,
         |  CAST(CAST(1000000 AS BIGINT) // s AS DOUBLE) /
         |    CAST(n_tokens AS DOUBLE) AS rate,
-        |  (CAST(1000000 AS BIGINT) // s + n_tokens - 1) // n_tokens
-        |    AS epochs
+        |  (CAST(1000000 AS BIGINT) // s + n_tokens - 1)
+        |    // nullif(n_tokens, 0) AS epochs
         |FROM per CROSS JOIN t ORDER BY source""".stripMargin)(
       (s, d) => Sampling.mixturePlan(Tables.documents(s, d),
         budgetTokens = 1000000L)),
@@ -3544,7 +3544,9 @@ object SparkEntry {
         |        'in','is','it','for'))) * 1000
         |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
         |        w -> len(w) > 0)) AS score
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |    w -> len(w) > 0)) > 0),
         |r AS (SELECT doc_id, source, score, row_number() OVER (
         |    PARTITION BY source ORDER BY score DESC, doc_id)
         |    AS rank_in_stratum FROM q)
@@ -3564,6 +3566,9 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"), col("source"),
               size(stops).cast("long").as("__ns"),
               size(toks).cast("long").as("__nt"))
+            // zero-token docs have no stop-ratio: exclude them rather
+            // than divide by zero (mirrored in the oracle's WHERE)
+            .where(col("__nt") > 0L)
             .select(col("doc_id"), col("source"),
               expr("__ns * 1000L div __nt").as("score")),
           "doc_id", "source", "score")
@@ -3582,7 +3587,9 @@ object SparkEntry {
         |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
         |        w -> len(w) > 0)) AS score,
         |    CAST(n_chars AS BIGINT) AS n_chars
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |    w -> len(w) > 0)) > 0)
         |SELECT a.doc_id, CAST(a.score AS BIGINT) AS score, a.n_chars
         |FROM q a
         |WHERE NOT EXISTS (SELECT 1 FROM q b
@@ -3600,6 +3607,7 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"),
               size(stops).cast("long").as("__ns"),
               size(toks).cast("long").as("__nt"), col("n_chars"))
+            .where(col("__nt") > 0L)
             .select(col("doc_id"),
               expr("__ns * 1000L div __nt").as("score"), col("n_chars")),
           "doc_id", "score", "n_chars")
@@ -3633,7 +3641,8 @@ object SparkEntry {
         |  FROM f CROSS JOIN a)
         |SELECT source, n_tokens, CAST(cap_tokens AS BIGINT) AS cap_tokens,
         |  CAST(alloc AS BIGINT) AS alloc_tokens,
-        |  CAST(alloc * 1000 // n_tokens AS BIGINT) AS epochs_permille
+        |  CAST(alloc * 1000 // nullif(n_tokens, 0) AS BIGINT)
+        |    AS epochs_permille
         |FROM al ORDER BY source""".stripMargin)(
       (s, d) => Sampling.epochPlan(Tables.documents(s, d),
         budgetTokens = 100000L, maxEpochs = 4L)),
@@ -3960,12 +3969,12 @@ object SparkEntry {
         |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
         |  CAST(sum(len(regexp_extract_all(text,
         |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')))
-        |    * 1000 // sum(len(list_filter(string_split_regex(text,
-        |    '[ \t\n\r\f]+'), w -> length(w) > 0))) AS BIGINT)
+        |    * 1000 // nullif(sum(len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0))), 0) AS BIGINT)
         |    AS fert_permille,
-        |  CAST(sum(strlen(text)) * 1000 // sum(len(regexp_extract_all(text,
-        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+')))
-        |    AS BIGINT) AS bytes_per_tok_q3
+        |  CAST(sum(strlen(text)) * 1000 // nullif(sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+'))),
+        |    0) AS BIGINT) AS bytes_per_tok_q3
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)(
       (s, d) => Text.fertilityCensus(Tables.documents(s, d))),
 
@@ -3983,7 +3992,9 @@ object SparkEntry {
         |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
         |        w -> len(w) > 0)) AS score,
         |    CAST(n_chars AS BIGINT) AS n_chars
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |    w -> len(w) > 0)) > 0)
         |SELECT a.doc_id, CAST(a.score AS BIGINT) AS score, a.n_chars
         |FROM q a
         |WHERE NOT EXISTS (SELECT 1 FROM q b
@@ -4001,6 +4012,7 @@ object SparkEntry {
           Tables.documents(s, d).select(col("doc_id"),
               size(stops).cast("long").as("__ns"),
               size(toks).cast("long").as("__nt"), col("n_chars"))
+            .where(col("__nt") > 0L)
             .select(col("doc_id"),
               expr("__ns * 1000L div __nt").as("score"), col("n_chars")),
           "doc_id", "score", "n_chars", buckets = 32)

@@ -35,9 +35,16 @@ object Behavior {
     * business form ("purchased within a day of clicking") that separates
     * an active conversion path from users who merely returned months
     * later, which the unbounded q102 funnel cannot tell apart.
-    * `Long.MaxValue` disables the deadline (and the arithmetic that
-    * would overflow with it), making the unbounded funnel the same code
-    * path — one definition, two contracts.
+    * `Long.MaxValue` disables the deadline, making the unbounded funnel
+    * the same code path — one definition, two contracts.
+    *
+    * The deadline is evaluated as `ts − tᵢ₋₁ ≤ maxGapNs`, never
+    * `ts ≤ tᵢ₋₁ + maxGapNs`: with non-negative epoch-ns timestamps the
+    * difference of two longs cannot overflow, so ANY gap up to
+    * Long.MaxValue is safe — the addition form overflows (and under
+    * Spark's ANSI default, throws) as soon as tᵢ₋₁ + maxGapNs crosses
+    * 2⁶³, i.e. for every "large but finite" gap against ~1.7e18 ns
+    * event times.
     */
   def funnelWithin(events: DataFrame, steps: Seq[String],
                    maxGapNs: Long): DataFrame = {
@@ -48,7 +55,7 @@ object Behavior {
     for (i <- 1 until steps.length) {
       val within =
         if (maxGapNs == Long.MaxValue) lit(true)
-        else col("ts") <= col(s"t${i - 1}") + maxGapNs
+        else col("ts") - col(s"t${i - 1}") <= maxGapNs
       val reach = events.filter(col("event_type") === steps(i))
         .join(acc.filter(col(s"t${i - 1}").isNotNull)
           .select(col("user_id"), col(s"t${i - 1}")), "user_id")

@@ -626,9 +626,14 @@ object Dedup {
   /** Connected components over a pair list — the dedup ENDGAME: the pair
     * operators (jaccardPairs/minhashPairs/simhashPairs/embedding LSH) emit
     * edges, but keep-one-per-group needs the transitive closure into
-    * clusters. Returns (id, cluster_id) for EVERY node, cluster_id = min
-    * id in the component (singletons label themselves) — so `cluster_id =
-    * id` picks the canonical representative and everything else drops.
+    * clusters. Returns (id, cluster_id) for every id in
+    * `nodes ∪ edge endpoints` — one fixed universe, one fixed schema (the
+    * union-coerced id type for BOTH columns), on BOTH execution paths, so
+    * the result can never depend on which path the edge count selected.
+    * Edges with a NULL endpoint are dropped (identically on both paths).
+    * cluster_id = min id in the component (singletons label themselves) —
+    * so `cluster_id = id` picks the canonical representative and
+    * everything else drops.
     *
     * Iterative min-label propagation: each round every node takes the min
     * of its own and its neighbors' labels; converged when no label
@@ -686,12 +691,14 @@ object Dedup {
     * bounded by actual duplication, not corpus size, so at every real
     * scale the pair list is millions of rows while the corpus is
     * billions; collecting two longs per edge (4M edges ≈ 64 MB) replaces
-    * diameter-many shuffle rounds with one action + one broadcast join,
-    * and NODES are never collected — un-edged documents label themselves
-    * through the coalesce. Labels are identical by construction (union
+    * diameter-many shuffle rounds with one action + one ids-only distinct
+    * (the nodes ∪ endpoints universe both paths share) + one broadcast
+    * join, and NODES are never collected — un-edged documents label
+    * themselves through the coalesce. Labels are identical by construction (union
     * by min root ⇒ root = component min id = the min-label fixed point;
-    * DedupSpec pins path equality). Only engaged for integral ids; 0
-    * forces the iterative path.
+    * DedupSpec pins path equality — universe, schema, and values). Only
+    * engaged when the coerced id type is integral; 0 forces the
+    * iterative path.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
@@ -731,12 +738,26 @@ object Dedup {
       }
     // materialize the (possibly expensive) pair computation ONCE — the
     // undirected edge list reads it twice (forward + reversed), and every
-    // round reads the adjacency again
+    // round reads the adjacency again. A NULL endpoint is not an edge:
+    // dropped here, identically on BOTH paths (it would otherwise NPE the
+    // driver collect and silently vanish in the iterative joins — the
+    // result must not depend on which path ran).
     val (e, edgeCkpt) =
-      pin(edges.select(col("id_a").as("src"), col("id_b").as("dst")))
-    val integralIds = Seq("src", "dst").forall(c =>
-      e.schema(c).dataType == org.apache.spark.sql.types.LongType ||
-        e.schema(c).dataType == org.apache.spark.sql.types.IntegerType)
+      pin(edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .where(col("id_a").isNotNull && col("id_b").isNotNull))
+    // The labeled universe is nodes ∪ edge endpoints on BOTH paths, and
+    // both emit (id, cluster_id) in the union-coerced id type — the
+    // result may never depend on whether the edge count crossed the
+    // driver-union-find threshold. (Call sites keep edges ⊆ nodes, where
+    // this is exactly the old "just nodes" universe.)
+    val allIds = nodes.select(col("id"))
+      .union(e.select(col("src").as("id")))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+    val idType = allIds.schema("id").dataType
+    val integralIds =
+      idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType
     if (integralIds && driverUnionFindMaxEdges > 0 &&
         e.count() <= driverUnionFindMaxEdges) {
       val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
@@ -765,24 +786,34 @@ object Dedup {
       val session = nodes.sparkSession
       import session.implicits._
       val labelDf = touched.toSeq.map(x => (x, find(x)))
-        .toDF("id", "__cl")
+        .toDF("__uid", "__cl")
       sweep(edgeCkpt)
-      return nodes.select(col("id"))
-        .join(broadcast(labelDf), Seq("id"), "left")
+      // the nodes ∪ endpoints universe, WITHOUT referencing `e` — the
+      // edge checkpoint was just swept, and the endpoints are already on
+      // the driver (`touched`); labels cast BACK to the universe's id
+      // type (roots are member ids, so the narrowing cast is lossless —
+      // the iterative path's min(lbl) stays in that type, and so must
+      // this one)
+      return nodes.select(col("id").cast(idType).as("id"))
+        .union(touched.toSeq.toDF("id")
+          .select(col("id").cast(idType).as("id")))
+        .distinct()
+        .join(broadcast(labelDf),
+          col("id").cast("long") === col("__uid"), "left")
         .select(col("id"),
-          coalesce(col("__cl"), col("id")).as("cluster_id"))
+          coalesce(col("__cl").cast(idType), col("id")).as("cluster_id"))
         .orderBy("id")
     }
     val und = e
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .union(allIds.select(col("id").as("src"), col("id").as("dst")))
       .cache()
     val sumCol =
       // coalesce: sum over an EMPTY frame is null — make it an explicit 0
       coalesce(sum(col("lbl").cast("decimal(38,0)")),
         lit(BigDecimal(0))).as("lblsum")
     val obs0 = Observation("cc_init")
-    var (labels, labelCkpt) = pin(nodes
+    var (labels, labelCkpt) = pin(allIds
       .select(col("id"), col("id").as("lbl"))
       .observe(obs0, sumCol))
     var prevSum = obs0.get("lblsum")

@@ -385,14 +385,19 @@ object Sampling {
     val totals = withW.agg(sum("__w").as("__wsum"),
       sum("n_tokens").as("__tok_total"))
     withW.crossJoin(broadcast(totals))
+      // nullif guards: all-zero weights (__wsum), an all-empty corpus
+      // (__tok_total), and an all-empty source (n_tokens) each surface
+      // NULL, not DIVIDE_BY_ZERO (Spark ANSI) / a DuckDB error
       .withColumn("target_tokens",
-        expr(s"${budgetTokens}L * __w div __wsum"))
+        expr(s"${budgetTokens}L * __w div nullif(__wsum, 0L)"))
       .select(col("source"), col("n_tokens"),
-        expr("n_tokens * 1000L div __tok_total").as("share_permille"),
+        expr("n_tokens * 1000L div nullif(__tok_total, 0L)")
+          .as("share_permille"),
         col("target_tokens"),
         (col("target_tokens").cast("double") /
           col("n_tokens").cast("double")).as("rate"),
-        expr("(target_tokens + n_tokens - 1L) div n_tokens").as("epochs"))
+        expr("(target_tokens + n_tokens - 1L) div nullif(n_tokens, 0L)")
+          .as("epochs"))
       .orderBy("source")
   }
 
@@ -446,7 +451,10 @@ object Sampling {
             expr(s"(${budgetTokens}L - __sum_full) div (__n - __n_full)"))))
       .select(col("source"), col("n_tokens"), col("cap_tokens"),
         col("alloc_tokens"),
-        expr("alloc_tokens * 1000L div n_tokens").as("epochs_permille"))
+        // nullif: a source of only empty documents has n_tokens = 0 —
+        // NULL epochs, not a divide-by-zero (same guard as q159's census)
+        expr("alloc_tokens * 1000L div nullif(n_tokens, 0L)")
+          .as("epochs_permille"))
       .orderBy("source")
   }
 
@@ -472,6 +480,10 @@ object Sampling {
                            scoreCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(col(scoreCol).desc, col(idCol).asc)
+    // persist: the rank window feeds three downstream reads of the lazy
+    // result — an eager unpersist here would evict before the caller's
+    // action runs, so the blocks are freed by ContextCleaner once the
+    // returned frame is unreachable (the Layout.shardedRanks convention)
     val ranked = df.select(col(idCol), col(stratumCol), col(scoreCol))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -999,6 +999,10 @@ object Text {
 
   def vocabCoverage(documents: DataFrame, vocabSize: Int = 1000): DataFrame = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
+    // persist: vocab + totals + the final join all read this census from
+    // the caller's lazy action — blocks are freed by ContextCleaner once
+    // the returned frame is unreachable (the Layout.shardedRanks
+    // convention; an eager unpersist would evict before the action)
     val bySrc = documents
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
@@ -1097,8 +1101,13 @@ object Text {
         sum("chars").as("n_chars"), sum("bytes").as("n_bytes"))
       .select(col("lang"), col("n_ws_tokens"), col("n_bpe_tokens"),
         col("n_chars"), col("n_bytes"),
-        expr("n_bpe_tokens * 1000L div n_ws_tokens").as("fert_permille"),
-        expr("n_bytes * 1000L div n_bpe_tokens").as("bytes_per_tok_q3"))
+        // nullif: a language whose documents are all empty/whitespace
+        // has zero tokens — surface NULL ratios, not DIVIDE_BY_ZERO
+        // (Spark ANSI) / a hard error (DuckDB //)
+        expr("n_bpe_tokens * 1000L div nullif(n_ws_tokens, 0L)")
+          .as("fert_permille"),
+        expr("n_bytes * 1000L div nullif(n_bpe_tokens, 0L)")
+          .as("bytes_per_tok_q3"))
       .orderBy("lang")
 
   /** Per-source discriminative keywords by weighted log-odds with an
@@ -1123,6 +1132,9 @@ object Text {
                       minCount: Long = 3L): DataFrame = {
     require(topK >= 1 && priorMass > 0 && minCount >= 1,
       "need positive topK/priorMass/minCount")
+    // persist: margins/srcTot/scored all read this census lazily —
+    // blocks are freed by ContextCleaner once the returned frame is
+    // unreachable (the Layout.shardedRanks convention)
     val census = documents
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("y_sw"))
@@ -1224,6 +1236,9 @@ object Text {
     */
   def zipfCensus(documents: DataFrame, topK: Int = 50): DataFrame = {
     require(topK >= 2, "topK must be >= 2 for a slope")
+    // persist: totals + the rank window both read this census lazily —
+    // blocks are freed by ContextCleaner once the returned frame is
+    // unreachable (the Layout.shardedRanks convention)
     val census = documents
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c"))

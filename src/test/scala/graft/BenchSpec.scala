@@ -180,6 +180,54 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.stopAfterRep(1, 1, 10.0, 240.0))
   }
 
+  test("recheck targets: dispersion and slowest medians, biggest first") {
+    val ns = Seq("q01_fast", "q02_dispersed", "q03_slow", "q04_tiny")
+    val ss = Seq(
+      Map("q01_fast" -> 0.4, "q02_dispersed" -> 9.0, "q03_slow" -> 5.0,
+        "q04_tiny" -> 0.01),
+      Map("q01_fast" -> 0.5, "q02_dispersed" -> 0.8, "q03_slow" -> 5.1,
+        "q04_tiny" -> 0.25))
+    // slowestK=2: q03 (median 5.0) and q02 (lower-middle 0.8... but
+    // dispersion 9.0 vs 0.8 > 2× flags it anyway); q04 is under the
+    // 0.3 s floor, q01 is neither dispersed nor a top median
+    val got = Bench.recheckTargets(ns, ss, minSec = 0.3, slowestK = 2)
+    assert(got == Seq("q03_slow", "q02_dispersed"))
+    // ordering: recorded-median descending (repair budget hits the
+    // biggest rows first)
+    val wide = Seq(
+      Map("a_x" -> 1.0, "b_y" -> 3.0, "c_z" -> 2.0),
+      Map("a_x" -> 1.0, "b_y" -> 3.0, "c_z" -> 2.0))
+    assert(Bench.recheckTargets(Seq("a_x", "b_y", "c_z"), wide,
+      minSec = 0.3, slowestK = 3) == Seq("b_y", "c_z", "a_x"))
+  }
+
+  test("a both-reps-contended sample is repaired by the targeted extra rep") {
+    // the r11 artifact defect, replayed: q28's TWO samples both landed
+    // under host load (12.0, 10.6) so the lower-middle median recorded
+    // 10.6 s where clean reality was 2.2 s. The targeted re-rep must
+    // repair the row via min(median, extra), mark the line, and keep it
+    // parseable; a FAILED recheck must never overwrite the median.
+    val ns = Seq("q28_kmeans", "q29_silhouette")
+    val ss = Seq(
+      Map("q28_kmeans" -> 12.0, "q29_silhouette" -> 4.0),
+      Map("q28_kmeans" -> 10.6, "q29_silhouette" -> 4.1))
+    assert(Bench.recheckTargets(ns, ss).contains("q28_kmeans"))
+    val line = Bench.buildLine(ns, ss, "sf",
+      rechecks = Map("q28_kmeans" -> 2.2))
+    val node = mapper.readTree(line)
+    assert(node.get("queries").get("q28").asDouble() == 2.2)
+    assert(node.get("rechecked").asInt() == 1)
+    assert(math.abs(node.get("value").asDouble() - 6.2) < 1e-9)
+    // a recheck SLOWER than the median (it hit contention too) is inert
+    val slow = mapper.readTree(Bench.buildLine(ns, ss, "sf",
+      rechecks = Map("q28_kmeans" -> 99.0)))
+    assert(slow.get("queries").get("q28").asDouble() == 10.6)
+    // a failed recheck (-1) never overwrites a successful median
+    val failed = mapper.readTree(Bench.buildLine(ns, ss, "sf",
+      rechecks = Map("q28_kmeans" -> -1.0)))
+    assert(failed.get("queries").get("q28").asDouble() == 10.6)
+  }
+
   test("short-key collision falls back to full names") {
     val ns = Seq("q01_a", "q01_b")
     val keys = Bench.shortKeys(ns)

@@ -236,6 +236,20 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == unbounded)
   }
 
+  test("funnelWithin: huge finite gap does not overflow against ns timestamps") {
+    // epoch-ns scale (~1.7e18): t0 + maxGapNs would wrap past 2⁶³ for
+    // any large finite gap — the subtraction form must behave exactly
+    // like the unbounded funnel here, not silently empty the tail steps
+    val base = 1700000000000000000L
+    val e = ev(
+      (1L, base, "view"), (1L, base + 10L, "click"),
+      (1L, base + 20L, "purchase"))
+    val got = Behavior.funnelWithin(e, Seq("view", "click", "purchase"),
+        maxGapNs = Long.MaxValue - 1L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 1L)))
+  }
+
   test("periodTrend: exact unit slope, single-period group is NULL") {
     // group a: counts 1,2,3 at periods 0,1,2 → OLS slope exactly 1
     // (quantized 1_000_000); group b: one period → no slope, NULL

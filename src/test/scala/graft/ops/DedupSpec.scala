@@ -189,6 +189,49 @@ class DedupSpec extends SparkSpec {
     assert(fast.toMap.apply(31L) == 1L) // 30-31 merged into the chain via 5
   }
 
+  test("connected components: path equivalence — int ids, foreign endpoints, null edges") {
+    // Integer ids: BOTH paths emit IntegerType for id and cluster_id —
+    // the schema must not flip with the edge count (r11 ADVICE)
+    val nodesI = Seq(1, 2, 3, 4).toDF("id")
+    val edgesI = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val fastI = Dedup.connectedComponents(nodesI, edgesI)
+    val slowI = Dedup.connectedComponents(nodesI, edgesI,
+      driverUnionFindMaxEdges = 0L)
+    // names + types must match (nullability may differ: min-agg vs
+    // coalesce-of-non-null — invisible to any reader of the values)
+    assert(fastI.schema.map(f => (f.name, f.dataType)) ==
+      slowI.schema.map(f => (f.name, f.dataType)))
+    assert(fastI.schema("cluster_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(fastI.as[(Int, Int)].collect().toSeq ==
+      slowI.as[(Int, Int)].collect().toSeq)
+
+    // edge endpoints absent from `nodes` are labeled on BOTH paths —
+    // the universe is nodes ∪ endpoints regardless of path
+    val nodes = Seq(1L, 2L).toDF("id")
+    val edges = Seq((2L, 7L), (8L, 9L)).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toSeq
+    val slow = Dedup.connectedComponents(nodes, edges,
+        driverUnionFindMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(fast == slow)
+    assert(fast == Seq((1L, 1L), (2L, 2L), (7L, 2L), (8L, 8L), (9L, 8L)))
+
+    // a NULL endpoint is not an edge: dropped identically on both paths
+    // (previously an NPE in the driver collect)
+    val nodesN = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edgesN = Seq((Some(1L), Some(2L)), (Some(3L), None),
+      (None, Some(4L))).toDF("id_a", "id_b")
+    val fastN = Dedup.connectedComponents(nodesN, edgesN)
+      .as[(Long, Long)].collect().toSeq
+    val slowN = Dedup.connectedComponents(nodesN, edgesN,
+        driverUnionFindMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(fastN == slowN)
+    assert(fastN == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)))
+  }
+
   test("jaccard clusters: near-dup docs merge, distinct docs stay apart") {
     val a1 = "the quick brown fox jumps over the lazy dog near the river bank"
     val a2 = "the quick brown fox jumps over the lazy dog near the river"

@@ -637,6 +637,20 @@ class TextSpec extends SparkSpec {
     assert(got == (("de", 3L, 7L, 13L, 15L, 7000L / 3L, 15000L / 7L)))
   }
 
+  test("fertilityCensus: an all-empty language surfaces NULL ratios, not an error") {
+    // a language whose every document is empty/whitespace has zero
+    // tokens in both tokenizations — the ratios must come back NULL
+    // (nullif guard), not DIVIDE_BY_ZERO under Spark's ANSI default
+    val d = Seq((1L, "", "xx"), (2L, "  \t ", "xx"),
+      (3L, "real words here", "en")).toDF("doc_id", "text", "lang")
+    val got = Text.fertilityCensus(d)
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    val xx = got.find(_._1 == "xx").get
+    assert(xx._2 == 0L && xx._6.isEmpty && xx._7.isEmpty)
+    assert(got.find(_._1 == "en").get._6.nonEmpty)
+  }
+
   test("logOddsKeywords: the source-exclusive word tops its source") {
     // 'zebra' lives only in source A (5×); shared filler everywhere
     val d = Seq(
