@@ -50,7 +50,12 @@ object DevPlans {
         "q155_quantile_buckets", "q156_logodds_keywords",
         "q157_attribution", "q158_backoff_lm", "q159_token_fertility",
         "q160_sharded_pareto", "q161_nation_trend",
-        "q162_windowed_funnel")
+        "q162_windowed_funnel", "q163_ivfpq_pruned_knn",
+        "q164_benchmark_containment", "q165_temperature_plan",
+        "q166_embedding_diversity", "q167_hard_negatives",
+        "q168_session_funnel", "q169_psi_drift", "q170_compaction_plan",
+        "q171_strip_dup_spans", "q172_weighted_median",
+        "q173_fk_integrity", "q174_dwell_census")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -221,7 +221,32 @@ object DevScale {
       "q149_pareto" -> SparkEntry.queries("q149_pareto_frontier"),
       "q160_shpareto" -> SparkEntry.queries("q160_sharded_pareto"),
       "q156_logodds" -> SparkEntry.queries("q156_logodds_keywords"),
-      "q157_attrib" -> SparkEntry.queries("q157_attribution"))
+      "q157_attrib" -> SparkEntry.queries("q157_attribution"),
+      // ---- round-12 additions. q154: both retrieval legs end in
+      // TakeOrderedAndProject(k) — the claim is flat-ish leg cost growth
+      // and a constant-size fusion. q161/q162: trivially-shaped (per-
+      // group partial aggs / per-user mins), pinned because they're new.
+      // q163: the IVF+PQ rung — codebook training is capped-sample, the
+      // scan is the m-byte index, so growth should track the probed-list
+      // population like q85 tracks its candidate scan.
+      "q154_hybrid" -> SparkEntry.queries("q154_hybrid_rrf"),
+      "q161_trend" -> SparkEntry.queries("q161_nation_trend"),
+      "q162_wfunnel" -> SparkEntry.queries("q162_windowed_funnel"),
+      "q163_ivfpq" -> SparkEntry.queries("q163_ivfpq_pruned_knn"),
+      // q164: the benchmark side is a fixed fraction of the inflating
+      // corpus here, so postings grow F× on BOTH sides and the hit set
+      // grows with the cross-split near-dup mass — expect ≲ linear like
+      // the q69/q126 family. q168: the q113 keyed-window shape feeding
+      // per-session joins (events inflate as disjoint user populations).
+      // q169/q170: census-arithmetic shapes, pinned because they're new.
+      "q164_benchcont" -> SparkEntry.queries("q164_benchmark_containment"),
+      "q168_sessfunnel" -> SparkEntry.queries("q168_session_funnel"),
+      "q169_psi" -> SparkEntry.queries("q169_psi_drift"),
+      "q170_compact" -> SparkEntry.queries("q170_compaction_plan"),
+      // q171: q136's census stages plus the rebuild agg — output (full
+      // rebuilt corpus) grows F×, covered-position explode grows with
+      // duplication mass (exactly F× under the suffix construction)
+      "q171_stripspans" -> SparkEntry.queries("q171_strip_dup_spans"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
@@ -248,7 +273,7 @@ object DevScale {
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val tables = Seq("documents", "embeddings", "events", "orders",
-      "lineitem", "customer")
+      "lineitem", "customer", "nation")
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
       val complete = tables.forall(t =>
@@ -277,6 +302,9 @@ object DevScale {
         // which is exactly the dangling-FK regime the audit prices)
         spark.read.parquet(s"$base/customer.parquet")
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        // q161's roll-up dims, verbatim (25 constant rows)
+        spark.read.parquet(s"$base/nation.parquet")
+          .write.mode("overwrite").parquet(s"$dir/nation.parquet")
       }
       val counts = tables.map(t =>
         spark.read.parquet(s"$dir/$t.parquet").count())

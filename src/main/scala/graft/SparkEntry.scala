@@ -4065,7 +4065,345 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS step3""".stripMargin)(
       (s, d) => Behavior.funnelWithin(Tables.events(s, d),
         Seq("view", "click", "purchase"),
-        maxGapNs = 86400L * 1000000000L))
+        maxGapNs = 86400L * 1000000000L)),
+
+    // IVF + PRODUCT QUANTIZATION ANN (Similarity.annIvfPq): the q50
+    // planting device composed with q62's clustered construction — PQ's
+    // honest contract is "strong neighbors survive 64× compression",
+    // NOT "statistical cluster-mates keep their exact order" (their
+    // cosine margins shrink with density, so an exact pin on them
+    // breaks at any fixed candidate budget as n grows). Each query gets
+    // 5 planted ε-copies (ε = j·2⁻¹², exactly representable — both
+    // engines build bit-identical vectors) whose cosines ≈ 1 sit far
+    // above the ~0.85 clustered background at every scale; the pruned
+    // (2 of 8 lists) PQ result must EQUAL the exact top-5 — i.e. find
+    // all five copies, exactly ranked — so a coarse-assign, codebook,
+    // encode/decode, probe, or rerank regression that loses or reorders
+    // one planted neighbor is a driver hash mismatch.
+    q("q163_ivfpq_pruned_knn",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, emb FROM e
+        |  UNION ALL
+        |  SELECT e.vec_id + 1000000 * j,
+        |    list_transform(emb, x -> x + 0.000244140625 * j)
+        |  FROM e CROSS JOIN generate_series(1, 5) t(j)
+        |  WHERE e.vec_id < 10),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN aug c ON c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("embedding"))
+        val qs = base.filter(col("vec_id") < 10)
+        val copies = (1 to 5).map { j =>
+          qs.selectExpr(s"vec_id + ${1000000L * j}L AS vec_id",
+            s"transform(embedding, x -> x + ${j}L * 0.000244140625d)" +
+              " AS embedding")
+        }.reduce(_ unionByName _)
+        Similarity.annIvfPq(base.unionByName(copies), qs, k = 5,
+          nlist = 8, nprobe = 2, m = 8, ksub = 16)
+      }),
+
+    // FUZZY decontamination (Dedup.benchmarkContainment): ≥300‰ of a
+    // benchmark doc's distinct 3-gram shingles verbatim inside a corpus
+    // doc — the Dolma/Llama-style threshold rule on the same
+    // deterministic 95/5 split as q69/q126. The hits are exactly the
+    // near-dup pairs that straddle the split (the leakage q119 audits),
+    // each carried with its integer evidence columns.
+    q("q164_benchmark_containment",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+        |bkt AS (SELECT doc_id, shingles,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 AS bucket FROM sh),
+        |c AS (SELECT doc_id AS corpus_id, unnest(shingles) AS item
+        |  FROM bkt WHERE bucket < 950),
+        |b AS (SELECT doc_id AS bench_id, unnest(shingles) AS item
+        |  FROM bkt WHERE bucket >= 950),
+        |bs AS (SELECT doc_id AS bench_id, len(shingles) AS n_b
+        |  FROM bkt WHERE bucket >= 950 AND len(shingles) > 0),
+        |j AS (SELECT corpus_id, bench_id, count(*) AS n_inter
+        |  FROM c JOIN b USING (item) GROUP BY 1, 2)
+        |SELECT j.corpus_id, j.bench_id,
+        |  CAST(j.n_inter AS BIGINT) AS n_inter, CAST(bs.n_b AS BIGINT) AS n_b
+        |FROM j JOIN bs USING (bench_id)
+        |WHERE j.n_inter * 1000 >= 300 * bs.n_b
+        |ORDER BY corpus_id, bench_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Dedup.benchmarkContainment(docs.filter(bucket < 950),
+          docs.filter(bucket >= 950), n = 3, minPermille = 300L)
+      }),
+
+    // Temperature-scaled mixture (Sampling.temperaturePlan, α = 0.5):
+    // share ∝ √n_tokens — the multilingual resampling rule between
+    // proportional and uniform. α = 0.5 rides sqrt (correctly rounded
+    // under IEEE 754 in BOTH engines, unlike pow), and the weight is
+    // integer-quantized before any sum, so the whole plan is exact
+    // integer arithmetic cross-engine.
+    q("q165_temperature_plan",
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+        |      AS BIGINT) AS weight_q6 FROM c),
+        |t AS (SELECT CAST(sum(weight_q6) AS BIGINT) AS wsum FROM w)
+        |SELECT source, n_tokens, weight_q6,
+        |  CAST(1000000 * weight_q6 // nullif(wsum, 0) AS BIGINT)
+        |    AS target_tokens,
+        |  CAST((1000000 * weight_q6 // nullif(wsum, 0) + n_tokens - 1)
+        |    // nullif(n_tokens, 0) AS BIGINT) AS epochs
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin)(
+      (s, d) => Sampling.temperaturePlan(Tables.documents(s, d),
+        budgetTokens = 1000000L, alpha = 0.5)),
+
+    // Embedding diversity census (Similarity.embeddingDiversityCensus):
+    // per-label mean pairwise dot via ‖Σv‖² − Σ‖v‖² — the cluster-
+    // collapse audit with NO pair ever materialized; components integer-
+    // quantized at the scan (the q105 device) so S², D, and the mean are
+    // exact integers cross-engine.
+    q("q166_embedding_diversity",
+      """WITH e AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |c AS (SELECT label, pos, CAST(round(x * 1000) AS BIGINT) AS q
+        |  FROM e),
+        |cells AS (SELECT label, pos, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS d
+        |  FROM c GROUP BY 1, 2),
+        |agg AS (SELECT label, max(n) AS n_vecs,
+        |    CAST(sum(s * s) AS BIGINT) AS s2, CAST(sum(d) AS BIGINT) AS dd
+        |  FROM cells GROUP BY 1)
+        |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+        |  CAST((s2 - dd) // (n_vecs * (n_vecs - 1)) AS BIGINT)
+        |    AS mean_dot_q
+        |FROM agg WHERE n_vecs >= 2 ORDER BY label""".stripMargin)(
+      (s, d) => Similarity.embeddingDiversityCensus(Tables.embeddings(s, d),
+        scale = 1000)),
+
+    // Hard-negative mining (Similarity.hardNegatives): per anchor, the
+    // top-5 highest-cosine vectors with a DIFFERENT label — the
+    // contrastive-training complement of q96's hash-random negatives;
+    // exact brute top-k as the oracle-checkable referee (the ANN family
+    // is the documented swap at corpus scale).
+    q("q167_hard_negatives",
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id, n_label FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, c.label AS n_label,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id
+        |    AND c.label <> q.label) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+      }),
+
+    // SESSION-scoped funnel (Behavior.sessionFunnel): view→click→purchase
+    // inside one 4-hour-gap session — the q113 sessionization feeding the
+    // q102 funnel shape, counting SESSIONS. Separates "bought in that
+    // visit" (14 sessions here) from q102's whole-history conversions —
+    // the two numbers a product team compares.
+    q("q168_session_funnel",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, qts, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |t1 AS (SELECT user_id, sess, min(qts) AS t FROM w
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |t2 AS (SELECT w.user_id, w.sess, min(w.qts) AS t
+        |  FROM w JOIN t1 USING (user_id, sess)
+        |  WHERE w.event_type = 'click' AND w.qts > t1.t GROUP BY 1, 2),
+        |t3 AS (SELECT w.user_id, w.sess, min(w.qts) AS t
+        |  FROM w JOIN t2 USING (user_id, sess)
+        |  WHERE w.event_type = 'purchase' AND w.qts > t2.t GROUP BY 1, 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM t1) AS step1,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t2) AS step2,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t3) AS step3""".stripMargin)(
+      (s, d) => Behavior.sessionFunnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"),
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L)),
+
+    // PSI drift census (Profiling.psiDrift): English docs vs the rest
+    // over 16-token length bins — per-bin counts + the quantized PSI
+    // term (Σ = the drift number); empty-on-one-side bins surface NULL,
+    // never an epsilon fudge.
+    q("q169_psi_drift",
+      """WITH d AS (SELECT lang, len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> len(w) > 0)) AS nt FROM documents),
+        |a AS (SELECT nt // 16 AS bin, count(*) AS c_a FROM d
+        |  WHERE lang = 'en' GROUP BY 1),
+        |b AS (SELECT nt // 16 AS bin, count(*) AS c_b FROM d
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(sum(c_a) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(sum(c_b) AS BIGINT) FROM b) AS n_b),
+        |j AS (SELECT coalesce(a.bin, b.bin) AS bin,
+        |    coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(c_b AS BIGINT) AS c_b,
+        |  CASE WHEN c_a > 0 AND c_b > 0 THEN
+        |    CAST(round((CAST(c_a AS DOUBLE) / n_a -
+        |      CAST(c_b AS DOUBLE) / n_b) *
+        |      ln(CAST(c_a AS DOUBLE) * n_b /
+        |        (CAST(c_b AS DOUBLE) * n_a)) * 1000000) AS BIGINT)
+        |  END AS term_q6
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        import org.apache.spark.sql.functions.size
+        Profiling.psiDrift(docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") =!= "en"),
+          size(Text.tokens(col("text"))).cast("long"), binWidth = 16L)
+      }),
+
+    // Compaction plan (Layout.compactionPlan): the (source, lang) shard
+    // census packed into ~60-row output files by prefix-sum assignment —
+    // key order preserved, no unit split, the lakehouse OPTIMIZE shape
+    // with the window on CENSUS rows only.
+    q("q170_compaction_plan",
+      """WITH c AS (SELECT source, lang, count(*) AS n_rows
+        |  FROM documents GROUP BY 1, 2),
+        |p AS (SELECT source, lang, n_rows,
+        |    coalesce(sum(n_rows) OVER (ORDER BY source, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bef FROM c)
+        |SELECT source, lang, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(bef // 60 AS BIGINT) AS out_file
+        |FROM p ORDER BY source, lang""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit}
+        val census = Tables.documents(s, d)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_rows"))
+        Layout.compactionPlan(census, Seq("source", "lang"), "n_rows",
+          targetRows = 60L)
+      }),
+
+    // Duplicated-span REMOVAL (Text.stripDuplicatedSpans): the acting
+    // face of q136's census — positions covered by a 5-gram occurring in
+    // ≥2 docs are cut and the doc rebuilt from surviving tokens
+    // (canonical single-space join); 24 fully-recycled docs survive as
+    // empty strings at this scale — dropping them is caller policy.
+    q("q171_strip_dup_spans",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |pg AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i,
+        |    unnest(list_transform(generate_series(1,
+        |      greatest(len(t) - 4, 0)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS gram
+        |  FROM toks),
+        |hot AS (SELECT gram FROM (SELECT gram,
+        |    count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id,
+        |    unnest(generate_series(i, i + 4)) AS p
+        |  FROM pg JOIN hot USING (gram)),
+        |tk AS (SELECT doc_id, unnest(t) AS tok,
+        |    unnest(generate_series(1, len(t))) AS p FROM toks),
+        |kept AS (SELECT tk.doc_id, string_agg(tk.tok, ' '
+        |      ORDER BY tk.p) AS text
+        |  FROM tk ANTI JOIN cov ON tk.doc_id = cov.doc_id
+        |    AND tk.p = cov.p GROUP BY 1)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.stripDuplicatedSpans(Tables.documents(s, d),
+        n = 5, minDf = 2L)),
+
+    // Exact weighted median (Profiling.weightedMedian): per source, the
+    // token count below which half the source's CHARACTER mass sits —
+    // 2·cum ≥ tot over a RANGE frame (tie-safe by construction), all
+    // integer decisions.
+    q("q172_weighted_median",
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> len(w) > 0)) AS v,
+        |    CAST(n_chars AS BIGINT) AS w FROM documents),
+        |c AS (SELECT source, v, w,
+        |    sum(w) OVER (PARTITION BY source ORDER BY v
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY source) AS tot FROM d)
+        |SELECT source, CAST(max(tot) AS BIGINT) AS total_weight,
+        |  CAST(min(v) AS BIGINT) AS w_median
+        |FROM c WHERE cum * 2 >= tot GROUP BY source
+        |ORDER BY source""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.size
+        Profiling.weightedMedian(
+          Tables.documents(s, d).select(col("source"),
+            size(Text.tokens(col("text"))).cast("long").as("v"),
+            col("n_chars").cast("long").as("w")),
+          "source", "v", "w")
+      }),
+
+    // FK integrity audit (Profiling.fkIntegrityAudit): events.user_id →
+    // customer.c_custkey — null keys, orphan rows/keys (what an inner
+    // join silently drops), and unreferenced parents (1350 customers
+    // never emit an event at this scale), all census-vs-census.
+    q("q173_fk_integrity",
+      """WITH c AS (SELECT user_id AS k, count(*) AS n FROM events
+        |  GROUP BY 1),
+        |p AS (SELECT DISTINCT c_custkey AS pk FROM customer)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM events)
+        |    AS n_child_rows,
+        |  CAST(coalesce((SELECT sum(n) FROM c WHERE k IS NULL), 0)
+        |    AS BIGINT) AS n_null_keys,
+        |  CAST(coalesce((SELECT sum(c.n) FROM c ANTI JOIN p
+        |    ON c.k = p.pk WHERE c.k IS NOT NULL), 0) AS BIGINT)
+        |    AS n_orphan_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c ANTI JOIN p
+        |    ON c.k = p.pk WHERE c.k IS NOT NULL) AS n_orphan_keys,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p ANTI JOIN c
+        |    ON p.pk = c.k) AS n_unreferenced_parents""".stripMargin)(
+      (s, d) => Profiling.fkIntegrityAudit(Tables.events(s, d), "user_id",
+        Tables.customer(s, d), "c_custkey")),
+
+    // Per-state dwell-time census (Behavior.dwellTimeCensus): time users
+    // sit in each event type before their next event — the
+    // time-weighted face of q109's transition counts; same one
+    // user-keyed window, µs-quantized for oracle parity.
+    q("q174_dwell_census",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |d AS (SELECT event_type, lead(qts) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id) - qts AS dwell FROM q)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_dwells,
+        |  CAST(sum(dwell) AS BIGINT) AS sum_dwell,
+        |  CAST(max(dwell) AS BIGINT) AS max_dwell
+        |FROM d WHERE dwell IS NOT NULL GROUP BY 1
+        |ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.dwellTimeCensus(Tables.events(s, d),
+        quantumNs = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

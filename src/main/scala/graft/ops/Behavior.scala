@@ -162,6 +162,58 @@ object Behavior {
       .orderBy("user_id")
   }
 
+  /** SESSION-scoped ordered funnel: step i counts only when its earliest
+    * qualifying event follows step i−1 INSIDE THE SAME SESSION (the
+    * q113 gaps-and-islands sessionization, shared formula) — the
+    * conversion question product analytics actually asks ("did they buy
+    * in that visit"), which the whole-history funnel (q102) and the
+    * deadline funnel (q162) both overcount: a user who viewed today and
+    * purchased in an unrelated visit next week is a q102 conversion but
+    * not a session conversion. One row: SESSIONS reaching each step
+    * (`stepN` counts sessions, not users — a user converting twice in
+    * two visits counts twice; that is the session-funnel contract).
+    *
+    * Shape: ONE exchange on user_id drives the sessionization windows
+    * (the q113 discipline); each step then collapses to a per-(user,
+    * session) min BEFORE the next join — joins carry one row per
+    * session per step, never event×event. Timestamps are quantized by
+    * `quantumNs` exactly as sessionStats (oracle-parity on the gap
+    * comparisons AND the step ordering).
+    */
+  def sessionFunnel(events: DataFrame, steps: Seq[String], gapNs: Long,
+                    tiebreakCol: String = "event_id",
+                    quantumNs: Long = 1L): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least two steps")
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val sessioned = events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol), col("event_type"))
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L))
+      .withColumn("sess", sum("brk").over(cum))
+      .select("user_id", "sess", "qts", "event_type")
+    var acc = sessioned.filter(col("event_type") === steps.head)
+      .groupBy("user_id", "sess").agg(min("qts").as("t0"))
+    for (i <- 1 until steps.length) {
+      val reach = sessioned.filter(col("event_type") === steps(i))
+        .join(acc.filter(col(s"t${i - 1}").isNotNull)
+          .select(col("user_id"), col("sess"), col(s"t${i - 1}")),
+          Seq("user_id", "sess"))
+        .filter(col("qts") > col(s"t${i - 1}"))
+        .groupBy("user_id", "sess").agg(min("qts").as(s"t$i"))
+      acc = acc.join(reach, Seq("user_id", "sess"), "left")
+    }
+    val aggs = steps.indices.map(i =>
+      count(col(s"t$i")).as(s"step${i + 1}"))
+    acc.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Sweep-line interval concurrency: each `[start, end)` interval emits
     * a +1 at `start` and a −1 at `end`; the running sum over boundary
     * order IS the number of concurrently-open intervals after each
@@ -212,6 +264,35 @@ object Behavior {
       .groupBy(col("from_type"), col("event_type").as("to_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** Per-state DWELL-TIME census: for each event type, how long users
+    * sit in it before their next event — count of observed dwells
+    * (a user's last event has none), total and max dwell in quantized
+    * units. The time-weighted face of `transitionCensus`'s count matrix:
+    * "users click quickly but stall on checkout" is a dwell statement,
+    * invisible in transition counts. Exact integers; mean = sum/n is
+    * the consumer's one division.
+    *
+    * Same single user-keyed window as transitionCensus (lead instead of
+    * lag — one exchange), same `(qts, tiebreak)` deterministic order,
+    * same `quantumNs` oracle-parity quantization as sessionStats.
+    */
+  def dwellTimeCensus(events: DataFrame,
+                      tiebreakCol: String = "event_id",
+                      quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol), col("event_type"))
+      .withColumn("dwell", lead("qts", 1).over(w) - col("qts"))
+      .filter(col("dwell").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_dwells"), sum("dwell").as("sum_dwell"),
+        max("dwell").as("max_dwell"))
+      .orderBy("event_type")
   }
 
   /** Conversion-latency distribution: for users whose earliest `to`

@@ -299,6 +299,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** FUZZY decontamination pairs — directed containment of a BENCHMARK
+    * document inside a corpus document: (corpus_id, bench_id) where at
+    * least `minPermille`/1000 of the benchmark doc's distinct n-gram
+    * shingles also occur in the corpus doc. The threshold face of the
+    * q69/q126 family: `contaminatedDocs` gates on an ABSOLUTE shared-
+    * shingle count (one quoted question trips it as easily as a dump),
+    * while this normalizes by the benchmark doc's own size — the
+    * Dolma/Llama-style "≥τ of the eval item appears verbatim" rule that
+    * survives light paraphrase/reformatting where exact-membership
+    * decontamination (q69) goes blind. The decision is integer-exact
+    * (`n_inter · 1000 ≥ minPermille · n_b`) and the output carries the
+    * evidence columns, the q118 discipline.
+    *
+    * Scale shape: the benchmark side is eval-set-sized and BROADCASTS as
+    * postings; corpus postings stream through the broadcast join and
+    * collapse to per-(corpus, bench) counts with map-side partials —
+    * work is bounded by actual overlap, never corpus × benchmark.
+    */
+  def benchmarkContainment(corpus: DataFrame, benchmark: DataFrame,
+                           n: Int = 3,
+                           minPermille: Long = 800L): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minPermille >= 1 && minPermille <= 1000,
+      "minPermille must be in [1, 1000]")
+    val c = shingleSets(corpus, n)
+      .select(col("doc_id").as("corpus_id"),
+        explode(col("shingles")).as("item"))
+    val bSets = shingleSets(benchmark, n)
+      .select(col("doc_id").as("bench_id"), col("shingles"))
+    val bSizes = bSets
+      .select(col("bench_id"), size(col("shingles")).cast("long").as("n_b"))
+      .filter(col("n_b") > 0)
+    val b = bSets.select(col("bench_id"), explode(col("shingles")).as("item"))
+    c.join(broadcast(b), Seq("item"))
+      .groupBy("corpus_id", "bench_id").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(bSizes), "bench_id")
+      .filter(col("n_inter") * 1000L >= lit(minPermille) * col("n_b"))
+      .select(col("corpus_id"), col("bench_id"), col("n_inter"), col("n_b"))
+      .orderBy("corpus_id", "bench_id")
+  }
+
   /** Exact n-gram Jaccard pairs via inverted-index join: explode
     * (doc, shingle), self-join on shingle to count intersections, then
     * |A∪B| = |A|+|B|−|A∩B|. Only docs sharing ≥1 shingle are ever paired.
@@ -687,10 +728,17 @@ object Dedup {
     */
   /** `driverUnionFindMaxEdges`: below this edge count the closure runs as
     * a DRIVER-SIDE union-find over the collected (pinned) edge list — the
-    * broadcast-join trade applied to connectivity. Near-dup edge sets are
-    * bounded by actual duplication, not corpus size, so at every real
-    * scale the pair list is millions of rows while the corpus is
-    * billions; collecting two longs per edge (4M edges ≈ 64 MB) replaces
+    * broadcast-join trade applied to connectivity. The 2M default is
+    * MEASURED, not asserted (graft.DevCc, chain-of-8 graphs, local[32],
+    * PLANS.md round-12 table): driver-UF wins 3.5× at 1e5 edges and ~2×
+    * at 1e6, the curves cross at ~2e6 (15.2 s vs 16.5 s), and by 3–4e6
+    * the collect's Row/GC overhead loses to the iterative rounds (24.4 vs
+    * 19.8 s at 3e6) — long before the raw "64 MB of longs" arithmetic
+    * suggests. A beefier driver moves the crossover up; callers who know
+    * their heap pass a bigger threshold. Near-dup edge sets are bounded
+    * by actual duplication, not corpus size, so at every real scale the
+    * pair list is millions of rows while the corpus is billions;
+    * collecting two longs per edge replaces
     * diameter-many shuffle rounds with one action + one ids-only distinct
     * (the nodes ∪ endpoints universe both paths share) + one broadcast
     * join, and NODES are never collected — un-edged documents label
@@ -703,7 +751,7 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 20,
                           reliable: Boolean = false,
-                          driverUnionFindMaxEdges: Long = 4000000L)
+                          driverUnionFindMaxEdges: Long = 2000000L)
       : DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     if (reliable)

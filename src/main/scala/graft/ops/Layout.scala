@@ -136,6 +136,35 @@ object Layout {
     * the overlap count computed from this frame is the skipped-file truth,
     * engine-independent.
     */
+  /** Small-files COMPACTION plan over a shard census: given one row per
+    * physical unit (file / partition / bucket) with its row count, in a
+    * deterministic key order, assign each unit to an output file id so
+    * consecutive units coalesce into ~`targetRows` outputs —
+    * `out_file = (rows before this unit) div targetRows`, the classic
+    * prefix-sum bin assignment (Delta OPTIMIZE / Iceberg rewrite
+    * planning shape). Key order is preserved, so a sorted table stays
+    * sorted across the rewrite; an output file holds at most
+    * targetRows + maxUnitRows − 1 rows (a unit is never split — the
+    * whole point of a cheap plan).
+    *
+    * Scale shape: the window runs over CENSUS rows (units, not data) —
+    * |files|-sized input, the q108 aggregated-window posture. The data
+    * itself moves only in the rewrite the plan drives.
+    */
+  def compactionPlan(census: DataFrame, keyCols: Seq[String],
+                     rowsCol: String, targetRows: Long): DataFrame = {
+    require(targetRows >= 1, "targetRows must be >= 1")
+    require(keyCols.nonEmpty, "need at least one ordering key")
+    val w = Window.orderBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    census
+      .withColumn("__before", coalesce(sum(col(rowsCol)).over(w), lit(0L)))
+      .withColumn("out_file", expr(s"__before div ${targetRows}L"))
+      .select(keyCols.map(col) :+ col(rowsCol).cast("long").as("n_rows")
+        :+ col("out_file"): _*)
+      .orderBy(keyCols.map(col): _*)
+  }
+
   def fileStats(spark: org.apache.spark.sql.SparkSession, dir: String,
                 xCol: String, yCol: String): DataFrame =
     spark.read.parquet(dir)

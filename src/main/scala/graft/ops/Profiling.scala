@@ -200,6 +200,116 @@ object Profiling {
     * Null keys are counted but excluded from the prediction (SQL equi
     * semantics).
     */
+  /** Population-Stability-Index drift census between two slices of the
+    * same population — THE standard "has my distribution moved" monitor
+    * (feature drift, corpus drift between snapshots, slice-vs-corpus
+    * skew): bin a non-negative integer feature into `binWidth` buckets
+    * and emit, per bin, both counts and the PSI term
+    * `(pA − pB)·ln(pA/pB)` — `Σ term = PSI` (rule of thumb: < 0.1 calm,
+    * > 0.25 drifted). The term is quantized at 1e-6 from EXACT integer
+    * counts (the q134 integer-log device — the ln is the only float and
+    * it is a fixed scalar expression of four longs), so the census sums
+    * exactly cross-engine.
+    *
+    * Bins where either slice is EMPTY have an undefined PSI term
+    * (ln 0): they surface with their counts and a NULL term rather than
+    * a fabricated epsilon — the consumer sees exactly which mass is
+    * un-scorable (the standard epsilon fudge hides precisely the
+    * all-new/all-gone bins that matter most).
+    *
+    * Scale shape: each slice collapses to a |bins|-row census in the
+    * scan stage (map-side partials); the join and term arithmetic run
+    * on bins × 2 counts. Nothing after the partial aggs scales with
+    * data.
+    */
+  def psiDrift(a: DataFrame, b: DataFrame, value: Column,
+               binWidth: Long = 16L): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    // floor-div bin for non-negative integer features (documented
+    // contract); truncation == floor there
+    def census(df: DataFrame, cn: String) = df
+      .select(floor(value.cast("long").cast("double") / binWidth)
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cn))
+    val ca = census(a, "c_a")
+    val cb = census(b, "c_b")
+    val tot = ca.agg(sum("c_a").as("n_a"))
+      .crossJoin(cb.agg(sum("c_b").as("n_b")))
+    ca.join(cb, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_q6",
+        when(col("c_a") > 0 && col("c_b") > 0,
+          round((col("c_a").cast("double") / col("n_a").cast("double") -
+            col("c_b").cast("double") / col("n_b").cast("double")) *
+            log(col("c_a").cast("double") * col("n_b").cast("double") /
+              (col("c_b").cast("double") * col("n_a").cast("double"))) *
+            1000000).cast("long")))
+      .select("bin", "c_a", "c_b", "term_q6")
+      .orderBy("bin")
+  }
+
+  /** Exact WEIGHTED median per group — the smallest value whose
+    * cumulative weight reaches half the group's total (`2·cum ≥ tot`,
+    * integer-exact for integer weights): "the token count below which
+    * half the corpus BYTES sit" and its siblings, where the unweighted
+    * median (q139's device) answers a different question whenever size
+    * and count diverge. Tie-safe by construction: the cumulative frame
+    * is RANGE-based on the value ordering, so equal values accumulate
+    * together and no tiebreak column can change the answer.
+    *
+    * Scale shape: one keyed window exchange (partition by group, order
+    * by value) shared by the cumulative and total sums, then a keyed
+    * min — per-group rows, never a global sort.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("__v"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+    df.select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .withColumn("__cum", sum("__w").over(cum))
+      .withColumn("__tot", sum("__w").over(whole))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCol)
+      .agg(max("__tot").as("total_weight"),
+        min("__v").as("w_median"))
+      .orderBy(groupCol)
+  }
+
+  /** Referential-integrity audit of one FK edge — the data-quality
+    * check every pipeline join silently assumes: child rows whose key
+    * is NULL, child rows whose key has NO parent (orphans — an inner
+    * join drops them unseen), and parent keys never referenced (dead
+    * dimension mass). One row, exact integers.
+    *
+    * Scale shape: the child collapses to a (key, count) census in the
+    * scan stage; both orphan and unreferenced sets are census-vs-census
+    * anti-joins — the fact table's row count never crosses a join.
+    */
+  def fkIntegrityAudit(child: DataFrame, childKey: String,
+                       parent: DataFrame, parentKey: String): DataFrame = {
+    val census = child.groupBy(col(childKey).as("__k"))
+      .agg(count(lit(1)).as("__n"))
+    val pkeys = parent.select(col(parentKey).as("__p")).distinct()
+    val nulls = census.filter(col("__k").isNull)
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_null_keys"))
+    val orphans = census.filter(col("__k").isNotNull)
+      .join(pkeys, col("__k") === col("__p"), "left_anti")
+      .agg(coalesce(sum("__n"), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+    val unref = pkeys
+      .join(census, col("__p") === col("__k"), "left_anti")
+      .agg(count(lit(1)).as("n_unreferenced_parents"))
+    val totals = child.agg(count(lit(1)).as("n_child_rows"))
+    totals.crossJoin(nulls).crossJoin(orphans).crossJoin(unref)
+  }
+
   def joinCardinalityAudit(left: DataFrame, leftKey: String,
                            right: DataFrame, rightKey: String): DataFrame = {
     def census(df: DataFrame, key: String) =

@@ -401,6 +401,53 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** TEMPERATURE-scaled mixture plan (the multilingual-pretraining
+    * resampling rule, mBERT/XLM-R style): source share ∝ n_tokensᵅ,
+    * α ∈ (0, 1] — α = 1 is the natural (proportional) mixture, smaller α
+    * flattens it toward uniform, boosting small sources without the hard
+    * uniformity `mixturePlan`'s explicit weights would impose. Output
+    * per source: token census, the quantized weight, the target
+    * allocation of `budgetTokens`, and the ceil-div epoch count (> 1 =
+    * the repetition the boost costs).
+    *
+    * Cross-engine exactness: the ONLY float is n_tokensᵅ, quantized to
+    * an integer weight (`round(·10⁶)`) BEFORE any sum — so every
+    * downstream total/share is exact integer arithmetic, never an
+    * order-dependent double sum. At the α = 0.5 default the power is
+    * computed as `sqrt` — correctly rounded under IEEE 754 in every
+    * engine, so even the quantization boundary is bit-portable; other α
+    * ride `pow`, which IEEE does NOT require correctly rounded, and a
+    * 1-ulp engine disagreement could flip a weight's last digit (the
+    * oracle-parity hazard class) — documented, not hidden.
+    *
+    * Scale shape: one per-source aggregate of a scan-stage token count,
+    * an S-row broadcast total, S rows out.
+    */
+  def temperaturePlan(documents: DataFrame, budgetTokens: Long,
+                      alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens >= 1, "budgetTokens must be >= 1")
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val perSrc = documents
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val p = col("n_tokens").cast("double")
+    val powered =
+      if (alpha == 0.5) sqrt(p)
+      else if (alpha == 1.0) p
+      else pow(p, lit(alpha))
+    val withW = perSrc
+      .withColumn("weight_q6", round(powered * 1e6).cast("long"))
+    val totals = withW.agg(sum("weight_q6").as("__wsum"))
+    withW.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), col("weight_q6"),
+        expr(s"${budgetTokens}L * weight_q6 div nullif(__wsum, 0L)")
+          .as("target_tokens"))
+      .withColumn("epochs",
+        expr("(target_tokens + n_tokens - 1L) div nullif(n_tokens, 0L)"))
+      .orderBy("source")
+  }
+
   /** Data-CONSTRAINED epoch allocation (the Muennighoff et al. 2023
     * regime): split `budgetTokens` across sources proportionally, but no
     * source may repeat more than `maxEpochs` times — its capacity is

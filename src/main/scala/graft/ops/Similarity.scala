@@ -373,6 +373,173 @@ object Similarity {
     } finally { cached.unpersist(blocking = false); () }
   }
 
+  /** ANN via IVF + PRODUCT QUANTIZATION — the industry-standard 100-TB
+    * memory/recall point beyond `annSq`'s global per-dimension ranges:
+    * a coarse k-means quantizer (nlist lists, as annIvf) plus, per
+    * vector, an m-byte PQ code — the RESIDUAL (vector − its list
+    * centroid) is split into `m` subvectors and each is replaced by the
+    * index of its nearest entry in a per-subspace codebook of `ksub`
+    * centroids trained by seeded k-means in code space. The candidate
+    * scan reads ONLY (id, list, m small ints): at dim=768/m=8 that is
+    * 8 bytes where SQ8 needs 768 — two more orders of compression —
+    * and scoring reconstructs list-centroid + codebook entries on the
+    * fly (asymmetric distance, the faiss IVFPQ shape). Exact rerank by
+    * id join, the q85 contract.
+    *
+    * Codebook training runs on a hash-ordered sample capped at
+    * `trainCap` (faiss practice: codebooks need ~100k vectors, not the
+    * corpus) and is ONE Spark job per Lloyd round for ALL m subspaces
+    * together: subvectors ride an exploded (subspace, subvec) frame,
+    * assignment is a per-subspace codegen'd argmin (the
+    * NearestVecCentroid kernel behind a subspace dispatch), recenter is
+    * one groupBy(subspace, code, dim) collect of m·ksub·(dim/m) cells —
+    * model-state-sized, never data-sized. Encoding the full corpus is a
+    * single codegen'd projection (m argmins per row), no shuffle.
+    *
+    * Exactness contract (the q62/q85 device): on clustered fixtures the
+    * pruned+quantized result must EQUAL exact top-k — quantization
+    * error is bounded by candidate rank `candFactor`·k before the exact
+    * rerank, so recall survives as long as no true neighbor is pushed
+    * below that; the driver oracle pins it end to end.
+    */
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, k: Int,
+               nlist: Int = 16, nprobe: Int = 4,
+               m: Int = 4, ksub: Int = 16,
+               candFactor: Int = 8, seed: Long = 42L,
+               trainIter: Int = 5, trainCap: Long = 100000L): DataFrame = {
+    import graft.ml.{KMeansVec, VecCentroid}
+    GraftFunctions.register(corpus.sparkSession)
+    require(m >= 1 && ksub >= 1 && candFactor >= 1 && nprobe >= 1,
+      "m/ksub/candFactor/nprobe must be >= 1")
+    val corpusD = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    if (corpusD.isEmpty) {
+      val s = corpus.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
+    }
+    val cached = corpusD.cache()
+    try {
+      val dim = cached.select(size(col("n_emb"))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => 1
+      }
+      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+      val dsub = dim / m
+      // ---- coarse quantizer (annIvf's front end, shared formula) ----
+      val coarse = KMeansVec.fit(cached, "n_emb", nlist, seed,
+        maxIter = trainIter, idCol = "n_id")
+      val sortedCs = coarse.centroids.sortBy(_.idx)
+      def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+      val coarseLit = array(sortedCs.map(c => litVec(c.vec)): _*)
+      val listed = KMeansVec.assign(cached, "n_emb", coarse.centroids)
+        .withColumnRenamed("cidx", "list")
+      // residual = vector − its list centroid (PQ codes the residual:
+      // its spread is what remains AFTER coarse quantization)
+      val resCol = zip_with(col("n_emb"),
+        element_at(coarseLit, col("list") + 1), (x, c) => x - c)
+      val withRes = listed.select(col("n_id"), col("list"),
+        resCol.as("res"))
+      // ---- codebook training on a capped hash-ordered sample ----
+      val subArr = array((0 until m).map(j =>
+        slice(col("res"), j * dsub + 1, dsub)): _*)
+      val sample = withRes
+        .orderBy(xxhash64(col("n_id"), lit(seed)), col("n_id"))
+        .limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+        .select(col("n_id"), posexplode(subArr).as(Seq("sub", "vec")))
+      val subs = sample.cache()
+      try {
+        // init: per subspace, the ksub hash-first sample rows
+        val wInit = Window.partitionBy("sub")
+          .orderBy(xxhash64(col("n_id"), lit(seed + 1)), col("n_id"))
+        var books: Map[Int, Seq[VecCentroid]] = subs
+          .withColumn("rn", row_number().over(wInit))
+          .filter(col("rn") <= ksub)
+          .select(col("sub"), col("rn"), col("vec"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (j, rows) =>
+            j -> rows.sortBy(_.getInt(1)).zipWithIndex.map { case (r, i) =>
+              VecCentroid(i, r.getSeq[Double](2).toArray)
+            }.toSeq
+          }
+        def argminFor(books: Map[Int, Seq[VecCentroid]],
+                      subCol: Column, jCol: Column): Column =
+          (0 until m).foldLeft(lit(-1)) { (acc, j) =>
+            val cs = books(j).sortBy(_.idx)
+            when(jCol === j, GraftFunctions.nearestVecCentroid(
+              subCol, cs.map(_.idx), cs.map(_.vec))).otherwise(acc)
+          }
+        // grouped Lloyd: ONE recenter job per round covers all m books
+        var round = 0
+        while (round < trainIter) {
+          val cells = subs
+            .withColumn("code", argminFor(books, col("vec"), col("sub")))
+            .select(col("sub"), col("code"), posexplode(col("vec")))
+            .groupBy("sub", "code", "pos")
+            .agg(sum("col").as("s"), count(lit(1)).as("n"))
+            .collect()
+          val byBook = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
+          books = books.map { case (j, cs) =>
+            j -> cs.map { c =>
+              byBook.get((j, c.idx)) match {
+                case Some(rows) =>
+                  val vec = c.vec.clone()
+                  rows.foreach(r =>
+                    vec(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+                  VecCentroid(c.idx, vec)
+                case None => c // empty code keeps its previous centroid
+              }
+            }
+          }
+          round += 1
+        }
+        // ---- encode the FULL corpus: one projection, m argmins ----
+        val codeCols = (0 until m).map { j =>
+          val cs = books(j).sortBy(_.idx)
+          GraftFunctions.nearestVecCentroid(
+            slice(col("res"), j * dsub + 1, dsub),
+            cs.map(_.idx), cs.map(_.vec))
+        }
+        val index = withRes.select(col("n_id"), col("list"),
+          array(codeCols: _*).as("codes"))
+        // ---- probe + asymmetric scan + exact rerank ----
+        val probeStructs = array(
+          KMeansVec.distCols(col("q_emb"), sortedCs).zip(sortedCs).map {
+            case (d, c) => struct(d.as("d"), lit(c.idx).as("i"))
+          }: _*)
+        val probes = broadcast(queries
+          .select(col("vec_id").as("q_id"),
+            asDouble(col("embedding")).as("q_emb"))
+          .withColumn("probe",
+            explode(slice(array_sort(probeStructs), 1, nprobe)))
+          .select(col("q_id"), col("q_emb"), col("probe.i").as("list")))
+        val bookLits = (0 until m).map(j =>
+          array(books(j).sortBy(_.idx).map(c => litVec(c.vec)): _*))
+        // reconstruct ≈ list centroid + concat of coded subvectors —
+        // read entirely from (list, codes) + broadcast literals
+        val decoded = concat((0 until m).map(j =>
+          element_at(bookLits(j), element_at(col("codes"), j + 1) + 1)): _*)
+        val approx = zip_with(element_at(coarseLit, col("list") + 1),
+          decoded, (c, r) => c + r)
+        val wc = Window.partitionBy("q_id").orderBy(desc("acos"), asc("n_id"))
+        val cands = probes.join(index, Seq("list"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("acos", cosine(col("q_emb"), approx))
+          .withColumn("crank", row_number().over(wc))
+          .filter(col("crank") <= k * candFactor)
+          .select("q_id", "q_emb", "n_id")
+        val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+        cands.join(cached, "n_id")
+          .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select("q_id", "rank", "n_id")
+          .orderBy("q_id", "rank")
+      } finally { subs.unpersist(blocking = false); () }
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
   /** ANN via banded random-hyperplane LSH: explode each vector into
     * (table, signature) buckets, join queries to corpus bucket-mates,
     * exact-rerank the candidates, top-k.
@@ -488,6 +655,82 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(count(lit(1)).as("n"), sum("code").as("sum_code"))
       .orderBy("label", "pos")
+  }
+
+  /** Per-label embedding DIVERSITY census — mean pairwise dot product
+    * within each label, computed WITHOUT forming a single pair via the
+    * sum-of-vectors identity: Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖², so
+    * mean = (S² − D) / (n·(n−1)). The cluster-collapse / mode-coverage
+    * audit a curation pipeline runs over its encoder output: a label
+    * whose mean pairwise similarity approaches its mean self-norm has
+    * collapsed to near-identical vectors (dedup or re-embed); a low mean
+    * says the label spans diverse content. Complementary to q115's
+    * near-dup census (pair-level, thresholded) — this is the O(n·d)
+    * population statistic.
+    *
+    * Cross-engine exactness: components are integer-quantized at the
+    * scan (`round(x·10³)`, the quantizedCentroids device) BEFORE any
+    * sum, so S², D, and the n·(n−1) denominator are exact integers and
+    * `mean_dot_q6 = (S² − D) div (n·(n−1))` is bit-portable (unit is
+    * 10⁻⁶ of a dot in quantized units — relabel, don't round).
+    *
+    * Scale shape: one posexplode to (label, pos) partial sums — the
+    * shuffle carries |labels|·dims aggregated cells, never vectors, and
+    * NO pair is ever materialized (the identity is the whole point at
+    * n² pair counts).
+    */
+  def embeddingDiversityCensus(embeddings: DataFrame,
+                               scale: Int = 1000): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val cells = embeddings
+      .select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("q", round(col("x") * scale).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("s"),
+        sum(col("q") * col("q")).as("d"))
+    cells
+      .groupBy("label")
+      .agg(max("n").as("n_vecs"),
+        sum(col("s") * col("s")).as("__s2"),
+        sum("d").as("__d"))
+      .filter(col("n_vecs") >= 2)
+      .select(col("label"), col("n_vecs"),
+        expr("(__s2 - __d) div (n_vecs * (n_vecs - 1))")
+          .as("mean_dot_q"))
+      .orderBy("label")
+  }
+
+  /** HARD-negative mining for contrastive training: for each anchor
+    * vector, the `k` highest-cosine vectors carrying a DIFFERENT label —
+    * the pairs that actually teach a margin, where `Sampling
+    * .negativeSample`'s hash-random negatives are mostly easy. Exact
+    * top-k by brute scoring against the anchor set (the q26 baseline
+    * contract — the oracle-checkable form); at corpus scale the
+    * candidate generation swaps to the ANN family (annIvf/annIvfPq
+    * restricted per-label, the documented bucketed path) with this as
+    * the exactness referee.
+    *
+    * Scale shape (this form): |anchors| × corpus broadcast-join scoring
+    * ending in TakeOrdered(k) per anchor — anchors are the small side by
+    * contract (a training batch / probe set), the corpus is scanned
+    * once.
+    */
+  def hardNegatives(embeddings: DataFrame, anchors: DataFrame,
+                    k: Int = 5): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val corpus = embeddings.select(col("vec_id").as("n_id"),
+      col("label").as("n_label"), asDouble(col("embedding")).as("n_emb"))
+    val a = broadcast(anchors.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), asDouble(col("embedding")).as("q_emb")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    a.join(corpus, col("q_id") =!= col("n_id") &&
+        col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_label"))
+      .orderBy("q_id", "rank")
   }
 
   /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.

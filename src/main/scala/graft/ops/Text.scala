@@ -919,6 +919,53 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-span REMOVAL — the acting face of `dupSpanFraction`'s
+    * census (ExactSubstr-style dedup at span granularity): every token
+    * position covered by an n-gram occurring in ≥ `minDf` documents is
+    * dropped, and the document is rebuilt from the surviving tokens.
+    * Doc-level dedup keeps or kills whole documents; this keeps the
+    * document and cuts the boilerplate/recycled spans INSIDE it — the
+    * pass that rescues a unique article wrapped in a syndicated shell.
+    *
+    * Output text is the CANONICAL single-space join of kept tokens in
+    * original order (the operator tokenizes to decide, so it cannot
+    * reproduce the original inter-token whitespace — document contract,
+    * matching `normText`'s canonical-space worldview). A fully-recycled
+    * document survives as an empty string: dropping rows is the
+    * caller's policy decision (`length > 0` filter), not this
+    * operator's.
+    *
+    * Scale shape: `dupSpanFraction`'s census stages (ids-only df
+    * census; span explode bounded by duplication) plus one tokens
+    * posexplode anti-joined on covered positions; the rebuild sorts
+    * each doc's kept (pos, token) pairs INSIDE a per-row array_sort —
+    * no window, no per-group shuffle beyond the one keyed agg.
+    */
+  def stripDuplicatedSpans(documents: DataFrame, n: Int = 5,
+                           minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && minDf >= 2, "need n >= 1 and minDf >= 2")
+    val pg = positionalGrams(documents, n)
+    val hot = pg.select(col("gram"), col("doc_id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+    val covered = pg.join(hot, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = documents
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("tok"))
+    toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("kept"))
+      .join(documents.select(col("doc_id")), Seq("doc_id"), "right")
+      .select(col("doc_id"), coalesce(col("kept"), lit("")).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Exact phrase search: documents containing `phrase` as CONSECUTIVE
     * whitespace tokens, with occurrence counts — the retrieval primitive
     * `LIKE '%...%'` answers with a full unindexed string scan and an

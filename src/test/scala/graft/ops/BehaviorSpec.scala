@@ -236,6 +236,39 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == unbounded)
   }
 
+  test("sessionFunnel counts SESSIONS; a cross-session step never converts") {
+    // user 1, session A: view@10, click@20 (no purchase); the purchase
+    // @1000 is a NEW session (gap 100) — the whole-history funnel counts
+    // it, the session funnel must not. user 1, session B: full
+    // view→click→purchase run → the one converting session. user 2: two
+    // view-only sessions → two step-1 entries from one user.
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 1000L, "purchase"),
+      (1L, 2000L, "view"), (1L, 2010L, "click"), (1L, 2020L, "purchase"),
+      (2L, 10L, "view"), (2L, 500L, "view"))
+    val got = Behavior.sessionFunnel(e, Seq("view", "click", "purchase"),
+        gapNs = 100L, tiebreakCol = "ts")
+      .as[(Long, Long, Long)].collect().head
+    // sessions with a view: u1 {10,20}, u1 {2000..}, u2 {10}, u2 {500}
+    // (u1's purchase-only session has no view → not in the funnel)
+    assert(got == ((4L, 2L, 1L)))
+    // and the whole-history funnel (users, not sessions) disagrees
+    // exactly where it should: u1's cross-session purchase@1000 converts
+    assert(Behavior.funnel(e, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
+  }
+
+  test("dwellTimeCensus: per-state time-to-next, last event has no dwell") {
+    // user 1: view@10 → click@25 → view@100: dwells view→15, click→75;
+    // the final view has no next event and contributes nothing.
+    // user 2: one click@5 → purchase@6: click dwell 1.
+    val e = ev((1L, 10L, "view"), (1L, 25L, "click"), (1L, 100L, "view"),
+      (2L, 5L, "click"), (2L, 6L, "purchase"))
+    val got = Behavior.dwellTimeCensus(e, tiebreakCol = "ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", 2L, 76L, 75L), ("view", 1L, 15L, 15L)))
+  }
+
   test("funnelWithin: huge finite gap does not overflow against ns timestamps") {
     // epoch-ns scale (~1.7e18): t0 + maxGapNs would wrap past 2⁶³ for
     // any large finite gap — the subtraction form must behave exactly

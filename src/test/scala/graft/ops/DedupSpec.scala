@@ -269,6 +269,32 @@ class DedupSpec extends SparkSpec {
     assert(rep.forall(_._2 == 1L))
   }
 
+  test("benchmarkContainment: normalized by the BENCH side, integer gate") {
+    // corpus doc 0 contains bench doc 10 verbatim plus padding: bench
+    // containment is total (every bench shingle appears) even though
+    // Jaccard vs the padded doc is low — the case the threshold rule
+    // exists for. Corpus doc 1 shares nothing.
+    val bench = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "intro words first then the quick brown fox jumps over " +
+        "the lazy dog and much more trailing commentary text here"),
+      (1L, "completely different content with no shared trigrams at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkContainment(corpus, bench, n = 3,
+        minPermille = 900L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 10L, 7L, 7L))) // all 7 bench 3-grams found
+    // a partial quote fails a 900‰ gate but passes a lax one: drop the
+    // last three bench tokens from the corpus doc → 4/7 shingles left
+    val partial = Seq((0L, "padding the quick brown fox jumps over " +
+      "unrelated trailing words")).toDF("doc_id", "text")
+    assert(Dedup.benchmarkContainment(partial, bench, 3, 900L).isEmpty)
+    assert(Dedup.benchmarkContainment(partial, bench, 3, 500L)
+      .as[(Long, Long, Long, Long)].collect().toSeq ==
+      Seq((0L, 10L, 4L, 7L)))
+  }
+
   test("contaminatedDocs: union membership, distinct counts, overlap gate") {
     val bench = docs("the quick brown fox jumps high")
     val corpus = docs(

@@ -165,4 +165,18 @@ class LayoutSpec extends SparkSpec {
       assert(sharded == offline, s"parts=$parts")
     }
   }
+
+  test("compactionPlan: prefix-sum bin assignment, no unit split, order kept") {
+    val census = Seq(("a", 50L), ("b", 40L), ("c", 40L), ("d", 90L),
+      ("e", 10L), ("f", 100L)).toDF("k", "n")
+    val got = Layout.compactionPlan(census, Seq("k"), "n",
+        targetRows = 100L)
+      .as[(String, Long, Long)].collect().toSeq
+    // cum-before: 0,50,90,130,220,230 → files 0,0,0,1,2,2
+    assert(got == Seq(("a", 50L, 0L), ("b", 40L, 0L), ("c", 40L, 0L),
+      ("d", 90L, 1L), ("e", 10L, 2L), ("f", 100L, 2L)))
+    // units never split: every unit has exactly one out_file; files are
+    // contiguous in key order
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
 }

@@ -235,4 +235,52 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == win)
   }
+
+  test("weightedMedian: half the WEIGHT, tie-safe, ≠ unweighted median") {
+    import org.apache.spark.sql.functions.col
+    // group a: values 1,2,3 with weights 1,1,10 → half of 12 is 6,
+    // reached only at value 3 (the unweighted median is 2)
+    // group b: duplicated value 5 with split weights — the RANGE frame
+    // accumulates ties together, so 5 is the median however the two
+    // 5-rows are ordered internally
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 10L),
+      ("b", 4L, 1L), ("b", 5L, 2L), ("b", 5L, 2L), ("b", 9L, 1L))
+      .toDF("g", "v", "w")
+    val got = Profiling.weightedMedian(df, "g", "v", "w")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 12L, 3L), ("b", 6L, 5L)))
+  }
+
+  test("fkIntegrityAudit: nulls, orphans, and unreferenced parents counted") {
+    val child = Seq(Some(1L), Some(1L), Some(7L), None, Some(8L))
+      .toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Profiling.fkIntegrityAudit(child, "k", parent, "pk")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // 5 rows; 1 null; orphans: keys 7,8 → 2 rows / 2 keys; parents 2,3
+    // never referenced
+    assert(got == ((5L, 1L, 2L, 2L, 2L)))
+  }
+
+  test("psiDrift: identical slices are flat; one-sided bins surface NULL") {
+    import org.apache.spark.sql.functions.col
+    // identical distributions → every term exactly 0 (ln 1 = 0)
+    val a = Seq(1L, 5L, 17L, 33L, 33L).toDF("v")
+    val flat = Profiling.psiDrift(a, a, col("v"), binWidth = 16L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(flat == Seq((0L, 2L, 2L, Some(0L)), (1L, 1L, 1L, Some(0L)),
+      (2L, 2L, 2L, Some(0L))))
+    // a bin present on only one side: counts shown, term NULL (no
+    // epsilon fudge); a shared bin with different mass scores ≠ 0
+    val b = Seq(1L, 5L, 5L, 60L).toDF("v")
+    val got = Profiling.psiDrift(a, b, col("v"), binWidth = 16L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 2L, 3L), (1L, 1L, 0L), (2L, 2L, 0L), (3L, 0L, 1L)))
+    assert(got(0)._4.exists(_ != 0L)) // 2/5 vs 3/4: real drift term
+    assert(got(1)._4.isEmpty && got(2)._4.isEmpty && got(3)._4.isEmpty)
+    // hand value: (0.4 − 0.75)·ln(0.4/0.75)·1e6 = round(219,970.55…)
+    assert(got(0)._4.contains(math.round(
+      (0.4 - 0.75) * math.log((2.0 * 4.0) / (3.0 * 5.0)) * 1e6)))
+  }
 }

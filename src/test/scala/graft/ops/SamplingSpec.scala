@@ -311,6 +311,29 @@ class SamplingSpec extends SparkSpec {
       ("s3", 10L, 500L, 0L, 0.0, 0L)))
   }
 
+  test("temperaturePlan: sqrt weights, integer shares, alpha=1 ≡ proportional") {
+    val d = Seq(
+      ("s1", "t t t t t t t t t t t t t t t t"), // 16 tokens
+      ("s2", "t t t t"),                         // 4
+      ("s3", "t"))                               // 1; total 21
+      .toDF("source", "text")
+    // α=0.5: weights √16=4, √4=2, √1=1 (×1e6), wsum 7e6 → targets
+    // 100·w div 7 per unit weight: 57, 28, 14 of a 100-token budget —
+    // the small source's share triples vs proportional (4.7)
+    val got = Sampling.temperaturePlan(d, budgetTokens = 100L, alpha = 0.5)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 16L, 4000000L, 57L, 4L),
+      ("s2", 4L, 2000000L, 28L, 7L),
+      ("s3", 1L, 1000000L, 14L, 14L)))
+    // α=1 collapses to the proportional mixture (weight ∝ n_tokens)
+    val prop = Sampling.temperaturePlan(d, 21L, alpha = 1.0)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(prop.map(r => (r._1, r._4)) ==
+      Seq(("s1", 16L), ("s2", 4L), ("s3", 1L)))
+    assert(prop.forall(_._5 == 1L))
+  }
+
   test("weightedSample: A-Res keys reproduce a driver-side reference") {
     import org.apache.spark.sql.functions.col
     val docs = (1L to 20L)

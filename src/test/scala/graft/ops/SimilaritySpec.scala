@@ -184,10 +184,45 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceKnn(empty, qs, k = 3),
       Similarity.annLsh(empty, qs, k = 3),
       Similarity.annIvf(empty, qs, k = 3),
-      Similarity.annSq(empty, qs, k = 3)
+      Similarity.annSq(empty, qs, k = 3),
+      Similarity.annIvfPq(empty, qs, k = 3, m = 2)
     ).foreach { r =>
       assert(r.columns.toSeq == cols && r.count() == 0L)
     }
+  }
+
+  test("annIvfPq: m-byte codes + asymmetric scan + exact rerank equals exact top-k") {
+    // nprobe = nlist isolates the PQ machinery itself (no pruning loss):
+    // residual coding, per-subspace codebooks, reconstruction scoring,
+    // and the exact rerank must together lose NOTHING on clustered data
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    val pq = Similarity.annIvfPq(e, queries, k = 5, nlist = 8, nprobe = 8,
+        m = 4, ksub = 16)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(pq == exact)
+  }
+
+  test("annIvfPq: pruned probes keep recall on clustered vectors") {
+    // the IVF dial composed with PQ compression: 2 of 8 lists probed —
+    // intra-cluster neighbors sit in probed lists, PQ misranking is
+    // absorbed by the candFactor·k margin before the exact rerank
+    val rnd = new scala.util.Random(5L)
+    val raw = vecs((0L until 96L).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      i -> v.map(x => (x / n).toFloat)
+    }: _*)
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+    val pq = Similarity.annIvfPq(e, queries, k = 5, nlist = 8, nprobe = 2,
+      m = 4, ksub = 16)
+    val row = Similarity.recall(exact, pq).collect().head
+    assert(row.getAs[Long]("total") == 40L)
+    assert(row.getAs[Long]("hits") == 40L)
   }
 
   test("annSq: quantized candidate scan + exact rerank equals exact top-k") {
@@ -257,6 +292,36 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(capped.filter(_._1 == 3L).map(_._2) == keep3)
     assert(capped.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("embeddingDiversityCensus: sum-identity equals the pairwise mean") {
+    // label 0: two identical vectors (1,2) → quantized (1000,2000),
+    // every pairwise dot = 1e6+4e6 = 5e6 → mean_dot_q = 5,000,000.
+    // label 1: (1,0) and (0,1) → orthogonal, mean 0.
+    // label 2: a singleton — below n_vecs ≥ 2, must not emit.
+    val e = Seq(
+      (0L, Array(1f, 2f), 0), (1L, Array(1f, 2f), 0),
+      (2L, Array(1f, 0f), 1), (3L, Array(0f, 1f), 1),
+      (4L, Array(9f, 9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingDiversityCensus(e, scale = 1000)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((0, 2L, 5000000L), (1, 2L, 0L)))
+  }
+
+  test("hardNegatives: same-label vectors are excluded however close") {
+    // anchor 0 (label 0): vector 1 is IDENTICAL but shares the label —
+    // it must never appear; the top negatives are the different-label
+    // vectors by cosine, ties by id
+    val e = vecs(
+      0L -> Array(1f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(0.9f, 0.1f), 3L -> Array(0f, 1f))
+      .withColumn("label",
+        (col("vec_id") < 2).cast("int")) // 0,1 → label 1; 2,3 → label 0
+    val got = Similarity.hardNegatives(e, e.filter(col("vec_id") === 0),
+        k = 2)
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    assert(got == Seq((0L, 1, 2L, 0), (0L, 2, 3L, 0)))
   }
 
   test("rrfFuse: integer fusion, one-list ids keep a zero contribution") {

@@ -651,6 +651,24 @@ class TextSpec extends SparkSpec {
     assert(got.find(_._1 == "en").get._6.nonEmpty)
   }
 
+  test("stripDuplicatedSpans cuts shared spans, keeps unique text in order") {
+    // docs 0 and 1 share the 5-gram "a b c d e" (plus its extensions);
+    // doc 0's unique prefix/suffix survive, doc 1 is the shared span
+    // plus nothing → empty; doc 2 shares no 5-gram and survives whole
+    // (canonical single-space join)
+    val d = Seq(
+      (0L, "unique head a b c d e unique tail words"),
+      (1L, "a b c d e"),
+      (2L, "completely   different text with no shared grams at all"))
+      .toDF("doc_id", "text")
+    val got = Text.stripDuplicatedSpans(d, n = 5, minDf = 2L)
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "unique head unique tail words"),
+      (1L, ""),
+      (2L, "completely different text with no shared grams at all")))
+  }
+
   test("logOddsKeywords: the source-exclusive word tops its source") {
     // 'zebra' lives only in source A (5×); shared filler everywhere
     val d = Seq(
