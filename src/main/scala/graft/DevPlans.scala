@@ -55,7 +55,8 @@ object DevPlans {
         "q166_embedding_diversity", "q167_hard_negatives",
         "q168_session_funnel", "q169_psi_drift", "q170_compaction_plan",
         "q171_strip_dup_spans", "q172_weighted_median",
-        "q173_fk_integrity", "q174_dwell_census")
+        "q173_fk_integrity", "q174_dwell_census",
+        "q175_retrieval_metrics")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

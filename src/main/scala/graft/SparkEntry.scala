@@ -4403,7 +4403,63 @@ object SparkEntry {
         |FROM d WHERE dwell IS NOT NULL GROUP BY 1
         |ORDER BY 1""".stripMargin)(
       (s, d) => Behavior.dwellTimeCensus(Tables.events(s, d),
-        quantumNs = 1000L))
+        quantumNs = 1000L)),
+
+    // Retrieval evaluation (Similarity.retrievalMetrics): MRR + nDCG@5
+    // of the exact-kNN ranking against label-match relevance — on the
+    // near-uniform fixture labels barely correlate with cosine, so the
+    // metrics span their real range (zeros, partial hits, NULL rr for
+    // no-hit queries) instead of a degenerate all-1000 pin. Every float
+    // term quantized before its sum (q134 device).
+    q("q175_retrieval_metrics",
+      """WITH e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |res AS (SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t WHERE rank <= 5),
+        |rel AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id FROM q
+        |  JOIN e c ON c.vec_id <> q.vec_id AND c.label = q.label),
+        |nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM rel GROUP BY 1),
+        |hits AS (SELECT res.q_id,
+        |    min(CASE WHEN rel.n_id IS NOT NULL THEN res.rank END)
+        |      AS first_hit,
+        |    CAST(coalesce(sum(CASE WHEN rel.n_id IS NOT NULL THEN
+        |      CAST(round(1000000.0 / log2(res.rank + 1.0)) AS BIGINT)
+        |      END), 0) AS BIGINT) AS dcg_q6
+        |  FROM res LEFT JOIN rel ON res.q_id = rel.q_id
+        |    AND res.n_id = rel.n_id GROUP BY 1),
+        |idcg AS (SELECT q_id, n_rel,
+        |    CAST(sum(round(1000000.0 / log2(i + 1.0))) AS BIGINT)
+        |      AS idcg_q6
+        |  FROM (SELECT q_id, n_rel,
+        |      unnest(generate_series(1, least(n_rel, 5))) AS i FROM nrel)
+        |  GROUP BY 1, 2)
+        |SELECT h.q_id, coalesce(n.n_rel, 0) AS n_rel,
+        |  CAST(round(1000000.0 / h.first_hit) AS BIGINT) AS rr_q6,
+        |  h.dcg_q6, coalesce(i.idcg_q6, 0) AS idcg_q6,
+        |  CAST(h.dcg_q6 * 1000 // nullif(i.idcg_q6, 0) AS BIGINT)
+        |    AS ndcg_permille
+        |FROM hits h LEFT JOIN nrel n USING (q_id)
+        |LEFT JOIN idcg i USING (q_id)
+        |ORDER BY q_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.lit
+        val emb = Tables.embeddings(s, d)
+        val qs = emb.filter(col("vec_id") < 10)
+        val res = Similarity.bruteForceKnn(emb, qs, k = 5)
+        val qrels = qs.select(col("vec_id").as("q_id"),
+            col("label").as("__ql"))
+          .join(emb.select(col("vec_id").as("n_id"),
+            col("label").as("__nl")),
+            col("q_id") =!= col("n_id") && col("__ql") === col("__nl"))
+          .select(col("q_id"), col("n_id"), lit(1).as("rel"))
+        Similarity.retrievalMetrics(res, qrels, k = 5)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -733,6 +733,61 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Retrieval-quality metrics against BINARY relevance judgments —
+    * MRR and nDCG@k, the two numbers every retrieval change is judged
+    * by (the evaluation face of the q26/q44/q62/q85/q163 retrieval
+    * family: those pin exactness of a fixed plan, this SCORES any
+    * ranking against labeled truth). Per query: relevant count, the
+    * reciprocal rank of the first hit, DCG@k, ideal DCG@k, and their
+    * ratio.
+    *
+    * Binary relevance is the contract (rel ∈ {0, 1}): the ideal
+    * ranking is then "all R relevant first", so IDCG@k is the
+    * closed-form Σ_{i≤min(R,k)} 1/log₂(i+1) — computed by exploding a
+    * min(R,k)-row sequence per query, never by sorting judgments. All
+    * float terms (1/rank, 1/log₂(i+1)) are quantized at 1e-6 BEFORE
+    * their sums (the q134 device), so totals are exact integers and
+    * `ndcg_permille = dcg·1000 div idcg` is bit-portable.
+    *
+    * Scale shape: the result list is top-k per query by construction
+    * (k·|queries| rows); judgments join on (q_id, n_id); everything
+    * downstream is per-query arithmetic on ≤k rows. Nothing scales
+    * with the corpus behind the ranking.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rel = qrels.filter(col("rel") > 0)
+      .select(col("q_id"), col("n_id"), lit(1L).as("__rel"))
+    val nRel = rel.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val hits = results.filter(col("rank") <= k)
+      .join(rel, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(min(when(col("__rel").isNotNull, col("rank"))).as("__first"),
+        coalesce(sum(when(col("__rel").isNotNull,
+          round(lit(1000000.0) /
+            log2(col("rank").cast("double") + 1)).cast("long"))), lit(0L))
+          .as("dcg_q6"))
+    val idcg = nRel
+      .select(col("q_id"), col("n_rel"),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("i"))
+      .groupBy("q_id", "n_rel")
+      .agg(sum(round(lit(1000000.0) / log2(col("i").cast("double") + 1))
+        .cast("long")).as("idcg_q6"))
+    results.select(col("q_id")).distinct()
+      .join(idcg, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(lit(1000000.0) / col("__first").cast("double"))
+          .cast("long").as("rr_q6"),
+        coalesce(col("dcg_q6"), lit(0L)).as("dcg_q6"),
+        coalesce(col("idcg_q6"), lit(0L)).as("idcg_q6"),
+        expr("dcg_q6 * 1000L div nullif(idcg_q6, 0L)")
+          .as("ndcg_permille"))
+      .orderBy("q_id")
+  }
+
   /** Reciprocal-rank fusion of two retrieval rankings (Cormack et al.
     * 2009) — the standard hybrid-search merge of a lexical (BM25) and a
     * vector (k-NN) result list: each list contributes `1/(k₀ + rank)`

@@ -324,6 +324,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 1, 2L, 0), (0L, 2, 3L, 0)))
   }
 
+  test("retrievalMetrics: hand-computed MRR/nDCG, no-hit query is NULL/zero") {
+    // query 1: relevant docs {11, 13}, ranking hits 11 at rank 2 and 13
+    // at rank 3 → rr = 1e6/2; dcg = 1e6/log2(3) + 1e6/log2(4) (term-
+    // quantized); idcg (R=2, k=3) = 1e6/log2(2) + 1e6/log2(3).
+    // query 2: one judged-relevant doc, never retrieved → rr NULL,
+    // dcg 0, idcg = 1e6, ndcg 0.
+    val res = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 13L),
+      (2L, 1, 20L), (2L, 2, 21L)).toDF("q_id", "rank", "n_id")
+    val qrels = Seq((1L, 11L, 1), (1L, 13L, 1), (2L, 99L, 1))
+      .toDF("q_id", "n_id", "rel")
+    val got = Similarity.retrievalMetrics(res, qrels, k = 3)
+      .as[(Long, Long, Option[Long], Long, Long, Option[Long])]
+      .collect().toSeq
+    val t2 = math.round(1e6 / (math.log(3) / math.log(2)))
+    val t3 = math.round(1e6 / 2.0) // log2(4) = 2
+    val i1 = 1000000L // log2(2) = 1
+    val dcg1 = t2 + t3
+    val idcg1 = i1 + t2
+    assert(got == Seq(
+      (1L, 2L, Some(500000L), dcg1, idcg1, Some(dcg1 * 1000L / idcg1)),
+      (2L, 1L, None, 0L, 1000000L, Some(0L))))
+  }
+
   test("rrfFuse: integer fusion, one-list ids keep a zero contribution") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
     val b = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
