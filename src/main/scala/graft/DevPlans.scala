@@ -56,7 +56,7 @@ object DevPlans {
         "q168_session_funnel", "q169_psi_drift", "q170_compaction_plan",
         "q171_strip_dup_spans", "q172_weighted_median",
         "q173_fk_integrity", "q174_dwell_census",
-        "q175_retrieval_metrics")
+        "q175_retrieval_metrics", "q176_cms_heavy_hitters")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4459,6 +4459,39 @@ object SparkEntry {
             col("q_id") =!= col("n_id") && col("__ql") === col("__nl"))
           .select(col("q_id"), col("n_id"), lit(1).as("rel"))
         Similarity.retrievalMetrics(res, qrels, k = 5)
+      }),
+
+    // Count-Min heavy hitters with measured error (Profiling
+    // .cmsHeavyHitters): 3×16 md5 sketch over the word census — at this
+    // width 7 of the top-10 words carry REAL collision overcounts, so
+    // the audit column is exercised, not decorative (q153's discipline
+    // for the frequency sketch). CMS never undercounts; `overcount ≥ 0`
+    // is the one-sided guarantee the oracle pins.
+    q("q176_cms_heavy_hitters",
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0)) AS key
+        |  FROM documents),
+        |census AS (SELECT key, count(*) AS c FROM toks GROUP BY 1),
+        |kb AS (SELECT key, c, d,
+        |    CAST(('0x' || substr(md5(key || ':' || CAST(d AS VARCHAR)),
+        |      1, 8)) AS BIGINT) % 16 AS b
+        |  FROM census CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 2)) AS d) ds),
+        |r AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS bsum
+        |  FROM kb GROUP BY 1, 2),
+        |est AS (SELECT kb.key, CAST(min(r.bsum) AS BIGINT) AS est
+        |  FROM kb JOIN r USING (d, b) GROUP BY 1),
+        |top AS (SELECT key, c FROM census ORDER BY c DESC, key LIMIT 10)
+        |SELECT t.key, CAST(t.c AS BIGINT) AS exact, e.est,
+        |  CAST(e.est - t.c AS BIGINT) AS overcount
+        |FROM top t JOIN est e USING (key)
+        |ORDER BY exact DESC, key""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.explode
+        Profiling.cmsHeavyHitters(
+          Tables.documents(s, d)
+            .select(explode(Text.tokens(col("text"))).as("tok")),
+          "tok", width = 16, depth = 3, topK = 10)
       })
   )
 

@@ -250,6 +250,53 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Count-Min-sketch heavy hitters WITH measured error — the q153
+    * audited-sketch discipline applied to frequency estimation: `depth`
+    * hash rows of `width` buckets each (the md5 device, so the sketch
+    * is bit-reproducible in ANY engine), estimate = min over rows of
+    * the key's bucket sum, reported NEXT TO the exact count for the
+    * exact top-k keys so the artifact carries its own error audit
+    * (`overcount` — CMS never undercounts, the one-sided guarantee).
+    *
+    * The sketch here is built from the exact (key, count) census —
+    * count-identical to the map-side per-row construction a 100 TB
+    * deployment uses (bucket sums are sums of counts either way), and
+    * the census keeps the fixture build one job. At scale the sketch
+    * IS the point: depth·width cells replace a |keys|-sized census
+    * where keys are unbounded (URLs, user ids), and this operator is
+    * the referee that prices that trade before you make it.
+    *
+    * Scale shape: one (key, count) partial agg; each sketch row is a
+    * width-bounded re-agg of census rows; the top-k probe joins k×depth
+    * aggregated cells. All integer arithmetic.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String,
+                      width: Int = 64, depth: Int = 4,
+                      topK: Int = 10): DataFrame = {
+    require(width >= 1 && depth >= 1 && topK >= 1,
+      "width/depth/topK must be >= 1")
+    val census = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("c"))
+    def bucket(d: Int): Column =
+      conv(substring(md5(concat_ws(":", col("key").cast("string"),
+        lit(d.toString))), 1, 8), 16, 10).cast("long") % width
+    val est = (0 until depth).map { d =>
+      val row = census.groupBy(bucket(d).as("b"))
+        .agg(sum("c").as("bsum"))
+      census.select(col("key"), bucket(d).as("b"))
+        .join(row, "b")
+        .select(col("key"), col("bsum"))
+    }.reduce(_ unionByName _)
+      .groupBy("key").agg(min("bsum").as("est"))
+    val top = census
+      .orderBy(col("c").desc, col("key").asc)
+      .limit(topK)
+    top.join(est, "key")
+      .select(col("key"), col("c").as("exact"), col("est"),
+        (col("est") - col("c")).as("overcount"))
+      .orderBy(col("exact").desc, col("key").asc)
+  }
+
   /** Exact WEIGHTED median per group — the smallest value whose
     * cumulative weight reaches half the group's total (`2·cum ≥ tot`,
     * integer-exact for integer weights): "the token count below which

@@ -262,6 +262,32 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((5L, 1L, 2L, 2L, 2L)))
   }
 
+  test("cmsHeavyHitters: never undercounts, exact when collision-free") {
+    import org.apache.spark.sql.functions.col
+    // keys with known counts; width 1 forces EVERY key into one bucket
+    // per row → every estimate = grand total (the worst case), so
+    // overcount = total − exact, still one-sided
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val worst = Profiling.cmsHeavyHitters(df, "k", width = 1, depth = 2,
+        topK = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(worst == Seq(("a", 5L, 9L, 4L), ("b", 3L, 9L, 6L),
+      ("c", 1L, 9L, 8L)))
+    // a wide sketch separates 3 keys: estimates exact, overcount 0
+    val wide = Profiling.cmsHeavyHitters(df, "k", width = 4096,
+        depth = 4, topK = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(wide == Seq(("a", 5L, 5L, 0L), ("b", 3L, 3L, 0L),
+      ("c", 1L, 1L, 0L)))
+    // one-sided guarantee at any geometry
+    for (w <- Seq(2, 3, 7)) {
+      val r = Profiling.cmsHeavyHitters(df, "k", width = w, depth = 3,
+        topK = 3).as[(String, Long, Long, Long)].collect()
+      assert(r.forall(_._4 >= 0L), s"undercount at width $w")
+    }
+  }
+
   test("psiDrift: identical slices are flat; one-sided bins surface NULL") {
     import org.apache.spark.sql.functions.col
     // identical distributions → every term exactly 0 (ln 1 = 0)
