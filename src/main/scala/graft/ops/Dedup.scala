@@ -258,6 +258,39 @@ object Dedup {
         col("best.score").as("score"))
       .orderBy("fp")
 
+  /** GOLDEN-RECORD merge over exact-duplicate groups — field-level
+    * survivorship where `keepBestExact` is row-level: within each
+    * normalized-text fingerprint group, each field takes its own best
+    * value (completeness: max n_chars; consensus: the modal lang and
+    * source, ties to the lexicographically smallest) instead of
+    * inheriting everything from one winner row. The MDM "merge the
+    * variants" primitive a crawl dedup applies to metadata that
+    * disagrees across mirrors of the same content.
+    *
+    * All-aggregate: the mode is a two-level (fp, field) count + an
+    * argmax via `min(struct(−cnt, value))` — combiner-friendly, no
+    * window, the keepBestExact discipline.
+    */
+  def goldenRecord(documents: DataFrame): DataFrame = {
+    val keyed = documents.select(
+      md5(normText(col("text"))).as("fp"), col("doc_id"),
+      col("lang"), col("source"), col("n_chars"))
+    val base = keyed.groupBy("fp")
+      .agg(min("doc_id").as("golden_id"), count(lit(1)).as("n_members"),
+        max(col("n_chars").cast("long")).as("n_chars_max"))
+    def mode(field: String) = keyed
+      .groupBy(col("fp"), col(field))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("fp")
+      .agg(min(struct((-col("__c")).as("__nc"), col(field).as("__v")))
+        .as("__best"))
+      .select(col("fp"), col("__best.__v").as(s"${field}_mode"))
+    base.join(mode("lang"), "fp").join(mode("source"), "fp")
+      .select(col("fp"), col("golden_id"), col("n_members"),
+        col("n_chars_max"), col("lang_mode"), col("source_mode"))
+      .orderBy("fp")
+  }
+
   /** Contamination SPAN coverage — the fine-grained face of
     * `contaminatedDocs`: for every corpus document touching the benchmark
     * shingle universe, the fraction of its token POSITIONS lying inside

@@ -919,6 +919,51 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Quality-signal ENSEMBLE by rank voting: three independent per-doc
+    * signals (stopword density, type-token ratio, length) are each
+    * reduced to their k-quantile bucket and SUMMED — the standard
+    * "no single heuristic decides" corpus filter (rank voting is
+    * scale-free, so a signal with a weird distribution cannot dominate
+    * the way raw-score averaging lets it). Keep/drop thresholds then
+    * read off `vote` ∈ [3, 3k].
+    *
+    * The bucketing is `Profiling.quantileBuckets` — the SHARDED ntile
+    * (q155's bit-identical-to-window contract), so the ensemble runs
+    * three range-partitioned rank passes, never a single-task global
+    * sort. Zero-token documents carry no signals and are excluded (the
+    * q148 contract). All-integer signals (permille ratios) keep every
+    * decision engine-portable.
+    */
+  def qualityEnsemble(documents: DataFrame, buckets: Int = 10,
+                      stopwords: Seq[String] = Seq("the", "a", "an",
+                        "of", "and", "to", "in", "is", "it", "for"))
+      : DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val toks = tokens(col("text"))
+    val stops = org.apache.spark.sql.functions.filter(toks,
+      w => w.isInCollection(stopwords))
+    val f = documents
+      .select(col("doc_id"),
+        size(stops).cast("long").as("__ns"),
+        size(toks).cast("long").as("__nt"),
+        size(array_distinct(toks)).cast("long").as("__nd"),
+        col("n_chars").cast("long").as("n_chars"))
+      .where(col("__nt") > 0L)
+      .select(col("doc_id"),
+        expr("__ns * 1000L div __nt").as("stop_permille"),
+        expr("__nd * 1000L div __nt").as("ttr_permille"),
+        col("n_chars"))
+    def bucketOf(vc: String, out: String) =
+      Profiling.quantileBuckets(f, "doc_id", vc, "doc_id", buckets)
+        .select(col("doc_id"), col("bucket").as(out))
+    bucketOf("stop_permille", "b_stop")
+      .join(bucketOf("ttr_permille", "b_ttr"), "doc_id")
+      .join(bucketOf("n_chars", "b_len"), "doc_id")
+      .select(col("doc_id"), col("b_stop"), col("b_ttr"), col("b_len"),
+        (col("b_stop") + col("b_ttr") + col("b_len")).as("vote"))
+      .orderBy("doc_id")
+  }
+
   /** Duplicated-span REMOVAL — the acting face of `dupSpanFraction`'s
     * census (ExactSubstr-style dedup at span granularity): every token
     * position covered by an n-gram occurring in ≥ `minDf` documents is

@@ -38,6 +38,40 @@ object EventStreams {
       .select(unix_micros(col("window.start")).as("win_us"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Windowed RATE MONITOR against a static per-type reference — the
+    * streaming face of the drift/anomaly family (q146/q169): each
+    * finalized tumbling window's per-type count is compared to the
+    * reference's expected count for that window length, and flagged
+    * when it falls outside `[lo‰, hi‰] × expected`. The alerting loop a
+    * pipeline runs against its own historical baseline ("signups
+    * halved this hour", "error events 4× the norm").
+    *
+    * `reference` is a STATIC (event_type, ref_cnt) frame — expected
+    * count per window at baseline rate. The join is stream-static after
+    * the one watermark-bounded aggregation (stateless, broadcast), so
+    * append-mode semantics and state bounds are exactly
+    * `tumblingTypeCounts`'s. Types with no reference row surface NULL
+    * bounds and a NULL flag (unknown baseline ≠ anomalous). The
+    * decision is integer arithmetic — `cnt·1000 vs ‰·ref` — so the
+    * batch-replay law (StreamingSpec) is exact, no float drift.
+    */
+  def rateMonitor(events: DataFrame, reference: DataFrame,
+                  window: String = "1 hour", delay: String = "2 hours",
+                  loPermille: Long = 250L,
+                  hiPermille: Long = 4000L): DataFrame = {
+    require(loPermille >= 0 && hiPermille >= loPermille,
+      "need 0 <= loPermille <= hiPermille")
+    tumblingTypeCounts(events, window, delay)
+      .join(broadcast(reference.select(col("event_type"),
+        col("ref_cnt").cast("long").as("ref_cnt"))),
+        Seq("event_type"), "left")
+      .select(col("win_us"), col("event_type"), col("cnt"),
+        col("ref_cnt"),
+        (col("cnt") * 1000L < lit(loPermille) * col("ref_cnt") ||
+          col("cnt") * 1000L > lit(hiPermille) * col("ref_cnt"))
+          .as("anomalous"))
+  }
+
   /** Hopping (sliding) window counts+sums per event type: windows of
     * `window` length starting every `slide` (< window ⇒ overlap, each
     * event lands in window/slide windows). The smoothing form of

@@ -258,6 +258,25 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
   }
 
+  test("forwardFill: gaps take the prior value, leading gaps stay NULL") {
+    import org.apache.spark.sql.functions.col
+    // user 1: v=2.0 @10, NULL @20 (→2.0), 5.0 @30, NULL @40 (→5.0)
+    // user 2: leading NULL @10 stays NULL; 7.0 @20; NULL @30 → 7.0
+    val e = Seq(
+      (1L, 10L, Some(2.0)), (1L, 20L, None), (1L, 30L, Some(5.0)),
+      (1L, 40L, None),
+      (2L, 10L, None), (2L, 20L, Some(7.0)), (2L, 30L, None))
+      .toDF("user_id", "ts", "value")
+      .withColumn("event_id", col("ts"))
+    val got = Behavior.forwardFill(e, "value")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+      .sortBy(r => (r._2, r._1))
+    assert(got == Seq(
+      (10L, 1L, Some(2.0)), (20L, 1L, Some(2.0)), (30L, 1L, Some(5.0)),
+      (40L, 1L, Some(5.0)),
+      (10L, 2L, None), (20L, 2L, Some(7.0)), (30L, 2L, Some(7.0))))
+  }
+
   test("dwellTimeCensus: per-state time-to-next, last event has no dwell") {
     // user 1: view@10 → click@25 → view@100: dwells view→15, click→75;
     // the final view has no next event and contributes nothing.

@@ -254,6 +254,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.map(_.getString(1)).toSeq == Seq(a1, b))
   }
 
+  test("goldenRecord: per-field survivorship — completeness max, modal values") {
+    // one dup group ("the cat" × 3 variants): golden id = min; n_chars
+    // takes the group MAX (9, not the winner row's); lang mode = 'en'
+    // (2 of 3); source tie (1 each of a/b/c… actually en,en,de and
+    // a,a,b) → modal source 'a'. Singleton keeps its own fields.
+    val d = Seq(
+      (1L, "The  Cat", "en", "a", 8L),
+      (2L, "the cat", "de", "a", 7L),
+      (3L, " THE CAT ", "en", "b", 9L),
+      (9L, "dog", "fr", "z", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.goldenRecord(d)
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+      .sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4, r._5, r._6)) == Seq(
+      (1L, 3L, 9L, "en", "a"), (9L, 1L, 3L, "fr", "z")))
+  }
+
   test("hotShingles: df census with deterministic tie-break") {
     // "a b c" appears in all three docs; each doc contributes its other
     // shingle once; ties (df=1) break on shingle text ascending

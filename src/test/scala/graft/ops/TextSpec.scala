@@ -651,6 +651,46 @@ class TextSpec extends SparkSpec {
     assert(got.find(_._1 == "en").get._6.nonEmpty)
   }
 
+  test("qualityEnsemble: rank-vote equals the ntile-window formulation") {
+    import org.apache.spark.sql.functions.{col, lit, ntile, size}
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq(
+      (1L, "the cat sat on the mat and it is big", 36L),
+      (2L, "alpha beta gamma delta epsilon zeta", 35L),
+      (3L, "a a a a a a a a", 15L),
+      (4L, "one two three of the and", 24L),
+      (5L, "completely unique tokens everywhere here now", 45L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Text.qualityEnsemble(d, buckets = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // reference: the literal window formulation over the same signals
+    val stopwords = Seq("the", "a", "an", "of", "and", "to", "in",
+      "is", "it", "for")
+    val toks = Text.tokens(col("text"))
+    val stops = org.apache.spark.sql.functions.filter(toks,
+      w => w.isInCollection(stopwords))
+    val f = d.select(col("doc_id"),
+      (size(stops).cast("long") * 1000 / size(toks)).cast("long")
+        .as("sp"),
+      (size(org.apache.spark.sql.functions.array_distinct(toks))
+        .cast("long") * 1000 / size(toks)).cast("long").as("tp"),
+      col("n_chars"))
+    val ref = f.select(col("doc_id"),
+        ntile(3).over(Window.orderBy(col("sp"), col("doc_id")))
+          .cast("long").as("b_stop"),
+        ntile(3).over(Window.orderBy(col("tp"), col("doc_id")))
+          .cast("long").as("b_ttr"),
+        ntile(3).over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("b_len"))
+      .select(col("doc_id"), col("b_stop"), col("b_ttr"), col("b_len"),
+        (col("b_stop") + col("b_ttr") + col("b_len")).as("vote"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+    // the stopword-soup doc is bottom-vote, the unique long doc top
+    assert(got.find(_._1 == 3L).get._5 <= got.find(_._1 == 5L).get._5)
+  }
+
   test("stripDuplicatedSpans cuts shared spans, keeps unique text in order") {
     // docs 0 and 1 share the 5-gram "a b c d e" (plus its extensions);
     // doc 0's unique prefix/suffix survive, doc 1 is the shared span

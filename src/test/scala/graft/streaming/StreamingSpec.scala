@@ -407,4 +407,45 @@ class StreamingSpec extends SparkSpec {
       assert(!ref.contains(2L) && !ref.contains(5L)) // unrelated: never
     }
   }
+
+  test("rateMonitor: finalized windows flag against the static baseline; " +
+      "unknown types get NULL, and streaming ≡ the batch formulation") {
+    implicit val ctx = spark.sqlContext
+    val reference = Seq(("view", 4L), ("click", 4L))
+      .toDF("event_type", "ref_cnt")
+    val in = MemoryStream[Event]
+    val q = EventStreams.rateMonitor(in.toDF(), reference,
+        "1 hour", "2 hours", loPermille = 500L, hiPermille = 2000L)
+      .writeStream.format("memory").queryName("rates")
+      .outputMode("append").start()
+    // hour 0: 4 views (in range), 1 click (< 50% of 4 → anomalous),
+    // 20 errors (no baseline → NULL flag)
+    val batch1 = (1L to 4L).map(u => ev(u, u)) ++ Seq(ev(9, 5, "click")) ++
+      (1L to 20L).map(u => ev(u, 6 + u, "error"))
+    withQuery(q) {
+      in.addData(batch1: _*)
+      in.addData(ev(1, 4 * H)) // advance watermark → hour-0 finalizes
+      q.processAllAvailable()
+      val got = spark.table("rates")
+        .as[(Long, String, Long, Option[Long], Option[Boolean])]
+        .collect().toSet
+      assert(got == Set(
+        (0L, "view", 4L, Some(4L), Some(false)),
+        (0L, "click", 1L, Some(4L), Some(true)),
+        (0L, "error", 20L, None, None)))
+    }
+    // unified-contract law: the same operator over the same rows as a
+    // BATCH frame produces the identical finalized windows
+    val batchDf = (batch1 :+ ev(1, 4 * H)).toDF()
+    val batch = EventStreams.rateMonitor(batchDf, reference,
+        "1 hour", "2 hours", loPermille = 500L, hiPermille = 2000L)
+      .as[(Long, String, Long, Option[Long], Option[Boolean])]
+      .collect().toSet
+    val streamed = spark.table("rates")
+      .as[(Long, String, Long, Option[Long], Option[Boolean])]
+      .collect().toSet
+    // batch also emits the (not-yet-final in streaming) hour-4 window
+    assert(streamed.subsetOf(batch))
+    assert(batch.size == streamed.size + 1)
+  }
 }
