@@ -246,7 +246,17 @@ object DevScale {
       // q171: q136's census stages plus the rebuild agg — output (full
       // rebuilt corpus) grows F×, covered-position explode grows with
       // duplication mass (exactly F× under the suffix construction)
-      "q171_stripspans" -> SparkEntry.queries("q171_strip_dup_spans"))
+      "q171_stripspans" -> SparkEntry.queries("q171_strip_dup_spans"),
+      // final round-12 batch: q172 keyed window; q176 census-sized
+      // sketch build; q177 three sharded-rank passes (the q123/q155
+      // machinery composed — the claim is near-flat growth where three
+      // ntile windows would each hit the single-task wall); q178 keyed
+      // window emitting row-per-event (output F×); q179 two-level aggs
+      "q172_wmedian" -> SparkEntry.queries("q172_weighted_median"),
+      "q176_cms" -> SparkEntry.queries("q176_cms_heavy_hitters"),
+      "q177_ensemble" -> SparkEntry.queries("q177_quality_ensemble"),
+      "q178_ffill" -> SparkEntry.queries("q178_forward_fill"),
+      "q179_golden" -> SparkEntry.queries("q179_golden_record"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
