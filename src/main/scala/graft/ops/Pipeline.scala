@@ -156,7 +156,14 @@ object Pipeline {
           .as("n_tokens"))
     val keepIds = Dedup.keepBestExact(documents, length(col("text")))
       .select("doc_id")
+    // persist: the deduped corpus is read FOUR times inside the one
+    // final action (its stage row, both positional-gram branches of the
+    // span census, and the cleaned stage) — union branches share no
+    // subplans, so without this the dedup semi-join and text scan run
+    // 4×. Blocks are freed by ContextCleaner once the returned frame is
+    // unreachable (the Layout.shardedRanks convention).
     val ded = documents.join(keepIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanOk = Text.dupSpanFraction(ded, n)
       .filter(col("n_dup_positions") * 2 <= col("n_tokens"))
       .select("doc_id")
@@ -177,7 +184,9 @@ object Pipeline {
   def curationFunnelBySource(documents: DataFrame, n: Int = 5): DataFrame = {
     val keepIds = Dedup.keepBestExact(documents, length(col("text")))
       .select("doc_id")
+    // same 4-way reuse as curationFunnel — see the persist note there
     val ded = documents.join(keepIds, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spanOk = Text.dupSpanFraction(ded, n)
       .filter(col("n_dup_positions") * 2 <= col("n_tokens"))
       .select("doc_id")
