@@ -58,7 +58,8 @@ object DevPlans {
         "q173_fk_integrity", "q174_dwell_census",
         "q175_retrieval_metrics", "q176_cms_heavy_hitters",
         "q177_quality_ensemble", "q178_forward_fill",
-        "q179_golden_record")
+        "q179_golden_record", "q180_user_growth",
+        "q181_source_dup_matrix", "q182_session_affinity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

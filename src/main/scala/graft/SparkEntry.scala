@@ -4611,7 +4611,89 @@ object SparkEntry {
           lit("xx").as("lang"), lit("mirror").as("source"),
           (col("n_chars") - 1).as("n_chars"))
         Dedup.goldenRecord(docs.unionByName(mirrorA).unionByName(mirrorB))
-      })
+      }),
+
+    // User growth curve (Behavior.userGrowthCurve): daily first-time
+    // users + the running cumulative — per-user min then a global
+    // window over the DAY census (q108 posture).
+    q("q180_user_growth",
+      """WITH fs AS (SELECT user_id,
+        |    min(epoch_ns(ts) // 86400000000000) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fs GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_cumulative
+        |FROM d ORDER BY day""".stripMargin)(
+      (s, d) => Behavior.userGrowthCurve(Tables.events(s, d))),
+
+    // Cross-source duplication matrix (Dedup.sourceDupMatrix over the
+    // q22 jaccard pairs): which source pairs share near-dup content —
+    // the mirror-crawl acquisition report, |sources|²-bounded.
+    q("q181_source_dup_matrix",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks),
+        |e AS (SELECT doc_id, unnest(shingles) AS item,
+        |    len(shingles) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS i, max(a.n) AS na, max(b.n) AS nb
+        |  FROM e a JOIN e b ON a.item = b.item AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |  WHERE CAST(i AS DOUBLE) / (na + nb - i) > 0.2),
+        |src AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS source_a,
+        |  greatest(sa.source, sb.source) AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs p JOIN src sa ON p.id_a = sa.doc_id
+        |JOIN src sb ON p.id_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.sourceDupMatrix(docs,
+          Dedup.jaccardPairs(docs, n = 3, threshold = 0.2)
+            .select("id_a", "id_b"))
+      }),
+
+    // Session-level type affinity (Behavior.sessionAffinity): lift of
+    // unordered event-type pairs over 4-hour-gap sessions —
+    // `n_both·n_sessions·10⁶ div (n_a·n_b)`, market-basket analysis
+    // with no float anywhere; pair join bounded by sessions × types².
+    q("q182_session_affinity",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |st AS (SELECT DISTINCT user_id, sess, event_type FROM w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        |  FROM (SELECT DISTINCT user_id, sess FROM st)),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM st
+        |  GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM st a JOIN st b ON a.user_id = b.user_id
+        |    AND a.sess = b.sess AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |  CAST(p.n_both * t.n_sessions * 1000000 // (ma.n * mb.n)
+        |    AS BIGINT) AS lift_q6
+        |FROM p JOIN m ma ON p.type_a = ma.event_type
+        |JOIN m mb ON p.type_b = mb.event_type
+        |CROSS JOIN tot t ORDER BY type_a, type_b""".stripMargin)(
+      (s, d) => Behavior.sessionAffinity(Tables.events(s, d),
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

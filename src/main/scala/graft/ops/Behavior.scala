@@ -266,6 +266,81 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** User GROWTH curve: per day, first-time users and the cumulative
+    * total — the acquisition chart. First-seen day is a per-user min
+    * (one keyed agg); the cumulative sum is a global window over the
+    * DAY census (thousands of rows at any corpus size — the q108
+    * aggregated-window posture). Exact integers.
+    */
+  def userGrowthCurve(events: DataFrame,
+                      dayNs: Long = 86400000000000L): DataFrame = {
+    require(dayNs >= 1, "dayNs must be >= 1")
+    val days = events
+      .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+      .groupBy("user_id").agg(min("day").as("first_day"))
+      .groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    days.withColumn("n_cumulative", sum("n_new").over(w)).orderBy("day")
+  }
+
+  /** Session-level event-type AFFINITY (market-basket lift over
+    * sessions): for each unordered type pair, the sessions containing
+    * BOTH and the lift `P(a,b) / (P(a)·P(b))` — "users who hit X in a
+    * visit also hit Y" with co-incidence normalized away from the
+    * types' base rates, which a raw co-count conflates. Lift is the
+    * exact integer `n_both·n_sessions·10⁶ div (n_a·n_b)` — no float
+    * anywhere.
+    *
+    * Shape: the q113 sessionization (one user-keyed exchange), then a
+    * DISTINCT (session, type) reduction — per-session rows are bounded
+    * by |event types|, so the pair self-join is sessions × types²/2,
+    * never event×event; the margins and total are census-sized.
+    */
+  def sessionAffinity(events: DataFrame, gapNs: Long,
+                      tiebreakCol: String = "event_id",
+                      quantumNs: Long = 1L): DataFrame = {
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val st = events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol), col("event_type"))
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L))
+      .withColumn("sess", sum("brk").over(cum))
+      .select("user_id", "sess", "event_type")
+      .distinct()
+    val total = st.select("user_id", "sess").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val margin = st.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__n"))
+    val pairs = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.sess") === col("b.sess") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(margin.select(col("event_type").as("type_a"),
+        col("__n").as("n_a"))), "type_a")
+      .join(broadcast(margin.select(col("event_type").as("type_b"),
+        col("__n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        expr("n_both * n_sessions * 1000000L div (n_a * n_b)")
+          .as("lift_q6"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Forward-fill (last observation carried forward) per key — the
     * standard time-series imputation: a NULL value takes the key's most
     * recent non-null value in `(qts, tiebreak)` order; leading NULLs

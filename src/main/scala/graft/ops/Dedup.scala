@@ -258,6 +258,31 @@ object Dedup {
         col("best.score").as("score"))
       .orderBy("fp")
 
+  /** Cross-source duplication MATRIX: near-dup pairs attributed to
+    * their (source_a, source_b) cell — the acquisition report behind
+    * "these two crawls are mirrors of each other; stop paying for
+    * both". Takes ANY pair proposer's (id_a, id_b) output; cells are
+    * unordered (lexicographic least/greatest), the diagonal is
+    * within-source duplication.
+    *
+    * Shape: two id-keyed joins from the (small, duplication-bounded)
+    * pair list to the (doc_id, source) projection, then a
+    * |sources|²-bounded count. The corpus is scanned once for the
+    * projection; text never moves.
+    */
+  def sourceDupMatrix(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), "id_b")
+      .groupBy(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** GOLDEN-RECORD merge over exact-duplicate groups — field-level
     * survivorship where `keepBestExact` is row-level: within each
     * normalized-text fingerprint group, each field takes its own best

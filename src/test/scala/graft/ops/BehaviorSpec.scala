@@ -258,6 +258,33 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
   }
 
+  test("userGrowthCurve: first-seen day only, cumulative is running") {
+    // user 1 spans days 0 and 2 (counted once, on day 0); user 2 starts
+    // day 2; user 3 day 0 — growth (0 → 2 new), (2 → 1 new), cum 2, 3
+    val D = 86400000000000L
+    val e = ev((1L, 10L, "view"), (1L, 2 * D + 5L, "view"),
+      (2L, 2 * D + 9L, "view"), (3L, 20L, "view"))
+    val got = Behavior.userGrowthCurve(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L), (2L, 1L, 3L)))
+  }
+
+  test("sessionAffinity: lift normalizes away base rates, exact integers") {
+    // 4 sessions (gap 100): u1-a {view,click}, u1-b {view}, u2-a
+    // {view,click}, u2-b {purchase}. Margins: view 3, click 2,
+    // purchase 1. Pairs: (click,view) both in 2 sessions →
+    // lift = 2·4·1e6 div (2·3) = 1333333. No purchase pair.
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"),
+      (1L, 1000L, "view"),
+      (2L, 10L, "view"), (2L, 30L, "click"),
+      (2L, 2000L, "purchase"))
+    val got = Behavior.sessionAffinity(e, gapNs = 100L,
+        tiebreakCol = "ts")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", "view", 2L, 1333333L)))
+  }
+
   test("forwardFill: gaps take the prior value, leading gaps stay NULL") {
     import org.apache.spark.sql.functions.col
     // user 1: v=2.0 @10, NULL @20 (→2.0), 5.0 @30, NULL @40 (→5.0)

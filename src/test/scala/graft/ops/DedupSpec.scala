@@ -254,6 +254,16 @@ class DedupSpec extends SparkSpec {
     assert(kept.map(_.getString(1)).toSeq == Seq(a1, b))
   }
 
+  test("sourceDupMatrix: unordered cells, diagonal = within-source dups") {
+    val docs = Seq((1L, "x", "A"), (2L, "x", "B"), (3L, "x", "A"),
+      (4L, "x", "C")).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("id_a", "id_b") // 1-2 A↔B, 1-3 A↔A (diagonal), 2-3 A↔B
+    val got = Dedup.sourceDupMatrix(docs, pairs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("A", "A", 1L), ("A", "B", 2L)))
+  }
+
   test("goldenRecord: per-field survivorship — completeness max, modal values") {
     // one dup group ("the cat" × 3 variants): golden id = min; n_chars
     // takes the group MAX (9, not the winner row's); lang mode = 'en'
