@@ -59,7 +59,9 @@ object DevPlans {
         "q175_retrieval_metrics", "q176_cms_heavy_hitters",
         "q177_quality_ensemble", "q178_forward_fill",
         "q179_golden_record", "q180_user_growth",
-        "q181_source_dup_matrix", "q182_session_affinity")
+        "q181_source_dup_matrix", "q182_session_affinity",
+        "q183_fuzzy_match", "q184_pareto_contribution",
+        "q185_distribution_match")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4693,7 +4693,85 @@ object SparkEntry {
         |JOIN m mb ON p.type_b = mb.event_type
         |CROSS JOIN tot t ORDER BY type_a, type_b""".stripMargin)(
       (s, d) => Behavior.sessionAffinity(Tables.events(s, d),
-        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L)),
+
+    // Fuzzy key match (Joins.fuzzyMatch): planted 1-edit typo variants
+    // of every source resolved back by Levenshtein ≤ 1 under LOSSLESS
+    // length blocking (dist ≥ |len diff| — a prefix block would drop
+    // position-0 edits). The oracle's theta join is the quadratic plan
+    // the blocking replaces.
+    q("q183_fuzzy_match",
+      """WITH l AS (SELECT DISTINCT 'srx' || substr(source, 4)
+        |    AS left_key FROM documents),
+        |r AS (SELECT DISTINCT source AS right_key FROM documents)
+        |SELECT left_key, right_key,
+        |  CAST(levenshtein(left_key, right_key) AS INTEGER) AS dist
+        |FROM l JOIN r ON levenshtein(left_key, right_key) <= 1
+        |ORDER BY left_key, right_key""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, substring}
+        val docs = Tables.documents(s, d)
+        val variants = docs.select(concat(lit("srx"),
+          substring(col("source"), 4, 100)).as("k")).distinct()
+        Joins.fuzzyMatch(variants, docs, "k", "source", maxDist = 1)
+      }),
+
+    // Pareto contribution (Profiling.paretoContribution): sources by
+    // descending token mass with exact permille shares, cumulative, and
+    // the 800‰ head flag — the 80/20 table, windows over S rows only.
+    q("q184_pareto_contribution",
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> len(w) > 0))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |x AS (SELECT source, w,
+        |    sum(w) OVER (ORDER BY w DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER () AS tot FROM c)
+        |SELECT source, w AS weight,
+        |  CAST(w * 1000 // nullif(tot, 0) AS BIGINT) AS share_permille,
+        |  CAST(cum * 1000 // nullif(tot, 0) AS BIGINT) AS cum_permille,
+        |  (cum - w) * 1000 < 800 * tot AS in_head
+        |FROM x ORDER BY weight DESC, source""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.size
+        Profiling.paretoContribution(Tables.documents(s, d), "source",
+          size(Text.tokens(col("text"))).cast("long"),
+          headPermille = 800L)
+      }),
+
+    // Distribution-matching acceptance plan (Sampling
+    // .distributionMatchPlan): per-bin keep rates that resample the
+    // non-English slice to the English length profile — q169's bins
+    // pointed at the FIX instead of the diagnosis; downsample-only
+    // (capped at 1000‰), integer arithmetic end to end.
+    q("q185_distribution_match",
+      """WITH d AS (SELECT lang, len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> len(w) > 0)) AS nt FROM documents),
+        |cur AS (SELECT nt // 16 AS bin, count(*) AS c_cur FROM d
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |ref AS (SELECT nt // 16 AS bin, count(*) AS c_ref FROM d
+        |  WHERE lang = 'en' GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(sum(c_cur) AS BIGINT) FROM cur)
+        |    AS t_cur,
+        |  (SELECT CAST(sum(c_ref) AS BIGINT) FROM ref) AS t_ref),
+        |j AS (SELECT coalesce(cur.bin, ref.bin) AS bin,
+        |    coalesce(c_cur, 0) AS c_cur, coalesce(c_ref, 0) AS c_ref
+        |  FROM cur FULL OUTER JOIN ref ON cur.bin = ref.bin)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(c_cur AS BIGINT) AS c_cur,
+        |  CAST(c_ref AS BIGINT) AS c_ref,
+        |  CASE WHEN c_cur > 0 THEN CAST(least(1000,
+        |    c_ref * t_cur * 1000 // nullif(t_ref * c_cur, 0)) AS BIGINT)
+        |  END AS accept_permille
+        |FROM j CROSS JOIN t ORDER BY bin""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.size
+        val docs = Tables.documents(s, d)
+        Sampling.distributionMatchPlan(
+          docs.filter(col("lang") =!= "en"),
+          docs.filter(col("lang") === "en"),
+          size(Text.tokens(col("text"))).cast("long"), binWidth = 16L)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

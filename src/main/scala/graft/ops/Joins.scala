@@ -108,6 +108,39 @@ object Joins {
     * on the right (the standard as-of precondition; ties beyond that are
     * broken by the right row's position in `__r`'s struct order).
     */
+  /** FUZZY key match (entity resolution): (left, right) key pairs
+    * within `maxDist` Levenshtein edits — the record-linkage join
+    * behind "these two catalogs spell the same entity differently".
+    * The quadratic theta-join is avoided by LOSSLESS length blocking:
+    * edit distance ≥ |len(a) − len(b)|, so the left side explodes to
+    * its `2·maxDist+1` candidate lengths and the join is an EQUI-join
+    * on length before the exact distance filter — no true match can be
+    * blocked out (a first-letter or prefix block, the common folk
+    * remedy, drops edits at position 0). Output carries the measured
+    * distance.
+    *
+    * Scale shape: the exploded side grows 2·maxDist+1× (ids+keys
+    * only); the equi-join hash-partitions on length — add a second
+    * blocking column to the key for very skewed length distributions.
+    * Distance is evaluated only on length-compatible candidates.
+    */
+  def fuzzyMatch(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val l = left.select(col(leftKey).as("left_key")).distinct()
+      .withColumn("__len", explode(sequence(
+        greatest(length(col("left_key")) - maxDist, lit(0)),
+        length(col("left_key")) + maxDist)))
+    val r = right.select(col(rightKey).as("right_key")).distinct()
+      .withColumn("__len", length(col("right_key")))
+    l.join(r, "__len")
+      .withColumn("dist", levenshtein(col("left_key"), col("right_key")))
+      .filter(col("dist") <= maxDist)
+      .select("left_key", "right_key", "dist")
+      .orderBy("left_key", "right_key")
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
                key: String, time: String,
                strict: Boolean = false,

@@ -250,6 +250,42 @@ object Profiling {
       .orderBy("bin")
   }
 
+  /** Pareto CONTRIBUTION report (the 80/20 table): groups ordered by
+    * descending weight with each group's exact per-mille share and
+    * running cumulative share, plus the head flag — every group needed
+    * to reach `headPermille` of the total (the first group to cross
+    * the line is included, the classic convention). "Which 3 sources
+    * are 80% of the corpus" as one |groups|-row artifact, all integer
+    * arithmetic.
+    *
+    * Scale shape: one per-group partial agg, then windows over GROUP
+    * rows only (q108 posture).
+    */
+  def paretoContribution(df: DataFrame, groupCol: String,
+                         weight: Column,
+                         headPermille: Long = 800L): DataFrame = {
+    require(headPermille >= 1 && headPermille <= 1000,
+      "headPermille must be in [1, 1000]")
+    val census = df.groupBy(groupCol)
+      .agg(sum(weight.cast("long")).as("w"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col(groupCol).asc)
+    val cum = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    census
+      .withColumn("__cum", sum("w").over(cum))
+      .withColumn("__tot", sum("w").over(tot))
+      .select(col(groupCol), col("w").as("weight"),
+        expr("w * 1000L div nullif(__tot, 0L)").as("share_permille"),
+        expr("__cum * 1000L div nullif(__tot, 0L)").as("cum_permille"),
+        // head: every group whose PREDECESSOR cumulative was still
+        // short of the line — includes the crossing group exactly once
+        ((col("__cum") - col("w")) * 1000L <
+          lit(headPermille) * col("__tot")).as("in_head"))
+      .orderBy(col("weight").desc, col(groupCol).asc)
+  }
+
   /** Count-Min-sketch heavy hitters WITH measured error — the q153
     * audited-sketch discipline applied to frequency estimation: `depth`
     * hash rows of `width` buckets each (the md5 device, so the sketch

@@ -556,6 +556,47 @@ object Sampling {
       .orderBy("global_pos")
   }
 
+  /** Distribution-MATCHING acceptance plan: per-bin acceptance rates
+    * that resample `current` to the shape of `reference` over a binned
+    * feature — "make my web-crawl length profile look like Wikipedia's"
+    * as a deterministic per-bin keep rate. Acceptance for bin b is
+    * `min(1000, ref_share_b / cur_share_b · 1000)` ‰ — exact integers
+    * (`ref_cnt·cur_total·1000 div (ref_total·cur_cnt)`), capped at
+    * keep-everything (matching by downsampling only — upsampling is
+    * q97's balanced-upsample job). Bins absent from the reference get
+    * 0‰ (the reference says that mass shouldn't exist); bins absent
+    * from current surface with NULL acceptance (nothing to accept).
+    * Executing the plan is one md5-permille projection per row against
+    * this S-row broadcast (the q56 split device).
+    *
+    * Scale shape: two |bins|-row censuses with map-side partials; the
+    * plan arithmetic is census-only (the q169 PSI shape, pointed at the
+    * fix instead of the diagnosis).
+    */
+  def distributionMatchPlan(current: DataFrame, reference: DataFrame,
+                            value: Column,
+                            binWidth: Long = 16L): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    def census(df: DataFrame, cn: String) = df
+      .select(floor(value.cast("long").cast("double") / binWidth)
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(cn))
+    val cur = census(current, "c_cur")
+    val ref = census(reference, "c_ref")
+    val tot = cur.agg(sum("c_cur").as("t_cur"))
+      .crossJoin(ref.agg(sum("c_ref").as("t_ref")))
+    cur.join(ref, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("c_cur"), lit(0L)).as("c_cur"),
+        coalesce(col("c_ref"), lit(0L)).as("c_ref"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("c_cur"), col("c_ref"),
+        when(col("c_cur") > 0,
+          least(lit(1000L),
+            expr("c_ref * t_cur * 1000L div nullif(t_ref * c_cur, 0L)")))
+          .as("accept_permille"))
+      .orderBy("bin")
+  }
+
   /** Dedup-cluster-coherent split assignment: near-duplicate documents
     * must never straddle a train/val/test boundary (q119 measures the
     * leakage; this PREVENTS it). The split key is the document's

@@ -228,4 +228,19 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  test("fuzzyMatch: length blocking is lossless, incl. position-0 edits") {
+    val left = Seq("kat", "dog", "zebra", "dogs").toDF("k")
+    val right = Seq("cat", "dog", "cog", "horse").toDF("s")
+    val got = Joins.fuzzyMatch(left, right, "k", "s", maxDist = 1)
+      .as[(String, String, Int)].collect().toSeq
+    // kat→cat is a FIRST-letter substitution (a prefix block would lose
+    // it); dogs→dog crosses a length boundary (deletion); dog matches
+    // itself at 0 and cog at 1; zebra matches nothing
+    assert(got == Seq(("dog", "cog", 1), ("dog", "dog", 0),
+      ("dogs", "dog", 1), ("kat", "cat", 1)))
+    // maxDist 0 degenerates to exact distinct match
+    assert(Joins.fuzzyMatch(left, right, "k", "s", maxDist = 0)
+      .as[(String, String, Int)].collect().toSeq == Seq(("dog", "dog", 0)))
+  }
 }

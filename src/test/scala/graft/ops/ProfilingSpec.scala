@@ -262,6 +262,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((5L, 1L, 2L, 2L, 2L)))
   }
 
+  test("paretoContribution: exact shares, crossing group included in head") {
+    import org.apache.spark.sql.functions.col
+    // weights 50, 30, 15, 5 (total 100): head at 800‰ = {a (500), b
+    // (→800 exactly: predecessor 500 < 800 → in), c's predecessor 800
+    // is NOT < 800 → out}
+    val df = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 5L))
+      .toDF("g", "w")
+    val got = Profiling.paretoContribution(df, "g", col("w"),
+        headPermille = 800L)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("a", 50L, 500L, 500L, true), ("b", 30L, 300L, 800L, true),
+      ("c", 15L, 150L, 950L, false), ("d", 5L, 50L, 1000L, false)))
+  }
+
   test("cmsHeavyHitters: never undercounts, exact when collision-free") {
     import org.apache.spark.sql.functions.col
     // keys with known counts; width 1 forces EVERY key into one bucket

@@ -311,6 +311,28 @@ class SamplingSpec extends SparkSpec {
       ("s3", 10L, 500L, 0L, 0.0, 0L)))
   }
 
+  test("distributionMatchPlan: downsample-only rates, 0 for reference-absent bins") {
+    import org.apache.spark.sql.functions.col
+    // current: bin0 ×4, bin1 ×4, bin2 ×2 (total 10)
+    // reference: bin0 ×1, bin1 ×4 (total 5) → ref shares 200‰/800‰/0
+    // accept: bin0 = 1*10*1000/(5*4) = 500‰; bin1 = 4*10*1000/(5*4)
+    // = 2000 → capped 1000‰; bin2 = 0 (not in reference)
+    val cur = (Seq.fill(4)(1L) ++ Seq.fill(4)(17L) ++ Seq.fill(2)(33L))
+      .toDF("v")
+    val ref = (Seq(1L) ++ Seq.fill(4)(17L)).toDF("v")
+    val got = Sampling.distributionMatchPlan(cur, ref, col("v"),
+        binWidth = 16L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((0L, 4L, 1L, Some(500L)), (1L, 4L, 4L, Some(1000L)),
+      (2L, 2L, 0L, Some(0L))))
+    // a reference-only bin has nothing to accept: NULL, not a rate
+    val refExtra = Seq(99L).toDF("v")
+    val g2 = Sampling.distributionMatchPlan(cur, refExtra, col("v"),
+        binWidth = 16L)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(g2.find(_._1 == 6L).get == ((6L, 0L, 1L, None)))
+  }
+
   test("temperaturePlan: sqrt weights, integer shares, alpha=1 ≡ proportional") {
     val d = Seq(
       ("s1", "t t t t t t t t t t t t t t t t"), // 16 tokens
