@@ -256,7 +256,18 @@ object DevScale {
       "q176_cms" -> SparkEntry.queries("q176_cms_heavy_hitters"),
       "q177_ensemble" -> SparkEntry.queries("q177_quality_ensemble"),
       "q178_ffill" -> SparkEntry.queries("q178_forward_fill"),
-      "q179_golden" -> SparkEntry.queries("q179_golden_record"))
+      "q179_golden" -> SparkEntry.queries("q179_golden_record"),
+      // q180-q185: growth curve (events inflate as disjoint users →
+      // day census constant, per-user mins F×); dup matrix (pair list
+      // grows F× under the suffix construction); session affinity
+      // (sessions F×, types fixed); fuzzy match (source vocabulary
+      // fixed — constant); pareto (S-row windows); match plan (censuses)
+      "q180_growth" -> SparkEntry.queries("q180_user_growth"),
+      "q181_dupmatrix" -> SparkEntry.queries("q181_source_dup_matrix"),
+      "q182_affinity" -> SparkEntry.queries("q182_session_affinity"),
+      "q183_fuzzy" -> SparkEntry.queries("q183_fuzzy_match"),
+      "q184_pareto80" -> SparkEntry.queries("q184_pareto_contribution"),
+      "q185_distmatch" -> SparkEntry.queries("q185_distribution_match"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

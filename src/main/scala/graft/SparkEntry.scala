@@ -4771,6 +4771,38 @@ object SparkEntry {
           docs.filter(col("lang") =!= "en"),
           docs.filter(col("lang") === "en"),
           size(Text.tokens(col("text"))).cast("long"), binWidth = 16L)
+      }),
+
+    // Streaming rate monitor, batch-checked (the q30/q31 unified-
+    // contract device: the SAME transform runs on the batch table so
+    // the oracle pins its windowing + flag semantics, StreamingSpec
+    // pins the watermark behavior): hourly per-type counts vs the
+    // average hourly rate as baseline, flag outside [¼, 4×].
+    q("q186_rate_monitor",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS win
+        |  FROM events),
+        |w AS (SELECT win * 3600000000 AS win_us, event_type,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |nw AS (SELECT CAST(count(DISTINCT win) AS BIGINT) AS n FROM e),
+        |ref AS (SELECT event_type,
+        |    CAST(count(*) // (SELECT n FROM nw) AS BIGINT) AS ref_cnt
+        |  FROM e GROUP BY 1)
+        |SELECT w.win_us, w.event_type, w.cnt, ref.ref_cnt,
+        |  (w.cnt * 1000 < 250 * ref.ref_cnt OR
+        |   w.cnt * 1000 > 4000 * ref.ref_cnt) AS anomalous
+        |FROM w LEFT JOIN ref USING (event_type)
+        |ORDER BY win_us, event_type""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, expr, lit}
+        val ev = Tables.events(s, d)
+        val nWin = ev.select(expr("ts div 3600000000000L").as("w"))
+          .distinct().agg(count(lit(1)).as("__n"))
+        val ref = ev.groupBy("event_type").agg(count(lit(1)).as("__c"))
+          .crossJoin(org.apache.spark.sql.functions.broadcast(nWin))
+          .select(col("event_type"), expr("__c div __n").as("ref_cnt"))
+        graft.streaming.EventStreams.rateMonitor(ev, ref,
+            "1 hour", "2 hours", loPermille = 250L, hiPermille = 4000L)
+          .orderBy("win_us", "event_type")
       })
   )
 
