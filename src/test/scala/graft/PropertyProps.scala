@@ -809,4 +809,81 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("cmsHeavyHitters never undercounts at any geometry") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d", "e", "f", "g")),
+      Gen.chooseNum(1, 9), Gen.chooseNum(1, 4)) { (keys, w, d) =>
+      val df = keys.toDF("k")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      val got = graft.ops.Profiling
+        .cmsHeavyHitters(df, "k", width = w, depth = d, topK = 7)
+        .as[(String, Long, Long, Long)].collect()
+      got.nonEmpty && got.forall { case (k, ex, est, over) =>
+        ex == exact(k) && est >= ex && over == est - ex
+      }
+    }
+  }
+
+  property("fuzzyMatch length blocking equals the quadratic theta join") = {
+    import spark.implicits._
+    val word = Gen.choose(1, 5)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    Prop.forAllNoShrink(Gen.listOfN(6, word), Gen.listOfN(6, word),
+      Gen.chooseNum(0, 2)) { (ls, rs, k) =>
+      val l = ls.toDF("k")
+      val r = rs.toDF("s")
+      val got = graft.ops.Joins.fuzzyMatch(l, r, "k", "s", k)
+        .as[(String, String, Int)].collect().toSet
+      // brute-force reference: every distinct pair within distance k
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      val ref = (for {
+        a <- ls.distinct; b <- rs.distinct
+        d = lev(a, b) if d <= k
+      } yield (a, b, d)).toSet
+      got == ref
+    }
+  }
+
+  property("distributionMatchPlan rates are capped, zero off-reference") = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Prop.forAllNoShrink(
+      Gen.listOfN(25, Gen.chooseNum(0L, 63L)),
+      Gen.listOfN(25, Gen.chooseNum(0L, 63L))) { (cur, ref) =>
+      val plan = graft.ops.Sampling.distributionMatchPlan(
+          cur.toDF("v"), ref.toDF("v"), col("v"), binWidth = 16L)
+        .as[(Long, Long, Long, Option[Long])].collect()
+      plan.forall { case (_, cCur, cRef, acc) =>
+        if (cCur == 0) acc.isEmpty // nothing to accept
+        else if (cRef == 0) acc.contains(0L) // reference says: none
+        else acc.exists(a => a >= 1L && a <= 1000L)
+      }
+    }
+  }
+
+  property("weightedMedian: >= half the weight at or below the answer") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(1L, 9L)))) { vw =>
+      val df = vw.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+      val Array((tot, med)) = graft.ops.Profiling
+        .weightedMedian(df, "g", "v", "w")
+        .as[(String, Long, Long)].collect().map(r => (r._2, r._3))
+      val below = vw.filter(_._1 <= med).map(_._2).sum
+      val strictlyBelow = vw.filter(_._1 < med).map(_._2).sum
+      // med is the SMALLEST value whose cumulative reaches half
+      tot == vw.map(_._2).sum && 2 * below >= tot && 2 * strictlyBelow < tot
+    }
+  }
+
 }
