@@ -61,7 +61,8 @@ object DevPlans {
         "q179_golden_record", "q180_user_growth",
         "q181_source_dup_matrix", "q182_session_affinity",
         "q183_fuzzy_match", "q184_pareto_contribution",
-        "q185_distribution_match", "q186_rate_monitor")
+        "q185_distribution_match", "q186_rate_monitor",
+        "q187_mix_manifest")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4803,7 +4803,26 @@ object SparkEntry {
         graft.streaming.EventStreams.rateMonitor(ev, ref,
             "1 hour", "2 hours", loPermille = 250L, hiPermille = 4000L)
           .orderBy("win_us", "event_type")
-      })
+      }),
+
+    // Training-mix manifest (Sampling.mixManifest): the (split × source)
+    // doc/token matrix a model card ships — md5 split projection + one
+    // partial agg, the governance artifact in |splits|·|sources| rows.
+    q("q187_mix_manifest",
+      """WITH s AS (SELECT source,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> len(w) > 0)) AS nt,
+        |    CASE
+        |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4)) AS INTEGER) % 1000 < 800 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4)) AS INTEGER) % 1000 < 900 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Sampling.mixManifest(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

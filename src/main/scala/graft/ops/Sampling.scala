@@ -597,6 +597,29 @@ object Sampling {
       .orderBy("bin")
   }
 
+  /** Training-MIX MANIFEST — the (split × source) doc/token matrix a
+    * model card ships: after the deterministic md5 split, exactly how
+    * many documents and tokens each source contributes to each split.
+    * The provenance artifact every data-governance review asks for
+    * first, and the sanity check that a stratified pipeline actually
+    * delivered its intended mixture.
+    *
+    * Scale shape: the split is a pure md5 projection (no shuffle), the
+    * matrix one (split, source) partial agg — |splits|·|sources| rows
+    * out, scan-speed at any corpus size.
+    */
+  def mixManifest(documents: DataFrame,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    val slim = documents.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).cast("long").as("__nt"))
+    deterministicSplit(slim, "doc_id", fractions)
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
   /** Dedup-cluster-coherent split assignment: near-duplicate documents
     * must never straddle a train/val/test boundary (q119 measures the
     * leakage; this PREVENTS it). The split key is the document's

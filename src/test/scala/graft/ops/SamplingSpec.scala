@@ -311,6 +311,25 @@ class SamplingSpec extends SparkSpec {
       ("s3", 10L, 500L, 0L, 0.0, 0L)))
   }
 
+  test("mixManifest: matrix cells partition the corpus, tokens conserved") {
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "d e", "s1"), (3L, "f", "s2"),
+      (4L, "g h i j", "s2"), (5L, "k", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.mixManifest(d)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // every doc lands in exactly one cell; token mass is conserved
+    assert(got.map(_._3).sum == 5L)
+    assert(got.map(_._4).sum == 11L)
+    // and the assignment is the deterministicSplit one, cell-for-cell
+    val ref = Sampling.deterministicSplit(d, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("split", "source", "doc_id")
+      .as[(String, String, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == ref)
+  }
+
   test("distributionMatchPlan: downsample-only rates, 0 for reference-absent bins") {
     import org.apache.spark.sql.functions.col
     // current: bin0 ×4, bin1 ×4, bin2 ×2 (total 10)
