@@ -161,6 +161,20 @@ object Bench {
     // constant 'q' prefix, sf its constant directory prefix — the rep
     // evidence and full per-query coverage both survive
     val fullR1s = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsWith(r1, sKeyOf)},"rep_totals":$repTotals,"reps":${samples.length}$rech$part,"sf":"$sfShort"}"""
+    // the DECISECOND rung (189 queries outgrew even stripped-r1):
+    // per-query values become integers of 0.1 s — "29" = 2.9 s — with
+    // the self-describing "q_unit":"ds" marker RIGHT BEFORE the map so
+    // no reader can mistake the unit; a failure stays the -1 sentinel.
+    // Two bytes per query buys rep evidence headroom to ~250 queries;
+    // the total (and rep_totals, coarsened to 1 decimal) stay seconds.
+    val qsDs = results.map { case (k, v) =>
+      s"\"" + sKeyOf(k) + "\":" +
+        (if (v < 0) "-1" else math.round(v * 10).toString)
+    }.mkString("{", ",", "}")
+    val repTotalsR1 = samples
+      .map(m => r1(m.values.filter(_ >= 0).sum))
+      .mkString("[", ",", "]")
+    val fullDs = s"""{"metric":"total","value":$total,"unit":"sec","q_unit":"ds","queries":$qsDs,"rep_totals":$repTotalsR1,"reps":${samples.length}$rech$part,"sf":"$sfShort"}"""
     val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsWith(r1, sKeyOf)}$part,"sf":"$sfShort"}"""
     // belt-and-braces at every degradation level: a growing query set
     // must never push the LAST line past the driver's tail window.
@@ -172,6 +186,7 @@ object Bench {
     if (full.length <= 1900) full
     else if (fullR1.length <= 1900) fullR1
     else if (fullR1s.length <= 1900) fullR1s
+    else if (fullDs.length <= 1900) fullDs
     else if (noReps.length <= 1900) noReps
     else {
       val entries = results

@@ -62,7 +62,8 @@ object DevPlans {
         "q181_source_dup_matrix", "q182_session_affinity",
         "q183_fuzzy_match", "q184_pareto_contribution",
         "q185_distribution_match", "q186_rate_monitor",
-        "q187_mix_manifest")
+        "q187_mix_manifest", "q188_effective_tokens",
+        "q189_lateness_census")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

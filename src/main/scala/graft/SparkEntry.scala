@@ -4822,7 +4822,75 @@ object SparkEntry {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(nt) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
-      (s, d) => Sampling.mixManifest(Tables.documents(s, d)))
+      (s, d) => Sampling.mixManifest(Tables.documents(s, d))),
+
+    // Effective-token census (Text.effectiveTokens): raw vs
+    // span-dedup-surviving token mass per source — the number raw
+    // counts overstate by exactly the recycled-text redundancy
+    // (81–96‰ unique on this fixture). Reuses q171's stages verbatim.
+    q("q188_effective_tokens",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |pg AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i,
+        |    unnest(list_transform(generate_series(1,
+        |      greatest(len(t) - 4, 0)),
+        |      i -> array_to_string(t[i:i+4], ' '))) AS gram FROM toks),
+        |hot AS (SELECT gram FROM (SELECT gram,
+        |    count(DISTINCT doc_id) AS df FROM pg GROUP BY 1)
+        |  WHERE df >= 2),
+        |cov AS (SELECT DISTINCT doc_id,
+        |    unnest(generate_series(i, i + 4)) AS p
+        |  FROM pg JOIN hot USING (gram)),
+        |tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS p
+        |  FROM toks),
+        |keptn AS (SELECT tk.doc_id, count(*) AS nk
+        |  FROM tk ANTI JOIN cov ON tk.doc_id = cov.doc_id
+        |    AND tk.p = cov.p GROUP BY 1),
+        |raw AS (SELECT d.source, CAST(sum(len(t.t)) AS BIGINT)
+        |    AS n_tokens_raw
+        |  FROM documents d JOIN toks t USING (doc_id) GROUP BY 1),
+        |uniq AS (SELECT d.source, CAST(sum(k.nk) AS BIGINT)
+        |    AS n_tokens_unique
+        |  FROM documents d JOIN keptn k USING (doc_id) GROUP BY 1)
+        |SELECT r.source, r.n_tokens_raw,
+        |  coalesce(u.n_tokens_unique, 0) AS n_tokens_unique,
+        |  CAST(coalesce(u.n_tokens_unique, 0) * 1000
+        |    // nullif(r.n_tokens_raw, 0) AS BIGINT) AS unique_permille
+        |FROM raw r LEFT JOIN uniq u USING (source)
+        |ORDER BY r.source""".stripMargin)(
+      (s, d) => Text.effectiveTokens(Tables.documents(s, d),
+        n = 5, minDf = 2L)),
+
+    // Event-lateness census (Behavior.latenessCensus): the watermark-
+    // chooser — every 10th event is deterministically delivered ~500
+    // positions late (the planting device; the fixture itself arrives
+    // in order), and the census reports how far event time trails the
+    // running ingestion max: max_late IS the lossless watermark delay.
+    q("q189_lateness_census",
+      """WITH q AS (SELECT CASE WHEN event_id % 10 = 0
+        |      THEN event_id * 10 + 5005 ELSE event_id * 10 END
+        |      AS arrival,
+        |    epoch_us(ts) AS qts FROM events),
+        |l AS (SELECT greatest(coalesce(max(qts) OVER (ORDER BY arrival
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), qts)
+        |    - qts, 0) AS late FROM q)
+        |SELECT CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum(CASE WHEN late > 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_late,
+        |  CAST(coalesce(sum(late), 0) AS BIGINT) AS sum_late,
+        |  CAST(coalesce(max(late), 0) AS BIGINT) AS max_late
+        |FROM l""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.when
+        val ev = Tables.events(s, d).withColumn("arrival",
+          when(col("event_id") % 10 === 0,
+            col("event_id") * 10 + 5005)
+            .otherwise(col("event_id") * 10))
+        Behavior.latenessCensus(ev, tiebreakCol = "arrival",
+          quantumNs = 1000L)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

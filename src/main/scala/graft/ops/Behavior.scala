@@ -266,6 +266,39 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Event-time LATENESS census — the number that CHOOSES a watermark:
+    * treating the monotone `event_id` as ingestion order, an event's
+    * lateness is how far its event time trails the maximum event time
+    * already ingested. One row: events, late events, total and max
+    * lateness (quantized units) — `max_late` IS the lossless watermark
+    * delay, and the late-count at a candidate delay is the data the
+    * streaming operators' `delay` parameter should be read against.
+    *
+    * Shape note (the q116/q149 discipline): the running max over
+    * ingestion order is inherently a GLOBAL-order window; this audit
+    * form runs it directly (the output is ONE row — the window input is
+    * the event stream itself, so at 100 TB this runs as the two-pass
+    * per-partition prefix-max the shardedRanks machinery implements;
+    * the one-pass window here is the oracle-refereed audit view).
+    */
+  def latenessCensus(events: DataFrame,
+                     tiebreakCol: String = "event_id",
+                     quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(tiebreakCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    events
+      .select(col(tiebreakCol), expr(s"ts div ${quantumNs}L").as("qts"))
+      .withColumn("late",
+        greatest(max("qts").over(w) - col("qts"), lit(0L)))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("late") > 0, 1L)), lit(0L)).as("n_late"),
+        coalesce(sum("late"), lit(0L)).as("sum_late"),
+        coalesce(max("late"), lit(0L)).as("max_late"))
+  }
+
   /** User GROWTH curve: per day, first-time users and the cumulative
     * total — the acquisition chart. First-seen day is a per-user min
     * (one keyed agg); the cumulative sum is a global window over the

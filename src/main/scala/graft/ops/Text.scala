@@ -1011,6 +1011,36 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** EFFECTIVE token census — per source, raw token mass vs the mass
+    * surviving duplicated-span removal (`stripDuplicatedSpans`, same
+    * n/minDf): the number that answers "how much UNIQUE data does this
+    * source actually contribute", which raw token counts overstate by
+    * exactly the recycled-text mass (the q141 funnel drops whole docs;
+    * this prices the span-level redundancy inside the survivors too).
+    * `unique_permille` is the exact integer ratio.
+    *
+    * Scale shape: stripDuplicatedSpans' stages (ids-only df census,
+    * duplication-bounded explode) plus two per-source partial aggs.
+    */
+  def effectiveTokens(documents: DataFrame, n: Int = 5,
+                      minDf: Long = 2L): DataFrame = {
+    val raw = documents
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy("source").agg(sum("__nt").as("n_tokens_raw"))
+    val kept = stripDuplicatedSpans(documents, n, minDf)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("__nk"))
+      .groupBy("source").agg(sum("__nk").as("n_tokens_unique"))
+    raw.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_tokens_raw"),
+        coalesce(col("n_tokens_unique"), lit(0L)).as("n_tokens_unique"),
+        expr("coalesce(n_tokens_unique, 0L) * 1000L" +
+          " div nullif(n_tokens_raw, 0L)").as("unique_permille"))
+      .orderBy("source")
+  }
+
   /** Exact phrase search: documents containing `phrase` as CONSECUTIVE
     * whitespace tokens, with occurrence counts — the retrieval primitive
     * `LIKE '%...%'` answers with a full unindexed string scan and an

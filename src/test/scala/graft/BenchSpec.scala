@@ -147,19 +147,41 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("the REAL query set still ships per-query detail in the window") {
-    // the degradation ladder is the safety net; the real set must not
-    // need it — per-query timings are the adjudicable artifact. If this
-    // fails, shrink the line (2-decimal seconds) before adding queries.
+    // the degradation ladder is the safety net; the real set must keep
+    // FULL per-query coverage AND rep evidence — precision degrades
+    // (r2 → r1 → stripped keys → deciseconds) before either is lost.
     val real = SparkEntry.queries.keys.toSeq
     val line = Bench.buildLine(real, samples(real, 3), "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"line too long: ${line.length}")
     val node = mapper.readTree(line)
     assert(node.get("queries").size() == real.length)
-    // rep evidence must survive query-set growth: the r1 display rung
-    // exists so rep_totals/reps never fall off before per-query precision
+    // rep evidence must survive query-set growth: the display rungs
+    // exist so rep_totals/reps never fall off before per-query precision
     assert(node.get("rep_totals") != null && node.get("rep_totals").size() == 3,
       s"rep_totals lost; line length ${line.length}")
     assert(node.get("reps").asInt() == 3)
+    // if the decisecond rung engaged, it must say so and stay integral
+    if (node.get("q_unit") != null) {
+      assert(node.get("q_unit").asText() == "ds")
+      val it = node.get("queries").elements()
+      while (it.hasNext) assert(it.next().isIntegralNumber)
+    }
+  }
+
+  test("decisecond rung: integer tenths, -1 failures survive, unit marked") {
+    // force the rung with a synthetic surface past the stripped-r1 rung
+    val ns = (1 to 200).map(i => f"q$i%03d_synthetic_name_$i")
+    val ss = (1 to 2).map(_ => ns.zipWithIndex
+      .map { case (n, i) => n -> (if (i == 7) -1.0 else (i % 50) * 0.1) }
+      .toMap)
+    val line = Bench.buildLine(ns, ss, "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("q_unit").asText() == "ds")
+    assert(node.get("queries").size() == 200)
+    assert(node.get("queries").get("008").asInt() == -1) // failure kept
+    assert(node.get("queries").get("030").asInt() == 29) // 2.9s → 29 ds
+    assert(node.get("rep_totals") != null && node.get("reps").asInt() == 2)
   }
 
   test("wall budget is not honored until at least 2 reps exist") {

@@ -258,6 +258,21 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
   }
 
+  test("latenessCensus: in-order stream is clean; a late event measured") {
+    import org.apache.spark.sql.functions.col
+    // arrivals 1..4 with event times 10, 30, 20, 40: arrival 3 carries
+    // ts 20 after the max 30 was seen → late by 10; others on time
+    val e = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 40L))
+      .toDF("arrival", "ts")
+    val got = Behavior.latenessCensus(e, tiebreakCol = "arrival")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((4L, 1L, 10L, 10L)))
+    // strictly increasing event times → zero lateness
+    val ordered = Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("arrival", "ts")
+    assert(Behavior.latenessCensus(ordered, "arrival")
+      .as[(Long, Long, Long, Long)].collect().head == ((3L, 0L, 0L, 0L)))
+  }
+
   test("userGrowthCurve: first-seen day only, cumulative is running") {
     // user 1 spans days 0 and 2 (counted once, on day 0); user 2 starts
     // day 2; user 3 day 0 — growth (0 → 2 new), (2 → 1 new), cum 2, 3

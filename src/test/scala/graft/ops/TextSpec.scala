@@ -651,6 +651,21 @@ class TextSpec extends SparkSpec {
     assert(got.find(_._1 == "en").get._6.nonEmpty)
   }
 
+  test("effectiveTokens: recycled span mass discounted per source") {
+    // doc 1 (srcA) and doc 2 (srcB) share a 5-gram: both lose those 5
+    // positions; srcA keeps its 2 unique tokens of 7 → 285‰; srcB's
+    // doc is the shared span alone → 0 unique; srcC untouched → 1000‰
+    val d = Seq(
+      (1L, "u1 u2 a b c d e", "srcA"),
+      (2L, "a b c d e", "srcB"),
+      (3L, "totally fresh words here now", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.effectiveTokens(d, n = 5, minDf = 2L)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("srcA", 7L, 2L, 285L), ("srcB", 5L, 0L, 0L),
+      ("srcC", 5L, 5L, 1000L)))
+  }
+
   test("qualityEnsemble: rank-vote equals the ntile-window formulation") {
     import org.apache.spark.sql.functions.{col, lit, ntile, size}
     import org.apache.spark.sql.expressions.Window
