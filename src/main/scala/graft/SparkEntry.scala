@@ -4890,6 +4890,85 @@ object SparkEntry {
             .otherwise(col("event_id") * 10))
         Behavior.latenessCensus(ev, tiebreakCol = "arrival",
           quantumNs = 1000L)
+      }),
+
+    // The FULL curation pipeline in one plan (Pipeline.cureAndMix):
+    // keep-best dedup → fuzzy decontamination vs the 5% benchmark
+    // split → quality-ensemble gate (vote ≥ 16 of 30) → split →
+    // mix manifest — four oracle-checked stages composed verbatim; the
+    // manifest totals are what actually ships (284 of 475 corpus docs
+    // at this scale).
+    q("q190_cure_and_mix",
+      """WITH bkt AS (SELECT *, CAST(('0x' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |    % 1000 AS bucket FROM documents),
+        |corpus AS (SELECT doc_id, text, source, n_chars FROM bkt
+        |  WHERE bucket < 950),
+        |bench AS (SELECT doc_id, text FROM bkt WHERE bucket >= 950),
+        |fp AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp,
+        |    CAST(length(text) AS BIGINT) AS score FROM corpus),
+        |kb AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (
+        |    PARTITION BY fp ORDER BY score DESC, doc_id) AS rn FROM fp)
+        |  WHERE rn = 1),
+        |ded AS (SELECT c.* FROM corpus c JOIN kb USING (doc_id)),
+        |toksd AS (SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM ded),
+        |shd AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toksd),
+        |toksb AS (SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM bench),
+        |shb AS (SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS sh FROM toksb),
+        |cpost AS (SELECT doc_id AS corpus_id, unnest(sh) AS item
+        |  FROM shd),
+        |bpost AS (SELECT doc_id AS bench_id, unnest(sh) AS item
+        |  FROM shb),
+        |bsz AS (SELECT doc_id AS bench_id, len(sh) AS n_b FROM shb
+        |  WHERE len(sh) > 0),
+        |inter AS (SELECT corpus_id, bench_id, count(*) AS n_inter
+        |  FROM cpost JOIN bpost USING (item) GROUP BY 1, 2),
+        |hits AS (SELECT DISTINCT corpus_id AS doc_id
+        |  FROM inter JOIN bsz USING (bench_id)
+        |  WHERE n_inter * 1000 >= 300 * n_b),
+        |clean AS (SELECT d.* FROM ded d ANTI JOIN hits USING (doc_id)),
+        |f AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> len(w) > 0 AND w IN ('the','a','an','of','and','to',
+        |        'in','is','it','for'))) * 1000
+        |      // len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |        w -> len(w) > 0)) AS sp,
+        |    len(list_distinct(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> len(w) > 0))) * 1000
+        |      // len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |        w -> len(w) > 0)) AS tp,
+        |    CAST(n_chars AS BIGINT) AS nc
+        |  FROM clean WHERE len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> len(w) > 0)) > 0),
+        |votes AS (SELECT doc_id,
+        |    ntile(10) OVER (ORDER BY sp, doc_id) +
+        |    ntile(10) OVER (ORDER BY tp, doc_id) +
+        |    ntile(10) OVER (ORDER BY nc, doc_id) AS vote FROM f),
+        |gated AS (SELECT c.* FROM clean c JOIN votes USING (doc_id)
+        |  WHERE votes.vote >= 16),
+        |s AS (SELECT source, len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> len(w) > 0)) AS nt,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4)) AS INTEGER) % 1000 < 800 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |        1, 4)) AS INTEGER) % 1000 < 900 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM gated)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = Sampling.splitBucket(col("doc_id"))
+        Pipeline.cureAndMix(docs.filter(bucket < 950),
+          docs.filter(bucket >= 950))
       })
   )
 

@@ -174,6 +174,40 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** The FULL modern curation pipeline as ONE declarative plan — the
+    * round-trip a 2024-era LLM data team actually ships: keep-best
+    * exact dedup (longest variant wins) → fuzzy benchmark
+    * DECONTAMINATION (`Dedup.benchmarkContainment`, drop any doc
+    * carrying ≥ τ‰ of an eval item) → quality-ensemble gate
+    * (`Text.qualityEnsemble` rank vote ≥ `minVote`) → deterministic
+    * split → the (split × source) mix manifest. Every stage is one of
+    * the library's oracle-checked operators re-used verbatim, and the
+    * whole thing is a single lazy composition: Catalyst sees one DAG,
+    * the raw text crosses exchanges only where a stage's contract
+    * needs it, and every reported number is an exact integer.
+    *
+    * `minVote` defaults to the upper half of the 3-signal vote range
+    * [3, 3·buckets]. The manifest's totals are the honest "what
+    * actually ships" numbers — downstream of every drop decision.
+    */
+  def cureAndMix(corpus: DataFrame, benchmark: DataFrame,
+                 n: Int = 3, minPermille: Long = 300L,
+                 buckets: Int = 10, minVote: Long = 16L,
+                 fractions: Seq[(String, Double)] =
+                   Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    val keep = Dedup.keepBestExact(corpus, length(col("text")))
+      .select("doc_id")
+    val ded = corpus.join(keep, Seq("doc_id"), "left_semi")
+    val hits = Dedup.benchmarkContainment(ded, benchmark, n, minPermille)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val clean = ded.join(hits, Seq("doc_id"), "left_anti")
+    val votes = Text.qualityEnsemble(clean, buckets)
+      .filter(col("vote") >= minVote).select("doc_id")
+    val gated = clean.join(votes, Seq("doc_id"), "left_semi")
+    Sampling.mixManifest(gated, fractions)
+  }
+
   /** `curationFunnel` attributed per source: which sources lose the most
     * documents at each gate — the report that turns a funnel number into
     * an acquisition decision ("this crawl is 40% recycled; renegotiate

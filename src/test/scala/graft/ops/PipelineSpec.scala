@@ -101,4 +101,35 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._3).sum == funnel("2_dedup"))
     assert(got.map(_._4).sum == funnel("3_spanclean"))
   }
+
+  test("cureAndMix: each stage's drop is visible in the manifest totals") {
+    import org.apache.spark.sql.functions.col
+    // corpus: 1 and 2 are exact dups (keep-best keeps the longer 2);
+    // 3 contains the benchmark doc verbatim (decontaminated away);
+    // 4 and 5 survive to the gate, which at vote >= 3 (minimum) keeps
+    // both → manifest = the split cells of {2, 4, 5}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over it", "s1"),
+      (2L, "The  quick brown fox jumps over it ", "s1"), // dup, longer
+      (3L, "padding eval question one two three four five end", "s2"),
+      (4L, "genuine content with the usual words in it", "s1"),
+      (5L, "another clean document of fresh text here", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+    val bench = Seq((99L, "eval question one two three four five"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.cureAndMix(corpus, bench, n = 3,
+        minPermille = 900L, buckets = 2, minVote = 3L)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // totals: docs 2, 4, 5 (doc 1 deduped away, doc 3 decontaminated)
+    assert(got.map(_._3).sum == 3L)
+    val bySource = got.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(bySource("s1") == 2L && bySource("s2") == 1L)
+    // and a harsher gate (vote >= the max) drops more
+    val strict = Pipeline.cureAndMix(corpus, bench, n = 3,
+        minPermille = 900L, buckets = 2, minVote = 6L)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(strict.map(_._3).sum < 3L)
+  }
 }
