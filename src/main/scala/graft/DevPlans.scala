@@ -63,7 +63,8 @@ object DevPlans {
         "q183_fuzzy_match", "q184_pareto_contribution",
         "q185_distribution_match", "q186_rate_monitor",
         "q187_mix_manifest", "q188_effective_tokens",
-        "q189_lateness_census", "q190_cure_and_mix")
+        "q189_lateness_census", "q190_cure_and_mix",
+        "q191_entry_conversion", "q192_truncation_plan")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

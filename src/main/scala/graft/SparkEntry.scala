@@ -4969,7 +4969,61 @@ object SparkEntry {
         val bucket = Sampling.splitBucket(col("doc_id"))
         Pipeline.cureAndMix(docs.filter(bucket < 950),
           docs.filter(bucket >= 950))
-      })
+      }),
+
+    // Entry-type conversion (Behavior.entryConversion): each 4-hour
+    // session attributed to its first event's type, scored by whether
+    // it contains a purchase — the channel table q168 aggregates away.
+    q("q191_entry_conversion",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, qts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |fe AS (SELECT user_id, sess, event_type AS entry_type FROM (
+        |    SELECT user_id, sess, event_type, row_number() OVER (
+        |      PARTITION BY user_id, sess ORDER BY qts, event_id) AS rn
+        |    FROM w) WHERE rn = 1),
+        |conv AS (SELECT DISTINCT user_id, sess FROM w
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT fe.entry_type,
+        |    (conv.user_id IS NOT NULL) AS converted
+        |  FROM fe LEFT JOIN conv ON fe.user_id = conv.user_id
+        |    AND fe.sess = conv.sess)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(coalesce(sum(CASE WHEN converted THEN 1 END), 0)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(coalesce(sum(CASE WHEN converted THEN 1 END), 0) * 1000
+        |    // count(*) AS BIGINT) AS conv_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.entryConversion(Tables.events(s, d),
+        convType = "purchase", gapNs = 4L * 3600 * 1000000000L,
+        quantumNs = 1000L)),
+
+    // Truncation planner (Text.truncationPlan): docs over / token mass
+    // lost at candidate max_seq_len values — the table the context
+    // window is chosen from; one scan crossed with the literal list.
+    q("q192_truncation_plan",
+      """WITH d AS (SELECT len(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> len(w) > 0)) AS nt FROM documents),
+        |L AS (SELECT unnest([32, 64, 128, 256]) AS max_len)
+        |SELECT CAST(max_len AS BIGINT) AS max_len,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(CASE WHEN nt > max_len THEN 1 END), 0)
+        |    AS BIGINT) AS n_truncated,
+        |  CAST(coalesce(sum(CASE WHEN nt > max_len THEN nt - max_len
+        |    END), 0) AS BIGINT) AS tokens_lost,
+        |  CAST(coalesce(sum(CASE WHEN nt > max_len THEN nt - max_len
+        |    END), 0) * 1000 // nullif(sum(nt), 0) AS BIGINT)
+        |    AS lost_permille
+        |FROM d CROSS JOIN L GROUP BY max_len
+        |ORDER BY max_len""".stripMargin)(
+      (s, d) => Text.truncationPlan(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

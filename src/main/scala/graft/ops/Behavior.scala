@@ -266,6 +266,53 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Conversion rate BY SESSION ENTRY TYPE — which landing event
+    * converts: each session is attributed to its FIRST event's type
+    * (deterministic `(qts, tiebreak)` order) and scored by whether the
+    * session contains `convType` at all. The channel-performance table
+    * the session funnel (q168) aggregates away. Exact integer rate.
+    *
+    * Shape: the q113 sessionization exchange, one per-session
+    * row_number for the entry, a DISTINCT converted-session set, and a
+    * session-keyed left join — per-session rows throughout, never
+    * event×event.
+    */
+  def entryConversion(events: DataFrame, convType: String, gapNs: Long,
+                      tiebreakCol: String = "event_id",
+                      quantumNs: Long = 1L): DataFrame = {
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val sessioned = events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol), col("event_type"))
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L))
+      .withColumn("sess", sum("brk").over(cum))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess")
+      .orderBy(col("qts"), col(tiebreakCol))
+    val entries = sessioned
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("sess"),
+        col("event_type").as("entry_type"))
+    val conv = sessioned.filter(col("event_type") === convType)
+      .select("user_id", "sess").distinct()
+      .withColumn("__c", lit(1L))
+    entries.join(conv, Seq("user_id", "sess"), "left")
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        coalesce(sum("__c"), lit(0L)).as("n_converted"))
+      .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 1000L div n_sessions").as("conv_permille"))
+      .orderBy("entry_type")
+  }
+
   /** Event-time LATENESS census — the number that CHOOSES a watermark:
     * treating the monotone `event_id` as ingestion order, an event's
     * lateness is how far its event time trails the maximum event time

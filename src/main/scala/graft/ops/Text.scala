@@ -1011,6 +1011,40 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Context-length TRUNCATION planner: for each candidate maximum
+    * sequence length, how many documents exceed it and how much token
+    * mass a hard truncation would discard — the table `max_seq_len`
+    * is actually chosen from (the complement of `chunkTokens`, which
+    * SPLITS instead of cutting; this prices the cut). Exact integers;
+    * `lost_permille` is relative to the full corpus mass.
+    *
+    * Scale shape: one scan-stage token count crossed with the
+    * |lengths|-row literal list — the corpus is read once and the
+    * cross join multiplies only the tiny literal side.
+    */
+  def truncationPlan(documents: DataFrame,
+                     lengths: Seq[Long] = Seq(32L, 64L, 128L, 256L))
+      : DataFrame = {
+    require(lengths.nonEmpty && lengths.forall(_ >= 1),
+      "lengths must be positive")
+    val nt = documents
+      .select(size(tokens(col("text"))).cast("long").as("nt"))
+    val ls = lengths.map(l => s"${l}L").mkString("array(", ", ", ")")
+    nt.select(col("nt"), explode(expr(ls)).as("max_len"))
+      .groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("nt") > col("max_len"), 1L)), lit(0L))
+          .as("n_truncated"),
+        coalesce(sum(when(col("nt") > col("max_len"),
+          col("nt") - col("max_len"))), lit(0L)).as("tokens_lost"),
+        sum("nt").as("__tot"))
+      .select(col("max_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_lost"),
+        expr("tokens_lost * 1000L div nullif(__tot, 0L)")
+          .as("lost_permille"))
+      .orderBy("max_len")
+  }
+
   /** EFFECTIVE token census — per source, raw token mass vs the mass
     * surviving duplicated-span removal (`stripDuplicatedSpans`, same
     * n/minDf): the number that answers "how much UNIQUE data does this

@@ -258,6 +258,21 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
   }
 
+  test("entryConversion: session attributed to its FIRST event's type") {
+    // u1 session A: view→purchase (entry view, converted); u1 session
+    // B: click only; u2 session: purchase-first (entry purchase,
+    // trivially converted)
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "purchase"),
+      (1L, 1000L, "click"),
+      (2L, 10L, "purchase"))
+    val got = Behavior.entryConversion(e, "purchase", gapNs = 100L,
+        tiebreakCol = "ts")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", 1L, 0L, 0L),
+      ("purchase", 1L, 1L, 1000L), ("view", 1L, 1L, 1000L)))
+  }
+
   test("latenessCensus: in-order stream is clean; a late event measured") {
     import org.apache.spark.sql.functions.col
     // arrivals 1..4 with event times 10, 30, 20, 40: arrival 3 carries

@@ -651,6 +651,16 @@ class TextSpec extends SparkSpec {
     assert(got.find(_._1 == "en").get._6.nonEmpty)
   }
 
+  test("truncationPlan: lost mass per candidate length, exact integers") {
+    // token counts 3, 5, 10 (total 18): at L=4 → two docs over, lost
+    // (3-4<0 no) (5-4=1)+(10-4=6)=7 → 7000/18 = 388‰; at L=10 nothing
+    val d = Seq((1L, "a b c"), (2L, "a b c d e"),
+      (3L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val got = Text.truncationPlan(d, lengths = Seq(4L, 10L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 3L, 2L, 7L, 388L), (10L, 3L, 0L, 0L, 0L)))
+  }
+
   test("effectiveTokens: recycled span mass discounted per source") {
     // doc 1 (srcA) and doc 2 (srcB) share a 5-gram: both lose those 5
     // positions; srcA keeps its 2 unique tokens of 7 → 285‰; srcB's
