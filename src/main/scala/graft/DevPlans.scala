@@ -64,7 +64,8 @@ object DevPlans {
         "q185_distribution_match", "q186_rate_monitor",
         "q187_mix_manifest", "q188_effective_tokens",
         "q189_lateness_census", "q190_cure_and_mix",
-        "q191_entry_conversion", "q192_truncation_plan")
+        "q191_entry_conversion", "q192_truncation_plan",
+        "q193_embedding_quality")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

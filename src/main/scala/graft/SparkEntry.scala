@@ -5023,7 +5023,28 @@ object SparkEntry {
         |    AS lost_permille
         |FROM d CROSS JOIN L GROUP BY max_len
         |ORDER BY max_len""".stripMargin)(
-      (s, d) => Text.truncationPlan(Tables.documents(s, d)))
+      (s, d) => Text.truncationPlan(Tables.documents(s, d))),
+
+    // Embedding quality census (Similarity.embeddingQualityCensus): the
+    // vector data-quality gate — zero-vector counts (cosine-undefined;
+    // the q26 family silently filters them, this makes them VISIBLE)
+    // and quantized squared-norm ranges per label (q105 device).
+    q("q193_embedding_quality",
+      """WITH e AS (SELECT vec_id, label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+        |pv AS (SELECT vec_id, label,
+        |    CAST(sum(CAST(round(x * 1000) AS BIGINT) *
+        |      CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS norm2_q
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(coalesce(sum(CASE WHEN norm2_q = 0 THEN 1 END), 0)
+        |    AS BIGINT) AS n_zero,
+        |  CAST(min(norm2_q) AS BIGINT) AS min_norm2_q,
+        |  CAST(max(norm2_q) AS BIGINT) AS max_norm2_q,
+        |  CAST(sum(norm2_q) AS BIGINT) AS sum_norm2_q
+        |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Similarity.embeddingQualityCensus(
+        Tables.embeddings(s, d), scale = 1000))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -657,6 +657,36 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** Embedding QUALITY census — the vector-column data-quality gate:
+    * per label, vector count, ZERO vectors (cosine against them is
+    * undefined — the q26 family filters them, this COUNTS them so the
+    * upstream encoder bug is visible), and the min/max/total quantized
+    * squared norm. Norms ride the q105 integer-quantization device
+    * (`Σ round(x·10³)²` — exact integers, engine-portable), so the
+    * census hash-checks like everything else.
+    *
+    * Scale shape: one posexplode to per-vector partial sums (map-side
+    * combined), then a |labels|-row agg.
+    */
+  def embeddingQualityCensus(embeddings: DataFrame,
+                             scale: Int = 1000): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val perVec = embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+      .withColumn("q", round(col("x") * scale).cast("long"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("q") * col("q")).as("norm2_q"))
+    perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("norm2_q") === 0, 1L)), lit(0L))
+          .as("n_zero"),
+        min("norm2_q").as("min_norm2_q"),
+        max("norm2_q").as("max_norm2_q"),
+        sum("norm2_q").as("sum_norm2_q"))
+      .orderBy("label")
+  }
+
   /** Per-label embedding DIVERSITY census — mean pairwise dot product
     * within each label, computed WITHOUT forming a single pair via the
     * sum-of-vectors identity: Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖vᵢ‖², so

@@ -294,6 +294,18 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.groupBy(_._1).values.forall(_.size <= 2))
   }
 
+  test("embeddingQualityCensus: zero vectors counted, norms quantized") {
+    val e = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 0f), 0), // a zero vector
+      (2L, Array(0.5f, 0.5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingQualityCensus(e, scale = 1000)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // label 0: norms 1e6 and 0 → one zero; label 1: 2·500² = 500000
+    assert(got == Seq((0, 2L, 1L, 0L, 1000000L, 1000000L),
+      (1, 1L, 0L, 500000L, 500000L, 500000L)))
+  }
+
   test("embeddingDiversityCensus: sum-identity equals the pairwise mean") {
     // label 0: two identical vectors (1,2) → quantized (1000,2000),
     // every pairwise dot = 1e6+4e6 = 5e6 → mean_dot_q = 5,000,000.
