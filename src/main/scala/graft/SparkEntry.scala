@@ -5044,7 +5044,24 @@ object SparkEntry {
         |  CAST(sum(norm2_q) AS BIGINT) AS sum_norm2_q
         |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Similarity.embeddingQualityCensus(
-        Tables.embeddings(s, d), scale = 1000))
+        Tables.embeddings(s, d), scale = 1000)),
+
+    // Ship-lag SLA census (Relational.shipLagCensus): per priority, how
+    // late lineitems actually ship after the order date — day-exact
+    // integers on CAST-to-DATE values, the q06 join discipline.
+    q("q194_ship_lag",
+      """WITH j AS (SELECT o.o_orderpriority AS priority,
+        |    date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE)) AS lag_days
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(coalesce(sum(CASE WHEN lag_days > 90 THEN 1 END), 0)
+        |    AS BIGINT) AS n_late,
+        |  CAST(sum(lag_days) AS BIGINT) AS sum_lag_days,
+        |  CAST(max(lag_days) AS BIGINT) AS max_lag_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.shipLagCensus(Tables.orders(s, d),
+        Tables.lineitem(s, d), lateDays = 90))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

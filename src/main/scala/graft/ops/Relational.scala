@@ -114,6 +114,37 @@ object Relational {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(k)
 
+  /** Fulfillment SHIP-LAG census: per order priority, lineitems, the
+    * count shipping more than `lateDays` after the order date, and the
+    * exact total/max lag in days — the operational SLA table behind
+    * "are urgent orders actually shipping faster". Day arithmetic on
+    * CAST-to-DATE values so both engines count identical day
+    * boundaries; all integers.
+    *
+    * Scale shape: the fact join keys on orderkey (the q06 discipline —
+    * at scale a shuffle join on the fact keys, with the per-priority
+    * aggregation map-side combined); |priorities| rows out.
+    */
+  def shipLagCensus(orders: DataFrame, lineitem: DataFrame,
+                    lateDays: Int = 90): DataFrame = {
+    require(lateDays >= 0, "lateDays must be >= 0")
+    orders
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("__od"))
+      .join(lineitem.select(col("l_orderkey"),
+        col("l_shipdate").cast("date").as("__sd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .withColumn("lag_days", datediff(col("__sd"), col("__od"))
+        .cast("long"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_items"),
+        coalesce(sum(when(col("lag_days") > lateDays, 1L)), lit(0L))
+          .as("n_late"),
+        sum("lag_days").as("sum_lag_days"),
+        max("lag_days").as("max_lag_days"))
+      .orderBy("priority")
+  }
+
   /** P6: null→default coercion then Java `(int)` truncation-toward-zero
     * (NOT rounding — Secondary.java:57–58), followed by a grouped sum.
     */

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shipLagCensus: day-exact lags, late gate strict") {
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, "1-URGENT", Timestamp.valueOf("1995-01-01 00:00:00")),
+      (2L, "5-LOW", Timestamp.valueOf("1995-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq(
+      (1L, Timestamp.valueOf("1995-01-11 23:59:59")), // lag 10
+      (1L, Timestamp.valueOf("1995-04-02 00:00:00")), // lag 91 → late
+      (2L, Timestamp.valueOf("1995-04-01 00:00:00"))) // lag 90 → NOT late
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Relational.shipLagCensus(orders, li, lateDays = 90)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("1-URGENT", 2L, 1L, 101L, 91L),
+      ("5-LOW", 1L, 0L, 90L, 90L)))
+  }
+
   test("A6: grouped average uses ceil, not rounding") {
     // avg = 10.2 → ceil 11 (rounding would give 10)
     val li = Seq(("A", "F", 10.0), ("A", "F", 10.0), ("A", "F", 10.0),
