@@ -65,7 +65,8 @@ object DevPlans {
         "q187_mix_manifest", "q188_effective_tokens",
         "q189_lateness_census", "q190_cure_and_mix",
         "q191_entry_conversion", "q192_truncation_plan",
-        "q193_embedding_quality", "q194_ship_lag")
+        "q193_embedding_quality", "q194_ship_lag",
+        "q195_repeat_revenue", "q196_discount_curve")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -5061,7 +5061,39 @@ object SparkEntry {
         |  CAST(max(lag_days) AS BIGINT) AS max_lag_days
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Relational.shipLagCensus(Tables.orders(s, d),
-        Tables.lineitem(s, d), lateDays = 90))
+        Tables.lineitem(s, d), lateDays = 90)),
+
+    // Repeat-customer revenue census (Relational.repeatCustomerCensus):
+    // the retention-economics row — revenue share of ≥2-order
+    // customers, exact cents throughout.
+    q("q195_repeat_revenue",
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(coalesce(sum(CASE WHEN n_orders >= 2 THEN 1 END), 0)
+        |    AS BIGINT) AS n_repeat,
+        |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents_total,
+        |  CAST(coalesce(sum(CASE WHEN n_orders >= 2 THEN rev_cents END),
+        |    0) AS BIGINT) AS rev_cents_repeat,
+        |  CAST(coalesce(sum(CASE WHEN n_orders >= 2 THEN rev_cents END),
+        |    0) * 1000 // nullif(sum(rev_cents), 0) AS BIGINT)
+        |    AS repeat_share_permille
+        |FROM pc""".stripMargin)(
+      (s, d) => Relational.repeatCustomerCensus(Tables.orders(s, d))),
+
+    // Discount effectiveness curve (Relational.discountCurve): volume
+    // and discounted revenue per whole-percent discount level, exact
+    // cents with the identical expression shape in both engines.
+    q("q196_discount_curve",
+      """SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.discountCurve(Tables.lineitem(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

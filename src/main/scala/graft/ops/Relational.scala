@@ -114,6 +114,49 @@ object Relational {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(k)
 
+  /** Repeat-customer REVENUE census — the one-row retention economics
+    * table: customers, repeat customers (≥ `minOrders` orders), total
+    * and repeat-attributed revenue in exact cents, and the repeat
+    * share — "what fraction of revenue comes from customers who came
+    * back". Two-level aggregate (per-customer partials → one row), all
+    * integer cents.
+    */
+  def repeatCustomerCensus(orders: DataFrame,
+                           minOrders: Long = 2L): DataFrame = {
+    require(minOrders >= 1, "minOrders must be >= 1")
+    orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      .agg(count(lit(1)).as("n_customers"),
+        coalesce(sum(when(col("n_orders") >= minOrders, 1L)), lit(0L))
+          .as("n_repeat"),
+        sum("rev_cents").as("rev_cents_total"),
+        coalesce(sum(when(col("n_orders") >= minOrders,
+          col("rev_cents"))), lit(0L)).as("rev_cents_repeat"))
+      .select(col("n_customers"), col("n_repeat"),
+        col("rev_cents_total"), col("rev_cents_repeat"),
+        expr("rev_cents_repeat * 1000L div nullif(rev_cents_total, 0L)")
+          .as("repeat_share_permille"))
+  }
+
+  /** Discount EFFECTIVENESS curve: lineitems, quantity, and discounted
+    * revenue (exact cents — the q151 round-to-cents device, identical
+    * expression shape in both engines) per whole-percent discount
+    * level — the table a pricing review reads before trusting any
+    * discount. One map-side-combined aggregate, |levels| rows out.
+    */
+  def discountCurve(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(round(col("l_discount") * 100).cast("long")
+        .as("discount_pct"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("revenue_cents"))
+      .orderBy("discount_pct")
+
   /** Fulfillment SHIP-LAG census: per order priority, lineitems, the
     * count shipping more than `lateDays` after the order date, and the
     * exact total/max lag in days — the operational SLA table behind

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("repeatCustomerCensus + discountCurve: cents-exact hand cases") {
+    val orders = Seq(
+      (1L, 10L, 10.005), (2L, 10L, 20.0), // cust 10: repeat, 3001 cents
+      (3L, 11L, 5.0))                     // cust 11: one-time, 500
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val rc = Relational.repeatCustomerCensus(orders)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(rc == ((2L, 1L, 3501L, 3001L, 3001L * 1000 / 3501)))
+    val li = Seq((1L, 2L, 100.0, 0.05), (2L, 3L, 200.0, 0.05),
+      (3L, 1L, 50.0, 0.0))
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val dc = Relational.discountCurve(li)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 5%: revenues 9500 + 19000 cents; 0%: 5000 cents
+    assert(dc == Seq((0L, 1L, 1L, 5000L), (5L, 2L, 5L, 28500L)))
+  }
+
   test("shipLagCensus: day-exact lags, late gate strict") {
     import java.sql.Timestamp
     val orders = Seq(
