@@ -66,7 +66,8 @@ object DevPlans {
         "q189_lateness_census", "q190_cure_and_mix",
         "q191_entry_conversion", "q192_truncation_plan",
         "q193_embedding_quality", "q194_ship_lag",
-        "q195_repeat_revenue", "q196_discount_curve")
+        "q195_repeat_revenue", "q196_discount_curve",
+        "q197_session_paths")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -5093,7 +5093,37 @@ object SparkEntry {
         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
         |    AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)(
-      (s, d) => Relational.discountCurve(Tables.lineitem(s, d)))
+      (s, d) => Relational.discountCurve(Tables.lineitem(s, d))),
+
+    // Session path matrix (Behavior.sessionPathMatrix): how 4-hour
+    // sessions begin × how they end — one sessionization exchange, one
+    // per-session sort serving both endpoint row_numbers.
+    q("q197_session_paths",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, qts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |r AS (SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY qts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY qts DESC, event_id DESC) AS rnd FROM w),
+        |fe AS (SELECT user_id, sess, event_type AS entry_type FROM r
+        |  WHERE rn = 1),
+        |le AS (SELECT user_id, sess, event_type AS exit_type FROM r
+        |  WHERE rnd = 1)
+        |SELECT fe.entry_type, le.exit_type,
+        |  CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM fe JOIN le USING (user_id, sess)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.sessionPathMatrix(Tables.events(s, d),
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

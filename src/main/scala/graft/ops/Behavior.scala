@@ -266,6 +266,54 @@ object Behavior {
       .orderBy("from_type", "to_type")
   }
 
+  /** Session PATH matrix — (entry type, exit type) session counts: how
+    * visits begin and how they end, the two-endpoint summary of the
+    * full path that `transitionCensus`'s step matrix and
+    * `entryConversion`'s one-column view both miss ("sessions that
+    * start with search overwhelmingly end in error" is a cell here).
+    *
+    * Shape: the q113 sessionization exchange; entry and exit are the
+    * ascending and descending row_number over the SAME per-session
+    * window order (one sort serves both); the final join keys on the
+    * session — per-session rows throughout.
+    */
+  def sessionPathMatrix(events: DataFrame, gapNs: Long,
+                        tiebreakCol: String = "event_id",
+                        quantumNs: Long = 1L): DataFrame = {
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val sessioned = events
+      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
+        col(tiebreakCol), col("event_type"))
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L))
+      .withColumn("sess", sum("brk").over(cum))
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess")
+      .orderBy(col("qts"), col(tiebreakCol))
+    val desc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess")
+      .orderBy(col("qts").desc, col(tiebreakCol).desc)
+    val ranked = sessioned
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+    val fe = ranked.filter(col("rn") === 1)
+      .select(col("user_id"), col("sess"),
+        col("event_type").as("entry_type"))
+    val le = ranked.filter(col("rnd") === 1)
+      .select(col("user_id"), col("sess"),
+        col("event_type").as("exit_type"))
+    fe.join(le, Seq("user_id", "sess"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("entry_type", "exit_type")
+  }
+
   /** Conversion rate BY SESSION ENTRY TYPE — which landing event
     * converts: each session is attributed to its FIRST event's type
     * (deterministic `(qts, tiebreak)` order) and scored by whether the

@@ -258,6 +258,20 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head == ((2L, 1L, 1L)))
   }
 
+  test("sessionPathMatrix: entry and exit from one session, singletons diag") {
+    // u1 session A: view…purchase → (view, purchase); u1 session B:
+    // singleton click → (click, click); u2: view→view
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (1L, 1000L, "click"),
+      (2L, 10L, "view"), (2L, 20L, "view"))
+    val got = Behavior.sessionPathMatrix(e, gapNs = 100L,
+        tiebreakCol = "ts")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("click", "click", 1L), ("view", "purchase", 1L),
+      ("view", "view", 1L)))
+  }
+
   test("entryConversion: session attributed to its FIRST event's type") {
     // u1 session A: view→purchase (entry view, converted); u1 session
     // B: click only; u2 session: purchase-first (entry purchase,
