@@ -67,7 +67,8 @@ object DevPlans {
         "q191_entry_conversion", "q192_truncation_plan",
         "q193_embedding_quality", "q194_ship_lag",
         "q195_repeat_revenue", "q196_discount_curve",
-        "q197_session_paths")
+        "q197_session_paths", "q198_cohort_revenue",
+        "q199_supplier_redundancy", "q200_hapax_census")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -5123,7 +5123,53 @@ object SparkEntry {
         |FROM fe JOIN le USING (user_id, sess)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => Behavior.sessionPathMatrix(Tables.events(s, d),
-        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L)),
+
+    // Cohort revenue / LTV table (Relational.cohortRevenue): revenue by
+    // acquisition-month cohort × months since — q104's revenue sibling,
+    // integer month index and exact cents.
+    q("q198_cohort_revenue",
+      """WITH fo AS (SELECT o_custkey, min(year(o_orderdate) * 12 +
+        |    month(o_orderdate) - 1) AS cohort_m FROM orders GROUP BY 1),
+        |r AS (SELECT fo.cohort_m, (year(o.o_orderdate) * 12 +
+        |      month(o.o_orderdate) - 1) - fo.cohort_m AS offset_m,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN fo ON o.o_custkey = fo.o_custkey)
+        |SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+        |  CAST(offset_m AS BIGINT) AS offset_m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS rev_cents
+        |FROM r WHERE offset_m <= 3 GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Relational.cohortRevenue(Tables.orders(s, d),
+        maxOffset = 3)),
+
+    // Supplier redundancy (Relational.supplierRedundancy): parts by
+    // distinct-supplier count — the supply-risk histogram.
+    q("q199_supplier_redundancy",
+      """WITH ps AS (SELECT l_partkey,
+        |    count(DISTINCT l_suppkey) AS n_suppliers
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  CAST(count(*) AS BIGINT) AS n_parts
+        |FROM ps GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.supplierRedundancy(Tables.lineitem(s, d))),
+
+    // Hapax census (Text.hapaxCensus): per-source once-occurring-type
+    // share — the vocabulary-health number complementing q147's Zipf
+    // slope at the distribution's other end.
+    q("q200_hapax_census",
+      """WITH w AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      x -> len(x) > 0)) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS n FROM w GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) * 1000
+        |    // count(*) AS BIGINT) AS hapax_permille
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Text.hapaxCensus(Tables.documents(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

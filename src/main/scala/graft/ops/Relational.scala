@@ -114,6 +114,45 @@ object Relational {
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       .limit(k)
 
+  /** Cohort REVENUE curve (LTV table): customers grouped by their
+    * first-order month, revenue attributed to months-since-acquisition
+    * — the revenue sibling of the q104 retention table, and the input
+    * every LTV projection reads. Month arithmetic is the integer
+    * `year·12 + month − 1` index (identical both engines); cents
+    * exact.
+    *
+    * Shape: a per-customer min (the cohort), one fact join keyed on
+    * custkey, one (cohort, offset) agg — the q104 discipline.
+    */
+  def cohortRevenue(orders: DataFrame, maxOffset: Int = 3): DataFrame = {
+    require(maxOffset >= 0, "maxOffset must be >= 0")
+    val mIdx = (year(col("o_orderdate")) * 12 +
+      month(col("o_orderdate")) - 1).cast("long")
+    val fo = orders.select(col("o_custkey"), mIdx.as("__m"))
+      .groupBy("o_custkey").agg(min("__m").as("cohort_m"))
+    orders.select(col("o_custkey"), mIdx.as("__m"),
+        round(col("o_totalprice") * 100).cast("long").as("__cents"))
+      .join(fo, "o_custkey")
+      .withColumn("offset_m", col("__m") - col("cohort_m"))
+      .filter(col("offset_m") <= maxOffset)
+      .groupBy("cohort_m", "offset_m")
+      .agg(count(lit(1)).as("n_orders"), sum("__cents").as("rev_cents"))
+      .orderBy("cohort_m", "offset_m")
+  }
+
+  /** Supplier REDUNDANCY census — parts by how many distinct suppliers
+    * ship them: the supply-risk histogram whose low end (single-sourced
+    * parts) is what a procurement review hunts. Two-level distinct
+    * aggregate, |distinct counts| rows out.
+    */
+  def supplierRedundancy(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_partkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .groupBy("n_suppliers")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("n_suppliers")
+
   /** Repeat-customer REVENUE census — the one-row retention economics
     * table: customers, repeat customers (≥ `minOrders` orders), total
     * and repeat-attributed revenue in exact cents, and the repeat

@@ -1011,6 +1011,26 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** HAPAX census — per source, vocabulary size and the share of types
+    * occurring exactly once: the classic vocabulary-health number
+    * (natural text runs ~40–60‰ hapax; templated/generated text
+    * collapses toward 0, OCR noise explodes it) complementing q147's
+    * Zipf slope with the distribution's other end. Exact integers.
+    *
+    * Scale shape: one (source, token) census with map-side partials,
+    * then a per-source agg over census rows — vocabulary-bounded.
+    */
+  def hapaxCensus(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("n") === 1, 1L)), lit(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        expr("n_hapax * 1000L div n_types").as("hapax_permille"))
+      .orderBy("source")
+
   /** Context-length TRUNCATION planner: for each candidate maximum
     * sequence length, how many documents exceed it and how much token
     * mass a hard truncation would discard — the table `max_seq_len`

@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("cohortRevenue + supplierRedundancy: hand cases") {
+    import java.sql.Timestamp
+    // cust 1 acquired Jan-95 (2 orders: Jan + Mar); cust 2 in Mar-95
+    val orders = Seq(
+      (1L, 1L, 100.0, Timestamp.valueOf("1995-01-15 00:00:00")),
+      (2L, 1L, 50.0, Timestamp.valueOf("1995-03-02 00:00:00")),
+      (3L, 2L, 30.0, Timestamp.valueOf("1995-03-20 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val ltv = Relational.cohortRevenue(orders, maxOffset = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val jan = 1995L * 12 + 0
+    val mar = 1995L * 12 + 2
+    assert(ltv == Seq((jan, 0L, 1L, 10000L), (jan, 2L, 1L, 5000L),
+      (mar, 0L, 1L, 3000L)))
+    // part 10 single-sourced, part 11 dual-sourced
+    val li = Seq((10L, 1L), (10L, 1L), (11L, 1L), (11L, 2L))
+      .toDF("l_partkey", "l_suppkey")
+    assert(Relational.supplierRedundancy(li)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("repeatCustomerCensus + discountCurve: cents-exact hand cases") {
     val orders = Seq(
       (1L, 10L, 10.005), (2L, 10L, 20.0), // cust 10: repeat, 3001 cents

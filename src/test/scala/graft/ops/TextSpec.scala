@@ -651,6 +651,15 @@ class TextSpec extends SparkSpec {
     assert(got.find(_._1 == "en").get._6.nonEmpty)
   }
 
+  test("hapaxCensus: once-only types counted per source") {
+    val d = Seq((1L, "a a b c", "s1"), (2L, "x x x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.hapaxCensus(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // s1: types {a,b,c}, hapax {b,c} → 666‰; s2: {x} repeated → 0
+    assert(got == Seq(("s1", 3L, 2L, 666L), ("s2", 1L, 0L, 0L)))
+  }
+
   test("truncationPlan: lost mass per candidate length, exact integers") {
     // token counts 3, 5, 10 (total 18): at L=4 → two docs over, lost
     // (3-4<0 no) (5-4=1)+(10-4=6)=7 → 7000/18 = 388‰; at L=10 nothing
