@@ -262,6 +262,12 @@ object DevScale {
       // grows F× under the suffix construction); session affinity
       // (sessions F×, types fixed); fuzzy match (source vocabulary
       // fixed — constant); pareto (S-row windows); match plan (censuses)
+      // q190: the four-stage composed pipeline — the claim is it
+      // inherits its stages' curves (dedup agg + bounded decontamination
+      // postings + sharded ntiles + manifest agg), no composition tax
+      "q190_pipeline" -> SparkEntry.queries("q190_cure_and_mix"),
+      "q194_shiplag" -> SparkEntry.queries("q194_ship_lag"),
+      "q198_ltv" -> SparkEntry.queries("q198_cohort_revenue"),
       "q180_growth" -> SparkEntry.queries("q180_user_growth"),
       "q181_dupmatrix" -> SparkEntry.queries("q181_source_dup_matrix"),
       "q182_affinity" -> SparkEntry.queries("q182_session_affinity"),
