@@ -150,17 +150,47 @@ object Bench {
     // full per-query evidence is the stderr recheck/query_reps lines)
     val rech =
       if (rechecks.nonEmpty) s""","rechecked":${rechecks.size}""" else ""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length}$rech$part,"sf":"$sfDir"}"""
+    // per-query rep evidence for exactly the RECHECKED rows (r12 verdict
+    // ask): adjudicating a repaired value must not depend on the stderr
+    // query_reps line surviving the driver's tail capture. Deciseconds
+    // ("29" = 2.9 s, the q_unit:"ds" convention), [rep1, rep2, ..,
+    // extra] per query, recorded-value-descending so a truncated map
+    // keeps the rows a judge audits first; bounded by the recheck budget
+    // (~30 entries x ~15 bytes). -1 = that rep/recheck failed.
+    def ds(v: Double): String =
+      if (v < 0) "-1" else math.round(v * 10).toString
+    val recMed = results.toMap
+    def rrField(keys: Map[String, String], maxN: Int): String = {
+      val ord = rechecks.keys.toSeq.filter(recMed.contains)
+        .sortBy(n => -recMed(n))
+      val take = ord.take(maxN)
+      if (take.isEmpty) ""
+      else {
+        val ents = take.map { n =>
+          val vs = samples.map(_.get(n).map(ds).getOrElse("-1")) :+
+            ds(rechecks(n))
+          "\"" + keys(n) + "\":" + vs.mkString("[", ",", "]")
+        }
+        val om =
+          if (take.length < ord.length)
+            s""","rr_omitted":${ord.length - take.length}"""
+          else ""
+        s""","rr":${ents.mkString("{", ",", "}")}$om"""
+      }
+    }
+    val rrAll = rrField(keyOf, Int.MaxValue)
+    val rrAllS = rrField(sKeyOf, Int.MaxValue)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rep_totals":$repTotals,"reps":${samples.length}$rech$rrAll$part,"sf":"$sfDir"}"""
     // growth rung between full and no-reps (the 159-query surface pushed
     // the r2 full form past the window): keep rep_totals/reps — the
     // adjudication evidence — and coarsen per-query display to 1 decimal
     // instead. Full-precision per-query vectors still ship via the
     // stderr query_reps dump.
-    val fullR1 = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsAt(r1)},"rep_totals":$repTotals,"reps":${samples.length}$rech$part,"sf":"$sfDir"}"""
+    val fullR1 = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsAt(r1)},"rep_totals":$repTotals,"reps":${samples.length}$rech$rrAll$part,"sf":"$sfDir"}"""
     // the stripped-key rung (171 queries outgrew r1): keys lose the
     // constant 'q' prefix, sf its constant directory prefix — the rep
     // evidence and full per-query coverage both survive
-    val fullR1s = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsWith(r1, sKeyOf)},"rep_totals":$repTotals,"reps":${samples.length}$rech$part,"sf":"$sfShort"}"""
+    val fullR1s = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsWith(r1, sKeyOf)},"rep_totals":$repTotals,"reps":${samples.length}$rech$rrAllS$part,"sf":"$sfShort"}"""
     // the DECISECOND rung (189 queries outgrew even stripped-r1):
     // per-query values become integers of 0.1 s — "29" = 2.9 s — with
     // the self-describing "q_unit":"ds" marker RIGHT BEFORE the map so
@@ -174,7 +204,8 @@ object Bench {
     val repTotalsR1 = samples
       .map(m => r1(m.values.filter(_ >= 0).sum))
       .mkString("[", ",", "]")
-    val fullDs = s"""{"metric":"total","value":$total,"unit":"sec","q_unit":"ds","queries":$qsDs,"rep_totals":$repTotalsR1,"reps":${samples.length}$rech$part,"sf":"$sfShort"}"""
+    def fullDsWith(rr: String) = s"""{"metric":"total","value":$total,"unit":"sec","q_unit":"ds","queries":$qsDs,"rep_totals":$repTotalsR1,"reps":${samples.length}$rech$rr$part,"sf":"$sfShort"}"""
+    val fullDs = fullDsWith(rrAllS)
     val noReps = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsWith(r1, sKeyOf)}$part,"sf":"$sfShort"}"""
     // belt-and-braces at every degradation level: a growing query set
     // must never push the LAST line past the driver's tail window.
@@ -187,6 +218,15 @@ object Bench {
     else if (fullR1.length <= 1900) fullR1
     else if (fullR1s.length <= 1900) fullR1s
     else if (fullDs.length <= 1900) fullDs
+    // shed rr entries (smallest recorded values first, "rr_omitted"
+    // marks the cut) before shedding the rep evidence entirely — the
+    // k=0 case is the rr-less decisecond rung
+    else if (rechecks.nonEmpty && (rechecks.size - 1 to 0 by -1).iterator
+        .map(k => fullDsWith(rrField(sKeyOf, k)))
+        .exists(_.length <= 1900))
+      (rechecks.size - 1 to 0 by -1).iterator
+        .map(k => fullDsWith(rrField(sKeyOf, k)))
+        .find(_.length <= 1900).get
     else if (noReps.length <= 1900) noReps
     else {
       val entries = results

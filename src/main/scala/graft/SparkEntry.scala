@@ -4173,10 +4173,10 @@ object SparkEntry {
         |      AS BIGINT) AS weight_q6 FROM c),
         |t AS (SELECT CAST(sum(weight_q6) AS BIGINT) AS wsum FROM w)
         |SELECT source, n_tokens, weight_q6,
-        |  CAST(1000000 * weight_q6 // nullif(wsum, 0) AS BIGINT)
-        |    AS target_tokens,
-        |  CAST((1000000 * weight_q6 // nullif(wsum, 0) + n_tokens - 1)
-        |    // nullif(n_tokens, 0) AS BIGINT) AS epochs
+        |  CAST(CAST(1000000 AS HUGEINT) * weight_q6 // nullif(wsum, 0)
+        |    AS BIGINT) AS target_tokens,
+        |  CAST((CAST(1000000 AS HUGEINT) * weight_q6 // nullif(wsum, 0)
+        |    + n_tokens - 1) // nullif(n_tokens, 0) AS BIGINT) AS epochs
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin)(
       (s, d) => Sampling.temperaturePlan(Tables.documents(s, d),
         budgetTokens = 1000000L, alpha = 0.5)),
@@ -4195,7 +4195,7 @@ object SparkEntry {
         |    CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS d
         |  FROM c GROUP BY 1, 2),
         |agg AS (SELECT label, max(n) AS n_vecs,
-        |    CAST(sum(s * s) AS BIGINT) AS s2, CAST(sum(d) AS BIGINT) AS dd
+        |    sum(CAST(s AS HUGEINT) * s) AS s2, CAST(sum(d) AS BIGINT) AS dd
         |  FROM cells GROUP BY 1)
         |SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
         |  CAST((s2 - dd) // (n_vecs * (n_vecs - 1)) AS BIGINT)
@@ -4687,8 +4687,8 @@ object SparkEntry {
         |    AND a.sess = b.sess AND a.event_type < b.event_type
         |  GROUP BY 1, 2)
         |SELECT p.type_a, p.type_b, p.n_both,
-        |  CAST(p.n_both * t.n_sessions * 1000000 // (ma.n * mb.n)
-        |    AS BIGINT) AS lift_q6
+        |  CAST(CAST(p.n_both AS HUGEINT) * t.n_sessions * 1000000
+        |    // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_q6
         |FROM p JOIN m ma ON p.type_a = ma.event_type
         |JOIN m mb ON p.type_b = mb.event_type
         |CROSS JOIN tot t ORDER BY type_a, type_b""".stripMargin)(

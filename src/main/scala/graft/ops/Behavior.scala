@@ -120,6 +120,38 @@ object Behavior {
     perPeriod.withColumn("n_trail", sum("n").over(w)).orderBy("period")
   }
 
+  /** The shared gaps-and-islands sessionization preamble (the q113
+    * formula): quantize `ts` by `quantumNs`, break a user's
+    * `(qts, tiebreak)`-ordered run wherever the inter-event gap reaches
+    * `gapNs`, and label every row with the running break count as
+    * `sess`. Output: `user_id`, `qts`, `tiebreakCol`, the requested
+    * `extraCols`, `sess`. EVERY session-family operator (stats, funnel,
+    * path matrix, entry conversion, affinity, top paths) builds on THIS
+    * one definition, so the gap comparison and ordering semantics cannot
+    * drift between them — the r10 hot-shingle lesson (pairsBySetOverlap)
+    * applied to sessions. ONE user-keyed exchange serves both stacked
+    * windows (lag + running sum share partition/order).
+    */
+  private def sessionized(events: DataFrame, gapNs: Long,
+                          tiebreakCol: String, quantumNs: Long,
+                          extraCols: Seq[String] = Seq("event_type"))
+      : DataFrame = {
+    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
+    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
+    val qgap = gapNs / quantumNs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    events
+      .select(col("user_id") +: expr(s"ts div ${quantumNs}L").as("qts") +:
+        col(tiebreakCol) +: extraCols.map(col): _*)
+      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
+        0L).otherwise(1L)) // first event: lag null → comparison null → 1
+      .withColumn("sess", sum("brk").over(cum))
+      .drop("brk")
+  }
+
   /** Batch sessionization stats, gaps-and-islands form: a session is a
     * maximal run of a user's events with inter-event gap < `gapNs`; the
     * session id is the running count of gap-breaks in `(ts, tiebreak)`
@@ -142,19 +174,7 @@ object Behavior {
   def sessionStats(events: DataFrame, gapNs: Long,
                    tiebreakCol: String = "event_id",
                    quantumNs: Long = 1L): DataFrame = {
-    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
-    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
-    val qgap = gapNs / quantumNs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    events
-      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
-        col(tiebreakCol))
-      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
-        0L).otherwise(1L)) // first event: lag null → comparison null → 1
-      .withColumn("sess", sum("brk").over(cum))
+    sessionized(events, gapNs, tiebreakCol, quantumNs, extraCols = Nil)
       .groupBy("user_id", "sess").agg(count(lit(1)).as("n"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"),
@@ -184,19 +204,7 @@ object Behavior {
                     tiebreakCol: String = "event_id",
                     quantumNs: Long = 1L): DataFrame = {
     require(steps.length >= 2, "a funnel needs at least two steps")
-    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
-    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
-    val qgap = gapNs / quantumNs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val sessioned = events
-      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
-        col(tiebreakCol), col("event_type"))
-      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
-        0L).otherwise(1L))
-      .withColumn("sess", sum("brk").over(cum))
+    val sessioned = sessionized(events, gapNs, tiebreakCol, quantumNs)
       .select("user_id", "sess", "qts", "event_type")
     var acc = sessioned.filter(col("event_type") === steps.head)
       .groupBy("user_id", "sess").agg(min("qts").as("t0"))
@@ -280,19 +288,7 @@ object Behavior {
   def sessionPathMatrix(events: DataFrame, gapNs: Long,
                         tiebreakCol: String = "event_id",
                         quantumNs: Long = 1L): DataFrame = {
-    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
-    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
-    val qgap = gapNs / quantumNs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val sessioned = events
-      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
-        col(tiebreakCol), col("event_type"))
-      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
-        0L).otherwise(1L))
-      .withColumn("sess", sum("brk").over(cum))
+    val sessioned = sessionized(events, gapNs, tiebreakCol, quantumNs)
     val asc = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "sess")
       .orderBy(col("qts"), col(tiebreakCol))
@@ -328,19 +324,7 @@ object Behavior {
   def entryConversion(events: DataFrame, convType: String, gapNs: Long,
                       tiebreakCol: String = "event_id",
                       quantumNs: Long = 1L): DataFrame = {
-    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
-    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
-    val qgap = gapNs / quantumNs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val sessioned = events
-      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
-        col(tiebreakCol), col("event_type"))
-      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
-        0L).otherwise(1L))
-      .withColumn("sess", sum("brk").over(cum))
+    val sessioned = sessionized(events, gapNs, tiebreakCol, quantumNs)
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id", "sess")
       .orderBy(col("qts"), col(tiebreakCol))
@@ -430,19 +414,7 @@ object Behavior {
   def sessionAffinity(events: DataFrame, gapNs: Long,
                       tiebreakCol: String = "event_id",
                       quantumNs: Long = 1L): DataFrame = {
-    require(gapNs >= 1 && quantumNs >= 1, "need positive gap/quantum")
-    require(gapNs % quantumNs == 0, "gapNs must be a quantum multiple")
-    val qgap = gapNs / quantumNs
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy(col("qts"), col(tiebreakCol))
-    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
-      .unboundedPreceding, 0)
-    val st = events
-      .select(col("user_id"), expr(s"ts div ${quantumNs}L").as("qts"),
-        col(tiebreakCol), col("event_type"))
-      .withColumn("brk", when(col("qts") - lag("qts", 1).over(w) < qgap,
-        0L).otherwise(1L))
-      .withColumn("sess", sum("brk").over(cum))
+    val st = sessionized(events, gapNs, tiebreakCol, quantumNs)
       .select("user_id", "sess", "event_type")
       .distinct()
     val total = st.select("user_id", "sess").distinct()
@@ -464,7 +436,13 @@ object Behavior {
         col("__n").as("n_b"))), "type_b")
       .crossJoin(broadcast(total))
       .select(col("type_a"), col("type_b"), col("n_both"),
-        expr("n_both * n_sessions * 1000000L div (n_a * n_b)")
+        // decimal(38,0) headroom: the Long form overflows once
+        // n_both·n_sessions crosses ~9.2e12 (≈3M sessions with common
+        // pairs) — ANSI throw / silent wrap depending on mode. div on
+        // decimals still returns LONG, so the schema is unchanged; the
+        // oracle mirrors with HUGEINT (the q134-family convention).
+        expr("cast(n_both as decimal(38,0)) * n_sessions * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b)")
           .as("lift_q6"))
       .orderBy("type_a", "type_b")
   }

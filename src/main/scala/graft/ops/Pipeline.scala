@@ -196,12 +196,25 @@ object Pipeline {
                  fractions: Seq[(String, Double)] =
                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       : DataFrame = {
+    // max vote is 3 signals × buckets: a minVote above it silently drops
+    // EVERY document (the buckets=2/minVote=16 trap) — fail loudly
+    require(minVote <= 3L * buckets,
+      s"minVote=$minVote exceeds the max possible vote ${3L * buckets} " +
+        s"(3 signals x $buckets buckets): every document would be dropped")
     val keep = Dedup.keepBestExact(corpus, length(col("text")))
       .select("doc_id")
+    // persist (the curationFunnel convention): `ded` feeds both the
+    // containment corpus side and the anti-join left side; `clean` is
+    // re-read by each of qualityEnsemble's three bucket passes AND the
+    // gated semi-join — without these the keep-best semi-join and the
+    // decontamination shingle subtree recompute ~4-5x inside ONE action.
+    // Blocks are freed by ContextCleaner once the frame is unreachable.
     val ded = corpus.join(keep, Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = Dedup.benchmarkContainment(ded, benchmark, n, minPermille)
       .select(col("corpus_id").as("doc_id")).distinct()
     val clean = ded.join(hits, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val votes = Text.qualityEnsemble(clean, buckets)
       .filter(col("vote") >= minVote).select("doc_id")
     val gated = clean.join(votes, Seq("doc_id"), "left_semi")

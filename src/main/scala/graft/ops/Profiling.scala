@@ -225,11 +225,13 @@ object Profiling {
   def psiDrift(a: DataFrame, b: DataFrame, value: Column,
                binWidth: Long = 16L): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
-    // floor-div bin for non-negative integer features (documented
-    // contract); truncation == floor there
+    // integer floor-div bin for non-negative integer features (the
+    // documented contract, where truncation == floor): `div` stays exact
+    // past 2^53 where the old double route would round, and matches the
+    // oracle's integer `//` by construction
     def census(df: DataFrame, cn: String) = df
-      .select(floor(value.cast("long").cast("double") / binWidth)
-        .cast("long").as("bin"))
+      .select(value.cast("long").as("__v"))
+      .selectExpr(s"__v div ${binWidth}L as bin")
       .groupBy("bin").agg(count(lit(1)).as(cn))
     val ca = census(a, "c_a")
     val cb = census(b, "c_b")

@@ -441,7 +441,12 @@ object Sampling {
     val totals = withW.agg(sum("weight_q6").as("__wsum"))
     withW.crossJoin(broadcast(totals))
       .select(col("source"), col("n_tokens"), col("weight_q6"),
-        expr(s"${budgetTokens}L * weight_q6 div nullif(__wsum, 0L)")
+        // decimal(38,0) headroom: budget·weight_q6 crosses Long at a
+        // ~9e12-token budget (weight_q6 ≈ 10⁶·√tokens); div on decimals
+        // still returns LONG so the schema is unchanged (oracle mirrors
+        // with HUGEINT, the q134-family convention)
+        expr(s"cast(${budgetTokens} as decimal(38,0)) * weight_q6" +
+          " div nullif(__wsum, 0L)")
           .as("target_tokens"))
       .withColumn("epochs",
         expr("(target_tokens + n_tokens - 1L) div nullif(n_tokens, 0L)"))
@@ -577,9 +582,11 @@ object Sampling {
                             value: Column,
                             binWidth: Long = 16L): DataFrame = {
     require(binWidth >= 1, "binWidth must be >= 1")
+    // integer floor-div bin (q169's fix applied here too): exact past
+    // 2^53 and structurally identical to the oracle's integer `//`
     def census(df: DataFrame, cn: String) = df
-      .select(floor(value.cast("long").cast("double") / binWidth)
-        .cast("long").as("bin"))
+      .select(value.cast("long").as("__v"))
+      .selectExpr(s"__v div ${binWidth}L as bin")
       .groupBy("bin").agg(count(lit(1)).as(cn))
     val cur = census(current, "c_cur")
     val ref = census(reference, "c_ref")

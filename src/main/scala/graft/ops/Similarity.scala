@@ -721,8 +721,12 @@ object Similarity {
         sum(col("q") * col("q")).as("d"))
     cells
       .groupBy("label")
+      // decimal(38,0) headroom on s²: per-cell s ≈ n_vecs·scale, so the
+      // Long square overflows once a label holds ~3M vectors (ANSI throw
+      // / silent wrap); div on the decimal difference still returns
+      // LONG, schema unchanged (oracle mirrors with HUGEINT)
       .agg(max("n").as("n_vecs"),
-        sum(col("s") * col("s")).as("__s2"),
+        sum(expr("cast(s as decimal(38,0)) * s")).as("__s2"),
         sum("d").as("__d"))
       .filter(col("n_vecs") >= 2)
       .select(col("label"), col("n_vecs"),

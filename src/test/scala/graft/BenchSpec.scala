@@ -250,6 +250,49 @@ class BenchSpec extends AnyFunSuite {
     assert(failed.get("queries").get("q28").asDouble() == 10.6)
   }
 
+  test("rechecked rows carry inline rep evidence (rr) in deciseconds") {
+    // r12 verdict ask: adjudicating a repaired row must not depend on
+    // the stderr query_reps line surviving the driver's 2000-byte tail —
+    // the [rep1, rep2, extra] history ships ON the JSON line for exactly
+    // the rechecked rows
+    val ns = Seq("q28_kmeans", "q29_silhouette")
+    val ss = Seq(
+      Map("q28_kmeans" -> 12.0, "q29_silhouette" -> 4.0),
+      Map("q28_kmeans" -> 10.6, "q29_silhouette" -> 4.1))
+    val node = mapper.readTree(Bench.buildLine(ns, ss, "sf",
+      rechecks = Map("q28_kmeans" -> 2.2)))
+    val rr = node.get("rr")
+    assert(rr != null && rr.size() == 1 && rr.has("q28"))
+    val arr = rr.get("q28")
+    assert(arr.get(0).asInt() == 120 && arr.get(1).asInt() == 106 &&
+      arr.get(2).asInt() == 22)
+    // un-rechecked rows carry no rr entry; a FAILED extra rep is honest
+    // evidence (-1), not hidden
+    assert(!rr.has("q29"))
+    val failed = mapper.readTree(Bench.buildLine(ns, ss, "sf",
+      rechecks = Map("q28_kmeans" -> -1.0)))
+    assert(failed.get("rr").get("q28").get(2).asInt() == -1)
+  }
+
+  test("rr entries shed at the window boundary before rep evidence") {
+    // a big surface with many rechecks must never push the line past the
+    // tail window: rr truncates (rr_omitted marks the cut, keeping the
+    // slowest recorded rows a judge audits first) before the ladder
+    // falls to the rr-less rungs
+    val ns = names(200)
+    val ss = samples(ns, 2)
+    val rech = ns.take(40).map(n => n -> 0.05).toMap
+    val line = Bench.buildLine(ns, ss, "/root/testdata/sf0.1",
+      rechecks = rech)
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("value").asDouble() > 0)
+    assert(node.get("rechecked").asInt() == 40)
+    val rrN = if (node.has("rr")) node.get("rr").size() else 0
+    val om = if (node.has("rr_omitted")) node.get("rr_omitted").asInt() else 0
+    if (rrN > 0 || om > 0) assert(rrN + om == 40)
+  }
+
   test("short-key collision falls back to full names") {
     val ns = Seq("q01_a", "q01_b")
     val keys = Bench.shortKeys(ns)
