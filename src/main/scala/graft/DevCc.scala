@@ -21,6 +21,11 @@ object DevCc {
     val sizes = sys.env.getOrElse("SPARK_GRAFT_CC_EDGES",
         "100000,1000000,4000000,10000000")
       .split(",").map(_.trim.toLong).toSeq
+    // chain LENGTHS (diameter = L - 1): the r12 verdict's deep-graph
+    // regime — the iterative closure's round count scales with diameter
+    // (one-hop) or log(diameter) (pointer jump); driver-UF is flat
+    val chains = sys.env.getOrElse("SPARK_GRAFT_CC_CHAINS", "8")
+      .split(",").map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_CC_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
@@ -30,25 +35,33 @@ object DevCc {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    println("\n| edges | nodes | driver-UF s | iterative s |")
-    println("|---|---|---|---|")
-    for (e <- sizes) {
-      val n = e * 8 / 7 + 1
+    println("\n| edges | nodes | diameter | driver-UF s | iter-jump s " +
+      "| iter-1hop s |")
+    println("|---|---|---|---|---|---|")
+    for (e <- sizes; l <- chains) {
+      val n = e.toDouble * l / (l - 1) match { case x => x.toLong + 1 }
       val nodes = spark.range(n).toDF("id")
       val edges = spark.range(n - 1)
-        .filter(col("id") % 8 =!= 7)
+        .filter(col("id") % l =!= l - 1)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       val nEdges = edges.count()
-      def time(thresh: Long): Double =
+      def time(thresh: Long, jump: Boolean): Double =
         (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          Dedup.connectedComponents(nodes, edges,
-            driverUnionFindMaxEdges = thresh).count()
+          // maxIter: one-hop needs diameter+1 rounds; jump ~2·log2+2
+          Dedup.connectedComponents(nodes, edges, maxIter = l + 4,
+            driverUnionFindMaxEdges = thresh, pointerJump = jump).count()
           (System.nanoTime() - t0) / 1e9
         }.min
-      val tUf = time(Long.MaxValue)
-      val tIter = time(0L)
-      println(s"| $nEdges | $n | ${r2(tUf)} | ${r2(tIter)} |")
+      val tUf = time(Long.MaxValue, jump = true)
+      val tJump = time(0L, jump = true)
+      // the pure one-hop formulation is priced too (skippable for deep
+      // chains via SPARK_GRAFT_CC_SKIP_1HOP=1: diameter-many rounds)
+      val t1hop =
+        if (sys.env.get("SPARK_GRAFT_CC_SKIP_1HOP").contains("1")) -1.0
+        else time(0L, jump = false)
+      println(s"| $nEdges | $n | ${l - 1} | ${r2(tUf)} | ${r2(tJump)} " +
+        s"| ${if (t1hop < 0) "skipped" else r2(t1hop).toString} |")
     }
     spark.stop()
   }

@@ -68,7 +68,14 @@ object DevPlans {
         "q193_embedding_quality", "q194_ship_lag",
         "q195_repeat_revenue", "q196_discount_curve",
         "q197_session_paths", "q198_cohort_revenue",
-        "q199_supplier_redundancy", "q200_hapax_census")
+        "q199_supplier_redundancy", "q200_hapax_census",
+        "q201_top_session_paths", "q202_basket_pairs",
+        "q203_collocations", "q204_readability",
+        "q205_interarrival_histogram", "q206_priority_mix",
+        "q207_supplier_pareto", "q208_activity_heatmap",
+        "q209_daily_autocorr", "q210_trade_flows",
+        "q211_cluster_size_histogram", "q212_chunk_dup_census",
+        "q213_rfm_segments")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -273,7 +273,53 @@ object DevScale {
       "q182_affinity" -> SparkEntry.queries("q182_session_affinity"),
       "q183_fuzzy" -> SparkEntry.queries("q183_fuzzy_match"),
       "q184_pareto80" -> SparkEntry.queries("q184_pareto_contribution"),
-      "q185_distmatch" -> SparkEntry.queries("q185_distribution_match"))
+      "q185_distmatch" -> SparkEntry.queries("q185_distribution_match"),
+      // ---- round-13: close the q187-q200 evidence gap (r12 verdict
+      // item 1) — every remaining cohort member, trivially shaped or
+      // not, gets a measured row. Shapes: q187/q188/q192 scan-stage
+      // projections + censuses; q189 keyed lateness window; q191/q197
+      // the q113 sessionization (disjoint user populations → F×
+      // sessions); q193 per-vector projections; q195/q196/q199 grouped
+      // partial aggs; q200 vocabulary census (constant under the ~c
+      // suffix construction growing types F×). q206's custkeys dangle
+      // for copies ≥ 1 (customer is copied verbatim) — the q138 regime;
+      // its curve prices the join, not the (constant) output.
+      "q187_manifest" -> SparkEntry.queries("q187_mix_manifest"),
+      "q188_efftok" -> SparkEntry.queries("q188_effective_tokens"),
+      "q189_late" -> SparkEntry.queries("q189_lateness_census"),
+      "q191_entryconv" -> SparkEntry.queries("q191_entry_conversion"),
+      "q192_trunc" -> SparkEntry.queries("q192_truncation_plan"),
+      "q193_embq" -> SparkEntry.queries("q193_embedding_quality"),
+      "q195_repeat" -> SparkEntry.queries("q195_repeat_revenue"),
+      "q196_discount" -> SparkEntry.queries("q196_discount_curve"),
+      "q197_paths" -> SparkEntry.queries("q197_session_paths"),
+      "q199_suppred" -> SparkEntry.queries("q199_supplier_redundancy"),
+      "q200_hapax" -> SparkEntry.queries("q200_hapax_census"),
+      // ---- round-13 additions: q201 rides the sessionization exchange
+      // (paths F×, census vocabulary-bounded); q202's pair set is
+      // bounded by orders × (parts/order)² (n_both=1 tail crosses the
+      // support line as copies stack); q203 two vocabulary-bounded
+      // censuses; q204 a per-source agg; q205 one keyed lead window;
+      // q206/q207 grouped aggs + S-row windows
+      "q201_toppaths" -> SparkEntry.queries("q201_top_session_paths"),
+      "q202_basket" -> SparkEntry.queries("q202_basket_pairs"),
+      "q203_colloc" -> SparkEntry.queries("q203_collocations"),
+      "q204_read" -> SparkEntry.queries("q204_readability"),
+      "q205_interarr" -> SparkEntry.queries("q205_interarrival_histogram"),
+      "q206_priomix" -> SparkEntry.queries("q206_priority_mix"),
+      "q207_supppareto" -> SparkEntry.queries("q207_supplier_pareto"),
+      // q208/q209 events-keyed censuses (heatmap ≤168 cells; autocorr
+      // days-bounded after one partial agg); q210 the 4-join Q7
+      // topology (lineitem-scaled legs, 25-row broadcasts); q211 rides
+      // the q61 cluster build; q212 chunk-digest censuses (corpus-
+      // scaled grams → 16-byte keys); q213 three customer-sized
+      // sharded-rank passes
+      "q208_heatmap" -> SparkEntry.queries("q208_activity_heatmap"),
+      "q209_autocorr" -> SparkEntry.queries("q209_daily_autocorr"),
+      "q210_tradeflows" -> SparkEntry.queries("q210_trade_flows"),
+      "q211_clustsize" -> SparkEntry.queries("q211_cluster_size_histogram"),
+      "q212_chunkdup" -> SparkEntry.queries("q212_chunk_dup_census"),
+      "q213_rfm" -> SparkEntry.queries("q213_rfm_segments"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

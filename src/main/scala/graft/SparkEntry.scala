@@ -5169,7 +5169,324 @@ object SparkEntry {
         |  CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 END), 0) * 1000
         |    // count(*) AS BIGINT) AS hapax_permille
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)(
-      (s, d) => Text.hapaxCensus(Tables.documents(s, d)))
+      (s, d) => Text.hapaxCensus(Tables.documents(s, d))),
+
+    // Top-k full session paths (Behavior.topSessionPaths): the ordered
+    // first-4-event type sequence per 4-hour session, counted, top 15 —
+    // the r12 verdict's item-5 rung on the shared sessionized() helper;
+    // ordered-struct collect + TakeOrderedAndProject, no global window.
+    q("q201_top_session_paths",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, qts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |r AS (SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY qts, event_id) AS rn FROM w),
+        |p AS (SELECT user_id, sess,
+        |    string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)(
+      (s, d) => Behavior.topSessionPaths(Tables.events(s, d),
+        gapNs = 4L * 3600 * 1000000000L, depth = 4, k = 15,
+        quantumNs = 1000L)),
+
+    // Market-basket part pairs (Relational.basketPairs): unordered part
+    // pairs co-bought in >= 2 orders with the q182 integer lift —
+    // bounded by orders x (parts/order)^2, never lineitem^2.
+    q("q202_basket_pairs",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |    AS n_orders FROM li)
+        |SELECT part_a, part_b, n_both,
+        |  CAST(CAST(n_both AS HUGEINT) * t.n_orders * 1000000
+        |    // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_q6
+        |FROM p JOIN m ma ON p.part_a = ma.l_partkey
+        |JOIN m mb ON p.part_b = mb.l_partkey CROSS JOIN t
+        |WHERE n_both >= 2 ORDER BY part_a, part_b""".stripMargin)(
+      (s, d) => Relational.basketPairs(Tables.lineitem(s, d),
+        minSupport = 2L)),
+
+    // Bigram collocations by PMI (Text.collocationsPmi): adjacent word
+    // pairs with count >= 5 scored ln(c12*N/(c1*c2)), top 30 — the
+    // multi-word-expression miner on the q134 integer-log device.
+    q("q203_collocations",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |big AS (SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, c2,
+        |  CAST(round(1000000 * ln(CAST(c2 AS DOUBLE) * t.n /
+        |    (CAST(u1.c AS DOUBLE) * u2.c))) AS BIGINT) AS pmi_q6
+        |FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+        |CROSS JOIN tot t WHERE c2 >= 5
+        |ORDER BY pmi_q6 DESC, w1, w2 LIMIT 30""".stripMargin)(
+      (s, d) => Text.collocationsPmi(Tables.documents(s, d),
+        minCount = 5L, k = 30)),
+
+    // Readability census (Text.readabilityCensus): per-source words/
+    // sentence and chars/word per-mille — exact integer Flesch proxies.
+    q("q204_readability",
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0)) AS nw,
+        |    greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      s -> length(trim(s)) > 0)), 1) AS ns,
+        |    length(text) AS nc FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ns) AS BIGINT) AS n_sentences,
+        |  CAST(sum(nw) * 1000 // nullif(sum(ns), 0) AS BIGINT)
+        |    AS words_per_sent_permille,
+        |  CAST(sum(nc) * 1000 // nullif(sum(nw), 0) AS BIGINT)
+        |    AS chars_per_word_permille
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Text.readabilityCensus(Tables.documents(s, d))),
+
+    // Inter-arrival log2 histogram (Behavior.interArrivalHistogram):
+    // per-type gap-to-next-event buckets via integer bit arithmetic
+    // (length(bin(gap))-1), NOT floor(log2(double)) — the burstiness
+    // profile behind every session-gap choice.
+    q("q205_interarrival_histogram",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS qts,
+        |    event_id FROM events),
+        |g AS (SELECT event_type,
+        |    lead(qts) OVER (PARTITION BY user_id
+        |      ORDER BY qts, event_id) - qts AS gap FROM e)
+        |SELECT event_type,
+        |  CAST(length(printf('%b', gap)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE gap IS NOT NULL AND gap > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.interArrivalHistogram(Tables.events(s, d),
+        quantumNs = 1000L)),
+
+    // Order-priority mix by nation (Relational.priorityMix): exact
+    // per-mille service-level composition; customer shuffles (corpus-
+    // scaled), nation broadcasts (25 rows).
+    q("q206_priority_mix",
+      """WITH o AS (SELECT n.n_name AS nation,
+        |    o.o_orderpriority AS priority
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |cnt AS (SELECT nation, priority,
+        |    CAST(count(*) AS BIGINT) AS n_orders FROM o GROUP BY 1, 2),
+        |tot AS (SELECT nation, CAST(sum(n_orders) AS BIGINT) AS nn
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.nation, c.priority, c.n_orders,
+        |  CAST(c.n_orders * 1000 // nullif(t.nn, 0) AS BIGINT)
+        |    AS share_permille
+        |FROM cnt c JOIN tot t ON c.nation = t.nation
+        |ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Relational.priorityMix(Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
+
+    // Supplier revenue Pareto (Profiling.paretoContribution re-pointed
+    // at supplier revenue): which suppliers are 80% of revenue — the
+    // q184 operator on a second business axis, exact cents.
+    q("q207_supplier_pareto",
+      """WITH c AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1),
+        |x AS (SELECT l_suppkey, w,
+        |    sum(w) OVER (ORDER BY w DESC, l_suppkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER () AS tot FROM c)
+        |SELECT l_suppkey, w AS weight,
+        |  CAST(w * 1000 // nullif(tot, 0) AS BIGINT) AS share_permille,
+        |  CAST(cum * 1000 // nullif(tot, 0) AS BIGINT) AS cum_permille,
+        |  (cum - w) * 1000 < 800 * tot AS in_head
+        |FROM x ORDER BY weight DESC, l_suppkey""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        Profiling.paretoContribution(Tables.lineitem(s, d),
+          "l_suppkey",
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)" +
+            " as bigint)"),
+          headPermille = 800L)
+      }),
+
+    // Day-of-week × hour activity heatmap (Behavior.activityHeatmap):
+    // the seasonality grid — ≤168 cells with per-mille shares. dow is
+    // pure integer epoch arithmetic (epoch day 0 = Thursday → +4), so
+    // no calendar function is in the parity path.
+    q("q208_activity_heatmap",
+      """WITH e AS (SELECT epoch_us(ts) AS qts FROM events),
+        |c AS (SELECT ((qts // 86400000000 + 4) % 7) AS dow,
+        |    ((qts % 86400000000) // 3600000000) AS hod,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+        |  n, CAST(n * 1000 // t.tot AS BIGINT) AS share_permille
+        |FROM c CROSS JOIN t ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.activityHeatmap(Tables.events(s, d),
+        quantumNs = 1000L)),
+
+    // Lag-1..7 autocorrelation of daily event counts
+    // (Behavior.dailyAutocorrelation): the periodicity detector. All
+    // five Pearson sums are exact integers (decimal(38,0)/HUGEINT);
+    // only the final r touches doubles — identical IEEE ops both
+    // engines — then ×1e6 quantization. √denA·√denB, never
+    // √(denA·denB): the product needs ~50 digits.
+    q("q209_daily_autocorr",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1),
+        |ext AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+        |dense AS (SELECT g.d AS day, coalesce(c.n, 0) AS n
+        |  FROM ext, unnest(generate_series(ext.d0, ext.d1)) AS g(d)
+        |  LEFT JOIN c ON c.day = g.d),
+        |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+        |p AS (SELECT l.lag, a.n AS x, b.n AS y
+        |  FROM lags l JOIN dense a ON true
+        |  JOIN dense b ON b.day = a.day + l.lag),
+        |s AS (SELECT lag, CAST(count(*) AS HUGEINT) AS np,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, CAST(np AS BIGINT) AS n_pairs,
+        |  CAST(round(1000000 * CAST(np*sxy - sx*sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(np*sxx - sx*sx AS DOUBLE)) *
+        |           sqrt(CAST(np*syy - sy*sy AS DOUBLE)), 0)) AS BIGINT)
+        |    AS acf_q6
+        |FROM s ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.dailyAutocorrelation(Tables.events(s, d),
+        maxLag = 7, quantumNs = 1000L)),
+
+    // Nation-pair trade flows (Relational.tradeFlows): the TPC-H Q7
+    // two-dimension join topology — supplier nation × customer nation
+    // revenue by ship year, domestic flow excluded, exact cents.
+    q("q210_trade_flows",
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_nationkey <> n2.n_nationkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)(
+      (s, d) => Relational.tradeFlows(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d))),
+
+    // Duplicate-cluster size histogram (Dedup.clusterSizeHistogram):
+    // the q61 cluster build + a log₂-bucket census (the q205 integer
+    // bit device) — singleton share vs dup-chain mass at a glance.
+    q("q211_cluster_size_histogram",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM px
+        |  WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |cl AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY 1),
+        |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM cl
+        |  GROUP BY 1)
+        |SELECT CAST(length(printf('%b', sz)) - 1 AS BIGINT)
+        |    AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Dedup.clusterSizeHistogram(Tables.documents(s, d),
+        n = 3, threshold = 0.2, maxDf = 1000L)),
+
+    // Chunk-granularity duplicate census (Text.chunkDupCensus): after
+    // q78's 64/48 windowing, the per-source share of chunks whose token
+    // content recurs in ≥2 docs — the number doc-level dedup can't see
+    // and span-removal (q171) changes. Chunks reduce to md5 in the
+    // scan stage; only digests shuffle.
+    q("q212_chunk_dup_census",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '${Text.ws}'),
+        |      x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+        |      ELSE (len(toks) - 64 + 47) // 48 + 1 END)) AS chunk_id
+        |  FROM t),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(toks[chunk_id*48+1 : chunk_id*48+64],
+        |      ' ')) AS h FROM c),
+        |df AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM ch GROUP BY 1),
+        |j AS (SELECT d.source, df.nd FROM ch
+        |  JOIN documents d USING (doc_id) JOIN df USING (h))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 END), 0) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 END), 0) * 1000
+        |    // count(*) AS BIGINT) AS dup_permille
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Text.chunkDupCensus(Tables.documents(s, d),
+        window = 64, stride = 48, minDocs = 2)),
+
+    // RFM segmentation (Relational.rfmSegments): recency/frequency/
+    // monetary quartiles per customer via THREE sharded-ntile passes
+    // (q155's bit-identical contract — the oracle's three global ntile
+    // windows, none of which the engine runs as a single-task sort),
+    // then the (r,f,m) segment census with exact-cents revenue.
+    q("q213_rfm_segments",
+      """WITH rfm AS (SELECT o_custkey AS custkey,
+        |    CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+        |      AS last_day,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT custkey, cents,
+        |    ntile(4) OVER (ORDER BY last_day, custkey) AS r,
+        |    ntile(4) OVER (ORDER BY n_orders, custkey) AS f,
+        |    ntile(4) OVER (ORDER BY cents, custkey) AS m
+        |  FROM rfm)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)(
+      (s, d) => Relational.rfmSegments(Tables.orders(s, d), k = 4))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

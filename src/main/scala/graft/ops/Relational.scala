@@ -283,4 +283,302 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(keys.map(col): _*)
   }
+
+  /** Market-basket part-pair lift over orders: unordered part pairs
+    * co-occurring in ≥ `minSupport` orders, with the same exact integer
+    * lift as `Behavior.sessionAffinity` (`n_both·n_orders·10⁶ div
+    * (n_a·n_b)`) — the cross-sell report, TPC-H face of the session
+    * affinity formula. The two deliberately share arithmetic so one
+    * oracle convention covers both.
+    *
+    * Shape: DISTINCT (order, part) first — the self-join is then bounded
+    * by orders × (parts/order)², never lineitem×lineitem (parts per
+    * order is a small constant at any corpus size); margins and the
+    * total are census-sized broadcasts; the product chain runs in
+    * decimal(38,0) (Long overflows past ~9e12 order·pair mass).
+    */
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val total = li.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    // the part margin scales with |parts| (billions at TPC-H SF100k):
+    // plain equi-joins — AQE broadcasts them when they measure small
+    pairs
+      .join(margin.select(col("l_partkey").as("part_a"),
+        col("__n").as("n_a")), "part_a")
+      .join(margin.select(col("l_partkey").as("part_b"),
+        col("__n").as("n_b")), "part_b")
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_both"),
+        expr("cast(n_both as decimal(38,0)) * n_orders * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b)")
+          .as("lift_q6"))
+      .orderBy("part_a", "part_b")
+  }
+
+  /** Order-priority mix per customer nation, exact per-mille shares —
+    * the service-level composition table ("is NATION_7 skewing urgent?")
+    * behind priority-based capacity planning. customer scales with the
+    * corpus → shuffle equi-join on custkey (projected to 2 columns
+    * first); nation is the genuine 25-row broadcast; then one (nation,
+    * priority) partial agg and a |nations|-row margin join; integer
+    * division only.
+    */
+  def priorityMix(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val cnt = orders.select(col("o_custkey"), col("o_orderpriority"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = cnt.groupBy("nation").agg(sum("n_orders").as("__n_nation"))
+    cnt.join(broadcast(tot), "nation")
+      .select(col("nation"), col("o_orderpriority").as("priority"),
+        col("n_orders"),
+        expr("n_orders * 1000L div nullif(__n_nation, 0L)")
+          .as("share_permille"))
+      .orderBy("nation", "priority")
+  }
+
+  /** Nation-pair trade flows (the TPC-H Q7 join topology): revenue in
+    * exact cents between each (supplier nation, customer nation) pair
+    * by ship year, excluding domestic flow. The two-dimension join —
+    * lineitem→supplier→nation on one leg, lineitem→orders→customer→
+    * nation on the other — is the topology none of the single-hop
+    * queries (q06/q199/q206) exercise.
+    *
+    * Shuffle profile: lineitem equi-joins supplier (corpus-scaled,
+    * suppkey shuffle) and orders (orderkey shuffle); customer joins
+    * through o_custkey; both nation joins are genuine 25-row
+    * broadcasts, as is nothing else. Revenue is quantized to cents
+    * PER ROW before the sum (the q01 discipline), so the aggregate is
+    * exact integer arithmetic and the partial agg combines map-side.
+    */
+  def tradeFlows(lineitem: DataFrame, orders: DataFrame,
+                 customer: DataFrame, supplier: DataFrame,
+                 nation: DataFrame): DataFrame = {
+    val cents = expr(
+      "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        cents.as("cents"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("__sn"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("__sn"))
+      .join(broadcast(nation.select(col("n_nationkey").as("__cn"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("__cn"))
+      .filter(col("__sn") =!= col("__cn"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("cents").as("revenue_cents"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** RFM segmentation — the classic customer-value grid: each customer
+    * scored by Recency (last order day), Frequency (order count) and
+    * Monetary (lifetime cents), each bucketed into `k` equal-frequency
+    * tiers, then the (r, f, m) segment census with segment revenue.
+    * Bucket k on each axis = top tier (most recent / most frequent /
+    * highest spend); custkey breaks every tie deterministically.
+    *
+    * Scale shape: one orders partial-agg to the per-customer frame,
+    * then THREE `Profiling.quantileBuckets` passes — the sharded-rank
+    * NTILE (q155's bit-identical contract), so no single-task global
+    * sort anywhere — joined back on custkey (three customer-sized
+    * equi-joins), and a ≤k³-group census. The per-customer frame is
+    * persisted across the three rank passes.
+    */
+  def rfmSegments(orders: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val usPerDay = 86400000000L
+    val rfm = orders.groupBy(col("o_custkey").as("custkey"))
+      // parquet timestamps arrive NTZ; the UTC session makes the LTZ
+      // cast a wall-clock no-op, so unix_micros == the oracle's epoch_us
+      .agg(max(unix_micros(col("o_orderdate").cast("timestamp_ltz")))
+          .as("__last"),
+        count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .select(col("custkey"),
+        expr(s"__last div ${usPerDay}L").as("last_day"),
+        col("n_orders"), col("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tier(valueCol: String, name: String): DataFrame =
+      Profiling.quantileBuckets(rfm, "custkey", valueCol, "custkey", k)
+        .select(col("custkey"), col("bucket").as(name))
+    rfm
+      .join(tier("last_day", "r"), "custkey")
+      .join(tier("n_orders", "f"), "custkey")
+      .join(tier("cents", "m"), "custkey")
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_custs"), sum("cents").as("revenue_cents"))
+      .orderBy("r", "f", "m")
+  }
+
+  /** Large-order report (the TPC-H Q18 topology): orders whose TOTAL
+    * line quantity exceeds `minQty`, joined back to the order header
+    * and customer — the group-HAVING-then-rejoin shape, top-`k` by
+    * order value.
+    *
+    * Scale shape: the HAVING census is one lineitem partial agg to
+    * order-sized rows; survivors (a tiny fraction by construction —
+    * the threshold is the point) equi-join orders then customer, both
+    * key-shuffles on already-filtered cardinality. The final top-k is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, minQty: Long = 300L,
+                  k: Int = 100): DataFrame = {
+    val qty = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    qty
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          .as("order_us"),
+        expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("total_cents"),
+        col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Dormant high-balance customers by nation (the TPC-H Q22 shape on
+    * this schema): customers whose balance exceeds the positive-balance
+    * average AND who placed no order since `sinceYear` — the scalar-
+    * aggregate broadcast + anti-join composition.
+    *
+    * Scale shape: the average is a 1-row broadcast; the "recent
+    * customer" set is one orders partial agg (year filter pushed to
+    * the scan) distinct-projected to custkeys; the anti join shuffles
+    * only customer-sized keys; the nation census ends ≤25 rows.
+    */
+  def dormantHighBalance(customer: DataFrame, orders: DataFrame,
+                         nation: DataFrame,
+                         sinceYear: Int = 2000): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("__ab"))
+    val recent = orders
+      .filter(year(col("o_orderdate")) >= sinceYear)
+      .select(col("o_custkey")).distinct()
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("__ab"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(expr("cast(round(c_acctbal * 100) as bigint)"))
+          .as("bal_cents"))
+      .orderBy("nation")
+  }
+
+  /** Top supplier(s) by revenue in one ship year (the TPC-H Q15 shape,
+    * ties KEPT — the view-max-view composition): per-supplier revenue,
+    * then every supplier matching the global max.
+    *
+    * Scale shape: one lineitem partial agg (year filter pushed down)
+    * to supplier-sized rows, a 1-row max broadcast back onto it, and a
+    * supplier equi-join on the (≤ handful of) winners.
+    */
+  def topSupplierByRevenue(lineitem: DataFrame, supplier: DataFrame,
+                           shipYear: Int = 1996): DataFrame = {
+    val rev = lineitem
+      .filter(year(col("l_shipdate")) === shipYear)
+      .groupBy("l_suppkey")
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .as("rev_cents"))
+    val mx = rev.agg(max("rev_cents").as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_cents") === col("__mx"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Revenue-share gate per brand (the TPC-H Q11 shape: groups whose
+    * share of the GLOBAL total clears a threshold): brand revenue,
+    * kept when `rev * 1000 ≥ thresholdPermille * total`.
+    *
+    * Scale shape: lineitem equi-joins part on partkey (both corpus-
+    * scaled; the join is the price), one partial agg to brand-sized
+    * rows, a 1-row total broadcast, and an integer-exact gate — the
+    * share product runs in decimal(38,0) (HUGEINT in the oracle)
+    * because rev·1000 exceeds Long headroom near 10^16 cents.
+    */
+  def brandRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        thresholdPermille: Long = 15L): DataFrame = {
+    val rev = lineitem
+      .select(col("l_partkey"), expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        .as("cents"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(sum("cents").as("rev"))
+    val tot = rev.agg(sum(col("rev").cast("decimal(38,0)")).as("__tot"))
+    rev.crossJoin(broadcast(tot))
+      .filter(expr(s"cast(rev as decimal(38,0)) * 1000 >= " +
+        s"$thresholdPermille * __tot"))
+      .select(col("p_brand"), col("rev").as("revenue_cents"),
+        expr("cast(cast(rev as decimal(38,0)) * 1000 div __tot as bigint)")
+          .as("share_permille"))
+      .orderBy(col("revenue_cents").desc, col("p_brand"))
+  }
+
+  /** Min-cost supplier per part (the TPC-H Q2 argmin, re-expressed on
+    * this schema from observed line prices): per (part, supplier) the
+    * best observed unit price, the per-part winner (lowest price,
+    * suppkey breaks ties), then the per-supplier census of parts won.
+    *
+    * Scale shape: two stacked partial aggs (lineitem → part×supplier →
+    * part) — the argmin is min(struct(price, suppkey)), never a
+    * window — then a supplier-sized census joined to the supplier dim.
+    */
+  def minCostSupplierCensus(lineitem: DataFrame,
+                            supplier: DataFrame): DataFrame = {
+    val cell = lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("""cast(round(l_extendedprice * 100 /
+          nullif(cast(l_quantity as bigint), 0)) as bigint)""")
+          .as("unit_cents"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("unit_cents").as("unit_cents"))
+    val win = cell
+      .groupBy("l_partkey")
+      .agg(min(struct(col("unit_cents"), col("l_suppkey"))).as("__w"))
+      .select(col("__w.l_suppkey").as("best_supp"),
+        col("__w.unit_cents").as("best"))
+    win
+      .groupBy("best_supp")
+      .agg(count(lit(1)).as("n_parts_won"),
+        sum("best").as("sum_best_cents"))
+      .join(supplier, col("best_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts_won"),
+        col("sum_best_cents"))
+      .orderBy(col("n_parts_won").desc, col("s_suppkey"))
+  }
 }

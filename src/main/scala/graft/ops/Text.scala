@@ -1437,4 +1437,106 @@ object Text {
         col("zipf_slope_q6"))
       .orderBy("source")
   }
+
+  /** Bigram COLLOCATIONS by pointwise mutual information: adjacent word
+    * pairs occurring ≥ `minCount` times, scored `PMI = ln(c₁₂·N /
+    * (c₁·c₂))`, top `k` — the multi-word-expression miner ("New York",
+    * "machine learning") behind tokenizer merge decisions and phrase
+    * vocabularies; q91's document-level PMI reworked at the ADJACENCY
+    * grain where collocations actually live. The ln is the q134 integer-
+    * log device: a fixed scalar expression of four exact integer counts,
+    * quantized at 10⁻⁶ — the only float, empirically bit-portable.
+    *
+    * Shape: two scan-stage censuses (bigrams via the zip_with slide —
+    * no positional explode — and unigrams), both vocabulary-bounded
+    * after their partial aggs; two broadcast margin joins; ends in a
+    * distributed TakeOrderedAndProject(k).
+    */
+  def collocationsPmi(documents: DataFrame, minCount: Long = 5L,
+                      k: Int = 30): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = tokens(col("text"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = documents.select(explode(
+        zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val uni = documents.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = uni.agg(sum("c").as("n"))
+    // margins are vocabulary-sized (can be 1e8 types with crawl noise):
+    // plain equi-joins — AQE broadcasts them when they measure small
+    bg.join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(col("c2").cast("double") * col("n") /
+          (col("ca").cast("double") * col("cb"))) * 1000000)
+          .cast("long").as("pmi_q6"))
+      .orderBy(col("pmi_q6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Per-source READABILITY census — exact integer proxies for the
+    * Flesch-family inputs: words per sentence and characters per word
+    * (both per-mille), from one scan-stage projection. Sentences split
+    * on `[.!?]+` runs with blank fragments dropped; a sentence-less doc
+    * counts 1 (its whole text is the sentence) — conventions mirrored
+    * verbatim in the oracle. The syllable term of the true Flesch score
+    * needs a dictionary; chars/word is the standard corpus-scale proxy
+    * (same monotone signal, no lexicon shipped to executors).
+    */
+  def readabilityCensus(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("source"),
+      size(tokens(col("text"))).cast("long").as("nw"),
+      greatest(size(filter(split(col("text"), "[.!?]+"),
+        s => length(trim(s)) > 0)), lit(1)).cast("long").as("ns"),
+      length(col("text")).cast("long").as("nc"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("n_words"),
+        sum("ns").as("n_sentences"), sum("nc").as("__nchars"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"),
+        expr("n_words * 1000L div nullif(n_sentences, 0L)")
+          .as("words_per_sent_permille"),
+        expr("__nchars * 1000L div nullif(n_words, 0L)")
+          .as("chars_per_word_permille"))
+      .orderBy("source")
+  }
+
+  /** CHUNK-granularity duplicate census per source: after `chunkTokens`
+    * windows the corpus for training, what fraction of each source's
+    * chunks also occur (token-identical) in at least `minDocs` OTHER
+    * document(s)? Doc-level dedup misses this entirely — two distinct
+    * docs sharing one boilerplate window still double-feed the model
+    * that window; this is the number span-removal (q171) changes.
+    *
+    * Scale shape: chunks never shuffle as text — each chunk is reduced
+    * to its md5 in the scan stage (same digest both engines), so the
+    * df census and the doc join move 16-byte keys; then one per-source
+    * census. `minDocs` = 2 means "shared beyond its own doc".
+    */
+  def chunkDupCensus(documents: DataFrame, window: Int = 64,
+                     stride: Int = 48, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 1, "minDocs must be >= 1")
+    val chunks = chunkTokens(documents, window, stride)
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val df = chunks.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+    chunks
+      .join(df, "h")
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        coalesce(sum(when(col("__nd") >= minDocs, 1L)), lit(0L))
+          .as("n_dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+        expr("n_dup_chunks * 1000L div nullif(n_chunks, 0L)")
+          .as("dup_permille"))
+      .orderBy("source")
+  }
 }

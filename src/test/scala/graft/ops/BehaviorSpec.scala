@@ -272,6 +272,35 @@ class BehaviorSpec extends SparkSpec {
       ("view", "view", 1L)))
   }
 
+  test("topSessionPaths: ordered truncated paths, census, deterministic k") {
+    // u1-a view→click→purchase→view→click truncated at depth 3;
+    // u1-b singleton view; u2-a view→click→purchase
+    val e = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (1L, 40L, "view"), (1L, 50L, "click"),
+      (1L, 1000L, "view"),
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 30L, "purchase"))
+    val got = Behavior.topSessionPaths(e, gapNs = 100L, depth = 3,
+        k = 10, tiebreakCol = "ts")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view > click > purchase", 2L), ("view", 1L)))
+    // k truncates at the (count DESC, path) total order
+    assert(Behavior.topSessionPaths(e, gapNs = 100L, depth = 3, k = 1,
+        tiebreakCol = "ts").as[(String, Long)].collect().toSeq ==
+      Seq(("view > click > purchase", 2L)))
+  }
+
+  test("interArrivalHistogram: bit-exact log2 buckets, zero gaps dropped") {
+    // u1: a@10→b@11 gap 1 (bucket 0, attributed to a); b@11→c@19 gap 8
+    // (bucket 3, attributed to b); c@19→c@19 gap 0 dropped; the last
+    // event and u2's singleton carry no gap
+    val e = ev((1L, 10L, "a"), (1L, 11L, "b"), (1L, 19L, "c"),
+      (1L, 19L, "c"), (2L, 5L, "a"))
+    val got = Behavior.interArrivalHistogram(e, tiebreakCol = "ts")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 0L, 1L), ("b", 3L, 1L)))
+  }
+
   test("entryConversion: session attributed to its FIRST event's type") {
     // u1 session A: view→purchase (entry view, converted); u1 session
     // B: click only; u2 session: purchase-first (entry purchase,
@@ -411,5 +440,47 @@ class BehaviorSpec extends SparkSpec {
       (1L, 103L, Some(102L), Some(50L), 2L),
       (2L, 202L, None, None, 0L),
       (3L, 303L, Some(301L), Some(0L), 1L)))
+  }
+
+  test("activityHeatmap: integer dow/hod cells and exact shares") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    val usPerHour = 3600000000L
+    // quantum 1: ts is already in the op's µs domain. Epoch day 0 is a
+    // Thursday → dow 4 under 0=Sunday; day 4 is the following Monday
+    // → dow 1.
+    val e = Seq(
+      0L * usPerDay + 0L * usPerHour,            // Thu 00
+      0L * usPerDay + 0L * usPerHour + 1L,       // Thu 00 (same cell)
+      0L * usPerDay + 23L * usPerHour,           // Thu 23
+      4L * usPerDay + 5L * usPerHour)            // Mon 05
+      .map(t => (1L, t, "x", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.activityHeatmap(e)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 1L, 250L), (4L, 0L, 2L, 500L),
+      (4L, 23L, 1L, 250L)))
+  }
+
+  test("dailyAutocorrelation: alternating series, zero-filled gaps") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // events only on days 0, 2, 4 — days 1 and 3 must dense-fill to 0,
+    // giving the series [1,0,1,0,1]: lag-1 r = −1, lag-2 r = +1
+    val e = Seq(0L, 2L, 4L).map(d => (1L, d * usPerDay, "x", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.dailyAutocorrelation(e, maxLag = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, -1000000L), (2L, 3L, 1000000L)))
+  }
+
+  test("dailyAutocorrelation: constant series has zero variance -> null") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    val e = Seq(0L, 1L, 2L, 3L).map(d => (1L, d * usPerDay, "x", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Behavior.dailyAutocorrelation(e, maxLag = 1)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, 3L, None)))
   }
 }

@@ -591,4 +591,50 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(first == Set(1L, 4L, 5L))
   }
+  test("pointer jumping crosses a deep chain in logarithmic rounds") {
+    import spark.implicits._
+    // a 100-node path (diameter 99): one-hop needs ~100 rounds, the
+    // alternating propagate/jump schedule converges inside 20 -- and
+    // both formulations agree with each other and the driver-UF rung
+    val n = 100
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1))
+      .toDF("id_a", "id_b")
+    val jump = Dedup.connectedComponents(nodes, edges, maxIter = 20,
+        driverUnionFindMaxEdges = 0L)
+      .as[(Long, Long)].collect().toSeq
+    assert(jump.forall(_._2 == 1L) && jump.length == n)
+    // the pure one-hop formulation cannot cross it in 20 rounds -- and
+    // fails LOUDLY (the maxIter law), never silently partial
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 20,
+        driverUnionFindMaxEdges = 0L, pointerJump = false)
+    }
+    // equivalence of all three paths on a shallow multi-component graph
+    val nodes2 = (1 to 12).map(_.toLong).toDF("id")
+    val edges2 = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L),
+      (9L, 10L)).toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(nodes2, edges2,
+      driverUnionFindMaxEdges = 0L).as[(Long, Long)].collect().toSeq
+    val b = Dedup.connectedComponents(nodes2, edges2,
+        driverUnionFindMaxEdges = 0L, pointerJump = false)
+      .as[(Long, Long)].collect().toSeq
+    val c = Dedup.connectedComponents(nodes2, edges2)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b && b == c)
+  }
+
+  test("clusterSizeHistogram: singleton and pair buckets") {
+    import spark.implicits._
+    // docs 1+2 token-identical (jaccard 1.0 → one cluster of 2);
+    // docs 3..5 mutually disjoint singletons. Buckets: ⌊log₂1⌋=0 with
+    // 3 clusters / 3 docs, ⌊log₂2⌋=1 with 1 cluster / 2 docs.
+    val d = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
+      (3L, "ee ff gg hh"), (4L, "ii jj kk ll"), (5L, "mm nn oo pp"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterSizeHistogram(d, n = 3, threshold = 0.2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 3L), (1L, 1L, 2L)))
+  }
 }

@@ -141,4 +141,68 @@ class RelationalSpec extends SparkSpec {
       Relational.mergePartials(partials, Seq.empty, Seq("n"))
     }
   }
+  test("basketPairs: distinct-first, minSupport, exact lift") {
+    // o1 {1,2,3} (part 1 listed twice -> distinct), o2 {1,2}, o3 {2,9}:
+    // pair (1,2) in 2 orders; all others in 1 -> dropped at support 2.
+    // lift = 2*3*1e6 div (2*3) = 1000000
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L),
+      (2L, 2L), (3L, 2L), (3L, 9L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketPairs(li, minSupport = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 1000000L)))
+    // support 1 keeps every pair, ordered
+    assert(Relational.basketPairs(li, minSupport = 1L).count() == 4L)
+  }
+
+  test("priorityMix: exact permille shares per nation") {
+    val orders = Seq((1L, 10L, "1-URGENT"), (2L, 10L, "2-HIGH"),
+      (3L, 20L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val cust = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    val got = Relational.priorityMix(orders, cust, nat)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "1-URGENT", 1L, 500L),
+      ("A", "2-HIGH", 1L, 500L), ("B", "1-URGENT", 1L, 1000L)))
+  }
+
+  test("tradeFlows: domestic flow excluded, exact cents by year") {
+    import java.sql.Timestamp
+    val li = Seq(
+      // order 1 (cust 10 in nation 1) shipped by supp 100 (nation 2)
+      (1L, 100L, 10.0, 0.1, Timestamp.valueOf("1995-03-01 00:00:00")),
+      (1L, 100L, 20.0, 0.0, Timestamp.valueOf("1996-03-01 00:00:00")),
+      // order 2 (cust 20 in nation 2) shipped by supp 100 (nation 2):
+      // domestic — must not appear
+      (2L, 100L, 99.0, 0.0, Timestamp.valueOf("1995-05-01 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((10L, 1L), (20L, 2L)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq((100L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1L, "A"), (2L, "B")).toDF("n_nationkey", "n_name")
+    val got = Relational.tradeFlows(li, orders, cust, supp, nat)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // 10.0 × 0.9 = 9.00 → 900 cents in 1995; 20.0 → 2000 in 1996
+    assert(got == Seq(("B", "A", 1995L, 900L), ("B", "A", 1996L, 2000L)))
+  }
+
+  test("rfmSegments: dominant customers land in the top segment") {
+    import java.sql.Timestamp
+    // four customers, strictly increasing on every axis: cust i has i
+    // orders, later last-order date, higher lifetime spend
+    val orders = (1 to 4).flatMap { c =>
+      (1 to c).map { j =>
+        (c * 10L + j, c.toLong, c * 100.0,
+          Timestamp.valueOf(s"1995-0$c-0$j 00:00:00"))
+      }
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.rfmSegments(orders, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // customers 1,2 → bucket 1 on every axis; 3,4 → bucket 2.
+    // revenue: c1 100.00 + c2 2×200.00 = 50000¢; c3 3×300 + c4 4×400
+    // = 250000¢
+    assert(got == Seq((1L, 1L, 1L, 2L, 50000L),
+      (2L, 2L, 2L, 2L, 250000L)))
+  }
 }

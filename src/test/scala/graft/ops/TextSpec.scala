@@ -760,4 +760,45 @@ class TextSpec extends SparkSpec {
       assert(sorted.map(_._5) == sorted.map(_._5).sorted.reverse)
     }
   }
+  test("collocationsPmi: exact integer PMI on hand counts") {
+    // "a b a b a b a b a b": bigrams (a b)x5, (b a)x4; unigrams a=5,
+    // b=5, N=10. minCount 5 keeps only (a, b):
+    // pmi = ln(5*10/(5*5)) = ln 2 -> 693147 at q6
+    val d = docs("a b a b a b a b a b")
+    val got = Text.collocationsPmi(d, minCount = 5L, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 5L, 693147L)))
+    // k truncates on the (pmi DESC, w1, w2) total order
+    val d2 = docs("a b a b a b a b a b c d c d c d c d c d")
+    val top = Text.collocationsPmi(d2, minCount = 5L, k = 1)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(top.length == 1)
+  }
+
+  test("readabilityCensus: exact sentence/word/char proxies") {
+    // "aa bb. cc dd ee." -> 5 whitespace words, 2 non-blank sentences,
+    // 16 chars: words/sent 2500 permille, chars/word 3200 permille;
+    // a sentence-less doc counts 1 sentence
+    val d = Seq((1L, "aa bb. cc dd ee.", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.readabilityCensus(d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 1L, 5L, 2L, 2500L, 3200L),
+      ("s2", 1L, 2L, 1L, 2000L, 1500L)))
+  }
+
+  test("chunkDupCensus: cross-doc chunk reuse, within-doc repeat ignored") {
+    import spark.implicits._
+    // window 3 / stride 3: doc 1 = [aa bb cc][dd ee ff]; doc 2 (other
+    // source) repeats doc 1's first window; doc 3 is unique. minDocs=2
+    // counts chunks whose content spans ≥2 DISTINCT docs.
+    val d = Seq(
+      (1L, "aa bb cc dd ee ff", "s1"),
+      (2L, "aa bb cc", "s2"),
+      (3L, "zz yy xx", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.chunkDupCensus(d, window = 3, stride = 3, minDocs = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 2L, 1L, 500L), ("s2", 2L, 1L, 500L)))
+  }
 }
