@@ -75,7 +75,12 @@ object DevPlans {
         "q207_supplier_pareto", "q208_activity_heatmap",
         "q209_daily_autocorr", "q210_trade_flows",
         "q211_cluster_size_histogram", "q212_chunk_dup_census",
-        "q213_rfm_segments")
+        "q213_rfm_segments",
+        "q214_large_orders", "q215_dormant_customers",
+        "q216_top_supplier", "q217_brand_share",
+        "q218_min_cost_supplier", "q219_transition_matrix",
+        "q220_cusum_changepoint", "q221_conversion_deciles",
+        "q222_tfidf_terms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -346,7 +346,7 @@ object DevScale {
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val tables = Seq("documents", "embeddings", "events", "orders",
-      "lineitem", "customer", "nation")
+      "lineitem", "customer", "nation", "supplier", "part")
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
       val complete = tables.forall(t =>
@@ -378,6 +378,14 @@ object DevScale {
         // q161's roll-up dims, verbatim (25 constant rows)
         spark.read.parquet(s"$base/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+        // q210/q207's supplier and q217's part sides, verbatim —
+        // lineitem inflation shifts only l_orderkey, so l_suppkey/
+        // l_partkey keep resolving against the original dims (each
+        // join leg grows F× on the fact side only, the q138 regime)
+        spark.read.parquet(s"$base/supplier.parquet")
+          .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+        spark.read.parquet(s"$base/part.parquet")
+          .write.mode("overwrite").parquet(s"$dir/part.parquet")
       }
       val counts = tables.map(t =>
         spark.read.parquet(s"$dir/$t.parquet").count())

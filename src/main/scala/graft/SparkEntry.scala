@@ -5486,7 +5486,207 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_custs,
         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)(
-      (s, d) => Relational.rfmSegments(Tables.orders(s, d), k = 4))
+      (s, d) => Relational.rfmSegments(Tables.orders(s, d), k = 4)),
+
+    // Large-order report (Relational.largeOrders): the TPC-H Q18
+    // group-HAVING-then-rejoin topology — orders whose total line
+    // quantity tops 300, joined back through the header to the
+    // customer, top-100 by order value.
+    q("q214_large_orders",
+      """WITH qy AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_us,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  qy.total_qty
+        |FROM qy JOIN orders o ON qy.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 100""".stripMargin)(
+      (s, d) => Relational.largeOrders(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d),
+        minQty = 300L, k = 100)),
+
+    // Dormant high-balance customers (Relational.dormantHighBalance):
+    // the TPC-H Q22 shape — scalar-average broadcast + anti join
+    // against the recent-customer set, nation census.
+    q("q215_dormant_customers",
+      """WITH t AS (SELECT avg(c_acctbal) AS ab FROM customer
+        |  WHERE c_acctbal > 0.0),
+        |recent AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE year(o_orderdate) >= 2000)
+        |SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey, t
+        |WHERE c.c_acctbal > t.ab
+        |  AND NOT EXISTS (SELECT 1 FROM recent r
+        |    WHERE r.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.dormantHighBalance(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.nation(s, d), sinceYear = 2000)),
+
+    // Top supplier(s) by 1996 ship revenue (Relational
+    // .topSupplierByRevenue): the TPC-H Q15 view-max-view shape with
+    // ties KEPT — per-supplier revenue, 1-row max broadcast back.
+    q("q216_top_supplier",
+      """WITH r AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1),
+        |m AS (SELECT max(rev_cents) AS mx FROM r)
+        |SELECT s.s_suppkey, s.s_name, r.rev_cents
+        |FROM r JOIN m ON r.rev_cents = m.mx
+        |JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin)(
+      (s, d) => Relational.topSupplierByRevenue(Tables.lineitem(s, d),
+        Tables.supplier(s, d), shipYear = 1996)),
+
+    // Brand revenue-share gate (Relational.brandRevenueShare): the
+    // TPC-H Q11 shape — groups clearing a permille share of the GLOBAL
+    // total; the share product runs decimal(38,0)/HUGEINT.
+    q("q217_brand_share",
+      """WITH r AS (SELECT p.p_brand,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS HUGEINT) AS tot FROM r)
+        |SELECT r.p_brand, r.rev AS revenue_cents,
+        |  CAST(CAST(r.rev AS HUGEINT) * 1000 // t.tot AS BIGINT)
+        |    AS share_permille
+        |FROM r, t WHERE CAST(r.rev AS HUGEINT) * 1000 >= 15 * t.tot
+        |ORDER BY revenue_cents DESC, p_brand""".stripMargin)(
+      (s, d) => Relational.brandRevenueShare(Tables.lineitem(s, d),
+        Tables.part(s, d), thresholdPermille = 15L)),
+
+    // Min-cost supplier per part (Relational.minCostSupplierCensus):
+    // the TPC-H Q2 argmin re-expressed from observed line prices —
+    // min(struct) argmin with suppkey tiebreak, per-winner census.
+    q("q218_min_cost_supplier",
+      """WITH c AS (SELECT l_partkey, l_suppkey,
+        |    CAST(min(CAST(round(l_extendedprice * 100 /
+        |      nullif(CAST(l_quantity AS BIGINT), 0)) AS BIGINT))
+        |      AS BIGINT) AS unit_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT l_partkey, min(unit_cents) AS best FROM c
+        |  GROUP BY 1),
+        |w AS (SELECT c.l_partkey, min(c.l_suppkey) AS best_supp
+        |  FROM c JOIN b ON c.l_partkey = b.l_partkey
+        |    AND c.unit_cents = b.best GROUP BY 1),
+        |j AS (SELECT w.best_supp, b.best FROM w
+        |  JOIN b ON w.l_partkey = b.l_partkey)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(count(*) AS BIGINT) AS n_parts_won,
+        |  CAST(sum(best) AS BIGINT) AS sum_best_cents
+        |FROM j JOIN supplier s ON s.s_suppkey = j.best_supp
+        |GROUP BY 1, 2
+        |ORDER BY n_parts_won DESC, s_suppkey""".stripMargin)(
+      (s, d) => Relational.minCostSupplierCensus(Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+
+    // Event-type Markov transitions (Behavior.transitionMatrix): one
+    // user-keyed lead window → |types|²-bounded census with per-mille
+    // row-normalized probabilities.
+    q("q219_transition_matrix",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS qts,
+        |    event_id FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY qts, event_id) AS to_type FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS t FROM c
+        |  GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n * 1000 // tot.t AS BIGINT) AS p_permille
+        |FROM c JOIN tot ON c.from_type = tot.from_type
+        |ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.transitionMatrix(Tables.events(s, d),
+        quantumNs = 1000L)),
+
+    // CUSUM changepoint scan (Behavior.cusumChangepoint): integer-
+    // scaled S_i = D·P_i − i·T over the dense daily series; the peak
+    // |S| day flags the level shift. Days-bounded ordered window (the
+    // q209 regime).
+    q("q220_cusum_changepoint",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM e
+        |  GROUP BY 1),
+        |ext AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+        |dense AS (SELECT g.d AS day, coalesce(c.n, 0) AS n
+        |  FROM ext, unnest(generate_series(ext.d0, ext.d1)) AS g(d)
+        |  LEFT JOIN c ON c.day = g.d),
+        |s AS (SELECT day, n,
+        |    CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS HUGEINT) AS pre,
+        |    CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS i,
+        |    CAST(count(*) OVER () AS HUGEINT) AS dd,
+        |    CAST(sum(n) OVER () AS HUGEINT) AS tot
+        |  FROM dense)
+        |SELECT CAST(day AS BIGINT) AS day, n,
+        |  CAST(dd * pre - i * tot AS BIGINT) AS cusum_scaled,
+        |  abs(CAST(dd * pre - i * tot AS BIGINT)) =
+        |    (SELECT max(abs(CAST(dd*pre - i*tot AS BIGINT))) FROM s)
+        |    AS is_peak
+        |FROM s ORDER BY day""".stripMargin)(
+      (s, d) => Behavior.cusumChangepoint(Tables.events(s, d),
+        quantumNs = 1000L)),
+
+    // Time-to-convert deciles (Behavior.conversionDeciles): first view
+    // → first purchase at-or-after it per user, delta bucketed by the
+    // q155 sharded-ntile contract, per-bucket min/max/count/sum.
+    q("q221_conversion_deciles",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS qts
+        |  FROM events),
+        |v AS (SELECT user_id, min(qts) AS v0 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.qts) AS p0 FROM e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.qts >= v.v0 GROUP BY 1),
+        |d AS (SELECT v.user_id, p.p0 - v.v0 AS delta_us FROM v
+        |  JOIN p ON v.user_id = p.user_id),
+        |b AS (SELECT user_id, delta_us,
+        |    ntile(10) OVER (ORDER BY delta_us, user_id) AS bucket
+        |  FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(delta_us) AS BIGINT) AS min_us,
+        |  CAST(max(delta_us) AS BIGINT) AS max_us,
+        |  CAST(sum(delta_us) AS BIGINT) AS sum_us
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.conversionDeciles(Tables.events(s, d),
+        fromType = "view", toType = "purchase", k = 10,
+        quantumNs = 1000L)),
+
+    // TF-IDF top terms per source (Text.tfidfSourceTerms): (source,
+    // token)
+    // census × inverse source frequency, per-term ×1e6 quantization
+    // (ln parity, the q134 precedent), source-keyed top-10.
+    q("q222_tfidf_terms",
+      """WITH w AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      x -> len(x) > 0)) AS word FROM documents),
+        |f AS (SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+        |  FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM f
+        |  GROUP BY 1),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src
+        |  FROM f),
+        |sc AS (SELECT f.source, f.word, f.tf, df.df,
+        |    CAST(round(1000000 * f.tf *
+        |      ln(CAST(ns.n_src AS DOUBLE) / df.df)) AS BIGINT)
+        |      AS score_q6
+        |  FROM f JOIN df ON f.word = df.word CROSS JOIN ns),
+        |r AS (SELECT source, word, tf, df, score_q6,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score_q6 DESC, word) AS rk FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, word, tf, df,
+        |  score_q6
+        |FROM r WHERE rk <= 10 ORDER BY source, rank""".stripMargin)(
+      (s, d) => Text.tfidfSourceTerms(Tables.documents(s, d), k = 10))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -886,4 +886,115 @@ object Behavior {
           .as("acf_q6"))
       .orderBy("lag")
   }
+
+  /** First-order Markov transition matrix over event types: for each
+    * user's event stream in `(ts, event_id)` order, count consecutive
+    * `(from_type, to_type)` pairs, then the per-mille transition
+    * probability within each from_type row — the navigation model
+    * behind "what do users do after X".
+    *
+    * Scale shape: ONE user-keyed window (lead) on the same exchange
+    * every session-family query uses — partitions stay per-user sized
+    * at any corpus scale — then a census bounded by |types|² and a
+    * types-sized self-join for the row totals. Timestamps quantize to
+    * µs first (`quantumNs`) so the window order is engine-portable.
+    */
+  def transitionMatrix(events: DataFrame,
+                       quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_id"),
+        expr(s"ts div ${quantumNs}L").as("qts"), col("event_type"))
+      .select(col("event_type").as("from_type"),
+        lead("event_type", 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type").as("__ft"))
+      .agg(sum("n").as("__t"))
+    counts
+      .join(totals, col("from_type") === col("__ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000L div __t").as("p_permille"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** CUSUM changepoint scan over the daily event-count series: the
+    * classic "did the level shift, and when" detector. For day i of D
+    * (dense-filled, A7 semantics) with prefix sum P_i and total T, the
+    * INTEGER-scaled cusum S_i = D·P_i − i·T (the usual P_i − i·T/D
+    * times D, kept exact); the peak |S_i| marks the most likely
+    * changepoint. Emits the full day series with `is_peak` flags.
+    *
+    * Scale shape: one event partial agg to a DAYS-bounded frame; the
+    * prefix sum, ranks and the peak broadcast all live on that
+    * days-sized series (the q209 regime) — the ordered window is
+    * day-count-bounded, never event-bounded. Products run in
+    * decimal(38,0): D·P brushes Long at ~10⁵ days × 10¹⁴ events.
+    */
+  def cusumChangepoint(events: DataFrame,
+                       quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val usPerDay = 86400000000L
+    val counts = events
+      .select(expr(s"ts div ${quantumNs}L div ${usPerDay}L").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val dense = counts.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    // days-bounded frame: the global-order window here ranks DAYS (the
+    // q209/q149 audit-view precedent), not events
+    val scored = dense
+      .withColumn("pre", sum("n").over(cum).cast("decimal(38,0)"))
+      .withColumn("i", row_number().over(w).cast("decimal(38,0)"))
+      .crossJoin(broadcast(dense.agg(
+        count(lit(1)).cast("decimal(38,0)").as("__d"),
+        sum("n").cast("decimal(38,0)").as("__t"))))
+      .select(col("day"), col("n"),
+        expr("cast(__d * pre - i * __t as bigint)").as("cusum_scaled"))
+    val peak = scored.agg(max(abs(col("cusum_scaled"))).as("__mx"))
+    scored.crossJoin(broadcast(peak))
+      .select(col("day"), col("n"), col("cusum_scaled"),
+        (abs(col("cusum_scaled")) === col("__mx")).as("is_peak"))
+      .orderBy("day")
+  }
+
+  /** Time-to-convert decile profile: for each user who viewed and then
+    * purchased, the delta between their FIRST `fromType` event and the
+    * first `toType` event at-or-after it, bucketed into `k`
+    * equal-frequency tiers (the q155 sharded-ntile contract, user_id
+    * tiebreak) with per-bucket min/max/count/sum — the funnel-latency
+    * distribution report.
+    *
+    * Scale shape: two per-user min-aggregates (partial agg before any
+    * join — never event×event), one user-keyed equi-join, then
+    * `Profiling.quantileBuckets`' three range-partitioned rank passes
+    * over the user-sized delta frame; no single-task sort anywhere.
+    */
+  def conversionDeciles(events: DataFrame, fromType: String = "view",
+                        toType: String = "purchase", k: Int = 10,
+                        quantumNs: Long = 1L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = events.select(col("user_id"), col("event_type"),
+      expr(s"ts div ${quantumNs}L").as("qts"))
+    val v0 = e.filter(col("event_type") === fromType)
+      .groupBy("user_id").agg(min("qts").as("v0"))
+    val p0 = e.filter(col("event_type") === toType)
+      .join(v0, "user_id")
+      .filter(col("qts") >= col("v0"))
+      .groupBy("user_id").agg(min("qts").as("p0"), min("v0").as("v0"))
+    val deltas = p0.select(col("user_id"),
+      (col("p0") - col("v0")).as("delta_us"))
+    Profiling.quantileBuckets(deltas, "user_id", "delta_us", "user_id", k)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), min("delta_us").as("min_us"),
+        max("delta_us").as("max_us"), sum("delta_us").as("sum_us"))
+      .orderBy("bucket")
+  }
 }

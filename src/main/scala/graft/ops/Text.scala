@@ -1539,4 +1539,43 @@ object Text {
           .as("dup_permille"))
       .orderBy("source")
   }
+
+  /** TF-IDF top terms per source: token frequency within each source ×
+    * the inverse SOURCE frequency (in how many sources the token
+    * appears at all), top `k` per source — the "what is distinctive
+    * about this slice" report that complements the log-odds pair view
+    * (q156) with an all-sources-at-once ranking.
+    *
+    * score_q6 = round(10⁶ · tf · ln(n_src / df)) — ONE float op per
+    * term (`ln` is empirically parity-safe, the q134 precedent),
+    * quantized per-term before any comparison, never summed.
+    *
+    * Scale shape: one corpus-wide (source, token) census (partial agg
+    * in the scan stage), a vocabulary-bounded df census joined back on
+    * the token, a 1-row source-count broadcast, and a SOURCE-keyed
+    * top-k window — partitions are per-source vocabularies, and the
+    * rank cuts at k; no global-order window anywhere.
+    */
+  def tfidfSourceTerms(documents: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val tf = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok").as("__tok"))
+      .agg(count(lit(1)).as("df"))
+    val nSrc = tf.agg(count_distinct(col("source")).as("__ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("score_q6").desc, col("word"))
+    tf.join(df, col("tok") === col("__tok"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("source"), col("tok").as("word"), col("tf"), col("df"),
+        expr("cast(round(1000000 * tf * ln(cast(__ns as double) / df))" +
+          " as bigint)").as("score_q6"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("word"), col("tf"),
+        col("df"), col("score_q6"))
+      .orderBy("source", "rank")
+  }
 }

@@ -483,4 +483,52 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].collect().toSeq
     assert(got == Seq((1L, 3L, None)))
   }
+
+  test("transitionMatrix: per-user consecutive pairs, event_id tiebreak") {
+    import spark.implicits._
+    // u1: A→B→A; u2: A→A; u3: two events at the SAME ts — event_id
+    // order must decide the pair direction (C→D, never D→C)
+    val e = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"),
+      (2L, 10L, 4L, "A"), (2L, 20L, 5L, "A"),
+      (3L, 10L, 6L, "C"), (3L, 10L, 7L, "D"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.transitionMatrix(e)
+      .as[(String, String, Long, Long)].collect().toSeq
+    // from A: A→A 1, A→B 1 (total 2 → 500‰ each); B→A 1000‰; C→D 1000‰
+    assert(got == Seq(("A", "A", 1L, 500L), ("A", "B", 1L, 500L),
+      ("B", "A", 1L, 1000L), ("C", "D", 1L, 1000L)))
+  }
+
+  test("cusumChangepoint: dense fill, exact integer cusum, peak flag") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // events on day 0 (1) and day 2 (3); day 1 must dense-fill to 0.
+    // Series [1,0,3]: D=3, T=4, P=[1,1,4] → S = 3P−iT = [−1,−5,0];
+    // the peak |S| is day 1 — the fill day, so the fill is load-bearing
+    val e = (Seq(0L) ++ Seq.fill(3)(2L)).zipWithIndex
+      .map { case (d, i) => (1L, d * usPerDay, i.toLong, "x") }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.cusumChangepoint(e)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 1L, -1L, false), (1L, 0L, -5L, true),
+      (2L, 3L, 0L, false)))
+  }
+
+  test("conversionDeciles: first view → first purchase at-or-after it") {
+    import spark.implicits._
+    // u1 Δ=10; u2 Δ=40; u3's purchase@5 precedes its view — the one
+    // at 30 counts (Δ=20); u4 never converts; u5 never views
+    val e = Seq(
+      (1L, 10L, "view"), (1L, 20L, "purchase"),
+      (2L, 10L, "view"), (2L, 50L, "purchase"),
+      (3L, 10L, "view"), (3L, 5L, "purchase"), (3L, 30L, "purchase"),
+      (4L, 10L, "view"), (5L, 10L, "purchase"))
+      .map { case (u, t, ty) => (u, t, 0L, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.conversionDeciles(e, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // deltas sorted: 10, 20, 40 → ntile(2) puts {10,20} in bucket 1
+    assert(got == Seq((1L, 2L, 10L, 20L, 30L), (2L, 1L, 40L, 40L, 40L)))
+  }
 }

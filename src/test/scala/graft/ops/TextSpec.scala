@@ -801,4 +801,17 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("s1", 2L, 1L, 500L), ("s2", 2L, 1L, 500L)))
   }
+
+  test("tfidfSourceTerms: source-level idf, everywhere-token scores 0") {
+    import spark.implicits._
+    // "a" appears in BOTH sources → ln(2/2)=0 regardless of tf; "b"
+    // and "c" are source-unique → round(1e6·ln 2) = 693147
+    val d = Seq((1L, "a a b", "s1"), (2L, "a c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.tfidfSourceTerms(d, k = 2)
+      .as[(String, Long, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, "b", 1L, 1L, 693147L), ("s1", 2L, "a", 2L, 2L, 0L),
+      ("s2", 1L, "c", 1L, 1L, 693147L), ("s2", 2L, "a", 1L, 2L, 0L)))
+  }
 }
