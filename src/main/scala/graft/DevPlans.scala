@@ -80,7 +80,12 @@ object DevPlans {
         "q216_top_supplier", "q217_brand_share",
         "q218_min_cost_supplier", "q219_transition_matrix",
         "q220_cusum_changepoint", "q221_conversion_deciles",
-        "q222_tfidf_terms")
+        "q222_tfidf_terms",
+        "q223_late_order_census", "q224_order_count_distribution",
+        "q225_dominant_suppliers", "q226_sole_late_supplier",
+        "q227_market_share", "q228_above_avg_orders",
+        "q229_entropy_deciles", "q230_type_correlation",
+        "q231_pii_census")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -319,7 +319,33 @@ object DevScale {
       "q210_tradeflows" -> SparkEntry.queries("q210_trade_flows"),
       "q211_clustsize" -> SparkEntry.queries("q211_cluster_size_histogram"),
       "q212_chunkdup" -> SparkEntry.queries("q212_chunk_dup_census"),
-      "q213_rfm" -> SparkEntry.queries("q213_rfm_segments"))
+      "q213_rfm" -> SparkEntry.queries("q213_rfm_segments"),
+      // q214-q222 cohort: q214/q216/q217/q218 grouped aggs + rejoins
+      // on the inflating fact; q215's anti join is customer-keyed;
+      // q219/q221 user-keyed windows/mins; q220 days-bounded series;
+      // q222 vocabulary censuses
+      "q214_largeorders" -> SparkEntry.queries("q214_large_orders"),
+      "q215_dormant" -> SparkEntry.queries("q215_dormant_customers"),
+      "q216_topsupp" -> SparkEntry.queries("q216_top_supplier"),
+      "q217_brandshare" -> SparkEntry.queries("q217_brand_share"),
+      "q218_mincost" -> SparkEntry.queries("q218_min_cost_supplier"),
+      "q219_markov" -> SparkEntry.queries("q219_transition_matrix"),
+      "q220_cusum" -> SparkEntry.queries("q220_cusum_changepoint"),
+      "q221_convdec" -> SparkEntry.queries("q221_conversion_deciles"),
+      "q222_tfidf" -> SparkEntry.queries("q222_tfidf_terms"),
+      // q223-q231 cohort: q223 EXISTS semi (order-keyed); q224/q225/
+      // q227/q228 pre-aggregate-then-join shapes; q226 per-order blame
+      // census; q229 user entropy + sharded ntile; q230 |types|²-bounded
+      // pair sums; q231 scan-stage regex census
+      "q223_lateorders" -> SparkEntry.queries("q223_late_order_census"),
+      "q224_orderdist" -> SparkEntry.queries("q224_order_count_distribution"),
+      "q225_domsupp" -> SparkEntry.queries("q225_dominant_suppliers"),
+      "q226_solelate" -> SparkEntry.queries("q226_sole_late_supplier"),
+      "q227_mktshare" -> SparkEntry.queries("q227_market_share"),
+      "q228_aboveavg" -> SparkEntry.queries("q228_above_avg_orders"),
+      "q229_entropy" -> SparkEntry.queries("q229_entropy_deciles"),
+      "q230_typecorr" -> SparkEntry.queries("q230_type_correlation"),
+      "q231_pii" -> SparkEntry.queries("q231_pii_census"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

@@ -5686,7 +5686,234 @@ object SparkEntry {
         |SELECT source, CAST(rk AS BIGINT) AS rank, word, tf, df,
         |  score_q6
         |FROM r WHERE rk <= 10 ORDER BY source, rank""".stripMargin)(
-      (s, d) => Text.tfidfSourceTerms(Tables.documents(s, d), k = 10))
+      (s, d) => Text.tfidfSourceTerms(Tables.documents(s, d), k = 10)),
+    // Late-order census (Relational.lateOrderCensus): the TPC-H Q4
+    // EXISTS topology — orders with ≥1 lineitem shipped >365 days
+    // after the order date, one row per priority; semi join keeps the
+    // per-order (not per-line) count.
+    q("q223_late_order_census",
+      """WITH late AS (SELECT DISTINCT l.l_orderkey FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+        |    CAST(l.l_shipdate AS DATE)) > 365)
+        |SELECT o.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_late
+        |FROM orders o WHERE EXISTS (SELECT 1 FROM late
+        |  WHERE late.l_orderkey = o.o_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.lateOrderCensus(Tables.orders(s, d),
+        Tables.lineitem(s, d), lateDays = 365)),
+
+    // Order-count distribution (Relational.orderCountDistribution):
+    // the TPC-H Q13 histogram — customers by how many orders they
+    // placed, zero-order customers included via the left join.
+    q("q224_order_count_distribution",
+      """WITH pc AS (SELECT c.c_custkey,
+        |    CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC LIMIT 40""".stripMargin)(
+      (s, d) => Relational.orderCountDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), k = 40)),
+
+    // Dominant suppliers (Relational.dominantSuppliers): the TPC-H Q20
+    // excess-threshold shape — suppliers shipping >20% of a part's
+    // quantity, nation census of who they are and how many parts.
+    q("q225_dominant_suppliers",
+      """WITH sq AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |tq AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tot
+        |  FROM sq GROUP BY 1),
+        |dom AS (SELECT sq.l_suppkey, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM sq JOIN tq ON sq.l_partkey = tq.l_partkey
+        |  WHERE sq.q * 1000 > 200 * tq.tot GROUP BY 1)
+        |SELECT n.n_name AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers,
+        |  CAST(sum(n_parts) AS BIGINT) AS parts_dominated
+        |FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.dominantSuppliers(Tables.lineitem(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d),
+        thresholdPermille = 200L)),
+
+    // Sole-late suppliers (Relational.soleLateSuppliers): the TPC-H
+    // Q21 topology — on ≥2-supplier orders, the supplier who was the
+    // ONLY late one; top-20 by blame count.
+    q("q226_sole_late_supplier",
+      """WITH lag AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    max(date_diff('day', CAST(o.o_orderdate AS DATE),
+        |      CAST(l.l_shipdate AS DATE))) AS lag_d
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |m AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+        |    CAST(sum(CASE WHEN lag_d > 365 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_late
+        |  FROM lag GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |  CAST(count(*) AS BIGINT) AS n_waits
+        |FROM lag JOIN m ON lag.l_orderkey = m.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = lag.l_suppkey
+        |WHERE m.n_supp >= 2 AND m.n_late = 1 AND lag.lag_d > 365
+        |GROUP BY 1, 2
+        |ORDER BY n_waits DESC, s_suppkey LIMIT 20""".stripMargin)(
+      (s, d) => Relational.soleLateSuppliers(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.supplier(s, d),
+        lateDays = 365, k = 20)),
+
+    // Brand market share by year (Relational.brandMarketShare): the
+    // TPC-H Q8 share shape — Brand#1's permille of all-brand revenue
+    // per order year, share product in decimal(38,0)/HUGEINT.
+    q("q227_market_share",
+      """WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    p.p_brand,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2),
+        |tot AS (SELECT yr, CAST(sum(cents) AS HUGEINT) AS t FROM rev
+        |  GROUP BY 1)
+        |SELECT r.yr AS year, r.cents AS brand_cents,
+        |  CAST(t.t AS BIGINT) AS total_cents,
+        |  CAST(CAST(r.cents AS HUGEINT) * 1000 // t.t AS BIGINT)
+        |    AS share_permille
+        |FROM rev r JOIN tot t ON r.yr = t.yr
+        |WHERE r.p_brand = 'Brand#1' ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.brandMarketShare(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d), brand = "Brand#1")),
+
+    // Above-customer-average orders (Relational.aboveAverageOrders):
+    // the correlated-scalar decorrelation — orders beating their own
+    // customer's average value (exact cents·n > total, no division),
+    // census by priority.
+    q("q228_above_avg_orders",
+      """WITH oc AS (SELECT o_custkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ca AS (SELECT o_custkey AS ck, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS tot FROM oc GROUP BY 1)
+        |SELECT oc.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(sum(oc.cents) AS BIGINT) AS cents_above
+        |FROM oc JOIN ca ON oc.o_custkey = ca.ck
+        |WHERE oc.cents * ca.n > ca.tot AND ca.n >= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.aboveAverageOrders(Tables.orders(s, d),
+        minOrders = 2L)),
+
+    // Behavioral entropy deciles (Behavior.entropyDeciles): per-user
+    // event-type Shannon entropy via the integer ln-device (each term
+    // round(1e6·n·ln n) BEFORE the decimal(38,0) sum), q155-contract
+    // buckets.
+    q("q229_entropy_deciles",
+      """WITH cnt AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(sum(CAST(round(1000000 * n * ln(n)) AS BIGINT))
+        |      AS HUGEINT) AS sterm
+        |  FROM cnt GROUP BY 1),
+        |h AS (SELECT user_id,
+        |    CAST(round(1000000 * ln(tot)) AS BIGINT)
+        |      - CAST(sterm // tot AS BIGINT) AS h_q6 FROM u),
+        |b AS (SELECT user_id, h_q6,
+        |    ntile(10) OVER (ORDER BY h_q6, user_id) AS bucket FROM h)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(h_q6) AS BIGINT) AS min_q6,
+        |  CAST(max(h_q6) AS BIGINT) AS max_q6,
+        |  CAST(sum(h_q6) AS BIGINT) AS sum_q6
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.entropyDeciles(Tables.events(s, d), k = 10)),
+
+    // Type correlation matrix (Behavior.typeCorrelationMatrix):
+    // pairwise Pearson over dense-filled per-type daily series —
+    // integer sums in decimal(38,0)/HUGEINT, one sqrt·sqrt division
+    // in double per pair (q165 sqrt rule).
+    q("q230_type_correlation",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type FROM events),
+        |cd AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |ext AS (SELECT min(day) AS d0, max(day) AS d1 FROM cd),
+        |ty AS (SELECT DISTINCT event_type FROM cd),
+        |dense AS (SELECT g.d AS day, ty.event_type,
+        |    coalesce(cd.n, 0) AS n
+        |  FROM ext, unnest(generate_series(ext.d0, ext.d1)) AS g(d)
+        |  CROSS JOIN ty LEFT JOIN cd ON cd.day = g.d
+        |    AND cd.event_type = ty.event_type),
+        |p AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |    CAST(count(*) AS HUGEINT) AS nn,
+        |    CAST(sum(a.n) AS HUGEINT) AS sx,
+        |    CAST(sum(b.n) AS HUGEINT) AS sy,
+        |    CAST(sum(a.n * b.n) AS HUGEINT) AS sxy,
+        |    CAST(sum(a.n * a.n) AS HUGEINT) AS sxx,
+        |    CAST(sum(b.n * b.n) AS HUGEINT) AS syy
+        |  FROM dense a JOIN dense b ON a.day = b.day
+        |    AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT t1, t2, CAST(nn AS BIGINT) AS n_days,
+        |  CAST(round(1000000 * CAST(nn * sxy - sx * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(nn * sxx - sx * sx AS DOUBLE)) *
+        |      sqrt(CAST(nn * syy - sy * sy AS DOUBLE)), 0))
+        |    AS BIGINT) AS r_q6
+        |FROM p ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.typeCorrelationMatrix(Tables.events(s, d),
+        quantumNs = 1000L)),
+
+    // PII-exposure census (Text.piiCensus): deterministic synthetic
+    // PII planted on doc_id residues (the q66 device — both sides
+    // build the identical text), then the three redaction patterns as
+    // detection predicates, per-source counts + any-PII permille.
+    q("q231_pii_census",
+      s"""WITH pii AS (SELECT source, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN
+        |      ' see https://example.org/d/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS text
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '${Text.emailPattern}') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_email,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '${Text.urlPattern}') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_url,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |    '${Text.phoneGuardedPattern}') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_phone,
+        |  CAST(sum(CASE WHEN regexp_matches(text,
+        |      '${Text.emailPattern}')
+        |    OR regexp_matches(text, '${Text.urlPattern}')
+        |    OR regexp_matches(text, '${Text.phoneGuardedPattern}')
+        |    THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT)
+        |    AS any_permille
+        |FROM pii GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, lpad, when}
+        val planted = Tables.documents(s, d).select(col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" see https://example.org/d/"),
+                col("doc_id").cast("string"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+                lit("-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("text"))
+        Text.piiCensus(planted)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

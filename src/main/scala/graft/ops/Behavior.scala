@@ -997,4 +997,88 @@ object Behavior {
         max("delta_us").as("max_us"), sum("delta_us").as("sum_us"))
       .orderBy("bucket")
   }
+
+  /** Behavioral-entropy decile profile: each user's event-type Shannon
+    * entropy — how varied their behavior is — bucketed into `k`
+    * equal-frequency tiers (the q155 sharded-ntile contract) with
+    * per-bucket count/min/max/sum. Low buckets are single-note users
+    * (bots, crawlers); high buckets are diverse ones.
+    *
+    * Integer device (the q134 ln-parity family): H = ln N − Σnᵢln nᵢ/N
+    * becomes h_q6 = round(10⁶·ln N) − (Σ round(10⁶·nᵢ·ln nᵢ)) div N —
+    * each term quantized BEFORE the sum (order-independent), the sum
+    * carried in decimal(38,0) (HUGEINT in the oracle: 10⁶·n·ln n tops
+    * Long once a user-type cell nears 10¹¹ events).
+    *
+    * Scale shape: one (user, type) partial agg, one user-keyed
+    * reduction to a users-sized frame, then quantileBuckets' three
+    * range-partitioned rank passes — no single-task sort.
+    */
+  def entropyDeciles(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cnt = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val u = cnt.groupBy("user_id")
+      .agg(sum("n").as("tot"),
+        sum(expr("cast(round(1000000 * n * ln(n)) as bigint)")
+          .cast("decimal(38,0)")).as("sterm"))
+    val h = u.select(col("user_id"),
+      (expr("cast(round(1000000 * ln(tot)) as bigint)") -
+        expr("sterm div tot")).as("h_q6"))
+    Profiling.quantileBuckets(h, "user_id", "h_q6", "user_id", k)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), min("h_q6").as("min_q6"),
+        max("h_q6").as("max_q6"), sum("h_q6").as("sum_q6"))
+      .orderBy("bucket")
+  }
+
+  /** Pairwise Pearson correlation of the per-type daily count series —
+    * do errors spike with views, do purchases move against clicks.
+    * Each type's series dense-fills missing days to 0 (A7 semantics)
+    * over the corpus' [min, max] day span so all series share a frame;
+    * r_q6 = round(10⁶·(n·Σxy−ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))) —
+    * integer sums in decimal(38,0) end-to-end, then ONE sqrt·sqrt
+    * division in double (sqrt is correctly rounded everywhere, the
+    * q165 rule; the operands are bit-identical integers cross-engine).
+    *
+    * Scale shape: one (day, type) partial agg bounds everything after
+    * at days×|types|; the dense frame is a sequence explode against a
+    * broadcast types dim; the pair join is day-keyed with |types|²/2
+    * output per day. The ordered window problem never arises — the
+    * sums are plain aggregates.
+    */
+  def typeCorrelationMatrix(events: DataFrame,
+                            quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val usPerDay = 86400000000L
+    val cd = events
+      .select(expr(s"ts div ${quantumNs}L div ${usPerDay}L").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val ty = cd.select("event_type").distinct()
+    val dense = cd.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .crossJoin(broadcast(ty))
+      .join(cd, Seq("day", "event_type"), "left")
+      .select(col("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val a = dense.select(col("day"), col("event_type").as("t1"),
+      col("n").as("x"))
+    val b = dense.select(col("day").as("__day"),
+      col("event_type").as("t2"), col("n").as("y"))
+    a.join(b, col("day") === col("__day") && col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("nn"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+        sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+      .select(col("t1"), col("t2"), col("nn").cast("long").as("n_days"),
+        expr("cast(round(1000000 * cast(nn * sxy - sx * sy as double)" +
+          " / nullif(sqrt(cast(nn * sxx - sx * sx as double))" +
+          " * sqrt(cast(nn * syy - sy * sy as double)), 0d))" +
+          " as bigint)").as("r_q6"))
+      .orderBy("t1", "t2")
+  }
 }

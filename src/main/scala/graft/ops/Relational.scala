@@ -581,4 +581,180 @@ object Relational {
         col("sum_best_cents"))
       .orderBy(col("n_parts_won").desc, col("s_suppkey"))
   }
+
+  /** Late-order census (the TPC-H Q4 EXISTS topology on this schema):
+    * orders having AT LEAST ONE lineitem shipped more than `lateDays`
+    * after the order date, counted by priority. The semi-join keeps
+    * order rows intact — a plain join would double-count multi-late
+    * orders and an aggregate-then-join would lose the EXISTS shape.
+    *
+    * Scale shape: the lag predicate needs o_orderdate, so the fact
+    * join ships only (l_orderkey, l_shipdate) against a 2-column
+    * orders projection; the qualifying set distinct-projects to bare
+    * orderkeys before the left-semi, and the census ends ≤|priorities|
+    * rows. Day-granularity lag (datediff on DATE) keeps the compare
+    * integer-exact cross-engine.
+    */
+  def lateOrderCensus(orders: DataFrame, lineitem: DataFrame,
+                      lateDays: Int = 365): DataFrame = {
+    val late = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate")), col("l_orderkey") === col("__ok"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) > lateDays)
+      .select("l_orderkey").distinct()
+    orders
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("priority")
+  }
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed exactly N orders, INCLUDING the zero-order
+    * customers a plain inner join would silently drop — the standard
+    * engagement histogram.
+    *
+    * Scale shape: orders partial-aggregates to one row per customer
+    * BEFORE the join (the q06 convention — the left join ships
+    * pre-aggregated counts, never raw orders); the histogram is a
+    * second two-level aggregate over customer-sized rows, and the
+    * top-k cut is TakeOrderedAndProject.
+    */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             k: Int = 40): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__n"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("__n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+      .limit(k)
+  }
+
+  /** Dominant-supplier census (the TPC-H Q20 excess-threshold shape
+    * re-expressed from observed shipments): suppliers shipping more
+    * than `thresholdPermille`/1000 of a part's total quantity, counted
+    * per nation with the number of parts each dominates.
+    *
+    * Scale shape: two chained partial aggs — (part, supplier) then
+    * part totals — so the threshold join compares aggregated rows
+    * only; nation broadcasts. Integer headroom: q·1000 stays in Long
+    * until per-(part,supplier) quantity tops ~9·10¹⁵ units.
+    */
+  def dominantSuppliers(lineitem: DataFrame, supplier: DataFrame,
+                        nation: DataFrame,
+                        thresholdPermille: Long = 200L): DataFrame = {
+    val sq = lineitem.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val tq = sq.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum("q").as("__tot"))
+    val dom = sq.join(tq, col("l_partkey") === col("__pk"))
+      .filter(col("q") * 1000L > lit(thresholdPermille) * col("__tot"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+    dom.join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("n_parts").as("parts_dominated"))
+      .orderBy("nation")
+  }
+
+  /** Sole-late-supplier ranking (the TPC-H Q21 topology): on orders
+    * sourced from ≥2 suppliers, the suppliers who were the ONLY late
+    * one — per-order blame attribution, top `k` by count. The two
+    * conjuncts (others on the order were on time; this one was not)
+    * are Q21's semi + anti pair, expressed here as one per-order
+    * census joined back to the per-supplier lags.
+    *
+    * Scale shape: the fact join carries 3 columns; everything after
+    * the (order, supplier) max-lag partial agg is order-sized. The
+    * rejoin reuses the orderkey partitioning; supplier resolution
+    * happens after the filter, on the surviving rows only.
+    */
+  def soleLateSuppliers(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, lateDays: Int = 365,
+                        k: Int = 20): DataFrame = {
+    val lag = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate")), col("l_orderkey") === col("__ok"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date"))).as("lag_d"))
+    val m = lag.groupBy(col("l_orderkey").as("__k"))
+      .agg(count(lit(1)).as("__n_supp"),
+        sum(when(col("lag_d") > lateDays, 1L).otherwise(0L))
+          .as("__n_late"))
+    lag.join(m, col("l_orderkey") === col("__k"))
+      .filter(col("__n_supp") >= 2 && col("__n_late") === 1 &&
+        col("lag_d") > lateDays)
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_waits"))
+      .orderBy(col("n_waits").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** Brand market share by order year (the TPC-H Q8 share shape): one
+    * brand's revenue as a permille of ALL brands' revenue, per year —
+    * exact cents; the share product runs decimal(38,0) (HUGEINT in the
+    * oracle) because year-total cents × 1000 brushes Long at corpus
+    * scale.
+    *
+    * Scale shape: revenue partial-aggregates to (year, brand) before
+    * the share math; the year-totals side is a years-sized frame
+    * joined back on the year. `part` joins pre-projected to two
+    * columns (broadcast-able at any realistic |part|-dimension size).
+    */
+  def brandMarketShare(lineitem: DataFrame, orders: DataFrame,
+                       part: DataFrame,
+                       brand: String = "Brand#1"): DataFrame = {
+    val rev = lineitem
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate")), col("l_orderkey") === col("__ok"))
+      .join(part.select(col("p_partkey").as("__pk"), col("p_brand")),
+        col("l_partkey") === col("__pk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("year"),
+        col("p_brand"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint)")).as("cents"))
+    val tot = rev.groupBy(col("year").as("__y"))
+      .agg(sum(col("cents").cast("decimal(38,0)")).as("__t"))
+    rev.filter(col("p_brand") === brand)
+      .join(tot, col("year") === col("__y"))
+      .select(col("year"), col("cents").as("brand_cents"),
+        col("__t").cast("long").as("total_cents"),
+        expr("cast(cents as decimal(38,0)) * 1000 div __t")
+          .as("share_permille"))
+      .orderBy("year")
+  }
+
+  /** Orders above their own customer's average order value (the
+    * classic correlated-scalar-subquery decorrelation): per-customer
+    * average broadcast back onto the orders, exact-cents compare
+    * (cents·n > total avoids any division), census by priority.
+    * Single-order customers are excluded (`minOrders`) — their only
+    * order can never exceed its own average.
+    *
+    * Scale shape: one orders partial agg to customer-sized (n, total)
+    * rows, one custkey equi-join that reuses the agg's partitioning,
+    * and a ≤|priorities| census. cents·n stays in Long until a
+    * customer's order count × max cents tops ~9·10¹⁸.
+    */
+  def aboveAverageOrders(orders: DataFrame,
+                         minOrders: Long = 2L): DataFrame = {
+    val oc = orders.select(col("o_custkey"), col("o_orderpriority"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val ca = oc.groupBy(col("o_custkey").as("__ck"))
+      .agg(count(lit(1)).as("__n"), sum("cents").as("__tot"))
+    oc.join(ca, col("o_custkey") === col("__ck"))
+      .filter(col("cents") * col("__n") > col("__tot") &&
+        col("__n") >= minOrders)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_above"), sum("cents").as("cents_above"))
+      .orderBy("priority")
+  }
 }

@@ -1578,4 +1578,30 @@ object Text {
         col("df"), col("score_q6"))
       .orderBy("source", "rank")
   }
+
+  /** PII-exposure census per source: how many documents contain an
+    * email, a URL, or a phone-shaped number (the same three patterns
+    * `redact` scrubs — Java∩RE2, so the DuckDB oracle evaluates the
+    * IDENTICAL strings), plus the any-PII permille. The triage report
+    * that decides which slice needs the redaction pass at all.
+    *
+    * Scale shape: pure scan-stage predicates (codegen'd `rlike`, no
+    * extraction, no explode) feeding one partial agg — scan-speed, one
+    * exchange of ≤|sources| aggregated rows.
+    */
+  def piiCensus(documents: DataFrame): DataFrame = {
+    val em = col("text").rlike(emailPattern)
+    val ur = col("text").rlike(urlPattern)
+    val ph = col("text").rlike(phoneGuardedPattern)
+    documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(em, 1L).otherwise(0L)).as("n_email"),
+        sum(when(ur, 1L).otherwise(0L)).as("n_url"),
+        sum(when(ph, 1L).otherwise(0L)).as("n_phone"),
+        sum(when(em || ur || ph, 1L).otherwise(0L)).as("__any"))
+      .select(col("source"), col("n_docs"), col("n_email"),
+        col("n_url"), col("n_phone"),
+        expr("__any * 1000 div n_docs").as("any_permille"))
+      .orderBy("source")
+  }
 }

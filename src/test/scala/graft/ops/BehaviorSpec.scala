@@ -531,4 +531,34 @@ class BehaviorSpec extends SparkSpec {
     // deltas sorted: 10, 20, 40 → ntile(2) puts {10,20} in bucket 1
     assert(got == Seq((1L, 2L, 10L, 20L, 30L), (2L, 1L, 40L, 40L, 40L)))
   }
+
+  test("entropyDeciles: single-note user scores 0, uniform pair ln 2") {
+    import spark.implicits._
+    // u1: 4 events of ONE type -> H = 0 exactly under the integer
+    // device; u2: 2+2 over two types -> H = round(1e6 ln 2) = 693147
+    val e = (Seq.fill(4)("x").map(t => (1L, t)) ++
+      Seq((2L, "a"), (2L, "a"), (2L, "b"), (2L, "b")))
+      .zipWithIndex.map { case ((u, t), i) => (u, i.toLong, i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.entropyDeciles(e, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 0L, 0L),
+      (2L, 1L, 693147L, 693147L, 693147L)))
+  }
+
+  test("typeCorrelationMatrix: dense fill shared across both series") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // A on days 0 (x1) and 2 (x3); B on days 0 (x3) and 2 (x1); day 1
+    // fills 0 for BOTH -> series [1,0,3] vs [3,0,1]:
+    // r = (3*6-16)/(sqrt(14)*sqrt(14)) = 2/14 -> 142857
+    val e = ((Seq.fill(1)(0L) ++ Seq.fill(3)(2L)).map(d => (d, "A")) ++
+      (Seq.fill(3)(0L) ++ Seq.fill(1)(2L)).map(d => (d, "B")))
+      .zipWithIndex.map { case ((d, t), i) =>
+        (1L, d * usPerDay, i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.typeCorrelationMatrix(e)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", "B", 3L, 142857L)))
+  }
 }

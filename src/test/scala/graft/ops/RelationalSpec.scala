@@ -205,4 +205,90 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L, 2L, 50000L),
       (2L, 2L, 2L, 2L, 250000L)))
   }
+
+  test("lateOrderCensus: one qualifying line marks the order, once") {
+    import java.sql.Timestamp
+    val d0 = Timestamp.valueOf("1995-01-01 00:00:00")
+    val li = Seq(
+      (1L, Timestamp.valueOf("1995-04-11 00:00:00")),  // +100d
+      (1L, Timestamp.valueOf("1996-02-05 00:00:00")),  // +400d: late
+      (2L, Timestamp.valueOf("1995-01-11 00:00:00")),  // +10d
+      (3L, Timestamp.valueOf("1996-01-02 00:00:00")))  // +366d: late
+      .toDF("l_orderkey", "l_shipdate")
+    val orders = Seq((1L, d0, "P1"), (2L, d0, "P1"), (3L, d0, "P2"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val got = Relational.lateOrderCensus(orders, li, lateDays = 365)
+      .as[(String, Long)].collect().toSeq
+    // order 1 counts ONCE despite two lines; order 2 on time
+    assert(got == Seq(("P1", 1L), ("P2", 1L)))
+  }
+
+  test("orderCountDistribution: zero-order customers included") {
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 2L), (13L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+    val got = Relational.orderCountDistribution(cust, orders)
+      .as[(Long, Long)].collect().toSeq
+    // two 2-order customers, one 0-order customer
+    assert(got == Seq((2L, 2L), (0L, 1L)))
+  }
+
+  test("dominantSuppliers: strict permille threshold per part") {
+    val li = Seq(
+      (1L, 100L, 30.0), (1L, 200L, 2.0),  // 100: 937 permille; 200: 62
+      (2L, 200L, 10.0))                   // single-supplier part: 1000
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val supp = Seq((100L, 1), (200L, 2)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((1, "A"), (2, "B")).toDF("n_nationkey", "n_name")
+    val got = Relational.dominantSuppliers(li, supp, nat,
+      thresholdPermille = 200L)
+      .as[(String, Long, Long)].collect().toSeq
+    // supplier 100 dominates part 1; 200 dominates only part 2
+    assert(got == Seq(("A", 1L, 1L), ("B", 1L, 1L)))
+  }
+
+  test("soleLateSuppliers: blame only when exactly one supplier late") {
+    import java.sql.Timestamp
+    val d0 = Timestamp.valueOf("1995-01-01 00:00:00")
+    val late = Timestamp.valueOf("1996-02-05 00:00:00")   // +400d
+    val ok = Timestamp.valueOf("1995-01-11 00:00:00")     // +10d
+    val li = Seq(
+      (1L, 100L, late), (1L, 200L, ok),   // S100 solely late: blamed
+      (2L, 100L, late), (2L, 200L, late), // both late: excluded
+      (3L, 300L, late))                   // single-supplier: excluded
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val orders = Seq((1L, d0), (2L, d0), (3L, d0))
+      .toDF("o_orderkey", "o_orderdate")
+    val supp = Seq((100L, "S100"), (200L, "S200"), (300L, "S300"))
+      .toDF("s_suppkey", "s_name")
+    val got = Relational.soleLateSuppliers(li, orders, supp,
+      lateDays = 365, k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((100L, "S100", 1L)))
+  }
+
+  test("brandMarketShare: permille of the year total, exact cents") {
+    import java.sql.Timestamp
+    val d95 = Timestamp.valueOf("1995-06-01 00:00:00")
+    val li = Seq(
+      (1L, 10L, 10.0, 0.0),   // Brand#1: 1000 cents
+      (1L, 20L, 30.0, 0.0))   // Brand#2: 3000 cents
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val orders = Seq((1L, d95)).toDF("o_orderkey", "o_orderdate")
+    val part = Seq((10L, "Brand#1"), (20L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val got = Relational.brandMarketShare(li, orders, part, "Brand#1")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1995L, 1000L, 4000L, 250L)))
+  }
+
+  test("aboveAverageOrders: cents*n > total; singletons excluded") {
+    val orders = Seq(
+      (1L, "P1", 100.0), (1L, "P1", 300.0),  // avg 200: the 300 wins
+      (2L, "P2", 999.0))                     // single order: excluded
+      .toDF("o_custkey", "o_orderpriority", "o_totalprice")
+    val got = Relational.aboveAverageOrders(orders, minOrders = 2L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("P1", 1L, 30000L)))
+  }
 }

@@ -814,4 +814,17 @@ class TextSpec extends SparkSpec {
       ("s1", 1L, "b", 1L, 1L, 693147L), ("s1", 2L, "a", 2L, 2L, 0L),
       ("s2", 1L, "c", 1L, 1L, 693147L), ("s2", 2L, "a", 1L, 2L, 0L)))
   }
+
+  test("piiCensus: each pattern detected once, any-permille exact") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact a@b.com please", "s1"),
+      (2L, "see https://x.org/page", "s1"),
+      (3L, "call 555-123-4567 now", "s1"),
+      (4L, "clean text only", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Text.piiCensus(d)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 4L, 1L, 1L, 1L, 750L)))
+  }
 }
