@@ -85,7 +85,11 @@ object DevPlans {
         "q225_dominant_suppliers", "q226_sole_late_supplier",
         "q227_market_share", "q228_above_avg_orders",
         "q229_entropy_deciles", "q230_type_correlation",
-        "q231_pii_census")
+        "q231_pii_census",
+        "q232_assignment_drift", "q233_label_distances",
+        "q234_lang_purity", "q235_order_backlog",
+        "q236_intensity_by_entropy", "q237_revenue_concentration",
+        "q238_bounce_rate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -345,7 +345,18 @@ object DevScale {
       "q228_aboveavg" -> SparkEntry.queries("q228_above_avg_orders"),
       "q229_entropy" -> SparkEntry.queries("q229_entropy_deciles"),
       "q230_typecorr" -> SparkEntry.queries("q230_type_correlation"),
-      "q231_pii" -> SparkEntry.queries("q231_pii_census"))
+      "q231_pii" -> SparkEntry.queries("q231_pii_census"),
+      // q232/q233 model-state censuses after per-vector projections;
+      // q234 a (source, lang) census; q235 months-bounded series;
+      // q236 user-keyed joins over the entropy frame; q237 the q227
+      // agg with decimal squares; q238 rides the sessionized exchange
+      "q232_drift" -> SparkEntry.queries("q232_assignment_drift"),
+      "q233_labeldist" -> SparkEntry.queries("q233_label_distances"),
+      "q234_langpurity" -> SparkEntry.queries("q234_lang_purity"),
+      "q235_backlog" -> SparkEntry.queries("q235_order_backlog"),
+      "q236_intensity" -> SparkEntry.queries("q236_intensity_by_entropy"),
+      "q237_hhi" -> SparkEntry.queries("q237_revenue_concentration"),
+      "q238_bounce" -> SparkEntry.queries("q238_bounce_rate"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

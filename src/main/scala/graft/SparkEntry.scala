@@ -5913,7 +5913,189 @@ object SparkEntry {
                 lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
               .otherwise(lit(""))).as("text"))
         Text.piiCensus(planted)
-      })
+      }),
+    // Centroid-assignment drift (Similarity.centroidAssignmentDrift):
+    // frozen ±64 octant grid on the first 3 quantized dims, exact
+    // integer argmin (min(d²·8+cell) mod 8), occupancy old (even
+    // vec_id) vs new (odd) — the retrain-the-quantizer check.
+    q("q232_assignment_drift",
+      """WITH codes AS (SELECT vec_id,
+        |    CAST(least(greatest(round(CAST(embedding[1] AS DOUBLE)
+        |      * 127), -127), 127) AS BIGINT) AS c0,
+        |    CAST(least(greatest(round(CAST(embedding[2] AS DOUBLE)
+        |      * 127), -127), 127) AS BIGINT) AS c1,
+        |    CAST(least(greatest(round(CAST(embedding[3] AS DOUBLE)
+        |      * 127), -127), 127) AS BIGINT) AS c2
+        |  FROM embeddings),
+        |cents AS (SELECT * FROM (VALUES
+        |  (0, -64, -64, -64), (1, -64, -64, 64), (2, -64, 64, -64),
+        |  (3, -64, 64, 64), (4, 64, -64, -64), (5, 64, -64, 64),
+        |  (6, 64, 64, -64), (7, 64, 64, 64)) AS t(cell, m0, m1, m2)),
+        |scored AS (SELECT vec_id, cell,
+        |    (c0-m0)*(c0-m0) + (c1-m1)*(c1-m1) + (c2-m2)*(c2-m2) AS d2
+        |  FROM codes CROSS JOIN cents),
+        |assigned AS (SELECT vec_id,
+        |    CAST(min(d2 * 8 + cell) % 8 AS BIGINT) AS cell
+        |  FROM scored GROUP BY 1)
+        |SELECT cell,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_old,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST((sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)) * 1000
+        |    // nullif(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS drift_permille
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Similarity.centroidAssignmentDrift(
+        Tables.embeddings(s, d))),
+
+    // Label-centroid distance matrix (Similarity
+    // .labelCentroidDistances): class-separability audit on the q105
+    // quantized sums — d2_scaled = Σ(n_b·s_a − n_a·s_b)², exact, no
+    // division.
+    q("q233_label_distances",
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |    unnest(range(0, len(embedding))) AS pos FROM embeddings),
+        |q AS (SELECT label, pos,
+        |    CAST(least(greatest(round(CAST(x AS DOUBLE)*127), -127),
+        |      127) AS BIGINT) AS code FROM e),
+        |s AS (SELECT label, pos, CAST(sum(code) AS BIGINT) AS sc
+        |  FROM q GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1),
+        |j AS (SELECT a.label AS la, b.label AS lb, a.pos,
+        |    CAST(nb.n AS HUGEINT) * a.sc - CAST(na.n AS HUGEINT) * b.sc
+        |      AS diff
+        |  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+        |  JOIN n na ON na.label = a.label
+        |  JOIN n nb ON nb.label = b.label)
+        |SELECT la AS label_a, lb AS label_b,
+        |  CAST(sum(diff * diff) AS BIGINT) AS d2_scaled
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Similarity.labelCentroidDistances(
+        Tables.embeddings(s, d))),
+
+    // Language purity (Text.langPurity): per-source language mix +
+    // dominant-language permille — the language-ID audit before
+    // per-language tokenizer routing.
+    q("q234_lang_purity",
+      """WITH lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM lc GROUP BY 1),
+        |r AS (SELECT source, lang, n, row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, lang) AS rk FROM lc),
+        |d AS (SELECT source, lang AS top_lang, n AS top_n FROM r
+        |  WHERE rk = 1)
+        |SELECT t.source, t.n_langs, d.top_lang,
+        |  CAST(d.top_n * 1000 // t.tot AS BIGINT) AS purity_permille
+        |FROM t JOIN d ON t.source = d.source
+        |ORDER BY 1""".stripMargin)(
+      (s, d) => Text.langPurity(Tables.documents(s, d))),
+
+    // Monthly order backlog (Relational.orderBacklog): placed vs
+    // fully-shipped per month, dense-filled, running net — the
+    // open-order operations series (months-bounded window).
+    q("q235_order_backlog",
+      """WITH pm AS (SELECT CAST(year(o_orderdate)*12
+        |      + month(o_orderdate) - 1 AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS placed FROM orders GROUP BY 1),
+        |lo AS (SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY 1),
+        |sm AS (SELECT CAST(year(last_ship)*12 + month(last_ship) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(count(*) AS BIGINT) AS shipped FROM lo GROUP BY 1),
+        |allm AS (SELECT m FROM pm UNION ALL SELECT m FROM sm),
+        |ext AS (SELECT min(m) AS m0, max(m) AS m1 FROM allm),
+        |dense AS (SELECT g.d AS m, coalesce(pm.placed, 0) AS placed,
+        |    coalesce(sm.shipped, 0) AS shipped
+        |  FROM ext, unnest(generate_series(ext.m0, ext.m1)) AS g(d)
+        |  LEFT JOIN pm ON pm.m = g.d LEFT JOIN sm ON sm.m = g.d)
+        |SELECT m AS month_idx, placed, shipped,
+        |  CAST(sum(placed - shipped) OVER (ORDER BY m ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM dense ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.orderBacklog(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+
+    // Purchase intensity by entropy decile (Behavior
+    // .intensityByEntropyDecile): the q229 entropy device feeding a
+    // per-bucket purchase-share report — entropy as a segmentation.
+    q("q236_intensity_by_entropy",
+      """WITH cnt AS (SELECT user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+        |    CAST(sum(CAST(round(1000000 * n * ln(n)) AS BIGINT))
+        |      AS HUGEINT) AS sterm
+        |  FROM cnt GROUP BY 1),
+        |h AS (SELECT user_id,
+        |    CAST(round(1000000 * ln(tot)) AS BIGINT)
+        |      - CAST(sterm // tot AS BIGINT) AS h_q6 FROM u),
+        |b AS (SELECT user_id, ntile(10) OVER (ORDER BY h_q6, user_id)
+        |    AS bucket FROM h),
+        |pur AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pur
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_all
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(coalesce(pur.n_pur, 0)) AS BIGINT) AS n_purchases,
+        |  CAST(sum(tot.n_all) AS BIGINT) AS n_events,
+        |  CAST(sum(coalesce(pur.n_pur, 0)) * 1000 // sum(tot.n_all)
+        |    AS BIGINT) AS intensity_permille
+        |FROM b JOIN tot ON b.user_id = tot.user_id
+        |LEFT JOIN pur ON b.user_id = pur.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.intensityByEntropyDecile(Tables.events(s, d),
+        purchaseType = "purchase", k = 10)),
+
+    // Revenue concentration by year (Relational.revenueConcentration):
+    // brand HHI — 10⁶·Σcents²/(Σcents)², decimal(38,0)/HUGEINT, one
+    // integer division; the market-structure view behind q227.
+    q("q237_revenue_concentration",
+      """WITH rev AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    p.p_brand,
+        |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey GROUP BY 1, 2)
+        |SELECT yr AS year, CAST(count(*) AS BIGINT) AS n_brands,
+        |  CAST(sum(CAST(cents AS HUGEINT) * cents) * 1000000
+        |    // (CAST(sum(cents) AS HUGEINT) * sum(cents)) AS BIGINT)
+        |    AS hhi_q6
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.revenueConcentration(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d))),
+
+    // Bounce rate per entry type (Behavior.bounceRate): share of
+    // 4-hour sessions that end after their first event, attributed to
+    // that event's type — rides the shared sessionized() exchange.
+    q("q238_bounce_rate",
+      """WITH q AS (SELECT user_id, event_id, event_type, epoch_us(ts)
+        |    AS qts FROM events),
+        |s AS (SELECT user_id, qts, event_id, event_type,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 14400000000
+        |      THEN 0 ELSE 1 END AS brk FROM q),
+        |w AS (SELECT user_id, qts, event_id, event_type,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY qts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |r AS (SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY qts, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY user_id, sess) AS n_ev FROM w),
+        |agg AS (SELECT event_type AS entry_type,
+        |    CAST(n_ev AS BIGINT) AS n_ev FROM r WHERE rk = 1)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS bounce_permille
+        |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.bounceRate(Tables.events(s, d),
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

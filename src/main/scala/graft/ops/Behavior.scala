@@ -1016,15 +1016,7 @@ object Behavior {
     */
   def entropyDeciles(events: DataFrame, k: Int = 10): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val cnt = events.groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val u = cnt.groupBy("user_id")
-      .agg(sum("n").as("tot"),
-        sum(expr("cast(round(1000000 * n * ln(n)) as bigint)")
-          .cast("decimal(38,0)")).as("sterm"))
-    val h = u.select(col("user_id"),
-      (expr("cast(round(1000000 * ln(tot)) as bigint)") -
-        expr("sterm div tot")).as("h_q6"))
+    val h = userEntropyQ6(events)
     Profiling.quantileBuckets(h, "user_id", "h_q6", "user_id", k)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_users"), min("h_q6").as("min_q6"),
@@ -1080,5 +1072,90 @@ object Behavior {
           " * sqrt(cast(nn * syy - sy * sy as double)), 0d))" +
           " as bigint)").as("r_q6"))
       .orderBy("t1", "t2")
+  }
+
+  /** Per-user event-type Shannon entropy under the integer ln-device
+    * (shared by q229's deciles and q236's intensity profile — one
+    * definition of the quantization, two reports):
+    * h_q6 = round(10⁶·ln N) − (Σ round(10⁶·nᵢ·ln nᵢ)) div N, each term
+    * quantized BEFORE the decimal(38,0) sum so the result is order-
+    * independent and engine-exact. Returns (user_id, h_q6).
+    */
+  private def userEntropyQ6(events: DataFrame): DataFrame = {
+    val cnt = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    cnt.groupBy("user_id")
+      .agg(sum("n").as("tot"),
+        sum(expr("cast(round(1000000 * n * ln(n)) as bigint)")
+          .cast("decimal(38,0)")).as("sterm"))
+      .select(col("user_id"),
+        (expr("cast(round(1000000 * ln(tot)) as bigint)") -
+          expr("sterm div tot")).as("h_q6"))
+  }
+
+  /** Purchase intensity by behavioral-entropy decile: bucket users by
+    * their event-type entropy (the q229 device), then per bucket the
+    * purchase share of all events — do focused or diverse users buy
+    * more. The report that turns the entropy census into an
+    * actionable segmentation.
+    *
+    * Scale shape: the entropy frame and both per-user censuses are
+    * users-sized partial aggs; the joins are user-keyed; the bucket
+    * census ends at k rows. quantileBuckets provides the three
+    * range-partitioned rank passes — no single-task sort.
+    */
+  def intensityByEntropyDecile(events: DataFrame,
+                               purchaseType: String = "purchase",
+                               k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = userEntropyQ6(events)
+    val buckets = Profiling.quantileBuckets(h, "user_id", "h_q6",
+      "user_id", k).select("user_id", "bucket")
+    val tot = events.groupBy("user_id").agg(count(lit(1)).as("n_all"))
+    val pur = events.filter(col("event_type") === purchaseType)
+      .groupBy(col("user_id").as("__u"))
+      .agg(count(lit(1)).as("n_pur"))
+    buckets
+      .join(tot, "user_id")
+      .join(pur, col("user_id") === col("__u"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("n_pur"), lit(0L))).as("n_purchases"),
+        sum("n_all").as("n_events"))
+      .select(col("bucket"), col("n_users"), col("n_purchases"),
+        col("n_events"),
+        expr("n_purchases * 1000 div n_events").as("intensity_permille"))
+      .orderBy("bucket")
+  }
+
+  /** Bounce rate per session entry type: the share of sessions that
+    * end after their very first event, attributed to that event's
+    * type — the standard landing-quality metric, on the same
+    * sessionization (and 4-hour gap convention) as the rest of the
+    * session family.
+    *
+    * Scale shape: rides `sessionized` (one user-keyed exchange for
+    * both stacked windows); the per-session rollup reuses the same
+    * keys, and the census ends at |types| rows.
+    */
+  def bounceRate(events: DataFrame, gapNs: Long,
+                 tiebreakCol: String = "event_id",
+                 quantumNs: Long = 1L): DataFrame = {
+    val sessioned = sessionized(events, gapNs, tiebreakCol, quantumNs)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess")
+      .orderBy(col("qts"), col(tiebreakCol))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sess")
+    sessioned
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n_ev", count(lit(1)).over(wc))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        expr("n_bounce * 1000 div n_sessions").as("bounce_permille"))
+      .orderBy("entry_type")
   }
 }

@@ -757,4 +757,73 @@ object Relational {
       .agg(count(lit(1)).as("n_above"), sum("cents").as("cents_above"))
       .orderBy("priority")
   }
+
+  /** Monthly order backlog: orders placed vs orders FULLY shipped
+    * (month of the last lineitem ship date) per month, dense-filled
+    * (A7 semantics) across the union of both spans, with the running
+    * net backlog — the operations dashboard's open-order series.
+    *
+    * Scale shape: two partial aggs (orders by month; lineitem to
+    * per-order last-ship then months) bound everything at a
+    * months-sized frame; the cumulative window ranks MONTHS (the
+    * q209/q220 audit-view regime), never rows.
+    */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders
+      .groupBy((year(col("o_orderdate")).cast("long") * 12 +
+        month(col("o_orderdate")) - 1).as("m"))
+      .agg(count(lit(1)).as("placed"))
+    val shipped = lineitem
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+      .groupBy((year(col("last_ship")).cast("long") * 12 +
+        month(col("last_ship")) - 1).as("__m"))
+      .agg(count(lit(1)).as("shipped"))
+    val ext = placed.select(col("m"))
+      .union(shipped.select(col("__m")))
+      .agg(min("m").as("m0"), max("m").as("m1"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("month_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    ext.select(explode(expr("sequence(m0, m1)")).as("month_idx"))
+      .join(placed, col("month_idx") === col("m"), "left")
+      .join(shipped, col("month_idx") === col("__m"), "left")
+      .select(col("month_idx"),
+        coalesce(col("placed"), lit(0L)).as("placed"),
+        coalesce(col("shipped"), lit(0L)).as("shipped"))
+      .withColumn("backlog",
+        sum(col("placed") - col("shipped")).over(w))
+      .orderBy("month_idx")
+  }
+
+  /** Revenue concentration (Herfindahl–Hirschman) over brands, per
+    * order year: hhi_q6 = 10⁶·Σ cents_b² / (Σ cents_b)² — the market-
+    * structure number behind q227's single-brand share. Exact: both
+    * the squared sum and the square of the sum run decimal(38,0)
+    * (HUGEINT in the oracle); ONE integer division at the end.
+    *
+    * Scale shape: identical to q227's — (year, brand) partial agg,
+    * then a years-sized census; safe while a year-brand's cents stay
+    * under ~10¹⁸ (decimal38 headroom for the square).
+    */
+  def revenueConcentration(lineitem: DataFrame, orders: DataFrame,
+                           part: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate")), col("l_orderkey") === col("__ok"))
+      .join(part.select(col("p_partkey").as("__pk"), col("p_brand")),
+        col("l_partkey") === col("__pk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("year"),
+        col("p_brand"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint)")).as("cents"))
+    rev.groupBy("year")
+      .agg(count(lit(1)).as("n_brands"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents"))
+          .as("__sq"),
+        sum(col("cents").cast("decimal(38,0)")).as("__t"))
+      .select(col("year"), col("n_brands"),
+        expr("cast(__sq * 1000000 div (__t * __t) as bigint)")
+          .as("hhi_q6"))
+      .orderBy("year")
+  }
 }

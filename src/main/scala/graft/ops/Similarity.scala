@@ -852,4 +852,95 @@ object Similarity {
           .as("rrf_q9"))
       .orderBy(col("rrf_q9").desc, col("id").asc)
   }
+
+  /** Centroid-assignment drift monitor — the ANN-maintenance report:
+    * assign every vector to its nearest centroid from a FIXED (frozen)
+    * centroid set over the first `cells.head.size` quantized
+    * dimensions, then compare cell occupancy between the old corpus
+    * half (even `vec_id`) and the new one (odd) — the "has the
+    * distribution moved enough to retrain the quantizer" check run
+    * between IVF rebuilds. Default centroids: the ±`scale`/2 octant
+    * grid on the first 3 dims.
+    *
+    * Distances ride the q105 integer device: coordinates quantize to
+    * `[-scale, scale]` codes, d² is exact integer arithmetic, and the
+    * argmin (cell tiebreak) is `min(d²·|cells| + cell) mod |cells|` —
+    * a single integer min, no struct ordering, portable to any engine.
+    *
+    * Scale shape: one scan-stage projection per vector (first-d
+    * quantization), a broadcast join against the |cells|-row centroid
+    * dim, one partial-agg argmin on vec_id, and a |cells|-row census.
+    * Nothing data-sized ever shuffles except vec_id-keyed argmin rows.
+    */
+  def centroidAssignmentDrift(embeddings: DataFrame,
+                              cells: Seq[Seq[Long]] = defaultOctants,
+                              scale: Int = 127): DataFrame = {
+    require(cells.nonEmpty && cells.forall(_.size == cells.head.size),
+      "cells must be non-empty and rectangular")
+    val d = cells.head.size
+    val nCells = cells.size
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val cent = broadcast(cells.zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }.toDF("cell", "m"))
+    val codes = embeddings.select(col("vec_id") +:
+      (0 until d).map(i =>
+        least(greatest(round(asDouble(col("embedding")).getItem(i) *
+          scale), lit(-scale.toDouble)), lit(scale.toDouble))
+          .cast("long").as(s"c$i")): _*)
+    val d2 = (0 until d).map(i =>
+      (col(s"c$i") - col("m").getItem(i)) *
+        (col(s"c$i") - col("m").getItem(i))).reduce(_ + _)
+    val assigned = codes.crossJoin(cent)
+      .select(col("vec_id"), (d2 * nCells + col("cell")).as("key"))
+      .groupBy("vec_id").agg((min("key") % nCells).as("cell"))
+    assigned
+      .groupBy("cell")
+      .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_old"),
+        sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        expr("(n_new - n_old) * 1000 div nullif(n_old, 0)")
+          .as("drift_permille"))
+      .orderBy("cell")
+  }
+
+  /** The ±scale/2 octant grid on the first 3 dimensions — the default
+    * frozen-centroid set for `centroidAssignmentDrift`. */
+  private def defaultOctants: Seq[Seq[Long]] =
+    for (a <- Seq(-64L, 64L); b <- Seq(-64L, 64L); c <- Seq(-64L, 64L))
+      yield Seq(a, b, c)
+
+  /** Pairwise distance matrix between LABEL CENTROIDS — the class-
+    * separability audit (are any two label clusters collapsing?).
+    * Exact-integer form: with per-(label, pos) quantized code sums
+    * s and counts n, the mean-difference at each coordinate is
+    * (s_a/n_a − s_b/n_b); scaled by n_a·n_b it is the integer
+    * n_b·s_a − n_a·s_b, so the reported d2_scaled = Σ_pos
+    * (n_b·s_a − n_a·s_b)² = d²·(n_a·n_b)² — exact in decimal(38,0),
+    * no division ever happens, and relative comparisons between pairs
+    * with the same (n_a, n_b) are order-true.
+    *
+    * Scale shape: one posexplode partial agg to |labels|·dims rows
+    * (the q105 census), then a pos-keyed self-join bounded by
+    * |labels|²·dims — model-state-sized at any corpus scale.
+    */
+  def labelCentroidDistances(embeddings: DataFrame,
+                             scale: Int = 127): DataFrame = {
+    val cen = quantizedCentroids(embeddings, scale)
+    val a = cen.select(col("label").as("label_a"), col("pos"),
+      col("n").as("na"), col("sum_code").as("sa"))
+    val b = cen.select(col("label").as("label_b"),
+      col("pos").as("__pos"), col("n").as("nb"),
+      col("sum_code").as("sb"))
+    a.join(b, col("pos") === col("__pos") &&
+        col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        ((col("nb").cast("decimal(38,0)") * col("sa") -
+          col("na").cast("decimal(38,0)") * col("sb"))).as("diff"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("diff") * col("diff")).cast("long").as("d2_scaled"))
+      .orderBy("label_a", "label_b")
+  }
 }

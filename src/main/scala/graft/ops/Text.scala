@@ -1604,4 +1604,30 @@ object Text {
         expr("__any * 1000 div n_docs").as("any_permille"))
       .orderBy("source")
   }
+
+  /** Language purity per source: how many languages each slice mixes,
+    * which dominates, and the dominant language's permille — the
+    * language-ID audit a curation pipeline runs against its declared
+    * per-source language before routing slices to per-language
+    * tokenizers. Ties on the top language break lexicographically.
+    *
+    * Scale shape: one (source, lang) partial agg bounds everything at
+    * |sources|·|langs| rows; the top-1 is a source-keyed rank-1 window
+    * on that census (never on documents).
+    */
+  def langPurity(documents: DataFrame): DataFrame = {
+    val lc = documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("lang"))
+    val tot = lc.groupBy(col("source").as("__s"))
+      .agg(sum("n").as("__tot"), count(lit(1)).as("n_langs"))
+    lc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(tot, col("source") === col("__s"))
+      .select(col("source"), col("n_langs"),
+        col("lang").as("top_lang"),
+        expr("n * 1000 div __tot").as("purity_permille"))
+      .orderBy("source")
+  }
 }

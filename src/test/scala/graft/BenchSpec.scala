@@ -118,11 +118,12 @@ class BenchSpec extends AnyFunSuite {
 
   test("past the r1 rung the line keeps the SLOWEST timings, marks the rest") {
     // the r8 verdict's growth-policy decision, pinned: when the surface
-    // outgrows even the 1-decimal full form (300 queries — the 159-query
-    // real set now rides the r1 rung instead), per-query history survives
-    // for the slowest queries (the ones a judge audits), q_omitted makes
-    // the truncation explicit, and the total stays the full-set sum
-    val ns = (1 to 300).map(i => f"q$i%03d_synthetic_operator_name_$i")
+    // outgrows every full-coverage rung (r2 → r1 → stripped → ds →
+    // positional qv; 800 queries here — the real set rides qv now),
+    // per-query history survives for the slowest queries (the ones a
+    // judge audits), q_omitted makes the truncation explicit, and the
+    // total stays the full-set sum
+    val ns = (1 to 800).map(i => f"q$i%03d_synthetic_operator_name_$i")
     // distinct, known per-query values: query i takes i/100 seconds
     val ss = (1 to 3).map(_ => ns.zipWithIndex
       .map { case (n, i) => n -> (i + 1) * 0.01 }.toMap)
@@ -131,12 +132,12 @@ class BenchSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     val q = node.get("queries")
     val omitted = node.get("q_omitted").asInt()
-    assert(q.size() > 0 && q.size() + omitted == 300)
+    assert(q.size() > 0 && q.size() + omitted == 800)
     // exactly the slowest q.size() queries survive (highest i = slowest)
-    val kept = (0 until 300).reverse.take(q.size()).map(i => f"q${i + 1}%03d")
+    val kept = (0 until 800).reverse.take(q.size()).map(i => f"q${i + 1}%03d")
     kept.foreach(k => assert(q.has(k), s"missing slowest key $k"))
-    // the total is the FULL 300-query sum, not the kept subset's
-    val expectTotal = (1 to 300).map(_ * 0.01).sum
+    // the total is the FULL 800-query sum, not the kept subset's
+    val expectTotal = (1 to 800).map(_ * 0.01).sum
     assert(math.abs(node.get("value").asDouble() - expectTotal) < 0.01)
     // a failed query is never hidden by truncation: flip one mid-pack
     // query to -1 and it must appear in the kept map ahead of successes
@@ -154,7 +155,15 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.buildLine(real, samples(real, 3), "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"line too long: ${line.length}")
     val node = mapper.readTree(line)
-    assert(node.get("queries").size() == real.length)
+    // full coverage survives as either the keyed map or (past ~231
+    // queries) the positional name_asc array — never a shed subset
+    if (node.get("queries") != null)
+      assert(node.get("queries").size() == real.length)
+    else {
+      assert(node.get("q_order").asText() == "name_asc")
+      assert(node.get("qv").size() == real.length,
+        s"qv covers ${node.get("qv").size()} of ${real.length}")
+    }
     // rep evidence must survive query-set growth: the display rungs
     // exist so rep_totals/reps never fall off before per-query precision
     assert(node.get("rep_totals") != null && node.get("rep_totals").size() == 3,
@@ -163,9 +172,32 @@ class BenchSpec extends AnyFunSuite {
     // if the decisecond rung engaged, it must say so and stay integral
     if (node.get("q_unit") != null) {
       assert(node.get("q_unit").asText() == "ds")
-      val it = node.get("queries").elements()
+      val it = (if (node.get("queries") != null) node.get("queries")
+        else node.get("qv")).elements()
       while (it.hasNext) assert(it.next().isIntegralNumber)
     }
+  }
+
+  test("positional rung: name_asc order, -1 failures, rep evidence kept") {
+    // force the rung with a synthetic surface past the decisecond map
+    val ns = (1 to 260).map(i => f"q$i%03d_synthetic_name_$i")
+    val ss = (1 to 2).map(_ => ns.zipWithIndex
+      .map { case (n, i) => n -> (if (i == 7) -1.0 else (i % 50) * 0.1) }
+      .toMap)
+    val line = Bench.buildLine(ns, ss, "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"line too long: ${line.length}")
+    val node = mapper.readTree(line)
+    assert(node.get("queries") == null) // keyed map no longer fits
+    assert(node.get("q_unit").asText() == "ds")
+    assert(node.get("q_order").asText() == "name_asc")
+    assert(node.get("qv").size() == 260)
+    // names are already zero-padded so sorted == registration order here;
+    // index 7 is the failure and every value is an integer decisecond
+    assert(node.get("qv").get(7).asInt() == -1)
+    val it = node.get("qv").elements()
+    while (it.hasNext) assert(it.next().isIntegralNumber)
+    assert(node.get("rep_totals").size() == 2)
+    assert(node.get("reps").asInt() == 2)
   }
 
   test("decisecond rung: integer tenths, -1 failures survive, unit marked") {

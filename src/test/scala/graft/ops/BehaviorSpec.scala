@@ -561,4 +561,31 @@ class BehaviorSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(got == Seq(("A", "B", 3L, 142857L)))
   }
+
+  test("intensityByEntropyDecile: user-level shares, zero-purchase user") {
+    import spark.implicits._
+    // u1: 4x single type (h=0), no purchases; u2: 2 views + 2
+    // purchases (h=ln2 -> bucket 2), intensity 2/4 = 500 permille
+    val e = (Seq.fill(4)("view").map(t => (1L, t)) ++
+      Seq((2L, "view"), (2L, "view"), (2L, "purchase"), (2L, "purchase")))
+      .zipWithIndex.map { case ((u, t), i) => (u, i.toLong, i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.intensityByEntropyDecile(e, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 4L, 0L), (2L, 1L, 2L, 4L, 500L)))
+  }
+
+  test("bounceRate: singleton sessions counted against their entry") {
+    import spark.implicits._
+    val G = 100L
+    val e = Seq(
+      (1L, 0L, 0L, "view"),                            // session A: bounce
+      (1L, 200L, 1L, "click"), (1L, 250L, 2L, "view"), // B: 2 events
+      (2L, 0L, 3L, "view"))                            // C: bounce
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.bounceRate(e, gapNs = G)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // entries: view(A), click(B), view(C) -> click 0/1, view 2/2
+    assert(got == Seq(("click", 1L, 0L, 0L), ("view", 2L, 2L, 1000L)))
+  }
 }

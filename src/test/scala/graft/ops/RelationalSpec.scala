@@ -291,4 +291,42 @@ class RelationalSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("P1", 1L, 30000L)))
   }
+
+  test("orderBacklog: dense months, shipped on LAST line, running net") {
+    import java.sql.Timestamp
+    // orders placed in 1995-01 (x2) and 1995-03 (x1); order 1's lines
+    // ship in 01 and 03 (fully shipped only in 03), order 2 in 01;
+    // order 3 never ships. 1995-02 must dense-fill.
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1995-01-05 00:00:00")),
+      (2L, Timestamp.valueOf("1995-01-20 00:00:00")),
+      (3L, Timestamp.valueOf("1995-03-10 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, Timestamp.valueOf("1995-01-10 00:00:00")),
+      (1L, Timestamp.valueOf("1995-03-15 00:00:00")),
+      (2L, Timestamp.valueOf("1995-01-25 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = Relational.orderBacklog(orders, li)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val m0 = 1995L * 12 + 0
+    assert(got == Seq((m0, 2L, 1L, 1L), (m0 + 1, 0L, 0L, 1L),
+      (m0 + 2, 1L, 1L, 1L)))
+  }
+
+  test("revenueConcentration: HHI exact - monopoly 1e6, 50/50 500k") {
+    import java.sql.Timestamp
+    val d95 = Timestamp.valueOf("1995-06-01 00:00:00")
+    val d96 = Timestamp.valueOf("1996-06-01 00:00:00")
+    val li = Seq(
+      (1L, 10L, 10.0, 0.0),                       // 1995: only Brand#1
+      (2L, 10L, 10.0, 0.0), (2L, 20L, 10.0, 0.0)) // 1996: 50/50
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice", "l_discount")
+    val orders = Seq((1L, d95), (2L, d96)).toDF("o_orderkey", "o_orderdate")
+    val part = Seq((10L, "Brand#1"), (20L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val got = Relational.revenueConcentration(li, orders, part)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1995L, 1L, 1000000L), (1996L, 2L, 500000L)))
+  }
 }

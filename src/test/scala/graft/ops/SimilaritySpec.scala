@@ -373,4 +373,40 @@ class SimilaritySpec extends SparkSpec {
     assert(by(10L)._4 == t(1) && by(10L)._3.isEmpty)
     assert(by(40L)._4 == t(2) && by(40L)._2.isEmpty)
   }
+
+  test("centroidAssignmentDrift: integer argmin with cell tiebreak") {
+    import spark.implicits._
+    // two 3-dim centroids: cell 0 at (-64,0,0), cell 1 at (64,0,0).
+    // v0 (-1.0) -> cell 0; v1 (1.0) -> cell 1; v2 at exactly 0 is
+    // equidistant -> the lower cell id wins (encoded-argmin tiebreak);
+    // v3 (-0.5, code -64) sits ON centroid 0
+    val cells = Seq(Seq(-64L, 0L, 0L), Seq(64L, 0L, 0L))
+    val e = Seq(
+      (0L, Array(-1.0f, 0f, 0f, 0f)),   // old half
+      (1L, Array(1.0f, 0f, 0f, 0f)),    // new half
+      (2L, Array(0f, 0f, 0f, 0f)),      // old: tie -> cell 0
+      (3L, Array(-0.5f, 0f, 0f, 0f)))   // new: cell 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.centroidAssignmentDrift(e, cells)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // cell 0: old {0,2}, new {3} -> (1-2)*1000 div 2 = -500;
+    // cell 1: old empty -> drift NULL (guarded division)
+    assert(got == Seq((0L, 2L, 1L, Some(-500L)), (1L, 0L, 1L, None)))
+  }
+
+  test("labelCentroidDistances: exact scaled mean-difference squares") {
+    import spark.implicits._
+    // label 0: one vector at 1.0 on dim0 (code 127); label 1: two
+    // vectors at -1.0 and 1.0 (codes -127, 127; sum 0). Scaled diff at
+    // pos0 = n1*s0 - n0*s1 = 2*127 - 1*0 = 254; pos1 zero ->
+    // d2_scaled = 254^2 = 64516
+    val e = Seq(
+      (0L, 0, Array(1.0f, 0f)),
+      (1L, 1, Array(-1.0f, 0f)),
+      (2L, 1, Array(1.0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelCentroidDistances(e)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0, 1, 64516L)))
+  }
 }

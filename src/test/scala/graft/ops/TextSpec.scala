@@ -827,4 +827,15 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("s1", 4L, 1L, 1L, 1L, 750L)))
   }
+
+  test("langPurity: dominant language with lexicographic tiebreak") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t", "en", "s1"), (2L, "t", "en", "s1"), (3L, "t", "fr", "s1"),
+      (4L, "t", "zz", "s2"), (5L, "t", "aa", "s2")) // tie -> "aa"
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Text.langPurity(d)
+      .as[(String, Long, String, Long)].collect().toSeq
+    assert(got == Seq(("s1", 2L, "en", 666L), ("s2", 2L, "aa", 500L)))
+  }
 }
