@@ -89,7 +89,9 @@ object DevPlans {
         "q232_assignment_drift", "q233_label_distances",
         "q234_lang_purity", "q235_order_backlog",
         "q236_intensity_by_entropy", "q237_revenue_concentration",
-        "q238_bounce_rate")
+        "q238_bounce_rate",
+        "q239_cadence_regularity", "q240_hill_tail_index",
+        "q241_srm_check", "q242_hll_audit", "q243_trending_types")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -356,7 +356,15 @@ object DevScale {
       "q235_backlog" -> SparkEntry.queries("q235_order_backlog"),
       "q236_intensity" -> SparkEntry.queries("q236_intensity_by_entropy"),
       "q237_hhi" -> SparkEntry.queries("q237_revenue_concentration"),
-      "q238_bounce" -> SparkEntry.queries("q238_bounce_rate"))
+      "q238_bounce" -> SparkEntry.queries("q238_bounce_rate"),
+      // q239 user-keyed lag + ntile; q240 census + top-k; q241 ids-only
+      // distinct + projection; q242 the dual exact/sketch aggregate
+      // (the audit's cost story IS the x16 row); q243 days-bounded
+      "q239_cadence" -> SparkEntry.queries("q239_cadence_regularity"),
+      "q240_hill" -> SparkEntry.queries("q240_hill_tail_index"),
+      "q241_srm" -> SparkEntry.queries("q241_srm_check"),
+      "q242_hll" -> SparkEntry.queries("q242_hll_audit"),
+      "q243_trending" -> SparkEntry.queries("q243_trending_types"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

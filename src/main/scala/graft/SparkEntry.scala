@@ -6095,7 +6095,111 @@ object SparkEntry {
         |    // count(*) AS BIGINT) AS bounce_permille
         |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => Behavior.bounceRate(Tables.events(s, d),
-        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L))
+        gapNs = 4L * 3600 * 1000000000L, quantumNs = 1000L)),
+    // Cadence regularity deciles (Behavior.cadenceRegularityDeciles):
+    // CV² of inter-purchase gaps per user (integer sums, one double
+    // division — the q230 device), sharded-ntile buckets. CV²≈0 is
+    // bot-shaped regularity.
+    q("q239_cadence_regularity",
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS qts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, qts - lag(qts) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id) AS gap FROM p),
+        |s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(gap) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS sxx
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+        |cv AS (SELECT user_id,
+        |    CAST(round(1000000 * CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+        |      / CAST((n - 1) * sx * sx AS DOUBLE)) AS BIGINT) AS cv2_q6
+        |  FROM s),
+        |b AS (SELECT user_id, cv2_q6,
+        |    ntile(10) OVER (ORDER BY cv2_q6, user_id) AS bucket FROM cv)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(cv2_q6) AS BIGINT) AS min_q6,
+        |  CAST(max(cv2_q6) AS BIGINT) AS max_q6
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.cadenceRegularityDeciles(Tables.events(s, d),
+        eventType = "purchase", k = 10, quantumNs = 1000L)),
+
+    // Hill tail index (Profiling.hillTailIndex): 1/α̂ over the top-20
+    // user activity counts, per-term ×1e6 ln quantization — the
+    // heavy-tail exponent check.
+    q("q240_hill_tail_index",
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC,
+        |    user_id) AS rk FROM u),
+        |k AS (SELECT n AS xk FROM r WHERE rk = 20),
+        |t AS (SELECT CAST(round(1000000 * ln(CAST(r.n AS DOUBLE)
+        |      / k.xk)) AS BIGINT) AS term
+        |  FROM r, k WHERE r.rk < 20)
+        |SELECT CAST(count(*) AS BIGINT) AS k_minus_1,
+        |  CAST(sum(term) AS BIGINT) AS sum_ln_q6,
+        |  CAST(sum(term) // count(*) AS BIGINT) AS alpha_inv_q6
+        |FROM t""".stripMargin)(
+      (s, d) => Profiling.hillTailIndex(Tables.events(s, d), k = 20)),
+
+    // SRM check (Sampling.srmCheck): md5-bucket A/B assignment on
+    // distinct users + the χ²-against-50/50 imbalance statistic — the
+    // experiment-readout gate.
+    q("q241_srm_check",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id
+        |      AS VARCHAR)), 1, 4)) AS INTEGER) % 1000 < 500
+        |    THEN 'A' ELSE 'B' END AS arm FROM u),
+        |cnt AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b FROM a)
+        |SELECT n_a, n_b,
+        |  CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b)
+        |    AS BIGINT) AS srm_q6
+        |FROM cnt""".stripMargin)(
+      (s, d) => Sampling.srmCheck(Tables.events(s, d),
+        permille = 500L)),
+
+    // HLL cardinality audit (Profiling.hllCardinalityAudit): exact
+    // distinct 3-gram shingles per source next to a PINNED
+    // within-bound check on Spark's HLL++ estimate (the q176 CMS-audit
+    // device — the estimate itself is engine-private, the BOUND is the
+    // contract).
+    q("q242_hll_audit",
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0) AS t FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS sh FROM toks)
+        |SELECT source, CAST(count(DISTINCT sh) AS BIGINT) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Profiling.hllCardinalityAudit(Tables.documents(s, d),
+        n = 3, rsd = 0.05, tol = 0.15)),
+
+    // Trending types (Behavior.trendingTypes): day-over-day type-share
+    // momentum — per (day, type) count, permille share, delta vs the
+    // prior day (NULL on each type's first day).
+    q("q243_trending_types",
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+        |    event_type FROM events),
+        |cd AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT day, CAST(sum(n) AS BIGINT) AS tot FROM cd
+        |  GROUP BY 1),
+        |s AS (SELECT cd.day, cd.event_type, cd.n,
+        |    CAST(cd.n * 1000 // t.tot AS BIGINT) AS share_pm
+        |  FROM cd JOIN t ON cd.day = t.day),
+        |d AS (SELECT day, event_type, n, share_pm,
+        |    share_pm - lag(share_pm) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS delta_pm FROM s)
+        |SELECT CAST(day AS BIGINT) AS day, event_type, n, share_pm,
+        |  CAST(delta_pm AS BIGINT) AS delta_pm
+        |FROM d ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Behavior.trendingTypes(Tables.events(s, d),
+        quantumNs = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

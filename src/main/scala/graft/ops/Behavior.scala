@@ -1158,4 +1158,73 @@ object Behavior {
         expr("n_bounce * 1000 div n_sessions").as("bounce_permille"))
       .orderBy("entry_type")
   }
+
+  /** Purchase-cadence regularity deciles: per user with ≥3 purchases,
+    * the squared coefficient of variation of inter-purchase gaps —
+    * CV² ≈ 0 is metronomic (bot-shaped), CV² ≈ 1 is Poisson-random,
+    * large CV² is bursty — bucketed by the q155 sharded-ntile
+    * contract. cv2_q6 = round(10⁶·n·(n·Σx²−(Σx)²)/((n−1)·(Σx)²)):
+    * integer sums in decimal(38,0) (HUGEINT in the oracle), ONE double
+    * division at the end (the q230 device). Safe while a user's
+    * Σgap² stays under ~10³⁶ µs² (≈ 10³ gaps of 30 years each).
+    *
+    * Scale shape: gaps from one user-keyed lag window (per-user
+    * partitions), then a users-sized reduction and quantileBuckets'
+    * range-partitioned ranks — no single-task sort.
+    */
+  def cadenceRegularityDeciles(events: DataFrame,
+                               eventType: String = "purchase",
+                               k: Int = 10,
+                               quantumNs: Long = 1L): DataFrame = {
+    require(k >= 1 && quantumNs >= 1, "need positive k/quantum")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("qts"), col("event_id"))
+    val gaps = events.filter(col("event_type") === eventType)
+      .select(col("user_id"), col("event_id"),
+        expr(s"ts div ${quantumNs}L").as("qts"))
+      .withColumn("gap", col("qts") - lag("qts", 1).over(w))
+      .filter(col("gap").isNotNull)
+    val s = gaps.groupBy("user_id")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("gap").cast("decimal(38,0)")).as("sx"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sxx"))
+      .filter(col("n") >= 2)
+    val cv = s.select(col("user_id"),
+      expr("cast(round(1000000 * cast(n * (n * sxx - sx * sx) as" +
+        " double) / cast((n - 1) * sx * sx as double)) as bigint)")
+        .as("cv2_q6"))
+    Profiling.quantileBuckets(cv, "user_id", "cv2_q6", "user_id", k)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"), min("cv2_q6").as("min_q6"),
+        max("cv2_q6").as("max_q6"))
+      .orderBy("bucket")
+  }
+
+  /** Day-over-day type-share momentum — the "what's trending" report:
+    * per (day, type), the event count, its permille share of that
+    * day's events, and the share's delta against the prior day (NULL
+    * on each type's first day).
+    *
+    * Scale shape: one (day, type) partial agg bounds everything at
+    * days×|types| rows; the lag window partitions by TYPE over a
+    * days-bounded frame (the q209 regime — never event-bounded).
+    */
+  def trendingTypes(events: DataFrame,
+                    quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val usPerDay = 86400000000L
+    val cd = events
+      .select(expr(s"ts div ${quantumNs}L div ${usPerDay}L").as("day"),
+        col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val tot = cd.groupBy(col("day").as("__d")).agg(sum("n").as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    cd.join(tot, col("day") === col("__d"))
+      .select(col("day"), col("event_type"), col("n"),
+        expr("n * 1000 div __t").as("share_pm"))
+      .withColumn("delta_pm",
+        col("share_pm") - lag("share_pm", 1).over(w))
+      .orderBy("day", "event_type")
+  }
 }

@@ -648,4 +648,65 @@ object Profiling {
         graft.ops.Layout.ntileFromRank(col("rnk"), n, k).as("bucket"))
       .orderBy(idCol)
   }
+
+  /** Hill tail-index estimate on the user-activity distribution: over
+    * the top `k` users by event count, 1/α̂ = mean of ln(xᵢ/x₍ₖ₎) for
+    * i < k — the standard heavy-tail exponent check (α ≈ 1–2 means a
+    * few users dominate; large α means near-uniform). Integer device:
+    * each ln term quantizes to ×10⁶ BEFORE the sum (the q134 family),
+    * the mean is one integer division; one row out.
+    *
+    * Scale shape: the per-user census is one partial agg; the top-k
+    * cut is TakeOrderedAndProject (k+ rows to the driver-side plan,
+    * never the census); the k−1 terms reduce to one row.
+    */
+  def hillTailIndex(events: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val u = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val top = u.orderBy(col("n").desc, col("user_id")).limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("user_id"))))
+    val xk = top.filter(col("rk") === k)
+      .select(col("n").as("__xk"))
+    top.filter(col("rk") < k)
+      .crossJoin(broadcast(xk))
+      .select(expr("cast(round(1000000 * ln(cast(n as double)" +
+        " / __xk)) as bigint)").as("term"))
+      .agg(count(lit(1)).as("k_minus_1"), sum("term").as("sum_ln_q6"))
+      .select(col("k_minus_1"), col("sum_ln_q6"),
+        expr("sum_ln_q6 div k_minus_1").as("alpha_inv_q6"))
+  }
+
+  /** HLL cardinality audit — the approximate-distinct counterpart of
+    * q176's Count-Min audit: per source, the EXACT distinct 3-gram
+    * shingle count next to Spark's HyperLogLog++ estimate, and a
+    * bound check (|approx − exact| ≤ tol·exact). The oracle pins the
+    * exact column and `approx_ok = true` — a sketch drifting past its
+    * advertised error bound FAILS the gate, which is the audit's job.
+    * The approx value itself is intentionally NOT in the output:
+    * sketch internals differ across engines and runs are only bound-
+    * comparable, not bit-comparable.
+    *
+    * Scale shape: the shingle explode feeds TWO partial aggregates in
+    * one pass (exact distinct needs the dedup shuffle; the HLL sketch
+    * is map-side mergeable and rides the same exchange) — at corpus
+    * scale the sketch column is why this query is cheap while the
+    * exact one pays the distinct; keeping both quantifies that trade.
+    */
+  def hllCardinalityAudit(documents: DataFrame, n: Int = 3,
+                          rsd: Double = 0.05,
+                          tol: Double = 0.15): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val sh = documents.select(col("source"),
+      explode(graft.functions.GraftFunctions.shingles(col("text"), n))
+        .as("sh"))
+    sh.groupBy("source")
+      .agg(count_distinct(col("sh")).as("n_exact"),
+        approx_count_distinct(col("sh"), rsd).as("__approx"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("__approx") - col("n_exact")) <=
+          col("n_exact").cast("double") * tol).as("approx_ok"))
+      .orderBy("source")
+  }
 }

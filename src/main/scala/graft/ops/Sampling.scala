@@ -652,4 +652,29 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"), col("split"))
       .orderBy("doc_id")
   }
+
+  /** Sample-ratio-mismatch (SRM) check on the md5-bucket A/B
+    * assignment — the first gate of any experiment readout: distinct
+    * users are armed by `splitBucket(user_id) < permille`, and the
+    * imbalance statistic srm_q6 = 10⁶·(n_A−n_B)²/(n_A+n_B) (the
+    * χ²-against-50/50 numerator, exact integer division) tells the
+    * analyst whether the assignment itself is broken before any
+    * metric is read. One row out.
+    *
+    * Scale shape: distinct users is one partial-agg shuffle of bare
+    * ids; the arm flag is the same codegen'd projection every split
+    * query uses; the census is one row. Integer headroom: safe while
+    * (n_A−n_B)² · 10⁶ stays in Long — an imbalance of ~3·10⁶ users.
+    */
+  def srmCheck(events: DataFrame, permille: Long = 500L): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0,1000]")
+    events.select(col("user_id")).distinct()
+      .select(when(splitBucket(col("user_id")) < permille, "A")
+        .otherwise("B").as("arm"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
+          .as("srm_q6"))
+  }
 }

@@ -588,4 +588,33 @@ class BehaviorSpec extends SparkSpec {
     // entries: view(A), click(B), view(C) -> click 0/1, view 2/2
     assert(got == Seq(("click", 1L, 0L, 0L), ("view", 2L, 2L, 1000L)))
   }
+
+  test("cadenceRegularityDeciles: metronomic user scores exactly 0") {
+    import spark.implicits._
+    // u1 purchases at 0,10,20 (equal gaps) -> CV^2 = 0; u2 at 0,10,40
+    // (gaps 10,30) -> 2*(2*1000-1600)/(1*1600) = 0.5 -> 500000
+    val e = Seq((1L, 0L), (1L, 10L), (1L, 20L),
+      (2L, 0L), (2L, 10L), (2L, 40L))
+      .zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong, "purchase") }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.cadenceRegularityDeciles(e, k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0L, 0L), (2L, 1L, 500000L, 500000L)))
+  }
+
+  test("trendingTypes: share deltas, NULL on each type's first day") {
+    import spark.implicits._
+    val usPerDay = 86400000000L
+    // day0: A 1, B 3 (250/750 permille); day1: A 2, B 2 (500/500)
+    val e = (Seq.fill(1)((0L, "A")) ++ Seq.fill(3)((0L, "B")) ++
+      Seq.fill(2)((1L, "A")) ++ Seq.fill(2)((1L, "B")))
+      .zipWithIndex.map { case ((d, t), i) =>
+        (1L, d * usPerDay, i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavior.trendingTypes(e)
+      .as[(Long, String, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (0L, "A", 1L, 250L, None), (0L, "B", 3L, 750L, None),
+      (1L, "A", 2L, 500L, Some(250L)), (1L, "B", 2L, 500L, Some(-250L))))
+  }
 }

@@ -324,4 +324,28 @@ class ProfilingSpec extends SparkSpec {
     assert(got(0)._4.contains(math.round(
       (0.4 - 0.75) * math.log((2.0 * 4.0) / (3.0 * 5.0)) * 1e6)))
   }
+
+  test("hillTailIndex: exact quantized terms over the top k") {
+    import spark.implicits._
+    // activity 8/4/2/1 -> top-3 with x3=2: terms ln(4)=1386294,
+    // ln(2)=693147 -> sum 2079441, mean 1039720 (integer div)
+    val e = (Seq.fill(8)(1L) ++ Seq.fill(4)(2L) ++ Seq.fill(2)(3L) ++
+      Seq(4L)).zipWithIndex
+      .map { case (u, i) => (u, i.toLong, i.toLong, "x") }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Profiling.hillTailIndex(e, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2079441L, 1039720L)))
+  }
+
+  test("hllCardinalityAudit: exact shingle counts, estimate in bound") {
+    import spark.implicits._
+    // source s1: shingles {a b c, b c d} from doc1, {a b c} from doc2
+    // -> 2 exact; tiny cardinalities are exact in HLL++ -> in bound
+    val d = Seq((1L, "a b c d", "s1"), (2L, "a b c", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Profiling.hllCardinalityAudit(d)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("s1", 2L, true)))
+  }
 }

@@ -459,4 +459,18 @@ class SamplingSpec extends SparkSpec {
       .select(col("split")).as[String].collect().head
     assert(byId(2L)._3 == repSplit)
   }
+
+  test("srmCheck: arms partition the users; statistic is self-consistent") {
+    import spark.implicits._
+    val e = (1L to 40L).map(u => (u, u, u, "x"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val (na, nb, srm) = Sampling.srmCheck(e, permille = 500L)
+      .as[(Long, Long, Long)].collect().head
+    assert(na + nb == 40L)
+    assert(srm == (na - nb) * (na - nb) * 1000000L / 40L)
+    // permille 0 -> everyone lands in B
+    val (za, zb, zs) = Sampling.srmCheck(e, permille = 0L)
+      .as[(Long, Long, Long)].collect().head
+    assert(za == 0L && zb == 40L && zs == 1000000L * 40L)
+  }
 }
