@@ -91,7 +91,10 @@ object DevPlans {
         "q236_intensity_by_entropy", "q237_revenue_concentration",
         "q238_bounce_rate",
         "q239_cadence_regularity", "q240_hill_tail_index",
-        "q241_srm_check", "q242_hll_audit", "q243_trending_types")
+        "q241_srm_check", "q242_hll_audit", "q243_trending_types",
+        "q244_price_reconciliation", "q245_json_validity",
+        "q246_length_token_corr", "q247_bipartite_degrees",
+        "q248_benford_census")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -364,7 +364,14 @@ object DevScale {
       "q240_hill" -> SparkEntry.queries("q240_hill_tail_index"),
       "q241_srm" -> SparkEntry.queries("q241_srm_check"),
       "q242_hll" -> SparkEntry.queries("q242_hll_audit"),
-      "q243_trending" -> SparkEntry.queries("q243_trending_types"))
+      "q243_trending" -> SparkEntry.queries("q243_trending_types"),
+      // q244 pre-aggregate-then-join; q245/q248 scan-stage censuses;
+      // q246 one partial agg of sums; q247 ids-only distinct + censuses
+      "q244_reconcile" -> SparkEntry.queries("q244_price_reconciliation"),
+      "q245_json" -> SparkEntry.queries("q245_json_validity"),
+      "q246_lencorr" -> SparkEntry.queries("q246_length_token_corr"),
+      "q247_bipartite" -> SparkEntry.queries("q247_bipartite_degrees"),
+      "q248_benford" -> SparkEntry.queries("q248_benford_census"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

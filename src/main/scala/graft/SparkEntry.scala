@@ -6199,7 +6199,112 @@ object SparkEntry {
         |  CAST(delta_pm AS BIGINT) AS delta_pm
         |FROM d ORDER BY 1, 2""".stripMargin)(
       (s, d) => Behavior.trendingTypes(Tables.events(s, d),
-        quantumNs = 1000L))
+        quantumNs = 1000L)),
+    // Price reconciliation (Relational.priceReconciliation): header
+    // o_totalprice vs the exact-cents sum of its lines — the ingest
+    // consistency audit; orphan headers compare against 0.
+    q("q244_price_reconciliation",
+      """WITH lt AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |      AS hdr, coalesce(lt.line_cents, 0) AS lin
+        |  FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN hdr = lin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(sum(CASE WHEN hdr <> lin THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(max(abs(hdr - lin)) AS BIGINT) AS max_abs_diff_cents,
+        |  CAST(sum(abs(hdr - lin)) AS BIGINT) AS sum_abs_diff_cents
+        |FROM j""".stripMargin)(
+      (s, d) => Relational.priceReconciliation(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+
+    // JSON validity census (Profiling.jsonValidityCensus): payload
+    // corruption planted on event_id % 7 (the q66 device — both sides
+    // truncate the same strings), per-type malformed permille.
+    q("q245_json_validity",
+      """WITH p AS (SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0
+        |      THEN substr(props, 1, len(props) - 1) ELSE props END
+        |      AS props FROM events),
+        |v AS (SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS ok FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(1 - ok) AS BIGINT) AS n_malformed,
+        |  CAST(sum(1 - ok) * 1000 // count(*) AS BIGINT)
+        |    AS malformed_permille
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, when}
+        val planted = Tables.events(s, d).select(col("event_type"),
+          when(col("event_id") % 7 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")).as("props"))
+        Profiling.jsonValidityCensus(planted, "event_type", "props")
+      }),
+
+    // Length-token correlation (Text.lengthTokenCorrelation): per-
+    // source Pearson between n_chars and token count — the q230
+    // integer-sums device on document stats.
+    q("q246_length_token_corr",
+      """WITH d AS (SELECT source, CAST(n_chars AS HUGEINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> len(w) > 0)) AS HUGEINT) AS y
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |    sum(x*x) AS sxx, sum(y*y) AS syy FROM d GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(round(1000000 * CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |      sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0))
+        |    AS BIGINT) AS r_q6
+        |FROM s ORDER BY 1""".stripMargin)(
+      (s, d) => Text.lengthTokenCorrelation(Tables.documents(s, d))),
+
+    // Bipartite degree histograms (Profiling.bipartiteDegrees): the
+    // supplier↔part fan-out profile a join planner reads before
+    // co-locating on either key.
+    q("q247_bipartite_degrees",
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem),
+        |d1 AS (SELECT 'parts_per_supplier' AS side,
+        |    CAST(count(*) AS BIGINT) AS degree FROM ps
+        |  GROUP BY l_suppkey),
+        |d2 AS (SELECT 'suppliers_per_part' AS side,
+        |    CAST(count(*) AS BIGINT) AS degree FROM ps
+        |  GROUP BY l_partkey),
+        |u AS (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |SELECT side, degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Profiling.bipartiteDegrees(Tables.lineitem(s, d),
+        "l_suppkey", "l_partkey",
+        "parts_per_supplier", "suppliers_per_part")),
+
+    // Benford census (Profiling.benfordCensus): leading digit of
+    // order cents vs log10(1+1/d) — the forensic screen; the fixture
+    // (uniform synthetic) correctly reads as NON-Benford.
+    q("q248_benford_census",
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+        |    AS BIGINT) AS digit FROM v),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM d)
+        |SELECT digit, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) * 1000 // t.tot AS BIGINT) AS share_permille,
+        |  CAST(round(1000 * ln(1.0 + 1.0 / digit) / ln(10))
+        |    AS BIGINT) AS benford_permille
+        |FROM d, t GROUP BY 1, t.tot ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.expr
+        Profiling.benfordCensus(
+          Tables.orders(s, d).select(
+            expr("cast(round(o_totalprice * 100) as bigint)")
+              .as("cents")), "cents")
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1067,10 +1067,8 @@ object Behavior {
         sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
         sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
       .select(col("t1"), col("t2"), col("nn").cast("long").as("n_days"),
-        expr("cast(round(1000000 * cast(nn * sxy - sx * sy as double)" +
-          " / nullif(sqrt(cast(nn * sxx - sx * sx as double))" +
-          " * sqrt(cast(nn * syy - sy * sy as double)), 0d))" +
-          " as bigint)").as("r_q6"))
+        Profiling.pearsonQ6("nn", "sx", "sy", "sxy", "sxx", "syy")
+          .as("r_q6"))
       .orderBy("t1", "t2")
   }
 

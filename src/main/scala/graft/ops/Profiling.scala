@@ -709,4 +709,86 @@ object Profiling {
           col("n_exact").cast("double") * tol).as("approx_ok"))
       .orderBy("source")
   }
+
+  /** The shared integer-exact Pearson device (q230/q246 — one
+    * definition of the arithmetic, multiple reports): with
+    * decimal(38,0) sums named `n/sx/sy/sxy/sxx/syy` in scope,
+    * r_q6 = round(10⁶·(n·Σxy−ΣxΣy)/(√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))),
+    * NULL when either variance is zero — exact integer operands, one
+    * sqrt·sqrt division in double (sqrt is correctly rounded
+    * everywhere, the q165 rule).
+    */
+  private[ops] def pearsonQ6(n: String, sx: String, sy: String,
+                             sxy: String, sxx: String,
+                             syy: String): Column =
+    expr(s"cast(round(1000000 * cast($n * $sxy - $sx * $sy as double)" +
+      s" / nullif(sqrt(cast($n * $sxx - $sx * $sx as double))" +
+      s" * sqrt(cast($n * $syy - $sy * $sy as double)), 0d))" +
+      " as bigint)")
+
+  /** JSON validity census over a string column: events whose payload
+    * no longer parses, per group — the ingestion-quality gate run
+    * before any `get_json_object` extraction is trusted. Validity is
+    * `get_json_object(col, "$")` non-null (Spark's parser; the oracle
+    * uses its engine's `json_valid` on the identical strings).
+    *
+    * Scale shape: a scan-stage predicate feeding one partial agg —
+    * scan-speed, one exchange of ≤|groups| rows.
+    */
+  def jsonValidityCensus(df: DataFrame, groupCol: String,
+                         jsonCol: String): DataFrame =
+    df.select(col(groupCol),
+        when(get_json_object(col(jsonCol), "$").isNotNull, 1L)
+          .otherwise(0L).as("__ok"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"),
+        sum(lit(1L) - col("__ok")).as("n_malformed"))
+      .select(col(groupCol), col("n_events"), col("n_malformed"),
+        expr("n_malformed * 1000 div n_events").as("malformed_permille"))
+      .orderBy(groupCol)
+
+  /** Bipartite degree histograms over a relationship table: for the
+    * distinct (a, b) pairs, how many nodes on each side have degree d
+    * — the fan-out profile a join planner (or a skew guard) reads
+    * before co-locating on either key. One frame, both sides labeled.
+    *
+    * Scale shape: one distinct on the pair (ids-only shuffle), then
+    * two chained censuses per side — everything after the distinct is
+    * bounded by node counts, then by distinct degrees.
+    */
+  def bipartiteDegrees(df: DataFrame, aCol: String, bCol: String,
+                       aLabel: String, bLabel: String): DataFrame = {
+    val pairs = df.select(col(aCol), col(bCol)).distinct()
+    def side(key: String, label: String) = pairs
+      .groupBy(col(key)).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .select(lit(label).as("side"), col("degree"), col("n_nodes"))
+    side(aCol, aLabel).unionByName(side(bCol, bLabel))
+      .orderBy("side", "degree")
+  }
+
+  /** Benford first-digit census over a positive integer column: the
+    * observed permille share of each leading digit next to Benford's
+    * log₁₀(1 + 1/d) expectation — the standard forensic screen for
+    * fabricated or uniformly-generated amounts. The expectation is
+    * computed per digit (one ln ratio, ×10³, rounded — deterministic
+    * IEEE both engines); the comparison is the reader's.
+    *
+    * Scale shape: leading digit is a scan-stage string projection;
+    * the census is 9 rows after one partial agg; the total joins back
+    * as a 1-row broadcast.
+    */
+  def benfordCensus(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.filter(col(valueCol) > 0)
+      .select(substring(col(valueCol).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = d.agg(count(lit(1)).as("__tot"))
+    d.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000 div __tot").as("share_permille"),
+        expr("cast(round(1000 * ln(1.0d + 1.0d / digit) / ln(10.0d))" +
+          " as bigint)").as("benford_permille"))
+      .orderBy("digit")
+  }
 }

@@ -826,4 +826,33 @@ object Relational {
           .as("hhi_q6"))
       .orderBy("year")
   }
+
+  /** Header-vs-lines price reconciliation: does o_totalprice equal the
+    * sum of its lineitems' extended prices — the cross-table
+    * consistency audit every warehouse runs on ingest. One row: order
+    * count, exact matches, mismatches, max and total absolute drift in
+    * cents. Orders with no lines compare against 0 (the left join —
+    * an orphan header IS a mismatch).
+    *
+    * Scale shape: lineitem partial-aggregates to one row per order
+    * before the join (the q06 convention); the compare is a
+    * projection; the census is one row.
+    */
+  def priceReconciliation(orders: DataFrame,
+                          lineitem: DataFrame): DataFrame = {
+    val lt = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("__lc"))
+    orders
+      .join(lt, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(expr("cast(round(o_totalprice * 100) as bigint)")
+        .as("hdr"), coalesce(col("__lc"), lit(0L)).as("lin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("hdr") === col("lin"), 1L).otherwise(0L))
+          .as("n_exact"),
+        sum(when(col("hdr") =!= col("lin"), 1L).otherwise(0L))
+          .as("n_mismatch"),
+        max(abs(col("hdr") - col("lin"))).as("max_abs_diff_cents"),
+        sum(abs(col("hdr") - col("lin"))).as("sum_abs_diff_cents"))
+  }
 }

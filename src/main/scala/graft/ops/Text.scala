@@ -1630,4 +1630,30 @@ object Text {
         expr("n * 1000 div __tot").as("purity_permille"))
       .orderBy("source")
   }
+
+  /** Per-source Pearson correlation between character length and
+    * whitespace token count — the length-consistency profile (a slice
+    * whose chars and tokens decorrelate is mixing content types, e.g.
+    * code next to prose). Integer sums in decimal(38,0) (HUGEINT in
+    * the oracle), one sqrt·sqrt division in double per source — the
+    * q230 correlation device on document stats.
+    *
+    * Scale shape: both stats are scan-stage projections; one partial
+    * agg to |sources| rows carries every sum.
+    */
+  def lengthTokenCorrelation(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("source"),
+      col("n_chars").cast("decimal(38,0)").as("x"),
+      size(tokens(col("text"))).cast("decimal(38,0)").as("y"))
+    d.groupBy("source")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        Profiling.pearsonQ6("n", "sx", "sy", "sxy", "sxx", "syy")
+          .as("r_q6"))
+      .orderBy("source")
+  }
 }

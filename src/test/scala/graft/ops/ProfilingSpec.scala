@@ -348,4 +348,36 @@ class ProfilingSpec extends SparkSpec {
       .as[(String, Long, Boolean)].collect().toSeq
     assert(got == Seq(("s1", 2L, true)))
   }
+
+  test("jsonValidityCensus: truncated payloads counted per group") {
+    import spark.implicits._
+    val d = Seq(("a", "{\"k\": 1}"), ("a", "{\"k\": 2"), ("b", "{}"))
+      .toDF("event_type", "props")
+    val got = Profiling.jsonValidityCensus(d, "event_type", "props")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 1L, 500L), ("b", 1L, 0L, 0L)))
+  }
+
+  test("bipartiteDegrees: duplicate pairs collapse before degrees") {
+    import spark.implicits._
+    // pair (s1,p1) appears twice -> distinct first; s1 touches 2 parts,
+    // s2 one; p1 has 2 suppliers, p2 one
+    val d = Seq((1L, 10L), (1L, 10L), (1L, 20L), (2L, 10L))
+      .toDF("s", "p")
+    val got = Profiling.bipartiteDegrees(d, "s", "p", "parts_per_s",
+      "supp_per_p").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("parts_per_s", 1L, 1L), ("parts_per_s", 2L, 1L),
+      ("supp_per_p", 1L, 1L), ("supp_per_p", 2L, 1L)))
+  }
+
+  test("benfordCensus: digits, shares, and the log expectation") {
+    import spark.implicits._
+    // values 1,1,2,9: digit 1 x2 (500 permille), 2 and 9 x1 (250)
+    val d = Seq(1L, 1L, 2L, 9L).toDF("v")
+    val got = Profiling.benfordCensus(d, "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // benford: round(1000*log10(2))=301, log10(1.5)->176, log10(10/9)->46
+    assert(got == Seq((1L, 2L, 500L, 301L), (2L, 1L, 250L, 176L),
+      (9L, 1L, 250L, 46L)))
+  }
 }

@@ -329,4 +329,16 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1995L, 1L, 1000000L), (1996L, 2L, 500000L)))
   }
+
+  test("priceReconciliation: exact match, drift, and orphan header") {
+    val orders = Seq((1L, 30.0), (2L, 10.0), (3L, 5.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val li = Seq((1L, 10.0), (1L, 20.0), (2L, 9.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    // order 1 reconciles (3000 = 1000+2000); order 2 drifts 100 cents;
+    // order 3 has NO lines -> compares against 0, drift 500
+    val got = Relational.priceReconciliation(orders, li)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 1L, 2L, 500L, 600L)))
+  }
 }

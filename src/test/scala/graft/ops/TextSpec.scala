@@ -838,4 +838,17 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, String, Long)].collect().toSeq
     assert(got == Seq(("s1", 2L, "en", 666L), ("s2", 2L, "aa", 500L)))
   }
+
+  test("lengthTokenCorrelation: perfect linear relation scores 1e6") {
+    import spark.implicits._
+    // n_chars = 10 * tokens exactly -> r = 1; constant tokens -> NULL
+    val d = Seq(
+      (1L, "a b", 20L, "s1"), (2L, "a b c", 30L, "s1"),
+      (3L, "a", 10L, "s1"),
+      (4L, "x", 5L, "s2"), (5L, "y", 9L, "s2"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val got = Text.lengthTokenCorrelation(d)
+      .as[(String, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(("s1", 3L, Some(1000000L)), ("s2", 2L, None)))
+  }
 }
