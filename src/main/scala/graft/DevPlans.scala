@@ -94,7 +94,12 @@ object DevPlans {
         "q241_srm_check", "q242_hll_audit", "q243_trending_types",
         "q244_price_reconciliation", "q245_json_validity",
         "q246_length_token_corr", "q247_bipartite_degrees",
-        "q248_benford_census")
+        "q248_benford_census",
+        "q249_shipping_priority", "q250_local_supplier_volume",
+        "q251_forecast_revenue", "q252_product_profit",
+        "q253_returned_customers", "q254_priority_class",
+        "q255_promo_share", "q256_supplier_count",
+        "q257_small_quantity", "q258_brand_bands")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -371,7 +371,20 @@ object DevScale {
       "q245_json" -> SparkEntry.queries("q245_json_validity"),
       "q246_lencorr" -> SparkEntry.queries("q246_length_token_corr"),
       "q247_bipartite" -> SparkEntry.queries("q247_bipartite_degrees"),
-      "q248_benford" -> SparkEntry.queries("q248_benford_census"))
+      "q248_benford" -> SparkEntry.queries("q248_benford_census"),
+      // the Q3/Q5/Q6/Q9/Q10/Q12/Q14/Q16/Q17/Q19 topologies: fact-scaled
+      // join legs against constant dims (the q138/q210 regime); q257's
+      // per-part average decorrelation doubles the fact scan
+      "q249_q3" -> SparkEntry.queries("q249_shipping_priority"),
+      "q250_q5" -> SparkEntry.queries("q250_local_supplier_volume"),
+      "q251_q6" -> SparkEntry.queries("q251_forecast_revenue"),
+      "q252_q9" -> SparkEntry.queries("q252_product_profit"),
+      "q253_q10" -> SparkEntry.queries("q253_returned_customers"),
+      "q254_q12" -> SparkEntry.queries("q254_priority_class"),
+      "q255_q14" -> SparkEntry.queries("q255_promo_share"),
+      "q256_q16" -> SparkEntry.queries("q256_supplier_count"),
+      "q257_q17" -> SparkEntry.queries("q257_small_quantity"),
+      "q258_q19" -> SparkEntry.queries("q258_brand_bands"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 
@@ -398,7 +411,7 @@ object DevScale {
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
     val tables = Seq("documents", "embeddings", "events", "orders",
-      "lineitem", "customer", "nation", "supplier", "part")
+      "lineitem", "customer", "nation", "supplier", "part", "region")
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
       val complete = tables.forall(t =>
@@ -430,6 +443,9 @@ object DevScale {
         // q161's roll-up dims, verbatim (25 constant rows)
         spark.read.parquet(s"$base/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+        // q250's region spine, verbatim (5 constant rows)
+        spark.read.parquet(s"$base/region.parquet")
+          .write.mode("overwrite").parquet(s"$dir/region.parquet")
         // q210/q207's supplier and q217's part sides, verbatim —
         // lineitem inflation shifts only l_orderkey, so l_suppkey/
         // l_partkey keep resolving against the original dims (each

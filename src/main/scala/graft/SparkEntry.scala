@@ -6304,7 +6304,187 @@ object SparkEntry {
           Tables.orders(s, d).select(
             expr("cast(round(o_totalprice * 100) as bigint)")
               .as("cents")), "cents")
-      })
+      }),
+    // Shipping priority (Relational.shippingPriority): the TPC-H Q3
+    // topology — BUILDING segment, ordered before / shipped after the
+    // cutoff, top-10 order revenue.
+    q("q249_shipping_priority",
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS order_us,
+        |  o.o_orderpriority AS priority
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin)(
+      (s, d) => Relational.shippingPriority(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        segment = "BUILDING", cutoff = "1997-01-01", k = 10)),
+
+    // Local supplier volume (Relational.localSupplierVolume): the
+    // TPC-H Q5 same-nation topology — customer and supplier share the
+    // nation, one region, one order year.
+    q("q250_local_supplier_volume",
+      """SELECT n.n_name AS nation,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  AND s.s_nationkey = n.n_nationkey
+        |WHERE r.r_name = 'ASIA' AND year(o.o_orderdate) = 1996
+        |GROUP BY 1
+        |ORDER BY revenue_cents DESC, nation""".stripMargin)(
+      (s, d) => Relational.localSupplierVolume(Tables.region(s, d),
+        Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), regionName = "ASIA", year0 = 1996)),
+
+    // Forecast revenue probe (Relational.forecastRevenue): the TPC-H
+    // Q6 pure filter-aggregate — discount band, quantity cap, one
+    // ship year; every predicate at the scan.
+    q("q251_forecast_revenue",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996 AND l_discount >= 0.05
+        |  AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)(
+      (s, d) => Relational.forecastRevenue(Tables.lineitem(s, d),
+        shipYear = 1996, discLo = 0.05, discHi = 0.07, maxQty = 24.0)),
+
+    // Product profit (Relational.productProfit): the TPC-H Q9
+    // topology with the documented retailprice·0.6 cost proxy (no
+    // partsupp in this schema) — nation × year profit for parts
+    // matching a name filter.
+    q("q252_product_profit",
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)
+        |    - CAST(round(l.l_quantity * p.p_retailprice * 60)
+        |      AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE contains(p.p_name, 'a')
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin)(
+      (s, d) => Relational.productProfit(Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.part(s, d), Tables.supplier(s, d),
+        Tables.nation(s, d), nameSubstr = "a")),
+
+    // Returned-item customers (Relational.returnedItemCustomers): the
+    // TPC-H Q10 topology — 'R'-flag revenue per customer in one year,
+    // top-20 with nation.
+    q("q253_returned_customers",
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |WHERE l.l_returnflag = 'R' AND year(o.o_orderdate) = 1996
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin)(
+      (s, d) => Relational.returnedItemCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d), year0 = 1996, k = 20)),
+
+    // Priority-class census (Relational.priorityClassCensus): the
+    // TPC-H Q12 CASE-census topology on l_returnflag (no shipmode
+    // column in this schema) — high/low priority line counts among
+    // late lines.
+    q("q254_priority_class",
+      """SELECT l.l_returnflag AS returnflag,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN
+        |    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN
+        |    ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE date_diff('day', CAST(o.o_orderdate AS DATE),
+        |  CAST(l.l_shipdate AS DATE)) > 365
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.priorityClassCensus(Tables.orders(s, d),
+        Tables.lineitem(s, d), lateDays = 365)),
+
+    // Promo revenue share (Relational.promoRevenueShare): the TPC-H
+    // Q14 shape — PROMO-part permille of one ship-year's revenue.
+    q("q255_promo_share",
+      """SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+        |    CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN
+        |      CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |        AS BIGINT) ELSE 0 END) AS HUGEINT) * 1000
+        |    // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |      * 100) AS BIGINT)) AS BIGINT) AS promo_permille
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE year(l.l_shipdate) = 1996""".stripMargin)(
+      (s, d) => Relational.promoRevenueShare(Tables.lineitem(s, d),
+        Tables.part(s, d), shipYear = 1996, promoType = "PROMO")),
+
+    // Supplier count by part attrs (Relational.supplierCountByPart):
+    // the TPC-H Q16 topology — distinct shipping suppliers per
+    // (brand, size), denylist anti join (negative balance).
+    q("q256_supplier_count",
+      """WITH excl AS (SELECT s_suppkey FROM supplier
+        |  WHERE s_acctbal < 0),
+        |ps AS (SELECT DISTINCT l.l_partkey, l.l_suppkey
+        |  FROM lineitem l
+        |  WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+        |SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_size IN (1, 5, 9, 13)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, 1, 2 LIMIT 40""".stripMargin)(
+      (s, d) => Relational.supplierCountByPart(Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.supplier(s, d),
+        sizes = Seq(1, 5, 9, 13), k = 40)),
+
+    // Small-quantity revenue (Relational.smallQuantityRevenue): the
+    // TPC-H Q17 correlated-average shape, decorrelated — lines under
+    // half their part's average quantity (qty·2 < avg, no division).
+    q("q257_small_quantity",
+      """WITH a AS (SELECT l_partkey, avg(l_quantity) AS aq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_quantity * 2 < a.aq""".stripMargin)(
+      (s, d) => Relational.smallQuantityRevenue(Tables.lineitem(s, d))),
+
+    // Brand-band revenue (Relational.brandBandRevenue): the TPC-H Q19
+    // disjunctive-predicate shape — three brand/size/quantity bands
+    // OR-ed into one join filter.
+    q("q258_brand_bands",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+        |    AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+        |  OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+        |    AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+        |  OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+        |    AND l.l_quantity >= 20 AND l.l_quantity <= 30)""".stripMargin)(
+      (s, d) => Relational.brandBandRevenue(Tables.lineitem(s, d),
+        Tables.part(s, d), bands = Seq(
+          ("Brand#1", 1, 15, 1.0, 11.0),
+          ("Brand#2", 1, 25, 10.0, 20.0),
+          ("Brand#3", 1, 35, 20.0, 30.0))))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -855,4 +855,250 @@ object Relational {
         max(abs(col("hdr") - col("lin"))).as("max_abs_diff_cents"),
         sum(abs(col("hdr") - col("lin"))).as("sum_abs_diff_cents"))
   }
+
+  /** Shipping-priority report (the TPC-H Q3 topology): for one market
+    * segment, orders placed before the cutoff with lines still
+    * unshipped after it — revenue per order, top `k`. The classic
+    * three-way join with predicates pushed to all three scans.
+    *
+    * Scale shape: segment and both date predicates reach the parquet
+    * readers; the join chain is customer (semi-reduced by segment) →
+    * orders → lineitem; the revenue agg is per-order partial before
+    * the TakeOrderedAndProject cut.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String, k: Int = 10): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey").as("__ck"))
+    val o = orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"), col("o_orderkey").as("__ok"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("__ok"))
+      .join(c, col("o_custkey") === col("__ck"), "left_semi")
+      .groupBy(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          .as("order_us"),
+        col("o_orderpriority").as("priority"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint)")).as("revenue_cents"))
+      .select(col("l_orderkey"), col("revenue_cents"), col("order_us"),
+        col("priority"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** Local-supplier volume (the TPC-H Q5 topology): revenue from
+    * orders where the customer and the line's supplier share the
+    * nation, restricted to one region and order year — the same-
+    * nation join chain that distinguishes Q5 from the cross-nation Q7
+    * (q210 tradeFlows).
+    *
+    * Scale shape: region→nation is a ≤25-row broadcast spine; the
+    * supplier join carries the same-nation conjunct as an equi pair
+    * (s_suppkey AND s_nationkey), so no post-join filter sees a
+    * cross-nation blow-up; the year predicate is pushed to orders.
+    */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+                          customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          regionName: String, year0: Int): DataFrame = {
+    val n = nation.join(broadcast(region.filter(
+        col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("__nk"), col("n_name"))
+    val c = customer.join(broadcast(n),
+        col("c_nationkey") === col("__nk"))
+      .select(col("c_custkey").as("__ck"), col("n_name"),
+        col("c_nationkey").as("__cn"))
+    val o = orders.filter(year(col("o_orderdate")) === year0)
+      .select(col("o_custkey"), col("o_orderkey").as("__ok"))
+    val s = supplier.select(col("s_suppkey").as("__sk"),
+      col("s_nationkey").as("__sn"))
+    lineitem
+      .join(o, col("l_orderkey") === col("__ok"))
+      .join(c, col("o_custkey") === col("__ck"))
+      .join(s, col("l_suppkey") === col("__sk") &&
+        col("__cn") === col("__sn"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint)")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("nation"))
+  }
+
+  /** Forecast-revenue-change probe (the TPC-H Q6 shape): the pure
+    * filter-aggregate — one ship year, a discount band, a quantity
+    * cap; revenue = Σ extendedprice·discount in exact cents. Every
+    * predicate reaches the scan; no join, no shuffle beyond the
+    * 1-row final agg.
+    */
+  def forecastRevenue(lineitem: DataFrame, shipYear: Int,
+                      discLo: Double, discHi: Double,
+                      maxQty: Double): DataFrame =
+    lineitem
+      .filter(year(col("l_shipdate")) === shipYear &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(round(l_extendedprice * l_discount * 100)" +
+          " as bigint)")).as("revenue_cents"))
+
+  /** Product-profit census (the TPC-H Q9 topology on this schema):
+    * profit per supplier nation per order year over parts matching a
+    * name filter. The fixture has no partsupp supply cost, so cost is
+    * the DOCUMENTED proxy quantity·p_retailprice·0.6 — the topology
+    * (4-way join + name filter + two-key census) is Q9's; the cost
+    * constant is not.
+    */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+                    part: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, nameSubstr: String): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate")), col("l_orderkey") === col("__ok"))
+      .join(part.filter(col("p_name").contains(nameSubstr))
+        .select(col("p_partkey").as("__pk"), col("p_retailprice")),
+        col("l_partkey") === col("__pk"))
+      .join(supplier.select(col("s_suppkey").as("__sk"),
+        col("s_nationkey")), col("l_suppkey") === col("__sk"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint) - cast(round(l_quantity * p_retailprice" +
+        " * 60) as bigint)")).as("profit_cents"))
+      .orderBy(col("nation"), col("yr").desc)
+
+  /** Returned-item top customers (the TPC-H Q10 topology): revenue
+    * lost to 'R'-flag returns per customer in one order year, top
+    * `k` with the nation resolved.
+    *
+    * Scale shape: the returnflag and year predicates push to their
+    * scans; revenue partial-aggregates per customer before the
+    * ≤25-row nation broadcast and the top-k cut.
+    */
+  def returnedItemCustomers(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            year0: Int, k: Int = 20): DataFrame = {
+    val o = orders.filter(year(col("o_orderdate")) === year0)
+      .select(col("o_custkey"), col("o_orderkey").as("__ok"))
+    val rev = lineitem.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("__ok"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+        " * 100) as bigint)")).as("revenue_cents"))
+    rev.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        col("n_name").as("nation"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** Priority-class line counts by return flag (the TPC-H Q12 CASE-
+    * census topology; the fixture has no shipmode column, so the
+    * grouping rides l_returnflag): among lines shipped more than
+    * `lateDays` after the order date, how many belong to high- vs
+    * low-priority orders.
+    */
+  def priorityClassCensus(orders: DataFrame, lineitem: DataFrame,
+                          lateDays: Int = 365): DataFrame =
+    lineitem
+      .join(orders.select(col("o_orderkey").as("__ok"),
+        col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("__ok"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")) > lateDays)
+      .groupBy(col("l_returnflag").as("returnflag"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+          0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("returnflag")
+
+  /** Promo revenue share (the TPC-H Q14 shape): the permille of one
+    * ship-year's revenue carried by PROMO-type parts — one fact join,
+    * one conditional sum, the share in HUGEINT-parity integers.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        shipYear: Int,
+                        promoType: String = "PROMO"): DataFrame =
+    lineitem.filter(year(col("l_shipdate")) === shipYear)
+      .join(part.select(col("p_partkey").as("__pk"), col("p_type")),
+        col("l_partkey") === col("__pk"))
+      .agg(sum(when(col("p_type") === promoType,
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)" +
+            " as bigint)")).otherwise(0L)).as("promo_cents"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+          " * 100) as bigint)")).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("cast(promo_cents as decimal(38,0)) * 1000" +
+          " div total_cents").as("promo_permille"))
+
+  /** Supplier count by part attributes (the TPC-H Q16 topology):
+    * distinct suppliers observed shipping each (brand, size) among
+    * selected sizes, EXCLUDING suppliers on a denylist (negative
+    * account balance here — the fixture has no complaint strings) —
+    * the NOT-IN anti leg plus a distinct-count census.
+    *
+    * Scale shape: the denylist is a tiny broadcast anti join on the
+    * distinct (part, supplier) pairs; the census is ids-only after
+    * that; part attributes broadcast onto aggregated rows.
+    */
+  def supplierCountByPart(lineitem: DataFrame, part: DataFrame,
+                          supplier: DataFrame, sizes: Seq[Int],
+                          k: Int = 40): DataFrame = {
+    val excl = supplier.filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("__xs"))
+    val ps = lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(excl), col("l_suppkey") === col("__xs"),
+        "left_anti")
+    ps.join(part.filter(col("p_size").isin(sizes.map(Int.box): _*))
+        .select(col("p_partkey").as("__pk"), col("p_brand"),
+          col("p_size")), col("l_partkey") === col("__pk"))
+      .groupBy(col("p_brand"), col("p_size").cast("long").as("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(k)
+  }
+
+  /** Small-quantity revenue probe (the TPC-H Q17 shape): lines whose
+    * quantity is below half their part's average — the correlated
+    * per-part average decorrelated into a partial agg + rejoin, one
+    * row out. The compare is qty·2 < avg (no division).
+    */
+  def smallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.groupBy(col("l_partkey").as("__pk"))
+      .agg(avg("l_quantity").as("__aq"))
+    lineitem.join(a, col("l_partkey") === col("__pk"))
+      .filter(col("l_quantity") * 2 < col("__aq"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("revenue_cents"))
+  }
+
+  /** Disjunctive-predicate revenue (the TPC-H Q19 shape): three
+    * brand/size/quantity bands OR-ed together — the classic test that
+    * a planner pushes a disjunction of conjuncts into the join rather
+    * than materializing the full product. Bands are (brand, minSize,
+    * maxSize, minQty, maxQty).
+    */
+  def brandBandRevenue(lineitem: DataFrame, part: DataFrame,
+                       bands: Seq[(String, Int, Int, Double, Double)])
+      : DataFrame = {
+    require(bands.nonEmpty, "need at least one band")
+    val p = part.select(col("p_partkey").as("__pk"), col("p_brand"),
+      col("p_size"))
+    val cond = bands.map { case (b, s0, s1, q0, q1) =>
+      col("p_brand") === b && col("p_size").between(s0, s1) &&
+        col("l_quantity") >= q0 && col("l_quantity") <= q1
+    }.reduce(_ || _)
+    lineitem.join(p, col("l_partkey") === col("__pk"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
+          " * 100) as bigint)")).as("revenue_cents"))
+  }
 }

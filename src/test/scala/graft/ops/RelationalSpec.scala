@@ -341,4 +341,89 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(got == ((3L, 1L, 2L, 500L, 600L)))
   }
+
+  test("shippingPriority: ordered-before AND unshipped-after the cutoff") {
+    import java.sql.Timestamp
+    val before = Timestamp.valueOf("1996-06-01 00:00:00")
+    val after = Timestamp.valueOf("1997-06-01 00:00:00")
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val orders = Seq((10L, 1L, before, "P"), (11L, 1L, after, "P"),
+      (12L, 2L, before, "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (10L, 10.0, 0.0, after),   // qualifies
+      (10L, 5.0, 0.0, before),   // shipped before cutoff: excluded
+      (11L, 9.0, 0.0, after),    // order placed after cutoff: excluded
+      (12L, 9.0, 0.0, after))    // wrong segment: excluded
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val got = Relational.shippingPriority(cust, orders, li,
+      "BUILDING", "1997-01-01", k = 10)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((10L, 1000L)))
+  }
+
+  test("localSupplierVolume: cross-nation supplier excluded (Q5 vs Q7)") {
+    import java.sql.Timestamp
+    val d96 = Timestamp.valueOf("1996-06-01 00:00:00")
+    val region = Seq((1, "ASIA"), (2, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1, "JP", 1), (2, "FR", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val cust = Seq((1L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((10L, 1L, d96)).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq((10L, 100L, 10.0, 0.0), (10L, 200L, 99.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val supp = Seq((100L, 1), (200L, 2)).toDF("s_suppkey", "s_nationkey")
+    // supplier 200 is French: its 99.0 line must NOT count for JP
+    val got = Relational.localSupplierVolume(region, nation, cust,
+      orders, li, supp, "ASIA", 1996)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("JP", 1000L)))
+  }
+
+  test("priorityClassCensus: only late lines, exact class split") {
+    import java.sql.Timestamp
+    val d0 = Timestamp.valueOf("1995-01-01 00:00:00")
+    val late = Timestamp.valueOf("1996-02-01 00:00:00")
+    val ok = Timestamp.valueOf("1995-02-01 00:00:00")
+    val orders = Seq((1L, d0, "1-URGENT"), (2L, d0, "5-LOW"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, "A", late), (1L, "A", ok), (2L, "A", late))
+      .toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val got = Relational.priorityClassCensus(orders, li, lateDays = 365)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 1L, 1L))) // on-time line dropped
+  }
+
+  test("supplierCountByPart: denylisted supplier never counted") {
+    val li = Seq((1L, 100L), (1L, 200L), (1L, 100L))
+      .toDF("l_partkey", "l_suppkey")
+    val part = Seq((1L, "Brand#1", 5)).toDF("p_partkey", "p_brand", "p_size")
+    val supp = Seq((100L, 10.0), (200L, -1.0)).toDF("s_suppkey", "s_acctbal")
+    val got = Relational.supplierCountByPart(li, part, supp, Seq(5))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("Brand#1", 5L, 1L))) // 200 excluded, dup pair collapsed
+  }
+
+  test("smallQuantityRevenue: strict half-average gate") {
+    // part avg qty = 4: the qty-1 line (2 < 4) counts; qty-2 does
+    // not (4 < 4 false); revenue is extendedprice only
+    val li = Seq((1L, 1.0, 10.0), (1L, 2.0, 20.0), (1L, 9.0, 30.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = Relational.smallQuantityRevenue(li)
+      .as[(Long, Long)].collect().head
+    assert(got == ((1L, 1000L)))
+  }
+
+  test("brandBandRevenue: a line outside every band is dropped") {
+    val li = Seq(
+      (1L, 5.0, 10.0, 0.0),   // Brand#1 size 10, qty 5: band 1
+      (2L, 5.0, 99.0, 0.0))   // Brand#9: no band
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Seq((1L, "Brand#1", 10), (2L, "Brand#9", 10))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val got = Relational.brandBandRevenue(li, part,
+      Seq(("Brand#1", 1, 15, 1.0, 11.0)))
+      .as[(Long, Long)].collect().head
+    assert(got == ((1L, 1000L)))
+  }
 }
