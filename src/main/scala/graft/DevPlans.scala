@@ -99,7 +99,8 @@ object DevPlans {
         "q251_forecast_revenue", "q252_product_profit",
         "q253_returned_customers", "q254_priority_class",
         "q255_promo_share", "q256_supplier_count",
-        "q257_small_quantity", "q258_brand_bands")
+        "q257_small_quantity", "q258_brand_bands",
+        "q259_decile_lift", "q260_order_gap_survival")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

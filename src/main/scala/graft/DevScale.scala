@@ -384,7 +384,11 @@ object DevScale {
       "q255_q14" -> SparkEntry.queries("q255_promo_share"),
       "q256_q16" -> SparkEntry.queries("q256_supplier_count"),
       "q257_q17" -> SparkEntry.queries("q257_small_quantity"),
-      "q258_q19" -> SparkEntry.queries("q258_brand_bands"))
+      "q258_q19" -> SparkEntry.queries("q258_brand_bands"),
+      // q259 customer-sized ranks; q260 one customer-keyed lag window
+      // into a 13-bucket census
+      "q259_lift" -> SparkEntry.queries("q259_decile_lift"),
+      "q260_survival" -> SparkEntry.queries("q260_order_gap_survival"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

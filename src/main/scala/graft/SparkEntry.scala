@@ -6484,7 +6484,51 @@ object SparkEntry {
         Tables.part(s, d), bands = Seq(
           ("Brand#1", 1, 15, 1.0, 11.0),
           ("Brand#2", 1, 25, 10.0, 20.0),
-          ("Brand#3", 1, 35, 20.0, 30.0))))
+          ("Brand#3", 1, 35, 20.0, 30.0)))),
+    // Decile lift / gains curve (Relational.decileLiftCurve): LTV
+    // deciles (revenue-DESC ntile, q155 contract) with per-tier and
+    // cumulative revenue share vs the uniform 100-permille baseline.
+    q("q259_decile_lift",
+      """WITH cr AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey, cents, ntile(10) OVER (
+        |    ORDER BY cents DESC, o_custkey) AS bucket FROM cr),
+        |t AS (SELECT CAST(sum(cents) AS HUGEINT) AS tot FROM cr),
+        |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_custs,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM b GROUP BY 1)
+        |SELECT CAST(a.bucket AS BIGINT) AS bucket, a.n_custs, a.cents,
+        |  CAST(CAST(a.cents AS HUGEINT) * 1000 // t.tot AS BIGINT)
+        |    AS share_permille,
+        |  CAST(CAST(sum(a.cents) OVER (ORDER BY a.bucket ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) * 1000
+        |    // t.tot AS BIGINT) AS cum_share_permille
+        |FROM agg a, t ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.decileLiftCurve(Tables.orders(s, d),
+        k = 10)),
+
+    // Inter-order survival (Relational.orderGapSurvival): S(k) =
+    // share of consecutive same-customer order gaps lasting >= k mean
+    // months — census formulation, boundary-identical both engines.
+    q("q260_order_gap_survival",
+      """WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS qts,
+        |    o_orderkey FROM orders),
+        |g AS (SELECT qts - lag(qts) OVER (PARTITION BY o_custkey
+        |    ORDER BY qts, o_orderkey) AS gap FROM o),
+        |b AS (SELECT least(gap // 2629746000000, 12) AS bm FROM g
+        |  WHERE gap IS NOT NULL),
+        |cen AS (SELECT bm, CAST(count(*) AS BIGINT) AS n FROM b
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cen),
+        |k AS (SELECT unnest(generate_series(0, 11)) AS km)
+        |SELECT CAST(k.km AS BIGINT) AS month_k,
+        |  CAST(sum(CASE WHEN cen.bm >= k.km THEN cen.n ELSE 0 END)
+        |    AS BIGINT) AS n_surviving,
+        |  CAST(sum(CASE WHEN cen.bm >= k.km THEN cen.n ELSE 0 END)
+        |    * 1000 // t.tot AS BIGINT) AS survival_permille
+        |FROM k, cen, t GROUP BY 1, t.tot ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.orderGapSurvival(Tables.orders(s, d),
+        maxMonths = 12))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

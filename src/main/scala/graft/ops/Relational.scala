@@ -1101,4 +1101,80 @@ object Relational {
         sum(expr("cast(round(l_extendedprice * (1 - l_discount)" +
           " * 100) as bigint)")).as("revenue_cents"))
   }
+
+  /** Decile lift / cumulative-gains curve on customer lifetime value:
+    * customers ranked by revenue DESC into 10 equal-frequency tiers
+    * (the q155 sharded-ntile contract on the NEGATED cents, custkey
+    * tiebreak), each tier's revenue share and running cumulative share
+    * vs the uniform 100‰ baseline — the gains chart every targeting
+    * model is judged against.
+    *
+    * Scale shape: one orders partial agg to customer-sized revenue,
+    * quantileBuckets' range-partitioned ranks, a k-row census, a
+    * 1-row total broadcast, and a k-bounded cumulative window.
+    */
+  def decileLiftCurve(orders: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cr = orders.groupBy(col("o_custkey"))
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+        .as("cents"))
+      .withColumn("neg", -col("cents"))
+    val buckets = Profiling.quantileBuckets(cr.select("o_custkey",
+      "neg", "cents").withColumnRenamed("o_custkey", "id"),
+      "id", "neg", "id", k)
+    // quantileBuckets projects (id, value, bucket): re-join the cents
+    val agg = buckets
+      .join(cr.select(col("o_custkey").as("id"), col("cents")), "id")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_custs"), sum("cents").as("cents"))
+    val tot = cr.agg(sum("cents").cast("decimal(38,0)").as("__t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    agg.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("cents").over(w))
+      .select(col("bucket"), col("n_custs"), col("cents"),
+        expr("cast(cast(cents as decimal(38,0)) * 1000 div __t" +
+          " as bigint)").as("share_permille"),
+        expr("cast(cast(cum as decimal(38,0)) * 1000 div __t" +
+          " as bigint)").as("cum_share_permille"))
+      .orderBy("bucket")
+  }
+
+  /** Inter-order survival curve: for consecutive same-customer order
+    * gaps bucketed into mean months (gap div 2 629 746 000 000 µs,
+    * capped), S(k) = share of gaps lasting ≥ k months — the discrete
+    * repurchase-survival function behind churn models. The census
+    * formulation keeps both engines boundary-identical.
+    *
+    * Scale shape: one customer-keyed lag window (per-customer
+    * partitions), a ≤13-bucket census, and the k-suffix sums on that
+    * census — everything after the window is constant-sized.
+    */
+  def orderGapSurvival(orders: DataFrame,
+                       maxMonths: Int = 12): DataFrame = {
+    require(maxMonths >= 1, "need a positive month cap")
+    val usPerMonth = 2629746000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("qts"), col("o_orderkey"))
+    val cen = orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp_ltz"))
+          .as("qts"))
+      .withColumn("gap", col("qts") - lag("qts", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(least(expr(s"gap div ${usPerMonth}L"),
+        lit(maxMonths.toLong)).as("bm"))
+      .groupBy("bm").agg(count(lit(1)).as("n"))
+    val tot = cen.agg(sum("n").as("__tot"))
+    val ks = cen.sparkSession.range(0, maxMonths)
+      .select(col("id").as("month_k"))
+    ks.crossJoin(cen).crossJoin(broadcast(tot))
+      .groupBy("month_k", "__tot")
+      .agg(sum(when(col("bm") >= col("month_k"), col("n"))
+        .otherwise(0L)).as("n_surviving"))
+      .select(col("month_k"), col("n_surviving"),
+        expr("n_surviving * 1000 div __tot").as("survival_permille"))
+      .orderBy("month_k")
+  }
 }

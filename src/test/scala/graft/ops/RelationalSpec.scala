@@ -426,4 +426,31 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long)].collect().head
     assert(got == ((1L, 1000L)))
   }
+
+  test("decileLiftCurve: DESC ranking, shares and running cumulative") {
+    // four customers with revenue 40/30/20/10 -> k=2 buckets:
+    // bucket 1 {40,30} = 70% (700 permille), bucket 2 {20,10} = 30%
+    val orders = Seq((1L, 40.0), (2L, 30.0), (3L, 20.0), (4L, 10.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Relational.decileLiftCurve(orders, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 7000L, 700L, 700L),
+      (2L, 2L, 3000L, 300L, 1000L)))
+  }
+
+  test("orderGapSurvival: census suffix-sums, cap bucket absorbs tail") {
+    import java.sql.Timestamp
+    // one customer, orders at month 0, ~1.5 months, ~4 months:
+    // gaps of ~1.5mo (bucket 1) and ~2.5mo (bucket 2):
+    // S(0)=2/2, S(1)=2/2, S(2)=1/2, S(3..)=0
+    val orders = Seq(
+      (1L, 10L, Timestamp.valueOf("1995-01-01 00:00:00")),
+      (1L, 11L, Timestamp.valueOf("1995-02-15 00:00:00")),
+      (1L, 12L, Timestamp.valueOf("1995-05-01 00:00:00")))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val got = Relational.orderGapSurvival(orders, maxMonths = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1000L), (1L, 2L, 1000L),
+      (2L, 1L, 500L), (3L, 0L, 0L)))
+  }
 }
