@@ -100,7 +100,8 @@ object DevPlans {
         "q253_returned_customers", "q254_priority_class",
         "q255_promo_share", "q256_supplier_count",
         "q257_small_quantity", "q258_brand_bands",
-        "q259_decile_lift", "q260_order_gap_survival")
+        "q259_decile_lift", "q260_order_gap_survival",
+        "q261_vocab_growth", "q262_new_vs_returning")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

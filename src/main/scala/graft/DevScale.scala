@@ -388,7 +388,11 @@ object DevScale {
       // q259 customer-sized ranks; q260 one customer-keyed lag window
       // into a 13-bucket census
       "q259_lift" -> SparkEntry.queries("q259_decile_lift"),
-      "q260_survival" -> SparkEntry.queries("q260_order_gap_survival"))
+      "q260_survival" -> SparkEntry.queries("q260_order_gap_survival"),
+      // q261 one shingle pass into a vocabulary-bounded min-agg;
+      // q262 customer-sized first-month join into a months census
+      "q261_vocab" -> SparkEntry.queries("q261_vocab_growth"),
+      "q262_newret" -> SparkEntry.queries("q262_new_vs_returning"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

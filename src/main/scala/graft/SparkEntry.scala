@@ -6528,7 +6528,59 @@ object SparkEntry {
         |    * 1000 // t.tot AS BIGINT) AS survival_permille
         |FROM k, cen, t GROUP BY 1, t.tot ORDER BY 1""".stripMargin)(
       (s, d) => Relational.orderGapSurvival(Tables.orders(s, d),
-        maxMonths = 12))
+        maxMonths = 12)),
+    // Vocabulary growth curve (Text.vocabGrowthCurve): Heaps'-law
+    // checkpoints from ONE pass — each shingle type's first md5
+    // decile, running sum = distinct vocab after each decile.
+    q("q261_vocab_growth",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 10 AS b,
+        |    list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      x -> len(x) > 0) AS t FROM documents),
+        |w AS (SELECT b, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS sh FROM d),
+        |tb AS (SELECT sh, CAST(min(b) AS BIGINT) AS fb FROM w
+        |  GROUP BY 1),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS n_shingles
+        |  FROM w GROUP BY 1),
+        |vb AS (SELECT fb, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM tb GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(0, 9)) AS b)
+        |SELECT CAST(ks.b AS BIGINT) AS bucket,
+        |  CAST(coalesce(tc.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(vb.new_types, 0) AS BIGINT) AS new_types,
+        |  CAST(sum(coalesce(vb.new_types, 0)) OVER (ORDER BY ks.b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_vocab
+        |FROM ks LEFT JOIN tc ON tc.b = ks.b
+        |LEFT JOIN vb ON vb.fb = ks.b
+        |ORDER BY 1""".stripMargin)(
+      (s, d) => Text.vocabGrowthCurve(Tables.documents(s, d),
+        n = 3, buckets = 10)),
+
+    // New vs returning revenue (Relational.newVsReturningRevenue):
+    // growth accounting — each order's cents attributed to the
+    // customer's first month or a later one, returning share permille.
+    q("q262_new_vs_returning",
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS fm FROM o GROUP BY 1)
+        |SELECT o.m AS month_idx,
+        |  CAST(sum(CASE WHEN o.m = f.fm THEN o.cents ELSE 0 END)
+        |    AS BIGINT) AS new_cents,
+        |  CAST(sum(CASE WHEN o.m > f.fm THEN o.cents ELSE 0 END)
+        |    AS BIGINT) AS returning_cents,
+        |  CAST(sum(CASE WHEN o.m > f.fm THEN o.cents ELSE 0 END)
+        |    * 1000 // nullif(sum(o.cents), 0) AS BIGINT)
+        |    AS returning_permille
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.newVsReturningRevenue(Tables.orders(s, d)))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1177,4 +1177,34 @@ object Relational {
         expr("n_surviving * 1000 div __tot").as("survival_permille"))
       .orderBy("month_k")
   }
+
+  /** New-vs-returning revenue by month: each order's cents attributed
+    * to "new" (the customer's first month) or "returning" (any later
+    * month), with the returning share permille — the growth-
+    * accounting series behind every revenue chart.
+    *
+    * Scale shape: one orders partial agg to customer-sized first
+    * months, a custkey equi-join that reuses the agg partitioning,
+    * and a months-sized census.
+    */
+  def newVsReturningRevenue(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_custkey"),
+      (year(col("o_orderdate")).cast("long") * 12 +
+        month(col("o_orderdate")) - 1).as("m"),
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val f = o.groupBy(col("o_custkey").as("__ck"))
+      .agg(min("m").as("__fm"))
+    o.join(f, col("o_custkey") === col("__ck"))
+      .groupBy(col("m").as("month_idx"))
+      .agg(sum(when(col("m") === col("__fm"), col("cents"))
+          .otherwise(0L)).as("new_cents"),
+        sum(when(col("m") > col("__fm"), col("cents"))
+          .otherwise(0L)).as("returning_cents"))
+      .select(col("month_idx"), col("new_cents"),
+        col("returning_cents"),
+        expr("returning_cents * 1000 div" +
+          " nullif(new_cents + returning_cents, 0)")
+          .as("returning_permille"))
+      .orderBy("month_idx")
+  }
 }

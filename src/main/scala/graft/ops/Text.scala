@@ -1656,4 +1656,45 @@ object Text {
           .as("r_q6"))
       .orderBy("source")
   }
+
+  /** Vocabulary growth curve (Heaps'-law checkpoints) over 3-gram
+    * shingles: documents fall into `buckets` md5 deciles (a
+    * deterministic corpus ordering); each shingle type's FIRST bucket
+    * is min over its documents, so the running sum of first-bucket
+    * counts IS the distinct-vocabulary size after each decile — the
+    * whole curve from ONE pass, no per-checkpoint distinct. The
+    * tokenizer-planning view: is the vocabulary saturating or still
+    * growing at corpus end.
+    *
+    * Scale shape: one shingle explode → a vocabulary-bounded min-agg
+    * (map-side combined) → a `buckets`-row census + running sum on
+    * that census. The naive form (k distincts over k prefixes) scans
+    * the corpus k times; this is exactly once.
+    */
+  def vocabGrowthCurve(documents: DataFrame, n: Int = 3,
+                       buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && 1000 % buckets == 0,
+      "buckets must divide the per-mille bucket space")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val w = documents.select(
+      (Sampling.splitBucket(col("doc_id")) % buckets).cast("long")
+        .as("b"),
+      explode(graft.functions.GraftFunctions.shingles(col("text"), n))
+        .as("sh"))
+    val tc = w.groupBy("b").agg(count(lit(1)).as("n_shingles"))
+    val vb = w.groupBy("sh").agg(min("b").as("fb"))
+      .groupBy(col("fb").as("__b")).agg(count(lit(1)).as("new_types"))
+    val ks = documents.sparkSession.range(0, buckets)
+      .select(col("id").as("bucket"))
+    val win = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    ks.join(tc, col("bucket") === col("b"), "left")
+      .join(vb, col("bucket") === col("__b"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_vocab", sum("new_types").over(win))
+      .orderBy("bucket")
+  }
 }

@@ -453,4 +453,19 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 1000L), (1L, 2L, 1000L),
       (2L, 1L, 500L), (3L, 0L, 0L)))
   }
+
+  test("newVsReturningRevenue: first month is new, later months return") {
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, 10.0, Timestamp.valueOf("1995-01-05 00:00:00")),
+      (1L, 20.0, Timestamp.valueOf("1995-01-20 00:00:00")), // same month: new
+      (1L, 30.0, Timestamp.valueOf("1995-03-10 00:00:00")), // returning
+      (2L, 40.0, Timestamp.valueOf("1995-03-15 00:00:00"))) // new in 03
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+    val got = Relational.newVsReturningRevenue(orders)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val m0 = 1995L * 12 + 0
+    assert(got == Seq((m0, 3000L, 0L, 0L),
+      (m0 + 2, 4000L, 3000L, 428L)))
+  }
 }

@@ -851,4 +851,32 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Option[Long])].collect().toSeq
     assert(got == Seq(("s1", 3L, Some(1000000L)), ("s2", 2L, None)))
   }
+
+  test("vocabGrowthCurve: first-bucket attribution, exact running sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    // find two doc ids landing in DIFFERENT buckets, give them one
+    // shared shingle and one unique each: the shared type counts once,
+    // at the EARLIER bucket; totals and cum line up exactly
+    val bucketOf = (1L to 50L).map { id =>
+      id -> (BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(2).map("%02x".format(_))
+        .mkString, 16) % 1000 % 10).toInt
+    }
+    val (idA, bA) = bucketOf.find(_._2 == bucketOf.head._2).get
+    val (idB, bB) = bucketOf.find(_._2 != bA).get
+    val (lo, hi) = (math.min(bA, bB), math.max(bA, bB))
+    val (idLo, idHi) = if (bA < bB) (idA, idB) else (idB, idA)
+    val d = Seq(
+      (idLo, "s h a r e d x y z"),   // shingles incl "s h a", ...
+      (idHi, "s h a r e d p q r"))   // shares the first 4 shingles
+      .toDF("doc_id", "text")
+    val got = Text.vocabGrowthCurve(d, n = 3, buckets = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // each doc has 7 distinct shingles (9 tokens); they share the 4
+    // spanning "s h a r e d" -> lo introduces 7, hi introduces 3 new
+    assert(got.map(_._2).sum == 14)          // exploded per-doc counts
+    assert(got(lo)._3 == 7 && got(hi)._3 == 3)
+    assert(got.last._4 == 10)                // distinct corpus shingles
+  }
 }
