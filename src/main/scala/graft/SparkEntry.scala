@@ -6580,7 +6580,150 @@ object SparkEntry {
         |    AS returning_permille
         |FROM o JOIN f ON o.o_custkey = f.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)(
-      (s, d) => Relational.newVsReturningRevenue(Tables.orders(s, d)))
+      (s, d) => Relational.newVsReturningRevenue(Tables.orders(s, d))),
+
+    // Also-bought item-item table (Relational.alsoBought): top-5
+    // co-purchased parts per part by co-occurrence cosine — the
+    // item-based CF similarity model from order baskets.
+    q("q263_also_bought",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT pa AS part, pb AS rec, n_both FROM p
+        |  UNION ALL SELECT pb, pa, n_both FROM p),
+        |c AS (SELECT s.part, s.rec, s.n_both,
+        |    CAST(round(s.n_both * 1000000 /
+        |      (sqrt(CAST(ma.n AS DOUBLE)) * sqrt(CAST(mb.n AS DOUBLE))))
+        |      AS BIGINT) AS cosine_q6
+        |  FROM s JOIN m ma ON s.part = ma.l_partkey
+        |  JOIN m mb ON s.rec = mb.l_partkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY part
+        |    ORDER BY cosine_q6 DESC, rec) AS rnk FROM c)
+        |SELECT part, rec, n_both, cosine_q6, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY part, rnk""".stripMargin)(
+      (s, d) => Relational.alsoBought(Tables.lineitem(s, d),
+        minSupport = 2L, k = 5)),
+
+    // Customer assortment overlap (Relational.customerOverlap): top-50
+    // most-similar customer pairs by capped-set Jaccard — the
+    // user-user neighborhood model on the q22 inverted-index
+    // discipline.
+    q("q264_customer_overlap",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |dfc AS (SELECT part FROM cp GROUP BY 1 HAVING count(*) > 200),
+        |keep AS (SELECT * FROM cp WHERE part NOT IN (SELECT part
+        |  FROM dfc)),
+        |sz AS (SELECT cust, CAST(count(*) AS BIGINT) AS sz FROM keep
+        |  GROUP BY 1),
+        |i AS (SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM keep x JOIN keep y ON x.part = y.part
+        |    AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT i.cust_a, i.cust_b, i.n_common,
+        |  CAST(i.n_common * 1000000 //
+        |    (sa.sz + sb.sz - i.n_common) AS BIGINT) AS jaccard_q6
+        |FROM i JOIN sz sa ON i.cust_a = sa.cust
+        |JOIN sz sb ON i.cust_b = sb.cust
+        |ORDER BY i.n_common DESC, jaccard_q6 DESC, i.cust_a, i.cust_b
+        |LIMIT 50""".stripMargin)(
+      (s, d) => Relational.customerOverlap(Tables.orders(s, d),
+        Tables.lineitem(s, d), minOverlap = 3L, maxDf = 200L, k = 50)),
+
+    // Item-based CF recommendations (Relational.cfRecommend): each
+    // customer's top-3 unowned parts by summed also-bought cosine.
+    q("q265_cf_recommend",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |m AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |s AS (SELECT pa AS part, pb AS rec, n_both FROM p
+        |  UNION ALL SELECT pb, pa, n_both FROM p),
+        |c AS (SELECT s.part, s.rec,
+        |    CAST(round(s.n_both * 1000000 /
+        |      (sqrt(CAST(ma.n AS DOUBLE)) * sqrt(CAST(mb.n AS DOUBLE))))
+        |      AS BIGINT) AS cosine_q6,
+        |    row_number() OVER (PARTITION BY s.part
+        |      ORDER BY CAST(round(s.n_both * 1000000 /
+        |        (sqrt(CAST(ma.n AS DOUBLE)) * sqrt(CAST(mb.n AS DOUBLE))))
+        |        AS BIGINT) DESC, s.rec) AS rnk
+        |  FROM s JOIN m ma ON s.part = ma.l_partkey
+        |  JOIN m mb ON s.rec = mb.l_partkey),
+        |sim AS (SELECT part, rec, cosine_q6 FROM c WHERE rnk <= 5),
+        |cp AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |sc AS (SELECT cp.cust, sim.rec,
+        |    CAST(sum(sim.cosine_q6) AS BIGINT) AS score_q6,
+        |    CAST(count(*) AS BIGINT) AS n_paths
+        |  FROM cp JOIN sim ON cp.part = sim.part
+        |  WHERE NOT EXISTS (SELECT 1 FROM cp o WHERE o.cust = cp.cust
+        |    AND o.part = sim.rec)
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score_q6 DESC, rec) AS rnk FROM sc)
+        |SELECT cust, rec, score_q6, n_paths, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY cust, rnk""".stripMargin)(
+      (s, d) => Relational.cfRecommend(Tables.orders(s, d),
+        Tables.lineitem(s, d), minSupport = 2L, simK = 5, topN = 3)),
+
+    // Rolling 7-day actives (Behavior.rollingActiveUsers): sliding
+    // WAU + DAU/WAU stickiness via the (day,user)-expansion trick —
+    // no sliding count-distinct state, no range self-join.
+    q("q266_rolling_actives",
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du
+        |  GROUP BY 1),
+        |ex AS (SELECT DISTINCT du.day + g.o AS day, du.user_id
+        |  FROM du, (SELECT unnest(generate_series(0, 6)) AS o) g),
+        |wa AS (SELECT day, CAST(count(*) AS BIGINT) AS active_wd
+        |  FROM ex GROUP BY 1)
+        |SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wa.active_wd,
+        |  CAST(dau.dau * 1000 // wa.active_wd AS BIGINT)
+        |    AS stickiness_pm
+        |FROM dau JOIN wa ON dau.day = wa.day
+        |ORDER BY 1""".stripMargin)(
+      (s, d) => Behavior.rollingActiveUsers(Tables.events(s, d),
+        windowDays = 7)),
+
+    // MinHash estimator accuracy audit (Dedup.minhashAccuracyAudit):
+    // the q242/q176 sketch-audit pattern — pair set defined by EXACT
+    // Jaccard (oracle-derivable), estimate from the production
+    // signature kernel, in-tolerance flag pinned TRUE.
+    q("q267_minhash_audit",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks
+        |  WHERE len(t) >= 3),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(inter * 1000000 // (sza + szb - inter) AS BIGINT)
+        |    AS jaccard_q6,
+        |  TRUE AS within_tol
+        |FROM px WHERE inter * 1000000 // (sza + szb - inter) >= 200000
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.minhashAccuracyAudit(Tables.documents(s, d),
+        n = 3, numHashes = 64, threshold = 0.2, tolQ6 = 200000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1225,4 +1225,38 @@ object Behavior {
         col("share_pm") - lag("share_pm", 1).over(w))
       .orderBy("day", "event_type")
   }
+
+  /** Rolling 7-day active users per observed day, with same-day DAU and
+    * the DAU/WAU stickiness ratio — the engagement health dial next to
+    * q131's calendar-month actives (this one is a sliding window, so a
+    * user counts on every day within `windowDays` of their activity).
+    *
+    * Scale shape: the count-distinct-over-a-sliding-window trap (a
+    * range self-join of events, or a giant per-day state) is avoided by
+    * the standard expansion trick — distinct (day, user) FIRST (one
+    * ids-only shuffle bounds everything by active-pairs, not events),
+    * then each pair expands to the ≤`windowDays` future days it keeps
+    * the user active on (a Generate, no shuffle), distinct again, and
+    * an inner join to the observed-day spine drops phantom days. All
+    * costs scale with active-pairs × windowDays, never events × days.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
+                         quantumNs: Long = 1000L): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val usPerDay = 86400000000L
+    val du = events
+      .select(expr(s"ts div ${quantumNs}L div ${usPerDay}L").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val expanded = du
+      .select(explode(sequence(col("day"),
+        col("day") + lit(windowDays - 1))).as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day").as("__d")).agg(count(lit(1)).as("active_wd"))
+    dau.join(expanded, col("day") === col("__d"))
+      .select(col("day"), col("dau"), col("active_wd"),
+        expr("dau * 1000 div active_wd").as("stickiness_pm"))
+      .orderBy("day")
+  }
 }

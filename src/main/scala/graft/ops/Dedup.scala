@@ -1075,4 +1075,60 @@ object Dedup {
       .groupBy("log2_bucket")
       .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs"))
       .orderBy("log2_bucket")
+
+  /** MinHash estimator accuracy audit — the sketch-audit family member
+    * for the dedup path (q176 audits Count-Min, q242 audits HLL): for
+    * every pair at or above the EXACT-Jaccard threshold, the signature
+    * estimate (matching positions / numHashes) must sit within `tolQ6`
+    * of the exact value. The pair set is defined by exact Jaccard (so
+    * an independent oracle can derive it); the estimate rides the same
+    * native signature kernel production dedup uses, making this the
+    * standing proof that the deployed `numHashes` is sized to the
+    * banding threshold.
+    *
+    * Scale shape: exact pairs come from the df-capped inverted index
+    * (ids + integer sizes only through the shuffle); signatures
+    * re-attach to the surviving pairs via two equi-joins (each
+    * signature crosses the wire once per surviving pair, the q23
+    * discipline); the estimate is one codegen'd zip_with/aggregate
+    * over two k-length int arrays. No all-pairs stage anywhere.
+    */
+  def minhashAccuracyAudit(documents: DataFrame, n: Int = 3,
+                           numHashes: Int = 64, threshold: Double = 0.2,
+                           tolQ6: Long = 200000L,
+                           maxDf: Long = 10000L): DataFrame = {
+    val sets = shingleSets(documents, n)
+      .filter(size(col("shingles")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (items, sizes) = cappedInvertedIndex(sets, "shingles", maxDf)
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("jaccard_q6",
+        expr("inter * 1000000 div (sz_a + sz_b - inter)"))
+      .filter(col("jaccard_q6") >= (threshold * 1e6).toLong)
+      .select("id_a", "id_b", "jaccard_q6")
+    val sigs = sets.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash(col("shingles"), numHashes)
+        .as("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")),
+        "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")),
+        "id_b")
+      .withColumn("__est_q6",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) ->" +
+          " if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)" +
+          s" * 1000000L div ${numHashes}L"))
+      .select(col("id_a"), col("id_b"), col("jaccard_q6"),
+        (abs(col("__est_q6") - col("jaccard_q6")) <=
+          lit(tolQ6)).as("within_tol"))
+      .orderBy("id_a", "id_b")
+  }
 }

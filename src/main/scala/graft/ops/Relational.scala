@@ -1207,4 +1207,133 @@ object Relational {
           .as("returning_permille"))
       .orderBy("month_idx")
   }
+
+  /** Distinct (customer, part) purchase pairs — the shared spine of the
+    * recommender family (customerOverlap / cfRecommend): orders resolves
+    * custkey, lineitem brings the parts, one distinct bounds everything
+    * downstream by |customer×assortment|, never raw lineitem rows.
+    */
+  private def custParts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+
+  /** "Also bought" item-item table: for each part, the top-k co-purchased
+    * parts by co-occurrence cosine (n_both / √(n_a·n_b), ×10⁶ rounded) —
+    * the classic item-based collaborative-filtering similarity model,
+    * batch-built from order baskets.
+    *
+    * Scale shape: the same bounded self-join as `basketPairs` — DISTINCT
+    * (order, part) first, so the pair stage is orders × (parts/order)²,
+    * never lineitem×lineitem; margins are part-census-sized equi-joins
+    * (AQE broadcasts when small); the top-k window partitions by part
+    * (co-purchase-degree-bounded partitions, no global sort). The sqrt
+    * runs on exact integer operands in double (correctly rounded, the
+    * q165/pearson rule).
+    */
+  def alsoBought(lineitem: DataFrame, minSupport: Long = 2L,
+                 k: Int = 5): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val sym = pairs.select(col("pa").as("part"), col("pb").as("rec"),
+        col("n_both"))
+      .unionByName(pairs.select(col("pb").as("part"), col("pa").as("rec"),
+        col("n_both")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("part")
+      .orderBy(col("cosine_q6").desc, col("rec"))
+    sym
+      .join(margin.select(col("l_partkey").as("part"),
+        col("__n").as("n_part")), "part")
+      .join(margin.select(col("l_partkey").as("rec"),
+        col("__n").as("n_rec")), "rec")
+      .withColumn("cosine_q6",
+        expr("cast(round(n_both * 1000000 /" +
+          " (sqrt(cast(n_part as double)) * sqrt(cast(n_rec as double))))" +
+          " as bigint)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("part"), col("rec"), col("n_both"), col("cosine_q6"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("part", "rnk")
+  }
+
+  /** Top-k most-similar customer pairs by purchased-assortment overlap:
+    * Jaccard over distinct part sets, hot parts (df > maxDf) dropped from
+    * the postings — the user-user neighborhood model, and the same
+    * inverted-index + df-cap discipline as `Dedup.pairsBySetOverlap` (a
+    * part half the customer base bought proposes |customers|²/4 pairs and
+    * carries no signal; capping bounds the join by maxDf²·|parts|).
+    * Sizes are computed on the CAPPED sets so jaccard stays
+    * self-consistent on both engines. Integer-exact: jaccard_q6 =
+    * n_common·10⁶ div (sz_a+sz_b−n_common); final cut is one
+    * TakeOrderedAndProject(k) on (n_common↓, jaccard_q6↓, ids).
+    */
+  def customerOverlap(orders: DataFrame, lineitem: DataFrame,
+                      minOverlap: Long = 3L, maxDf: Long = 200L,
+                      k: Int = 50): DataFrame = {
+    require(minOverlap >= 1 && k >= 1, "minOverlap and k must be >= 1")
+    val cp = custParts(orders, lineitem)
+    val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
+    val keep = cp.join(dfc.filter(col("__df") > maxDf), Seq("part"),
+      "left_anti")
+    val sz = keep.groupBy("cust").agg(count(lit(1)).as("__sz"))
+    keep.as("x")
+      .join(keep.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+      .join(sz.select(col("cust").as("cust_a"), col("__sz").as("sz_a")),
+        "cust_a")
+      .join(sz.select(col("cust").as("cust_b"), col("__sz").as("sz_b")),
+        "cust_b")
+      .select(col("cust_a"), col("cust_b"), col("n_common"),
+        expr("n_common * 1000000 div (sz_a + sz_b - n_common)")
+          .as("jaccard_q6"))
+      .orderBy(col("n_common").desc, col("jaccard_q6").desc,
+        col("cust_a"), col("cust_b"))
+      .limit(k)
+  }
+
+  /** Item-based CF recommendations: each customer's top-`topN` unowned
+    * parts by summed also-bought cosine over their purchase history —
+    * the end-to-end "customers who bought X also bought Y" batch scorer.
+    *
+    * Scale shape: history ⋈ similarity-list is an equi-join on part
+    * (similarity list is |parts|·k rows — shuffle join at scale, AQE
+    * broadcasts when small); candidate scores partial-aggregate per
+    * (customer, candidate) BEFORE the ownership anti-join; the top-N
+    * window partitions by customer. Nothing driver-side, no all-pairs.
+    */
+  def cfRecommend(orders: DataFrame, lineitem: DataFrame,
+                  minSupport: Long = 2L, simK: Int = 5,
+                  topN: Int = 3): DataFrame = {
+    require(topN >= 1, "topN must be >= 1")
+    val sim = alsoBought(lineitem, minSupport, simK)
+      .select(col("part"), col("rec"), col("cosine_q6"))
+    val cp = custParts(orders, lineitem)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cust")
+      .orderBy(col("score_q6").desc, col("rec"))
+    cp.join(sim, "part")
+      .groupBy(col("cust"), col("rec"))
+      .agg(sum("cosine_q6").as("score_q6"),
+        count(lit(1)).as("n_paths"))
+      .join(cp.select(col("cust"), col("part").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("cust"), col("rec"), col("score_q6"), col("n_paths"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("cust", "rnk")
+  }
 }
