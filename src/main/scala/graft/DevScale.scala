@@ -392,7 +392,17 @@ object DevScale {
       // q261 one shingle pass into a vocabulary-bounded min-agg;
       // q262 customer-sized first-month join into a months census
       "q261_vocab" -> SparkEntry.queries("q261_vocab_growth"),
-      "q262_newret" -> SparkEntry.queries("q262_new_vs_returning"))
+      "q262_newret" -> SparkEntry.queries("q262_new_vs_returning"),
+      // recommender family: q263/q265 pair stages bounded by
+      // orders × (parts/order)² on the DISTINCT basket frame (the q202
+      // shape); q264's inverted index is df-capped; q266 explodes the
+      // deduped (day,user) frame ×7; q267's exact-pair stage rides the
+      // q22 capped inverted index + per-pair signature equi-joins
+      "q263_alsobought" -> SparkEntry.queries("q263_also_bought"),
+      "q264_custoverlap" -> SparkEntry.queries("q264_customer_overlap"),
+      "q265_cfrec" -> SparkEntry.queries("q265_cf_recommend"),
+      "q266_rollact" -> SparkEntry.queries("q266_rolling_actives"),
+      "q267_mhaudit" -> SparkEntry.queries("q267_minhash_audit"))
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

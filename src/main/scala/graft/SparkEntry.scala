@@ -6678,7 +6678,7 @@ object SparkEntry {
       (s, d) => Relational.cfRecommend(Tables.orders(s, d),
         Tables.lineitem(s, d), minSupport = 2L, simK = 5, topN = 3)),
 
-    // Rolling 7-day actives (Behavior.rollingActiveUsers): sliding
+    // Rolling 7-day actives (Behavior.rollingActivesStickiness): sliding
     // WAU + DAU/WAU stickiness via the (day,user)-expansion trick —
     // no sliding count-distinct state, no range self-join.
     q("q266_rolling_actives",
@@ -6695,13 +6695,17 @@ object SparkEntry {
         |    AS stickiness_pm
         |FROM dau JOIN wa ON dau.day = wa.day
         |ORDER BY 1""".stripMargin)(
-      (s, d) => Behavior.rollingActiveUsers(Tables.events(s, d),
+      (s, d) => Behavior.rollingActivesStickiness(Tables.events(s, d),
         windowDays = 7)),
 
     // MinHash estimator accuracy audit (Dedup.minhashAccuracyAudit):
-    // the q242/q176 sketch-audit pattern — pair set defined by EXACT
+    // the q242/q176 sketch-audit pattern — pair set defined by exact
     // Jaccard (oracle-derivable), estimate from the production
-    // signature kernel, in-tolerance flag pinned TRUE.
+    // signature kernel, in-tolerance flag pinned TRUE. The impl's
+    // df-cap skew guard (maxDf = 10000) is the q22 convention: far
+    // above the fixtures' measured shingle-df maxima (7 at sf0.01,
+    // 25 at sf0.1), so capped-set Jaccard == exact Jaccard here and
+    // the uncapped all-pairs oracle applies verbatim.
     q("q267_minhash_audit",
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text,
@@ -6723,7 +6727,91 @@ object SparkEntry {
         |FROM px WHERE inter * 1000000 // (sza + szb - inter) >= 200000
         |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.minhashAccuracyAudit(Tables.documents(s, d),
-        n = 3, numHashes = 64, threshold = 0.2, tolQ6 = 200000L))
+        n = 3, numHashes = 64, threshold = 0.2, tolQ6 = 200000L)),
+
+    // ---- flight-CSV source (the one §2 source row that had no driver
+    // oracle): the committed 318-row TranStats fixture IS the table —
+    // both engines read the same file, so the quote-aware positional
+    // parse (S2: 110 quoted columns, embedded commas before Dest) is
+    // inside the verified surface, not just spec-pinned. The queries
+    // ignore sfDir by design; the fixture is scale-independent.
+
+    // Flight2 airline/month ceil-average delay (reference
+    // Secondary.java:57–58, 181–200, 213–221): year filter,
+    // not-cancelled, ""→0 then Java (int) truncation, dense months
+    // 1–12 zero-filled. DuckDB divergences pinned: CAST(double AS int)
+    // rounds → trunc() first; quoted-empty CSV fields arrive '' not
+    // NULL → try_cast + coalesce mirrors Spark's nullValue="" parse.
+    q("q268_flight_monthly_delay",
+      s"""WITH raw AS (
+        |  SELECT try_cast(column000 AS INTEGER) AS year,
+        |         try_cast(column002 AS INTEGER) AS mon,
+        |         column006 AS carrier,
+        |         coalesce(try_cast(column037 AS DOUBLE), 0.0)
+        |           AS arr_delay_min,
+        |         coalesce(column041, '') AS cancelled
+        |  FROM read_csv('${Flights.fixturePath}',
+        |                header=false, all_varchar=true)),
+        |valid AS (
+        |  SELECT carrier, mon,
+        |    CAST(trunc(arr_delay_min) AS INTEGER) AS delay
+        |  FROM raw
+        |  WHERE year = 2008 AND cancelled <> '1.00'
+        |    AND mon IS NOT NULL AND carrier IS NOT NULL
+        |    AND carrier <> ''),
+        |agg AS (
+        |  SELECT carrier, mon, CAST(ceil(avg(delay)) AS INTEGER)
+        |    AS avg_delay
+        |  FROM valid GROUP BY 1, 2),
+        |months AS (SELECT unnest(generate_series(1, 12)) AS mon),
+        |cs AS (SELECT DISTINCT carrier FROM valid)
+        |SELECT cs.carrier, CAST(months.mon AS INTEGER) AS mon,
+        |  coalesce(agg.avg_delay, 0) AS avg_delay
+        |FROM cs CROSS JOIN months
+        |LEFT JOIN agg ON agg.carrier = cs.carrier
+        |  AND agg.mon = months.mon
+        |ORDER BY cs.carrier, months.mon""".stripMargin)(
+      (s, _) => Flights.airlineMonthlyDelay(
+        Flights.typed(Flights.load(s, Flights.fixturePath)), 2008)),
+
+    // Flight1 two-leg connection stats (reference PLAIN.java:86–109,
+    // 175–194, 199–208): ORD→via→JFK same flight date, strict HHmm
+    // ArrTime < DepTime, count + average over the (long)-truncated
+    // delay sum. The fixture sum 49.5 → (long)49 → 12.25 — DuckDB's
+    // rounding CAST would give 12.5, hence trunc().
+    q("q269_flight_two_leg",
+      s"""WITH raw AS (
+        |  SELECT try_cast(column005 AS DATE) AS flight_date,
+        |         column011 AS origin, column017 AS dest,
+        |         try_cast(column024 AS INTEGER) AS dep_time,
+        |         try_cast(column035 AS INTEGER) AS arr_time,
+        |         coalesce(try_cast(column037 AS DOUBLE), 0.0)
+        |           AS arr_delay_min,
+        |         coalesce(column041, '') AS cancelled,
+        |         coalesce(column043, '') AS diverted
+        |  FROM read_csv('${Flights.fixturePath}',
+        |                header=false, all_varchar=true)),
+        |valid AS (
+        |  SELECT * FROM raw
+        |  WHERE cancelled <> '1.00' AND diverted <> '1.00'
+        |    AND flight_date BETWEEN DATE '2007-06-01'
+        |      AND DATE '2008-05-31'),
+        |leg1 AS (SELECT dest AS via, flight_date, arr_time AS arr1,
+        |    arr_delay_min AS delay1 FROM valid
+        |  WHERE origin = 'ORD' AND dest <> 'JFK'),
+        |leg2 AS (SELECT origin AS via, flight_date, dep_time AS dep2,
+        |    arr_delay_min AS delay2 FROM valid
+        |  WHERE dest = 'JFK' AND origin <> 'ORD'),
+        |pairs AS (SELECT delay1 + delay2 AS d FROM leg1
+        |  JOIN leg2 USING (via, flight_date) WHERE arr1 < dep2)
+        |SELECT CAST(count(*) AS BIGINT) AS count,
+        |  CASE WHEN count(*) > 0
+        |    THEN CAST(CAST(trunc(sum(d)) AS BIGINT) AS DOUBLE)
+        |      / count(*)
+        |    ELSE CAST('NaN' AS DOUBLE) END AS average
+        |FROM pairs""".stripMargin)(
+      (s, _) => Flights.twoLegStats(
+        Flights.typed(Flights.load(s, Flights.fixturePath))))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

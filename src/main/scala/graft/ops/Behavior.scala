@@ -646,10 +646,7 @@ object Behavior {
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val dayNs = 86400L * 1000000000L
-    val du = events
-      .select(expr(s"ts div ${dayNs}L").as("day"), col("user_id"))
-      .distinct()
+    val du = distinctDayUser(events)
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val wa = du
       .select(explode(sequence(col("day"),
@@ -657,6 +654,19 @@ object Behavior {
       .distinct()
       .groupBy("day").agg(count(lit(1)).as("wau"))
     dau.join(wa, Seq("day")).orderBy("day")
+  }
+
+  /** Shared spine for the rolling-actives family: one distinct
+    * (day, user_id) pair per active user-day, day = ts at nanosecond
+    * precision floor-divided to UTC days. The first distinct is the
+    * whole scale story — everything downstream is bounded by
+    * active-pairs, never raw events.
+    */
+  private def distinctDayUser(events: DataFrame): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    events
+      .select(expr(s"ts div ${dayNs}L").as("day"), col("user_id"))
+      .distinct()
   }
 
   /** Exponentially-decayed trailing count per period: for each period t,
@@ -1240,14 +1250,10 @@ object Behavior {
     * an inner join to the observed-day spine drops phantom days. All
     * costs scale with active-pairs × windowDays, never events × days.
     */
-  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7,
-                         quantumNs: Long = 1000L): DataFrame = {
+  def rollingActivesStickiness(events: DataFrame,
+                               windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    val usPerDay = 86400000000L
-    val du = events
-      .select(expr(s"ts div ${quantumNs}L div ${usPerDay}L").as("day"),
-        col("user_id"))
-      .distinct()
+    val du = distinctDayUser(events)
     val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
     val expanded = du
       .select(explode(sequence(col("day"),

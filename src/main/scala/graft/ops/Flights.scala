@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   */
 object Flights {
 
+  /** The committed TranStats fixture (tools/gen_flight_fixture.py),
+    * resolved relative-first so sbt-local runs and the driver's
+    * repo-rooted runs both find one canonical file — the q268/q269
+    * oracles embed the same resolved path for DuckDB.
+    */
+  lazy val fixturePath: String = {
+    val rel = "src/test/resources/flights_transtats.csv"
+    if (new java.io.File(rel).exists()) new java.io.File(rel).getAbsolutePath
+    else "/root/repo/" + rel
+  }
+
   /** Positional quote-aware CSV scan (S1/S2). escape='"' pins RFC 4180
     * doubled-quote escaping ("" inside a quoted field), which is opencsv's
     * default and what TranStats exports use; Spark's own default escape is

@@ -1236,7 +1236,11 @@ object Relational {
   def alsoBought(lineitem: DataFrame, minSupport: Long = 2L,
                  k: Int = 5): DataFrame = {
     require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
+    // pinned: three subtrees read this frame (both pair-join sides + the
+    // margin census) — without the cache Catalyst re-runs the distinct
+    // per subtree (the q53-regression pattern; see Dedup persist notes)
     val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
     val pairs = li.as("a")
       .join(li.as("b"),
@@ -1282,10 +1286,14 @@ object Relational {
                       minOverlap: Long = 3L, maxDf: Long = 200L,
                       k: Int = 50): DataFrame = {
     require(minOverlap >= 1 && k >= 1, "minOverlap and k must be >= 1")
+    // cp feeds the df census AND the capped postings; keep feeds the
+    // sizes census plus both self-join sides — pin each once
     val cp = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
     val keep = cp.join(dfc.filter(col("__df") > maxDf), Seq("part"),
-      "left_anti")
+        "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = keep.groupBy("cust").agg(count(lit(1)).as("__sz"))
     keep.as("x")
       .join(keep.as("y"),
@@ -1321,7 +1329,10 @@ object Relational {
     require(topN >= 1, "topN must be >= 1")
     val sim = alsoBought(lineitem, minSupport, simK)
       .select(col("part"), col("rec"), col("cosine_q6"))
+    // cp is read twice (scoring join + ownership anti-join): pin it so
+    // the orders⋈lineitem distinct runs once
     val cp = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cust")
       .orderBy(col("score_q6").desc, col("rec"))
     cp.join(sim, "part")

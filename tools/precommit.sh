@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate (VERDICT r14 item 3): a round can never close red.
+#
+#   tools/precommit.sh                 # compile + test-compile + entry smoke
+#   tools/precommit.sh q266 q267       # ... plus execute named queries at sf0.001
+#   tools/precommit.sh --all           # ... plus execute EVERY query (slow)
+#
+# Exit 0 = safe to commit. Run before every end-of-round snapshot and
+# before any commit that touches SparkEntry.scala.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "[precommit] sbt compile + Test/compile"
+sbt -batch ";compile;Test/compile" 2>&1 | tail -3
+
+if [ "$#" -gt 0 ]; then
+  echo "[precommit] smoke-running queries at sf0.001: $*"
+  sbt -batch "runMain graft.Smoke $*" 2>&1 | tee /tmp/precommit_smoke.log \
+    | grep -E '^\[smoke\]' || true
+  grep -q '^\[success\]' /tmp/precommit_smoke.log || {
+    echo "[precommit] SMOKE FAILED"; exit 1; }
+else
+  echo "[precommit] entry smoke"
+  sbt -batch "runMain graft.Smoke" 2>&1 | tee /tmp/precommit_smoke.log \
+    | grep -E '^\[smoke\]' || true
+  grep -q '^\[success\]' /tmp/precommit_smoke.log || {
+    echo "[precommit] ENTRY SMOKE FAILED"; exit 1; }
+fi
+echo "[precommit] OK"
