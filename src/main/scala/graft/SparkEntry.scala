@@ -6811,7 +6811,72 @@ object SparkEntry {
         |    ELSE CAST('NaN' AS DOUBLE) END AS average
         |FROM pairs""".stripMargin)(
       (s, _) => Flights.twoLegStats(
-        Flights.typed(Flights.load(s, Flights.fixturePath))))
+        Flights.typed(Flights.load(s, Flights.fixturePath)))),
+
+    // Decayed trailing revenue (Behavior.decayedPeriodSums): the q145
+    // decay kernel over exact integer cents instead of counts — every
+    // term cents·2^−g is a dyadic rational, so the trailing sum is
+    // float-exact in any addition order and the hash compare is safe.
+    q("q270_decayed_revenue",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS period,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT period, sum(cents) AS cents FROM p GROUP BY 1)
+        |SELECT a.period, CAST(a.cents AS BIGINT) AS cents,
+        |  sum(CAST(b.cents AS DOUBLE) /
+        |    CAST(1 << CAST(a.period - b.period AS INTEGER) AS DOUBLE))
+        |    AS decayed_cents
+        |FROM c a JOIN c b
+        |  ON b.period <= a.period AND b.period > a.period - 8
+        |GROUP BY 1, 2 ORDER BY a.period""".stripMargin)(
+      (s, d) => Behavior.decayedPeriodSums(Tables.orders(s, d),
+        "o_orderdate",
+        org.apache.spark.sql.functions.expr(
+          "cast(round(o_totalprice * 100) as long)"),
+        periodMs = 86400000L, window = 8)),
+
+    // Content-based recommender (Relational.embeddingProfileRecommend):
+    // per-customer taste profile = exact integer per-dim sum of the q6-
+    // quantized embeddings of purchased parts (part → vector by
+    // p_partkey mod |embeddings|, the q74/q86 synthetic-map device);
+    // top-3 unowned parts by profile cosine. Integer profiles make the
+    // group sum order-free; the cosine itself is the q25/q26
+    // bit-identical double kernel on both engines.
+    q("q271_profile_recommend",
+      """WITH nv AS (SELECT count(*) AS n FROM embeddings),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[])) > 0),
+        |pv AS (SELECT p_partkey AS part, emb FROM part, ev, nv
+        |  WHERE ev.vec_id = p_partkey % nv.n),
+        |cp AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 100),
+        |pq AS (SELECT cust, u.d,
+        |    sum(CAST(round(emb[u.d] * 1000000) AS BIGINT)) AS v
+        |  FROM cp JOIN pv USING (part),
+        |    unnest(generate_series(1, 64)) AS u(d)
+        |  GROUP BY 1, 2),
+        |prof AS (SELECT cust, list(CAST(v AS DOUBLE) ORDER BY d) AS pemb
+        |  FROM pq GROUP BY 1),
+        |profnz AS (SELECT * FROM prof
+        |  WHERE list_cosine_similarity(pemb, pemb) > 0),
+        |sc AS (SELECT cust, pv.part AS rec,
+        |    list_cosine_similarity(prof.pemb, pv.emb) AS cos
+        |  FROM profnz prof CROSS JOIN pv
+        |  WHERE NOT EXISTS (SELECT 1 FROM cp
+        |    WHERE cp.cust = prof.cust AND cp.part = pv.part)),
+        |r AS (SELECT cust, rec,
+        |    CAST(round(cos * 1000000) AS BIGINT) AS score_q6,
+        |    row_number() OVER (PARTITION BY cust
+        |      ORDER BY round(cos * 1000000) DESC, rec) AS rnk
+        |  FROM sc)
+        |SELECT cust, rec, score_q6, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY cust, rnk""".stripMargin)(
+      (s, d) => Relational.embeddingProfileRecommend(Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d), Tables.embeddings(s, d),
+        maxQueryCust = 100L, topN = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

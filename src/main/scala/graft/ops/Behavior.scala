@@ -708,6 +708,44 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** `decayedPeriodCounts` over a VALUE instead of a row count: per
+    * period t, `decayed_cents = Σ_{g=0..window-1} cents_{t−g} · 2^−g`
+    * over the observed trailing periods — the decayed-revenue trend dial
+    * (is this week's revenue momentum above the decayed baseline?).
+    * `valueCents` must be integral (e.g. `round(o_totalprice·100)`):
+    * the per-period sums are then exact int64, every decay term
+    * `cents · 2^−g` is a dyadic rational exactly representable in
+    * double, and the trailing sum is exact in any addition order — the
+    * q145 hash-exactness argument verbatim, with sums for counts.
+    *
+    * Scale shape identical to q145: one map-side partial agg collapses
+    * the fact scan to the period table; the decay self-join broadcasts
+    * that table against itself over a window-bounded gap — thousands of
+    * rows for years of daily data, independent of fact cardinality.
+    */
+  def decayedPeriodSums(df: DataFrame, tsCol: String,
+                        valueCents: org.apache.spark.sql.Column,
+                        periodMs: Long = 86400000L,
+                        window: Int = 8): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    require(window >= 1 && window <= 62, "need 1 <= window <= 62")
+    val perPeriod = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"), valueCents.cast("long").as("__v"))
+      .groupBy("period").agg(sum("__v").as("cents"))
+    val past = perPeriod
+      .select(col("period").as("__p0"), col("cents").as("__c0"))
+    perPeriod.join(broadcast(past),
+        col("__p0") <= col("period") &&
+          col("__p0") > col("period") - window.toLong)
+      .groupBy("period", "cents")
+      .agg(sum(col("__c0").cast("double") /
+        expr("cast(shiftleft(1L, cast(period - __p0 as int)) as double)"))
+        .as("decayed_cents"))
+      .orderBy("period")
+  }
+
   /** Seasonal anomaly census: daily (or any-period) counts flagged
     * against their own position in the seasonal cycle — day-of-week by
     * default — using the per-season population mean/variance over the

@@ -1347,4 +1347,72 @@ object Relational {
         col("rnk").cast("long").as("rnk"))
       .orderBy("cust", "rnk")
   }
+
+  /** Content-based recommender: each query customer's taste PROFILE is
+    * the per-dimension sum of the embeddings of the parts they bought
+    * (quantized to q6 integers FIRST, so the profile is an exact integer
+    * vector — group-sum order cannot perturb a float bit and the oracle
+    * reconstructs it exactly); recommendations are the top-`topN`
+    * unowned parts by cosine(profile, part embedding). Parts map to the
+    * embeddings table by `p_partkey mod |embeddings|` — the q74/q86
+    * synthetic-domain device, identical in the oracle. Complements
+    * `cfRecommend`: CF needs co-purchase support, this scores any part
+    * with an embedding (the cold-start side of a recommender pair).
+    *
+    * Scale shape: profile build is linear (history ⋈ part-vector map,
+    * one partial agg per (cust, dim)); scoring is the EXACT brute-force
+    * baseline over a bounded query-customer set (`maxQueryCust`, the
+    * q26 vec_id<10 convention) — profiles broadcast, the corpus scan
+    * streams through one codegen'd cosine per (query, part). Batch
+    * scoring of ALL customers at 100 TB rides `Similarity.annIvf` with
+    * the profile frame as the query side (same schema); this operator
+    * is its recall baseline, like q26 is for q27/q44.
+    */
+  def embeddingProfileRecommend(orders: DataFrame, lineitem: DataFrame,
+                                part: DataFrame, embeddings: DataFrame,
+                                maxQueryCust: Long = 100L,
+                                topN: Int = 3): DataFrame = {
+    import graft.ops.Similarity.{asDouble, cosine}
+    require(topN >= 1, "topN must be >= 1")
+    graft.functions.GraftFunctions.register(orders.sparkSession)
+    val nv = embeddings.agg(count(lit(1)).as("__nv"))
+    val ev = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .filter(cosine(col("emb"), col("emb")) > 0)
+    // catalog part → vector map; parts mapped to a zero embedding drop
+    // out on both engines (the q26 nonzero filter)
+    val pv = part.select(col("p_partkey").as("part"))
+      .crossJoin(broadcast(nv))
+      .join(ev, col("part") % col("__nv") === col("vec_id"))
+      .select(col("part"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // purchase history of the query customers: feeds the profile build
+    // AND the ownership anti-join (pin once, the cfRecommend discipline)
+    val cp = custParts(orders, lineitem)
+      .filter(col("cust") < maxQueryCust)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact integer profile: quantize each dim to q6 BEFORE the group
+    // sum, so addition order cannot perturb a bit on either engine
+    val prof = cp.join(pv, "part")
+      .select(col("cust"), posexplode(col("emb")).as(Seq("d", "e")))
+      .groupBy(col("cust"), col("d"))
+      .agg(sum(expr("cast(round(e * 1000000) as long)")).as("v"))
+      .groupBy("cust")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("v")))),
+        x => x.getField("v").cast("double")).as("pemb"))
+      .filter(cosine(col("pemb"), col("pemb")) > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cust")
+      .orderBy(col("score_q6").desc, col("rec"))
+    broadcast(prof).crossJoin(pv)
+      .select(col("cust"), col("part").as("rec"),
+        expr("cast(round(graft_cosine(pemb, emb) * 1000000) as bigint)")
+          .as("score_q6"))
+      .join(cp.select(col("cust"), col("part").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topN)
+      .select(col("cust"), col("rec"), col("score_q6"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("cust", "rnk")
+  }
 }

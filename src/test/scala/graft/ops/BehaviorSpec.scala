@@ -189,6 +189,39 @@ class BehaviorSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 2L), (1L, 1L, 2L), (8L, 2L, 2L)))
   }
 
+  test("rollingActivesStickiness: same spine, DAU/WAU permille dial") {
+    val D = 86400L * 1000000000L
+    val df = Seq(
+      (1L, 0L), (1L, D + 5L), (1L, 8 * D), (2L, 0L), (2L, 100L),
+      (3L, 8 * D + 7L))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (u, t, i.toLong, "view", 1.0)
+      }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.rollingActivesStickiness(df, windowDays = 7)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // day 0: dau 2, active_wd {u1,u2} = 2 → 1000‰; day 1: dau 1,
+    // active_wd still {u1,u2} → 500‰; day 8: dau 2 (u1,u3), the
+    // 2..8 window holds exactly those two → 1000‰
+    assert(got == Seq((0L, 2L, 2L, 1000L), (1L, 1L, 2L, 500L),
+      (8L, 2L, 2L, 1000L)))
+  }
+
+  test("decayedPeriodSums: integer cents, dyadic decay, gaps skipped") {
+    // periods (width 10 ms): p0 = 100+200 = 300¢, p1 = 300¢, p4 = 200¢;
+    // window 3 → p1 decayed = 300 + 300/2 = 450.0 exactly; p4's trailing
+    // frame (1,4] is all gaps → just itself
+    val df = Seq((0L, 100L), (5L, 200L), (12L, 300L), (41L, 100L),
+        (43L, 100L))
+      .map { case (ms, v) => (new java.sql.Timestamp(ms), v) }
+      .toDF("t", "v")
+    val got = Behavior.decayedPeriodSums(df, "t",
+        org.apache.spark.sql.functions.col("v"),
+        periodMs = 10L, window = 3)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 300L, 300.0), (1L, 300L, 450.0),
+      (4L, 200L, 200.0)))
+  }
+
   test("decayedPeriodCounts: dyadic weights, gaps contribute nothing") {
     // periods 0 (2 events), 1 (1), 4 (2); window=3. p1 sees p0 at half
     // weight → 1 + 2/2 = 2.0 exactly; p4's frame (1,4] holds no observed

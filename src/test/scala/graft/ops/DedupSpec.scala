@@ -637,4 +637,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 3L, 3L), (1L, 1L, 2L)))
   }
+
+  test("minhashAccuracyAudit: exact pair set, estimate within tolerance") {
+    import spark.implicits._
+    // docs 1/2: shingle sets {abc,bcd,cde,def} vs +{efg} → J = 4/5 =
+    // 0.8 → 800000 q6, above the 0.2 threshold; doc 3 disjoint (no
+    // pair); docs 1/4 share 1 of 7 union shingles → 142857 < threshold
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f g"),
+      (3L, "x y z w v u"), (4L, "a b c q r s"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashAccuracyAudit(d, n = 3, numHashes = 64,
+        threshold = 0.2, tolQ6 = 200000L)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, 800000L)))
+    // the audit's own contract: the 64-hash estimate sits within ±0.2
+    // of exact — deterministic for the fixed hash family, so pinnable
+    assert(got.head._4)
+  }
 }

@@ -468,4 +468,71 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((m0, 3000L, 0L, 0L),
       (m0 + 2, 4000L, 3000L, 428L)))
   }
+
+  test("alsoBought: distinct baskets, cosine margins, tie on rec id") {
+    // baskets: o1={1,2,3}, o2={1,2}, o3={2,3}; the duplicate (1,1) row
+    // pins the DISTINCT (co-occurrence counts baskets, not line items)
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (3L, 2L), (3L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.alsoBought(li, minSupport = 1L, k = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // margins n1=2 n2=3 n3=2; pairs (1,2)=2 (1,3)=1 (2,3)=2
+    // cos(1,2) = 2/(√2·√3) → 816497; cos(1,3) = 1/2 → 500000
+    assert(got == Seq(
+      (1L, 2L, 2L, 816497L, 1L), (1L, 3L, 1L, 500000L, 2L),
+      (2L, 1L, 2L, 816497L, 1L), (2L, 3L, 2L, 816497L, 2L), // tie → id
+      (3L, 2L, 2L, 816497L, 1L), (3L, 1L, 1L, 500000L, 2L)))
+  }
+
+  test("customerOverlap: df-cap drops hot part, capped-set jaccard") {
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    // c1={1,2,9}, c2={1,2}, c3={2}: part 2 has df 3 > maxDf 2 → dropped;
+    // capped sets c1={1,9} c2={1} c3=∅ → only pair (c1,c2) via part 1
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 9L), (2L, 1L), (2L, 2L),
+      (3L, 2L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.customerOverlap(orders, li,
+        minOverlap = 1L, maxDf = 2L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // jaccard_q6 = 1·10⁶ div (2 + 1 − 1) = 500000
+    assert(got == Seq((1L, 2L, 1L, 500000L)))
+  }
+
+  test("cfRecommend: summed path scores, owned parts anti-joined") {
+    // triangle: c1={1,2} c2={2,3} c3={1,3}; every pair co-occurs once,
+    // all margins 2 → every sim edge 500000
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 3L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.cfRecommend(orders, li, minSupport = 1L,
+        simK = 5, topN = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // each customer's one unowned part is reached via BOTH owned parts:
+    // score 2·500000, n_paths 2; owned candidates are anti-joined away
+    assert(got == Seq((1L, 3L, 1000000L, 2L, 1L),
+      (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
+  }
+
+  test("embeddingProfileRecommend: integer profile, mod map, owned cut") {
+    val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
+    // c1 bought p0 (→vec 0 = [1,0]); c2 bought p2,p5 (both →vec 2 = [.6,.8])
+    val li = Seq((1L, 0L), (2L, 2L), (2L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = (0L to 5L).toDF("p_partkey")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val got = Relational.embeddingProfileRecommend(orders, li, part, emb,
+        maxQueryCust = 100L, topN = 3)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // c1 profile [10⁶, 0]: p3 (vec 0) cos 1; p2/p5 (vec 2) cos .6 — tie
+    // broken on rec id; p1/p4 orthogonal (cos 0) lose.
+    // c2 profile [1.2·10⁶, 1.6·10⁶] (‖·‖ = 2·10⁶ exactly): p1/p4 (vec 1)
+    // cos .8; p0/p3 (vec 0) cos .6 — owned p2/p5 are anti-joined away.
+    assert(got == Seq(
+      (1L, 3L, 1000000L, 1L), (1L, 2L, 600000L, 2L), (1L, 5L, 600000L, 3L),
+      (2L, 1L, 800000L, 1L), (2L, 4L, 800000L, 2L), (2L, 0L, 600000L, 3L)))
+  }
 }
