@@ -6876,7 +6876,39 @@ object SparkEntry {
         |FROM r WHERE rnk <= 3 ORDER BY cust, rnk""".stripMargin)(
       (s, d) => Relational.embeddingProfileRecommend(Tables.orders(s, d),
         Tables.lineitem(s, d), Tables.part(s, d), Tables.embeddings(s, d),
-        maxQueryCust = 100L, topN = 3))
+        maxQueryCust = 100L, topN = 3)),
+
+    // Association rules (Relational.associationRules): directed basket
+    // pairs with integer-exact confidence (permille of ante baskets)
+    // and lift (q6, decimal(38,0) products — DuckDB promotes to
+    // HUGEINT, so the `div` results agree exactly). Separates
+    // popularity co-occurrence (lift ≈ 10⁶) from real affinity.
+    q("q272_association_rules",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        |m AS (SELECT l_partkey, count(*) AS m FROM li GROUP BY 1),
+        |px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS n_both
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT pa AS ante, pb AS cons, n_both FROM px
+        |  UNION ALL SELECT pb, pa, n_both FROM px),
+        |j AS (SELECT ante, cons, n_both, ma.m AS n_ante,
+        |    n_both * 1000 // ma.m AS confidence_pm,
+        |    CAST(n_both * n.n * 1000000 // (ma.m * mc.m) AS BIGINT)
+        |      AS lift_q6
+        |  FROM d JOIN m ma ON ma.l_partkey = d.ante
+        |    JOIN m mc ON mc.l_partkey = d.cons, n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY ante
+        |    ORDER BY lift_q6 DESC, cons) AS rnk FROM j)
+        |SELECT ante, cons, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(n_ante AS BIGINT) AS n_ante,
+        |  CAST(confidence_pm AS BIGINT) AS confidence_pm, lift_q6,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY ante, rnk""".stripMargin)(
+      (s, d) => Relational.associationRules(Tables.lineitem(s, d),
+        minSupport = 2L, k = 5))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1348,6 +1348,61 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** Association rules over order baskets: directed (ante → cons) pairs
+    * with support, confidence and lift — the market-basket trio that
+    * separates "bought together because both are popular" (lift ≈ 1)
+    * from genuine affinity (lift ≫ 1). Everything is integer-exact:
+    * confidence_pm = n_both·1000 div n_ante, and
+    * lift_q6 = n_both·N·10⁶ div (n_ante·n_cons) with the products taken
+    * in decimal(38,0) so cluster-scale basket counts cannot wrap int64
+    * (the q237 discipline; DuckDB's integer ops promote to HUGEINT, so
+    * both engines are exact and `div` results agree bit-for-bit).
+    *
+    * Scale shape: the q202/q263 bounded pair stage (DISTINCT
+    * (order, part) first — pairs are orders × (parts/order)², never
+    * lineitem²); margins and the basket total N are partial-agg censuses
+    * (N broadcasts as one row); the top-k window partitions by ante.
+    */
+  def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
+                       k: Int = 5): DataFrame = {
+    require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__m"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minSupport)
+    val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
+        col("n_both"))
+      .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("n_both")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ante")
+      .orderBy(col("lift_q6").desc, col("cons"))
+    directed
+      .join(margin.select(col("l_partkey").as("ante"),
+        col("__m").as("n_ante")), "ante")
+      .join(margin.select(col("l_partkey").as("cons"),
+        col("__m").as("n_cons")), "cons")
+      .crossJoin(broadcast(total))
+      .withColumn("confidence_pm",
+        expr("n_both * 1000 div n_ante"))
+      .withColumn("lift_q6",
+        expr("cast(n_both as decimal(38,0)) * __n * 1000000" +
+          " div (cast(n_ante as decimal(38,0)) * n_cons)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("ante"), col("cons"), col("n_both"), col("n_ante"),
+        col("confidence_pm"), col("lift_q6"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("ante", "rnk")
+  }
+
   /** Content-based recommender: each query customer's taste PROFILE is
     * the per-dimension sum of the embeddings of the parts they bought
     * (quantized to q6 integers FIRST, so the profile is an exact integer

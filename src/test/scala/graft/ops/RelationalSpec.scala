@@ -515,6 +515,20 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
   }
 
+  test("associationRules: integer confidence permille and lift q6") {
+    // baskets: o1={1,2}, o2={1,2}, o3={1,3}, o4={3}: N=4 baskets;
+    // margins n1=3 n2=2 n3=2; pairs ≥2: only (1,2)=2
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L), (4L, 3L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.associationRules(li, minSupport = 2L, k = 5)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // 1→2: conf 2000/3 = 666‰, lift 2·4·10⁶/(3·2) = 1333333
+    // 2→1: conf 2000/2 = 1000‰, same lift
+    assert(got == Seq(
+      (1L, 2L, 2L, 3L, 666L, 1333333L, 1L),
+      (2L, 1L, 2L, 2L, 1000L, 1333333L, 1L)))
+  }
+
   test("embeddingProfileRecommend: integer profile, mod map, owned cut") {
     val orders = Seq((1L, 1L), (2L, 2L)).toDF("o_orderkey", "o_custkey")
     // c1 bought p0 (→vec 0 = [1,0]); c2 bought p2,p5 (both →vec 2 = [.6,.8])
