@@ -403,6 +403,15 @@ object DevScale {
       "q265_cfrec" -> SparkEntry.queries("q265_cf_recommend"),
       "q266_rollact" -> SparkEntry.queries("q266_rolling_actives"),
       "q267_mhaudit" -> SparkEntry.queries("q267_minhash_audit"))
+      // q273 (quantile-capped overlap) is deliberately NOT in this map:
+      // the inflation holds the part catalog constant while customers
+      // grow, so part-df densifies F× and the pair stage's Σ df² cost
+      // grows quadratically BY CONSTRUCTION — the harness would measure
+      // the inflation's regime mismatch, not the operator (the real
+      // fixtures grow the catalog with scale: mean part-df ≈ 30 at both
+      // sf0.01 and sf0.1, where the permille cut keeps work linear).
+      // The dense-popularity regime is guarded by the operator's maxDf
+      // rail; see the customerOverlapQuantileCap scaladoc + PLANS.md.
 
   private def r2(v: Double): Double = math.rint(v * 100) / 100
 

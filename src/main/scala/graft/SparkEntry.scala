@@ -6908,7 +6908,41 @@ object SparkEntry {
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 5 ORDER BY ante, rnk""".stripMargin)(
       (s, d) => Relational.associationRules(Tables.lineitem(s, d),
-        minSupport = 2L, k = 5))
+        minSupport = 2L, k = 5)),
+
+    // Quantile-capped customer overlap (Relational
+    // .customerOverlapQuantileCap): the q264 skew guard with the cap as
+    // the 990‰ point of the part-df census (integer-exact rank cut,
+    // rn·1000 ≤ p·n) — scale-free where the absolute cap swallows a
+    // constant catalog under customer growth (measured: q264 rows → 0
+    // at DevScale x16; see PLANS.md round-15 pass).
+    q("q273_overlap_quantile_cap",
+      """WITH cp AS (SELECT DISTINCT o_custkey AS cust,
+        |    l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |dfc AS (SELECT part, count(*) AS df FROM cp GROUP BY 1),
+        |rk AS (SELECT part, df, row_number() OVER (ORDER BY df, part)
+        |    AS rn, count(*) OVER () AS np FROM dfc),
+        |cap AS (SELECT max(df) AS cap FROM rk WHERE rn * 1000 <= 990 * np),
+        |keep AS (SELECT cp.cust, cp.part FROM cp JOIN dfc USING (part),
+        |  cap WHERE dfc.df <= cap.cap),
+        |sz AS (SELECT cust, count(*) AS sz FROM keep GROUP BY 1),
+        |px AS (SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    count(*) AS n_common
+        |  FROM keep x JOIN keep y ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT cust_a, cust_b, n_common,
+        |    n_common * 1000000 // (sa.sz + sb.sz - n_common)
+        |      AS jaccard_q6
+        |  FROM px JOIN sz sa ON sa.cust = cust_a
+        |    JOIN sz sb ON sb.cust = cust_b)
+        |SELECT cust_a, cust_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(jaccard_q6 AS BIGINT) AS jaccard_q6
+        |FROM j ORDER BY n_common DESC, jaccard_q6 DESC, cust_a, cust_b
+        |LIMIT 50""".stripMargin)(
+      (s, d) => Relational.customerOverlapQuantileCap(Tables.orders(s, d),
+        Tables.lineitem(s, d), minOverlap = 3L, capPermille = 990L,
+        k = 50))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

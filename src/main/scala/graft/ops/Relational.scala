@@ -1292,7 +1292,72 @@ object Relational {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
     val keep = cp.join(dfc.filter(col("__df") > maxDf), Seq("part"),
-        "left_anti")
+      "left_anti")
+    overlapPairsTopK(keep, minOverlap, k)
+  }
+
+  /** `customerOverlap` with the df cap set as a QUANTILE of the part-df
+    * census instead of an absolute count: parts above the
+    * `capPermille`-th permille of the df distribution (rank computed
+    * integer-exactly — `rn·1000 ≤ p·n`, ties on part id) are dropped
+    * from the postings. The DevScale x16 run showed why this variant
+    * exists: an absolute cap under a CONSTANT catalog and growing
+    * customer base eventually swallows every part (rows → 0 at 16× the
+    * fixture), while the popularity *distribution* is scale-free — a
+    * permille cut keeps the same catalog fraction at every corpus size.
+    *
+    * Scale shape: the census and its rank window are parts-sized
+    * (vocabulary-bounded — the one global window rides |catalog| rows,
+    * not facts); the cap is a one-row broadcast; everything after is
+    * the customerOverlap pair stage on the surviving postings. The
+    * pair stage costs Σ df² over surviving parts, so the permille cut
+    * is the right guard exactly when the df DISTRIBUTION is scale-free
+    * (catalog grows with the corpus — true of the harness fixtures:
+    * measured mean part-df is ~30 at BOTH sf0.01 and sf0.1). When the
+    * catalog is constant and popularity densifies (the DevScale
+    * inflation regime), Σ df² grows quadratically no matter which
+    * fraction survives — that regime needs the `maxDf` absolute rail
+    * below (composed as least(quantile, rail)), or DIMSUM-style
+    * posting-list sampling, which trades exactness away and so lives
+    * outside this oracle-checked operator.
+    */
+  def customerOverlapQuantileCap(orders: DataFrame, lineitem: DataFrame,
+                                 minOverlap: Long = 3L,
+                                 capPermille: Long = 990L,
+                                 k: Int = 50,
+                                 maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minOverlap >= 1 && k >= 1, "minOverlap and k must be >= 1")
+    require(capPermille >= 1 && capPermille <= 1000,
+      "capPermille in [1, 1000]")
+    val cp = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__df"), col("part"))
+    // the cap is ONE value over the catalog-sized census — collect it
+    // (the SQ8-codebook bounded-collect discipline) instead of wiring
+    // the window+count subtree into the plan as nested broadcasts,
+    // which serialized five extra tiny jobs per run
+    val capRow = dfc.withColumn("__rn", row_number().over(wr))
+      .crossJoin(broadcast(dfc.agg(count(lit(1)).as("__np"))))
+      .filter(col("__rn") * 1000 <= lit(capPermille) * col("__np"))
+      .agg(max("__df")).collect()(0)
+    val keep =
+      if (capRow.isNullAt(0)) cp.filter(lit(false))
+      else cp.join(dfc, "part")
+        .filter(col("__df") <= lit(math.min(capRow.getLong(0), maxDf)))
+        .select(col("cust"), col("part"))
+    overlapPairsTopK(keep, minOverlap, k)
+  }
+
+  /** Shared tail of the customer-overlap family: sizes census on the
+    * surviving postings, the part-bucketed pair self-join, and the
+    * deterministic global top-k. `keep` must be distinct (cust, part).
+    */
+  private def overlapPairsTopK(keep0: DataFrame, minOverlap: Long,
+                               k: Int): DataFrame = {
+    val keep = keep0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = keep.groupBy("cust").agg(count(lit(1)).as("__sz"))
     keep.as("x")

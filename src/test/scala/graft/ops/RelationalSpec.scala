@@ -515,6 +515,27 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
   }
 
+  test("customerOverlapQuantileCap: permille cut tracks the df census") {
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    // parts by df: p9 df1, p1 df2, p2 df4 — census n=3; cap at 700‰
+    // keeps rn·1000 ≤ 700·3 = 2100 → rn ∈ {1,2} → cap df = 2: the hot
+    // part 2 (bought by everyone, zero signal) is cut, p1/p9 survive
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 9L), (2L, 1L), (2L, 2L),
+      (3L, 2L), (4L, 2L)).toDF("l_orderkey", "l_partkey")
+    val got = Relational.customerOverlapQuantileCap(orders, li,
+        minOverlap = 1L, capPermille = 700L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // capped sets: c1={1,9}, c2={1}; pair (c1,c2) n_common 1 →
+    // jaccard 10⁶ div (2+1−1) = 500000
+    assert(got == Seq((1L, 2L, 1L, 500000L)))
+    // at 1000‰ nothing is cut: everyone shares part 2
+    val all = Relational.customerOverlapQuantileCap(orders, li,
+        minOverlap = 1L, capPermille = 1000L, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(all.length == 6) // C(4,2) pairs all share the hot part
+  }
+
   test("associationRules: integer confidence permille and lift q6") {
     // baskets: o1={1,2}, o2={1,2}, o3={1,3}, o4={3}: N=4 baskets;
     // margins n1=3 n2=2 n3=2; pairs ≥2: only (1,2)=2
