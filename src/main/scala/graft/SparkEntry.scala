@@ -6942,7 +6942,46 @@ object SparkEntry {
         |LIMIT 50""".stripMargin)(
       (s, d) => Relational.customerOverlapQuantileCap(Tables.orders(s, d),
         Tables.lineitem(s, d), minOverlap = 3L, capPermille = 990L,
-        k = 50))
+        k = 50)),
+
+    // Min-hop BFS census (Graph.kHopReach): per seed part, nodes at
+    // shortest-path distance exactly h over the support-≥2 co-purchase
+    // graph — the neighborhood-growth profile. Level-synchronous BFS
+    // (frontier dedup + visited anti-join) on the Spark side; the
+    // oracle is the same BFS as a recursive CTE with UNION dedup.
+    q("q274_khop_reach",
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM px
+        |  UNION SELECT pb, pa FROM px),
+        |seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+        |bfs AS (
+        |  SELECT seed, seed AS node, 0 AS hop FROM seeds
+        |  UNION
+        |  SELECT b.seed, e.dst, b.hop + 1 FROM bfs b
+        |    JOIN e ON e.src = b.node
+        |  WHERE b.hop < 3),
+        |mh AS (SELECT seed, node, min(hop) AS hop FROM bfs GROUP BY 1, 2)
+        |SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
+        |FROM mh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val px = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .filter(col("n") >= 2)
+          .select("src", "dst")
+        Graph.kHopReach(px, maxSeedId = 10L, hops = 3)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -84,4 +84,51 @@ object Graph {
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Min-hop BFS census: for each seed node, how many nodes sit at
+    * shortest-path distance exactly h, for h = 0..`hops` — the
+    * neighborhood-growth profile (is this product a hub whose influence
+    * saturates the catalog in two hops, or a leaf?). Edges are treated
+    * as undirected (symmetrized + deduped); distances are exact BFS
+    * levels, so every number is a pure integer function of the edge set.
+    *
+    * Scale shape: LEVEL-SYNCHRONOUS BFS with per-level frontier dedup
+    * and a visited anti-join — the frontier holds each (seed, node) at
+    * most once, so per-level cost is frontier ⋈ adjacency (one shuffle
+    * on node), never the path-multiplying naive expansion (which grows
+    * as degreeʰ). State is bounded by seeds × reachable nodes. `hops`
+    * is a small constant; each level extends the lazy plan by one
+    * join+distinct+anti-join, the ml.KMeans loop discipline (persist
+    * each level; checkpoint if hops were ever deep).
+    */
+  def kHopReach(edges: DataFrame, maxSeedId: Long = 10L,
+                hops: Int = 3): DataFrame = {
+    require(hops >= 1 && hops <= 16, "need 1 <= hops <= 16")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val sym = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .unionByName(edges.select(col("dst").cast("long").as("src"),
+        col("src").cast("long").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val seeds = sym.select(col("src").as("seed")).distinct()
+      .filter(col("seed") < maxSeedId)
+    var visited = seeds.select(col("seed"), col("seed").as("node"),
+        lit(0L).as("hop"))
+      .persist(MEMORY_AND_DISK)
+    var frontier = visited.select("seed", "node")
+    for (h <- 1 to hops) {
+      val next = frontier.join(sym, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited.select("seed", "node"), Seq("seed", "node"),
+          "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .persist(MEMORY_AND_DISK)
+      visited = visited.unionByName(next).persist(MEMORY_AND_DISK)
+      frontier = next.select("seed", "node")
+    }
+    visited.groupBy("seed", "hop").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("seed", "hop")
+  }
 }

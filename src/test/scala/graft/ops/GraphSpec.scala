@@ -47,4 +47,18 @@ class GraphSpec extends SparkSpec {
     val p = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
     assert(Graph.triangleCount(p).as[Long].collect().head == 0L)
   }
+
+  test("kHopReach: exact BFS levels, symmetrized edges, no revisits") {
+    // path 0–1–2–3–4 plus chord 0–2: from seed 0, hop1 = {1,2},
+    // hop2 = {3}, hop3 = {4} — node 2 must NOT recount at hop 2 via
+    // 0→1→2; from seed 1 (also < 2): hop1 = {0,2}, hop2 = {3},
+    // hop3 = {4}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L))
+      .toDF("src", "dst")
+    val got = Graph.kHopReach(edges, maxSeedId = 2L, hops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)))
+  }
 }
