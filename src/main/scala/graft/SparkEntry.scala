@@ -6981,7 +6981,61 @@ object SparkEntry {
           .filter(col("n") >= 2)
           .select("src", "dst")
         Graph.kHopReach(px, maxSeedId = 10L, hops = 3)
-      })
+      }),
+
+    // Mutual nearest neighbors (Similarity.mutualNearestNeighbors):
+    // reciprocal top-1 cosine pairs — the entity-alignment /
+    // high-precision dedup seed set. Exact all-pairs argmax baseline
+    // (per-id ties break on neighbor id); mutuality is a self-join of
+    // the best-neighbor table.
+    q("q275_mutual_nn",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[])) > 0),
+        |best AS (SELECT q_id, n_id, cos_q6 FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(round(list_cosine_similarity(q.emb, c.emb) * 1000000)
+        |      AS BIGINT) AS cos_q6,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+        |        c.vec_id) AS rank
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id) t
+        |  WHERE rank = 1)
+        |SELECT x.q_id AS id_a, x.n_id AS id_b, x.cos_q6
+        |FROM best x JOIN best y
+        |  ON x.q_id = y.n_id AND x.n_id = y.q_id AND x.q_id < x.n_id
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Similarity.mutualNearestNeighbors(Tables.embeddings(s, d))),
+
+    // Functional-dependency census (Profiling.fdCensus): candidate
+    // X→Y determinism audit via the two distinct counts — the
+    // schema-discovery face of the profiling family (q173 audits FK
+    // integrity BETWEEN tables; this audits determinism WITHIN one).
+    // Candidates picked to pin both outcomes: the PK-implied FDs hold,
+    // the customer→priority one fails with a measured violation count.
+    q("q276_fd_census",
+      """WITH c AS (
+        |  SELECT 'o_orderkey' AS x_col, 'o_custkey' AS y_col,
+        |    count(DISTINCT o_orderkey) AS n_x,
+        |    count(DISTINCT (o_orderkey, o_custkey)) AS n_xy
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'o_orderstatus',
+        |    count(DISTINCT o_orderkey),
+        |    count(DISTINCT (o_orderkey, o_orderstatus)) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', 'o_orderpriority',
+        |    count(DISTINCT o_custkey),
+        |    count(DISTINCT (o_custkey, o_orderpriority)) FROM orders)
+        |SELECT x_col, y_col, CAST(n_x AS BIGINT) AS n_x,
+        |  CAST(n_xy AS BIGINT) AS n_xy, n_x = n_xy AS fd_holds,
+        |  CAST(n_xy - n_x AS BIGINT) AS extra_pairs
+        |FROM c ORDER BY x_col, y_col""".stripMargin)(
+      (s, d) => Profiling.fdCensus(Tables.orders(s, d), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_orderkey" -> "o_orderstatus",
+        "o_custkey" -> "o_orderpriority")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -395,6 +395,38 @@ object Profiling {
     totals.crossJoin(nulls).crossJoin(orphans).crossJoin(unref)
   }
 
+  /** Functional-dependency census: for each candidate FD X → Y, does
+    * every X value map to exactly one Y? Reported as the two distinct
+    * counts — n_x = |distinct X|, n_xy = |distinct (X, Y)| — so
+    * `fd_holds ⇔ n_x = n_xy` and `extra_pairs = n_xy − n_x` measures HOW
+    * broken a failed dependency is (the schema-discovery companion to
+    * `fkIntegrityAudit`: FK audits reference integrity between tables,
+    * this audits determinism within one). Rows with NULL in a counted
+    * column are ignored by COUNT(DISTINCT …) — the SQL standard,
+    * identical in both engines.
+    *
+    * Scale shape: one partial-agg distinct per candidate over the fact
+    * scan (map-side combine collapses to the key cardinality); the
+    * candidate list is a constant — the union of one-row results is
+    * driver-sized. A shared-scan rewrite (grouping sets over all
+    * candidates) trades one pass for |candidates| shuffles of the SAME
+    * total key volume; per-candidate passes keep each shuffle keyed and
+    * prunable, and candidates are few by nature.
+    */
+  def fdCensus(df: DataFrame,
+               candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate FD")
+    candidates.map { case (x, y) =>
+      df.agg(
+          countDistinct(col(x)).as("n_x"),
+          countDistinct(col(x), col(y)).as("n_xy"))
+        .select(lit(x).as("x_col"), lit(y).as("y_col"),
+          col("n_x"), col("n_xy"),
+          (col("n_x") === col("n_xy")).as("fd_holds"),
+          (col("n_xy") - col("n_x")).as("extra_pairs"))
+    }.reduce(_ unionByName _).orderBy("x_col", "y_col")
+  }
+
   def joinCardinalityAudit(left: DataFrame, leftKey: String,
                            right: DataFrame, rightKey: String): DataFrame = {
     def census(df: DataFrame, key: String) =

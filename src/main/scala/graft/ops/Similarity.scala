@@ -142,6 +142,44 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Mutual nearest neighbors: pairs (a, b) where b is a's top-1 cosine
+    * neighbor AND a is b's — the reciprocal-best-match device behind
+    * entity alignment and high-precision dedup seeding (one-directional
+    * top-1 is noisy near cluster boundaries; mutuality filters to pairs
+    * both sides agree on). Output (id_a, id_b, cos_q6) with id_a < id_b;
+    * ties in the top-1 break on neighbor id, so the mutual set is a pure
+    * function of the embedding table.
+    *
+    * Scale shape: the all-pairs top-1 here is the EXACT baseline (one
+    * self-join + per-id argmax — the q26 brute-force regime, fine at
+    * fixture scale and as a recall baseline); at corpus scale the top-1
+    * per vector comes from `annIvf`/`annLsh` (same output shape) and the
+    * mutuality check is this function's second half verbatim: a
+    * self-join of the (id, best) table on (best = id ∧ id = best).
+    */
+  def mutualNearestNeighbors(embeddings: DataFrame): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val nz = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .filter(cosine(col("emb"), col("emb")) > 0)
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val best = nz.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .join(nz.select(col("vec_id").as("n_id"), col("emb").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("q_id"), col("n_id"),
+        expr("cast(round(cos * 1000000) as bigint)").as("cos_q6"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id")
+          && col("x.q_id") < col("x.n_id"))
+      .select(col("x.q_id").as("id_a"), col("x.n_id").as("id_b"),
+        col("x.cos_q6").as("cos_q6"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent hash tables of
     * `bits` planes each, seeded. Gaussian components via Random(seed).
     */

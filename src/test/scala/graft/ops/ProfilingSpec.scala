@@ -380,4 +380,21 @@ class ProfilingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 500L, 301L), (2L, 1L, 250L, 176L),
       (9L, 1L, 250L, 46L)))
   }
+
+  test("fdCensus: holds iff distinct X = distinct (X, Y)") {
+    import spark.implicits._
+    // k→v: k 1 maps to both 'a' and 'b' (FD fails, one extra pair);
+    // v→k: each of a/b/c maps to one k? 'a'→{1}, 'b'→{1,2}? no —
+    // rows: (1,a),(1,a),(1,b),(2,b): k→v n_x=2 n_xy=3; v→k 'a'→1,
+    // 'b'→{1,2} → n_x=2, n_xy=3 — both fail here; (id col) id→k holds
+    val d = Seq((10L, 1L, "a"), (11L, 1L, "a"), (12L, 1L, "b"),
+      (13L, 2L, "b")).toDF("id", "k", "v")
+    val got = Profiling.fdCensus(d,
+        Seq("k" -> "v", "v" -> "k", "id" -> "k"))
+      .as[(String, String, Long, Long, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      ("id", "k", 4L, 4L, true, 0L),
+      ("k", "v", 2L, 3L, false, 1L),
+      ("v", "k", 2L, 3L, false, 1L)))
+  }
 }

@@ -336,6 +336,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 1, 2L, 0), (0L, 2, 3L, 0)))
   }
 
+  test("mutualNearestNeighbors: reciprocal top-1 only, ties by id") {
+    // 0 and 1 are a tight pair (mutual); 2 points near 0 but 0's best
+    // is 1 → one-directional, excluded; 3 is far from everything (its
+    // best is 2, not reciprocal)
+    val e = vecs(
+      0L -> Array(1f, 0f), 1L -> Array(0.99f, 0.01f),
+      2L -> Array(0.9f, 0.3f), 3L -> Array(0f, 1f))
+    val got = Similarity.mutualNearestNeighbors(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((0L, 1L)))
+    // zero vectors never pair (excluded before the argmax)
+    val withZero = vecs(0L -> Array(1f, 0f), 1L -> Array(1f, 0f),
+      2L -> Array(0f, 0f))
+    val got2 = Similarity.mutualNearestNeighbors(withZero)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2.map(r => (r._1, r._2)) == Seq((0L, 1L)))
+    assert(got2.head._3 == 1000000L)
+  }
+
   test("retrievalMetrics: hand-computed MRR/nDCG, no-hit query is NULL/zero") {
     // query 1: relevant docs {11, 13}, ranking hits 11 at rank 2 and 13
     // at rank 3 → rr = 1e6/2; dcg = 1e6/log2(3) + 1e6/log2(4) (term-
