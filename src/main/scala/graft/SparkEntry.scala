@@ -7035,7 +7035,30 @@ object SparkEntry {
       (s, d) => Profiling.fdCensus(Tables.orders(s, d), Seq(
         "o_orderkey" -> "o_custkey",
         "o_orderkey" -> "o_orderstatus",
-        "o_custkey" -> "o_orderpriority")))
+        "o_custkey" -> "o_orderpriority"))),
+
+    // Theil–Sen robust trend (Behavior.theilSenTrend): lower-median of
+    // pairwise daily-count slopes, the outlier-immune volume trend.
+    // Median ELEMENT selected by (double slope, dt, pi, pj) — bit-
+    // identical ordering both engines — and slope_q6 computed
+    // sign-split (Spark div truncates toward zero, DuckDB // floors).
+    q("q277_theil_sen_trend",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS p
+        |  FROM orders),
+        |c AS (SELECT p, count(*) AS n FROM p GROUP BY 1),
+        |px AS (SELECT b.n - a.n AS dn, b.p - a.p AS dt,
+        |    a.p AS pi, b.p AS pj,
+        |    (b.n - a.n) * 1.0 / (b.p - a.p) AS slope
+        |  FROM c a JOIN c b ON a.p < b.p),
+        |r AS (SELECT *, row_number() OVER (ORDER BY slope, dt, pi, pj)
+        |    AS rn, count(*) OVER () AS tot FROM px)
+        |SELECT CAST(tot AS BIGINT) AS n_pairs,
+        |  CAST(dn AS BIGINT) AS med_dn, CAST(dt AS BIGINT) AS med_dt,
+        |  CAST(CASE WHEN dn >= 0 THEN dn * 1000000 // dt
+        |    ELSE -((-dn) * 1000000 // dt) END AS BIGINT) AS slope_q6
+        |FROM r WHERE rn = (tot + 1) // 2""".stripMargin)(
+      (s, d) => Behavior.theilSenTrend(Tables.orders(s, d),
+        "o_orderdate", periodMs = 86400000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -746,6 +746,56 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Theil–Sen robust trend: the (lower-)median of all pairwise slopes
+    * (n_j − n_i)/(p_j − p_i) over the per-period count table — the
+    * outlier-immune answer to "is volume trending up?" (one crazy day
+    * shifts an OLS slope arbitrarily; it moves this median by one
+    * rank). The median ELEMENT is selected, not averaged: ordering is
+    * (double slope, dt, p_i, p_j) — the double division of exact int64
+    * operands is bit-identical across engines, and the integer
+    * tiebreak pins rationals that collide in double — so the reported
+    * (med_dn, med_dt) pair is a pure function of the data, and
+    * slope_q6 = sign·(|dn|·10⁶ div dt) is computed sign-split because
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors —
+    * they agree only on non-negative operands.
+    *
+    * Scale shape: the fact scan collapses to the period table in one
+    * partial agg; pairs are periods² — thousands of daily periods give
+    * millions of pairs, independent of fact cardinality (years of
+    * dailies ≈ 10⁶–10⁷ pairs: one broadcast self-join + one bounded
+    * global sort). For decade-scale minute granularity, pre-bucket
+    * periods before calling (the resolution, not the corpus, is the
+    * knob).
+    */
+  def theilSenTrend(df: DataFrame, tsCol: String,
+                    periodMs: Long = 86400000L): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    val c = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
+    val pairs = c.as("a").join(broadcast(c.as("b")),
+        col("a.p") < col("b.p"))
+      .select((col("b.n") - col("a.n")).as("dn"),
+        (col("b.p") - col("a.p")).as("dt"),
+        col("a.p").as("pi"), col("b.p").as("pj"))
+      .withColumn("slope", col("dn").cast("double") / col("dt").cast("double"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("slope"), col("dt"), col("pi"), col("pj"))
+    pairs
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("tot", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(tot + 1) div 2"))
+      .select(col("tot").as("n_pairs"), col("dn").as("med_dn"),
+        col("dt").as("med_dt"),
+        expr("case when dn >= 0 then dn * 1000000 div dt" +
+          " else -((-dn) * 1000000 div dt) end").as("slope_q6"))
+  }
+
   /** Seasonal anomaly census: daily (or any-period) counts flagged
     * against their own position in the seasonal cycle — day-of-week by
     * default — using the per-season population mean/variance over the

@@ -222,6 +222,22 @@ class BehaviorSpec extends SparkSpec {
       (4L, 200L, 200.0)))
   }
 
+  test("theilSenTrend: median pairwise slope, outlier-immune") {
+    // periods (width 10 ms) and counts: p0:1, p1:2, p2:3, p3:100 —
+    // a clean +1/day trend with one spike. Pairs (dn/dt): (0,1)=1,
+    // (0,2)=1, (1,2)=1, (0,3)=33, (1,3)=49, (2,3)=97 → sorted slopes
+    // 1,1,1,33,49,97; lower median = rank (6+1) div 2 = 3, and within
+    // the slope-1 tie the (dt, pi) order puts (dn=2, dt=2) third —
+    // slope 1/day either way; the spike never reaches the median
+    // (OLS would report ~28)
+    val ts = Seq(0L) ++ Seq(10L, 15L) ++ Seq(20L, 21L, 22L) ++
+      (0 until 100).map(i => 30L + (i % 10))
+    val df = ts.map(ms => new java.sql.Timestamp(ms)).toDF("t")
+    val got = Behavior.theilSenTrend(df, "t", periodMs = 10L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 2L, 2L, 1000000L)))
+  }
+
   test("decayedPeriodCounts: dyadic weights, gaps contribute nothing") {
     // periods 0 (2 events), 1 (1), 4 (2); window=3. p1 sees p0 at half
     // weight → 1 + 2/2 = 2.0 exactly; p4's frame (1,4] holds no observed
