@@ -7058,7 +7058,52 @@ object SparkEntry {
         |    ELSE -((-dn) * 1000000 // dt) END AS BIGINT) AS slope_q6
         |FROM r WHERE rn = (tot + 1) // 2""".stripMargin)(
       (s, d) => Behavior.theilSenTrend(Tables.orders(s, d),
-        "o_orderdate", periodMs = 86400000L))
+        "o_orderdate", periodMs = 86400000L)),
+
+    // Cluster-coherence audit (Dedup.clusterCoherence): per multi-doc
+    // dedup cluster, the edge count, weakest proposed-edge jaccard, and
+    // edge density permille — the over-merge smell test for CC's
+    // transitive closure (q211 sizes clusters; this says whether they
+    // deserve to exist). q22 pair construction + q61 recursive CC.
+    q("q278_cluster_coherence",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(inter / (sza + szb - inter), 4) AS j
+        |  FROM px WHERE inter / (sza + szb - inter) >= 0.2),
+        |und AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node),
+        |cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |  FROM reach GROUP BY 1),
+        |sizes AS (SELECT cluster_id, count(*) AS n_docs FROM cc
+        |  GROUP BY 1),
+        |edges AS (SELECT cc.cluster_id, count(*) AS n_edges,
+        |    min(j) AS min_j4
+        |  FROM pairs JOIN cc ON cc.doc_id = pairs.id_a GROUP BY 1)
+        |SELECT e.cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_edges AS BIGINT) AS n_edges, min_j4,
+        |  CAST(2 * n_edges * 1000 // (n_docs * (n_docs - 1)) AS BIGINT)
+        |    AS density_pm
+        |FROM edges e JOIN sizes USING (cluster_id)
+        |ORDER BY cluster_id""".stripMargin)(
+      (s, d) => Dedup.clusterCoherence(Tables.documents(s, d), n = 3,
+        threshold = 0.2, maxDf = 1000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1076,6 +1076,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs"))
       .orderBy("log2_bucket")
 
+  /** Dedup-cluster COHERENCE audit — the over-merge smell test for
+    * transitive closure: CC happily chains A≈B≈C into one cluster even
+    * when A and C share nothing, so per multi-doc cluster this reports
+    * the proposed-edge count, the WEAKEST edge (min jaccard — a cluster
+    * whose min is barely at threshold was merged by its most marginal
+    * link), and the edge density in permille
+    * (2·E·1000 div (n·(n−1)) — 1000 = clique = every member really
+    * matches every other; low density = a chain held together by
+    * bridges). The q211 histogram says how big clusters are; this says
+    * whether big clusters DESERVE to exist.
+    *
+    * Scale shape: rides `jaccardPairs` + `jaccardClusters` (the shingle
+    * stage's persist is plan-identical in both calls, so the cache
+    * serves each subtree once); the audit itself is two cluster-keyed
+    * aggregates and a join — cluster-count-sized.
+    */
+  def clusterCoherence(documents: DataFrame, n: Int = 3,
+                       threshold: Double = 0.2,
+                       maxDf: Long = 10000L): DataFrame = {
+    val pairs = jaccardPairs(documents, n, threshold, maxDf)
+    val clusters = jaccardClusters(documents, n, threshold, maxDf)
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"))
+    val edges = pairs
+      .join(clusters.select(col("doc_id").as("id_a"),
+        col("cluster_id")), "id_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"), min("jaccard").as("min_j4"))
+    edges.join(sizes, "cluster_id")
+      .select(col("cluster_id"), col("n_docs"), col("n_edges"),
+        col("min_j4"),
+        expr("2 * n_edges * 1000 div (n_docs * (n_docs - 1))")
+          .as("density_pm"))
+      .orderBy("cluster_id")
+  }
+
   /** MinHash estimator accuracy audit — the sketch-audit family member
     * for the dedup path (q176 audits Count-Min, q242 audits HLL): for
     * every pair at or above the Jaccard threshold, the signature

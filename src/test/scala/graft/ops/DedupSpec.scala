@@ -638,6 +638,25 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((0L, 3L, 3L), (1L, 1L, 2L)))
   }
 
+  test("clusterCoherence: chain density below clique, weakest edge") {
+    import spark.implicits._
+    // docs 1/2 and 2/3 near-identical token streams (chain), 1/3 also
+    // overlap → triangle? Use: 1="aa bb cc dd", 2="aa bb cc dd", 3=
+    // "aa bb cc ee": 1-2 jaccard 1.0; 1-3/2-3: shingles {aa bb cc,
+    // bb cc dd} vs {aa bb cc, bb cc ee} → 1/3 = 0.3333. All ≥ 0.2 →
+    // one cluster of 3 with 3 edges (clique): density 1000, min 0.3333.
+    // Plus a disjoint pair 4/5 (identical): density 1000, min 1.0.
+    val d = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "aa bb cc ee"),
+      (4L, "ff gg hh ii"), (5L, "ff gg hh ii"),
+      (6L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusterCoherence(d, n = 3, threshold = 0.2)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 0.3333, 1000L),
+      (4L, 2L, 1L, 1.0, 1000L)))
+  }
+
   test("minhashAccuracyAudit: exact pair set, estimate within tolerance") {
     import spark.implicits._
     // docs 1/2: shingle sets {abc,bcd,cde,def} vs +{efg} → J = 4/5 =
