@@ -402,7 +402,25 @@ object DevScale {
       "q264_custoverlap" -> SparkEntry.queries("q264_customer_overlap"),
       "q265_cfrec" -> SparkEntry.queries("q265_cf_recommend"),
       "q266_rollact" -> SparkEntry.queries("q266_rolling_actives"),
-      "q267_mhaudit" -> SparkEntry.queries("q267_minhash_audit"))
+      "q267_mhaudit" -> SparkEntry.queries("q267_minhash_audit"),
+      // q270 a period-table broadcast self-join (days-bounded); q272
+      // the q263 pair stage + censuses; q274 level-synchronous BFS
+      // (frontier ≤ seeds × nodes per level); q276 per-candidate
+      // partial-agg distincts; q277 periods²-bounded pair median;
+      // q278 rides the measured q22 pairs + q61 CC
+      "q270_decayrev" -> SparkEntry.queries("q270_decayed_revenue"),
+      "q272_assoc" -> SparkEntry.queries("q272_association_rules"),
+      "q274_khop" -> SparkEntry.queries("q274_khop_reach"),
+      "q276_fd" -> SparkEntry.queries("q276_fd_census"),
+      "q277_theilsen" -> SparkEntry.queries("q277_theil_sen_trend"),
+      "q278_coherence" -> SparkEntry.queries("q278_cluster_coherence"),
+      // q271's query-customer set is fixed (cust < 100 lives in copy 0
+      // only), so profile build is the linear piece and scoring is
+      // constant — the flat-curve contract to verify. q275 (mutual NN)
+      // is NOT here: it is the declared exact all-pairs baseline (the
+      // q26 regime — none of the brute-force baselines are measured;
+      // the scale path is annIvf top-1 + the same mutuality self-join).
+      "q271_profile" -> SparkEntry.queries("q271_profile_recommend"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
