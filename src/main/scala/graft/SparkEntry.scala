@@ -7103,7 +7103,36 @@ object SparkEntry {
         |FROM edges e JOIN sizes USING (cluster_id)
         |ORDER BY cluster_id""".stripMargin)(
       (s, d) => Dedup.clusterCoherence(Tables.documents(s, d), n = 3,
-        threshold = 0.2, maxDf = 1000L))
+        threshold = 0.2, maxDf = 1000L)),
+
+    // Kaplan–Meier sufficient statistics (Behavior.kaplanMeierTable):
+    // censoring-aware time-to-first-purchase census — at-risk counts,
+    // conversions, and censorings per whole day since first activity.
+    // Unlike q110's converters-only latency, never-converters censor at
+    // the corpus horizon instead of silently dropping.
+    q("q279_km_table",
+      """WITH per AS (SELECT user_id, min(epoch_ns(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_ns(ts) END) AS tp
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT max(epoch_ns(ts)) AS t FROM events),
+        |b AS (SELECT CASE WHEN tp IS NOT NULL
+        |    THEN (tp - t0) // 86400000000000
+        |    ELSE (h.t - t0) // 86400000000000 END AS k,
+        |    tp IS NOT NULL AS ev
+        |  FROM per, h),
+        |c AS (SELECT k, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS n_events,
+        |    sum(CASE WHEN ev THEN 0 ELSE 1 END) AS n_censored
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k,
+        |  CAST(sum(n_events + n_censored) OVER (ORDER BY k DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_at_risk,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_censored AS BIGINT) AS n_censored
+        |FROM c ORDER BY k""".stripMargin)(
+      (s, d) => Behavior.kaplanMeierTable(Tables.events(s, d),
+        convType = "purchase"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

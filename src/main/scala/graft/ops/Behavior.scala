@@ -746,6 +746,50 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Kaplan–Meier table for time-to-conversion WITH censoring: per
+    * whole-day bucket k since a user's first event, how many users were
+    * still at risk, how many converted (first `convType` event) exactly
+    * at k, and how many were censored at k (never converted — their
+    * observation ends at the corpus horizon, the global max ts). These
+    * integer columns are KM's sufficient statistics: S(k) =
+    * Π_{j≤k} (1 − d_j/n_j) follows by a driver-side fold, kept OUT of
+    * the operator because a cumulative float product is not
+    * hash-exact — the q260 survival curve ignores censoring and this
+    * is the estimator that doesn't (dropping never-converters, as a
+    * naive conversion-latency census does, biases conversion optimism
+    * upward).
+    *
+    * Scale shape: one per-user partial agg (min ts, min conversion ts)
+    * collapses the event scan; the horizon is a one-row broadcast; the
+    * day census is horizon-bounded and the at-risk suffix sum is one
+    * window over that census (the q260 device).
+    */
+  def kaplanMeierTable(events: DataFrame,
+                       convType: String = "purchase"): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val per = events.groupBy("user_id").agg(
+      min(col("ts")).as("t0"),
+      min(when(col("event_type") === convType, col("ts"))).as("tp"))
+    val horizon = events.agg(max(col("ts")).as("__T"))
+    val census = per.crossJoin(broadcast(horizon))
+      .select(
+        when(col("tp").isNotNull, expr(s"(tp - t0) div ${dayNs}L"))
+          .otherwise(expr(s"(__T - t0) div ${dayNs}L")).as("k"),
+        col("tp").isNotNull.as("ev"))
+      .groupBy("k").agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("ev"), 0L).otherwise(1L)).as("n_censored"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    census
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(w))
+      .select(col("k"), col("n_at_risk"), col("n_events"),
+        col("n_censored"))
+      .orderBy("k")
+  }
+
   /** Theil–Sen robust trend: the (lower-)median of all pairwise slopes
     * (n_j − n_i)/(p_j − p_i) over the per-period count table — the
     * outlier-immune answer to "is volume trending up?" (one crazy day

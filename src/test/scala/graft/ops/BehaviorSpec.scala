@@ -222,6 +222,25 @@ class BehaviorSpec extends SparkSpec {
       (4L, 200L, 200.0)))
   }
 
+  test("kaplanMeierTable: converters bucket at latency, others censor") {
+    val D = 86400L * 1000000000L
+    // u1: first event day 0, purchase day 2 → event at k=2
+    // u2: first event day 0, purchase same ts → event at k=0
+    // u3: first event day 1, no purchase; horizon = max ts = day 3
+    //   → censored at k=2
+    // at-risk suffix sums: k=0: 3, k=2: 2
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 2 * D, "purchase"),
+      (2L, 0L, "purchase"),
+      (3L, 1 * D, "view"), (3L, 3 * D, "click"))
+      .zipWithIndex.map { case ((u, t, ty), i) =>
+        (u, t, i.toLong, ty, 1.0)
+      }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.kaplanMeierTable(rows, "purchase")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1L, 0L), (2L, 2L, 1L, 1L)))
+  }
+
   test("theilSenTrend: median pairwise slope, outlier-immune") {
     // periods (width 10 ms) and counts: p0:1, p1:2, p2:3, p3:100 —
     // a clean +1/day trend with one spike. Pairs (dn/dt): (0,1)=1,
