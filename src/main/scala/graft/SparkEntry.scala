@@ -7132,7 +7132,43 @@ object SparkEntry {
         |  CAST(n_censored AS BIGINT) AS n_censored
         |FROM c ORDER BY k""".stripMargin)(
       (s, d) => Behavior.kaplanMeierTable(Tables.events(s, d),
-        convType = "purchase"))
+        convType = "purchase")),
+
+    // Perceptual average-hash (Multimodal.imageAHash): 8×8 nearest-point
+    // integer-luma grid over REAL decoded PNG pixels, thresholded at the
+    // grid mean — two 32-bit halves (a bit-63 single word overflows
+    // range-checked engines). The oracle recomputes the hash from the
+    // synthetic-PNG generative pixel formula (the q38/q39 device), so a
+    // single luma bit off in the decode path hash-mismatches the round.
+    q("q280_image_ahash",
+      """WITH img AS (SELECT doc_id, 8 + doc_id % 32 AS w,
+        |    8 + doc_id % 24 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (SELECT doc_id, w, h, i.i, j.j,
+        |    (i.i * w) // 8 AS x, (j.j * h) // 8 AS y
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS i) i,
+        |    (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |l AS (SELECT doc_id, w, h, j * 8 + i AS k,
+        |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+        |      + 114 * (v & 255)) // 1000 AS luma
+        |  FROM (SELECT *,
+        |    (doc_id * 31 + x * 7 + y * 131) & 16777215 AS v FROM g) t),
+        |m AS (SELECT doc_id, sum(luma) // 64 AS mean FROM l GROUP BY 1),
+        |bits AS (SELECT l.doc_id, l.w, l.h,
+        |    sum(CASE WHEN l.luma >= m.mean AND l.k >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(l.k - 32 AS INTEGER))
+        |      ELSE 0 END) AS ahash_hi,
+        |    sum(CASE WHEN l.luma >= m.mean AND l.k < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(l.k AS INTEGER))
+        |      ELSE 0 END) AS ahash_lo
+        |  FROM l JOIN m USING (doc_id) GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height, CAST(ahash_hi AS BIGINT)
+        |    AS ahash_hi, CAST(ahash_lo AS BIGINT) AS ahash_lo
+        |FROM bits ORDER BY media_id""".stripMargin)(
+      (s, d) => Multimodal.imageAHash(
+          Multimodal.syntheticMedia(Tables.documents(s, d))).toDF()
+        .orderBy("media_id"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -222,6 +222,70 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(media_id: Long, width: Int, height: Int,
+                             ahash_hi: Long, ahash_lo: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: an 8×8
+    * grid of nearest-point samples — x_i = (i·w) div 8, y_j = (j·h)
+    * div 8 — each reduced to integer luma `(299·r + 587·g + 114·b) div
+    * 1000`, thresholded at the integer grid mean; bit (j·8 + i) set iff
+    * luma ≥ mean. Every step is integer arithmetic on losslessly-decoded
+    * PNG pixels, so the hash is a pure function of the image content —
+    * oracle-derivable, and stable across resize-free re-encodes (the
+    * property perceptual dedup needs; byte-level md5 breaks on
+    * re-encode). Emitted as two 32-bit halves in int64 because a bit-63
+    * single-word hash overflows engines that range-check shifts.
+    *
+    * Scale shape: partition-streaming decode (one pass, byte-budget
+    * repartition upstream per `repartitionByBytes`); downstream near-dup
+    * pairing rides the simhash pigeonhole machinery — hamming ≤ t on a
+    * 64-bit hash means some 64/(t+1)-bit chunk matches exactly, so
+    * chunk-equality buckets propose candidates without an all-pairs
+    * stage. Non-image rows and undecodable payloads drop (the decode
+    * fallback story stays with `decode`).
+    */
+  def imageAHash(media: Dataset[Media]): Dataset[ImageHash] = {
+    implicit val enc: Encoder[ImageHash] = Encoders.product[ImageHash]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        if (m.kind != "image") None
+        else try {
+          Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))).map { img =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val luma = new Array[Long](64)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val v = img.getRGB((i * w) / 8, (j * h) / 8) & 0xffffff
+                val r = (v >> 16) & 255
+                val g = (v >> 8) & 255
+                val b = v & 255
+                luma(j * 8 + i) = (299L * r + 587L * g + 114L * b) / 1000L
+                i += 1
+              }
+              j += 1
+            }
+            val mean = luma.sum / 64L
+            var hi = 0L
+            var lo = 0L
+            var k = 0
+            while (k < 64) {
+              if (luma(k) >= mean) {
+                if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+              }
+              k += 1
+            }
+            ImageHash(m.media_id, w, h, hi, lo)
+          }
+        } catch { case _: java.io.IOException => None }
+      }
+    }
+  }
+
   /** ======== STUB ========
     * Deterministic fake feature extractor (fixed-dim float vector from
     * rolling byte hashes) standing in for a vision/audio embedding model.

@@ -99,4 +99,25 @@ class MultimodalSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts >= 2) // ~300 payload bytes / 64-byte budget
   }
+
+  test("imageAHash: content-determined, non-images drop") {
+    import spark.implicits._
+    val png = Multimodal.syntheticPng(5L) // 13×13 (8 + 5%32, 8 + 5%24)
+    val wav = Multimodal.syntheticWav(1L)
+    val media = Seq(
+      Multimodal.Media(1L, "image", png, "s"),
+      Multimodal.Media(2L, "image", png, "s"), // same BYTES, other id
+      Multimodal.Media(3L, "audio", wav, "s"))
+      .toDS()
+    val got = Multimodal.imageAHash(media).collect()
+      .sortBy(_.media_id)
+    assert(got.length == 2) // audio dropped
+    assert(got.forall(h => h.width == 13 && h.height == 13))
+    // the hash is a function of CONTENT, not of the media id
+    assert((got(0).ahash_hi, got(0).ahash_lo) ==
+      (got(1).ahash_hi, got(1).ahash_lo))
+    // halves are 32-bit clean (no sign games)
+    assert(got.forall(h => h.ahash_hi >= 0 && h.ahash_hi < (1L << 32) &&
+      h.ahash_lo >= 0 && h.ahash_lo < (1L << 32)))
+  }
 }
