@@ -7168,7 +7168,58 @@ object SparkEntry {
         |FROM bits ORDER BY media_id""".stripMargin)(
       (s, d) => Multimodal.imageAHash(
           Multimodal.syntheticMedia(Tables.documents(s, d))).toDF()
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Perceptual image near-dup pairs (Multimodal.imageNearDupPairs):
+    // hamming ≤ 7 on the q280 aHash via 8-bit pigeonhole chunks — the
+    // q130 copy-injection device plants exact duplicates (same PNG
+    // bytes under shifted ids), so recall has known ground truth; the
+    // oracle recomputes both hash sets from the generative formula and
+    // does the exact all-pairs hamming.
+    q("q281_image_neardup",
+      """WITH ids AS (
+        |  SELECT doc_id AS mid, doc_id AS seed FROM documents
+        |  WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |img AS (SELECT mid, seed, 8 + seed % 32 AS w,
+        |    8 + seed % 24 AS h FROM ids),
+        |g AS (SELECT mid, seed, w, h, i.i, j.j,
+        |    (i.i * w) // 8 AS x, (j.j * h) // 8 AS y
+        |  FROM img, (SELECT unnest(generate_series(0, 7)) AS i) i,
+        |    (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |l AS (SELECT mid, j * 8 + i AS k,
+        |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+        |      + 114 * (v & 255)) // 1000 AS luma
+        |  FROM (SELECT *,
+        |    (seed * 31 + x * 7 + y * 131) & 16777215 AS v FROM g) t),
+        |m AS (SELECT mid, sum(luma) // 64 AS mean FROM l GROUP BY 1),
+        |bits AS (SELECT l.mid,
+        |    sum(CASE WHEN l.luma >= m.mean AND l.k >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(l.k - 32 AS INTEGER))
+        |      ELSE 0 END) AS hi,
+        |    sum(CASE WHEN l.luma >= m.mean AND l.k < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(l.k AS INTEGER))
+        |      ELSE 0 END) AS lo
+        |  FROM l JOIN m USING (mid) GROUP BY 1)
+        |SELECT a.mid AS id_a, b.mid AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM bits a JOIN bits b ON a.mid < b.mid
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.{Encoder, Encoders}
+        implicit val enc: Encoder[Multimodal.Media] =
+          Encoders.product[Multimodal.Media]
+        val media = Multimodal.syntheticMedia(Tables.documents(s, d))
+          .filter(col("kind") === "image").as[Multimodal.Media]
+        val copies = media.map(m => m.copy(media_id = m.media_id + 1000000L))
+        Multimodal.imageNearDupPairs(
+          Multimodal.imageAHash(media.union(copies)).toDF(),
+          maxHamming = 7)
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -286,6 +286,45 @@ object Multimodal {
     }
   }
 
+  /** Perceptual near-duplicate pairs over `imageAHash` output: images
+    * whose 64-bit aHashes differ in at most `maxHamming` bits — the
+    * re-encode/recompress-robust image dedup face (the text analogue is
+    * `Dedup.simhashPairs`, and the same PIGEONHOLE blocking applies:
+    * hamming ≤ 7 over 8 disjoint 8-bit chunks forces at least one chunk
+    * to match exactly, so equal-chunk buckets propose every true pair
+    * and the exact bit_count verify decides). No all-pairs stage: the
+    * join is bucketed by (chunk index, chunk value), and a chunk value
+    * shared by many images is the hot-bucket skew case — all-black
+    * thumbnails land in one bucket; arm a df-cap on (idx, val) postings
+    * exactly like `Dedup.cappedInvertedIndex` if a corpus has such mass.
+    */
+  def imageNearDupPairs(hashes: DataFrame,
+                        maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "pigeonhole over 8 chunks needs maxHamming <= 7")
+    val chunks = hashes.select(col("media_id"), col("ahash_hi"),
+        col("ahash_lo"),
+        explode(expr(
+          """transform(sequence(0, 7), c -> named_struct('idx', c,
+            |  'val', case when c < 4
+            |    then (ahash_lo >> cast(8 * c as int)) & 255
+            |    else (ahash_hi >> cast(8 * (c - 4) as int)) & 255 end))"""
+            .stripMargin)).as("ch"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("ch.idx").as("idx"), col("ch.val").as("val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.idx") === col("b.idx") && col("a.val") === col("b.val") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
+          expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
   /** ======== STUB ========
     * Deterministic fake feature extractor (fixed-dim float vector from
     * rolling byte hashes) standing in for a vision/audio embedding model.

@@ -120,4 +120,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(h => h.ahash_hi >= 0 && h.ahash_hi < (1L << 32) &&
       h.ahash_lo >= 0 && h.ahash_lo < (1L << 32)))
   }
+
+  test("imageNearDupPairs: exact dup at hamming 0, disjoint hashes cut") {
+    import spark.implicits._
+    // hand hashes: 10/11 identical; 12 differs from 10 in exactly 8
+    // bits of the low word (> 7 → cut); 13 differs from 10 in 3 bits
+    // (≤ 7 → pair, via the untouched chunks)
+    val h = Seq(
+      (10L, 5L, 255L), (11L, 5L, 255L),
+      (12L, 5L, 255L ^ 0xFF00L),           // 8 flipped bits
+      (13L, 5L, 255L ^ 0x7L))              // 3 flipped bits
+      .toDF("media_id", "ahash_hi", "ahash_lo")
+    val got = Multimodal.imageNearDupPairs(h, maxHamming = 7)
+      .as[(Long, Long, Long)].collect().toSeq
+    // (12,13): xor lo = 0xFF07 → 11 bits → cut despite shared hi chunks
+    assert(got == Seq((10L, 11L, 0L), (10L, 13L, 3L), (11L, 13L, 3L)))
+  }
 }
