@@ -7219,7 +7219,66 @@ object SparkEntry {
         Multimodal.imageNearDupPairs(
           Multimodal.imageAHash(media.union(copies)).toDF(),
           maxHamming = 7)
-      })
+      }),
+
+    // Seasonal-naive backtest (Behavior.seasonalNaiveBacktest): score
+    // pred(t) = cents(t−7) over daily revenue — exact-cents MAE + bias,
+    // the drift dial for volume monitoring. Periods whose seasonal
+    // parent is a gap are skipped (q106 no-silent-bridging).
+    q("q282_seasonal_backtest",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS period,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT period, sum(cents) AS cents FROM p GROUP BY 1),
+        |j AS (SELECT a.cents, b.cents AS pred
+        |  FROM c a JOIN c b ON a.period = b.period + 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(abs(cents - pred)) // nullif(count(*), 0) AS BIGINT)
+        |    AS mae_cents,
+        |  CAST(sum(cents - pred) AS BIGINT) AS bias_cents
+        |FROM j""".stripMargin)(
+      (s, d) => Behavior.seasonalNaiveBacktest(Tables.orders(s, d),
+        "o_orderdate",
+        org.apache.spark.sql.functions.expr(
+          "cast(round(o_totalprice * 100) as long)"),
+        periodMs = 86400000L, season = 7)),
+
+    // Deterministic Poisson bootstrap (Sampling.bootstrapConversionCi):
+    // 400 reproducible resamples via Poisson(1) inverse-CDF on the
+    // 32-bit md5 uniform of (user, replicate) — integer thresholds, so
+    // both engines draw byte-identical weights; CI = (2.5%, 97.5%)
+    // rank pair of replicate rates in permille.
+    q("q283_bootstrap_ci",
+      """WITH per AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events GROUP BY 1),
+        |point AS (SELECT count(*) AS n_users, sum(conv) AS converted
+        |  FROM per),
+        |rep AS (SELECT user_id, conv,
+        |    unnest(generate_series(1, 400)) AS b FROM per),
+        |u AS (SELECT conv, b,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':'
+        |      || CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) AS u FROM rep),
+        |wts AS (SELECT conv, b, CASE
+        |    WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |    WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |    WHEN u < 4279248373 THEN 4 ELSE 5 END AS w FROM u),
+        |rates AS (SELECT b,
+        |    sum(w * conv) * 1000 // nullif(sum(w), 0) AS rate_pm
+        |  FROM wts GROUP BY 1),
+        |r AS (SELECT rate_pm, row_number() OVER (ORDER BY rate_pm, b)
+        |    AS rn FROM rates),
+        |ci AS (SELECT max(CASE WHEN rn = 10 THEN rate_pm END) AS lo_pm,
+        |    max(CASE WHEN rn = 390 THEN rate_pm END) AS hi_pm FROM r)
+        |SELECT CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(converted AS BIGINT) AS converted,
+        |  CAST(converted * 1000 // nullif(n_users, 0) AS BIGINT)
+        |    AS point_pm,
+        |  CAST(lo_pm AS BIGINT) AS lo_pm, CAST(hi_pm AS BIGINT) AS hi_pm
+        |FROM point, ci""".stripMargin)(
+      (s, d) => Sampling.bootstrapConversionCi(Tables.events(s, d),
+        convType = "purchase", reps = 400))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

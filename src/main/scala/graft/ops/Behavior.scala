@@ -746,6 +746,41 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Seasonal-naive forecast backtest: predict each period's value with
+    * the value one season earlier (pred(t) = v(t−season)) and census the
+    * errors — n_days scored, MAE, and signed bias, all in exact cents
+    * (mean = sum div n, the repo's integer-mean convention). The
+    * monitoring primitive behind "did volume do what last week said it
+    * would": a rising MAE is drift, a one-sided bias is growth the
+    * seasonal-naive can't see. Scoring skips periods whose seasonal
+    * parent is unobserved (gaps don't fabricate zero predictions — the
+    * q106 no-silent-bridging law).
+    *
+    * Scale shape: one partial agg to the period table, a self-join on
+    * period−season (period-table-sized, broadcasts), a one-row census.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, tsCol: String,
+                            valueCents: org.apache.spark.sql.Column,
+                            periodMs: Long = 86400000L,
+                            season: Int = 7): DataFrame = {
+    require(periodMs >= 1 && season >= 1, "periodMs and season >= 1")
+    val per = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"), valueCents.cast("long").as("__v"))
+      .groupBy("period").agg(sum("__v").as("cents"))
+    val lagged = per.select((col("period") + season).as("period"),
+      col("cents").as("pred"))
+    per.join(broadcast(lagged), "period")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("cents") - col("pred"))).as("abs_err_cents"),
+        sum(col("cents") - col("pred")).as("bias_cents"))
+      .select(col("n_scored"),
+        // nullif guards the empty backtest (ANSI division by zero)
+        expr("abs_err_cents div nullif(n_scored, 0)").as("mae_cents"),
+        col("bias_cents"))
+  }
+
   /** Kaplan–Meier table for time-to-conversion WITH censoring: per
     * whole-day bucket k since a user's first event, how many users were
     * still at risk, how many converted (first `convType` event) exactly

@@ -666,6 +666,69 @@ object Sampling {
     * query uses; the census is one row. Integer headroom: safe while
     * (n_A−n_B)² · 10⁶ stays in Long — an imbalance of ~3·10⁶ users.
     */
+  /** Deterministic Poisson-bootstrap confidence interval for a binary
+    * per-user rate (here: conversion = user has ≥ 1 `convType` event).
+    * Each of `reps` replicates draws an integer weight per user from the
+    * Poisson(1) inverse CDF applied to a 32-bit md5 uniform of
+    * (user, replicate) — the standard streaming bootstrap, made
+    * REPRODUCIBLE AND ENGINE-PORTABLE: weights come from integer
+    * comparisons of the exact md5 word against fixed precomputed
+    * thresholds (⌊CDF·2³²⌋), so both engines draw byte-identical
+    * resamples and the CI is a pure function of the data (the q56/q132
+    * md5-uniform device, extended to two-index draws). The interval is
+    * the (2.5%, 97.5%) RANK pair of the replicate rates in permille —
+    * order statistics of integers, no float percentile semantics.
+    *
+    * Scale shape: the event scan collapses to one row per user first;
+    * the ×`reps` explode runs on that collapsed frame (users × reps,
+    * never events × reps) and partial-aggregates per replicate map-side;
+    * the rank pass sorts `reps` rows. At a billion users make reps the
+    * knob, not the user set — the estimator needs every user exactly
+    * once.
+    */
+  def bootstrapConversionCi(events: DataFrame,
+                            convType: String = "purchase",
+                            reps: Int = 400): DataFrame = {
+    require(reps >= 40, "need enough replicates for 2.5% ranks")
+    val per = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === convType, 1L).otherwise(0L))
+        .as("conv"))
+    val point = per.agg(count(lit(1)).as("n_users"),
+      sum("conv").as("converted"))
+    // Poisson(1) inverse CDF on u ∈ [0, 2^32): P(≤k) thresholds, k capped
+    // at 5 (P(>5) ≈ 6e-5 of draws land on the cap's tail mass)
+    val w = expr(
+      """case
+        |  when __u < 1580030168L then 0L
+        |  when __u < 3160060337L then 1L
+        |  when __u < 3950075421L then 2L
+        |  when __u < 4213413783L then 3L
+        |  when __u < 4279248373L then 4L
+        |  else 5L end""".stripMargin)
+    val rates = per
+      .select(col("user_id"), col("conv"),
+        explode(sequence(lit(1), lit(reps))).as("b"))
+      .withColumn("__u",
+        expr("cast(conv(substring(md5(concat(cast(user_id as string)," +
+          " ':', cast(b as string))), 1, 8), 16, 10) as long)"))
+      .withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(expr("w * conv")).as("__c"), sum("w").as("__w"))
+      .select(col("b"),
+        expr("__c * 1000 div nullif(__w, 0)").as("rate_pm"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rate_pm"), col("b"))
+    val lo = (reps * 25) / 1000
+    val hi = (reps * 975) / 1000
+    val ci = rates.withColumn("rn", row_number().over(wr))
+      .agg(max(when(col("rn") === lo, col("rate_pm"))).as("lo_pm"),
+        max(when(col("rn") === hi, col("rate_pm"))).as("hi_pm"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_users"), col("converted"),
+        expr("converted * 1000 div nullif(n_users, 0)").as("point_pm"),
+        col("lo_pm"), col("hi_pm"))
+  }
+
   def srmCheck(events: DataFrame, permille: Long = 500L): DataFrame = {
     require(permille >= 0 && permille <= 1000, "permille in [0,1000]")
     events.select(col("user_id")).distinct()

@@ -222,6 +222,22 @@ class BehaviorSpec extends SparkSpec {
       (4L, 200L, 200.0)))
   }
 
+  test("seasonalNaiveBacktest: season-lag errors, gap parents skipped") {
+    // periodMs 10, season 2. periods/cents: p0:100, p1:200, p2:150,
+    // p4:300. Scored: p2 (pred p0 → err +50), p4? parent p2 → err
+    // +150; p1's parent p−1 unobserved, p3 itself unobserved. But p4's
+    // own value must exist AND parent p2 exists → scored.
+    // n=2, mae = (50+150) div 2 = 100, bias = +200
+    val df = Seq((0L, 100L), (10L, 200L), (25L, 150L), (45L, 300L))
+      .map { case (ms, v) => (new java.sql.Timestamp(ms), v) }
+      .toDF("t", "v")
+    val got = Behavior.seasonalNaiveBacktest(df, "t",
+        org.apache.spark.sql.functions.col("v"),
+        periodMs = 10L, season = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 100L, 200L)))
+  }
+
   test("kaplanMeierTable: converters bucket at latency, others censor") {
     val D = 86400L * 1000000000L
     // u1: first event day 0, purchase day 2 → event at k=2

@@ -473,4 +473,23 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(za == 0L && zb == 40L && zs == 1000000L * 40L)
   }
+
+  test("bootstrapConversionCi: CI brackets the point, reproducible") {
+    import spark.implicits._
+    // 100 users, 30 convert (user_id < 30 purchase, others view)
+    val e = (0L until 100L).map(u =>
+        (u, u, u, if (u < 30) "purchase" else "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r1 = Sampling.bootstrapConversionCi(e, "purchase", reps = 400)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r1._1 == 100L && r1._2 == 30L && r1._3 == 300L)
+    // the interval brackets the point and is nondegenerate but sane
+    // (binomial n=100 p=.3 → ±~9 points at 95%)
+    assert(r1._4 <= 300L && 300L <= r1._5)
+    assert(r1._4 >= 150L && r1._5 <= 450L && r1._4 < r1._5)
+    // deterministic: same inputs, byte-identical CI
+    val r2 = Sampling.bootstrapConversionCi(e, "purchase", reps = 400)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r1 == r2)
+  }
 }
