@@ -7278,7 +7278,35 @@ object SparkEntry {
         |  CAST(lo_pm AS BIGINT) AS lo_pm, CAST(hi_pm AS BIGINT) AS hi_pm
         |FROM point, ci""".stripMargin)(
       (s, d) => Sampling.bootstrapConversionCi(Tables.events(s, d),
-        convType = "purchase", reps = 400))
+        convType = "purchase", reps = 400)),
+
+    // Rank movers (Relational.rankMovers): month-over-month revenue-rank
+    // climbers per part — the "suddenly selling" dial absolute top-k
+    // can't see. Ranks per month on the collapsed (month, part) revenue
+    // table; only parts present in both months compare.
+    q("q284_rank_movers",
+      """WITH rev AS (SELECT year(o_orderdate) * 12
+        |    + month(o_orderdate) - 1 AS m, l_partkey AS part,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS rev_cents
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT m, part, rev_cents,
+        |    row_number() OVER (PARTITION BY m
+        |      ORDER BY rev_cents DESC, part) AS rank FROM rev),
+        |mv AS (SELECT cur.m, cur.part, cur.rank, prv.rank AS rank_prev,
+        |    prv.rank - cur.rank AS delta
+        |  FROM rk cur JOIN rk prv
+        |    ON prv.m + 1 = cur.m AND prv.part = cur.part),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY m
+        |    ORDER BY delta DESC, part) AS rnk FROM mv)
+        |SELECT CAST(m AS BIGINT) AS month_idx, part,
+        |  CAST(rank AS BIGINT) AS rank, CAST(rank_prev AS BIGINT)
+        |    AS rank_prev, CAST(delta AS BIGINT) AS delta,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM top WHERE rnk <= 5 ORDER BY month_idx, rnk""".stripMargin)(
+      (s, d) => Relational.rankMovers(Tables.orders(s, d),
+        Tables.lineitem(s, d), k = 5))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

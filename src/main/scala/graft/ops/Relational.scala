@@ -1413,6 +1413,48 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** Month-over-month revenue-rank movers: every part is ranked by
+    * monthly revenue (cents; dense position by rev DESC, part id tie),
+    * and each consecutive-month pair reports the rank delta — positive
+    * = climbed. The top-`k` climbers per month is the "what's suddenly
+    * selling" dial that absolute-revenue top-k can't see (a #500→#20
+    * jump matters; a #1 staying #1 doesn't). Only parts present in
+    * BOTH months compare — an absent month is no rank, not rank-last
+    * (the q106 gap law applied to ranks).
+    *
+    * Scale shape: the fact scan collapses to the (month, part) revenue
+    * table in one partial agg (months × |catalog| bounded); ranks are
+    * a per-month window on that table (partitions sized by catalog);
+    * the month-pair self-join is keyed (month+1, part); the top-k
+    * window partitions by month.
+    */
+  def rankMovers(orders: DataFrame, lineitem: DataFrame,
+                 k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val mIdx = (year(col("o_orderdate")) * 12 +
+      month(col("o_orderdate")) - 1).cast("long")
+    val rev = orders.select(col("o_orderkey"), mIdx.as("m"))
+      .join(lineitem.select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("__cents")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("m"), col("l_partkey").as("part"))
+      .agg(sum("__cents").as("rev_cents"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy("m")
+      .orderBy(col("rev_cents").desc, col("part"))
+    val ranked = rev.withColumn("rank", row_number().over(wRank).cast("long"))
+    val prev = ranked.select((col("m") + 1).as("m"), col("part"),
+      col("rank").as("rank_prev"))
+    val wTop = org.apache.spark.sql.expressions.Window.partitionBy("m")
+      .orderBy(col("delta").desc, col("part"))
+    ranked.join(prev, Seq("m", "part"))
+      .withColumn("delta", col("rank_prev") - col("rank"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("m").as("month_idx"), col("part"), col("rank"),
+        col("rank_prev"), col("delta"), col("rnk"))
+      .orderBy("month_idx", "rnk")
+  }
+
   /** Association rules over order baskets: directed (ante → cons) pairs
     * with support, confidence and lift — the market-basket trio that
     * separates "bought together because both are popular" (lift ≈ 1)

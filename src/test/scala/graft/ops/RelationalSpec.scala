@@ -515,6 +515,26 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
   }
 
+  test("rankMovers: rank deltas, absent months never compare") {
+    import java.sql.Timestamp
+    // month 0: p1 $3 (#1), p2 $2 (#2), p3 $1 (#3)
+    // month 1: p3 $5 (#1), p1 $4 (#2) — p2 absent → no row for p2;
+    //   p3 climbed +2, p1 dropped −1
+    val orders = Seq(
+      (1L, Timestamp.valueOf("1995-01-10 00:00:00")),
+      (2L, Timestamp.valueOf("1995-02-10 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 1.0),
+      (2L, 3L, 5.0), (2L, 1L, 4.0))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+    val got = Relational.rankMovers(orders, li, k = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val m1 = 1995L * 12 + 1
+    assert(got == Seq((m1, 3L, 1L, 3L, 2L, 1L),
+      (m1, 1L, 2L, 1L, -1L, 2L)))
+  }
+
   test("customerOverlapQuantileCap: permille cut tracks the df census") {
     val orders = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
       .toDF("o_orderkey", "o_custkey")
