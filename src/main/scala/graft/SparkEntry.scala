@@ -7306,7 +7306,31 @@ object SparkEntry {
         |  CAST(rnk AS BIGINT) AS rnk
         |FROM top WHERE rnk <= 5 ORDER BY month_idx, rnk""".stripMargin)(
       (s, d) => Relational.rankMovers(Tables.orders(s, d),
-        Tables.lineitem(s, d), k = 5))
+        Tables.lineitem(s, d), k = 5)),
+
+    // Wilson lower-bound ranking (Relational.wilsonReturnRank): brand
+    // return rates ranked by the worst rate the data still supports —
+    // raw-rate ranking promotes 1-of-1 flukes. The bound is one
+    // fixed-shape double expression over exact (r, n) with z and z·z
+    // from the same parsed literal on both engines, then q6-quantized.
+    q("q285_wilson_return_rank",
+      """WITH cens AS (SELECT p_brand AS brand,
+        |    count(*) AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |wl AS (SELECT brand, n, r,
+        |    (r / n + (1.96 * 1.96) / (2 * n) - 1.96 * sqrt(
+        |      r / n * (1 - r / n) / n + (1.96 * 1.96) / (4 * n * n)))
+        |     / (1 + (1.96 * 1.96) / n) AS w FROM cens)
+        |SELECT brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+        |  CAST(r * 1000 // n AS BIGINT) AS rate_pm,
+        |  CAST(round(w * 1000000) AS BIGINT) AS wilson_q6,
+        |  CAST(row_number() OVER (ORDER BY round(w * 1000000) DESC,
+        |    brand) AS BIGINT) AS rnk
+        |FROM wl ORDER BY rnk""".stripMargin)(
+      (s, d) => Relational.wilsonReturnRank(Tables.lineitem(s, d),
+        Tables.part(s, d), z = 1.96))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1413,6 +1413,47 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** Wilson lower-bound ranking of per-group proportions — here: brand
+    * return rates. Ranking by the RAW rate promotes 1-of-1 flukes over
+    * 90-of-1000 problems; the Wilson score interval's lower bound is
+    * the standard fix (rank by "the worst rate the data still
+    * supports"). The bound is computed as ONE fixed-shape double
+    * expression over exact integer (r, n) — identical literal parse,
+    * identical IEEE ops, identical order on both engines — then
+    * quantized to q6 for the output; ties break on the group key.
+    *
+    * Scale shape: one partial-agg census per group (fact scan collapses
+    * to |brands| rows), the bound is a projection, the rank is a window
+    * over the census. Nothing scales past the group cardinality.
+    */
+  def wilsonReturnRank(lineitem: DataFrame, part: DataFrame,
+                       z: Double = 1.96): DataFrame = {
+    val cens = lineitem
+      .select(col("l_partkey"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("__r"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"), sum("__r").as("r"))
+    // z² is written as ($z * $z) so BOTH engines derive it from the
+    // same parsed double literal — a Scala-side product could print a
+    // longer literal than the oracle's and drift a ulp
+    val wilson = expr(
+      s"""(r / n + ($z * $z) / (2 * n) - $z * sqrt(
+         |  r / n * (1 - r / n) / n + ($z * $z) / (4 * n * n)))
+         | / (1 + ($z * $z) / n)""".stripMargin)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("wilson_q6").desc, col("brand"))
+    cens
+      .withColumn("__wl", wilson)
+      .withColumn("wilson_q6",
+        expr("cast(round(__wl * 1000000) as bigint)"))
+      .select(col("brand"), col("n"), col("r"),
+        expr("r * 1000 div n").as("rate_pm"), col("wilson_q6"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("rnk")
+  }
+
   /** Month-over-month revenue-rank movers: every part is ranked by
     * monthly revenue (cents; dense position by rev DESC, part id tie),
     * and each consecutive-month pair reports the rank delta — positive

@@ -515,6 +515,24 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
   }
 
+  test("wilsonReturnRank: small-n flukes rank below supported rates") {
+    // brand A: 1 line, 1 return (raw rate 1000‰ — the fluke);
+    // brand B: 100 lines, 90 returns (raw 900‰, strongly supported).
+    // Wilson LB(1,1) = 1/(1+z²) ≈ 0.20654 < LB(90,100) ≈ 0.826 →
+    // B outranks A despite the lower raw rate.
+    val li = (Seq((1L, "R")) ++
+      (1 to 90).map(i => (2L, "R")) ++ (1 to 10).map(i => (2L, "N")))
+      .toDF("l_partkey", "l_returnflag")
+    val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+    val got = Relational.wilsonReturnRank(li, part)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._6)) == Seq(
+      ("B", 100L, 90L, 900L, 1L), ("A", 1L, 1L, 1000L, 2L)))
+    // closed form at (r=n=1): 1/(1+z²) → 206543 q6
+    assert(got(1)._5 == 206543L)
+    assert(got.head._5 > 800000L && got.head._5 < 860000L)
+  }
+
   test("rankMovers: rank deltas, absent months never compare") {
     import java.sql.Timestamp
     // month 0: p1 $3 (#1), p2 $2 (#2), p3 $1 (#3)
