@@ -7330,7 +7330,38 @@ object SparkEntry {
         |    brand) AS BIGINT) AS rnk
         |FROM wl ORDER BY rnk""".stripMargin)(
       (s, d) => Relational.wilsonReturnRank(Tables.lineitem(s, d),
-        Tables.part(s, d), z = 1.96))
+        Tables.part(s, d), z = 1.96)),
+
+    // Directed copy-flow matrix (Dedup.copyFlowMatrix): per source pair,
+    // containment counts in BOTH directions + net — syndication hubs
+    // split from scrapers only under the directed relation (q112/q181
+    // are symmetric). Rides q118's containment; uncapped here to match
+    // the exact oracle (q118 convention).
+    q("q286_copy_flow",
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.source AS sa, b.source AS sb
+        |  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+        |  WHERE len(list_intersect(a.s, b.s)) > 0
+        |    AND len(list_intersect(a.s, b.s)) * 1000 >= 600 * len(a.s)
+        |    AND a.source <> b.source),
+        |f AS (SELECT least(sa, sb) AS source_lo,
+        |    greatest(sa, sb) AS source_hi,
+        |    CASE WHEN sa < sb THEN 1 ELSE 0 END AS lh,
+        |    CASE WHEN sa > sb THEN 1 ELSE 0 END AS hl FROM px)
+        |SELECT source_lo, source_hi,
+        |  CAST(sum(lh) AS BIGINT) AS n_lo_in_hi,
+        |  CAST(sum(hl) AS BIGINT) AS n_hi_in_lo,
+        |  CAST(sum(lh) - sum(hl) AS BIGINT) AS net_flow
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Dedup.copyFlowMatrix(Tables.documents(s, d), n = 3,
+        minPermille = 600L, maxDf = Long.MaxValue))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

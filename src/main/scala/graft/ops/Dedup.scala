@@ -455,6 +455,41 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Directed copy-flow matrix between sources: for each source pair,
+    * how many docs of one source are shingle-CONTAINED (≥ `minPermille`
+    * of their shingles, the q118 relation) in a doc of the other, both
+    * directions plus the net — the "who copies whom" census. q112
+    * counts shared vocabulary and q181 counts symmetric dup pairs;
+    * containment is the DIRECTED relation, so a syndication hub (other
+    * sources' content ⊂ its pages) splits from a scraper (its pages ⊂
+    * other sources' content) here and nowhere else. `n_lo_in_hi` =
+    * docs of the lexically-smaller source contained in the larger's.
+    *
+    * Scale shape: rides `containmentPairs` (capped inverted index, no
+    * all-pairs); the source fold is two id-keyed joins plus a
+    * |sources|²-bounded census.
+    */
+  def copyFlowMatrix(documents: DataFrame, n: Int = 3,
+                     minPermille: Long = 600L,
+                     maxDf: Long = 10000L): DataFrame = {
+    val pairs = containmentPairs(documents, n, minPermille, maxDf)
+    val src = documents.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"),
+        col("source").as("__sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"),
+        col("source").as("__sb")), "id_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("source_lo"),
+        greatest(col("__sa"), col("__sb")).as("source_hi"),
+        when(col("__sa") < col("__sb"), 1L).otherwise(0L).as("__lh"),
+        when(col("__sa") > col("__sb"), 1L).otherwise(0L).as("__hl"))
+      .groupBy("source_lo", "source_hi")
+      .agg(sum("__lh").as("n_lo_in_hi"), sum("__hl").as("n_hi_in_lo"))
+      .withColumn("net_flow", col("n_lo_in_hi") - col("n_hi_in_lo"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Shared inverted-index Jaccard core for jaccardPairs/winnowingPairs.
     *
     * The per-document item sets come from a CPU-heavy native kernel

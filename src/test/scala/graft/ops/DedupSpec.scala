@@ -657,6 +657,27 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 1L, 1.0, 1000L)))
   }
 
+  test("copyFlowMatrix: direction survives the unordered fold") {
+    import spark.implicits._
+    // doc 1 (src a) is fully contained in doc 2 (src b): a→b flow.
+    // doc 2 is NOT contained in doc 1 (2 has extra shingles).
+    // doc 3 (src b) ⊂ doc 4 (src a): the reverse direction, once.
+    // doc 5 (src c) disjoint.
+    val d = Seq(
+      (1L, "w1 w2 w3 w4", "a"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc", "b"),
+      (3L, "z1 z2 z3 z4", "b"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 za zb zc", "a"),
+      (5L, "q1 q2 q3 q4", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.copyFlowMatrix(d, n = 3, minPermille = 600L,
+        maxDf = Long.MaxValue)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // (a,b): doc1(a) ⊂ doc2(b) → n_lo_in_hi 1; doc3(b) ⊂ doc4(a) →
+    // n_hi_in_lo 1; net 0 — the two directions stay distinguishable
+    assert(got == Seq(("a", "b", 1L, 1L, 0L)))
+  }
+
   test("minhashAccuracyAudit: exact pair set, estimate within tolerance") {
     import spark.implicits._
     // docs 1/2: shingle sets {abc,bcd,cde,def} vs +{efg} → J = 4/5 =
