@@ -7361,7 +7361,30 @@ object SparkEntry {
         |  CAST(sum(lh) - sum(hl) AS BIGINT) AS net_flow
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => Dedup.copyFlowMatrix(Tables.documents(s, d), n = 3,
-        minPermille = 600L, maxDf = Long.MaxValue))
+        minPermille = 600L, maxDf = Long.MaxValue)),
+
+    // Forget-cascade census (Cdc.forgetCascadeCensus): rows each table
+    // loses for a 1%-of-customers GDPR erasure — id-only semi-joins,
+    // lineitem resolved against the already-filtered orders, one-row
+    // report. The md5 slice stands in for a real request table.
+    q("q287_forget_cascade",
+      """WITH forget AS (SELECT c_custkey FROM customer
+        |  WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+        |    1, 4)) AS INTEGER) % 1000 < 10),
+        |fo AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM forget))
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM forget) AS n_customers,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM fo) AS n_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IN (SELECT o_orderkey FROM fo))
+        |    AS n_lineitems,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events
+        |   WHERE user_id IN (SELECT c_custkey FROM forget))
+        |    AS n_events""".stripMargin)(
+      (s, d) => Cdc.forgetCascadeCensus(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.events(s, d),
+        permille = 10L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

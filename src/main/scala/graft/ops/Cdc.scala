@@ -119,4 +119,43 @@ object Cdc {
       .filter(col("status") =!= "same")
       .withColumn(keyCol, coalesce(col(s"a_$keyCol"), col(s"b_$keyCol")))
   }
+
+  /** Right-to-be-forgotten cascade census: given the md5-permille slice
+    * of customers to forget (the q56 deterministic-slice device — swap
+    * in a real request table in production), count every row each table
+    * loses BEFORE running the deletes: customers, their orders, those
+    * orders' line items, and the users' event rows. The cost/impact
+    * estimate a GDPR erasure batch needs up front — a job sized from
+    * this census gets scheduled; one discovered mid-flight gets killed.
+    *
+    * Scale shape: the forget set is customer-sized; orders resolve by a
+    * custkey semi-join, lineitem by an orderkey semi-join against the
+    * ALREADY-FILTERED orders (never a 3-way fact join), events by a
+    * user-id semi-join; four partial-agg counts cross-join into the
+    * one-row report. Semi-joins carry ids only; the forget set and its
+    * order keys are pinned once (each feeds two consumers).
+    */
+  def forgetCascadeCensus(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, events: DataFrame,
+                          permille: Long = 10L): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    val forget = customer
+      .filter(graft.ops.Sampling.splitBucket(col("c_custkey")) <
+        lit(permille))
+      .select(col("c_custkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fOrders = orders.join(forget,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCust = forget.agg(count(lit(1)).as("n_customers"))
+    val nOrd = fOrders.agg(count(lit(1)).as("n_orders"))
+    val nLi = lineitem.join(fOrders,
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_lineitems"))
+    val nEv = events.join(forget,
+        col("user_id") === col("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_events"))
+    nCust.crossJoin(nOrd).crossJoin(nLi).crossJoin(nEv)
+  }
 }

@@ -85,4 +85,25 @@ class CdcSpec extends SparkSpec {
     // off=0 sorts first: version 1, superseded; off=1 is current
     assert(got == Seq((0L, 1L, 0), (1L, 2L, 1)))
   }
+
+  test("forgetCascadeCensus: cascade counts follow the key chains") {
+    import spark.implicits._
+    // permille=1000 forgets EVERYONE → counts are just table sizes
+    // along the chains; permille=0 forgets nobody → all zeros
+    val cust = Seq(1L, 2L).toDF("c_custkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 9L)) // 12: foreign cust
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 1), (10L, 2), (11L, 1), (12L, 1), (99L, 1))
+      .toDF("l_orderkey", "l_linenumber")
+    val ev = Seq((1L, 1L), (2L, 2L), (7L, 3L))
+      .toDF("user_id", "event_id")
+    val all = Cdc.forgetCascadeCensus(cust, ord, li, ev, permille = 1000L)
+      .as[(Long, Long, Long, Long)].collect().head
+    // custs {1,2}: orders 10,11 (12's cust 9 not in customer table);
+    // lineitems of 10,11 = 3; events of users 1,2 = 2
+    assert(all == ((2L, 2L, 3L, 2L)))
+    val none = Cdc.forgetCascadeCensus(cust, ord, li, ev, permille = 0L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(none == ((0L, 0L, 0L, 0L)))
+  }
 }
