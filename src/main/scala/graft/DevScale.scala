@@ -420,7 +420,20 @@ object DevScale {
       // is NOT here: it is the declared exact all-pairs baseline (the
       // q26 regime — none of the brute-force baselines are measured;
       // the scale path is annIvf top-1 + the same mutuality self-join).
-      "q271_profile" -> SparkEntry.queries("q271_profile_recommend"))
+      "q271_profile" -> SparkEntry.queries("q271_profile_recommend"),
+      // q279 per-user agg + horizon census; q282 period-table join;
+      // q283 users × 400 explode (linear in users); q284 catalog-
+      // bounded rank windows over a linear fact agg; q285 brand
+      // census; q286 rides the shingle inverted index (the ~c suffix
+      // construction keeps df constant, so pairs stay within-copy);
+      // q287 id-only semi-join chain
+      "q279_km" -> SparkEntry.queries("q279_km_table"),
+      "q282_backtest" -> SparkEntry.queries("q282_seasonal_backtest"),
+      "q283_bootstrap" -> SparkEntry.queries("q283_bootstrap_ci"),
+      "q284_movers" -> SparkEntry.queries("q284_rank_movers"),
+      "q285_wilson" -> SparkEntry.queries("q285_wilson_return_rank"),
+      "q286_copyflow" -> SparkEntry.queries("q286_copy_flow"),
+      "q287_forget" -> SparkEntry.queries("q287_forget_cascade"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

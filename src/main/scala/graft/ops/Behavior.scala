@@ -841,10 +841,14 @@ object Behavior {
     * Scale shape: the fact scan collapses to the period table in one
     * partial agg; pairs are periods² — thousands of daily periods give
     * millions of pairs, independent of fact cardinality (years of
-    * dailies ≈ 10⁶–10⁷ pairs: one broadcast self-join + one bounded
-    * global sort). For decade-scale minute granularity, pre-bucket
-    * periods before calling (the resolution, not the corpus, is the
-    * knob).
+    * dailies ≈ 10⁶–10⁷ pairs: one broadcast self-join). The median
+    * rank is selected by `Layout.shardedRanks` (range-partitioned
+    * two-pass rank), NOT a global-order window — the single-task sort
+    * of the pair set was this query's measured wall (~10 s at 2.9M
+    * pairs, the whole suite's slowest entry) and the q129 sharded-rank
+    * device removes it. For decade-scale minute granularity,
+    * pre-bucket periods before calling (the resolution, not the
+    * corpus, is the knob).
     */
   def theilSenTrend(df: DataFrame, tsCol: String,
                     periodMs: Long = 86400000L): DataFrame = {
@@ -860,16 +864,12 @@ object Behavior {
         (col("b.p") - col("a.p")).as("dt"),
         col("a.p").as("pi"), col("b.p").as("pj"))
       .withColumn("slope", col("dn").cast("double") / col("dt").cast("double"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .orderBy(col("slope"), col("dt"), col("pi"), col("pj"))
-    pairs
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("tot", count(lit(1)).over(wAll))
-      .filter(col("rn") === expr("(tot + 1) div 2"))
-      .select(col("tot").as("n_pairs"), col("dn").as("med_dn"),
+    val (ranked, n) = graft.ops.Layout.shardedRanksWithTotal(
+      pairs.select(col("slope"), col("dt"), col("pi"), col("pj"),
+        col("dn")),
+      Seq("slope", "dt", "pi", "pj"))
+    ranked.filter(col("rnk") === lit((n + 1) / 2))
+      .select(lit(n).as("n_pairs"), col("dn").as("med_dn"),
         col("dt").as("med_dt"),
         expr("case when dn >= 0 then dn * 1000000 div dt" +
           " else -((-dn) * 1000000 div dt) end").as("slope_q6"))
