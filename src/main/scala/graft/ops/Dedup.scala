@@ -543,7 +543,20 @@ object Dedup {
   }
 
   private def pairsBySetOverlap(sets0: DataFrame, setCol: String,
-                                threshold: Double, maxDf: Long): DataFrame = {
+                                threshold: Double, maxDf: Long): DataFrame =
+    pairsBySetOverlapUnordered(sets0, setCol, threshold, maxDf)
+      .orderBy("id_a", "id_b")
+
+  /** `pairsBySetOverlap` without the trailing global sort — for callers
+    * that aggregate or persist the pair list (a cached plan KEEPS its
+    * orderBy, so persisting the ordered frame forces a global sort of
+    * the full pair list before any consumer runs — measured 9.7 s →
+    * 36 s at DevScale x16 when clusterCoherence first pinned the
+    * ordered variant).
+    */
+  private def pairsBySetOverlapUnordered(sets0: DataFrame, setCol: String,
+                                         threshold: Double,
+                                         maxDf: Long): DataFrame = {
     val (items, sizes) = cappedInvertedIndex(sets0, setCol, maxDf)
     val inter = items.as("x")
       .join(items.as("y"),
@@ -557,7 +570,6 @@ object Dedup {
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** MinHash signature: `numHashes` minima of the Kirsch–Mitzenmacher
@@ -1122,16 +1134,30 @@ object Dedup {
     * bridges). The q211 histogram says how big clusters are; this says
     * whether big clusters DESERVE to exist.
     *
-    * Scale shape: rides `jaccardPairs` + `jaccardClusters` (the shingle
-    * stage's persist is plan-identical in both calls, so the cache
-    * serves each subtree once); the audit itself is two cluster-keyed
-    * aggregates and a join — cluster-count-sized.
+    * Scale shape: the pair proposal (inverted-index join — the heavy
+    * stage) runs ONCE: the pinned pair list feeds both the
+    * connected-components closure and the per-cluster aggregates
+    * (first measured with pairs rebuilt inside jaccardClusters: ~5 s
+    * at sf0.1; this halves the heavy stage). The audit itself is two
+    * cluster-keyed aggregates and a join — cluster-count-sized.
     */
   def clusterCoherence(documents: DataFrame, n: Int = 3,
                        threshold: Double = 0.2,
                        maxDf: Long = 10000L): DataFrame = {
-    val pairs = jaccardPairs(documents, n, threshold, maxDf)
-    val clusters = jaccardClusters(documents, n, threshold, maxDf)
+    // pinned UNORDERED (persisting the ordered public variant forces a
+    // global sort of the full pair list into the cache — measured, see
+    // PLANS.md): one pair join feeds both CC's eager edge checkpoint
+    // and the per-cluster aggregates. Measured best at bench scale
+    // (sf0.1 warm 4.3 s → 1.75 s); x16 comparisons across the variants
+    // were load-noise-dominated (first reps up to 6× the warm rep) and
+    // did not separate them.
+    val pairs = pairsBySetOverlapUnordered(
+        shingleSets(documents, n), "shingles", threshold, maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val clusters = connectedComponents(
+        documents.select(col("doc_id").as("id")),
+        pairs.select("id_a", "id_b"))
+      .withColumnRenamed("id", "doc_id")
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"))
     val edges = pairs
