@@ -1482,7 +1482,10 @@ object Relational {
       .agg(sum("__cents").as("rev_cents"))
     val wRank = org.apache.spark.sql.expressions.Window.partitionBy("m")
       .orderBy(col("rev_cents").desc, col("part"))
+    // pinned: the month-pair self-join reads this frame on BOTH sides —
+    // unpinned, the fact agg + rank window ran twice (plan-audited)
     val ranked = rev.withColumn("rank", row_number().over(wRank).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prev = ranked.select((col("m") + 1).as("m"), col("part"),
       col("rank").as("rank_prev"))
     val wTop = org.apache.spark.sql.expressions.Window.partitionBy("m")
