@@ -1242,6 +1242,8 @@ object Relational {
     val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
+    // pinned: the symmetrizing union reads the pair aggregate TWICE —
+    // unpinned, the basket self-join ran once per direction
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -1249,6 +1251,7 @@ object Relational {
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.select(col("pa").as("part"), col("pb").as("rec"),
         col("n_both"))
       .unionByName(pairs.select(col("pb").as("part"), col("pa").as("rec"),
@@ -1522,6 +1525,8 @@ object Relational {
     val total = li.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("__n"))
     val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__m"))
+    // pinned: the directed union reads the pair aggregate twice (the
+    // alsoBought note)
     val pairs = li.as("a")
       .join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -1529,6 +1534,7 @@ object Relational {
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
         col("n_both"))
       .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
