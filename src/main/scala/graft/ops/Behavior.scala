@@ -947,11 +947,15 @@ object Behavior {
       key = "user_id", pointTime = "touch_ts",
       start = "w_start", end = "w_end", binWidth = windowNs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    // pinned: the unattributed anti-join AND the final union both read
+    // this frame — unpinned, the touch-window join ran twice (the q53
+    // pattern, plan-audit sweep round 15)
     val attributed = pairs
       .withColumn("n_touches", count(lit(1)).over(w))
       .select(col("user_id"), col("conv_id"), col("touch_id"),
         (col("w_end") - 1L - col("touch_ts")).as("gap_ns"),
         col("n_touches"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // conversions nothing touched: left anti against the attributed set
     val unattributed = convs
       .join(attributed.select(col("conv_id").as("__c")).distinct(),

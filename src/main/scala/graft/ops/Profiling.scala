@@ -790,7 +790,10 @@ object Profiling {
     */
   def bipartiteDegrees(df: DataFrame, aCol: String, bCol: String,
                        aLabel: String, bLabel: String): DataFrame = {
+    // pinned: both sides' degree censuses read the distinct pair frame
+    // (the q53 pattern, plan-audit sweep round 15)
     val pairs = df.select(col(aCol), col(bCol)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def side(key: String, label: String) = pairs
       .groupBy(col(key)).agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))

@@ -769,15 +769,20 @@ object Relational {
     * q209/q220 audit-view regime), never rows.
     */
   def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    // both censuses pinned: each is read twice — once for the month-
+    // extent bounds, once in the dense-month join (the q53 pattern,
+    // plan-audit sweep round 15); unpinned, both FACT scans ran twice
     val placed = orders
       .groupBy((year(col("o_orderdate")).cast("long") * 12 +
         month(col("o_orderdate")) - 1).as("m"))
       .agg(count(lit(1)).as("placed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shipped = lineitem
       .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
       .groupBy((year(col("last_ship")).cast("long") * 12 +
         month(col("last_ship")) - 1).as("__m"))
       .agg(count(lit(1)).as("shipped"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ext = placed.select(col("m"))
       .union(shipped.select(col("__m")))
       .agg(min("m").as("m0"), max("m").as("m1"))
