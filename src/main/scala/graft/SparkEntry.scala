@@ -7384,7 +7384,34 @@ object SparkEntry {
         |    AS n_events""".stripMargin)(
       (s, d) => Cdc.forgetCascadeCensus(Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.events(s, d),
-        permille = 10L))
+        permille = 10L)),
+
+    // Changepoint localization (Behavior.binarySegmentation): the split
+    // of the daily order-count series maximizing between-segment sum of
+    // squares — q220 flags THAT a shift exists, this says WHERE. Scores
+    // are bit-identical doubles over exact cumulative sums; ordinal
+    // tiebreak.
+    q("q288_binary_segmentation",
+      """WITH p AS (SELECT epoch_ms(o_orderdate) // 86400000 AS period
+        |  FROM orders),
+        |c AS (SELECT period, count(*) AS n FROM p GROUP BY 1),
+        |r AS (SELECT period,
+        |    row_number() OVER (ORDER BY period) AS i,
+        |    sum(n) OVER (ORDER BY period
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |    count(*) OVER () AS m, sum(n) OVER () AS st FROM c),
+        |f AS (SELECT *,
+        |    sl * sl / i + (st - sl) * (st - sl) / (m - i) AS f
+        |  FROM r WHERE i < m)
+        |SELECT period AS split_period,
+        |  CAST(i AS BIGINT) AS n_periods_left,
+        |  CAST(m - i AS BIGINT) AS n_periods_right,
+        |  CAST(sl AS BIGINT) AS sum_left,
+        |  CAST(st - sl AS BIGINT) AS sum_right,
+        |  CAST(round(f - st * st / m) AS BIGINT) AS gain
+        |FROM f ORDER BY f DESC, i LIMIT 1""".stripMargin)(
+      (s, d) => Behavior.binarySegmentation(Tables.orders(s, d),
+        "o_orderdate", periodMs = 86400000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

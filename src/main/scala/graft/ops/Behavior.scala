@@ -746,6 +746,55 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Single-changepoint localization by binary segmentation: the split
+    * of the per-period count series that maximizes the between-segment
+    * sum of squares, f(i) = S_l²/i + S_r²/(m−i) — equivalently the
+    * split minimizing total within-segment SSE under two constant
+    * levels. q220's CUSUM flags THAT a level shift exists; this says
+    * WHERE. The gain column (f_best − S²/m, the variance explained by
+    * splitting) is the stopping criterion a recursive segmentation
+    * would threshold on. Scores are doubles from exact integer
+    * cumulative sums — one fixed-shape expression, bit-identical
+    * across engines — and the argmax tiebreak is the ordinal, so the
+    * chosen split is a pure function of the series.
+    *
+    * Scale shape: the fact scan collapses to the period table; ordinal
+    * + cumulative sums are one window over that days-bounded table;
+    * the argmax is a top-1. Nothing scales with fact rows.
+    */
+  def binarySegmentation(df: DataFrame, tsCol: String,
+                         periodMs: Long = 86400000L): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    val c = df
+      .select(expr(
+        s"unix_millis(cast(`$tsCol` as timestamp)) div ${periodMs}L")
+        .as("period"))
+      .groupBy("period").agg(count(lit(1)).as("n"))
+    val wOrd = org.apache.spark.sql.expressions.Window.orderBy("period")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    c.withColumn("i", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("period")))
+      .withColumn("sl", sum("n").over(wOrd))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("st", sum("n").over(wAll))
+      .filter(col("i") < col("m"))
+      .withColumn("f",
+        expr("sl * sl / i + (st - sl) * (st - sl) / (m - i)"))
+      .withColumn("gain", expr("round(f - st * st / m)"))
+      .orderBy(col("f").desc, col("i"))
+      .limit(1)
+      .select(col("period").as("split_period"),
+        col("i").cast("long").as("n_periods_left"),
+        (col("m") - col("i")).cast("long").as("n_periods_right"),
+        col("sl").as("sum_left"), (col("st") - col("sl")).as("sum_right"),
+        col("gain").cast("long").as("gain"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each period's value with
     * the value one season earlier (pred(t) = v(t−season)) and census the
     * errors — n_days scored, MAE, and signed bias, all in exact cents

@@ -222,6 +222,20 @@ class BehaviorSpec extends SparkSpec {
       (4L, 200L, 200.0)))
   }
 
+  test("binarySegmentation: level shift found at the true boundary") {
+    // periodMs 10: counts 1,1,1,5,5 — true split after ordinal 3.
+    // f(3) = 9/3 + 100/2 = 53; f(1) = 1 + 144/4 = 37; f(2) = 4/2 +
+    // 121/3 ≈ 42.3; f(4) = 64/4 + 25 = 41 → argmax i=3.
+    // gain = 53 − 169/5 = 19.2 → round 19
+    val ts = Seq(0L, 10L, 20L) ++
+      (0 until 5).map(i => 30L + i.toLong) ++
+      (0 until 5).map(i => 40L + i.toLong)
+    val df = ts.map(ms => new java.sql.Timestamp(ms)).toDF("t")
+    val got = Behavior.binarySegmentation(df, "t", periodMs = 10L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L, 2L, 3L, 10L, 19L)))
+  }
+
   test("seasonalNaiveBacktest: season-lag errors, gap parents skipped") {
     // periodMs 10, season 2. periods/cents: p0:100, p1:200, p2:150,
     // p4:300. Scored: p2 (pred p0 → err +50), p4? parent p2 → err
