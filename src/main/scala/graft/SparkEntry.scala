@@ -7411,7 +7411,40 @@ object SparkEntry {
         |  CAST(round(f - st * st / m) AS BIGINT) AS gain
         |FROM f ORDER BY f DESC, i LIMIT 1""".stripMargin)(
       (s, d) => Behavior.binarySegmentation(Tables.orders(s, d),
-        "o_orderdate", periodMs = 86400000L))
+        "o_orderdate", periodMs = 86400000L)),
+
+    // Top-N + OTHER rollup (Relational.topNWithOther): revenue by
+    // nation, top-3 + the conserved tail — shares are of the WHOLE, so
+    // the table stays 4 rows at any nation cardinality.
+    q("q289_topn_other",
+      """WITH cens AS (SELECT n_name AS grp,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |t AS (SELECT sum(cents) AS t FROM cens),
+        |r AS (SELECT grp, cents,
+        |    row_number() OVER (ORDER BY cents DESC, grp) AS rn
+        |  FROM cens),
+        |lab AS (SELECT CASE WHEN rn <= 3 THEN grp ELSE 'OTHER' END
+        |    AS label,
+        |    CASE WHEN rn <= 3 THEN rn ELSE 4 END AS rnk, cents FROM r)
+        |SELECT label, CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(cents) * 1000 // nullif(t.t, 0) AS BIGINT)
+        |    AS share_pm,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM lab, t GROUP BY label, rnk, t.t
+        |ORDER BY rnk, label""".stripMargin)(
+      (s, d) => Relational.topNWithOther(
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey")),
+        "n_name",
+        org.apache.spark.sql.functions.expr(
+          "cast(round(o_totalprice * 100) as long)"),
+        k = 3))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

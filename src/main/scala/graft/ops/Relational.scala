@@ -1421,6 +1421,41 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** Top-N groups by value plus an OTHER rollup — the reporting shape
+    * that stays a (N+1)-row table no matter how the group cardinality
+    * grows (a bare top-N silently drops the tail; this conserves the
+    * total, so shares are OF THE WHOLE). Ranks break ties on the group
+    * label; shares are integer permille of the conserved total.
+    *
+    * Scale shape: one partial-agg census per group, a census-sized rank
+    * window, a one-row total broadcast. `groupCol` is cast to string so
+    * the OTHER label unions type-safely.
+    */
+  def topNWithOther(df: DataFrame, groupCol: String,
+                    valueCents: org.apache.spark.sql.Column,
+                    k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cens = df.select(col(groupCol).cast("string").as("grp"),
+        valueCents.cast("long").as("__v"))
+      .groupBy("grp").agg(sum("__v").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cents").desc, col("grp"))
+    val total = cens.agg(sum("cents").as("__t"))
+    cens.withColumn("rn", row_number().over(w))
+      .select(
+        when(col("rn") <= k, col("grp")).otherwise(lit("OTHER"))
+          .as("label"),
+        when(col("rn") <= k, col("rn").cast("long"))
+          .otherwise(lit(k + 1L)).as("rnk"),
+        col("cents"))
+      .groupBy("label", "rnk").agg(sum("cents").as("cents"))
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("cents"),
+        expr("cents * 1000 div nullif(__t, 0)").as("share_pm"),
+        col("rnk"))
+      .orderBy("rnk", "label")
+  }
+
   /** Wilson lower-bound ranking of per-group proportions — here: brand
     * return rates. Ranking by the RAW rate promotes 1-of-1 flukes over
     * 90-of-1000 problems; the Wilson score interval's lower bound is

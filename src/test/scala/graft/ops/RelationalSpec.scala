@@ -515,6 +515,17 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 1000000L, 2L, 1L), (3L, 2L, 1000000L, 2L, 1L)))
   }
 
+  test("topNWithOther: tail conserved, shares of the whole") {
+    val d = Seq(("a", 50L), ("b", 30L), ("c", 15L), ("d", 4L), ("e", 1L))
+      .toDF("g", "v")
+    val got = Relational.topNWithOther(d, "g",
+        org.apache.spark.sql.functions.col("v"), k = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // top-2 a/b; OTHER = 15+4+1 = 20 → shares 500/300/200 permille
+    assert(got == Seq(("a", 50L, 500L, 1L), ("b", 30L, 300L, 2L),
+      ("OTHER", 20L, 200L, 3L)))
+  }
+
   test("wilsonReturnRank: small-n flukes rank below supported rates") {
     // brand A: 1 line, 1 return (raw rate 1000‰ — the fluke);
     // brand B: 100 lines, 90 returns (raw 900‰, strongly supported).
