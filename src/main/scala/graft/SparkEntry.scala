@@ -7444,7 +7444,24 @@ object SparkEntry {
         "n_name",
         org.apache.spark.sql.functions.expr(
           "cast(round(o_totalprice * 100) as long)"),
-        k = 3))
+        k = 3)),
+
+    // Burstiness census (Behavior.burstinessCensus): Fano factor of
+    // per-day counts per event type, integer-exact with cleared
+    // denominators in decimal/HUGEINT — Poisson ≈ 1000 q3, retry
+    // storms above, heartbeats below. Observed days only (q106 law).
+    q("q290_burstiness",
+      """WITH c AS (SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 AS p, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS m, sum(n) AS s,
+        |    sum(n * n) AS q FROM c GROUP BY 1)
+        |SELECT event_type, CAST(m AS BIGINT) AS m,
+        |  CAST((m * q - s * s) * 1000 // (m * s) AS BIGINT) AS fano_q3,
+        |  m * q - s * s > m * s AS is_bursty
+        |FROM s ORDER BY event_type""".stripMargin)(
+      (s, d) => Behavior.burstinessCensus(Tables.events(s, d),
+        periodMs = 86400000L))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -746,6 +746,42 @@ object Behavior {
       .orderBy("period")
   }
 
+  /** Burstiness census: the Fano factor (variance/mean of per-period
+    * counts) per event type — Poisson-like arrivals sit at 1, bursty
+    * traffic (retry storms, batch replays, crawl loops) well above,
+    * metronomic heartbeats below. Computed integer-exactly with cleared
+    * denominators (the q146 device): Fano = (m·Q − S²)/(m·S) with
+    * m = observed periods, S = Σn, Q = Σn², reported as
+    * `fano_q3 = (m·Q − S²)·1000 div (m·S)` in decimal(38,0) so the
+    * squares cannot wrap at cluster-scale counts (DuckDB promotes to
+    * HUGEINT — both engines exact); `is_bursty ⇔ m·Q − S² > m·S` is the
+    * same comparison with no division at all. Only OBSERVED periods
+    * enter (a type's silent days are not zero-count samples — the q106
+    * gap law; a zero-padded variant is a different estimator).
+    *
+    * Scale shape: one (type, period) partial agg collapses the scan,
+    * then a types-sized census of sums — nothing holds more state than
+    * |types| rows after the first agg.
+    */
+  def burstinessCensus(events: DataFrame,
+                       periodMs: Long = 86400000L): DataFrame = {
+    require(periodMs >= 1, "periodMs must be >= 1")
+    val dayNs = periodMs * 1000000L
+    events
+      .select(col("event_type"), expr(s"ts div ${dayNs}L").as("p"))
+      .groupBy("event_type", "p").agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("n").as("s"),
+        sum(expr("n * n")).as("q"))
+      .select(col("event_type"), col("m"),
+        expr("cast((cast(m as decimal(38,0)) * q - cast(s as" +
+          " decimal(38,0)) * s) * 1000 div (cast(m as decimal(38,0))" +
+          " * s) as bigint)").as("fano_q3"),
+        expr("cast(m as decimal(38,0)) * q - cast(s as decimal(38,0))" +
+          " * s > cast(m as decimal(38,0)) * s").as("is_bursty"))
+      .orderBy("event_type")
+  }
+
   /** Single-changepoint localization by binary segmentation: the split
     * of the per-period count series that maximizes the between-segment
     * sum of squares, f(i) = S_l²/i + S_r²/(m−i) — equivalently the

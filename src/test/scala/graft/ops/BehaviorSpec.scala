@@ -222,6 +222,24 @@ class BehaviorSpec extends SparkSpec {
       (4L, 200L, 200.0)))
   }
 
+  test("burstinessCensus: bursty above Fano 1, metronome below") {
+    val D = 86400L * 1000000000L
+    // type 'a': days 0,1 with counts 4 and 0? — observed only: day 0
+    // count 3, day 1 count 1 → m=2 S=4 Q=10: fano = (20−16)/(8) = 0.5
+    // → 500 q3, not bursty. type 'b': day 0 count 4, day 1 count 0?
+    // observed: day0=4, day1 none, day2=0? Use day0=5, day2=1:
+    // m=2 S=6 Q=26 → (52−36)/12 = 1.333 → 1333, bursty.
+    val rows =
+      (Seq.fill(3)(0L) ++ Seq(D)).map(t => (1L, t, "a")) ++
+      (Seq.fill(5)(0L) ++ Seq(2 * D)).map(t => (2L, t, "b"))
+    val df = rows.zipWithIndex.map { case ((u, t, ty), i) =>
+      (u, t, i.toLong, ty, 1.0)
+    }.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val got = Behavior.burstinessCensus(df)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("a", 2L, 500L, false), ("b", 2L, 1333L, true)))
+  }
+
   test("binarySegmentation: level shift found at the true boundary") {
     // periodMs 10: counts 1,1,1,5,5 — true split after ordinal 3.
     // f(3) = 9/3 + 100/2 = 53; f(1) = 1 + 144/4 = 37; f(2) = 4/2 +
