@@ -13,17 +13,21 @@ cd "$(dirname "$0")/.."
 echo "[precommit] sbt compile + Test/compile"
 sbt -batch ";compile;Test/compile" 2>&1 | tail -3
 
+# NOTE: this sbt's log config suppresses [success] lines for runMain —
+# the EXIT CODE is the only reliable signal (captured via PIPESTATUS;
+# graft.Smoke exits nonzero when any named query fails).
 if [ "$#" -gt 0 ]; then
   echo "[precommit] smoke-running queries at sf0.001: $*"
-  sbt -batch "runMain graft.Smoke $*" 2>&1 | tee /tmp/precommit_smoke.log \
-    | grep -E '^\[smoke\]' || true
-  grep -q '^\[success\]' /tmp/precommit_smoke.log || {
-    echo "[precommit] SMOKE FAILED"; exit 1; }
+  set +e
+  sbt -batch "runMain graft.Smoke $*" 2>&1 | grep -E '^\[smoke\]'
+  rc=${PIPESTATUS[0]}
+  set -e
 else
   echo "[precommit] entry smoke"
-  sbt -batch "runMain graft.Smoke" 2>&1 | tee /tmp/precommit_smoke.log \
-    | grep -E '^\[smoke\]' || true
-  grep -q '^\[success\]' /tmp/precommit_smoke.log || {
-    echo "[precommit] ENTRY SMOKE FAILED"; exit 1; }
+  set +e
+  sbt -batch "runMain graft.Smoke" 2>&1 | grep -E '^\[smoke\]'
+  rc=${PIPESTATUS[0]}
+  set -e
 fi
+if [ "$rc" -ne 0 ]; then echo "[precommit] SMOKE FAILED (rc=$rc)"; exit 1; fi
 echo "[precommit] OK"
