@@ -445,6 +445,30 @@ object Behavior {
         coalesce(max("late"), lit(0L)).as("max_late"))
   }
 
+  /** `latenessCensus` computed the sharded way — the SHIPPED form: the
+    * running event-time max over ingestion order comes from
+    * `Layout.shardedRunningMax` (two-pass per-partition prefix-max —
+    * range exchange, one Long per partition to the driver, streaming
+    * second pass), so no single task ever sorts the whole event stream.
+    * Identical output to the one-pass global-order window form above,
+    * which stays as the spec referee (BehaviorSpec pins equality).
+    */
+  def latenessCensusSharded(events: DataFrame,
+                            tiebreakCol: String = "event_id",
+                            quantumNs: Long = 1L): DataFrame = {
+    require(quantumNs >= 1, "quantumNs must be >= 1")
+    val q = events
+      .select(col(tiebreakCol), expr(s"ts div ${quantumNs}L").as("qts"))
+    Layout.shardedRunningMax(q, Seq(tiebreakCol), "qts")
+      .withColumn("late",
+        greatest(coalesce(col("run_max_prev"), col("qts")) - col("qts"),
+          lit(0L)))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("late") > 0, 1L)), lit(0L)).as("n_late"),
+        coalesce(sum("late"), lit(0L)).as("sum_late"),
+        coalesce(max("late"), lit(0L)).as("max_late"))
+  }
+
   /** User GROWTH curve: per day, first-time users and the cumulative
     * total — the acquisition chart. First-seen day is a per-user min
     * (one keyed agg); the cumulative sum is a global window over the

@@ -105,11 +105,14 @@ object Graph {
                 hops: Int = 3): DataFrame = {
     require(hops >= 1 && hops <= 16, "need 1 <= hops <= 16")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // self-loop filter AFTER the symmetrizing union: filtering only the
+    // forward leg would let a self-loop edge re-enter via the reversed
+    // leg, making a self-loop-only node its own seed/neighbor
     val sym = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .unionByName(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(MEMORY_AND_DISK)
     val seeds = sym.select(col("src").as("seed")).distinct()

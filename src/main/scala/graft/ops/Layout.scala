@@ -238,6 +238,60 @@ object Layout {
     (session.createDataFrame(rows, outSchema), base(n))
   }
 
+  /** Exact running max of `valueCol` over rows STRICTLY BEFORE each row
+    * in the `orderCols` total order — the prefix-max twin of
+    * `shardedRanks`, and the machinery that removes the global-order
+    * window from ingestion-order audits (Behavior.latenessCensusSharded).
+    * Same two-pass shape: range-partition on the order (one exchange,
+    * sampled boundaries), pass 1 collects ONE max per partition to the
+    * driver, pass 2 streams each partition once carrying its broadcast
+    * base (the running max over all earlier partitions). Nothing wider
+    * than `parts` values reaches the driver; no single task ever sorts
+    * more than one range partition.
+    *
+    * Output: the input columns plus `run_max_prev` (nullable long — null
+    * for the global first row, where no earlier row exists). `valueCol`
+    * must be integral and non-null; `orderCols` must be a total order
+    * (the shardedRanks contract — equal keys would make "before"
+    * ambiguous).
+    */
+  def shardedRunningMax(df: DataFrame, orderCols: Seq[String],
+                        valueCol: String, parts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val session = df.sparkSession
+    val n =
+      if (parts > 0) parts
+      else math.max(session.sparkContext.defaultParallelism,
+        session.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val ranged = df
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxes = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+      Iterator.single((pid, m))
+    }.collect().toMap
+    // base(p) = max over all partitions BEFORE p (MinValue = none yet)
+    val base = (0 until n).scanLeft(Long.MinValue)((acc, p) =>
+      math.max(acc, maxes.getOrElse(p, Long.MinValue))).toArray
+    val bBase = session.sparkContext.broadcast(base)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "run_max_prev", org.apache.spark.sql.types.LongType,
+        nullable = true))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bBase.value(pid)
+      it.map { row =>
+        val prev: Any = if (run == Long.MinValue) null else run
+        run = math.max(run, row.getLong(vIdx))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ prev)
+      }
+    }
+    session.createDataFrame(rows, outSchema)
+  }
+
   /** SQL `NTILE(buckets)` bucket of 1-based rank `rnk` over `nRows` rows,
     * in closed form: the first `nRows mod buckets` buckets take
     * `⌈nRows/buckets⌉` rows, the rest `⌊nRows/buckets⌋` — exactly the SQL

@@ -222,6 +222,38 @@ object Multimodal {
     }
   }
 
+  final case class DecodePath(kind: String, real: Boolean)
+
+  /** Stub-rate GOVERNANCE census: per media kind, how many payloads the
+    * decode stage would put through a REAL codec (ImageIO / javax.sound)
+    * versus the documented deterministic stub (video — no stock-JDK
+    * codec — plus any unparseable fallback). The number a 100 TB run
+    * reads BEFORE trusting decode-derived features: a stub_pm that
+    * drifts up means corrupt payloads (or a codec gap) are silently
+    * feeding fake dimensions downstream. Uses the SAME real-vs-stub
+    * decision as `decode` (decodeImage/decodeAudioOne success), so the
+    * census can never disagree with the stage it audits.
+    */
+  def decodeCensus(media: Dataset[Media]): DataFrame = {
+    implicit val enc: Encoder[DecodePath] = Encoders.product[DecodePath]
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val real =
+          if (m.kind == "image") decodeImage(m).isDefined
+          else if (m.kind == "audio") decodeAudioOne(m).isDefined
+          else false
+        DecodePath(m.kind, real)
+      }
+    }
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        coalesce(sum(when(col("real"), 1L)), lit(0L)).as("n_real"),
+        coalesce(sum(when(!col("real"), 1L)), lit(0L)).as("n_stub"))
+      .withColumn("stub_pm", expr("n_stub * 1000 div n_media"))
+      .orderBy("kind")
+  }
+
   final case class ImageHash(media_id: Long, width: Int, height: Int,
                              ahash_hi: Long, ahash_lo: Long)
 

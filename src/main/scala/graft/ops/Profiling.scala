@@ -401,9 +401,14 @@ object Profiling {
     * `fd_holds ⇔ n_x = n_xy` and `extra_pairs = n_xy − n_x` measures HOW
     * broken a failed dependency is (the schema-discovery companion to
     * `fkIntegrityAudit`: FK audits reference integrity between tables,
-    * this audits determinism within one). Rows with NULL in a counted
-    * column are ignored by COUNT(DISTINCT …) — the SQL standard,
-    * identical in both engines.
+    * this audits determinism within one). Rows where EITHER column is
+    * NULL are excluded up front, on both engines: the engines' native
+    * multi-column distincts diverge on nullable data (Spark's
+    * countDistinct(x, y) drops a row if either side is NULL, while
+    * DuckDB's count(DISTINCT (x, y)) counts struct rows with NULL
+    * fields), so the operator pins one semantics — an FD is audited
+    * over fully-observed (X, Y) pairs — and the oracle carries the same
+    * explicit filter.
     *
     * Scale shape: one partial-agg distinct per candidate over the fact
     * scan (map-side combine collapses to the key cardinality); the
@@ -417,7 +422,8 @@ object Profiling {
                candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate FD")
     candidates.map { case (x, y) =>
-      df.agg(
+      df.filter(col(x).isNotNull && col(y).isNotNull)
+        .agg(
           countDistinct(col(x)).as("n_x"),
           countDistinct(col(x), col(y)).as("n_xy"))
         .select(lit(x).as("x_col"), lit(y).as("y_col"),

@@ -1478,13 +1478,18 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"))
       .agg(count(lit(1)).as("n"), sum("__r").as("r"))
-    // z² is written as ($z * $z) so BOTH engines derive it from the
-    // same parsed double literal — a Scala-side product could print a
-    // longer literal than the oracle's and drift a ulp
+    // z² is written as (z · z) so BOTH engines derive it from the same
+    // parsed double literal — a Scala-side product could print a longer
+    // literal than the oracle's and drift a ulp. The literal is wrapped
+    // in CAST(… AS DOUBLE) on BOTH sides: a bare `1.96` parses as
+    // DECIMAL(3,2), and Spark's decimal division then a cast to double
+    // is not the same operation as DuckDB's native double division —
+    // the q6 rounding could drift by 1 at .5 boundaries without the pin.
+    val zd = s"CAST($z AS DOUBLE)"
     val wilson = expr(
-      s"""(r / n + ($z * $z) / (2 * n) - $z * sqrt(
-         |  r / n * (1 - r / n) / n + ($z * $z) / (4 * n * n)))
-         | / (1 + ($z * $z) / n)""".stripMargin)
+      s"""(r / n + ($zd * $zd) / (2 * n) - $zd * sqrt(
+         |  r / n * (1 - r / n) / n + ($zd * $zd) / (4 * n * n)))
+         | / (1 + ($zd * $zd) / n)""".stripMargin)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("wilson_q6").desc, col("brand"))
     cens
@@ -1549,8 +1554,11 @@ object Relational {
     * confidence_pm = n_both·1000 div n_ante, and
     * lift_q6 = n_both·N·10⁶ div (n_ante·n_cons) with the products taken
     * in decimal(38,0) so cluster-scale basket counts cannot wrap int64
-    * (the q237 discipline; DuckDB's integer ops promote to HUGEINT, so
-    * both engines are exact and `div` results agree bit-for-bit).
+    * (the q237 discipline). The ORACLE must cast its operands to
+    * HUGEINT explicitly: DuckDB's BIGINT·BIGINT does NOT auto-promote —
+    * it errors on overflow (only sum() aggregates return HUGEINT) — so
+    * the q272 SQL writes CAST(… AS HUGEINT) on both products; with that
+    * pin both engines are exact and `div` agrees bit-for-bit.
     *
     * Scale shape: the q202/q263 bounded pair stage (DISTINCT
     * (order, part) first — pairs are orders × (parts/order)², never

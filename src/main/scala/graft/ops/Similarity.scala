@@ -180,6 +180,79 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Mutual nearest neighbors with the TOP-1 FROM IVF — the production
+    * form of `mutualNearestNeighbors` (which stays the exact all-pairs
+    * recall referee): a coarse k-means quantizer (ml.KMeansVec) buckets
+    * every vector into its nearest-centroid list, each vector probes its
+    * `nprobe` nearest lists, and candidates meet through a SHUFFLE
+    * equi-join keyed on the list id — NOT the broadcast `annIvf` uses
+    * for small query sets, because here the query side IS the corpus.
+    * Per-vector work drops from |corpus| to ~nprobe/nlist of it, the
+    * subquadratic shape the exact form lacks. The mutuality check and
+    * output contract are verbatim the exact operator's: reciprocal
+    * top-1 pairs as (id_a, id_b, cos_q6) with id_a < id_b, ties in the
+    * top-1 broken on neighbor id.
+    *
+    * Exactness: equals the exact operator whenever every vector's true
+    * top-1 lies in a probed list — the q62 regime (clustered data,
+    * probes covering the home cluster). On unclustered data it is the
+    * standard IVF recall trade, adjudicated by the exact referee.
+    *
+    * Scale shape: quantizer training is bounded model state (nlist
+    * centroid rows to the driver); assignment and probing are codegen'd
+    * projections riding the scan; the candidate join shuffles on the
+    * list key (list sizes bound the pair stage — Σ |list|·|probes into
+    * it| ≈ nprobe·N²/nlist, tunable); the final cos re-derivation joins
+    * the ≤ N/2 surviving pairs back to the embeddings — two bounded
+    * shuffle joins, nothing driver-side, nothing quadratic.
+    */
+  def mutualNearestNeighborsIvf(embeddings: DataFrame, nlist: Int = 8,
+                                nprobe: Int = 2, seed: Long = 42L,
+                                trainIter: Int = 10): DataFrame = {
+    import graft.ml.KMeansVec
+    GraftFunctions.register(embeddings.sparkSession)
+    val nz = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .filter(cosine(col("emb"), col("emb")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = KMeansVec.fit(nz, "emb", nlist, seed,
+      maxIter = trainIter, idCol = "vec_id")
+    val lists = KMeansVec.assign(nz, "emb", model.centroids)
+      .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+        col("cidx").as("list"))
+    val sortedCs = model.centroids.sortBy(_.idx)
+    val probeStructs = array(
+      KMeansVec.distCols(col("q_emb"), sortedCs).zip(sortedCs).map {
+        case (d, c) => struct(d.as("d"), lit(c.idx).as("i"))
+      }: _*)
+    val probes = nz
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .withColumn("probe",
+        explode(slice(array_sort(probeStructs), 1, nprobe)))
+      .select(col("q_id"), col("q_emb"), col("probe.i").as("list"))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val best = probes.join(lists, Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select("q_id", "n_id")
+    val pairs = best.as("x")
+      .join(best.as("y"),
+        col("x.q_id") === col("y.n_id") && col("x.n_id") === col("y.q_id")
+          && col("x.q_id") < col("x.n_id"))
+      .select(col("x.q_id").as("id_a"), col("x.n_id").as("id_b"))
+    pairs
+      .join(nz.select(col("vec_id").as("id_a"), col("emb").as("emb_a")),
+        "id_a")
+      .join(nz.select(col("vec_id").as("id_b"), col("emb").as("emb_b")),
+        "id_b")
+      .withColumn("__cos", cosine(col("emb_a"), col("emb_b")))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(round(__cos * 1000000) as bigint)").as("cos_q6"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent hash tables of
     * `bits` planes each, seeded. Gaussian components via Random(seed).
     */

@@ -116,6 +116,135 @@ object Sinks {
     manifest
   }
 
+  /** Deterministic per-query scratch directory for the sink roundtrip
+    * queries: a fixed path under java.io.tmpdir, so repeated invocations
+    * (bench reps, verify re-runs) overwrite instead of accumulating.
+    * NOT a staging area for data — every roundtrip below reads its own
+    * write back within the same query.
+    */
+  def scratch(name: String): String =
+    new java.io.File(new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-sinks"), name).getAbsolutePath
+
+  /** S3 driver gate: write `df` through the text KV sink, read the part
+    * files back, parse key TAB value, and emit the order-insensitive
+    * (n_rows, checksum) of the parsed STRINGS (Profiling.tableChecksum
+    * semantics). Equal to the same checksum computed on the source rows
+    * iff the sink's serialization lost nothing — a dropped row, a
+    * mangled separator, or a re-encoded value all move the sum. The
+    * parse splits on the FIRST tab only (limit 2), the exact inverse of
+    * TextOutputFormat's key TAB value contract (reference
+    * WordCount1/src/main/java/hw1/WordCount.java:58).
+    *
+    * Scale shape: the write is the sink under test; the read-back is one
+    * file scan + partial agg to a single row — both partition-parallel,
+    * nothing driver-side.
+    */
+  def textKVRoundtripChecksum(df: DataFrame, keyCol: String,
+                              valueCol: String, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, split}
+    writeTextKV(df, keyCol, valueCol, path)
+    val back = df.sparkSession.read.text(path)
+      .select(split(col("value"), "\t", 2).as("kv"))
+      .select(col("kv").getItem(0).as(keyCol),
+        col("kv").getItem(1).as(valueCol))
+    Profiling.tableChecksum(back, Seq(keyCol, valueCol))
+  }
+
+  /** S4 driver gate: write `df` through the partitioned columnar sink
+    * (the buffered-KV-store replacement — reference
+    * HPopulate/src/main/java/hw2/HPopulate.java:61–108), read the
+    * directory back through partition discovery, and emit the per-
+    * partition-value (n_rows, checksum) census over `checksumCols`.
+    * Verifies BOTH sink properties: values survive the columnar
+    * encode/decode, and rows land under the right partition directory
+    * (a row written to the wrong partition moves a whole group's
+    * checksum). The partition column itself round-trips through the
+    * directory NAME, so it is the group key, not a digest column.
+    */
+  def parquetRoundtripChecksum(df: DataFrame, partCol: String,
+                               checksumCols: Seq[String],
+                               path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    require(checksumCols.nonEmpty, "name the stable checksum columns")
+    writeParquet(df, path, partitionBy = Seq(partCol))
+    df.sparkSession.read.parquet(path)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Profiling.rowDigest(checksumCols).cast("decimal(38,0)"))
+          .as("checksum"))
+      .orderBy(partCol)
+  }
+
+  /** S5 driver gate: write `df` through the bulk-load sink (`parts`
+    * hash partitions on the key, rows sorted by `keyCol` within each —
+    * the sorted-HFile generation analogue, reference
+    * HPopulateV1/src/main/java/hw2/HPopulateV1.java:144–156), read the
+    * files back, and emit (n_rows, checksum, n_sort_violations):
+    * the data checksum proves nothing was lost, and the violation count
+    * proves the SORT property the bulk-load contract is about — each
+    * file's keys nondecreasing in physical row order.
+    *
+    * The sortedness check streams each read split once (a split is a
+    * contiguous file chunk, so rows arrive in file order; the per-file
+    * tracker resets when the scan crosses a file boundary within a
+    * coalesced multi-file partition). Only one Long per read partition
+    * reaches the driver. `keyCol` must be integral and non-null.
+    */
+  def sortedParquetAudit(df: DataFrame, keyCol: String,
+                         checksumCols: Seq[String], path: String,
+                         parts: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
+    require(parts >= 1, "parts must be >= 1")
+    writeSortedParquet(df.repartition(parts, col(keyCol)), Seq(keyCol),
+      path)
+    val back = df.sparkSession.read.parquet(path)
+    Profiling.tableChecksum(back, checksumCols)
+      .withColumn("n_sort_violations", lit(sortViolations(back, keyCol)))
+  }
+
+  /** Count of read-back rows whose key DECREASES from the previous row
+    * of the same file, in physical scan order — 0 iff every file is
+    * key-sorted. One Long per read partition reaches the driver.
+    */
+  private[ops] def sortViolations(back: DataFrame,
+                                  keyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    back
+      .select(col(keyCol).cast("long"), input_file_name())
+      .rdd.mapPartitions { it =>
+        var cur: String = null
+        var last = Long.MinValue
+        var v = 0L
+        it.foreach { r =>
+          val k = r.getLong(0)
+          val f = r.getString(1)
+          if (f != cur) { cur = f; last = Long.MinValue }
+          if (k < last) v += 1
+          last = k
+        }
+        Iterator.single(v)
+      }.collect().sum
+  }
+
+  /** S8 driver gate: round-trip the report sink — write the driver-side
+    * `key=value` lines, read the file back as text, and parse each line
+    * into (stat, value). The report is the Summarizer.java analogue
+    * (reference Summarizer.java:68–99): a handful of aggregate lines, so
+    * the driver-side write is bounded by construction.
+    */
+  def reportRoundtrip(spark: org.apache.spark.sql.SparkSession,
+                      lines: Seq[String], path: String,
+                      keyName: String, valueName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, split}
+    writeReport(lines, path)
+    spark.read.text(path)
+      .select(split(col("value"), "=", 2).as("kv"))
+      .select(col("kv").getItem(0).as(keyName),
+        col("kv").getItem(1).cast("long").as(valueName))
+      .orderBy(keyName)
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -447,6 +447,18 @@ class BehaviorSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head == ((3L, 0L, 0L, 0L)))
   }
 
+  test("latenessCensusSharded equals the one-pass window form") {
+    // scrambled arrivals with several late events and ties in value
+    val e = (1 to 200).map(i =>
+      (i.toLong, ((i * 7919L) % 50) * 3L)).toDF("arrival", "ts")
+    val want = Behavior.latenessCensus(e, "arrival", quantumNs = 3L)
+      .as[(Long, Long, Long, Long)].collect().head
+    val got = Behavior.latenessCensusSharded(e, "arrival", quantumNs = 3L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == want)
+    assert(want._2 > 0L, "fixture must actually contain late events")
+  }
+
   test("userGrowthCurve: first-seen day only, cumulative is running") {
     // user 1 spans days 0 and 2 (counted once, on day 0); user 2 starts
     // day 2; user 3 day 0 — growth (0 → 2 new), (2 → 1 new), cum 2, 3

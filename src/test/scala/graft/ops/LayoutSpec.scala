@@ -153,6 +153,26 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("shardedRunningMax equals the strict-prefix max window, at every " +
+      "partition count") {
+    val df = (1 to 300).map(i =>
+      (i.toLong, (i * 7919L) % 97)).toDF("ord", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val expect = df
+      .withColumn("run_max_prev",
+        org.apache.spark.sql.functions.max("v").over(w))
+      .orderBy("ord")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    for (parts <- Seq(1, 3, 32)) {
+      val got = Layout.shardedRunningMax(df, Seq("ord"), "v", parts)
+        .orderBy("ord")
+        .as[(Long, Long, Option[Long])].collect().toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("zorderCensusSharded is frame-identical to zorderCensus") {
     val grid = (for { x <- 0 to 15; y <- 0 to 15 }
       yield ((x * 31L + y * 17L) % 16, (x * 13L + y * 7L) % 16,

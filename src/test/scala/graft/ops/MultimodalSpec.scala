@@ -136,4 +136,23 @@ class MultimodalSpec extends SparkSpec {
     // (12,13): xor lo = 0xFF07 → 11 bits → cut despite shared hi chunks
     assert(got == Seq((10L, 11L, 0L), (10L, 13L, 3L), (11L, 13L, 3L)))
   }
+
+  test("decodeCensus: images/audio decode real, video is all stub, " +
+      "corrupt payloads counted as stub") {
+    import spark.implicits._
+    val docs = (0L until 9L).map(i => (i, s"text $i", "src"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.syntheticMedia(docs)
+    val got = Multimodal.decodeCensus(media)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("audio", 3L, 3L, 0L, 0L),
+      ("image", 3L, 3L, 0L, 0L), ("video", 3L, 0L, 3L, 1000L)))
+    // a corrupt image payload falls to the stub and the census sees it
+    val corrupt = media.map(m =>
+      if (m.kind == "image" && m.media_id == 0L)
+        m.copy(payload = Array[Byte](1, 2, 3)) else m)
+    val bad = Multimodal.decodeCensus(corrupt)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(bad.find(_._1 == "image").get == (("image", 3L, 2L, 1L, 333L)))
+  }
 }

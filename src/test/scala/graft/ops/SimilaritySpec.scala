@@ -355,6 +355,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got2.head._3 == 1000000L)
   }
 
+  test("mutualNearestNeighborsIvf equals the exact operator on " +
+      "clustered vectors") {
+    // the q62 regime: clusters strong enough that every true top-1 is
+    // intra-cluster, so probing the home list recovers the exact result
+    val raw = (0L until 64L).map(i =>
+      (i, Array.fill(8)(((i * 31) % 7).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    val exact = Similarity.mutualNearestNeighbors(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    val ivf = Similarity.mutualNearestNeighborsIvf(e, nlist = 8,
+        nprobe = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ivf == exact)
+    assert(exact.nonEmpty, "fixture must produce mutual pairs")
+  }
+
   test("retrievalMetrics: hand-computed MRR/nDCG, no-hit query is NULL/zero") {
     // query 1: relevant docs {11, 13}, ranking hits 11 at rank 2 and 13
     // at rank 3 → rr = 1e6/2; dcg = 1e6/log2(3) + 1e6/log2(4) (term-

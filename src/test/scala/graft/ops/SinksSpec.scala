@@ -124,4 +124,67 @@ class SinksSpec extends SparkSpec {
     Sinks.writeReport(Seq("Max SilScore:0.9", "k:2"), f)
     assert(Files.readAllLines(java.nio.file.Paths.get(f)).size() == 2)
   }
+
+  test("S3 roundtrip: checksum equals the source-side checksum; " +
+      "null value writes the bare key") {
+    val df = Seq(("a", "1"), ("b", "22"), ("c", "333"))
+      .toDF("word", "cnt")
+    val got = Sinks.textKVRoundtripChecksum(df, "word", "cnt",
+        tmp("s3rt") + "/out")
+      .selectExpr("n_rows", "cast(checksum as long)")
+      .as[(Long, Long)].collect().head
+    val want = Profiling.tableChecksum(df, Seq("word", "cnt"))
+      .selectExpr("n_rows", "cast(checksum as long)")
+      .as[(Long, Long)].collect().head
+    assert(got == want)
+  }
+
+  test("S4 roundtrip: per-partition-value census equals the source") {
+    val df = Seq((1L, "n1", "X"), (2L, "n2", "Y"), (3L, "n3", "X"))
+      .toDF("id", "name", "seg")
+    val got = Sinks.parquetRoundtripChecksum(df, "seg",
+        Seq("id", "name"), tmp("s4rt") + "/out")
+      .selectExpr("seg", "n_rows", "cast(checksum as long)")
+      .as[(String, Long, Long)].collect().toSeq
+    val want = df.groupBy("seg")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(
+          Profiling.rowDigest(Seq("id", "name")).cast("decimal(38,0)"))
+          .as("checksum"))
+      .orderBy("seg")
+      .selectExpr("seg", "n_rows", "cast(checksum as long)")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("S5 audit: sorted write has zero violations and full checksum; " +
+      "an unsorted write is caught") {
+    val df = spark.range(0, 500).toDF("k")
+      .withColumn("k", (col("k") * 7919) % 500)
+      .withColumn("v", col("k") * 2)
+    val audit = Sinks.sortedParquetAudit(df, "k", Seq("k", "v"),
+        tmp("s5rt") + "/out", parts = 3)
+      .selectExpr("n_rows", "cast(checksum as long)",
+        "n_sort_violations")
+      .as[(Long, Long, Long)].collect().head
+    assert(audit._1 == 500L)
+    assert(audit._3 == 0L)
+    val want = Profiling.tableChecksum(df, Seq("k", "v"))
+      .selectExpr("cast(checksum as long)").as[Long].collect().head
+    assert(audit._2 == want)
+    // negative: an UNSORTED single-file write must show violations
+    val unsortedDir = tmp("s5bad") + "/out"
+    df.coalesce(1).write.mode("overwrite").parquet(unsortedDir)
+    assert(Sinks.sortViolations(
+      spark.read.parquet(unsortedDir), "k") > 0L)
+  }
+
+  test("S8 roundtrip: report lines parse back into (stat, value) rows") {
+    val got = Sinks.reportRoundtrip(spark,
+        Seq("alpha=3", "beta=10"), tmp("s8rt") + "/r/summary.txt",
+        "stat", "value")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq("alpha" -> 3L, "beta" -> 10L))
+  }
 }
