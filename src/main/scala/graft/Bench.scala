@@ -95,10 +95,16 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg"))(_.mkString.trim)
     catch { case scala.util.control.NonFatal(_) => "unavailable" }
 
-  /** The one-line JSON artifact. Per-query value = median of the reps that
+  /** The one-line JSON artifact. Per-query value = MIN of the reps that
     * succeeded (-1 only if EVERY rep failed); total = sum of successes.
-    * A line covering fewer queries than `names` (a mid-rep-1 kill) is
-    * marked `"partial"` so it can't read as a (too-low) full total.
+    * Min, not median (r15 verdict ask — rep variance came from host
+    * load): timing noise on a FIXED plan is one-sided — contention only
+    * adds time — so the smallest complete run is the best estimator of
+    * the true cost, and it is a time some complete run actually
+    * achieved. The per-rep raw vectors still ship via rep_totals and
+    * the stderr query_reps dump for adjudication. A line covering fewer
+    * queries than `names` (a mid-rep-1 kill) is marked `"partial"` so
+    * it can't read as a (too-low) full total.
     */
   private[graft] def buildLine(names: Seq[String],
                                samples: Seq[Map[String, Double]],
@@ -121,12 +127,11 @@ object Bench {
     val done = samples.headOption.getOrElse(Map.empty)
     val results = names.filter(done.contains).map { name =>
       val ok = samples.flatMap(_.get(name)).filter(_ >= 0)
-      val base = if (ok.isEmpty) -1.0 else median(ok)
-      // contention repair: timing noise on a fixed plan is one-sided
-      // (contention only ADDS time), so min(median, targeted re-rep)
-      // moves toward the true floor and can never record a time no
-      // complete run of the query actually achieved. A failed recheck
-      // (-1) never overwrites a successful median.
+      val base = if (ok.isEmpty) -1.0 else ok.min
+      // contention repair: the targeted re-rep joins the same one-sided
+      // min — min(min-of-reps, extra) moves toward the true floor and
+      // can never record a time no complete run of the query actually
+      // achieved. A failed recheck (-1) never overwrites a success.
       name -> (rechecks.get(name).filter(_ >= 0) match {
         case Some(r) if base >= 0 => math.min(base, r)
         case Some(r) => r

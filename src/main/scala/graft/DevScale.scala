@@ -433,7 +433,31 @@ object DevScale {
       "q284_movers" -> SparkEntry.queries("q284_rank_movers"),
       "q285_wilson" -> SparkEntry.queries("q285_wilson_return_rank"),
       "q286_copyflow" -> SparkEntry.queries("q286_copy_flow"),
-      "q287_forget" -> SparkEntry.queries("q287_forget_cascade"))
+      "q287_forget" -> SparkEntry.queries("q287_forget_cascade"),
+      // ---- round-16 additions. q288 period-census segmentation (periods
+      // constant under inflation → expect near-flat); q289 catalog-
+      // bounded label set over a linear fact agg; q290 (type × day)
+      // census with cleared-denominator arithmetic; q189 the re-plumbed
+      // sharded prefix-max over the RAW event stream (the old global-
+      // order window was the wall — the rung proves the replacement is
+      // linear); q291/q293 sink write+readback (write volume grows F×);
+      // q296 the IVF mutual-NN (subquadratic claim; the exact q275
+      // comparator stays unmeasured by design — quadratic by
+      // construction, priced in its scaladoc)
+      "q288_chgpt" -> SparkEntry.queries("q288_binary_segmentation"),
+      "q289_topn" -> SparkEntry.queries("q289_topn_other"),
+      "q290_fano" -> SparkEntry.queries("q290_burstiness"),
+      "q189_lateness" -> SparkEntry.queries("q189_lateness_census"),
+      "q291_sinktext" -> SparkEntry.queries("q291_sink_text_roundtrip"),
+      "q293_bulkload" -> SparkEntry.queries("q293_sink_bulkload_sorted"),
+      "q296_mnnivf" -> SparkEntry.queries("q296_mutual_nn_ivf"),
+      // q264 under inflation measures the DENSIFYING regime (constant
+      // catalog, growing customers — the q273-exclusion note below):
+      // the time curve tracks the data's own Σ df² densification, NOT
+      // an operator defect; the row to read is rows(x16) > 0 — the
+      // population-relative rail keeping the query non-degenerate
+      // where the r15 absolute cap returned zero rows
+      "q264_overlap" -> SparkEntry.queries("q264_customer_overlap"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

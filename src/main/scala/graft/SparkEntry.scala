@@ -6620,11 +6620,13 @@ object SparkEntry {
     // top-50 most-similar customer pairs by capped-set Jaccard — the
     // user-user neighborhood model on the q22 inverted-index
     // discipline. The df cap is LEAST(990‰-quantile of the part-df
-    // census, 200): the quantile cut keeps a constant catalog FRACTION
-    // as the corpus grows (the absolute-only cap measured rows → 0 at
-    // DevScale x16 — every part exceeded it), while the absolute value
-    // stays as the rail against the densifying-popularity regime where
-    // Σ df² grows no matter which fraction survives.
+    // census, rail) with rail = GREATEST(200, 10% of the distinct
+    // customer count): the quantile cut keeps a constant catalog
+    // FRACTION as the corpus grows (the absolute-only cap measured
+    // rows → 0 at DevScale x16 — every part exceeded it), and the rail
+    // is population-relative because an absolute df re-degenerates the
+    // moment density crosses it — "bought by > 10% of customers" is
+    // the scale-free statement of "carries no similarity signal".
     q("q264_customer_overlap",
       """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
         |    l.l_partkey AS part
@@ -6632,8 +6634,9 @@ object SparkEntry {
         |dfc AS (SELECT part, count(*) AS df FROM cp GROUP BY 1),
         |rk AS (SELECT part, df, row_number() OVER (ORDER BY df, part)
         |    AS rn, count(*) OVER () AS np FROM dfc),
-        |cap AS (SELECT least(max(df), 200) AS cap FROM rk
-        |  WHERE rn * 1000 <= 990 * np),
+        |cap AS (SELECT least(max(df), greatest(200,
+        |    (SELECT count(DISTINCT cust) FROM cp) // 10)) AS cap
+        |  FROM rk WHERE rn * 1000 <= 990 * np),
         |keep AS (SELECT cp.cust, cp.part FROM cp JOIN dfc USING (part),
         |  cap WHERE dfc.df <= cap.cap),
         |sz AS (SELECT cust, CAST(count(*) AS BIGINT) AS sz FROM keep
@@ -7628,11 +7631,15 @@ object SparkEntry {
         |FROM best x JOIN best y
         |  ON x.q_id = y.n_id AND x.n_id = y.q_id AND x.q_id < x.n_id
         |ORDER BY id_a, id_b""".stripMargin)(
+      // nlist self-planned from the corpus count (⌈N/256⌉, floor 8 — at
+      // the fixture scales that resolves to 8 = the construction's true
+      // cluster count, so the exact oracle applies; at DevScale x16 it
+      // grows to ~125 lists and the pair stage stays linear)
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         Similarity.mutualNearestNeighborsIvf(
           Similarity.clusteredEmbeddings(Tables.embeddings(s, d)),
-          nlist = 8, nprobe = 2)
+          nprobe = 2)
       }),
 
     // Multimodal decode governance (Multimodal.decodeCensus): per media
@@ -7654,7 +7661,189 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS stub_pm
         |FROM m GROUP BY kind ORDER BY kind""".stripMargin)(
       (s, d) => Multimodal.decodeCensus(
-        Multimodal.syntheticMedia(Tables.documents(s, d))))
+        Multimodal.syntheticMedia(Tables.documents(s, d)))),
+
+    // Prefix-filtered Jaccard join (Dedup.jaccardPairsPrefix): the
+    // AllPairs/PPJoin device — rarest-first canonical order, index only
+    // each doc's first sz−⌈t·sz⌉+1 shingles, verify candidates exactly.
+    // LOSSLESS (unlike the q22 df-cap, which drops hot shingles), so
+    // the exact all-pairs q22 oracle applies verbatim: one missed
+    // candidate is a driver hash mismatch.
+    q("q298_prefix_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE inter / (sza + szb - inter) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.jaccardPairsPrefix(Tables.documents(s, d), n = 3,
+        threshold = 0.2)),
+
+    // Per-nation Spearman rank correlation (Relational
+    // .spearmanOrderSpend): do frequent buyers spend more — monotone
+    // association, immune to whale leverage (q230 is the Pearson
+    // counterpart on daily counts). Average-tie ranks kept integral by
+    // doubling; one exact integer division, q6-quantized.
+    q("q299_spearman",
+      """WITH cen AS (SELECT o_custkey, count(*) AS n_ord,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS nation, n_ord, cents
+        |  FROM cen JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT nation,
+        |    2 * rank() OVER (PARTITION BY nation ORDER BY n_ord)
+        |      + count(*) OVER (PARTITION BY nation, n_ord) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY nation ORDER BY cents)
+        |      + count(*) OVER (PARTITION BY nation, cents) - 1 AS ry
+        |  FROM j),
+        |s AS (SELECT nation, count(*) AS n,
+        |    sum(CAST(rx AS HUGEINT)) AS sx,
+        |    sum(CAST(ry AS HUGEINT)) AS sy,
+        |    sum(CAST(rx AS HUGEINT) * ry) AS sxy,
+        |    sum(CAST(rx AS HUGEINT) * rx) AS sxx,
+        |    sum(CAST(ry AS HUGEINT) * ry) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(nation AS BIGINT) AS nation,
+        |  CAST(n AS BIGINT) AS n_cust,
+        |  CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0))
+        |    AS BIGINT) AS rho_q6
+        |FROM s ORDER BY nation""".stripMargin)(
+      (s, d) => Relational.spearmanOrderSpend(Tables.orders(s, d),
+        Tables.customer(s, d))),
+
+    // Exact two-sample KS drift (Profiling.ksTwoSample): max ECDF gap
+    // between two sources' doc-length distributions, integral-exact as
+    // D·n_a·n_b (PSI q169 needs bins; KS is binning-free and localizes
+    // the divergence). One value-census window — the q108 posture.
+    q("q300_ks_drift",
+      """WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |w AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM c)
+        |SELECT CAST(max(t.na) AS BIGINT) AS n_a,
+        |  CAST(max(t.nb) AS BIGINT) AS n_b,
+        |  CAST(max(abs(w.cuma * t.nb - w.cumb * t.na)) AS BIGINT)
+        |    AS d_num,
+        |  CAST(max(abs(w.cuma * t.nb - w.cumb * t.na)) * 1000
+        |    // (max(t.na) * max(t.nb)) AS BIGINT) AS ks_pm
+        |FROM w, t""".stripMargin)(
+      (s, d) => Profiling.ksTwoSample(Tables.documents(s, d),
+        "source", "n_chars", "src0", "src1")),
+
+    // MMR diversified rerank (Similarity.mmrRerank): greedy λ-tradeoff
+    // between query relevance and redundancy to already-selected
+    // results over each query's top-20 cosine candidates — the
+    // diversity cut between retrieval and the context window. All
+    // scoring on q6-quantized integer similarities; the oracle unrolls
+    // the same 5 greedy steps.
+    q("q301_mmr_rerank",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[])) > 0),
+        |q AS (SELECT * FROM e WHERE vec_id < 10),
+        |cand AS (SELECT q_id, n_id, cos_q6 FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(round(list_cosine_similarity(q.emb, c.emb) * 1000000)
+        |      AS BIGINT) AS cos_q6,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC,
+        |        c.vec_id) AS rk
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id) t WHERE rk <= 20),
+        |sims AS (SELECT a.q_id, a.n_id AS c_id, b.n_id AS s_id,
+        |    CAST(round(list_cosine_similarity(ea.emb, eb.emb) * 1000000)
+        |      AS BIGINT) AS sim_q6
+        |  FROM cand a JOIN cand b ON a.q_id = b.q_id
+        |    AND a.n_id <> b.n_id
+        |  JOIN e ea ON ea.vec_id = a.n_id
+        |  JOIN e eb ON eb.vec_id = b.n_id),
+        |s1 AS (SELECT q_id, n_id, 1 AS rnk, 700 * cos_q6 AS score FROM (
+        |  SELECT q_id, n_id, cos_q6, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos_q6 DESC, n_id) AS rk FROM cand) t WHERE rk = 1),
+        |sel1 AS (SELECT q_id, n_id FROM s1),
+        |m2 AS (SELECT m.q_id, m.c_id AS n_id, max(m.sim_q6) AS ms
+        |  FROM sims m JOIN sel1 s ON m.q_id = s.q_id AND m.s_id = s.n_id
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT c.q_id, c.n_id, 700 * c.cos_q6 - 300 * m2.ms
+        |    AS score,
+        |    row_number() OVER (PARTITION BY c.q_id
+        |      ORDER BY 700 * c.cos_q6 - 300 * m2.ms DESC, c.n_id) AS rk
+        |  FROM cand c JOIN m2 ON m2.q_id = c.q_id AND m2.n_id = c.n_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+        |    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+        |s2 AS (SELECT q_id, n_id, 2 AS rnk, score FROM r2 WHERE rk = 1),
+        |sel2 AS (SELECT * FROM sel1 UNION ALL
+        |  SELECT q_id, n_id FROM s2),
+        |m3 AS (SELECT m.q_id, m.c_id AS n_id, max(m.sim_q6) AS ms
+        |  FROM sims m JOIN sel2 s ON m.q_id = s.q_id AND m.s_id = s.n_id
+        |  GROUP BY 1, 2),
+        |r3 AS (SELECT c.q_id, c.n_id, 700 * c.cos_q6 - 300 * m3.ms
+        |    AS score,
+        |    row_number() OVER (PARTITION BY c.q_id
+        |      ORDER BY 700 * c.cos_q6 - 300 * m3.ms DESC, c.n_id) AS rk
+        |  FROM cand c JOIN m3 ON m3.q_id = c.q_id AND m3.n_id = c.n_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel2 s
+        |    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+        |s3 AS (SELECT q_id, n_id, 3 AS rnk, score FROM r3 WHERE rk = 1),
+        |sel3 AS (SELECT * FROM sel2 UNION ALL
+        |  SELECT q_id, n_id FROM s3),
+        |m4 AS (SELECT m.q_id, m.c_id AS n_id, max(m.sim_q6) AS ms
+        |  FROM sims m JOIN sel3 s ON m.q_id = s.q_id AND m.s_id = s.n_id
+        |  GROUP BY 1, 2),
+        |r4 AS (SELECT c.q_id, c.n_id, 700 * c.cos_q6 - 300 * m4.ms
+        |    AS score,
+        |    row_number() OVER (PARTITION BY c.q_id
+        |      ORDER BY 700 * c.cos_q6 - 300 * m4.ms DESC, c.n_id) AS rk
+        |  FROM cand c JOIN m4 ON m4.q_id = c.q_id AND m4.n_id = c.n_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel3 s
+        |    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+        |s4 AS (SELECT q_id, n_id, 4 AS rnk, score FROM r4 WHERE rk = 1),
+        |sel4 AS (SELECT * FROM sel3 UNION ALL
+        |  SELECT q_id, n_id FROM s4),
+        |m5 AS (SELECT m.q_id, m.c_id AS n_id, max(m.sim_q6) AS ms
+        |  FROM sims m JOIN sel4 s ON m.q_id = s.q_id AND m.s_id = s.n_id
+        |  GROUP BY 1, 2),
+        |r5 AS (SELECT c.q_id, c.n_id, 700 * c.cos_q6 - 300 * m5.ms
+        |    AS score,
+        |    row_number() OVER (PARTITION BY c.q_id
+        |      ORDER BY 700 * c.cos_q6 - 300 * m5.ms DESC, c.n_id) AS rk
+        |  FROM cand c JOIN m5 ON m5.q_id = c.q_id AND m5.n_id = c.n_id
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel4 s
+        |    WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+        |s5 AS (SELECT q_id, n_id, 5 AS rnk, score FROM r5 WHERE rk = 1),
+        |allsel AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id,
+        |  CAST(score AS BIGINT) AS score_q9
+        |FROM allsel ORDER BY q_id, rnk""".stripMargin)(
+      (s, d) => {
+        val emb = nonZeroEmbeddings(s, d)
+        Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
+            k = 20, select = 5, lambdaPermille = 700L)
+          .select(col("q_id"), col("rnk"), col("n_id"),
+            col("score_q9"))
+      })
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -433,6 +433,49 @@ object Profiling {
     }.reduce(_ unionByName _).orderBy("x_col", "y_col")
   }
 
+  /** EXACT two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of two groups — the distribution-drift
+    * gate that reports WHERE the ECDFs maximally diverge, not just that
+    * they do (PSI (q169) needs binning; chi-square needs expected
+    * counts; KS is binning-free and integral-exact here): with group
+    * sizes n_a, n_b and cumulative counts cum_a(v), cum_b(v) over the
+    * merged value census, D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| — an
+    * integer, compared exactly across engines; ks_pm quantizes it
+    * per-mille for reading.
+    *
+    * Scale shape: one partial-agg census keyed on the value (domain-
+    * bounded — lengths, scores, day indexes); the running sums ride one
+    * global-order window over CENSUS rows (the q108 aggregated-window
+    * posture), totals broadcast as one row; output is a single row.
+    */
+  def ksTwoSample(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+    val cens = v.groupBy("__v").agg(
+      coalesce(sum(when(col("__g") === groupA, 1L)), lit(0L)).as("__ca"),
+      coalesce(sum(when(col("__g") === groupB, 1L)), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = cens.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    cens
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") -
+          col("__cumb") * col("__na"))).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        expr("d_num * 1000 div (n_a * n_b)").as("ks_pm"))
+  }
+
   def joinCardinalityAudit(left: DataFrame, leftKey: String,
                            right: DataFrame, rightKey: String): DataFrame = {
     def census(df: DataFrame, key: String) =

@@ -1333,10 +1333,13 @@ object Relational {
                                  minOverlap: Long = 3L,
                                  capPermille: Long = 990L,
                                  k: Int = 50,
-                                 maxDf: Long = Long.MaxValue): DataFrame = {
+                                 maxDf: Long = Long.MaxValue,
+                                 railSharePermille: Long = 100L): DataFrame = {
     require(minOverlap >= 1 && k >= 1, "minOverlap and k must be >= 1")
     require(capPermille >= 1 && capPermille <= 1000,
       "capPermille in [1, 1000]")
+    require(railSharePermille >= 1 && railSharePermille <= 1000,
+      "railSharePermille in [1, 1000]")
     val cp = custParts(orders, lineitem)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
@@ -1351,10 +1354,19 @@ object Relational {
       .crossJoin(broadcast(dfc.agg(count(lit(1)).as("__np"))))
       .filter(col("__rn") * 1000 <= lit(capPermille) * col("__np"))
       .agg(max("__df")).collect()(0)
+    // the rail is population-relative (see scaladoc): max(maxDf,
+    // railShare‰ of the distinct customer count) — one bounded count,
+    // skipped entirely when no rail is armed
+    val railDf =
+      if (maxDf == Long.MaxValue) Long.MaxValue
+      else {
+        val nCust = cp.select("cust").distinct().count()
+        math.max(maxDf, nCust * railSharePermille / 1000L)
+      }
     val keep =
       if (capRow.isNullAt(0)) cp.filter(lit(false))
       else cp.join(dfc, "part")
-        .filter(col("__df") <= lit(math.min(capRow.getLong(0), maxDf)))
+        .filter(col("__df") <= lit(math.min(capRow.getLong(0), railDf)))
         .select(col("cust"), col("part"))
     overlapPairsTopK(keep, minOverlap, k)
   }
@@ -1545,6 +1557,63 @@ object Relational {
       .select(col("m").as("month_idx"), col("part"), col("rank"),
         col("rank_prev"), col("delta"), col("rnk"))
       .orderBy("month_idx", "rnk")
+  }
+
+  /** Per-nation SPEARMAN rank correlation between a customer's order
+    * count and their total spend — the monotone-association complement
+    * to the Pearson device (q230): Pearson on raw values is leverage-
+    * dominated by whale customers; Spearman asks only "do frequent
+    * buyers spend more", robust to any monotone rescaling.
+    *
+    * Engine-exact by construction: ties get AVERAGE ranks computed as
+    * INTEGERS via doubling — 2·avgrank = 2·minrank + (ties − 1) (a rank
+    * window plus a same-value count window, both per nation) — so every
+    * sum entering the Pearson formula on ranks is an exact integer in
+    * decimal(38,0)/HUGEINT; the single division runs on the same two
+    * doubles in both engines and is q6-quantized (the q230/q165 sqrt
+    * rule). rho is invariant to the doubling (scale cancels).
+    *
+    * Scale shape: the customer census is one keyed partial agg over
+    * orders; rank windows partition by nation (customer-bounded, the
+    * q108 aggregated-window posture — at 100 TB a per-nation partition
+    * is |customers|/|nations|, and a heavier key set would move to
+    * Layout.shardedRanks); the Pearson fold is one partial agg per
+    * nation.
+    */
+  def spearmanOrderSpend(orders: DataFrame,
+                         customer: DataFrame): DataFrame = {
+    val cens = orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_ord"),
+        sum(expr("cast(round(o_totalprice * 100) as long)")).as("cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nation"), col("n_ord"), col("cents"))
+    def rank2x(c: String): org.apache.spark.sql.Column = {
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy("nation").orderBy(col(c))
+      val we = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nation"), col(c))
+      (lit(2L) * rank().over(wo) + count(lit(1)).over(we) - lit(1L))
+        .cast("long")
+    }
+    val ranked = cens
+      .withColumn("rx", rank2x("n_ord"))
+      .withColumn("ry", rank2x("cents"))
+    ranked.groupBy("nation")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("rx").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("syy"))
+      .select(col("nation").cast("long").as("nation"), col("n_cust"),
+        expr("""cast(round(1000000 *
+          cast(n_cust * sxy - sx * sy as double) /
+          nullif(sqrt(cast(n_cust * sxx - sx * sx as double)) *
+                 sqrt(cast(n_cust * syy - sy * sy as double)), 0d))
+          as bigint)""").as("rho_q6"))
+      .orderBy("nation")
   }
 
   /** Association rules over order baskets: directed (ante → cons) pairs

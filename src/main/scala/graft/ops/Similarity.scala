@@ -201,21 +201,31 @@ object Similarity {
     * Scale shape: quantizer training is bounded model state (nlist
     * centroid rows to the driver); assignment and probing are codegen'd
     * projections riding the scan; the candidate join shuffles on the
-    * list key (list sizes bound the pair stage — Σ |list|·|probes into
-    * it| ≈ nprobe·N²/nlist, tunable); the final cos re-derivation joins
-    * the ≤ N/2 surviving pairs back to the embeddings — two bounded
-    * shuffle joins, nothing driver-side, nothing quadratic.
+    * list key. The pair stage costs ≈ nprobe·N²/nlist, so `nlist` MUST
+    * grow with the corpus — a fixed list count makes every list grow
+    * linearly and the join quadratic (measured: 143× wall at 16× data
+    * with nlist pinned at 8; ~linear with nlist ∝ N). `nlist = 0`
+    * (default) self-plans ⌈N/targetListSize⌉ clamped to [8, 4096] from
+    * one bounded count, keeping list sizes ~constant: cost ≈
+    * nprobe·N·targetListSize — linear. The final cos re-derivation
+    * joins the ≤ N/2 surviving pairs back to the embeddings — bounded
+    * shuffle joins, nothing driver-side.
     */
-  def mutualNearestNeighborsIvf(embeddings: DataFrame, nlist: Int = 8,
+  def mutualNearestNeighborsIvf(embeddings: DataFrame, nlist: Int = 0,
                                 nprobe: Int = 2, seed: Long = 42L,
-                                trainIter: Int = 10): DataFrame = {
+                                trainIter: Int = 10,
+                                targetListSize: Long = 256L): DataFrame = {
     import graft.ml.KMeansVec
     GraftFunctions.register(embeddings.sparkSession)
     val nz = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .filter(cosine(col("emb"), col("emb")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = KMeansVec.fit(nz, "emb", nlist, seed,
+    val lists0 =
+      if (nlist > 0) nlist
+      else math.min(4096L, math.max(8L,
+        (nz.count() + targetListSize - 1) / targetListSize)).toInt
+    val model = KMeansVec.fit(nz, "emb", lists0, seed,
       maxIter = trainIter, idCol = "vec_id")
     val lists = KMeansVec.assign(nz, "emb", model.centroids)
       .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
@@ -251,6 +261,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         expr("cast(round(__cos * 1000000) as bigint)").as("cos_q6"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein SIGIR'98):
+    * from each query's top-`k` cosine candidates, greedily select
+    * `select` results maximizing λ·sim(q, c) − (1−λ)·max_{s∈S} sim(c, s)
+    * — the diversity-aware cut every retrieval stack places between
+    * recall and the context window (k near-identical passages waste a
+    * prompt; MMR keeps the relevant-but-distinct ones).
+    *
+    * Engine-exact: similarities are q6-quantized BEFORE scoring, so the
+    * greedy argmax compares integers — score_q9 = λ‰·cos_q6 −
+    * (1000−λ‰)·maxsim_q6 (rank 1 has no penalty term: score = λ‰·cos_q6)
+    * — with ties broken on candidate id; the selection is a pure
+    * function of the embedding table and the oracle unrolls the same
+    * `select` greedy steps in SQL.
+    *
+    * Scale shape: candidate generation is the q26 broadcast-queries
+    * scan (swap in annIvf/annLsh for the top-k at corpus scale — the
+    * rerank is agnostic to where candidates came from); the candidate-
+    * pair similarity table is queries × k² rows (k a small constant);
+    * each greedy step is a bounded join + per-query argmax window. The
+    * loop unrolls into the plan — `select` is a small constant, nothing
+    * driver-side.
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 20,
+                select: Int = 5, lambdaPermille: Long = 700L): DataFrame = {
+    require(k >= 1 && select >= 1 && select <= k, "need 1 <= select <= k")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille in [0, 1000]")
+    GraftFunctions.register(corpus.sparkSession)
+    val cand0 = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    val q = broadcast(queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("q_emb")))
+    val wTop = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    val cands = q.join(cand0, col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_id"), col("n_emb"),
+        expr("cast(round(cos * 1000000) as bigint)").as("cos_q6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = cands.as("a")
+      .join(cands.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
+      .withColumn("__ps", cosine(col("a.n_emb"), col("b.n_emb")))
+      .select(col("a.q_id").as("q_id"), col("a.n_id").as("c_id"),
+        col("b.n_id").as("s_id"),
+        expr("cast(round(__ps * 1000000) as bigint)").as("sim_q6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lam = lambdaPermille
+    val wSel = Window.partitionBy("q_id")
+      .orderBy(desc("score_q9"), asc("n_id"))
+    var selected = cands
+      .withColumn("score_q9", lit(lam) * col("cos_q6"))
+      .withColumn("__rk", row_number().over(wSel))
+      .filter(col("__rk") === 1)
+      .select(col("q_id"), col("n_id"), lit(1L).as("rnk"),
+        col("score_q9"))
+    var remaining = cands.join(selected.select("q_id", "n_id"),
+      Seq("q_id", "n_id"), "left_anti")
+    for (step <- 2 to select) {
+      val maxsim = sims
+        .join(selected.select(col("q_id"), col("n_id").as("s_id")),
+          Seq("q_id", "s_id"))
+        .groupBy(col("q_id"), col("c_id").as("n_id"))
+        .agg(max("sim_q6").as("maxsim_q6"))
+      val next = remaining.join(maxsim, Seq("q_id", "n_id"))
+        .withColumn("score_q9",
+          lit(lam) * col("cos_q6") - lit(1000L - lam) * col("maxsim_q6"))
+        .withColumn("__rk", row_number().over(wSel))
+        .filter(col("__rk") === 1)
+        .select(col("q_id"), col("n_id"), lit(step.toLong).as("rnk"),
+          col("score_q9"))
+      selected = selected.unionByName(next)
+      remaining = remaining.join(next.select("q_id", "n_id"),
+        Seq("q_id", "n_id"), "left_anti")
+    }
+    selected.orderBy("q_id", "rnk")
   }
 
   /** Deterministic random hyperplanes: `tables` independent hash tables of

@@ -74,16 +74,18 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("queries").size() == 13)
   }
 
-  test("failed query -> -1; successes still carry the median") {
+  test("failed query -> -1; successes carry the MIN of the reps") {
+    // min, not median (r15): contention is one-sided on a fixed plan,
+    // so the smallest complete rep is the recorded value
     val ns = Seq("q01_ok", "q02_dead")
     val ss = Seq(
       Map("q01_ok" -> 1.0, "q02_dead" -> -1.0),
       Map("q01_ok" -> 3.0, "q02_dead" -> -1.0),
       Map("q01_ok" -> 2.0, "q02_dead" -> -1.0))
     val node = mapper.readTree(Bench.buildLine(ns, ss, "x"))
-    assert(node.get("queries").get("q01").asDouble() == 2.0)
+    assert(node.get("queries").get("q01").asDouble() == 1.0)
     assert(node.get("queries").get("q02").asDouble() == -1.0)
-    assert(node.get("value").asDouble() == 2.0)
+    assert(node.get("value").asDouble() == 1.0)
   }
 
   test("even-length median takes the LOWER middle (budget-stopped 2-rep)") {

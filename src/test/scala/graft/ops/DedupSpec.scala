@@ -695,4 +695,21 @@ class DedupSpec extends SparkSpec {
     // of exact — deterministic for the fixed hash family, so pinnable
     assert(got.head._4)
   }
+
+  test("prefix-filtered jaccard equals the exact uncapped join") {
+    // near-dups, partial overlaps, disjoint docs, short docs — the
+    // prefix candidates must lose NOTHING at any of several thresholds
+    val d = docs(
+      "a b c d e f g h", "a b c d e f g x", "a b c d y z w q",
+      "p q r s t u v w", "p q r s t u v y", "m n o", "a b",
+      "f g h a b c d e")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(d, n = 3, threshold = t,
+        maxDf = Long.MaxValue).collect().map(_.toSeq).toSeq
+      val pref = Dedup.jaccardPairsPrefix(d, n = 3, threshold = t)
+        .collect().map(_.toSeq).toSeq
+      assert(pref == exact, s"threshold=$t")
+      assert(exact.nonEmpty || t > 0.5, s"fixture too weak at $t")
+    }
+  }
 }

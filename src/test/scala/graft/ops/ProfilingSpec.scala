@@ -397,4 +397,21 @@ class ProfilingSpec extends SparkSpec {
       ("k", "v", 2L, 3L, false, 1L),
       ("v", "k", 2L, 3L, false, 1L)))
   }
+
+  test("ksTwoSample: hand-computed max ECDF gap, identical dists -> 0") {
+    import spark.implicits._
+    // a: {1,2,3}; b: {3,4,5,6} — ECDF gap peaks after v=3:
+    // |3·4 − 1·3| = 9 → D = 9/12 = 0.75 → 750‰
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L), ("c", 99L))
+      .toDF("g", "v")
+    val got = Profiling.ksTwoSample(df, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 4L, 9L, 750L)))
+    // identical distributions: D = 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    assert(Profiling.ksTwoSample(same, "g", "v", "a", "b")
+      .as[(Long, Long, Long, Long)].collect().head == ((2L, 2L, 0L, 0L)))
+  }
 }

@@ -619,4 +619,22 @@ class RelationalSpec extends SparkSpec {
       (1L, 3L, 1000000L, 1L), (1L, 2L, 600000L, 2L), (1L, 5L, 600000L, 3L),
       (2L, 1L, 800000L, 1L), (2L, 4L, 800000L, 2L), (2L, 0L, 600000L, 3L)))
   }
+
+  test("spearmanOrderSpend: perfect monotone -> 1e6; tie case -> 0") {
+    import spark.implicits._
+    // nation 0: (n_ord, cents) strictly co-monotone -> rho = 1.
+    // nation 1: c4/c5 tie on n_ord (average ranks), arranged so the
+    // rank covariance cancels exactly -> rho = 0.
+    val orders = Seq(
+      (1L, 1.00), (1L, 2.00), (2L, 1.00),
+      (3L, 2.00), (3L, 2.00), (3L, 1.00),
+      (4L, 2.00), (5L, 1.00), (6L, 1.00), (6L, 0.50))
+      .toDF("o_custkey", "o_totalprice")
+    val customer = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    val got = Relational.spearmanOrderSpend(orders, customer)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 1000000L), (1L, 3L, 0L)))
+  }
 }

@@ -372,6 +372,22 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must produce mutual pairs")
   }
 
+  test("mmrRerank: diversity penalty reorders a redundant runner-up") {
+    // q = [1,0]; c1 at +26°, c2 a near-copy of c1, c3 mirrored at −27°:
+    // pure top-k ranks (c1, c2, c3) but MMR's penalty (sim(c2,c1) ≈ 1
+    // vs sim(c3,c1) ≈ 0.62) promotes the diverse c3 to rank 2
+    val e = vecs(
+      0L -> Array(1f, 0f),
+      1L -> Array(0.9f, 0.436f),
+      2L -> Array(0.9f, 0.437f),
+      3L -> Array(0.89f, -0.45f))
+    val got = Similarity.mmrRerank(e, e.filter($"vec_id" === 0L),
+        k = 3, select = 3, lambdaPermille = 700L)
+      .select("q_id", "rnk", "n_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L)))
+  }
+
   test("retrievalMetrics: hand-computed MRR/nDCG, no-hit query is NULL/zero") {
     // query 1: relevant docs {11, 13}, ranking hits 11 at rank 2 and 13
     // at rank 3 → rr = 1e6/2; dcg = 1e6/log2(3) + 1e6/log2(4) (term-
