@@ -101,7 +101,12 @@ object DevPlans {
         "q255_promo_share", "q256_supplier_count",
         "q257_small_quantity", "q258_brand_bands",
         "q259_decile_lift", "q260_order_gap_survival",
-        "q261_vocab_growth", "q262_new_vs_returning")
+        "q261_vocab_growth", "q262_new_vs_returning",
+        "q291_sink_text_roundtrip", "q293_sink_bulkload_sorted",
+        "q295_first_char_partitioner", "q296_mutual_nn_ivf",
+        "q298_prefix_jaccard", "q299_spearman", "q300_ks_drift",
+        "q301_mmr_rerank", "q302_greedy_source_cover",
+        "q303_kcenter_coreset", "q304_schema_evolution")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

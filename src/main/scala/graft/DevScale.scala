@@ -451,6 +451,15 @@ object DevScale {
       "q291_sinktext" -> SparkEntry.queries("q291_sink_text_roundtrip"),
       "q293_bulkload" -> SparkEntry.queries("q293_sink_bulkload_sorted"),
       "q296_mnnivf" -> SparkEntry.queries("q296_mutual_nn_ivf"),
+      // q298 rides the same suffix-disjoint shingle construction as
+      // q22 — prefix postings are a subset of the full index, so the
+      // pair set grows exactly F×; q301/q303 are N·constant scan
+      // shapes (broadcast query set / bounded selected set); q302 is
+      // vocabulary-bounded (postings grow with the suffixed vocab)
+      "q298_prefixjac" -> SparkEntry.queries("q298_prefix_jaccard"),
+      "q301_mmr" -> SparkEntry.queries("q301_mmr_rerank"),
+      "q302_setcover" -> SparkEntry.queries("q302_greedy_source_cover"),
+      "q303_kcenter" -> SparkEntry.queries("q303_kcenter_coreset"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

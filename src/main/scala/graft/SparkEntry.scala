@@ -7843,6 +7843,170 @@ object SparkEntry {
             k = 20, select = 5, lambdaPermille = 700L)
           .select(col("q_id"), col("rnk"), col("n_id"),
             col("score_q9"))
+      }),
+
+    // Greedy max-coverage source selection (Text.greedySourceCover):
+    // which 5 sources buy the most distinct BIGRAM vocabulary — the
+    // set-cover greedy over (source, bigram) postings (unigram pools
+    // converge to one shared vocabulary: the greedy would stop at step
+    // 1); redundant mirrors score ~0 from step 2, which no per-source
+    // marginal census can see. Both sides unroll the same 5 steps;
+    // argmax ties break on source name.
+    q("q302_greedy_source_cover",
+      """WITH toks AS (SELECT source, list_filter(string_split_regex(
+        |    text, '[ \t\n\r\f]+'), w -> length(w) > 0) AS t
+        |  FROM documents),
+        |p AS (SELECT DISTINCT source, word FROM (
+        |    SELECT source, unnest(list_transform(
+        |      generate_series(1, greatest(len(t) - 1, 0)),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS word
+        |    FROM toks) t),
+        |g1 AS (SELECT source, count(*) AS gain FROM p GROUP BY 1),
+        |s1 AS (SELECT source, 1 AS rnk, gain FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, source) AS rk
+        |  FROM g1) t WHERE rk = 1),
+        |l1 AS (SELECT source FROM s1),
+        |c1 AS (SELECT DISTINCT word FROM p JOIN s1 USING (source)),
+        |g2 AS (SELECT source, count(*) AS gain FROM p
+        |  WHERE source NOT IN (SELECT source FROM l1)
+        |    AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.word = p.word)
+        |  GROUP BY 1),
+        |s2 AS (SELECT source, 2 AS rnk, gain FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, source) AS rk
+        |  FROM g2) t WHERE rk = 1),
+        |l2 AS (SELECT source FROM l1 UNION ALL SELECT source FROM s2),
+        |c2 AS (SELECT word FROM c1 UNION
+        |  SELECT word FROM p JOIN s2 USING (source)),
+        |g3 AS (SELECT source, count(*) AS gain FROM p
+        |  WHERE source NOT IN (SELECT source FROM l2)
+        |    AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.word = p.word)
+        |  GROUP BY 1),
+        |s3 AS (SELECT source, 3 AS rnk, gain FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, source) AS rk
+        |  FROM g3) t WHERE rk = 1),
+        |l3 AS (SELECT source FROM l2 UNION ALL SELECT source FROM s3),
+        |c3 AS (SELECT word FROM c2 UNION
+        |  SELECT word FROM p JOIN s3 USING (source)),
+        |g4 AS (SELECT source, count(*) AS gain FROM p
+        |  WHERE source NOT IN (SELECT source FROM l3)
+        |    AND NOT EXISTS (SELECT 1 FROM c3 WHERE c3.word = p.word)
+        |  GROUP BY 1),
+        |s4 AS (SELECT source, 4 AS rnk, gain FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, source) AS rk
+        |  FROM g4) t WHERE rk = 1),
+        |l4 AS (SELECT source FROM l3 UNION ALL SELECT source FROM s4),
+        |c4 AS (SELECT word FROM c3 UNION
+        |  SELECT word FROM p JOIN s4 USING (source)),
+        |g5 AS (SELECT source, count(*) AS gain FROM p
+        |  WHERE source NOT IN (SELECT source FROM l4)
+        |    AND NOT EXISTS (SELECT 1 FROM c4 WHERE c4.word = p.word)
+        |  GROUP BY 1),
+        |s5 AS (SELECT source, 5 AS rnk, gain FROM (SELECT *,
+        |    row_number() OVER (ORDER BY gain DESC, source) AS rk
+        |  FROM g5) t WHERE rk = 1),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, source,
+        |  CAST(gain AS BIGINT) AS gain,
+        |  CAST(sum(gain) OVER (ORDER BY rnk) AS BIGINT)
+        |    AS covered_total
+        |FROM u ORDER BY rnk""".stripMargin)(
+      (s, d) => Text.greedySourceCover(Tables.documents(s, d),
+        steps = 5)),
+
+    // K-center coreset (Similarity.kCenterCoreset): greedy farthest-
+    // point traversal — 5 anchors spanning the embedding space by
+    // maximin similarity (q301's MMR diversifies a per-query ranking;
+    // this covers the corpus, query-free). Seed = smallest id; argmin
+    // per step is a struct-min partial agg on q6 integers.
+    q("q303_kcenter_coreset",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings
+        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |        CAST(embedding AS DOUBLE[])) > 0),
+        |s1 AS (SELECT 1 AS rnk, min(vec_id) AS vec_id,
+        |  CAST(NULL AS BIGINT) AS maxsim_q6 FROM e),
+        |l1 AS (SELECT vec_id FROM s1),
+        |m2 AS (SELECT p.vec_id, max(CAST(round(
+        |    list_cosine_similarity(p.emb, s.emb) * 1000000) AS BIGINT))
+        |    AS ms
+        |  FROM e p JOIN e s ON s.vec_id IN (SELECT vec_id FROM l1)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM l1) GROUP BY 1),
+        |s2 AS (SELECT 2 AS rnk, vec_id, ms AS maxsim_q6 FROM m2
+        |  ORDER BY ms, vec_id LIMIT 1),
+        |l2 AS (SELECT vec_id FROM l1 UNION ALL
+        |  SELECT vec_id FROM s2),
+        |m3 AS (SELECT p.vec_id, max(CAST(round(
+        |    list_cosine_similarity(p.emb, s.emb) * 1000000) AS BIGINT))
+        |    AS ms
+        |  FROM e p JOIN e s ON s.vec_id IN (SELECT vec_id FROM l2)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM l2) GROUP BY 1),
+        |s3 AS (SELECT 3 AS rnk, vec_id, ms AS maxsim_q6 FROM m3
+        |  ORDER BY ms, vec_id LIMIT 1),
+        |l3 AS (SELECT vec_id FROM l2 UNION ALL
+        |  SELECT vec_id FROM s3),
+        |m4 AS (SELECT p.vec_id, max(CAST(round(
+        |    list_cosine_similarity(p.emb, s.emb) * 1000000) AS BIGINT))
+        |    AS ms
+        |  FROM e p JOIN e s ON s.vec_id IN (SELECT vec_id FROM l3)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM l3) GROUP BY 1),
+        |s4 AS (SELECT 4 AS rnk, vec_id, ms AS maxsim_q6 FROM m4
+        |  ORDER BY ms, vec_id LIMIT 1),
+        |l4 AS (SELECT vec_id FROM l3 UNION ALL
+        |  SELECT vec_id FROM s4),
+        |m5 AS (SELECT p.vec_id, max(CAST(round(
+        |    list_cosine_similarity(p.emb, s.emb) * 1000000) AS BIGINT))
+        |    AS ms
+        |  FROM e p JOIN e s ON s.vec_id IN (SELECT vec_id FROM l4)
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM l4) GROUP BY 1),
+        |s5 AS (SELECT 5 AS rnk, vec_id, ms AS maxsim_q6 FROM m5
+        |  ORDER BY ms, vec_id LIMIT 1),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+        |  UNION ALL SELECT * FROM s5)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, maxsim_q6
+        |FROM u ORDER BY rnk""".stripMargin)(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.kCenterCoreset(Tables.embeddings(s, d), select = 5)
+      }),
+
+    // Schema-evolution merge (Sinks.schemaEvolutionRoundtrip): two
+    // written generations — gen 2 adds o_orderstatus — read back under
+    // mergeSchema as ONE union schema; the per-generation census
+    // proves new columns are real where written and NULL (not dropped
+    // rows, not garbage) where history predates them. The no-rewrite
+    // contract a 100 TB lake depends on.
+    q("q304_schema_evolution",
+      """WITH g AS (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2
+        |    END AS gen, o_orderkey, o_custkey FROM orders)
+        |SELECT CAST(gen AS BIGINT) AS gen, count(*) AS n_rows,
+        |  CAST(CASE WHEN gen = 2 THEN count(*) ELSE 0 END AS BIGINT)
+        |    AS n_status,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat(
+        |    coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'null'),
+        |    coalesce(md5(CAST(o_custkey AS VARCHAR)), 'null'))), 1, 8))
+        |    AS BIGINT)) AS VARCHAR) AS checksum
+        |FROM g GROUP BY gen ORDER BY gen""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, sum, when}
+        val o = Tables.orders(s, d)
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey")
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        Sinks.schemaEvolutionRoundtrip(v1, v2, Sinks.scratch("q304"))
+          .groupBy(col("gen").cast("long").as("gen"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("o_orderstatus").isNotNull, 1L).otherwise(0L))
+              .as("n_status"),
+            sum(graft.ops.Profiling.rowDigest(
+              Seq("o_orderkey", "o_custkey")).cast("decimal(38,0)"))
+              .as("checksum"))
+          .select(col("gen"), col("n_rows"), col("n_status"),
+            col("checksum").cast("string").as("checksum"))
+          .orderBy("gen")
       })
   )
 

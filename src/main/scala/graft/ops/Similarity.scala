@@ -279,18 +279,26 @@ object Similarity {
     *
     * Scale shape: candidate generation is the q26 broadcast-queries
     * scan (swap in annIvf/annLsh for the top-k at corpus scale — the
-    * rerank is agnostic to where candidates came from); the candidate-
-    * pair similarity table is queries × k² rows (k a small constant);
-    * each greedy step is a bounded join + per-query argmax window. The
-    * loop unrolls into the plan — `select` is a small constant, nothing
-    * driver-side.
+    * rerank is agnostic to where candidates came from). The greedy
+    * itself runs PER QUERY GROUP: each query's ≤ k candidates and
+    * their k² pair similarities gather into one grouped row (state
+    * bounded by the constant k, never the corpus), and a typed
+    * mapGroups walks the `select` steps in memory — ONE shuffle on the
+    * query id for the whole rerank, embarrassingly parallel across
+    * queries. The first formulation unrolled the loop into ~6 joins +
+    * windows per step; on tiny per-step frames that was pure
+    * stage-latency (measured 14 s at sf0.1 — 24 shuffles of
+    * scheduler overhead), and at corpus scale it shuffled the full
+    * candidate set `select` times. The grouped form is both the local
+    * and the cluster win.
     */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, k: Int = 20,
                 select: Int = 5, lambdaPermille: Long = 700L): DataFrame = {
     require(k >= 1 && select >= 1 && select <= k, "need 1 <= select <= k")
     require(lambdaPermille >= 0 && lambdaPermille <= 1000,
       "lambdaPermille in [0, 1000]")
-    GraftFunctions.register(corpus.sparkSession)
+    val session = corpus.sparkSession
+    GraftFunctions.register(session)
     val cand0 = corpus.select(col("vec_id").as("n_id"),
       asDouble(col("embedding")).as("n_emb"))
     val q = broadcast(queries.select(col("vec_id").as("q_id"),
@@ -302,44 +310,128 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_id"), col("n_emb"),
         expr("cast(round(cos * 1000000) as bigint)").as("cos_q6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sims = cands.as("a")
-      .join(cands.as("b"),
-        col("a.q_id") === col("b.q_id") && col("a.n_id") =!= col("b.n_id"))
-      .withColumn("__ps", cosine(col("a.n_emb"), col("b.n_emb")))
-      .select(col("a.q_id").as("q_id"), col("a.n_id").as("c_id"),
-        col("b.n_id").as("s_id"),
-        expr("cast(round(__ps * 1000000) as bigint)").as("sim_q6"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lam = lambdaPermille
-    val wSel = Window.partitionBy("q_id")
-      .orderBy(desc("score_q9"), asc("n_id"))
-    var selected = cands
-      .withColumn("score_q9", lit(lam) * col("cos_q6"))
-      .withColumn("__rk", row_number().over(wSel))
-      .filter(col("__rk") === 1)
-      .select(col("q_id"), col("n_id"), lit(1L).as("rnk"),
-        col("score_q9"))
-    var remaining = cands.join(selected.select("q_id", "n_id"),
-      Seq("q_id", "n_id"), "left_anti")
+    import session.implicits._
+    // one grouped row per query: candidate ids + relevance + the dense
+    // k×k pair-similarity entries — k is a small constant, so per-group
+    // state is O(k²) regardless of corpus size
+    val grouped = cands
+      .groupBy("q_id")
+      .agg(collect_list(struct(col("n_id"), col("n_emb"),
+        col("cos_q6"))).as("cs"))
+      .select(col("q_id"), col("cs"))
+      .as[(Long, Seq[(Long, Seq[Double], Long)])]
+    grouped.flatMap { case (qId, cs) =>
+      // deterministic candidate order (the collect_list order is not)
+      val cand = cs.sortBy(_._1).toArray
+      val n = cand.length
+      val emb = cand.map(_._2.toArray)
+      // the EXACT arithmetic of functions.CosineSimilarity.nullSafeEval
+      // (same accumulation order, same zero-norm guard) followed by the
+      // EXACT rounding of Spark's round() (BigDecimal HALF_UP — a bare
+      // math.round floors negative halves the wrong way), so the
+      // in-group values are bit-identical to the q275/q296 pipeline's
+      def simQ6(i: Int, j: Int): Long = {
+        val a = emb(i); val b = emb(j)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var t = 0
+        while (t < a.length) {
+          dot += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t)
+          t += 1
+        }
+        val c = if (na == 0 || nb == 0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        BigDecimal(c * 1000000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val selectedIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val maxSim = Array.fill(n)(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var step = 1
+      while (step <= select && selectedIdx.length < n) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!selectedIdx.contains(i)) {
+            val score =
+              if (step == 1) lam * cand(i)._3
+              else lam * cand(i)._3 - (1000L - lam) * maxSim(i)
+            // ties break on candidate id; cand is id-sorted, so strict
+            // improvement keeps the smallest id among equals
+            if (score > bestScore) { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        out += ((qId, step.toLong, cand(best)._1, bestScore))
+        selectedIdx += best
+        var j = 0
+        while (j < n) {
+          if (!selectedIdx.contains(j))
+            maxSim(j) = math.max(maxSim(j), simQ6(j, best))
+          j += 1
+        }
+        step += 1
+      }
+      out
+    }.toDF("q_id", "rnk", "n_id", "score_q9")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** K-CENTER CORESET by greedy farthest-point traversal (Gonzalez '85):
+    * seed with the smallest vec_id, then `select`−1 times pick the
+    * vector whose MAXIMUM similarity to the already-selected set is
+    * smallest (maximin in distance terms; ties on id) — the 2-approx
+    * cover that training-data selection uses to pick k probe/anchor
+    * points spanning the embedding space (MMR diversifies a RANKING
+    * against a query; this covers the CORPUS with no query).
+    *
+    * Engine-exact: the maximin compares q6-quantized integer
+    * similarities; the per-step argmin is a struct-min partial agg, so
+    * the selection is a pure function of the embedding table and the
+    * oracle unrolls the same steps. Output (rnk, vec_id, maxsim_q6);
+    * the seed row carries NULL maxsim_q6 (no prior set to compare to).
+    *
+    * Scale shape: each step scores every point against the ≤ `select`
+    * selected vectors (a broadcast of bounded model state — the
+    * codebook discipline): N·|S| codegen'd dot products per step,
+    * linear, argmin with no global-order window; `select` is a small
+    * constant unrolled into the plan.
+    */
+  def kCenterCoreset(embeddings: DataFrame, select: Int = 5): DataFrame = {
+    require(select >= 1 && select <= 64, "need 1 <= select <= 64")
+    GraftFunctions.register(embeddings.sparkSession)
+    val nz = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .filter(cosine(col("emb"), col("emb")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = nz.agg(min(col("vec_id")).as("vec_id"))
+    var out: DataFrame = seed
+      .select(lit(1L).as("rnk"), col("vec_id"),
+        lit(null).cast("long").as("maxsim_q6"))
+    var selEmb: DataFrame = nz.join(seed, Seq("vec_id"))
+      .select(col("vec_id").as("s_id"), col("emb").as("s_emb"))
     for (step <- 2 to select) {
-      val maxsim = sims
-        .join(selected.select(col("q_id"), col("n_id").as("s_id")),
-          Seq("q_id", "s_id"))
-        .groupBy(col("q_id"), col("c_id").as("n_id"))
-        .agg(max("sim_q6").as("maxsim_q6"))
-      val next = remaining.join(maxsim, Seq("q_id", "n_id"))
-        .withColumn("score_q9",
-          lit(lam) * col("cos_q6") - lit(1000L - lam) * col("maxsim_q6"))
-        .withColumn("__rk", row_number().over(wSel))
-        .filter(col("__rk") === 1)
-        .select(col("q_id"), col("n_id"), lit(step.toLong).as("rnk"),
-          col("score_q9"))
-      selected = selected.unionByName(next)
-      remaining = remaining.join(next.select("q_id", "n_id"),
-        Seq("q_id", "n_id"), "left_anti")
+      val ms = nz
+        .join(out.select("vec_id"), Seq("vec_id"), "left_anti")
+        .crossJoin(broadcast(selEmb))
+        .withColumn("__s", cosine(col("emb"), col("s_emb")))
+        .groupBy("vec_id")
+        .agg(max(expr("cast(round(__s * 1000000) as bigint)"))
+          .as("maxsim_q6"))
+      val next = ms
+        .agg(min(struct(col("maxsim_q6"), col("vec_id"))).as("m"))
+        .filter(col("m").isNotNull)
+        .select(lit(step.toLong).as("rnk"), col("m.vec_id").as("vec_id"),
+          col("m.maxsim_q6").as("maxsim_q6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out = out.unionByName(next)
+      selEmb = selEmb.unionByName(nz.join(next.select("vec_id"),
+          Seq("vec_id"))
+        .select(col("vec_id").as("s_id"), col("emb").as("s_emb")))
     }
-    selected.orderBy("q_id", "rnk")
+    out.orderBy("rnk")
   }
 
   /** Deterministic random hyperplanes: `tables` independent hash tables of

@@ -245,6 +245,24 @@ object Sinks {
       .orderBy(keyName)
   }
 
+  /** SCHEMA-EVOLUTION roundtrip: write two generations of a table —
+    * `v2` carrying columns `v1` lacks — under one root, read the root
+    * back with `mergeSchema`, and return the merged frame (old-
+    * generation rows surface the new columns as NULL). The capability a
+    * 100 TB lake lives on: a column added in month 14 must not force a
+    * rewrite of months 1–13, and readers must see one union schema
+    * with NULLs where history predates the column. The caller's query
+    * over the returned frame (a per-generation null census + checksum)
+    * is what proves both directions: new columns are real where
+    * written, NULL (not garbage, not dropped rows) where not.
+    */
+  def schemaEvolutionRoundtrip(v1: DataFrame, v2: DataFrame,
+                               path: String): DataFrame = {
+    v1.write.mode("overwrite").parquet(s"$path/gen=1")
+    v2.write.mode("overwrite").parquet(s"$path/gen=2")
+    v1.sparkSession.read.option("mergeSchema", "true").parquet(path)
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -55,6 +55,79 @@ object Text {
       .agg(count(lit(1)).as("cnt"))
       .orderBy("word")
 
+  /** GREEDY MAX-COVERAGE source selection: pick `steps` sources, each
+    * step taking the source whose documents add the most NOT-YET-COVERED
+    * distinct tokens (ties on source name) — the classic (1−1/e)-
+    * approximate set-cover greedy, and the data-mixing question it
+    * answers is "which k sources buy the most vocabulary": redundant
+    * mirrors score near zero from step 2 even when individually huge,
+    * which no per-source census (q124/q125's marginals) can see.
+    *
+    * Output: one row per step — (rnk, source, gain, covered_total) with
+    * gain = newly covered distinct tokens and covered_total the running
+    * union size. A source whose remaining gain is zero is not pickable;
+    * if fewer productive sources than `steps` exist the output is
+    * shorter, identically in both engines.
+    *
+    * Coverage units are word `n`-grams (default bigrams): unigram
+    * vocabularies of same-domain sources converge to one shared pool
+    * (measured: one fixture source unigram-covers every other — the
+    * greedy stops at step 1), while n-gram contexts keep discriminating
+    * — the same reason shingle dedup works at n ≥ 2.
+    *
+    * Scale shape: the postings table (DISTINCT source × n-gram) is one
+    * partial-agg distinct, vocabulary-bounded per source; each step is
+    * an anti-join against the covered-gram set (grows monotonically,
+    * bounded by |vocabulary|) plus a source-census argmax via one
+    * struct-min partial agg — no global-order window, nothing driver-
+    * side; `steps` is a small constant unrolled into the plan.
+    */
+  def greedySourceCover(documents: DataFrame, steps: Int = 5,
+                        n: Int = 2): DataFrame = {
+    require(steps >= 1 && steps <= 16, "need 1 <= steps <= 16")
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    val t = tokens(col("text"))
+    val grams =
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val postings = documents
+      .select(col("source"), explode(grams).as("word"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var out: DataFrame = null
+    var selected: DataFrame =
+      postings.select("source").filter(lit(false))
+    var covered: DataFrame = postings.select("word").filter(lit(false))
+    for (step <- 1 to steps) {
+      val gains = postings
+        .join(selected, Seq("source"), "left_anti")
+        .join(covered, Seq("word"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+      // argmax as a struct-min partial agg (gain desc ⇒ negate), never
+      // a global-order window over the source census
+      val pick = gains
+        .agg(min(struct((-col("gain")).as("ng"), col("source"))).as("m"))
+        .filter(col("m").isNotNull)
+        .select(lit(step.toLong).as("rnk"), col("m.source").as("source"),
+          (-col("m.ng")).as("gain"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out = if (out == null) pick else out.unionByName(pick)
+      selected = selected.unionByName(pick.select("source"))
+      covered = covered.unionByName(
+        postings.join(pick.select("source"), Seq("source"))
+          .select("word"))
+    }
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy("rnk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    out
+      .select(col("rnk"), col("source"), col("gain"),
+        sum("gain").over(wRun).as("covered_total"))
+      .orderBy("rnk")
+  }
+
   /** P2+A2: word count restricted to tokens matching a prefix regex
     * (default = the reference's `^[mnopqMNOPQ]`).
     */

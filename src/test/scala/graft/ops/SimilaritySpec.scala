@@ -388,6 +388,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((0L, 1L, 1L), (0L, 2L, 3L), (0L, 3L, 2L)))
   }
 
+  test("kCenterCoreset: farthest-point order, seed has NULL maxsim") {
+    // seed v0=[1,0]; v2=[0,1] is farthest (maxsim 0), then v3 diagonal
+    // (maxsim ≈ 0.707 to both axes), the near-copy v1 last (maxsim ≈ 1)
+    val e = vecs(
+      0L -> Array(1f, 0f), 1L -> Array(1f, 0.01f),
+      2L -> Array(0f, 1f), 3L -> Array(0.7f, 0.7f))
+    val got = Similarity.kCenterCoreset(e, select = 4)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((1L, 0L), (2L, 2L), (3L, 3L), (4L, 1L)))
+    assert(got.head._3.isEmpty)
+    assert(got(1)._3.contains(0L)) // v2 ⊥ v0
+  }
+
   test("retrievalMetrics: hand-computed MRR/nDCG, no-hit query is NULL/zero") {
     // query 1: relevant docs {11, 13}, ranking hits 11 at rank 2 and 13
     // at rank 3 → rr = 1e6/2; dcg = 1e6/log2(3) + 1e6/log2(4) (term-

@@ -180,6 +180,18 @@ class SinksSpec extends SparkSpec {
       spark.read.parquet(unsortedDir), "k") > 0L)
   }
 
+  test("schema evolution: merged read unions schemas, old rows NULL") {
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val v2 = Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "s", "extra")
+    val merged = Sinks.schemaEvolutionRoundtrip(v1, v2,
+      tmp("schev") + "/root")
+    assert(merged.columns.toSet == Set("id", "s", "extra", "gen"))
+    val rows = merged.select("id", "extra")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some(30L), 4L -> Some(40L)))
+  }
+
   test("S8 roundtrip: report lines parse back into (stat, value) rows") {
     val got = Sinks.reportRoundtrip(spark,
         Seq("alpha=3", "beta=10"), tmp("s8rt") + "/r/summary.txt",

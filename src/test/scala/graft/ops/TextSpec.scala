@@ -879,4 +879,16 @@ class TextSpec extends SparkSpec {
     assert(got(lo)._3 == 7 && got(hi)._3 == 3)
     assert(got.last._4 == 10)                // distinct corpus shingles
   }
+
+  test("greedySourceCover: marginal gains, zero-gain sources dropped") {
+    import spark.implicits._
+    // unigrams (n=1) for hand-computation: A covers {a,b,c,d} (gain 4),
+    // then B's tokens are fully covered (gain 0 -> NOT pickable) while
+    // C still adds {e} -> picks are (A,4), (C,1), done at 2 rows
+    val docs = Seq((1L, "a b c d", "A"), (2L, "a b", "B"),
+      (3L, "d e", "C")).toDF("doc_id", "text", "source")
+    val got = Text.greedySourceCover(docs, steps = 5, n = 1)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, "A", 4L, 4L), (2L, "C", 1L, 5L)))
+  }
 }
