@@ -215,9 +215,11 @@ object DevScale {
       "q148_curric" -> SparkEntry.queries("q148_curriculum_order"),
       "q152_clsplit" -> SparkEntry.queries("q152_cluster_split"),
       "q155_qbucket" -> SparkEntry.queries("q155_quantile_buckets"),
-      // the skyline pair: q149 is the global-window wall (q116's shape),
-      // q160 the sharded local-prefilter form — same output, the curve
-      // difference IS the claim
+      // the skyline pair measured the global-window wall vs the sharded
+      // local-prefilter form through round 15 (curves in PLANS.md);
+      // round 16 made the sharded form q149's SHIPPED default too
+      // (q116→q123 discipline), so both rows now track the same plan —
+      // the one-pass window form survives as the ProfilingSpec referee
       "q149_pareto" -> SparkEntry.queries("q149_pareto_frontier"),
       "q160_shpareto" -> SparkEntry.queries("q160_sharded_pareto"),
       "q156_logodds" -> SparkEntry.queries("q156_logodds_keywords"),

@@ -2734,7 +2734,11 @@ object SparkEntry {
         |  percent_rank() OVER (PARTITION BY lang
         |    ORDER BY n_chars, doc_id) AS pct
         |FROM documents ORDER BY lang, n_chars, doc_id""".stripMargin)(
-      (s, d) => Profiling.groupPercentRank(Tables.documents(s, d),
+      // shipped form is the SHARDED per-group rank (round 16): langs
+      // are few, so a per-lang window partition is corpus-sized — the
+      // same single-task wall as q116/q189, grouped flavor; the window
+      // form stays the ProfilingSpec referee
+      (s, d) => Profiling.groupPercentRankSharded(Tables.documents(s, d),
         groupCol = "lang", valueCol = "n_chars", tieCol = "doc_id")),
 
     // Source-drift census (Text.sourceDivergence): KL(source ‖ corpus)
@@ -3607,7 +3611,11 @@ object SparkEntry {
         val toks = Text.tokens(col("text"))
         val stops = org.apache.spark.sql.functions.filter(toks,
           w => w.isInCollection(stopwords))
-        Profiling.paretoFrontier(
+        // shipped form is the SHARDED skyline (local-then-global pass,
+        // bit-identical — the q116→q123 discipline applied here in
+        // round 16; the one-pass global-window form stays the
+        // ProfilingSpec referee and q160 keeps measuring the pair)
+        Profiling.paretoFrontierSharded(
           Tables.documents(s, d).select(col("doc_id"),
               size(stops).cast("long").as("__ns"),
               size(toks).cast("long").as("__nt"), col("n_chars"))

@@ -1304,4 +1304,71 @@ object Dedup {
           lit(tolQ6)).as("within_tol"))
       .orderBy("id_a", "id_b")
   }
+
+  /** LSH parameter planner: for every (bands b, rows-per-band r) in the
+    * candidate grid, the banded-MinHash capture curve
+    * P(s) = 1 − (1 − sʳ)ᵇ integrated against the ideal step at the
+    * target Jaccard threshold — false-positive mass below the threshold
+    * (pairs that bucket but shouldn't) plus false-negative mass above it
+    * (pairs that should bucket but don't). THE decision a 100 TB dedup
+    * run makes before it runs: b·r is the signature cost per document
+    * and the FP mass is the candidate-verification cost, so the census
+    * prices every configuration before a single shingle is hashed (the
+    * planning companion to q23's fixed bands and q267's estimator
+    * audit).
+    *
+    * Engine-exact by construction: the s-grid is i/128 (denominator a
+    * power of two — every grid point is an exact double), and ALL powers
+    * are squaring chains written as explicit multiplications (r ∈
+    * {2,4,8}, b ∈ {4,8,16,32} — never pow(), whose libm rounding is not
+    * pinned across engines), so every P(s) is the same IEEE double on
+    * both sides; per-point masses quantize to q6 integers BEFORE the
+    * sum, making the integral an order-free exact integer.
+    *
+    * Scale shape: a constant 127×12 grid built driver-side — the plan is
+    * one crossJoin of two literal relations and one partial agg; zero
+    * table reads. The output prices the REAL run: pick the row, then
+    * q23 runs with its (b, r).
+    */
+  def lshParamPlan(session: org.apache.spark.sql.SparkSession,
+                   thresholdNum: Int = 64): DataFrame = {
+    require(thresholdNum >= 1 && thresholdNum <= 127,
+      "thresholdNum must be in [1, 127] (threshold = num/128)")
+    import session.implicits._
+    val combos = for (b <- Seq(4, 8, 16, 32); r <- Seq(2, 4, 8))
+      yield (b, r)
+    val params = combos.toDF("bands", "rpb")
+    val grid = session.range(1, 128)
+      .select((col("id").cast("double") / lit(128.0d)).as("s"))
+    params.crossJoin(grid)
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("s8", col("s4") * col("s4"))
+      .withColumn("sr", expr(
+        "case rpb when 2 then s2 when 4 then s4 else s8 end"))
+      .withColumn("u", lit(1.0d) - col("sr"))
+      .withColumn("u2", col("u") * col("u"))
+      .withColumn("u4", col("u2") * col("u2"))
+      .withColumn("u8", col("u4") * col("u4"))
+      .withColumn("u16", col("u8") * col("u8"))
+      .withColumn("u32", col("u16") * col("u16"))
+      .withColumn("pmiss", expr(
+        "case bands when 4 then u4 when 8 then u8" +
+          " when 16 then u16 else u32 end"))
+      .withColumn("__below", col("s") < lit(thresholdNum / 128.0d))
+      .groupBy("bands", "rpb")
+      .agg(
+        sum(when(col("__below"),
+          expr("cast(round((1.0d - pmiss) * 1000000) as long)"))
+          .otherwise(lit(0L))).as("fp_q6"),
+        sum(when(!col("__below"),
+          expr("cast(round(pmiss * 1000000) as long)"))
+          .otherwise(lit(0L))).as("fn_q6"))
+      .select(col("bands").cast("long").as("bands"),
+        col("rpb").cast("long").as("rpb"),
+        (col("bands") * col("rpb")).cast("long").as("sig_len"),
+        col("fp_q6"), col("fn_q6"),
+        (col("fp_q6") + col("fn_q6")).as("err_q6"))
+      .orderBy("err_q6", "bands", "rpb")
+  }
 }

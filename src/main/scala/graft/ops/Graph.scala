@@ -134,4 +134,52 @@ object Graph {
     visited.groupBy("seed", "hop").agg(count(lit(1)).as("n_nodes"))
       .orderBy("seed", "hop")
   }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over all DIRECTED edge ends of the undirected graph — Newman's r,
+    * the one-number answer to "do hubs connect to hubs" (r > 0) or "to
+    * leaves" (r < 0) that triangle count (q103) and the degree census
+    * can't give. Edges canonicalize to `a < b` distinct (direction and
+    * duplicates collapse, self-loops drop — the triangleCount
+    * discipline), then every undirected edge contributes BOTH ordered
+    * ends, which is exactly Newman's symmetric edge-end sum.
+    *
+    * Engine-exact by construction: degrees are integers, so every sum
+    * entering the Pearson formula — Σdx, Σdxdy, Σdx² — is an exact
+    * integer in decimal(38,0)/HUGEINT (the q299 discipline; by end
+    * symmetry sx = sy and sxx = syy, both still computed so the output
+    * self-audits), and the single division runs the same two doubles
+    * through IEEE-exact sqrt on both engines, q6-quantized.
+    *
+    * Scale shape: canonicalize is one distinct on edges; the degree
+    * table is one partial-agg census (|V| rows); the two degree lookups
+    * are equi-joins of edges to that census (broadcast when |V| is
+    * small, shuffle otherwise — planner's choice); the Pearson fold is
+    * one global partial agg to a single row. No window, no all-pairs.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val ends = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(canon.select(col("b").as("u"), col("a").as("v")))
+    val deg = ends.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    ends
+      .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+      .agg(count(lit(1)).as("n_ends"),
+        sum(col("dx").cast("decimal(38,0)")).as("sx"),
+        sum(col("dy").cast("decimal(38,0)")).as("sy"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dy") * col("dy")).cast("decimal(38,0)")).as("syy"))
+      .select(col("n_ends"),
+        expr("""cast(round(1000000 *
+          cast(n_ends * sxy - sx * sy as double) /
+          nullif(sqrt(cast(n_ends * sxx - sx * sx as double)) *
+                 sqrt(cast(n_ends * syy - sy * sy as double)), 0d))
+          as bigint)""").as("r_q6"))
+  }
 }

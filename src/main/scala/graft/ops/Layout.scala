@@ -292,6 +292,87 @@ object Layout {
     session.createDataFrame(rows, outSchema)
   }
 
+  /** Exact per-GROUP `row_number() OVER (PARTITION BY group ORDER BY
+    * orderCols)` plus the group total, without any group's rows ever
+    * sorting in one task — the grouped twin of `shardedRanks`, for the
+    * LOW-CARDINALITY-group regime where a partitioned window is still a
+    * wall (a per-language window over a corpus that is 40% one language
+    * sorts 40% of the corpus in a single task; "partitioned" only helps
+    * when no partition is corpus-sized). Range-partition on (group ++
+    * order) so each partition holds contiguous runs; pass 1 collects one
+    * (partition, group) count per run to the driver — bounded by
+    * `parts` × groups-per-partition, the low-cardinality contract —
+    * pass 2 streams each partition once with broadcast per-group base
+    * offsets. High-cardinality groups should use the ordinary
+    * partitioned window instead (partitions are small by construction
+    * there).
+    *
+    * Output: input columns + `rnk` (1-based within group) + `n_grp`
+    * (group row count). `orderCols` must total-order within a group.
+    */
+  def shardedGroupRanks(df: DataFrame, groupCol: String,
+                        orderCols: Seq[String],
+                        parts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val session = df.sparkSession
+    val n =
+      if (parts > 0) parts
+      else math.max(session.sparkContext.defaultParallelism,
+        session.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val gIdx = df.schema.fieldIndex(groupCol)
+    val all = (groupCol +: orderCols).map(col)
+    val ranged = df
+      .repartitionByRange(n, all: _*)
+      .sortWithinPartitions(all: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-(partition, group) row counts — one row per contiguous
+    // group run; group keys cross as strings (grouping only, the rows
+    // themselves carry the typed value)
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { r =>
+        val g = String.valueOf(r.get(gIdx))
+        m.update(g, m.getOrElse(g, 0L) + 1L)
+      }
+      m.iterator.map { case (g, c) => (pid, g, c) }
+    }.collect()
+    val totals = counts.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(_._3).sum }
+    val bases: Map[(Int, String), Long] = {
+      val byGroup = counts.groupBy(_._2)
+      byGroup.flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val cum = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cum).map { case ((pid, _, _), base) =>
+          (pid, g) -> base }
+      }
+    }
+    val bBases = session.sparkContext.broadcast(bases)
+    val bTotals = session.sparkContext.broadcast(totals)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("rnk",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_grp",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: String = null
+      var r = 0L
+      var tot = 0L
+      it.map { row =>
+        val g = String.valueOf(row.get(gIdx))
+        if (g != cur) {
+          cur = g
+          r = bBases.value.getOrElse((pid, g), 0L)
+          tot = bTotals.value.getOrElse(g, 0L)
+        }
+        r += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(r, tot))
+      }
+    }
+    session.createDataFrame(rows, outSchema)
+  }
+
   /** SQL `NTILE(buckets)` bucket of 1-based rank `rnk` over `nRows` rows,
     * in closed form: the first `nRows mod buckets` buckets take
     * `⌈nRows/buckets⌉` rows, the rest `⌊nRows/buckets⌋` — exactly the SQL

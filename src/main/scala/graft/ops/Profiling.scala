@@ -587,6 +587,32 @@ object Profiling {
       .orderBy(groupCol, valueCol, tieCol)
   }
 
+  /** `groupPercentRank` without the corpus-sized window partition — the
+    * SHIPPED form for low-cardinality groups (languages, sources): a
+    * "partitioned" window only parallelizes when no partition is
+    * corpus-sized, and a per-language window over a 40%-one-language
+    * corpus sorts 40% of it in one task. Rides
+    * `Layout.shardedGroupRanks` (range exchange on (group, value, tie),
+    * per-(partition, group) run counts to the driver, streaming second
+    * pass); pct = (rnk − 1) / (n_grp − 1) — exactly SQL percent_rank
+    * for a total order (the tie column makes rank ≡ row_number), 0.0
+    * for single-row groups, same double division both engines.
+    * Bit-identical to the window form (ProfilingSpec pins it).
+    */
+  def groupPercentRankSharded(df: DataFrame, groupCol: String,
+                              valueCol: String, tieCol: String,
+                              parts: Int = 0): DataFrame = {
+    Layout.shardedGroupRanks(
+        df.select(col(groupCol), col(valueCol), col(tieCol)),
+        groupCol, Seq(valueCol, tieCol), parts)
+      .withColumn("pct",
+        when(col("n_grp") === 1L, lit(0.0))
+          .otherwise((col("rnk") - 1).cast("double") /
+            (col("n_grp") - 1).cast("double")))
+      .drop("rnk", "n_grp")
+      .orderBy(groupCol, valueCol, tieCol)
+  }
+
   /** 2-D Pareto frontier (skyline): rows not DOMINATED under
     * (maximize `maxCol`, minimize `minCol`) — dominated means some other
     * row is ≥ on the max-dimension and ≤ on the min-dimension with at
@@ -874,5 +900,42 @@ object Profiling {
         expr("cast(round(1000 * ln(1.0d + 1.0d / digit) / ln(10.0d))" +
           " as bigint)").as("benford_permille"))
       .orderBy("digit")
+  }
+
+  /** Sequence-gap census: per key, is the sequence column EXACTLY
+    * 1..n — the event-log integrity audit ("did we drop or double-ship
+    * any line of any order") that fkIntegrityAudit (between tables) and
+    * fdCensus (within columns) don't cover: within-key ordinal
+    * completeness. Each key classifies into exactly one of three bins —
+    * `dup` if any sequence value repeats (distinct < count), `gapped`
+    * if values are distinct but not the 1..n prefix (min ≠ 1 or
+    * max ≠ n), `ok` otherwise — reported per sequence length so a
+    * 100 TB run sees WHERE the corruption concentrates (long orders vs
+    * short), not just that it exists; zero dup/gapped rows IS the
+    * audit's pass state (the fk_integrity posture).
+    *
+    * Scale shape: one keyed partial agg over the fact scan (count, min,
+    * max collapse map-side; the distinct-count is a two-level agg on
+    * (key, seq) — still keyed, never global); the census folds |keys|
+    * rows to ≤ max-sequence-length rows in a second partial agg. No
+    * window, no join.
+    */
+  def sequenceGapCensus(df: DataFrame, keyCol: String,
+                        seqCol: String): DataFrame = {
+    val per = df
+      .groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("n"),
+        min(col(seqCol).cast("long")).as("mn"),
+        max(col(seqCol).cast("long")).as("mx"),
+        countDistinct(col(seqCol)).as("d"))
+    per.groupBy(col("n").as("seq_len"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("d") === col("n") && col("mn") === 1L &&
+          col("mx") === col("n"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("d") < col("n"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("d") === col("n") &&
+          !(col("mn") === 1L && col("mx") === col("n")), 1L)
+          .otherwise(0L)).as("n_gapped"))
+      .orderBy("seq_len")
   }
 }

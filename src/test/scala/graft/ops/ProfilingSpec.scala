@@ -223,6 +223,23 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("groupPercentRankSharded ≡ the window form at every part count") {
+    // skewed groups (one group holds most rows — the regime the sharded
+    // form exists for), ties in the value column, a single-row group
+    val df = ((1L to 80L).map(i => ("big", (i * 7) % 13, i)) ++
+      (81L to 90L).map(i => ("small", (i * 3) % 5, i)) ++
+      Seq(("one", 9L, 99L)))
+      .toDF("lang", "n_chars", "doc_id")
+    val want = Profiling.groupPercentRank(df, "lang", "n_chars", "doc_id")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    for (p <- Seq(1, 3, 32)) {
+      val got = Profiling.groupPercentRankSharded(df, "lang", "n_chars",
+          "doc_id", parts = p)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(got == want, s"parts=$p")
+    }
+  }
+
   test("quantileBuckets: bit-identical to the ntile window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.ntile
