@@ -8015,7 +8015,101 @@ object SparkEntry {
           .select(col("gen"), col("n_rows"), col("n_status"),
             col("checksum").cast("string").as("checksum"))
           .orderBy("gen")
-      })
+      }),
+
+    // LSH parameter planner (Dedup.lshParamPlan): FP/FN mass of the
+    // banded-MinHash capture curve P(s) = 1−(1−sʳ)ᵇ against the ideal
+    // step at jaccard 0.5, for every (bands, rows) candidate — the
+    // decision a 100 TB dedup prices BEFORE hashing a shingle. Exact
+    // cross-engine: s-grid i/128 (power-of-two denominator), powers as
+    // explicit squaring chains (never libm pow), per-point q6
+    // quantization before the order-free integer sum.
+    q("q305_lsh_param_plan",
+      """WITH p AS (SELECT bands, rpb FROM (VALUES (4),(8),(16),(32))
+        |    b(bands) CROSS JOIN (VALUES (2),(4),(8)) r(rpb)),
+        |g AS (SELECT i / CAST(128 AS DOUBLE) AS s
+        |  FROM generate_series(1, 127) t(i)),
+        |c1 AS (SELECT bands, rpb, s, s * s AS s2 FROM p CROSS JOIN g),
+        |c2 AS (SELECT *, s2 * s2 AS s4 FROM c1),
+        |c3 AS (SELECT *, s4 * s4 AS s8 FROM c2),
+        |c4 AS (SELECT *, CASE rpb WHEN 2 THEN s2 WHEN 4 THEN s4
+        |    ELSE s8 END AS sr FROM c3),
+        |c5 AS (SELECT *, CAST(1 AS DOUBLE) - sr AS u FROM c4),
+        |c6 AS (SELECT *, u * u AS u2 FROM c5),
+        |c7 AS (SELECT *, u2 * u2 AS u4 FROM c6),
+        |c8 AS (SELECT *, u4 * u4 AS u8 FROM c7),
+        |c9 AS (SELECT *, u8 * u8 AS u16 FROM c8),
+        |c10 AS (SELECT *, u16 * u16 AS u32 FROM c9),
+        |c11 AS (SELECT bands, rpb, s, CASE bands WHEN 4 THEN u4
+        |    WHEN 8 THEN u8 WHEN 16 THEN u16 ELSE u32 END AS pmiss
+        |  FROM c10),
+        |a AS (SELECT bands, rpb,
+        |    CAST(sum(CASE WHEN s < 0.5e0 THEN CAST(round(
+        |      (CAST(1 AS DOUBLE) - pmiss) * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS fp_q6,
+        |    CAST(sum(CASE WHEN s >= 0.5e0 THEN CAST(round(
+        |      pmiss * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS fn_q6
+        |  FROM c11 GROUP BY 1, 2)
+        |SELECT CAST(bands AS BIGINT) AS bands, CAST(rpb AS BIGINT)
+        |    AS rpb,
+        |  CAST(bands * rpb AS BIGINT) AS sig_len, fp_q6, fn_q6,
+        |  fp_q6 + fn_q6 AS err_q6
+        |FROM a ORDER BY err_q6, bands, rpb""".stripMargin)(
+      (s, _) => Dedup.lshParamPlan(s, thresholdNum = 64)),
+
+    // Sequence-gap census (Profiling.sequenceGapCensus): is every
+    // order's linenumber sequence EXACTLY 1..n — within-key ordinal
+    // completeness, the event-log integrity audit fk_integrity
+    // (between tables) and fd_census (within columns) don't cover;
+    // per sequence length so corruption localizes. Zero dup/gapped
+    // rows IS the pass state.
+    q("q306_sequence_gap_census",
+      """WITH k AS (SELECT l_orderkey, count(*) AS n,
+        |    min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+        |    count(DISTINCT l_linenumber) AS d
+        |  FROM lineitem GROUP BY 1)
+        |SELECT n AS seq_len, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN d = n AND mn = 1 AND mx = n THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN d < n THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup,
+        |  CAST(sum(CASE WHEN d = n AND NOT (mn = 1 AND mx = n)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_gapped
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Profiling.sequenceGapCensus(Tables.lineitem(s, d),
+        keyCol = "l_orderkey", seqCol = "l_linenumber")),
+
+    // Degree assortativity (Graph.degreeAssortativity): Newman's r —
+    // Pearson over endpoint degrees of every directed edge end — on
+    // the q103 affinity graph: do hubs connect to hubs (r>0) or to
+    // leaves (r<0)? Integer degree sums in decimal(38,0)/HUGEINT (the
+    // q299 discipline), one q6-quantized IEEE-exact division.
+    q("q307_degree_assortativity",
+      """WITH raw AS (SELECT c_nationkey AS src, c_custkey % 25 AS dst
+        |  FROM customer),
+        |c AS (SELECT DISTINCT least(src, dst) AS a,
+        |    greatest(src, dst) AS b
+        |  FROM raw WHERE least(src, dst) < greatest(src, dst)),
+        |e AS (SELECT a AS u, b AS v FROM c
+        |  UNION ALL SELECT b, a FROM c),
+        |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY 1),
+        |j AS (SELECT du.deg AS dx, dv.deg AS dy FROM e
+        |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |s AS (SELECT count(*) AS n, sum(CAST(dx AS HUGEINT)) AS sx,
+        |    sum(CAST(dy AS HUGEINT)) AS sy,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |    sum(CAST(dy AS HUGEINT) * dy) AS syy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_ends,
+        |  CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |           sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0))
+        |    AS BIGINT) AS r_q6
+        |FROM s""".stripMargin)(
+      (s, d) => Graph.degreeAssortativity(
+        Tables.customer(s, d).select(col("c_nationkey").as("src"),
+          (col("c_custkey") % 25).as("dst"))))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -712,4 +712,37 @@ class DedupSpec extends SparkSpec {
       assert(exact.nonEmpty || t > 0.5, s"fixture too weak at $t")
     }
   }
+
+  test("lshParamPlan: (4,2) row matches the squaring-chain replay") {
+    // replay the exact double chain the operator promises: s = i/128,
+    // powers by explicit squaring, per-point q6 round, integer sum
+    var fp = 0L; var fn = 0L
+    for (i <- 1 to 127) {
+      val s = i / 128.0; val s2 = s * s
+      val u = 1.0 - s2; val u2 = u * u; val u4 = u2 * u2
+      if (s < 0.5) fp += math.round((1.0 - u4) * 1000000)
+      else fn += math.round(u4 * 1000000)
+    }
+    val rows = Dedup.lshParamPlan(spark)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 12)
+    val r42 = rows.find(r => r._1 == 4L && r._2 == 2L).get
+    assert(r42 == ((4L, 2L, 8L, fp, fn, fp + fn)))
+  }
+
+  test("lshParamPlan: more bands = more capture (fp up, fn down)") {
+    val rows = Dedup.lshParamPlan(spark)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    for (r <- Seq(2L, 4L, 8L)) {
+      val byBands = rows.filter(_._2 == r).sortBy(_._1)
+      assert(byBands.map(_._4).sliding(2).forall(p => p(0) <= p(1)),
+        s"fp not monotone in bands at rpb=$r")
+      assert(byBands.map(_._5).sliding(2).forall(p => p(0) >= p(1)),
+        s"fn not monotone in bands at rpb=$r")
+      assert(byBands.forall(x => x._3 == x._1 * x._2 &&
+        x._6 == x._4 + x._5))
+    }
+    // sorted by total error: first row is the planner's pick
+    assert(rows.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
+  }
 }

@@ -61,4 +61,32 @@ class GraphSpec extends SparkSpec {
       (0L, 0L, 1L), (0L, 1L, 2L), (0L, 2L, 1L), (0L, 3L, 1L),
       (1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L), (1L, 3L, 1L)))
   }
+
+  test("degreeAssortativity: star is exactly -1, hand-checked sums") {
+    // star 0–{1,2,3}: deg(0)=3, leaves 1 — every edge end pairs a hub
+    // with a leaf, perfect anti-correlation: n=6, sx=sy=12, sxy=18,
+    // sxx=syy=30 → r = (6·18−144)/(6·30−144) = −36/36 = −1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val got = Graph.degreeAssortativity(star)
+      .as[(Long, Option[Long])].collect().head
+    assert(got == ((6L, Some(-1000000L))))
+  }
+
+  test("degreeAssortativity: regular graph has zero variance → NULL") {
+    // triangle: all degrees 2 — denominator is 0, r undefined
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.degreeAssortativity(tri)
+      .as[(Long, Option[Long])].collect().head
+    assert(got == ((6L, None)))
+  }
+
+  test("degreeAssortativity: direction, dups, self-loops collapse") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val messy = Seq((1L, 0L), (0L, 1L), (0L, 2L), (2L, 0L), (0L, 3L),
+      (3L, 3L)).toDF("src", "dst")
+    assert(Graph.degreeAssortativity(messy)
+      .as[(Long, Option[Long])].collect().head ==
+      Graph.degreeAssortativity(star)
+        .as[(Long, Option[Long])].collect().head)
+  }
 }

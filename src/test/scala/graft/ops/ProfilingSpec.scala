@@ -431,4 +431,20 @@ class ProfilingSpec extends SparkSpec {
     assert(Profiling.ksTwoSample(same, "g", "v", "a", "b")
       .as[(Long, Long, Long, Long)].collect().head == ((2L, 2L, 0L, 0L)))
   }
+
+  test("sequenceGapCensus: ok / dup / gapped partition the key space") {
+    val df = Seq(
+      ("a", 1), ("a", 2), ("a", 3),  // exact 1..3 → ok
+      ("b", 1), ("b", 2), ("b", 2),  // repeat → dup
+      ("c", 1), ("c", 3), ("c", 4),  // hole → gapped
+      ("d", 2), ("d", 3), ("d", 4),  // offset start → gapped
+      ("e", 1),                      // exact 1..1 → ok
+      ("f", 5)                       // singleton off origin → gapped
+    ).toDF("key", "seq")
+    val got = Profiling.sequenceGapCensus(df, "key", "seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0L, 1L),
+      (3L, 4L, 1L, 1L, 2L)))
+  }
 }
