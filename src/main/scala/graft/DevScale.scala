@@ -462,6 +462,19 @@ object DevScale {
       "q301_mmr" -> SparkEntry.queries("q301_mmr_rerank"),
       "q302_setcover" -> SparkEntry.queries("q302_greedy_source_cover"),
       "q303_kcenter" -> SparkEntry.queries("q303_kcenter_coreset"),
+      // q299: the orders census grows F× but copies' custkeys dangle
+      // against the verbatim customer dim (the q138/q206 regime), so
+      // the rank windows see constant per-nation partitions — the
+      // curve prices the fact agg + join. q300 one value census +
+      // census-sized window; q304 write+readback volume grows F×;
+      // q306 one keyed partial agg + length census. q305 (LSH param
+      // plan) reads ZERO tables — a 127×12 literal grid, nothing to
+      // inflate; q307 (assortativity) reads only the verbatim customer
+      // dim — both constant by construction, excluded like q273.
+      "q299_spearman" -> SparkEntry.queries("q299_spearman"),
+      "q300_ks" -> SparkEntry.queries("q300_ks_drift"),
+      "q304_schemaevo" -> SparkEntry.queries("q304_schema_evolution"),
+      "q306_seqgap" -> SparkEntry.queries("q306_sequence_gap_census"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT
