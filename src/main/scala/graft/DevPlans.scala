@@ -106,7 +106,10 @@ object DevPlans {
         "q295_first_char_partitioner", "q296_mutual_nn_ivf",
         "q298_prefix_jaccard", "q299_spearman", "q300_ks_drift",
         "q301_mmr_rerank", "q302_greedy_source_cover",
-        "q303_kcenter_coreset", "q304_schema_evolution")
+        "q303_kcenter_coreset", "q304_schema_evolution",
+        "q305_lsh_param_plan", "q306_sequence_gap_census",
+        "q307_degree_assortativity", "q308_linear_probe",
+        "q310_target_encode_loo", "q311_salt_plan")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -475,6 +475,21 @@ object DevScale {
       "q300_ks" -> SparkEntry.queries("q300_ks_drift"),
       "q304_schemaevo" -> SparkEntry.queries("q304_schema_evolution"),
       "q306_seqgap" -> SparkEntry.queries("q306_sequence_gap_census"),
+      // q308: per iteration ONE partial agg to four driver numbers over
+      // the persisted feature frame (kmeans shape) — expect linear in
+      // the document scan; q309 runs the REAL streaming engine (file
+      // source → state-store window agg), so its rung prices micro-
+      // batch + state overhead against the batch q30 plan as F grows
+      "q308_probe" -> SparkEntry.queries("q308_linear_probe"),
+      "q309_streampar" -> SparkEntry.queries("q309_stream_tumbling_parity"),
+      // q310 keyed agg + broadcast-back over the inflating orders scan
+      // (output bounded by the key sample — cost is the scan); q311 one
+      // keyed partial agg over events; q312 runs the DOUBLED stream
+      // through dedup state — the rung prices watermark-bounded state
+      // + micro-batch overhead growing with event volume
+      "q310_loo" -> SparkEntry.queries("q310_target_encode_loo"),
+      "q311_saltplan" -> SparkEntry.queries("q311_salt_plan"),
+      "q312_streamdedup" -> SparkEntry.queries("q312_stream_dedup_parity"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

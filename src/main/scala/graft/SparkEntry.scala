@@ -8109,7 +8109,129 @@ object SparkEntry {
         |FROM s""".stripMargin)(
       (s, d) => Graph.degreeAssortativity(
         Tables.customer(s, d).select(col("c_nationkey").as("src"),
-          (col("c_custkey") % 25).as("dst"))))
+          (col("c_custkey") % 25).as("dst")))),
+
+    // Integer fixed-point GD linear probe (ml.LinearProbe): full-batch
+    // gradient descent with a HARD sigmoid (clamp(½ + m/4, 0, 1)) so
+    // the whole training loop — margins, activations, gradients,
+    // updates — is exact integer arithmetic, bit-identical across
+    // engines (no libm exp; the pageRankMicro/q28 determinism
+    // argument applied to a trainer). Task: predict exact-dup
+    // membership from (n_chars div 64, token count). Each iteration is
+    // one partial agg folding to four driver numbers (the kmeans
+    // discipline); the oracle unrolls the same three iterations.
+    q("q308_linear_probe",
+      """WITH d AS (SELECT text, n_chars,
+        |    count(*) OVER (PARTITION BY md5(text)) AS c FROM documents),
+        |f AS (SELECT CAST(n_chars // 64 AS BIGINT) AS f1,
+        |    CAST(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> length(w) > 0)) AS BIGINT) AS f2,
+        |    CASE WHEN c > 1 THEN 1 ELSE 0 END AS y FROM d),
+        |s1 AS (SELECT count(*) AS n,
+        |    sum(CAST(500000 - 1000000 * y AS HUGEINT)) AS g0,
+        |    sum(CAST(500000 - 1000000 * y AS HUGEINT) * f1) AS g1,
+        |    sum(CAST(500000 - 1000000 * y AS HUGEINT) * f2) AS g2
+        |  FROM f),
+        |w1 AS (SELECT n, -(g0 // (64 * n)) AS w0,
+        |    -(g1 // (64 * n)) AS wa, -(g2 // (64 * n)) AS wb FROM s1),
+        |h2 AS (SELECT f.y, f.f1, f.f2, greatest(least(500000 +
+        |    CAST(w1.w0 + w1.wa * f.f1 + w1.wb * f.f2 AS BIGINT) // 4,
+        |    1000000), 0) AS h FROM f, w1),
+        |s2 AS (SELECT count(*) AS n,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT)) AS g0,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT) * f1) AS g1,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT) * f2) AS g2 FROM h2),
+        |w2 AS (SELECT s2.n, w1.w0 - (s2.g0 // (64 * s2.n)) AS w0,
+        |    w1.wa - (s2.g1 // (64 * s2.n)) AS wa,
+        |    w1.wb - (s2.g2 // (64 * s2.n)) AS wb FROM s2, w1),
+        |h3 AS (SELECT f.y, f.f1, f.f2, greatest(least(500000 +
+        |    CAST(w2.w0 + w2.wa * f.f1 + w2.wb * f.f2 AS BIGINT) // 4,
+        |    1000000), 0) AS h FROM f, w2),
+        |s3 AS (SELECT count(*) AS n,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT)) AS g0,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT) * f1) AS g1,
+        |    sum(CAST(h - 1000000 * y AS HUGEINT) * f2) AS g2 FROM h3),
+        |w3 AS (SELECT s3.n, w2.w0 - (s3.g0 // (64 * s3.n)) AS w0,
+        |    w2.wa - (s3.g1 // (64 * s3.n)) AS wa,
+        |    w2.wb - (s3.g2 // (64 * s3.n)) AS wb FROM s3, w2),
+        |mf AS (SELECT f.y, CAST(w3.w0 + w3.wa * f.f1 +
+        |    w3.wb * f.f2 AS BIGINT) AS m FROM f, w3),
+        |a AS (SELECT count(*) AS n, sum(CASE WHEN (m >= 0) = (y = 1)
+        |    THEN 1 ELSE 0 END) AS ok FROM mf)
+        |SELECT 'acc_pm' AS term, CAST(ok * 1000 // n AS BIGINT) AS val
+        |  FROM a
+        |UNION ALL SELECT 'n', CAST(n AS BIGINT) FROM a
+        |UNION ALL SELECT 'w0', CAST(w0 AS BIGINT) FROM w3
+        |UNION ALL SELECT 'w1', CAST(wa AS BIGINT) FROM w3
+        |UNION ALL SELECT 'w2', CAST(wb AS BIGINT) FROM w3
+        |ORDER BY term""".stripMargin)(
+      (s, d) => graft.ml.LinearProbe.trainHardSigmoidGd(
+        Tables.documents(s, d), iterations = 3)),
+
+    // Streaming-engine parity (EventStreams.tumblingCountsViaStream):
+    // q30's tumbling aggregate executed THROUGH Structured Streaming —
+    // readStream file source → state-store windowed agg → memory sink
+    // under Trigger.AvailableNow, complete mode — and checked against
+    // q30's batch oracle VERBATIM. Micro-batch planning and cross-batch
+    // state accumulation must reproduce the batch result bit for bit;
+    // the unit specs pin watermark/late-data behavior, this entry pins
+    // the arithmetic parity under the driver's gate.
+    q("q309_stream_tumbling_parity",
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_us,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams.tumblingCountsViaStream(s, d)),
+
+    // Leave-one-out target encoding (Relational.targetEncodeLoo): the
+    // high-cardinality categorical encoder with the leakage fix — each
+    // order's nation feature is the mean of the OTHER orders' values,
+    // reported as the exact rational (group cents − own cents, n − 1)
+    // so both engines agree bit for bit; singleton groups get NULL
+    // (no peers), not 0. One keyed agg + one broadcast-back join.
+    q("q310_target_encode_loo",
+      """WITH fact AS (SELECT o_orderkey, c_nationkey AS nation,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT nation, count(*) AS n,
+        |    sum(CAST(cents AS HUGEINT)) AS s FROM fact GROUP BY 1)
+        |SELECT o_orderkey, CAST(nation AS BIGINT) AS nation,
+        |  CASE WHEN n > 1 THEN CAST(s - cents AS VARCHAR)
+        |    ELSE NULL END AS loo_num,
+        |  CAST(n - 1 AS BIGINT) AS loo_den
+        |FROM fact JOIN g USING (nation)
+        |WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin)(
+      (s, d) => Relational.targetEncodeLoo(Tables.orders(s, d),
+        Tables.customer(s, d), maxOrderKey = 500L)),
+
+    // Salt-factor planning census (Skew.saltPlanCensus): per-key counts
+    // vs a rows-per-task budget → the ⌈cnt/target⌉ salt factor a salted
+    // repartition needs per hot key. Turns q72's constant salt and the
+    // q75/q95 skew diagnostics into an actionable pre-flight plan; one
+    // keyed partial agg, integer ceiling both engines.
+    q("q311_salt_plan",
+      """SELECT event_type AS key, count(*) AS cnt,
+        |  CAST((count(*) + 999) // 1000 AS BIGINT) AS salt_factor
+        |FROM events GROUP BY 1 HAVING count(*) > 1000
+        |ORDER BY cnt DESC, key""".stripMargin)(
+      (s, d) => Skew.saltPlanCensus(Tables.events(s, d),
+        key = "event_type", targetPerTask = 1000L)),
+
+    // Streaming dedup law (EventStreams.dedupedUnionCensusViaStream):
+    // the events file ingested TWICE through the real streaming engine
+    // (doubled at-least-once delivery), dropDuplicatesWithinWatermark
+    // collapses the copies, and the surviving per-type census must
+    // equal the batch census of the single table — exactly-once
+    // recovered from at-least-once, checked by the driver's oracle,
+    // not just unit specs. Exact-cents sums (no double fold).
+    q("q312_stream_dedup_parity",
+      """SELECT event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .dedupedUnionCensusViaStream(s, d))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

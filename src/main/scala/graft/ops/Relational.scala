@@ -1744,4 +1744,45 @@ object Relational {
         col("rnk").cast("long").as("rnk"))
       .orderBy("cust", "rnk")
   }
+
+  /** Leave-one-out target encoding: each order's nation feature becomes
+    * the mean order value of the SAME nation's OTHER orders — the
+    * standard high-cardinality categorical encoder with the standard
+    * leakage fix (a plain group mean includes the row's own target;
+    * LOO subtracts it, so the feature never sees its own label — the
+    * q119/q152 leakage-audit posture applied at feature build time).
+    *
+    * Reported as an EXACT RATIONAL (loo_num = group cents − own cents,
+    * loo_den = n − 1) instead of a rounded double: exact integers
+    * cross engines bit for bit, and downstream can divide at whatever
+    * precision it wants. Groups of one get NULL num (no peers — the
+    * encoder's honest answer, not 0). Output restricted to a bounded
+    * key sample; the encoding itself is corpus-wide.
+    *
+    * Scale shape: one keyed partial agg for the group sums, broadcast
+    * back over the fact scan by the group key (|nations| rows — at
+    * higher-cardinality keys the same plan shuffles on the key, still
+    * one agg + one equi-join). No window.
+    */
+  def targetEncodeLoo(orders: DataFrame, customer: DataFrame,
+                      maxOrderKey: Long = 500L): DataFrame = {
+    val fact = orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("cast(round(o_totalprice * 100) as long)").as("__cents"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("nation"),
+        col("__cents"))
+    val grp = fact.groupBy("nation")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__cents").cast("decimal(38,0)")).as("__sum"))
+    fact.join(broadcast(grp), "nation")
+      .filter(col("o_orderkey") < maxOrderKey)
+      .select(col("o_orderkey"), col("nation").cast("long").as("nation"),
+        when(col("__n") > 1L,
+          (col("__sum") - col("__cents")).cast("decimal(38,0)"))
+          .otherwise(lit(null)).cast("string").as("loo_num"),
+        (col("__n") - 1L).as("loo_den"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -129,4 +129,31 @@ object Skew {
       .values
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Salt-factor planning census: per-key row counts against a target
+    * rows-per-task budget, emitting — for every key whose count exceeds
+    * the budget — the salt factor `⌈count / target⌉` a salted
+    * repartition needs to bring its heaviest task back under budget.
+    * The decision `saltedEquiJoin` (q72) takes as a CONSTANT becomes a
+    * measured, per-key plan: run this census once, feed the max (or the
+    * per-key map) into the salt, and the q75/q95 skew diagnostics turn
+    * into an actionable repartition scheme — the pre-flight a 100 TB
+    * groupBy/join runs instead of discovering the straggler at hour
+    * three. Integer arithmetic throughout: the ceiling is
+    * `(cnt + target − 1) div target`, exact both engines.
+    *
+    * Scale shape: ONE keyed partial agg (map-side combine folds to the
+    * key cardinality) + a threshold filter; output is hot keys only,
+    * ordered by weight. No window, no join.
+    */
+  def saltPlanCensus(df: DataFrame, key: String,
+                     targetPerTask: Long = 1000L): DataFrame = {
+    require(targetPerTask >= 1, "targetPerTask must be >= 1")
+    df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > targetPerTask)
+      .withColumn("salt_factor",
+        expr(s"(cnt + ${targetPerTask - 1}L) div ${targetPerTask}L"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
 }

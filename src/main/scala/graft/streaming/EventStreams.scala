@@ -330,4 +330,77 @@ object EventStreams {
     graft.Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
   }
+
+  /** The tumbling-window aggregate executed THROUGH the streaming
+    * engine — `readEventStream` → `tumblingTypeCounts` → memory sink
+    * under `Trigger.AvailableNow`, complete mode — then returned as a
+    * plain DataFrame. This is the entry that puts the STREAMING
+    * EXECUTION PATH itself under the driver's DuckDB oracle (q309; the
+    * oracle is q30's batch SQL verbatim): micro-batch planning, state
+    * store accumulation across batches, and window finalization must
+    * reproduce the batch result bit for bit, not just pass unit specs.
+    * Complete mode because a finite file source ends before any
+    * watermark can pass the last window — append mode would hold the
+    * tail windows back forever (the StreamingSpec finalization law);
+    * complete emits every window at termination, which IS the batch
+    * semantics this parity check wants.
+    *
+    * Scale shape: identical to the batch q30 plan (keyed partial agg
+    * per window×type) plus state-store writes; at 100 TB the same
+    * query runs unbounded with append mode + watermark — this entry
+    * pins the arithmetic parity, the specs pin the watermark behavior.
+    */
+  def tumblingCountsViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q309_stream_tumbling"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val sq = tumblingTypeCounts(readEventStream(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(queryName).orderBy("win_us", "event_type")
+  }
+
+  /** The watermarked streaming DEDUP LAW, driver-checkable: the events
+    * file is ingested TWICE (two file streams unioned — a doubled
+    * at-least-once delivery), `dropDuplicatesWithinWatermark` on
+    * event_id collapses the copies, and the surviving rows fold to a
+    * per-type census that must equal the batch census of the single
+    * table — exactly-once semantics recovered from at-least-once
+    * delivery, the contract every 100 TB streaming intake depends on.
+    * The duplicate copies carry identical event times, so they always
+    * fall within any watermark delay of each other — the law is exact,
+    * not probabilistic. Census arithmetic is the q30 convention
+    * (integer counts + 2-dp value sums).
+    *
+    * Scale shape: dedup state is keyed by event_id and pruned by the
+    * watermark (bounded by delay × arrival rate, never the corpus);
+    * the census is a keyed partial agg over the deduped stream. The
+    * memory-sink collection here is parity harness, not the deployment
+    * path (that writes a real sink, UpsertSink).
+    */
+  def dedupedUnionCensusViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q312_stream_dedup"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val doubled = readEventStream(spark, dir)
+      .unionByName(readEventStream(spark, dir))
+    val sq = withEventTime(doubled)
+      .withWatermark("event_time", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(queryName)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("n_users"),
+        // exact cents, not a rounded double sum: a per-type corpus-wide
+        // double fold is order-sensitive at the ulp level and this
+        // census must hash-match the oracle bit for bit
+        sum(expr("cast(round(value * 100) as long)")).as("sum_cents"))
+      .orderBy("event_type")
+  }
 }

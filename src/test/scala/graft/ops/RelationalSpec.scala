@@ -637,4 +637,22 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 3L, 1000000L), (1L, 3L, 0L)))
   }
+
+  test("targetEncodeLoo: exact rational, own target excluded, " +
+      "singleton gets NULL") {
+    val orders = Seq(
+      (1L, 10L, 1.00), (2L, 11L, 2.00), (3L, 12L, 3.00), // nation 0
+      (4L, 13L, 1.50)                                    // nation 1
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Seq((10L, 0L), (11L, 0L), (12L, 0L), (13L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    val got = Relational.targetEncodeLoo(orders, customer)
+      .as[(Long, Long, Option[String], Long)].collect().toSeq
+    // nation-0 cents sum = 600: each row's num is the OTHERS' sum
+    assert(got == Seq(
+      (1L, 0L, Some("500"), 2L),
+      (2L, 0L, Some("400"), 2L),
+      (3L, 0L, Some("300"), 2L),
+      (4L, 1L, None, 0L)))
+  }
 }

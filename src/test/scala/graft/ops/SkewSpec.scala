@@ -84,4 +84,17 @@ class SkewSpec extends SparkSpec {
     assert(Skew.keyGini(one, "k")
       .as[(Long, Long, Long, Long)].collect().head == (1L, 3L, 0L, 3L))
   }
+
+  test("saltPlanCensus: exact ceilings, only keys over budget, by weight") {
+    // counts: a=7, b=3, c=10, d=2 at target 3 → a: ⌈7/3⌉=3, c: ⌈10/3⌉=4
+    val df = (Seq.fill(7)("a") ++ Seq.fill(3)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(2)("d")).toDF("k")
+    val got = Skew.saltPlanCensus(df, "k", targetPerTask = 3L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("c", 10L, 4L), ("a", 7L, 3L)))
+    // exact multiple of the budget needs no extra split: 6/3 = 2
+    val even = (Seq.fill(6)("x") ++ Seq.fill(3)("y")).toDF("k")
+    assert(Skew.saltPlanCensus(even, "k", targetPerTask = 3L)
+      .as[(String, Long, Long)].collect().toSeq == Seq(("x", 6L, 2L)))
+  }
 }

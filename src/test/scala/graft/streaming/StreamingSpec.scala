@@ -148,6 +148,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.values.sum == 1000L)
   }
 
+  test("tumblingCountsViaStream reproduces the batch q30 result") {
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").isFile)
+    val streamed = EventStreams.tumblingCountsViaStream(spark, src,
+        queryName = "spec_tumbling_parity")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = EventStreams
+      .tumblingTypeCounts(graft.Tables.events(spark, src))
+      .orderBy("win_us", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("dedup law: doubled delivery collapses to the single-table census") {
+    val src = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$src/events.parquet").isFile)
+    val streamed = EventStreams.dedupedUnionCensusViaStream(spark, src,
+        queryName = "spec_dedup_law")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batch = graft.Tables.events(spark, src)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"),
+        org.apache.spark.sql.functions.countDistinct($"user_id")
+          .as("n_users"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions
+            .expr("cast(round(value * 100) as long)")).as("sum_cents"))
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(streamed == batch && streamed.map(_._2).sum == 1000L)
+  }
+
   test("stream-stream two-leg join matches within the window, per user") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
