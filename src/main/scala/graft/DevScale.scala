@@ -490,6 +490,11 @@ object DevScale {
       "q310_loo" -> SparkEntry.queries("q310_target_encode_loo"),
       "q311_saltplan" -> SparkEntry.queries("q311_salt_plan"),
       "q312_streamdedup" -> SparkEntry.queries("q312_stream_dedup_parity"),
+      // q313 is the q01 scan-agg submitted through the SQL parser —
+      // same plan, the rung is a parser-path sanity row; q314 one
+      // keyed + one global partial agg over the lineitem scan
+      "q313_sql" -> SparkEntry.queries("q313_sql_frontdoor"),
+      "q314_simpson" -> SparkEntry.queries("q314_simpson_audit"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

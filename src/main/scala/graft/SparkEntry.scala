@@ -8231,7 +8231,72 @@ object SparkEntry {
         |    AS sum_cents
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => graft.streaming.EventStreams
-        .dedupedUnionCensusViaStream(s, d))
+        .dedupedUnionCensusViaStream(s, d)),
+
+    // SQL front door: q01's pricing summary submitted as SQL TEXT
+    // through spark.sql over a registered view — same Catalyst logical
+    // plan, same oracle, zero DataFrame code. Pins that a user of this
+    // engine can drive it from SQL alone (the reference's users write
+    // jobs; ours can write either) and that the SQL parser path stays
+    // plan-identical to the declarative builders.
+    q("q313_sql_frontdoor",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price, avg(l_quantity) AS avg_qty,
+        |  CAST(ceil(avg(l_quantity)) AS INTEGER) AS ceil_avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v313")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+            sum(l_quantity) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_price,
+            avg(l_quantity) AS avg_qty,
+            CAST(ceil(avg(l_quantity)) AS INT) AS ceil_avg_qty,
+            count(*) AS count_order
+          FROM lineitem_v313
+          WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+      }),
+
+    // Simpson's-paradox audit (Profiling.simpsonSlopeAudit): per-group
+    // OLS slope of quantity on discount cents next to the pooled slope,
+    // reversal flagged on EXACT integer numerators (never the rounded
+    // doubles) — "is the aggregate trend an artifact of pooling", the
+    // governance question q230/q299 correlation censuses can't answer.
+    q("q314_simpson_audit",
+      """WITH b AS (SELECT l_returnflag AS grp,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |g AS (SELECT grp, count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM b GROUP BY 1),
+        |p AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM b),
+        |gg AS (SELECT grp, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den FROM g),
+        |pp AS (SELECT n * sxy - sx * sy AS p_num,
+        |    n * sxx - sx * sx AS p_den FROM p)
+        |SELECT grp, CAST(gg.n AS BIGINT) AS n,
+        |  CAST(round(1000000 * CAST(num AS DOUBLE) /
+        |    nullif(CAST(den AS DOUBLE), 0)) AS BIGINT) AS slope_q6,
+        |  CAST(round(1000000 * CAST(p_num AS DOUBLE) /
+        |    nullif(CAST(p_den AS DOUBLE), 0)) AS BIGINT)
+        |    AS pooled_slope_q6,
+        |  (den > 0 AND p_den > 0 AND ((num < 0 AND p_num > 0)
+        |    OR (num > 0 AND p_num < 0))) AS reversed
+        |FROM gg, pp ORDER BY grp""".stripMargin)(
+      (s, d) => Profiling.simpsonSlopeAudit(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          org.apache.spark.sql.functions
+            .expr("cast(round(l_discount * 100) as long)").as("disc_c"),
+          col("l_quantity")),
+        groupCol = "l_returnflag", xCol = "disc_c", yCol = "l_quantity"))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -938,4 +938,50 @@ object Profiling {
           .otherwise(0L)).as("n_gapped"))
       .orderBy("seq_len")
   }
+
+  /** Simpson's-paradox audit: the OLS slope of y on x within every
+    * group next to the pooled slope, with a reversal flag where the
+    * within-group trend and the aggregate trend point in OPPOSITE
+    * directions — the one-query answer to "is this correlation an
+    * artifact of pooling" that a per-group Pearson (q230/q299) alone
+    * can't give. The reversal decision compares EXACT integer slope
+    * numerators n·Σxy − Σx·Σy (decimal(38,0)/HUGEINT — the q299
+    * discipline), never the rounded doubles, so the flag has no
+    * boundary noise; slope_q6 is the human-readable rounding of the
+    * same integers (denominator n·Σxx − (Σx)² ≥ 0 always, so the
+    * numerator alone carries the sign). Zero-variance sides report
+    * NULL slope and a false flag.
+    *
+    * Scale shape: one keyed partial agg for the groups, one global
+    * partial agg for the pool (a 1-row broadcast crossJoin); output is
+    * |groups| rows. No window, no per-row join.
+    */
+  def simpsonSlopeAudit(df: DataFrame, groupCol: String,
+                        xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("grp"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def stats(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x").cast("decimal(38,0)")).as("sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("sy"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("sxx"))
+    val per = stats(base.groupBy("grp"))
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+    val pooled = stats(base.groupBy())
+      .select(expr("n * sxy - sx * sy").as("p_num"),
+        expr("n * sxx - sx * sx").as("p_den"))
+    def slopeQ6(num: String, den: String) = expr(
+      s"""cast(round(1000000 * cast($num as double) /
+         nullif(cast($den as double), 0d)) as bigint)""")
+    per.crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n"),
+        slopeQ6("num", "den").as("slope_q6"),
+        slopeQ6("p_num", "p_den").as("pooled_slope_q6"),
+        (col("den") > 0 && col("p_den") > 0 &&
+          ((col("num") < 0 && col("p_num") > 0) ||
+           (col("num") > 0 && col("p_num") < 0))).as("reversed"))
+      .orderBy("grp")
+  }
 }

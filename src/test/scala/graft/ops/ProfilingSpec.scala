@@ -447,4 +447,33 @@ class ProfilingSpec extends SparkSpec {
       (1L, 2L, 1L, 0L, 1L),
       (3L, 4L, 1L, 1L, 2L)))
   }
+
+  test("simpsonSlopeAudit: textbook reversal, hand-computed slopes") {
+    // within each group y FALLS with x (slope −1 exactly); the groups
+    // sit on an ascending diagonal, so the pooled slope RISES:
+    // pooled num = 4·242 − 14·58 = 156, den = 4·66 − 196 = 68 →
+    // slope_q6 = round(156e6/68) = 2294118 — a reversal in both groups
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 9L),
+      ("b", 5L, 20L), ("b", 6L, 19L)).toDF("g", "x", "y")
+    val got = Profiling.simpsonSlopeAudit(df, "g", "x", "y")
+      .as[(String, Long, Option[Long], Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, Some(-1000000L), Some(2294118L), true),
+      ("b", 2L, Some(-1000000L), Some(2294118L), true)))
+  }
+
+  test("simpsonSlopeAudit: zero-variance group gets NULL, no flag") {
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 9L),
+      ("b", 5L, 20L), ("b", 6L, 19L), ("c", 3L, 3L)).toDF("g", "x", "y")
+    // pooled num = 5·251 − 17·61 = 218, den = 5·75 − 289 = 86 →
+    // slope_q6 = round(218e6/86) = 2534884
+    val got = Profiling.simpsonSlopeAudit(df, "g", "x", "y")
+      .as[(String, Long, Option[Long], Option[Long], Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, Some(-1000000L), Some(2534884L), true),
+      ("b", 2L, Some(-1000000L), Some(2534884L), true),
+      ("c", 1L, None, Some(2534884L), false)))
+  }
 }
