@@ -495,6 +495,12 @@ object DevScale {
       // keyed + one global partial agg over the lineitem scan
       "q313_sql" -> SparkEntry.queries("q313_sql_frontdoor"),
       "q314_simpson" -> SparkEntry.queries("q314_simpson_audit"),
+      // q315 pays the bucketed WRITE (the once-per-workload shuffle)
+      // plus the exchange-free join each run — write volume grows F×;
+      // q316 writes+reads the documents projection three times (row
+      // formats are the expensive legs, priced here deliberately)
+      "q315_bucketed" -> SparkEntry.queries("q315_bucketed_join"),
+      "q316_formats" -> SparkEntry.queries("q316_format_roundtrip"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

@@ -8297,6 +8297,57 @@ object SparkEntry {
             .expr("cast(round(l_discount * 100) as long)").as("disc_c"),
           col("l_quantity")),
         groupCol = "l_returnflag", xCol = "disc_c", yCol = "l_quantity"))
+  ,
+
+    // Bucketed co-located join (Bucketing.writeBucketed/coLocatedJoin):
+    // both sides pre-hashed into 8 buckets on the join key at WRITE
+    // time, so the join itself plans with zero exchanges (BucketingSpec
+    // pins the no-Exchange plan) — the 100 TB lever for recurring
+    // fact joins: pay the shuffle once, never at read. This entry puts
+    // the bucketed read path's RESULT under the driver oracle too.
+    q("q315_bucketed_join",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS HUGEINT)) AS VARCHAR) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, expr, lit, sum}
+        Bucketing.writeBucketed(Tables.orders(s, d)
+            .select(col("o_custkey").as("k"),
+              expr("cast(round(o_totalprice * 100) as long)").as("cents")),
+          "g315_orders", "k", buckets = 8)
+        Bucketing.writeBucketed(Tables.customer(s, d)
+            .select(col("c_custkey").as("k"), col("c_nationkey")),
+          "g315_customer", "k", buckets = 8)
+        Bucketing.coLocatedJoin(s, "g315_orders", "g315_customer", "k")
+          .groupBy(col("c_nationkey").cast("long").as("nation"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).cast("string")
+              .as("cents"))
+          .orderBy("nation")
+      }),
+
+    // Interchange-format lossless law (Sinks.formatRoundtripChecksum):
+    // the documents projection written through the CSV, JSON and ORC
+    // sinks, each read back and checksummed — all three rows must equal
+    // the source census (q291's law generalized across the format
+    // surface; CSV quoting/escaping is the leg this gate exists for).
+    q("q316_format_roundtrip",
+      """WITH c AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat(
+        |    coalesce(md5(CAST(doc_id AS VARCHAR)), 'null'),
+        |    coalesce(md5(text), 'null'))), 1, 8)) AS BIGINT))
+        |    AS VARCHAR) AS checksum
+        |  FROM documents)
+        |SELECT 'csv' AS format, n_rows, checksum FROM c
+        |UNION ALL SELECT 'json', n_rows, checksum FROM c
+        |UNION ALL SELECT 'orc', n_rows, checksum FROM c
+        |ORDER BY format""".stripMargin)(
+      (s, d) => Sinks.formatRoundtripChecksum(Tables.documents(s, d),
+        cols = Seq("doc_id", "text"), formats = Seq("csv", "json", "orc"),
+        path = Sinks.scratch("q316_formats")))
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

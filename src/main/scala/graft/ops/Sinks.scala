@@ -70,7 +70,14 @@ object Sinks {
                   partitionBy: Seq[String] = Nil): Unit = {
     require(Seq("parquet", "orc", "json", "csv").contains(format),
       s"unsupported format: $format")
-    val w = df.write.mode("overwrite").format(format)
+    val base = df.write.mode("overwrite").format(format)
+    // Spark's CSV WRITER defaults ignoreLeading/TrailingWhiteSpace to
+    // TRUE — it silently trims padded fields on the way out (data loss
+    // the roundtrip gate catches). A sink must write what it was given.
+    val w = if (format == "csv")
+      base.option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+    else base
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(path)
   }
@@ -261,6 +268,44 @@ object Sinks {
     v1.write.mode("overwrite").parquet(s"$path/gen=1")
     v2.write.mode("overwrite").parquet(s"$path/gen=2")
     v1.sparkSession.read.option("mergeSchema", "true").parquet(path)
+  }
+
+  /** Lossless-law gate for the interchange sinks: write the projection
+    * through `writeFormat` in EACH of the given formats, read each back
+    * (CSV with multiLine + the explicit schema — row formats carry no
+    * types; ORC/JSON self-describe), and emit one
+    * (format, n_rows, checksum) row per format with the
+    * order-insensitive `Profiling.rowDigest` census. Every row must
+    * equal the census of the source — a dropped row, a mangled quote,
+    * a re-encoded string in ANY format is a driver hash mismatch
+    * (q291's text-KV law, generalized across the format surface).
+    *
+    * Scale shape: per format one write + one read-back partial agg;
+    * rows out = |formats|. The CSV leg is the one this gate exists for
+    * — quoting/escaping is where row formats lose data.
+    */
+  def formatRoundtripChecksum(df: DataFrame, cols: Seq[String],
+                              formats: Seq[String],
+                              path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    require(formats.nonEmpty, "name at least one format")
+    val proj = df.select(cols.map(col): _*)
+    val session = df.sparkSession
+    formats.map { f =>
+      val p = s"$path/$f"
+      writeFormat(proj, p, f)
+      val back = f match {
+        case "csv" => session.read.schema(proj.schema)
+          .option("multiLine", "true").csv(p)
+        case "json" => session.read.schema(proj.schema).json(p)
+        case "orc" => session.read.orc(p)
+        case _ => session.read.parquet(p)
+      }
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(Profiling.rowDigest(cols).cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
+        .select(lit(f).as("format"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("format")
   }
 
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */

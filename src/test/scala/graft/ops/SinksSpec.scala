@@ -199,4 +199,29 @@ class SinksSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq("alpha" -> 3L, "beta" -> 10L))
   }
+
+  test("format roundtrip: hostile strings survive csv/json/orc intact") {
+    // exactly the content CSV quoting exists for: embedded quotes,
+    // newlines, delimiters, tabs, unicode, leading/trailing spaces
+    val df = Seq(
+      (1L, "plain"),
+      (2L, "with \"quotes\" inside"),
+      (3L, "line\nbreak and\r\nCRLF"),
+      (4L, "comma,separated,values"),
+      (5L, "tab\tand unicode héllo ✓"),
+      (6L, "  padded  ")
+    ).toDF("doc_id", "text")
+    val want = df.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          Profiling.rowDigest(Seq("doc_id", "text"))
+            .cast("decimal(38,0)")).cast("string"))
+      .as[(Long, String)].collect().head
+    val got = Sinks.formatRoundtripChecksum(df, Seq("doc_id", "text"),
+        Seq("csv", "json", "orc"), tmp("fmt_rt"))
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(("csv", want._1, want._2),
+      ("json", want._1, want._2), ("orc", want._1, want._2)))
+  }
 }
