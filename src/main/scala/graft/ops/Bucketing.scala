@@ -15,9 +15,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (+ in-bucket sorted) managed table. */
+  /** Write `df` as a bucketed (+ in-bucket sorted) managed table.
+    *
+    * Drops any same-named table AND its warehouse directory first: a
+    * managed table's location can outlive the in-memory catalog that
+    * created it (each harness run is a fresh session), and Spark
+    * refuses to create a managed table over an orphaned location
+    * (LOCATION_ALREADY_EXISTS) — without the sweep, the SECOND run of
+    * any bucketed-write query in a new JVM fails.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(loc)
+    }
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w)

@@ -28,6 +28,20 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("writeBucketed survives an orphaned warehouse location") {
+    // a previous SESSION's managed-table dir outlives its in-memory
+    // catalog; creating the same table must sweep it, not throw
+    // LOCATION_ALREADY_EXISTS (the q315 second-harness-run regression)
+    val loc = new java.io.File(spark.conf
+      .get("spark.sql.warehouse.dir").stripPrefix("file:"), "b_orphan")
+    loc.mkdirs()
+    new java.io.File(loc, "stale-part").createNewFile()
+    val df = (1L to 10L).map(i => (i, i * 2)).toDF("key", "v")
+    Bucketing.writeBucketed(df, "b_orphan", "key", buckets = 2)
+    try assert(spark.table("b_orphan").count() == 10)
+    finally { spark.sql("DROP TABLE IF EXISTS b_orphan"); () }
+  }
+
   test("mismatched bucket counts still join correctly (with exchange)") {
     val a = (1L to 50L).map(i => (i, i * 2)).toDF("key", "v")
     val b = (1L to 50L).map(i => (i, i * 3)).toDF("key", "w")
