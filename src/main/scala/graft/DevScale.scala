@@ -501,6 +501,12 @@ object DevScale {
       // formats are the expensive legs, priced here deliberately)
       "q315_bucketed" -> SparkEntry.queries("q315_bucketed_join"),
       "q316_formats" -> SparkEntry.queries("q316_format_roundtrip"),
+      // q317/q319 one keyed per-user agg + constant-width folds over
+      // the inflating events scan; q318 one conditional partial agg
+      // over orders — all linear-scan shapes with 1–2-row output
+      "q317_cuped" -> SparkEntry.queries("q317_cuped_readout"),
+      "q318_did" -> SparkEntry.queries("q318_diff_in_diff"),
+      "q319_ztest" -> SparkEntry.queries("q319_conversion_ztest"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

@@ -8347,8 +8347,119 @@ object SparkEntry {
         |ORDER BY format""".stripMargin)(
       (s, d) => Sinks.formatRoundtripChecksum(Tables.documents(s, d),
         cols = Seq("doc_id", "text"), formats = Seq("csv", "json", "orc"),
-        path = Sinks.scratch("q316_formats")))
-  )
+        path = Sinks.scratch("q316_formats"))),
+
+    // CUPED variance-reduced experiment readout (Behavior.cupedReadout):
+    // per md5-split variant, post-period mean and its ȳ−θ(x̄−x̄_all)
+    // adjustment with θ = cov/var from pre-period activity — the
+    // industry-standard variance cut. θ's ingredients are exact
+    // HUGEINT/decimal integers; the readout is one fixed-shape IEEE
+    // expression (the q285 Wilson discipline), q6-quantized.
+    q("q317_cuped_readout",
+      """WITH e AS (SELECT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |r AS (SELECT min(day) AS mnd, max(day) AS mxd FROM e),
+        |p AS (SELECT user_id,
+        |    sum(CASE WHEN day < (mnd + mxd + 1) // 2 THEN 1 ELSE 0 END)
+        |      AS x,
+        |    sum(CASE WHEN day >= (mnd + mxd + 1) // 2 THEN 1 ELSE 0 END)
+        |      AS y
+        |  FROM e, r GROUP BY 1),
+        |v AS (SELECT CASE WHEN CAST(('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      % 1000 < 500 THEN 'A' ELSE 'B' END AS variant, x, y FROM p),
+        |g AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx FROM v),
+        |a AS (SELECT variant, count(*) AS n_users,
+        |    sum(CAST(x AS HUGEINT)) AS sxv,
+        |    sum(CAST(y AS HUGEINT)) AS syv FROM v GROUP BY 1)
+        |SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(round(1000000 * (CAST(syv AS DOUBLE) /
+        |    CAST(n_users AS DOUBLE))) AS BIGINT) AS mean_y_q6,
+        |  CAST(round(1000000 * (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0))) AS BIGINT)
+        |    AS theta_q6,
+        |  CAST(round(1000000 * ((CAST(syv AS DOUBLE) /
+        |    CAST(n_users AS DOUBLE)) -
+        |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |     nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0)) *
+        |    ((CAST(sxv AS DOUBLE) / CAST(n_users AS DOUBLE)) -
+        |     (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))) AS BIGINT)
+        |    AS adj_mean_y_q6
+        |FROM g, a ORDER BY variant""".stripMargin)(
+      (s, d) => Behavior.cupedReadout(Tables.events(s, d))),
+
+    // Difference-in-differences (Behavior.diffInDiff): md5-split
+    // variant × pre/post-1996 cell means of order value, DiD in exact
+    // cents from one conditional partial agg — the quasi-experimental
+    // readout when arms share pre-trends but assignment isn't random.
+    q("q318_diff_in_diff",
+      """WITH c AS (SELECT CASE WHEN CAST(('0x' ||
+        |      substr(md5(CAST(o_custkey AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      % 1000 < 500 THEN 'A' ELSE 'B' END AS variant,
+        |    (year(o_orderdate) >= 1996) AS post,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (SELECT
+        |  sum(CASE WHEN variant = 'A' AND NOT post THEN 1 ELSE 0 END)
+        |    AS n_a_pre,
+        |  sum(CASE WHEN variant = 'A' AND post THEN 1 ELSE 0 END)
+        |    AS n_a_post,
+        |  sum(CASE WHEN variant = 'B' AND NOT post THEN 1 ELSE 0 END)
+        |    AS n_b_pre,
+        |  sum(CASE WHEN variant = 'B' AND post THEN 1 ELSE 0 END)
+        |    AS n_b_post,
+        |  sum(CAST(CASE WHEN variant = 'A' AND NOT post THEN cents
+        |    ELSE 0 END AS HUGEINT)) AS s_a_pre,
+        |  sum(CAST(CASE WHEN variant = 'A' AND post THEN cents
+        |    ELSE 0 END AS HUGEINT)) AS s_a_post,
+        |  sum(CAST(CASE WHEN variant = 'B' AND NOT post THEN cents
+        |    ELSE 0 END AS HUGEINT)) AS s_b_pre,
+        |  sum(CAST(CASE WHEN variant = 'B' AND post THEN cents
+        |    ELSE 0 END AS HUGEINT)) AS s_b_post FROM c)
+        |SELECT CAST(n_a_pre AS BIGINT) AS n_a_pre,
+        |  CAST(n_a_post AS BIGINT) AS n_a_post,
+        |  CAST(n_b_pre AS BIGINT) AS n_b_pre,
+        |  CAST(n_b_post AS BIGINT) AS n_b_post,
+        |  CAST(round(1000000 * (((CAST(s_b_post AS DOUBLE) /
+        |    CAST(n_b_post AS DOUBLE)) - (CAST(s_b_pre AS DOUBLE) /
+        |    CAST(n_b_pre AS DOUBLE))) - ((CAST(s_a_post AS DOUBLE) /
+        |    CAST(n_a_post AS DOUBLE)) - (CAST(s_a_pre AS DOUBLE) /
+        |    CAST(n_a_pre AS DOUBLE))))) AS BIGINT) AS did_cents_q6
+        |FROM g""".stripMargin)(
+      (s, d) => Behavior.diffInDiff(Tables.orders(s, d))),
+
+    // Two-proportion z-test (Behavior.conversionZTest): converting
+    // users per md5-split variant and the pooled z — the significance
+    // readout next to q241's SRM gate and q283's bootstrap CI. Exact
+    // integer counts, one fixed-shape IEEE expression.
+    q("q319_conversion_ztest",
+      """WITH p AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT CASE WHEN CAST(('0x' ||
+        |      substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      % 1000 < 500 THEN 'A' ELSE 'B' END AS variant, conv FROM p),
+        |g AS (SELECT
+        |  sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS c_a,
+        |  sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS c_b
+        |  FROM v)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+        |  CAST(round(1000000 * (((CAST(c_a AS DOUBLE) /
+        |    CAST(n_a AS DOUBLE)) - (CAST(c_b AS DOUBLE) /
+        |    CAST(n_b AS DOUBLE))) / nullif(sqrt((CAST(c_a + c_b AS DOUBLE) /
+        |    CAST(n_a + n_b AS DOUBLE)) * (1e0 -
+        |    (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))) *
+        |    ((1e0 / CAST(n_a AS DOUBLE)) + (1e0 /
+        |    CAST(n_b AS DOUBLE)))), 0))) AS BIGINT) AS z_q6
+        |FROM g""".stripMargin)(
+      (s, d) => Behavior.conversionZTest(Tables.events(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -1545,4 +1545,140 @@ object Behavior {
         expr("dau * 1000 div active_wd").as("stickiness_pm"))
       .orderBy("day")
   }
+
+  /** CUPED variance-reduced experiment readout: per md5-split variant,
+    * the post-period activity mean and its CUPED adjustment
+    * ȳ_v − θ·(x̄_v − x̄), with θ = cov(x, y)/var(x) estimated on ALL
+    * users from their PRE-period activity x — the industry-standard
+    * trick that removes pre-existing user-level variance from the
+    * treatment readout (and, under a deterministic hash split, any
+    * accidental pre-period imbalance between arms). Pre/post is the
+    * corpus-day midpoint ((min+max+1) div 2 — integer, data-derived,
+    * engine-identical).
+    *
+    * Exactness: x, y are integer counts, so every θ ingredient —
+    * n·Σxy − Σx·Σy over n·Σx² − (Σx)² — is an exact decimal(38,0)/
+    * HUGEINT; the readout is ONE fixed-shape IEEE expression over
+    * those integers (identically parenthesized in the oracle — the
+    * q285 Wilson discipline), q6-quantized.
+    *
+    * Scale shape: one keyed partial agg to per-user (x, y), one global
+    * and one per-variant partial agg over that (2-row output), the
+    * 1-row global broadcast. No window.
+    */
+  def cupedReadout(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("ts div 86400000000000").as("day"))
+    val rng = e.agg(min("day").as("mnd"), max("day").as("mxd"))
+    val per = e.crossJoin(broadcast(rng))
+      .select(col("user_id"),
+        (col("day") < expr("(mnd + mxd + 1) div 2")).as("pre"))
+      .groupBy("user_id")
+      .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(Sampling.splitBucket(col("user_id")) < 500, "A")
+          .otherwise("B"))
+    val glob = per.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+    per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x").cast("decimal(38,0)")).as("sxv"),
+        sum(col("y").cast("decimal(38,0)")).as("syv"))
+      .crossJoin(broadcast(glob))
+      .select(col("variant"), col("n_users"),
+        expr("""cast(round(1000000 * (cast(syv as double) /
+          cast(n_users as double))) as bigint)""").as("mean_y_q6"),
+        expr("""cast(round(1000000 * (cast(n * sxy - sx * sy as double) /
+          nullif(cast(n * sxx - sx * sx as double), 0d)))
+          as bigint)""").as("theta_q6"),
+        expr("""cast(round(1000000 * ((cast(syv as double) /
+          cast(n_users as double)) -
+          (cast(n * sxy - sx * sy as double) /
+           nullif(cast(n * sxx - sx * sx as double), 0d)) *
+          ((cast(sxv as double) / cast(n_users as double)) -
+           (cast(sx as double) / cast(n as double)))))
+          as bigint)""").as("adj_mean_y_q6"))
+      .orderBy("variant")
+  }
+
+  /** Difference-in-differences over the order fact: md5-split variant ×
+    * calendar period (pre < `splitYear` ≤ post) cell means of the order
+    * value, and DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre) — the
+    * quasi-experimental readout when assignment isn't randomized but
+    * both arms share pre-trends. Exact cents in decimal(38,0)/HUGEINT;
+    * the DiD is one fixed-shape IEEE expression (q285 discipline),
+    * q6-quantized in cents. One conditional partial agg → a single row.
+    */
+  def diffInDiff(orders: DataFrame, splitYear: Int = 1996): DataFrame = {
+    val cells = orders.select(
+        when(Sampling.splitBucket(col("o_custkey")) < 500, "A")
+          .otherwise("B").as("variant"),
+        (year(col("o_orderdate")) >= splitYear).as("post"),
+        expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+      .groupBy()
+      .agg(
+        sum(when(col("variant") === "A" && !col("post"), 1L)
+          .otherwise(0L)).as("n_a_pre"),
+        sum(when(col("variant") === "A" && col("post"), 1L)
+          .otherwise(0L)).as("n_a_post"),
+        sum(when(col("variant") === "B" && !col("post"), 1L)
+          .otherwise(0L)).as("n_b_pre"),
+        sum(when(col("variant") === "B" && col("post"), 1L)
+          .otherwise(0L)).as("n_b_post"),
+        sum(when(col("variant") === "A" && !col("post"), col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as("s_a_pre"),
+        sum(when(col("variant") === "A" && col("post"), col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as("s_a_post"),
+        sum(when(col("variant") === "B" && !col("post"), col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as("s_b_pre"),
+        sum(when(col("variant") === "B" && col("post"), col("cents"))
+          .otherwise(0L).cast("decimal(38,0)")).as("s_b_post"))
+    cells.select(
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      expr("""cast(round(1000000 * (((cast(s_b_post as double) /
+        cast(n_b_post as double)) - (cast(s_b_pre as double) /
+        cast(n_b_pre as double))) - ((cast(s_a_post as double) /
+        cast(n_a_post as double)) - (cast(s_a_pre as double) /
+        cast(n_a_pre as double))))) as bigint)""").as("did_cents_q6"))
+  }
+
+  /** Two-proportion z-test for a funnel conversion: per md5-split
+    * variant, the users converting (≥ `minEvents` `convType` events —
+    * an activity threshold, because "ever purchased" saturates to 100%
+    * on any long-lived cohort and a saturated proportion has zero
+    * pooled variance) over all users, and the pooled z statistic
+    * (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A + 1/n_B)) — the significance readout
+    * next to q241's SRM gate and q283's bootstrap CI. Counts are exact
+    * integers; z is one fixed-shape IEEE expression (q285 discipline),
+    * q6-quantized, NULL (not an error) when the pooled proportion
+    * degenerates to 0 or 1. One keyed agg + one conditional fold.
+    */
+  def conversionZTest(events: DataFrame, convType: String = "purchase",
+                      minEvents: Long = 14L): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === convType, 1L).otherwise(0L))
+        >= minEvents).cast("long").as("conv"))
+      .withColumn("variant",
+        when(Sampling.splitBucket(col("user_id")) < 500, "A")
+          .otherwise("B"))
+    per.groupBy()
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+          .as("c_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+          .as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("""cast(round(1000000 * (((cast(c_a as double) /
+          cast(n_a as double)) - (cast(c_b as double) /
+          cast(n_b as double))) / nullif(sqrt((cast(c_a + c_b as double) /
+          cast(n_a + n_b as double)) * (1.0d - (cast(c_a + c_b as double) /
+          cast(n_a + n_b as double))) * ((1.0d / cast(n_a as double)) +
+          (1.0d / cast(n_b as double)))), 0d))) as bigint)""").as("z_q6"))
+  }
 }

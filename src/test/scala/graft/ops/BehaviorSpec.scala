@@ -745,4 +745,82 @@ class BehaviorSpec extends SparkSpec {
       (0L, "A", 1L, 250L, None), (0L, "B", 3L, 750L, None),
       (1L, "A", 2L, 500L, Some(250L)), (1L, "B", 2L, 500L, Some(-250L))))
   }
+
+  private val DAY = 86400000000000L
+
+  /** The md5 per-mille bucket of each id, evaluated through the SAME
+    * splitBucket the operators use — lets a test construct fixtures
+    * with KNOWN variant assignment without hardcoding md5 values.
+    */
+  private def buckets(ids: Seq[Long]): Map[Long, Int] =
+    ids.toDF("id")
+      .select($"id", Sampling.splitBucket($"id").as("b"))
+      .as[(Long, Int)].collect().toMap
+
+  test("cupedReadout: zero pre-variance → NULL theta; x=y → theta=1") {
+    // all users: 1 pre event (day 0), varying post (day 3); mid = 2
+    val flat = (1L to 4L).flatMap(u =>
+      (0L until u).map(i => (u, 3 * DAY + i, "view", 1.0)) :+
+        ((u, 0L, "view", 1.0)))
+      .toDF("user_id", "ts", "event_type", "value")
+    val g1 = Behavior.cupedReadout(flat)
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(g1.map(_._2).sum == 4L)
+    assert(g1.forall(r => r._4.isEmpty && r._5.isEmpty))
+    // y == x per user → theta exactly 1, adj = ȳ_v − (x̄_v − x̄)
+    val mirror = (1L to 4L).flatMap(u =>
+      (0L until u).flatMap(i =>
+        Seq((u, 0L + i, "view", 1.0), (u, 3 * DAY + i, "view", 1.0))))
+      .toDF("user_id", "ts", "event_type", "value")
+    val g2 = Behavior.cupedReadout(mirror)
+      .as[(String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(g2.forall(_._4.contains(1000000L)))
+  }
+
+  test("diffInDiff: constant price → 0; planted +300-cent B-post lift") {
+    val bk = buckets(1L to 50L)
+    val as = (1L to 50L).filter(bk(_) < 500).take(2)
+    val bs = (1L to 50L).filter(bk(_) >= 500).take(2)
+    assert(as.size == 2 && bs.size == 2, "need both variants in 1..50")
+    def o(keys: Seq[Long], year: Int, price: Double) =
+      keys.zipWithIndex.map { case (c, i) =>
+        (c * 100 + year + i, c, s"$year-06-01 00:00:00", price) }
+    val const = (o(as, 1995, 1.00) ++ o(as, 1997, 1.00) ++
+      o(bs, 1995, 1.00) ++ o(bs, 1997, 1.00))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", $"d".cast("timestamp_ntz")).drop("d")
+    assert(Behavior.diffInDiff(const)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 2L, 2L, Some(0L))))
+    // B-post +3.00 over the parallel trend → DiD = +300 cents exactly
+    val lifted = (o(as, 1995, 1.00) ++ o(as, 1997, 2.00) ++
+      o(bs, 1995, 1.00) ++ o(bs, 1997, 5.00))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", $"d".cast("timestamp_ntz")).drop("d")
+    assert(Behavior.diffInDiff(lifted)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 2L, 2L, Some(300000000L))))
+  }
+
+  test("conversionZTest: saturated → NULL z; clean split → z = 2") {
+    val bk = buckets(1L to 50L)
+    val as = (1L to 50L).filter(bk(_) < 500).take(2)
+    val bs = (1L to 50L).filter(bk(_) >= 500).take(2)
+    def e(users: Seq[Long], typ: String) =
+      users.map(u => (u, 0L, typ, 1.0))
+    // everyone converts → p̂ = 1, pooled variance 0 → NULL, not error
+    val sat = e(as ++ bs, "purchase")
+      .toDF("user_id", "ts", "event_type", "value")
+    assert(Behavior.conversionZTest(sat, minEvents = 1L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 2L, 2L, None)))
+    // A converts, B doesn't: p̂ = ½ → z = 1/√(¼·1) = 2 exactly
+    val split = (e(as, "purchase") ++ e(bs, "view"))
+      .toDF("user_id", "ts", "event_type", "value")
+    assert(Behavior.conversionZTest(split, minEvents = 1L)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((2L, 2L, 2L, 0L, Some(2000000L))))
+  }
 }
