@@ -507,6 +507,11 @@ object DevScale {
       "q317_cuped" -> SparkEntry.queries("q317_cuped_readout"),
       "q318_did" -> SparkEntry.queries("q318_diff_in_diff"),
       "q319_ztest" -> SparkEntry.queries("q319_conversion_ztest"),
+      // q320's pair stage is cell-bucketed (×9 constant duplication);
+      // under the embedding inflation copy 1 plants jittered near-dups
+      // (pairs grow) while fresh copies add only density — expect the
+      // pair-output curve, not n²
+      "q320_gridpairs" -> SparkEntry.queries("q320_grid_neighbor_pairs"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

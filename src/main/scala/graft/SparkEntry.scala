@@ -8459,7 +8459,30 @@ object SparkEntry {
         |    ((1e0 / CAST(n_a AS DOUBLE)) + (1e0 /
         |    CAST(n_b AS DOUBLE)))), 0))) AS BIGINT) AS z_q6
         |FROM g""".stripMargin)(
-      (s, d) => Behavior.conversionZTest(Tables.events(s, d))))
+      (s, d) => Behavior.conversionZTest(Tables.events(s, d))),
+
+    // Spatial ε-neighbor pairs by grid-cell join (Geo.gridNeighborPairs):
+    // floor-division cells + 3×3 probe + exact integer milli² distance —
+    // the 2D analog of the LSH band bucket, LOSSLESS at cell size = ε,
+    // proven by the brute-force all-pairs ORACLE (the q298 pattern in
+    // 2D). Integer arithmetic past the scan; no dedup stage needed
+    // (each pair found exactly once).
+    q("q320_grid_neighbor_pairs",
+      """WITH p AS (SELECT vec_id,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS la,
+        |    CAST(round(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS lo
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  (a.la - b.la) * (a.la - b.la) +
+        |  (a.lo - b.lo) * (a.lo - b.lo) AS d2
+        |FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |WHERE (a.la - b.la) * (a.la - b.la) +
+        |  (a.lo - b.lo) * (a.lo - b.lo) <= 100
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Geo.gridNeighborPairs(Tables.embeddings(s, d),
+        epsMilli = 10L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).
