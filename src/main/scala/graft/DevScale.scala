@@ -512,6 +512,8 @@ object DevScale {
       // (pairs grow) while fresh copies add only density — expect the
       // pair-output curve, not n²
       "q320_gridpairs" -> SparkEntry.queries("q320_grid_neighbor_pairs"),
+      // q321 one keyed partial agg to 20 buckets + a 20-row fold
+      "q321_jackknife" -> SparkEntry.queries("q321_jackknife_ratio_se"),
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

@@ -8482,7 +8482,38 @@ object SparkEntry {
         |  (a.lo - b.lo) * (a.lo - b.lo) <= 100
         |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Geo.gridNeighborPairs(Tables.embeddings(s, d),
-        epsMilli = 10L)))
+        epsMilli = 10L)),
+
+    // Delete-one-bucket jackknife SE for a ratio metric
+    // (Sampling.jackknifeRatioSe): B hash buckets, leave-one-out ratio
+    // replicates, SE² = (B−1)/B·Σ(r_j−r̄)² — the production variance
+    // estimator for ratio metrics (no per-row decomposition exists),
+    // one pass vs q283's 400-replicate explode. Replicates q6-quantize
+    // BEFORE the variance fold (order-free integer sums); one
+    // fixed-shape IEEE sqrt at the end.
+    q("q321_jackknife_ratio_se",
+      """WITH per AS (SELECT CAST(('0x' ||
+        |      substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER)
+        |      % 1000 % 20 AS b, count(*) AS n_j,
+        |    sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS HUGEINT)) AS s_j
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS nb, sum(n_j) AS n, sum(s_j) AS s
+        |  FROM per),
+        |r AS (SELECT CAST(round(1000000 * (CAST(s - s_j AS DOUBLE) /
+        |    CAST(n - n_j AS DOUBLE))) AS BIGINT) AS r FROM per, t),
+        |g AS (SELECT count(*) AS n_buckets, sum(CAST(r AS HUGEINT))
+        |    AS sr, sum(CAST(r AS HUGEINT) * r) AS srr FROM r)
+        |SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(round(CAST(sr AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+        |    AS BIGINT) AS mean_r_q6,
+        |  CAST(round(sqrt((CAST(n_buckets - 1 AS DOUBLE) /
+        |    CAST(n_buckets AS DOUBLE)) *
+        |    ((CAST(n_buckets * srr - sr * sr AS DOUBLE)) /
+        |     CAST(n_buckets * n_buckets AS DOUBLE)))) AS BIGINT)
+        |    AS se_q6
+        |FROM g""".stripMargin)(
+      (s, d) => Sampling.jackknifeRatioSe(Tables.orders(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

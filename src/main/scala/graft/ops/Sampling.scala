@@ -740,4 +740,52 @@ object Sampling {
         expr("(n_a - n_b) * (n_a - n_b) * 1000000 div (n_a + n_b)")
           .as("srm_q6"))
   }
+
+  /** Delete-one-bucket JACKKNIFE standard error for a ratio metric
+    * (mean cents per order) — the estimator production systems use when
+    * the bootstrap's per-replicate resampling is too expensive: rows
+    * hash into `buckets` deterministic groups, each leave-one-bucket-out
+    * complement yields a ratio replicate r_j = (S−s_j)/(N−n_j), and
+    * SE² = (B−1)/B · Σ(r_j − r̄)². One pass, B-row state — versus
+    * q283's 400-replicate explode. A ratio metric NEEDS this: it has no
+    * per-row unbiased decomposition, so naive row variance is wrong.
+    *
+    * Exactness: replicates quantize to q6 integers BEFORE the variance
+    * fold, so Σr and Σr² are exact decimal(38,0)/HUGEINT (order-free —
+    * the q305 device); the final sqrt runs one fixed-shape IEEE
+    * expression over those integers (q285 discipline). B·Σr² exceeds
+    * 2⁵³, but both engines convert the SAME exact integer to double —
+    * nearest-even is deterministic, not order-dependent.
+    *
+    * Scale shape: one keyed partial agg to B rows, one B-row fold.
+    */
+  def jackknifeRatioSe(orders: DataFrame,
+                       buckets: Int = 20): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
+    val per = orders.select(
+        (splitBucket(col("o_orderkey")) % buckets).as("b"),
+        expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_j"),
+        sum(col("cents").cast("decimal(38,0)")).as("s_j"))
+    val tot = per.agg(count(lit(1)).as("nb"),
+      sum(col("n_j").cast("decimal(38,0)")).as("n"),
+      sum(col("s_j")).as("s"))
+    val reps = per.crossJoin(broadcast(tot))
+      .select(expr("""cast(round(1000000 * (cast(s - s_j as double) /
+        cast(n - n_j as double))) as bigint)""").as("r"))
+    reps.agg(count(lit(1)).as("n_buckets"),
+        sum(col("r").cast("decimal(38,0)")).as("sr"),
+        // r ~ 10⁶·mean-cents can pass 2³¹·10⁶ — square in DECIMAL, a
+        // long×long square overflows exactly where this gate matters
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("srr"))
+      .select(col("n_buckets"),
+        expr("""cast(round(cast(sr as double) /
+          cast(n_buckets as double)) as bigint)""").as("mean_r_q6"),
+        expr("""cast(round(sqrt((cast(n_buckets - 1 as double) /
+          cast(n_buckets as double)) *
+          ((cast(n_buckets * srr - sr * sr as double)) /
+           cast(n_buckets * n_buckets as double)))) as bigint)""")
+          .as("se_q6"))
+  }
 }

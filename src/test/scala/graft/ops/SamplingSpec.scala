@@ -492,4 +492,33 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(r1 == r2)
   }
+
+  test("jackknifeRatioSe: constant metric → SE exactly 0") {
+    val orders = (1L to 40L).map(k => (k, 1.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = Sampling.jackknifeRatioSe(orders)
+      .as[(Long, Long, Long)].collect().head
+    // every leave-one-out complement has mean exactly 100 cents
+    assert(got._2 == 100000000L && got._3 == 0L)
+  }
+
+  test("jackknifeRatioSe: two-bucket hand computation") {
+    // learn each key's bucket parity through the SAME splitBucket the
+    // operator uses, then plant 2 keys per bucket with known cents:
+    // r_even = (800−200)/2 = 300, r_odd = (800−600)/2 = 100 (cents) →
+    // mean 200e6, SE = √(½·((2·1e17−16e16)/4)) = √5e15 = 70710678.1…
+    val bk = (1L to 100L).toDF("id")
+      .select($"id", (Sampling.splitBucket($"id") % 20).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val evens = (1L to 100L).filter(k => bk(k) == 0).take(2)
+    val odds = (1L to 100L).filter(k => bk(k) == 1).take(2)
+    assume(evens.size == 2 && odds.size == 2)
+    val orders = (evens.map((_, 1.00)) ++ odds.map((_, 3.00)))
+      .toDF("o_orderkey", "o_totalprice")
+    // restrict to the two planted buckets by using buckets = 20 and
+    // only keys from buckets 0 and 1
+    val got = Sampling.jackknifeRatioSe(orders, buckets = 20)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 200000000L, 70710678L)))
+  }
 }
