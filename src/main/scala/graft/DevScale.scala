@@ -514,6 +514,8 @@ object DevScale {
       "q320_gridpairs" -> SparkEntry.queries("q320_grid_neighbor_pairs"),
       // q321 one keyed partial agg to 20 buckets + a 20-row fold
       "q321_jackknife" -> SparkEntry.queries("q321_jackknife_ratio_se"),
+      // q322 reads only the verbatim customer dim — constant by
+      // construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

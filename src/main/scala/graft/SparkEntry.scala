@@ -8513,7 +8513,29 @@ object SparkEntry {
         |     CAST(n_buckets * n_buckets AS DOUBLE)))) AS BIGINT)
         |    AS se_q6
         |FROM g""".stripMargin)(
-      (s, d) => Sampling.jackknifeRatioSe(Tables.orders(s, d))))
+      (s, d) => Sampling.jackknifeRatioSe(Tables.orders(s, d))),
+
+    // k-anonymity / l-diversity release gate (Profiling
+    // .kAnonymityCensus): QI classes (nation × segment) sized against
+    // k=5, account-balance diversity against l=3 — can these ROWS ship
+    // in a training set at all (the privacy companion to q231's PII
+    // value scan). Zero in the risk columns IS the release condition.
+    q("q322_k_anonymity",
+      """WITH per AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |    count(DISTINCT c_acctbal) AS d
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS small_classes,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_div_classes
+        |FROM per""".stripMargin)(
+      (s, d) => Profiling.kAnonymityCensus(Tables.customer(s, d),
+        qiCols = Seq("c_nationkey", "c_mktsegment"),
+        sensCol = "c_acctbal")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -939,6 +939,38 @@ object Profiling {
       .orderBy("seq_len")
   }
 
+  /** k-anonymity / l-diversity census over quasi-identifier columns:
+    * rows group into QI equivalence classes; a class smaller than `k`
+    * re-identifies its members, and a class whose SENSITIVE column
+    * takes fewer than `l` distinct values discloses the attribute even
+    * at size ≥ k — the two standard release-gate numbers for sharing a
+    * training table (the privacy companion to the q231 PII census:
+    * q231 finds values that shouldn't ship, this measures whether the
+    * ROWS can ship at all). One row out: totals, at-risk row/class
+    * counts, low-diversity class count — zero in the risk columns IS
+    * the release condition.
+    *
+    * Scale shape: one keyed partial agg on the QI tuple (count +
+    * distinct-sensitive, the fdCensus two-level shape), one fold to a
+    * single row. No window, no join.
+    */
+  def kAnonymityCensus(df: DataFrame, qiCols: Seq[String],
+                       sensCol: String, k: Long = 5L,
+                       l: Long = 3L): DataFrame = {
+    require(qiCols.nonEmpty, "name the quasi-identifier columns")
+    require(k >= 1 && l >= 1, "k and l must be >= 1")
+    val per = df
+      .groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensCol)).as("d"))
+    per.agg(
+      sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+      sum(when(col("n") < k, 1L).otherwise(0L)).as("small_classes"),
+      sum(when(col("d") < l, 1L).otherwise(0L)).as("low_div_classes"))
+  }
+
   /** Simpson's-paradox audit: the OLS slope of y on x within every
     * group next to the pooled slope, with a reversal flag where the
     * within-group trend and the aggregate trend point in OPPOSITE

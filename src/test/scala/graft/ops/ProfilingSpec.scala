@@ -448,6 +448,18 @@ class ProfilingSpec extends SparkSpec {
       (3L, 4L, 1L, 1L, 2L)))
   }
 
+  test("kAnonymityCensus: size and diversity risks counted per class") {
+    val df = (
+      (1 to 6).map(i => ("A", (i % 3) + 1)) ++   // size 6, d=3: clean
+      (1 to 3).map(_ => ("B", 1)) ++             // size 3 < k, d=1 < l
+      Seq(("C", 1), ("C", 1), ("C", 2), ("C", 2), ("C", 1)) // d=2 < l
+    ).toDF("qi", "sens")
+    val got = Profiling.kAnonymityCensus(df, Seq("qi"), "sens",
+        k = 5L, l = 3L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((14L, 3L, 3L, 1L, 2L)))
+  }
+
   test("simpsonSlopeAudit: textbook reversal, hand-computed slopes") {
     // within each group y FALLS with x (slope −1 exactly); the groups
     // sit on an ascending diagonal, so the pooled slope RISES:
