@@ -514,8 +514,11 @@ object DevScale {
       "q320_gridpairs" -> SparkEntry.queries("q320_grid_neighbor_pairs"),
       // q321 one keyed partial agg to 20 buckets + a 20-row fold
       "q321_jackknife" -> SparkEntry.queries("q321_jackknife_ratio_se"),
-      // q322 reads only the verbatim customer dim — constant by
-      // construction, excluded like q305/q307 (the q273 note)
+      // q323 writes the inflating orders projection under FOUR codecs
+      // and reads each back — the write-path volume rung ×4
+      "q323_codecs" -> SparkEntry.queries("q323_codec_matrix"),
+      // q322/q324/q325 read only the verbatim customer dim — constant
+      // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant
       // catalog, growing customers — the q273-exclusion note below):
       // the time curve tracks the data's own Σ df² densification, NOT

@@ -8535,7 +8535,80 @@ object SparkEntry {
         |FROM per""".stripMargin)(
       (s, d) => Profiling.kAnonymityCensus(Tables.customer(s, d),
         qiCols = Seq("c_nationkey", "c_mktsegment"),
-        sensCol = "c_acctbal")))
+        sensCol = "c_acctbal")),
+
+    // Compression-codec lossless law (Sinks.codecRoundtripChecksum):
+    // the orders projection written under gzip/lz4/snappy/zstd, each
+    // read back and checksummed against the source census — the codec
+    // choice (a first-order 100 TB storage decision) must be a PURE
+    // storage decision. Sizes belong in logs, not the oracle row.
+    q("q323_codec_matrix",
+      """WITH c AS (SELECT count(*) AS n_rows,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat(
+        |    coalesce(md5(CAST(o_orderkey AS VARCHAR)), 'null'),
+        |    coalesce(md5(CAST(o_custkey AS VARCHAR)), 'null'))), 1, 8))
+        |    AS BIGINT)) AS VARCHAR) AS checksum
+        |  FROM orders)
+        |SELECT 'gzip' AS codec, n_rows, checksum FROM c
+        |UNION ALL SELECT 'lz4', n_rows, checksum FROM c
+        |UNION ALL SELECT 'snappy', n_rows, checksum FROM c
+        |UNION ALL SELECT 'zstd', n_rows, checksum FROM c
+        |ORDER BY codec""".stripMargin)(
+      (s, d) => Sinks.codecRoundtripChecksum(Tables.orders(s, d),
+        cols = Seq("o_orderkey", "o_custkey"),
+        codecs = Seq("gzip", "lz4", "snappy", "zstd"),
+        path = Sinks.scratch("q323_codecs"))),
+
+    // Ordered top-k string aggregation (Relational.topNamesConcat):
+    // per-nation top-3 names by exact-cents balance, concatenated in
+    // rank order — collect_list is partition-order-nondeterministic,
+    // so the list collects (rank, name) structs and array_sorts on the
+    // rank, making the string a pure function of the data.
+    q("q324_top_names_concat",
+      """WITH r AS (SELECT c_nationkey, c_name,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+        |        c_name) AS rk
+        |  FROM customer)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  string_agg(c_name, ',' ORDER BY rk) AS top_names
+        |FROM r WHERE rk <= 3 GROUP BY 1
+        |ORDER BY nation""".stripMargin)(
+      (s, d) => Relational.topNamesConcat(Tables.customer(s, d), k = 3)),
+
+    // Chi-square test of independence (Profiling
+    // .chiSquareIndependence): nation × market segment contingency,
+    // ALL R×C cells including empty ones (a zero cell still
+    // contributes its expectation — dropping it understates χ²).
+    // Exact HUGEINT numerators, fixed-shape IEEE terms, q6-quantized
+    // order-free fold. The 2D completion of q241's SRM.
+    q("q325_chi_square_independence",
+      """WITH b AS (SELECT CAST(c_nationkey AS VARCHAR) AS r,
+        |    c_mktsegment AS c FROM customer),
+        |cells AS (SELECT r, c, count(*) AS o FROM b GROUP BY 1, 2),
+        |rm AS (SELECT r, count(*) AS rt FROM b GROUP BY 1),
+        |cm AS (SELECT c, count(*) AS ct FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM b),
+        |grid AS (SELECT CAST(round(1000000 *
+        |    ((CAST(CAST(coalesce(o, 0) AS HUGEINT) * t.n -
+        |      CAST(rt AS HUGEINT) * ct AS DOUBLE)) *
+        |     (CAST(CAST(coalesce(o, 0) AS HUGEINT) * t.n -
+        |      CAST(rt AS HUGEINT) * ct AS DOUBLE)) /
+        |     (CAST(t.n AS DOUBLE) * (CAST(rt AS DOUBLE) *
+        |      CAST(ct AS DOUBLE))))) AS BIGINT) AS term
+        |  FROM ((rm CROSS JOIN cm) LEFT JOIN cells USING (r, c))
+        |    CROSS JOIN t),
+        |k AS (SELECT (SELECT count(*) FROM rm) AS r_levels,
+        |    (SELECT count(*) FROM cm) AS c_levels,
+        |    (SELECT n FROM t) AS n)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(r_levels AS BIGINT) AS r_levels,
+        |  CAST(c_levels AS BIGINT) AS c_levels,
+        |  CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+        |  (SELECT CAST(sum(term) AS BIGINT) FROM grid) AS chi2_q6
+        |FROM k""".stripMargin)(
+      (s, d) => Profiling.chiSquareIndependence(Tables.customer(s, d),
+        rowCol = "c_nationkey", colCol = "c_mktsegment")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -971,6 +971,53 @@ object Profiling {
       sum(when(col("d") < l, 1L).otherwise(0L)).as("low_div_classes"))
   }
 
+  /** Pearson chi-square test of independence over a two-way
+    * contingency table — the 2D completion of the inference set (q241
+    * SRM is the 1D uniformity special case; q314 audits slopes, this
+    * audits CATEGORICAL association): are the two columns distributed
+    * independently? Every R×C cell participates, INCLUDING empty ones
+    * (a zero cell still contributes its full expectation E — dropping
+    * them understates χ², the classic bug), via a levels cross of the
+    * two margins left-joined to the observed cells.
+    *
+    * Exactness: the per-cell numerator O·N − r·c is an exact
+    * decimal(38,0)/HUGEINT; each term squares it in DOUBLE (the square
+    * would pass 38 digits at cluster scale) over the exact N·r·c in
+    * one fixed-shape IEEE expression (q285 discipline), q6-quantizes,
+    * and the χ² fold is an order-free integer sum (q305 device).
+    *
+    * Scale shape: one keyed partial agg for cells, two margin aggs, a
+    * levels cross bounded by the two domains (broadcast — levels are
+    * category-bounded by contract), one fold to a single row.
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+                            colCol: String): DataFrame = {
+    val base = df.select(col(rowCol).cast("string").as("r"),
+      col(colCol).cast("string").as("c"))
+    val cells = base.groupBy("r", "c").agg(count(lit(1)).as("o"))
+    val rm = base.groupBy("r").agg(count(lit(1)).as("rt"))
+    val cm = base.groupBy("c").agg(count(lit(1)).as("ct"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val grid = rm.crossJoin(broadcast(cm))
+      .join(cells, Seq("r", "c"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(n))
+      .select(expr("""cast(round(1000000 *
+        ((cast(cast(o as decimal(38,0)) * n - cast(rt as decimal(38,0))
+          * ct as double)) * (cast(cast(o as decimal(38,0)) * n -
+          cast(rt as decimal(38,0)) * ct as double)) /
+         (cast(n as double) * (cast(rt as double) * cast(ct as double)))))
+        as bigint)""").as("term"))
+    val counts = rm.agg(count(lit(1)).as("r_levels"))
+      .crossJoin(broadcast(cm.agg(count(lit(1)).as("c_levels"))))
+      .crossJoin(broadcast(n))
+    grid.agg(sum(col("term")).as("chi2_q6"))
+      .crossJoin(broadcast(counts))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        col("chi2_q6"))
+  }
+
   /** Simpson's-paradox audit: the OLS slope of y on x within every
     * group next to the pooled slope, with a reversal flag where the
     * within-group trend and the aggregate trend point in OPPOSITE

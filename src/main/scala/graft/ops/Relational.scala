@@ -1745,6 +1745,36 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** Ordered top-k string aggregation: per nation, the top-k customer
+    * names by account balance concatenated in rank order — the ORDERED
+    * string_agg surface (report/export shape) that plain collect_list
+    * can't give deterministically: Spark's collect_list order is
+    * partition-dependent, so the list is collected as (rank, name)
+    * structs, array_sort'ed on the rank (making the result a pure
+    * function of the data), then projected and joined. Balance
+    * compares in exact cents with a name tiebreak — no double ties.
+    *
+    * Scale shape: one per-nation rank window (customer-bounded
+    * partitions — the q108 posture), rank ≤ k filter feeds
+    * WindowGroupLimit pushdown, then a k-bounded per-nation collect.
+    */
+  def topNamesConcat(customer: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey")
+      .orderBy(col("__cents").desc, col("c_name"))
+    customer
+      .select(col("c_nationkey"), col("c_name"),
+        expr("cast(round(c_acctbal * 100) as long)").as("__cents"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("__rk"),
+          col("c_name")))), x => x.getField("c_name"))).as("top_names"))
+      .orderBy("nation")
+  }
+
   /** Leave-one-out target encoding: each order's nation feature becomes
     * the mean order value of the SAME nation's OTHER orders — the
     * standard high-cardinality categorical encoder with the standard

@@ -308,6 +308,33 @@ object Sinks {
     }.reduce(_ unionByName _).orderBy("format")
   }
 
+  /** Codec lossless-law gate: the projection written as parquet under
+    * each COMPRESSION codec, read back, checksummed — every row must
+    * equal the source census. The codec choice is a first-order 100 TB
+    * decision (zstd ≈ 30–40% smaller than snappy at comparable scan
+    * speed; gzip trades CPU for cold storage) and this gate pins that
+    * it is a PURE storage decision: no codec may change a byte of data.
+    * Sizes are deliberately NOT in the output — they are
+    * layout-dependent and belong in logs, not an oracle row.
+    */
+  def codecRoundtripChecksum(df: DataFrame, cols: Seq[String],
+                             codecs: Seq[String],
+                             path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    require(codecs.nonEmpty, "name at least one codec")
+    val proj = df.select(cols.map(col): _*)
+    val session = df.sparkSession
+    codecs.map { c =>
+      val p = s"$path/$c"
+      proj.write.mode("overwrite").option("compression", c).parquet(p)
+      session.read.parquet(p)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Profiling.rowDigest(cols).cast("decimal(38,0)"))
+            .cast("string").as("checksum"))
+        .select(lit(c).as("codec"), col("n_rows"), col("checksum"))
+    }.reduce(_ unionByName _).orderBy("codec")
+  }
+
   /** S8: tiny driver-side report file (the Summarizer.java analogue). */
   def writeReport(lines: Seq[String], path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

@@ -460,6 +460,22 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((14L, 3L, 3L, 1L, 2L)))
   }
 
+  test("chiSquareIndependence: 2×2 hand case and the zero-cell law") {
+    // balanced 2×2 with association: all E = 2, χ² = 4·(1²/2) = 2
+    val assoc = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
+      Seq(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("r", "c")
+    assert(Profiling.chiSquareIndependence(assoc, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].collect().head ==
+      ((8L, 2L, 2L, 1L, 2000000L)))
+    // diagonal-only: the two EMPTY cells must still contribute E = 1
+    // each → χ² = 2·(1²/1) + 2·(1²/1) = 4, not 2
+    val diag = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("b", "y")))
+      .toDF("r", "c")
+    assert(Profiling.chiSquareIndependence(diag, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].collect().head ==
+      ((4L, 2L, 2L, 1L, 4000000L)))
+  }
+
   test("simpsonSlopeAudit: textbook reversal, hand-computed slopes") {
     // within each group y FALLS with x (slope −1 exactly); the groups
     // sit on an ascending diagonal, so the pooled slope RISES:

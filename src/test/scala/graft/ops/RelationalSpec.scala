@@ -655,4 +655,16 @@ class RelationalSpec extends SparkSpec {
       (3L, 0L, Some("300"), 2L),
       (4L, 1L, None, 0L)))
   }
+
+  test("topNamesConcat: rank order in the string, name tiebreak, k cap") {
+    val customer = Seq(
+      (1L, "Bob", 0L, 3.00), (2L, "Amy", 0L, 3.00),
+      (3L, "Cal", 0L, 2.00), (4L, "Dan", 0L, 1.00),
+      (5L, "Eve", 1L, 0.50))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val got = Relational.topNamesConcat(customer, k = 3)
+      .as[(Long, String)].collect().toSeq
+    // 3.00 tie: Amy before Bob (name asc); Dan cut by k = 3
+    assert(got == Seq((0L, "Amy,Bob,Cal"), (1L, "Eve")))
+  }
 }

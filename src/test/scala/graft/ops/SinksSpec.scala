@@ -224,4 +224,20 @@ class SinksSpec extends SparkSpec {
     assert(got == Seq(("csv", want._1, want._2),
       ("json", want._1, want._2), ("orc", want._1, want._2)))
   }
+
+  test("codec roundtrip: every codec preserves every byte") {
+    val df = Seq((1L, "alpha"), (2L, "βeta ✓"), (3L, "")).toDF("id", "s")
+    val want = df.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          Profiling.rowDigest(Seq("id", "s")).cast("decimal(38,0)"))
+          .cast("string"))
+      .as[(Long, String)].collect().head
+    val got = Sinks.codecRoundtripChecksum(df, Seq("id", "s"),
+        Seq("gzip", "lz4", "snappy", "zstd"), tmp("codec_rt"))
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq("gzip", "lz4", "snappy", "zstd")
+      .map(c => (c, want._1, want._2)))
+  }
 }
