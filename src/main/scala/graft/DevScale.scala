@@ -517,6 +517,8 @@ object DevScale {
       // q323 writes the inflating orders projection under FOUR codecs
       // and reads each back — the write-path volume rung ×4
       "q323_codecs" -> SparkEntry.queries("q323_codec_matrix"),
+      // q326 is the q11 shuffle twice at fixed widths — linear scan
+      "q326_invariance" -> SparkEntry.queries("q326_partitioning_invariance"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

@@ -8608,7 +8608,28 @@ object SparkEntry {
         |  (SELECT CAST(sum(term) AS BIGINT) FROM grid) AS chi2_q6
         |FROM k""".stripMargin)(
       (s, d) => Profiling.chiSquareIndependence(Tables.customer(s, d),
-        rowCol = "c_nationkey", colCol = "c_mktsegment")))
+        rowCol = "c_nationkey", colCol = "c_mktsegment")),
+
+    // Partitioning-invariance audit (Profiling
+    // .partitioningInvarianceAudit): the q11 word census at 7 and at 32
+    // partitions, each checksummed — BOTH rows must equal the oracle's
+    // single census, putting "results are a pure function of the data,
+    // not the cluster" under the driver's gate instead of scaladoc.
+    q("q326_partitioning_invariance",
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), x -> length(x) > 0)) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS n FROM w GROUP BY 1),
+        |k AS (SELECT count(*) AS n_words,
+        |  CAST(sum(CAST(('0x' || substr(md5(concat(
+        |    coalesce(md5(w), 'null'),
+        |    coalesce(md5(CAST(n AS VARCHAR)), 'null'))), 1, 8))
+        |    AS BIGINT)) AS VARCHAR) AS checksum FROM c)
+        |SELECT CAST(7 AS BIGINT) AS parts, n_words, checksum FROM k
+        |UNION ALL
+        |SELECT CAST(32 AS BIGINT), n_words, checksum FROM k
+        |ORDER BY parts""".stripMargin)(
+      (s, d) => Profiling.partitioningInvarianceAudit(
+        Tables.documents(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -939,6 +939,37 @@ object Profiling {
       .orderBy("seq_len")
   }
 
+  /** Partitioning-invariance audit: the SAME word-count census run at
+    * two explicitly different partitionings, each folded to an
+    * order-insensitive (n_words, checksum) row — the engine law every
+    * result in this library leans on ("a pure function of the data,
+    * not of the cluster"), demonstrated under the driver's oracle
+    * rather than asserted in scaladoc. Both rows must equal the
+    * oracle's single census: a partition-count-dependent result (a
+    * nondeterministic UDF, an order-sensitive accumulation, a
+    * collect_list fold) is a hash mismatch here before it is a silent
+    * wrong answer at 1000 executors.
+    *
+    * Scale shape: two passes of the q11 shuffle at different widths;
+    * the audit is a harness device — run it when promoting an operator,
+    * not per-batch.
+    */
+  def partitioningInvarianceAudit(documents: DataFrame,
+                                  partsA: Int = 7,
+                                  partsB: Int = 32): DataFrame = {
+    require(partsA != partsB && partsA >= 1 && partsB >= 1,
+      "need two different positive partition counts")
+    def census(parts: Int) = documents.repartition(parts)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(rowDigest(Seq("w", "n")).cast("decimal(38,0)"))
+          .cast("string").as("checksum"))
+      .select(lit(parts.toLong).as("parts"), col("n_words"),
+        col("checksum"))
+    census(partsA).unionByName(census(partsB)).orderBy("parts")
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

@@ -460,6 +460,16 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((14L, 3L, 3L, 1L, 2L)))
   }
 
+  test("partitioningInvarianceAudit: both widths yield one checksum") {
+    val docs = Seq((1L, "a b b"), (2L, "b c"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = Profiling.partitioningInvarianceAudit(docs, 2, 5)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(2L, 5L))
+    assert(got(0)._2 == 3L && got(0)._2 == got(1)._2)
+    assert(got(0)._3 == got(1)._3)
+  }
+
   test("chiSquareIndependence: 2×2 hand case and the zero-cell law") {
     // balanced 2×2 with association: all E = 2, χ² = 4·(1²/2) = 2
     val assoc = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
