@@ -519,6 +519,8 @@ object DevScale {
       "q323_codecs" -> SparkEntry.queries("q323_codec_matrix"),
       // q326 is the q11 shuffle twice at fixed widths — linear scan
       "q326_invariance" -> SparkEntry.queries("q326_partitioning_invariance"),
+      // q327 one scan-stage score projection + a ≤|langs|²-row agg
+      "q327_confusion" -> SparkEntry.queries("q327_lang_confusion"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

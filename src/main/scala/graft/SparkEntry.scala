@@ -8629,7 +8629,42 @@ object SparkEntry {
         |SELECT CAST(32 AS BIGINT), n_words, checksum FROM k
         |ORDER BY parts""".stripMargin)(
       (s, d) => Profiling.partitioningInvarianceAudit(
-        Tables.documents(s, d))))
+        Tables.documents(s, d))),
+
+    // Language-ID confusion census (LangId.confusionCensus): the q37
+    // heuristic folded against the corpus label into (true, predicted)
+    // counts — diagonal mass is the accuracy, off-diagonal rows name
+    // the confusions. The model-eval completion of q37 (per-doc dump)
+    // and q234 (purity).
+    q("q327_lang_confusion",
+      """WITH s AS (SELECT lang,
+        |  CAST(contains(lower(text), ' th') AS INTEGER) + CAST(contains(lower(text), 'the') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ing') AS INTEGER) + CAST(contains(lower(text), ' an') AS INTEGER) +
+        |  CAST(contains(lower(text), 'and') AS INTEGER) + CAST(contains(lower(text), ' of') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ion') AS INTEGER) + CAST(contains(lower(text), ' to') AS INTEGER) AS score_en,
+        |  CAST(contains(lower(text), 'der') AS INTEGER) + CAST(contains(lower(text), 'sch') AS INTEGER) +
+        |  CAST(contains(lower(text), ' un') AS INTEGER) + CAST(contains(lower(text), 'und') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ein') AS INTEGER) + CAST(contains(lower(text), 'ich') AS INTEGER) +
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'cht') AS INTEGER) AS score_de,
+        |  CAST(contains(lower(text), ' de') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'la ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ión') AS INTEGER) + CAST(contains(lower(text), ' el') AS INTEGER) +
+        |  CAST(contains(lower(text), 'que') AS INTEGER) + CAST(contains(lower(text), ' qu') AS INTEGER) AS score_es,
+        |  CAST(contains(lower(text), ' le') AS INTEGER) + CAST(contains(lower(text), 'es ') AS INTEGER) +
+        |  CAST(contains(lower(text), ' la') AS INTEGER) + CAST(contains(lower(text), 'de ') AS INTEGER) +
+        |  CAST(contains(lower(text), 'ent') AS INTEGER) + CAST(contains(lower(text), ' et') AS INTEGER) +
+        |  CAST(contains(lower(text), 'une') AS INTEGER) + CAST(contains(lower(text), 'eur') AS INTEGER) AS score_fr
+        |FROM documents),
+        |p AS (SELECT lang AS lang_true,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+        |       WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s)
+        |SELECT lang_true, lang_pred, count(*) AS n
+        |FROM p GROUP BY 1, 2
+        |ORDER BY lang_true, lang_pred""".stripMargin)(
+      (s, d) => LangId.confusionCensus(Tables.documents(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

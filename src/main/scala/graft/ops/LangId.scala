@@ -56,4 +56,18 @@ object LangId {
       .select(col("doc_id") +:
         profiles.map(p => col(s"score_${p._1}")) :+ col("lang_pred"): _*)
       .orderBy("doc_id")
+
+  /** Confusion census of the classifier against the corpus label: one
+    * row per (true, predicted) pair — the model-eval view (where does
+    * the heuristic confuse es↔fr?) that the per-doc q37 dump and the
+    * q234 purity census don't aggregate. Diagonal mass over total IS
+    * the accuracy; off-diagonal rows name the confusions. One scan +
+    * one ≤|langs|²-row partial agg.
+    */
+  def confusionCensus(documents: DataFrame,
+                      profiles: Profiles = defaultProfiles): DataFrame =
+    languageId(documents, profiles)
+      .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
 }

@@ -32,4 +32,16 @@ class LangIdSpec extends SparkSpec {
     val r = LangId.languageIdResult(docs("bar bar"), p).collect().head
     assert(r.getString(r.length - 1) == "y")
   }
+
+  test("confusionCensus: diagonal hits and a planted confusion") {
+    val d = Seq(
+      (1L, "the and", "en"),            // predicted en: diagonal
+      (2L, "der sch und", "de"),        // predicted de: diagonal
+      (3L, "the and ing ion", "de")     // de doc that reads as en
+    ).toDF("doc_id", "text", "lang")
+    val got = LangId.confusionCensus(d)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("de", "de", 1L), ("de", "en", 1L),
+      ("en", "en", 1L)))
+  }
 }
