@@ -521,6 +521,10 @@ object DevScale {
       "q326_invariance" -> SparkEntry.queries("q326_partitioning_invariance"),
       // q327 one scan-stage score projection + a ≤|langs|²-row agg
       "q327_confusion" -> SparkEntry.queries("q327_lang_confusion"),
+      // q328 one 6-number global agg + scan expression + top-k;
+      // q329 one conditional partial agg over the document scan
+      "q328_mahalanobis" -> SparkEntry.queries("q328_mahalanobis_outliers"),
+      "q329_kappa" -> SparkEntry.queries("q329_cohens_kappa"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

@@ -8664,7 +8664,76 @@ object SparkEntry {
         |SELECT lang_true, lang_pred, count(*) AS n
         |FROM p GROUP BY 1, 2
         |ORDER BY lang_true, lang_pred""".stripMargin)(
-      (s, d) => LangId.confusionCensus(Tables.documents(s, d))))
+      (s, d) => LangId.confusionCensus(Tables.documents(s, d))),
+
+    // 2D Mahalanobis outliers (Profiling.mahalanobisOutliers):
+    // multivariate anomaly over quantized embedding dims — a point can
+    // clear both per-axis gates (q139 MAD) yet sit far off the
+    // correlation ridge. Denominator-cleared integer stats, one
+    // fixed-shape IEEE division per point, top-10 by (d², vec_id).
+    q("q328_mahalanobis_outliers",
+      """WITH p AS (SELECT vec_id,
+        |    CAST(least(greatest(round(CAST(embedding[1] AS DOUBLE)
+        |      * 127), -127), 127) AS BIGINT) AS x,
+        |    CAST(least(greatest(round(CAST(embedding[2] AS DOUBLE)
+        |      * 127), -127), 127) AS BIGINT) AS y
+        |  FROM embeddings),
+        |g AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy FROM p)
+        |SELECT vec_id, CAST(round(1000000 * (
+        |    ((CAST(n * x - sx AS DOUBLE)) * (CAST(n * x - sx AS DOUBLE))
+        |       * CAST(n * syy - sy * sy AS DOUBLE) -
+        |     2e0 * (CAST(n * x - sx AS DOUBLE)) *
+        |       (CAST(n * y - sy AS DOUBLE)) *
+        |       CAST(n * sxy - sx * sy AS DOUBLE) +
+        |     (CAST(n * y - sy AS DOUBLE)) * (CAST(n * y - sy AS DOUBLE))
+        |       * CAST(n * sxx - sx * sx AS DOUBLE)) /
+        |    nullif(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |           CAST(n * syy - sy * sy AS DOUBLE) -
+        |           CAST(n * sxy - sx * sy AS DOUBLE) *
+        |           CAST(n * sxy - sx * sy AS DOUBLE), 0)))
+        |  AS BIGINT) AS d2_q6
+        |FROM p, g ORDER BY d2_q6 DESC, vec_id
+        |LIMIT 10""".stripMargin)(
+      (s, d) => Profiling.mahalanobisOutliers(Tables.embeddings(s, d),
+        topK = 10)),
+
+    // Cohen's kappa (Profiling.cohensKappa): chance-corrected agreement
+    // between two quality raters (length rule vs token-count rule) —
+    // percent agreement overstates whenever both say "yes" often; κ is
+    // the number to read before trusting either rule to filter a
+    // corpus. Cleared-denominator integers, one IEEE division.
+    q("q329_cohens_kappa",
+      """WITH r AS (SELECT (n_chars >= 200) AS a,
+        |    (len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0)) >= 40) AS b
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n11,
+        |  sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n10,
+        |  sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n01,
+        |  sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n00
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+        |  CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+        |  CAST(n00 AS BIGINT) AS n00,
+        |  CAST(round(1000000 * (CAST(CAST(n AS HUGEINT) * (n11 + n00) -
+        |    (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+        |     CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE) /
+        |    nullif(CAST(CAST(n AS HUGEINT) * n -
+        |    (CAST(n11 + n10 AS HUGEINT) * (n11 + n01) +
+        |     CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) AS DOUBLE), 0)))
+        |  AS BIGINT) AS kappa_q6
+        |FROM g""".stripMargin)(
+      (s, d) => Profiling.cohensKappa(
+        Tables.documents(s, d).select(
+          (col("n_chars") >= 200).as("ra"),
+          (org.apache.spark.sql.functions.size(
+            Text.tokens(col("text"))) >= 40).as("rb")),
+        raterA = "ra", raterB = "rb")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -970,6 +970,87 @@ object Profiling {
     census(partsA).unionByName(census(partsB)).orderBy("parts")
   }
 
+  /** 2D Mahalanobis outlier ranking over quantized embedding dims —
+    * the MULTIVARIATE anomaly view (q139's MAD and q93's winsorizing
+    * are per-axis; a point can be unremarkable on both axes yet far
+    * off the correlation ridge). Everything is denominator-cleared
+    * exact integers until one fixed-shape IEEE division: with
+    * Δ = n·x − Σx (n× the centered point) and C = n²·cov entries
+    * (n·Σxx − (Σx)² etc.), d² = (Δx²·Cyy − 2ΔxΔy·Cxy + Δy²·Cxx)/det —
+    * algebraically the true Mahalanobis d², no /n anywhere. The factor
+    * products run in DOUBLE (they pass 38 digits at cluster scale)
+    * over exact decimal(38,0)/HUGEINT factors, same shape both engines
+    * (q285 discipline), q6-quantized; top-k by (d², vec_id).
+    *
+    * Scale shape: one global partial agg to six numbers (1-row
+    * broadcast), one scan-stage expression, TakeOrderedAndProject(k).
+    */
+  def mahalanobisOutliers(embeddings: DataFrame,
+                          topK: Int = 10): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def code(i: Int) = expr(
+      s"""cast(least(greatest(round(
+         cast(element_at(embedding, $i) as double) * 127),
+         -127), 127) as long)""")
+    val pts = embeddings.select(col("vec_id"),
+      code(1).as("x"), code(2).as("y"))
+    val g = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    pts.crossJoin(broadcast(g))
+      .select(col("vec_id"),
+        expr("""cast(round(1000000 * (
+          ((cast(n * x - sx as double)) * (cast(n * x - sx as double)) *
+             cast(n * syy - sy * sy as double) -
+           2.0d * (cast(n * x - sx as double)) *
+             (cast(n * y - sy as double)) *
+             cast(n * sxy - sx * sy as double) +
+           (cast(n * y - sy as double)) * (cast(n * y - sy as double)) *
+             cast(n * sxx - sx * sx as double)) /
+          nullif(cast(n * sxx - sx * sx as double) *
+                 cast(n * syy - sy * sy as double) -
+                 cast(n * sxy - sx * sy as double) *
+                 cast(n * sxy - sx * sy as double), 0d)))
+          as bigint)""").as("d2_q6"))
+      .orderBy(col("d2_q6").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Cohen's kappa between two boolean raters — chance-corrected
+    * agreement, the model-eval number a raw percent-agreement census
+    * overstates whenever both raters say "yes" most of the time (the
+    * inter-annotator readout for q92-style quality rules before one is
+    * trusted to filter a corpus). κ = (N·a − e)/(N² − e) with
+    * a = n11 + n00 and e = r1·c1 + r0·c0 — cleared denominators, every
+    * ingredient an exact integer from ONE conditional partial agg; a
+    * single fixed-shape IEEE division, q6-quantized.
+    */
+  def cohensKappa(df: DataFrame, raterA: String,
+                  raterB: String): DataFrame = {
+    df.select(col(raterA).cast("boolean").as("a"),
+        col(raterB).cast("boolean").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        // every product promotes to decimal(38,0)/HUGEINT FIRST —
+        // n·n alone passes int64 at cluster scale
+        expr("""cast(round(1000000 * (cast(
+          cast(n as decimal(38,0)) * (n11 + n00) -
+          (cast(n11 + n10 as decimal(38,0)) * (n11 + n01) +
+           cast(n01 + n00 as decimal(38,0)) * (n10 + n00))
+          as double) / nullif(cast(
+          cast(n as decimal(38,0)) * n -
+          (cast(n11 + n10 as decimal(38,0)) * (n11 + n01) +
+           cast(n01 + n00 as decimal(38,0)) * (n10 + n00))
+          as double), 0d))) as bigint)""").as("kappa_q6"))
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

@@ -470,6 +470,49 @@ class ProfilingSpec extends SparkSpec {
     assert(got(0)._3 == got(1)._3)
   }
 
+  test("mahalanobisOutliers: symmetric cross has d² exactly 2") {
+    // codes (±127, 0), (0, ±127): zero means, zero cross-cov, equal
+    // axis variance 8064.5 → every point's d² = 127²/8064.5 = 2
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Profiling.mahalanobisOutliers(df, topK = 10)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_._2.contains(2000000L)))
+  }
+
+  test("mahalanobisOutliers: singular covariance → NULL, not a crash") {
+    // colinear cloud: det = 0 exactly
+    val df = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(-1.0f, -1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Profiling.mahalanobisOutliers(df, topK = 5)
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(got.size == 3 && got.forall(_._2.isEmpty))
+  }
+
+  test("cohensKappa: hand case 0.6, perfect 1, degenerate NULL") {
+    def df(cells: (Boolean, Boolean, Int)*) =
+      cells.flatMap { case (a, b, k) => Seq.fill(k)((a, b)) }
+        .toDF("ra", "rb")
+    // n11=4 n10=1 n01=1 n00=4: κ = (80−50)/(100−50) = 0.6
+    assert(Profiling.cohensKappa(
+        df((true, true, 4), (true, false, 1), (false, true, 1),
+          (false, false, 4)), "ra", "rb")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((10L, 4L, 1L, 1L, 4L, Some(600000L))))
+    // perfect agreement with both classes present: κ = 1
+    assert(Profiling.cohensKappa(df((true, true, 2), (false, false, 3)),
+        "ra", "rb")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head ==
+      ((5L, 2L, 0L, 0L, 3L, Some(1000000L))))
+    // constant raters: chance agreement is total → κ undefined (NULL)
+    assert(Profiling.cohensKappa(df((true, true, 3)), "ra", "rb")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()
+      .head._6.isEmpty)
+  }
+
   test("chiSquareIndependence: 2×2 hand case and the zero-cell law") {
     // balanced 2×2 with association: all E = 2, χ² = 4·(1²/2) = 2
     val assoc = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y")) ++
