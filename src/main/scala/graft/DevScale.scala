@@ -525,6 +525,9 @@ object DevScale {
       // q329 one conditional partial agg over the document scan
       "q328_mahalanobis" -> SparkEntry.queries("q328_mahalanobis_outliers"),
       "q329_kappa" -> SparkEntry.queries("q329_cohens_kappa"),
+      // q330 rides the q22 inverted-index shape with weighted postings
+      // — the ~c suffix construction keeps pairs within-copy (F×)
+      "q330_wjaccard" -> SparkEntry.queries("q330_weighted_jaccard"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

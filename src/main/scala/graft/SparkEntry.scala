@@ -8733,7 +8733,44 @@ object SparkEntry {
           (col("n_chars") >= 200).as("ra"),
           (org.apache.spark.sql.functions.size(
             Text.tokens(col("text"))) >= 40).as("rb")),
-        raterA = "ra", raterB = "rb")))
+        raterA = "ra", raterB = "rb")),
+
+    // IDF-weighted Jaccard pairs (Dedup.weightedJaccardPairs): q22's
+    // inverted index scored by Σidf(shared)/Σidf(union) — boilerplate
+    // (idf ≈ 0) stops deciding similarity. Integer permille idf
+    // quantized BEFORE the sums (order-free; the benford/PMI-proven
+    // ln device), one q6 integer division.
+    q("q330_weighted_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks
+        |  WHERE len(t) >= 3),
+        |it AS (SELECT doc_id, unnest(s) AS item FROM sh),
+        |nn AS (SELECT count(*) AS n FROM sh),
+        |w AS (SELECT item, CAST(round(1000 * ln(CAST(nn.n AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM it, nn GROUP BY item, nn.n
+        |  HAVING count(*) <= 10000),
+        |wi AS (SELECT doc_id, it.item, w FROM it JOIN w USING (item)),
+        |dw AS (SELECT doc_id, sum(w) AS tw FROM wi GROUP BY 1),
+        |sp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(a.w) AS sw
+        |  FROM wi a JOIN wi b ON a.item = b.item
+        |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sc AS (SELECT id_a, id_b,
+        |    CAST(CAST(sw AS HUGEINT) * 1000000 //
+        |      nullif(ta.tw + tb.tw - sw, 0) AS BIGINT) AS wjacc_q6
+        |  FROM sp JOIN dw ta ON ta.doc_id = sp.id_a
+        |  JOIN dw tb ON tb.doc_id = sp.id_b)
+        |SELECT id_a, id_b, wjacc_q6 FROM sc
+        |WHERE wjacc_q6 >= 150000
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d),
+        n = 3, thresholdQ6 = 150000L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

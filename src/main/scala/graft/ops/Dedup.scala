@@ -1305,6 +1305,67 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** IDF-WEIGHTED Jaccard pairs: q22's inverted-index join scored by
+    * Σ idf(shared) / Σ idf(union) instead of raw set counts — the
+    * dedup variant that stops boilerplate from deciding similarity: two
+    * documents sharing only ubiquitous shingles (headers, license
+    * blocks — idf ≈ 0) score near zero even when plain Jaccard would
+    * pass them, while rare shared content dominates. The standard
+    * production upgrade of set-similarity dedup.
+    *
+    * Engine-exact: weights quantize to integer permille idf
+    * (round(1000·ln(N/df)) — ln over the same integer-ratio double both
+    * engines, the benford/PMI-proven device) BEFORE any sum, so shared
+    * and union masses are order-free exact integers and the score is
+    * ONE integer division (q6). The `maxDf` rail composes exactly as
+    * in q22 (dropping df > cap items from the weighted universe —
+    * their idf is the lowest by construction, so the cap costs the
+    * score least where it bites).
+    *
+    * Scale shape: identical to q22 — df census (keyed partial agg),
+    * weighted inverted-index pair join bounded by the df cap, two
+    * broadcast-joined per-doc totals. Never all-pairs.
+    */
+  def weightedJaccardPairs(documents: DataFrame, n: Int = 3,
+                           thresholdQ6: Long = 150000L,
+                           maxDf: Long = 10000L): DataFrame = {
+    require(thresholdQ6 >= 0 && thresholdQ6 <= 1000000L,
+      "thresholdQ6 must be in [0, 1000000]")
+    val sets = shingleSets(documents, n)
+      .filter(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val items = sets.select(col("doc_id"),
+      explode(col("shingles")).as("item"))
+    val nDocs = sets.agg(count(lit(1)).as("__n"))
+    val weights = items.groupBy("item").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("item"), expr(
+        "cast(round(1000 * ln(cast(__n as double) / cast(__df as double)))" +
+          " as long)").as("w"))
+    val wi = items.join(weights, "item")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+    wi.as("a")
+      .join(wi.as("b"),
+        col("a.item") === col("b.item") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w")).as("sw"))
+      .join(docw.select(col("doc_id").as("id_a"), col("tw").as("twa")),
+        "id_a")
+      .join(docw.select(col("doc_id").as("id_b"), col("tw").as("twb")),
+        "id_b")
+      // nullif: a pair whose every shingle is corpus-ubiquitous has
+      // tw = sw = 0 — an undefined score (filtered), not an ANSI error
+      .withColumn("wjacc_q6", expr(
+        "cast(cast(sw as decimal(38,0)) * 1000000" +
+          " div nullif(twa + twb - sw, 0L) as bigint)"))
+      .filter(col("wjacc_q6") >= thresholdQ6)
+      .select(col("id_a"), col("id_b"), col("wjacc_q6"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH parameter planner: for every (bands b, rows-per-band r) in the
     * candidate grid, the banded-MinHash capture curve
     * P(s) = 1 − (1 − sʳ)ᵇ integrated against the ideal step at the

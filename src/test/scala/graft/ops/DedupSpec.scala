@@ -713,6 +713,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("weightedJaccardPairs: boilerplate cannot decide similarity") {
+    // every doc opens with the same "x y z" shingle (df = N → idf 0);
+    // d1/d2 share ONLY that — weighted score 0, pair excluded — while
+    // d3/d4 share three rare shingles: idf(df=2) = round(1000·ln 2) =
+    // 693, idf(df=1) = 1386 → sw = 3·693 = 2079, tw = 3·693 + 1386 =
+    // 3465 each → 2079e6 div 4851 = 428571
+    val d = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z p q r s"), (4L, "x y z p q r t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardPairs(d, n = 3,
+        thresholdQ6 = 150000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 4L, 428571L)))
+  }
+
   test("lshParamPlan: (4,2) row matches the squaring-chain replay") {
     // replay the exact double chain the operator promises: s = i/128,
     // powers by explicit squaring, per-point q6 round, integer sum
