@@ -109,7 +109,19 @@ object DevPlans {
         "q303_kcenter_coreset", "q304_schema_evolution",
         "q305_lsh_param_plan", "q306_sequence_gap_census",
         "q307_degree_assortativity", "q308_linear_probe",
-        "q310_target_encode_loo", "q311_salt_plan")
+        "q310_target_encode_loo", "q311_salt_plan",
+        // q309/q312 execute the streaming engine inside the query fn —
+        // their "plan" is the memory-sink table scan; specs + DevScale
+        // carry their evidence instead
+        "q313_sql_frontdoor", "q314_simpson_audit",
+        "q315_bucketed_join", "q316_format_roundtrip",
+        "q317_cuped_readout", "q318_diff_in_diff",
+        "q319_conversion_ztest", "q320_grid_neighbor_pairs",
+        "q321_jackknife_ratio_se", "q322_k_anonymity",
+        "q323_codec_matrix", "q324_top_names_concat",
+        "q325_chi_square_independence", "q326_partitioning_invariance",
+        "q327_lang_confusion", "q328_mahalanobis_outliers",
+        "q329_cohens_kappa", "q330_weighted_jaccard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
