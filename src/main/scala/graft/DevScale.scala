@@ -528,6 +528,10 @@ object DevScale {
       // q330 rides the q22 inverted-index shape with weighted postings
       // — the ~c suffix construction keeps pairs within-copy (F×)
       "q330_wjaccard" -> SparkEntry.queries("q330_weighted_jaccard"),
+      // q331 one keyed agg + 1-row broadcast + fold over the orders
+      // scan; q332 one value census + census-sized window (q300 shape)
+      "q331_anova" -> SparkEntry.queries("q331_anova_f"),
+      "q332_mannwhitney" -> SparkEntry.queries("q332_mann_whitney"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

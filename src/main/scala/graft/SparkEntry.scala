@@ -8770,7 +8770,74 @@ object SparkEntry {
         |WHERE wjacc_q6 >= 150000
         |ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.weightedJaccardPairs(Tables.documents(s, d),
-        n = 3, thresholdQ6 = 150000L)))
+        n = 3, thresholdQ6 = 150000L)),
+
+    // One-way ANOVA F (Relational.anovaOrderValue): does ANY nation's
+    // mean order value differ — the family-wise gate before 25
+    // pairwise tests. Dollar-quantized so every double stays below
+    // 2^53 (the cents form diverged at the last ulp — the driver hash
+    // caught Spark's Decimal.toDouble vs DuckDB's HUGEINT cast
+    // disagreeing above 2^53); per-group terms round to dollar²
+    // before order-free sums; one fixed-shape IEEE F.
+    q("q331_anova_f",
+      """WITH fact AS (SELECT c_nationkey AS g,
+        |    CAST(round(o_totalprice) AS BIGINT) AS d
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT g, count(*) AS n_g, sum(CAST(d AS HUGEINT))
+        |    AS s_g, sum(CAST(d AS HUGEINT) * d) AS ss_g
+        |  FROM fact GROUP BY 1),
+        |t AS (SELECT sum(n_g) AS n, sum(s_g) AS s FROM per),
+        |terms AS (SELECT n_g,
+        |    CAST(round(CAST(n_g AS DOUBLE) *
+        |      ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) -
+        |        CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))) AS BIGINT)
+        |      AS b_g,
+        |    CAST(ss_g AS BIGINT) - CAST(round(CAST(n_g AS DOUBLE) *
+        |      ((CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)) *
+        |       (CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)))) AS BIGINT)
+        |      AS w_g
+        |  FROM per, t),
+        |f AS (SELECT count(*) AS k, sum(n_g) AS n, sum(b_g) AS ssb,
+        |    sum(w_g) AS ssw FROM terms)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(ssb AS BIGINT) AS ssb_d2, CAST(ssw AS BIGINT) AS ssw_d2,
+        |  CAST(round(1000000 * ((CAST(ssb AS DOUBLE) /
+        |    CAST(k - 1 AS DOUBLE)) / nullif(CAST(ssw AS DOUBLE) /
+        |    CAST(n - k AS DOUBLE), 0))) AS BIGINT) AS f_q6
+        |FROM f""".stripMargin)(
+      (s, d) => Relational.anovaOrderValue(Tables.orders(s, d),
+        Tables.customer(s, d))),
+
+    // Mann–Whitney U (Profiling.mannWhitney): nonparametric rank-sum
+    // between two sources' doc-length distributions — the stochastic-
+    // dominance companion to q300's KS. Doubled average-tie ranks keep
+    // U exact-integer (the q299 device); the basic normal z (no tie
+    // correction, stated) is one fixed-shape IEEE expression.
+    q("q332_mann_whitney",
+      """WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM v GROUP BY 1),
+        |w AS (SELECT ca, cb, coalesce(sum(ca + cb) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        |  FROM c),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b,
+        |    sum(CAST(ca AS HUGEINT) * (2 * p + ca + cb + 1)) AS r2x
+        |  FROM w)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(r2x - CAST(n_a AS HUGEINT) * (n_a + 1) AS VARCHAR)
+        |    AS u2x,
+        |  CAST(round(1000000 * (CAST(r2x - CAST(n_a AS HUGEINT) *
+        |    (n_a + 1) - CAST(n_a AS HUGEINT) * n_b AS DOUBLE) /
+        |    nullif(sqrt(CAST(CAST(n_a AS HUGEINT) * n_b *
+        |    (n_a + n_b + 1) AS DOUBLE) / 3e0), 0))) AS BIGINT) AS z_q6
+        |FROM t""".stripMargin)(
+      (s, d) => Profiling.mannWhitney(Tables.documents(s, d),
+        "source", "n_chars", "src0", "src1")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

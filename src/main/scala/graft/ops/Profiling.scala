@@ -970,6 +970,57 @@ object Profiling {
     census(partsA).unionByName(census(partsB)).orderBy("parts")
   }
 
+  /** Mann–Whitney U rank-sum test between two groups' value
+    * distributions — the NONPARAMETRIC two-sample test next to q300's
+    * KS (KS asks "do the ECDFs differ anywhere", U asks "does one
+    * group stochastically dominate") and q319's z (which needs a
+    * binary outcome). Integer-exact by the q299 doubling device:
+    * average tie ranks double to 2p + c + 1 (p = rows before the
+    * value, c = its tie count), so R2x and U2x = R2x − n_a(n_a+1) are
+    * exact integers; the normal-approximation z (no tie correction —
+    * the basic form, stated) is one fixed-shape IEEE expression over
+    * them (variance of U2x is n_a·n_b·(n+1)/3), q6-quantized.
+    *
+    * Scale shape: one value-census partial agg (domain-bounded), one
+    * census-sized global-order window (the q108 aggregated-window
+    * posture), a single-row fold.
+    */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+                  groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val cens = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy("__v")
+      .agg(coalesce(sum(when(col("__g") === groupA, 1L)), lit(0L))
+        .as("__ca"),
+        coalesce(sum(when(col("__g") === groupB, 1L)), lit(0L))
+          .as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    cens
+      .withColumn("__p", coalesce(sum(col("__ca") + col("__cb")).over(w),
+        lit(0L)))
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        // promote BEFORE the product: ca · (2p + …) passes int64 at
+        // cluster scale (p is the running row count)
+        sum(col("__ca").cast("decimal(38,0)") *
+          (lit(2L) * col("__p") + col("__ca") + col("__cb") + 1L))
+          .as("r2x_a"))
+      .select(col("n_a"), col("n_b"),
+        expr("cast(r2x_a - cast(n_a as decimal(38,0)) * (n_a + 1)" +
+          " as string)").as("u2x"),
+        expr("""cast(round(1000000 * (cast(r2x_a -
+          cast(n_a as decimal(38,0)) * (n_a + 1) -
+          cast(n_a as decimal(38,0)) * n_b as double) /
+          nullif(sqrt(cast(cast(n_a as decimal(38,0)) * n_b *
+          (n_a + n_b + 1) as double) / 3.0d), 0d))) as bigint)""")
+          .as("z_q6"))
+  }
+
   /** 2D Mahalanobis outlier ranking over quantized embedding dims —
     * the MULTIVARIATE anomaly view (q139's MAD and q93's winsorizing
     * are per-axis; a point can be unremarkable on both axes yet far

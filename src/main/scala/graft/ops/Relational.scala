@@ -1745,6 +1745,60 @@ object Relational {
       .orderBy("cust", "rnk")
   }
 
+  /** One-way ANOVA F over order value by nation — does ANY nation's
+    * mean differ, in one test (running 25 pairwise z-tests inflates
+    * false positives; F is the family-wise readout that gates them).
+    *
+    * Exactness discipline: F is SCALE-INVARIANT, so the value
+    * quantizes to whole DOLLARS — chosen so every quantity entering a
+    * double (group sums ~1e9, group mean squares, Σd² ~1e13 at the
+    * bench scale) stays BELOW 2⁵³, where integer→double conversion is
+    * exact on both engines. The cents formulation was measured to
+    * diverge at the last ulp: a >2⁵³ integer rounds differently
+    * through Spark's Decimal.toDouble vs DuckDB's HUGEINT cast — the
+    * unit-scaling rail (pick units so per-group Σv² < 2⁵³) is the
+    * principled fix, documented here because the driver hash CAUGHT
+    * it. Per-group SSB/SSW terms round to integer dollar² BEFORE the
+    * order-free sums (the q305 device); F is one fixed-shape IEEE
+    * expression, q6.
+    *
+    * Scale shape: one keyed partial agg to |groups| rows, a 1-row
+    * broadcast of the grand totals, one fold. No window.
+    */
+  def anovaOrderValue(orders: DataFrame,
+                      customer: DataFrame): DataFrame = {
+    val fact = orders
+      .select(col("o_custkey"),
+        expr("cast(round(o_totalprice) as long)").as("__d"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("__g"), col("__d"))
+    val per = fact.groupBy("__g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("__d").cast("decimal(38,0)")).as("s_g"),
+        sum(col("__d").cast("decimal(38,0)") * col("__d")).as("ss_g"))
+    val tot = per.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"))
+    val terms = per.crossJoin(broadcast(tot))
+      .select(
+        expr("""cast(round(cast(n_g as double) *
+          ((cast(s_g as double) / cast(n_g as double) -
+            cast(s as double) / cast(n as double)) *
+           (cast(s_g as double) / cast(n_g as double) -
+            cast(s as double) / cast(n as double)))) as bigint)""")
+          .as("b_g"),
+        expr("""cast(ss_g as bigint) - cast(round(cast(n_g as double) *
+          ((cast(s_g as double) / cast(n_g as double)) *
+           (cast(s_g as double) / cast(n_g as double)))) as bigint)""")
+          .as("w_g"),
+        col("n_g"))
+    terms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("b_g")).as("ssb_d2"), sum(col("w_g")).as("ssw_d2"))
+      .select(col("k"), col("n"), col("ssb_d2"), col("ssw_d2"),
+        expr("""cast(round(1000000 * ((cast(ssb_d2 as double) /
+          cast(k - 1 as double)) / nullif(cast(ssw_d2 as double) /
+          cast(n - k as double), 0d))) as bigint)""").as("f_q6"))
+  }
+
   /** Ordered top-k string aggregation: per nation, the top-k customer
     * names by account balance concatenated in rank order — the ORDERED
     * string_agg surface (report/export shape) that plain collect_list

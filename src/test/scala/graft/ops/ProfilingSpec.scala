@@ -470,6 +470,23 @@ class ProfilingSpec extends SparkSpec {
     assert(got(0)._3 == got(1)._3)
   }
 
+  test("mannWhitney: separation, ties, and the doubled-rank identity") {
+    // A = {1,2}, B = {3,4}: complete separation → U = 0,
+    // z = −4/√(20/3) = −1.549193…
+    val sep = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val g1 = Profiling.mannWhitney(sep, "g", "v", "a", "b")
+      .as[(Long, Long, String, Option[Long])].collect().head
+    assert(g1 == ((2L, 2L, "0", Some(-1549193L))))
+    // ties: A = {1,1}, B = {1,2} — the three 1s average to rank 2
+    // (doubled 4), R2x_A = 8 → U2x = 2 (U = 1)
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val g2 = Profiling.mannWhitney(tied, "g", "v", "a", "b")
+      .as[(Long, Long, String, Option[Long])].collect().head
+    assert(g2._1 == 2L && g2._2 == 2L && g2._3 == "2")
+  }
+
   test("mahalanobisOutliers: symmetric cross has d² exactly 2") {
     // codes (±127, 0), (0, ±127): zero means, zero cross-cov, equal
     // axis variance 8064.5 → every point's d² = 127²/8064.5 = 2

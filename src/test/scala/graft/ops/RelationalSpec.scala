@@ -656,6 +656,25 @@ class RelationalSpec extends SparkSpec {
       (4L, 1L, None, 0L)))
   }
 
+  test("anovaOrderValue: hand F, and zero within-variance → NULL") {
+    val customer = Seq((10L, 0L), (11L, 0L), (12L, 1L), (13L, 1L))
+      .toDF("c_custkey", "c_nationkey")
+    def o(rows: (Long, Long, Double)*) = rows
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    // {10,20} vs {30,40}: ssb = 400, ssw = 100, F = (400/1)/(100/2) = 8
+    val got = Relational.anovaOrderValue(
+        o((1L, 10L, 10.0), (2L, 11L, 20.0), (3L, 12L, 30.0),
+          (4L, 13L, 40.0)), customer)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((2L, 4L, 400L, 100L, Some(8000000L))))
+    // constant within groups: ssw = 0 → F undefined (NULL), not error
+    val const = Relational.anovaOrderValue(
+        o((1L, 10L, 10.0), (2L, 11L, 10.0), (3L, 12L, 30.0),
+          (4L, 13L, 30.0)), customer)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(const == ((2L, 4L, 400L, 0L, None)))
+  }
+
   test("topNamesConcat: rank order in the string, name tiebreak, k cap") {
     val customer = Seq(
       (1L, "Bob", 0L, 3.00), (2L, "Amy", 0L, 3.00),
