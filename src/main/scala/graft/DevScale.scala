@@ -532,6 +532,8 @@ object DevScale {
       // scan; q332 one value census + census-sized window (q300 shape)
       "q331_anova" -> SparkEntry.queries("q331_anova_f"),
       "q332_mannwhitney" -> SparkEntry.queries("q332_mann_whitney"),
+      // q333 = q330's pair stage + a pair-bounded evidence window
+      "q333_evidence" -> SparkEntry.queries("q333_dedup_evidence"),
       // q322/q324/q325 read only the verbatim customer dim — constant
       // by construction, excluded like q305/q307 (the q273 note)
       // q264 under inflation measures the DENSIFYING regime (constant

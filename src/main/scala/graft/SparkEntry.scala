@@ -8837,7 +8837,54 @@ object SparkEntry {
         |    (n_a + n_b + 1) AS DOUBLE) / 3e0), 0))) AS BIGINT) AS z_q6
         |FROM t""".stripMargin)(
       (s, d) => Profiling.mannWhitney(Tables.documents(s, d),
-        "source", "n_chars", "src0", "src1")))
+        "source", "n_chars", "src0", "src1")),
+
+    // Explainable near-dup pairs (Dedup.weightedJaccardEvidence): each
+    // q330 pair carries its top-3 rarest shared shingles in rank order
+    // — the audit trail a deletion decision needs ("removed BECAUSE it
+    // shares these rare passages"), the q324 ordered string-agg device
+    // on the q330 pair stage.
+    q("q333_dedup_evidence",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text,
+        |    '[ \t\n\r\f]+'), w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks
+        |  WHERE len(t) >= 3),
+        |it AS (SELECT doc_id, unnest(s) AS item FROM sh),
+        |nn AS (SELECT count(*) AS n FROM sh),
+        |w AS (SELECT item, CAST(round(1000 * ln(CAST(nn.n AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE))) AS BIGINT) AS w
+        |  FROM it, nn GROUP BY item, nn.n
+        |  HAVING count(*) <= 10000),
+        |wi AS (SELECT doc_id, it.item, w FROM it JOIN w USING (item)),
+        |dw AS (SELECT doc_id, sum(w) AS tw FROM wi GROUP BY 1),
+        |shrd AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.item AS item, a.w AS w
+        |  FROM wi a JOIN wi b ON a.item = b.item
+        |    AND a.doc_id < b.doc_id),
+        |sc AS (SELECT id_a, id_b,
+        |    CAST(CAST(sum(w) AS HUGEINT) * 1000000 //
+        |      nullif(ta.tw + tb.tw - sum(w), 0) AS BIGINT) AS wjacc_q6
+        |  FROM shrd JOIN dw ta ON ta.doc_id = shrd.id_a
+        |  JOIN dw tb ON tb.doc_id = shrd.id_b
+        |  GROUP BY id_a, id_b, ta.tw, tb.tw),
+        |q AS (SELECT id_a, id_b, wjacc_q6 FROM sc
+        |  WHERE wjacc_q6 >= 150000),
+        |ev AS (SELECT shrd.id_a, shrd.id_b,
+        |    string_agg(item, ',' ORDER BY rk) AS evidence
+        |  FROM (SELECT id_a, id_b, item,
+        |      row_number() OVER (PARTITION BY id_a, id_b
+        |        ORDER BY w DESC, item) AS rk FROM shrd) shrd
+        |  JOIN q ON q.id_a = shrd.id_a AND q.id_b = shrd.id_b
+        |  WHERE rk <= 3 GROUP BY 1, 2)
+        |SELECT q.id_a, q.id_b, q.wjacc_q6, ev.evidence
+        |FROM q JOIN ev ON ev.id_a = q.id_a AND ev.id_b = q.id_b
+        |ORDER BY q.id_a, q.id_b""".stripMargin)(
+      (s, d) => Dedup.weightedJaccardEvidence(Tables.documents(s, d),
+        n = 3, thresholdQ6 = 150000L, topE = 3)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -1366,6 +1366,71 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXPLAINABLE near-dup pairs: q330's IDF-weighted Jaccard join with
+    * an EVIDENCE column — each qualifying pair carries its top-`topE`
+    * rarest shared shingles (idf desc, shingle tiebreak) concatenated
+    * in rank order. The audit trail a 100 TB dedup deletion needs: "we
+    * removed this document BECAUSE it shares these rare passages", a
+    * reviewable string instead of a bare score (the q324 ordered
+    * string-agg device applied to the q330 pair stage). Same
+    * inverted-index shape and integer-idf exactness as q330; the
+    * per-pair evidence window partitions by pair (bounded by shared
+    * shingle count, never corpus size).
+    */
+  def weightedJaccardEvidence(documents: DataFrame, n: Int = 3,
+                              thresholdQ6: Long = 150000L,
+                              maxDf: Long = 10000L,
+                              topE: Int = 3): DataFrame = {
+    require(topE >= 1, "topE must be >= 1")
+    val sets = shingleSets(documents, n)
+      .filter(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val items = sets.select(col("doc_id"),
+      explode(col("shingles")).as("item"))
+    val nDocs = sets.agg(count(lit(1)).as("__n"))
+    val weights = items.groupBy("item").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("item"), expr(
+        "cast(round(1000 * ln(cast(__n as double) / cast(__df as double)))" +
+          " as long)").as("w"))
+    val wi = items.join(weights, "item")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
+    val shared = wi.as("a")
+      .join(wi.as("b"),
+        col("a.item") === col("b.item") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.item").as("item"), col("a.w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = shared.groupBy("id_a", "id_b")
+      .agg(sum(col("w")).as("sw"))
+      .join(docw.select(col("doc_id").as("id_a"), col("tw").as("twa")),
+        "id_a")
+      .join(docw.select(col("doc_id").as("id_b"), col("tw").as("twb")),
+        "id_b")
+      .withColumn("wjacc_q6", expr(
+        "cast(cast(sw as decimal(38,0)) * 1000000" +
+          " div nullif(twa + twb - sw, 0L) as bigint)"))
+      .filter(col("wjacc_q6") >= thresholdQ6)
+      .select(col("id_a"), col("id_b"), col("wjacc_q6"))
+    val wEv = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b")
+      .orderBy(col("w").desc, col("item"))
+    val evidence = shared
+      .join(scored.select("id_a", "id_b"), Seq("id_a", "id_b"))
+      .withColumn("__rk", row_number().over(wEv))
+      .filter(col("__rk") <= topE)
+      .groupBy("id_a", "id_b")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("__rk"),
+          col("item")))), x => x.getField("item"))).as("evidence"))
+    scored.join(evidence, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("wjacc_q6"), col("evidence"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH parameter planner: for every (bands b, rows-per-band r) in the
     * candidate grid, the banded-MinHash capture curve
     * P(s) = 1 − (1 − sʳ)ᵇ integrated against the ideal step at the

@@ -729,6 +729,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((3L, 4L, 428571L)))
   }
 
+  test("weightedJaccardEvidence: rarest shared shingles in rank order") {
+    // same fixture as the boilerplate-law test: d3/d4 share three
+    // idf-693 shingles (and the idf-0 boilerplate, which cannot make
+    // the evidence) → lexicographic among equals
+    val d = Seq(
+      (1L, "x y z a b c"), (2L, "x y z d e f"),
+      (3L, "x y z p q r s"), (4L, "x y z p q r t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.weightedJaccardEvidence(d, n = 3,
+        thresholdQ6 = 150000L, topE = 3)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((3L, 4L, 428571L, "p q r,y z p,z p q")))
+  }
+
   test("lshParamPlan: (4,2) row matches the squaring-chain replay") {
     // replay the exact double chain the operator promises: s = i/128,
     // powers by explicit squaring, per-point q6 round, integer sum
