@@ -27,17 +27,20 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
     val spark = df.sparkSession
+    // a REGISTERED managed table's directory is removed by DROP itself;
+    // the manual sweep below only has to handle the ORPHAN case — a
+    // directory left by a previous JVM whose in-memory catalog is gone —
+    // whose default managed path is warehouse/<lowercased name> (the
+    // metastore lowercases identifiers, so a mixed-case `table` must not
+    // be used verbatim). Deletion goes through the Hadoop FileSystem
+    // API: correct for non-local warehouses and free of the
+    // listFiles()==null mid-walk NPE a raw java.io recursion risks.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(loc)
-    }
+    val orphan = new org.apache.hadoop.fs.Path(warehouse,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = orphan.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(orphan)) { fs.delete(orphan, true); () }
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w)

@@ -450,8 +450,14 @@ object Dedup {
     // prefix length sz − ⌈t·sz⌉ + 1 with the ceiling in INTEGER permille
     // arithmetic: a double ceil(0.2 · sz) can land one above the true
     // ceiling (0.2 is not binary-exact), silently shortening the prefix
-    // — and a too-short prefix LOSES qualifying pairs
-    val tpm = math.round(threshold * 1000)
+    // — and a too-short prefix LOSES qualifying pairs. The permille
+    // quantization itself must round DOWN: floor keeps tpm/1000 ≤ t, so
+    // ceil(tpm·sz/1000) ≤ ceil(t·sz) and the prefix stays ≥ the lossless
+    // length (round() could round UP — 0.1995 → 200‰ — overshooting the
+    // true ceiling and dropping qualifying pairs); the verify stage
+    // filters on the exact double threshold, so a longer prefix only
+    // costs candidates, never correctness
+    val tpm = math.floor(threshold * 1000).toLong
     val prefix = items.join(dfc, "item")
       .withColumn("__pos", row_number().over(wDoc))
       .join(sets.select(col("doc_id"),

@@ -325,20 +325,44 @@ object Layout {
       .repartitionByRange(n, all: _*)
       .sortWithinPartitions(all: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // group key for the driver-side bookkeeping: (isNull, string form).
+    // A bare String.valueOf would merge a NULL group with the literal
+    // string "null" (totals summed across both, base offsets interleaved
+    // — wrong rnk/n_grp for each); the isNull flag keeps them distinct.
+    // Within one typed column the string form of NON-null values is
+    // injective for every group type this operator contracts for
+    // (string/integral/date — the low-cardinality regime).
+    def gKey(r: org.apache.spark.sql.Row): (Boolean, String) =
+      if (r.isNullAt(gIdx)) (true, "")
+      else (false, String.valueOf(r.get(gIdx)))
     // pass 1: per-(partition, group) row counts — one row per contiguous
-    // group run; group keys cross as strings (grouping only, the rows
-    // themselves carry the typed value)
+    // group run. The collect is bounded by parts × groups-per-partition
+    // (the low-cardinality contract); maxDriverRuns makes a violated
+    // contract fail FAST with a named remedy instead of OOMing the
+    // driver at 100× — checked in the executor (before the rows ship)
+    // and again on the assembled total.
     val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      val m =
+        scala.collection.mutable.LinkedHashMap.empty[(Boolean, String), Long]
       it.foreach { r =>
-        val g = String.valueOf(r.get(gIdx))
+        val g = gKey(r)
         m.update(g, m.getOrElse(g, 0L) + 1L)
+        if (m.size > maxDriverRuns)
+          throw new IllegalStateException(
+            s"shardedGroupRanks: > $maxDriverRuns distinct '$groupCol' " +
+              "groups in one range partition — the group column is " +
+              "high-cardinality; use an ordinary partitioned window " +
+              "(partitions are small by construction there)")
       }
       m.iterator.map { case (g, c) => (pid, g, c) }
     }.collect()
+    require(counts.length <= maxDriverRuns,
+      s"shardedGroupRanks: ${counts.length} (partition, group) runs " +
+        s"exceed the $maxDriverRuns driver budget — '$groupCol' is " +
+        "high-cardinality; use an ordinary partitioned window")
     val totals = counts.groupBy(_._2).map { case (g, rs) =>
       g -> rs.map(_._3).sum }
-    val bases: Map[(Int, String), Long] = {
+    val bases: Map[(Int, (Boolean, String)), Long] = {
       val byGroup = counts.groupBy(_._2)
       byGroup.flatMap { case (g, rs) =>
         val sorted = rs.sortBy(_._1)
@@ -356,11 +380,11 @@ object Layout {
         org.apache.spark.sql.types.StructField("n_grp",
           org.apache.spark.sql.types.LongType, nullable = false)))
     val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cur: String = null
+      var cur: (Boolean, String) = null
       var r = 0L
       var tot = 0L
       it.map { row =>
-        val g = String.valueOf(row.get(gIdx))
+        val g = gKey(row)
         if (g != cur) {
           cur = g
           r = bBases.value.getOrElse((pid, g), 0L)
@@ -372,6 +396,14 @@ object Layout {
     }
     session.createDataFrame(rows, outSchema)
   }
+
+  /** Hard ceiling on pass-1's driver-side (partition, group) run count —
+    * roughly the driver-memory budget of `shardedGroupRanks`' bookkeeping
+    * (~1e6 small tuples ≈ tens of MB). A group column that blows past it
+    * violates the operator's low-cardinality contract; failing fast with
+    * the remedy in the message beats a driver OOM three stages later.
+    */
+  private val maxDriverRuns = 1000000
 
   /** SQL `NTILE(buckets)` bucket of 1-based rank `rnk` over `nRows` rows,
     * in closed form: the first `nRows mod buckets` buckets take

@@ -470,10 +470,17 @@ object Profiling {
       .agg(
         max(col("__na")).as("n_a"),
         max(col("__nb")).as("n_b"),
-        max(abs(col("__cuma") * col("__nb") -
-          col("__cumb") * col("__na"))).as("d_num"))
-      .select(col("n_a"), col("n_b"), col("d_num"),
-        expr("d_num * 1000 div (n_a * n_b)").as("ks_pm"))
+        // promote BEFORE the product (the mannWhitney cleared-denominator
+        // discipline): cum·n products pass int64 once each group nears
+        // ~3e9 rows — exactly the scale the operator exists for. d_num
+        // ships as the decimal's string form (the u2x device), ks_pm
+        // stays BIGINT (≤ 1000 by construction).
+        max(abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__na"))).as("__dnum"))
+      .select(col("n_a"), col("n_b"),
+        col("__dnum").cast("string").as("d_num"),
+        expr("cast(__dnum * 1000 div" +
+          " (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("ks_pm"))
   }
 
   def joinCardinalityAudit(left: DataFrame, leftKey: String,

@@ -192,11 +192,15 @@ object Sinks {
     * proves the SORT property the bulk-load contract is about — each
     * file's keys nondecreasing in physical row order.
     *
-    * The sortedness check streams each read split once (a split is a
-    * contiguous file chunk, so rows arrive in file order; the per-file
-    * tracker resets when the scan crosses a file boundary within a
-    * coalesced multi-file partition). Only one Long per read partition
-    * reaches the driver. `keyCol` must be integral and non-null.
+    * The sortedness check rides the parquet source's `_metadata` columns
+    * (file_path + row_index), so it is independent of how the scan maps
+    * files to read splits — a per-file window ordered by the PHYSICAL
+    * row index compares every adjacent row pair, including pairs that
+    * straddle a split boundary (the failure mode of a per-split
+    * streaming tracker: a file larger than maxPartitionBytes spans
+    * several splits, and a boundary inversion never meets its
+    * predecessor). Window partitions are file-bounded, never
+    * corpus-bounded. `keyCol` must be integral and non-null.
     */
   def sortedParquetAudit(df: DataFrame, keyCol: String,
                          checksumCols: Seq[String], path: String,
@@ -211,27 +215,25 @@ object Sinks {
   }
 
   /** Count of read-back rows whose key DECREASES from the previous row
-    * of the same file, in physical scan order — 0 iff every file is
-    * key-sorted. One Long per read partition reaches the driver.
+    * of the same FILE in physical row order — 0 iff every file is
+    * key-sorted. Adjacency comes from `_metadata.row_index` (not scan
+    * arrival order), so the count is exact regardless of split sizing
+    * or multi-file partition coalescing; each per-file window sorts one
+    * file's rows — bounded by the write's own file sizing, never by the
+    * corpus.
     */
   private[ops] def sortViolations(back: DataFrame,
                                   keyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{col, lag}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__file").orderBy("__idx")
     back
-      .select(col(keyCol).cast("long"), input_file_name())
-      .rdd.mapPartitions { it =>
-        var cur: String = null
-        var last = Long.MinValue
-        var v = 0L
-        it.foreach { r =>
-          val k = r.getLong(0)
-          val f = r.getString(1)
-          if (f != cur) { cur = f; last = Long.MinValue }
-          if (k < last) v += 1
-          last = k
-        }
-        Iterator.single(v)
-      }.collect().sum
+      .select(col(keyCol).cast("long").as("__k"),
+        col("_metadata.file_path").as("__file"),
+        col("_metadata.row_index").as("__idx"))
+      .withColumn("__pk", lag("__k", 1).over(w))
+      .filter(col("__pk").isNotNull && col("__k") < col("__pk"))
+      .count()
   }
 
   /** S8 driver gate: round-trip the report sink — write the driver-side

@@ -186,6 +186,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("shardedGroupRanks equals the partitioned window; NULL group and " +
+      "the string 'null' stay distinct groups") {
+    val df = Seq(
+      (Option("null"), 3L), (Option("null"), 1L), (Option("null"), 2L),
+      (Option.empty[String], 10L), (Option.empty[String], 30L),
+      (Option.empty[String], 20L), (Option("x"), 5L))
+      .toDF("g", "v")
+    for (parts <- Seq(2, 8)) {
+      val got = Layout.shardedGroupRanks(df, "g", Seq("v"), parts)
+        .select("g", "v", "rnk", "n_grp")
+        .as[(Option[String], Long, Long, Long)].collect().toSet
+      // NULL is a 3-row group of its own; so is the LITERAL string
+      // "null" — merging them (the String.valueOf collision) would
+      // report n_grp=6 and interleaved ranks for both
+      val want = Set(
+        (Option("null"), 1L, 1L, 3L), (Option("null"), 2L, 2L, 3L),
+        (Option("null"), 3L, 3L, 3L),
+        (Option.empty[String], 10L, 1L, 3L),
+        (Option.empty[String], 20L, 2L, 3L),
+        (Option.empty[String], 30L, 3L, 3L),
+        (Option("x"), 5L, 1L, 1L))
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("compactionPlan: prefix-sum bin assignment, no unit split, order kept") {
     val census = Seq(("a", 50L), ("b", 40L), ("c", 40L), ("d", 90L),
       ("e", 10L), ("f", 100L)).toDF("k", "n")

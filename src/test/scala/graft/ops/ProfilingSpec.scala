@@ -423,13 +423,19 @@ class ProfilingSpec extends SparkSpec {
       ("b", 3L), ("b", 4L), ("b", 5L), ("b", 6L), ("c", 99L))
       .toDF("g", "v")
     val got = Profiling.ksTwoSample(df, "g", "v", "a", "b")
-      .as[(Long, Long, Long, Long)].collect().head
-    assert(got == ((3L, 4L, 9L, 750L)))
+      .as[(Long, Long, String, Long)].collect().head
+    assert(got == ((3L, 4L, "9", 750L)))
     // identical distributions: D = 0
     val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
       .toDF("g", "v")
     assert(Profiling.ksTwoSample(same, "g", "v", "a", "b")
-      .as[(Long, Long, Long, Long)].collect().head == ((2L, 2L, 0L, 0L)))
+      .as[(Long, Long, String, Long)].collect().head == ((2L, 2L, "0", 0L)))
+    // cleared-denominator discipline: cum·n products ride decimal(38,0),
+    // so group counts near ~3e9 each cannot wrap the int64 product —
+    // pinned structurally (d_num is the decimal's string form)
+    assert(Profiling.ksTwoSample(df, "g", "v", "a", "b")
+      .schema("d_num").dataType ==
+      org.apache.spark.sql.types.StringType)
   }
 
   test("sequenceGapCensus: ok / dup / gapped partition the key space") {

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkSpec
 import java.nio.file.Files
-import org.apache.spark.sql.functions.{col, max, min}
+import org.apache.spark.sql.functions.{col, lit, max, min, when}
 
 class SinksSpec extends SparkSpec {
   import spark.implicits._
@@ -178,6 +178,41 @@ class SinksSpec extends SparkSpec {
     df.coalesce(1).write.mode("overwrite").parquet(unsortedDir)
     assert(Sinks.sortViolations(
       spark.read.parquet(unsortedDir), "k") > 0L)
+  }
+
+  test("sortViolations is split-independent: a file read as many tiny " +
+      "splits counts boundary-straddling inversions exactly") {
+    // one file whose ONLY inversions are scattered; the exact count must
+    // come back regardless of how the scan chops the file into splits
+    // (the _metadata.row_index adjacency contract)
+    val n = 2000L
+    val inv = Set(400L, 900L, 1500L) // rows whose key dips below its run
+    val df = spark.range(0, n).toDF("i")
+      .withColumn("k", when(col("i").isin(inv.toSeq.map(lit(_)): _*),
+        col("i") - 100).otherwise(col("i")))
+      .select("k", "i")
+    val dir = tmp("s5split") + "/out"
+    df.orderBy("i").coalesce(1).write.mode("overwrite").parquet(dir)
+    // k drops at each dip row (1 violation) and the NEXT row is higher
+    // again (no second violation — adjacency is pairwise), so 3 total
+    val exact = Sinks.sortViolations(spark.read.parquet(dir), "k")
+    assert(exact == 3L)
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = Sinks.sortViolations(spark.read.parquet(dir), "k")
+      assert(split == exact,
+        s"split-chopped read counted $split, contiguous read $exact")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+        case None =>
+          spark.conf.unset("spark.sql.files.maxPartitionBytes")
+      }
+      spark.conf.unset("spark.sql.files.openCostInBytes")
+    }
   }
 
   test("schema evolution: merged read unions schemas, old rows NULL") {
