@@ -453,6 +453,17 @@ object DevScale {
       "q291_sinktext" -> SparkEntry.queries("q291_sink_text_roundtrip"),
       "q293_bulkload" -> SparkEntry.queries("q293_sink_bulkload_sorted"),
       "q296_mnnivf" -> SparkEntry.queries("q296_mutual_nn_ivf"),
+      // the TWO-LEVEL residual planner forced on (maxFlatLists = 4,
+      // targetListSize = 64): x1 plans 6×6 lists, x16 ~23×22, x64
+      // ~45×45 — the rung that prices the past-the-flat-cap path the
+      // r16 verdict asked to retire (driver state 2·√L centroids,
+      // list sizes ~constant at any N)
+      "q296_mnn2l" -> ((s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.register(s)
+        ops.Similarity.mutualNearestNeighborsIvf(
+          ops.Similarity.clusteredEmbeddings(Tables.embeddings(s, d)),
+          nprobe = 2, targetListSize = 64L, maxFlatLists = 4)
+      }),
       // q298 rides the same suffix-disjoint shingle construction as
       // q22 — prefix postings are a subset of the full index, so the
       // pair set grows exactly F×; q301/q303 are N·constant scan

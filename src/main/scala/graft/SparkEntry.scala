@@ -7013,13 +7013,21 @@ object SparkEntry {
 
     // Mutual nearest neighbors (Similarity.mutualNearestNeighbors):
     // reciprocal top-1 cosine pairs — the entity-alignment /
-    // high-precision dedup seed set. Exact all-pairs argmax baseline
-    // (per-id ties break on neighbor id); mutuality is a self-join of
+    // high-precision dedup seed set, as the BOUNDED exact referee for
+    // q296: the input is a deterministic md5 slice of ~1000 vectors
+    // (permille = ceil(1000·1000/N), the Sampling.splitBucket device,
+    // full corpus whenever N ≤ 1000 — so the sf0.01 gate is unchanged),
+    // which keeps exact recall adjudication runnable at ANY corpus size
+    // instead of being the one shipped quadratic plan (r16's weak).
+    // Per-id ties break on neighbor id; mutuality is a self-join of
     // the best-neighbor table.
     q("q275_mutual_nn",
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |  FROM embeddings
-        |  WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+      """WITH nn AS (SELECT count(*) AS n FROM embeddings),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings, nn
+        |  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000 < least(1000, (1000000 + n - 1) // n)
+        |    AND list_cosine_similarity(CAST(embedding AS DOUBLE[]),
         |        CAST(embedding AS DOUBLE[])) > 0),
         |best AS (SELECT q_id, n_id, cos_q6 FROM (
         |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -7034,7 +7042,8 @@ object SparkEntry {
         |FROM best x JOIN best y
         |  ON x.q_id = y.n_id AND x.n_id = y.q_id AND x.q_id < x.n_id
         |ORDER BY id_a, id_b""".stripMargin)(
-      (s, d) => Similarity.mutualNearestNeighbors(Tables.embeddings(s, d))),
+      (s, d) => Similarity.mutualNearestNeighbors(Tables.embeddings(s, d),
+        refereeTarget = 1000L)),
 
     // Functional-dependency census (Profiling.fdCensus): candidate
     // X→Y determinism audit via the two distinct counts — the
@@ -7750,10 +7759,11 @@ object SparkEntry {
         |  FROM c)
         |SELECT CAST(max(t.na) AS BIGINT) AS n_a,
         |  CAST(max(t.nb) AS BIGINT) AS n_b,
-        |  CAST(max(abs(w.cuma * t.nb - w.cumb * t.na)) AS BIGINT)
-        |    AS d_num,
-        |  CAST(max(abs(w.cuma * t.nb - w.cumb * t.na)) * 1000
-        |    // (max(t.na) * max(t.nb)) AS BIGINT) AS ks_pm
+        |  CAST(max(abs(CAST(w.cuma AS HUGEINT) * t.nb
+        |    - CAST(w.cumb AS HUGEINT) * t.na)) AS VARCHAR) AS d_num,
+        |  CAST(max(abs(CAST(w.cuma AS HUGEINT) * t.nb
+        |    - CAST(w.cumb AS HUGEINT) * t.na)) * 1000
+        |    // (CAST(max(t.na) AS HUGEINT) * max(t.nb)) AS BIGINT) AS ks_pm
         |FROM w, t""".stripMargin)(
       (s, d) => Profiling.ksTwoSample(Tables.documents(s, d),
         "source", "n_chars", "src0", "src1")),

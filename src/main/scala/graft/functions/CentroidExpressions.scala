@@ -165,3 +165,111 @@ case class NearestVecCentroid(child: Expression, idxs: Seq[Int],
   override protected def withNewChildInternal(
       newChild: Expression): NearestVecCentroid = copy(child = newChild)
 }
+
+/** Top-`k` nearest centroids of an array<double> vector, as an array<int>
+  * of centroid idxs ordered (distance asc, idx asc) — the IVF PROBE
+  * kernel. Replaces the `array_sort(array(struct(dist_0, 0), …))` device,
+  * whose expression width grows with the LIST COUNT (an nlist-element
+  * struct array built and sorted per row put a hard practical ceiling on
+  * nlist); here the centroid matrix rides `ctx.addReferenceObj` exactly
+  * like [[NearestVecCentroid]], so the generated source is byte-identical
+  * at ANY nlist and the per-row cost is one O(nlist·d) scan with a
+  * k-element insertion buffer (k = nprobe, a small constant).
+  *
+  * Tie-breaking matches the struct-sort device it replaces: strictly
+  * smaller distance displaces; equal distance keeps the earlier idx (the
+  * scan runs in ascending-idx order).
+  */
+case class TopKVecCentroids(child: Expression, idxs: Seq[Int],
+                            centroids: Seq[Seq[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(idxs.nonEmpty && idxs.length == centroids.length,
+    "graft_topk_vec_centroids needs equal-length non-empty centroid arrays")
+  require(k >= 1, "graft_topk_vec_centroids needs k >= 1")
+
+  @transient private lazy val idxArr: Array[Int] = idxs.toArray
+  @transient private lazy val cMat: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<double> argument")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_topk_vec_centroids"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val kk = math.min(k, cMat.length)
+    val bd = Array.fill(kk)(Double.PositiveInfinity)
+    val bi = new Array[Int](kk)
+    var c = 0
+    while (c < cMat.length) {
+      val cv = cMat(c)
+      val n = math.min(x.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val dx = x.getDouble(i) - cv(i)
+        s += dx * dx
+        i += 1
+      }
+      if (s < bd(kk - 1)) {
+        var p = kk - 1
+        while (p > 0 && s < bd(p - 1)) {
+          bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bd(p) = s; bi(p) = idxArr(c)
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bi)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val idxRef = ctx.addReferenceObj("cidxs", idxArr, "int[]")
+      val matRef = ctx.addReferenceObj("cmat", cMat, "double[][]")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dx = ctx.freshName("dx")
+      val cv = ctx.freshName("cv")
+      val kk = ctx.freshName("kk")
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val p = ctx.freshName("p")
+      s"""
+         |final int $kk = java.lang.Math.min($k, $matRef.length);
+         |final double[] $bd = new double[$kk];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |final int[] $bi = new int[$kk];
+         |for (int $c = 0; $c < $matRef.length; $c++) {
+         |  final double[] $cv = $matRef[$c];
+         |  final int $n = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $dx = $a.getDouble($i) - $cv[$i];
+         |    $s += $dx * $dx;
+         |  }
+         |  if ($s < $bd[$kk - 1]) {
+         |    int $p = $kk - 1;
+         |    while ($p > 0 && $s < $bd[$p - 1]) {
+         |      $bd[$p] = $bd[$p - 1]; $bi[$p] = $bi[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = $s; $bi[$p] = $idxRef[$c];
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |  .UnsafeArrayData.fromPrimitiveArray($bi);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TopKVecCentroids = copy(child = newChild)
+}

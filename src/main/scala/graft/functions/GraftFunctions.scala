@@ -55,6 +55,9 @@ object GraftFunctions {
         constDoubles(c(4)))),
     ("graft_nearest_vec_centroid", classOf[NearestVecCentroid].getName,
       c => NearestVecCentroid(c(0), constInts(c(1)), constVecs(c(2)))),
+    ("graft_topk_vec_centroids", classOf[TopKVecCentroids].getName,
+      c => TopKVecCentroids(c(0), constInts(c(1)), constVecs(c(2)),
+        constInt(c(3)))),
     ("graft_hyperplane_sigs", classOf[HyperplaneSignatures].getName,
       c => HyperplaneSignatures(c(0), constMats(c(1)))),
     ("graft_nfc", classOf[NfcNormalize].getName,
@@ -153,6 +156,18 @@ object GraftFunctions {
       org.apache.spark.sql.functions.array(idxs.map(i => lit(i)): _*),
       org.apache.spark.sql.functions.array(centroids.map(c =>
         org.apache.spark.sql.functions.array(c.toSeq.map(v => lit(v)): _*)): _*))
+
+  /** Codegen-STABLE top-k nearest centroids (see TopKVecCentroids) — the
+    * IVF probe kernel: array<int> of the k closest centroid idxs,
+    * (distance asc, idx asc).
+    */
+  def topKVecCentroids(vec: Column, idxs: Seq[Int],
+                       centroids: Seq[Array[Double]], k: Int): Column =
+    call_function("graft_topk_vec_centroids", vec,
+      org.apache.spark.sql.functions.array(idxs.map(i => lit(i)): _*),
+      org.apache.spark.sql.functions.array(centroids.map(c =>
+        org.apache.spark.sql.functions.array(c.toSeq.map(v => lit(v)): _*)): _*),
+      lit(k))
 }
 
 /** `spark.sql.extensions` entry point — injects the same builder table. */

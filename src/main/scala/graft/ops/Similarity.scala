@@ -151,16 +151,31 @@ object Similarity {
     * function of the embedding table.
     *
     * Scale shape: the all-pairs top-1 here is the EXACT baseline (one
-    * self-join + per-id argmax — the q26 brute-force regime, fine at
-    * fixture scale and as a recall baseline); at corpus scale the top-1
-    * per vector comes from `annIvf`/`annLsh` (same output shape) and the
-    * mutuality check is this function's second half verbatim: a
-    * self-join of the (id, best) table on (best = id ∧ id = best).
+    * self-join + per-id argmax — the q26 brute-force regime); the
+    * production twin is `mutualNearestNeighborsIvf`. As the REFEREE it
+    * must stay runnable at any corpus size, so `refereeTarget > 0` bounds
+    * the input to a deterministic md5 slice (the Sampling.splitBucket
+    * device — engine-portable, id-pure): permille = ⌈1000·target/N⌉
+    * capped at 1000, from one bounded count. The sliced referee is then
+    * exact mutual-NN OF THE SLICE — a fixed-size sub-corpus whose pair
+    * stage is ~target² at ANY scale, so exact recall adjudication never
+    * becomes the one quadratic plan in the bench (the r16 q275 weak).
+    * `refereeTarget = 0` keeps the full-corpus exact form for specs.
     */
-  def mutualNearestNeighbors(embeddings: DataFrame): DataFrame = {
+  def mutualNearestNeighbors(embeddings: DataFrame,
+                             refereeTarget: Long = 0L): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val nz = embeddings
+    val base = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val sliced =
+      if (refereeTarget <= 0L) base
+      else {
+        val n = math.max(embeddings.count(), 1L)
+        val permille =
+          math.min(1000L, (1000L * refereeTarget + n - 1) / n)
+        base.filter(Sampling.splitBucket(col("vec_id")) < permille)
+      }
+    val nz = sliced
       .filter(cosine(col("emb"), col("emb")) > 0)
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     val best = nz.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
@@ -198,48 +213,102 @@ object Similarity {
     * probes covering the home cluster). On unclustered data it is the
     * standard IVF recall trade, adjudicated by the exact referee.
     *
-    * Scale shape: quantizer training is bounded model state (nlist
-    * centroid rows to the driver); assignment and probing are codegen'd
-    * projections riding the scan; the candidate join shuffles on the
-    * list key. The pair stage costs ≈ nprobe·N²/nlist, so `nlist` MUST
-    * grow with the corpus — a fixed list count makes every list grow
-    * linearly and the join quadratic (measured: 143× wall at 16× data
-    * with nlist pinned at 8; ~linear with nlist ∝ N). `nlist = 0`
-    * (default) self-plans ⌈N/targetListSize⌉ clamped to [8, 4096] from
-    * one bounded count, keeping list sizes ~constant: cost ≈
-    * nprobe·N·targetListSize — linear. The final cos re-derivation
-    * joins the ≤ N/2 surviving pairs back to the embeddings — bounded
-    * shuffle joins, nothing driver-side.
+    * Scale shape: quantizer training is bounded model state (centroid
+    * rows to the driver); assignment and probing are codegen'd
+    * projections riding the scan (the TopKVecCentroids probe kernel —
+    * references-backed, so generated source is byte-identical at any
+    * list count); the candidate join shuffles on the list key. The pair
+    * stage costs ≈ nprobe·N²/nlist, so `nlist` MUST grow with the
+    * corpus — a fixed list count makes every list grow linearly and the
+    * join quadratic (measured: 143× wall at 16× data with nlist pinned
+    * at 8; ~linear with nlist ∝ N). `nlist = 0` (default) self-plans
+    * ⌈N/targetListSize⌉ lists (floor 8) from one bounded count, keeping
+    * list sizes ~constant: cost ≈ nprobe·N·targetListSize — linear.
+    *
+    * Past `maxFlatLists` planned lists the planner goes TWO-LEVEL
+    * (residual coarse quantization — the IVF scale rung FAISS-family
+    * systems use, from the public IVFADC construction: Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    * §III): an L1 quantizer of k1 = ⌈√lists⌉ cells, then ONE shared L2
+    * quantizer of k2 = ⌈lists/k1⌉ cells trained on the L1 RESIDUALS
+    * (x − c1); a vector's list id is c1·k2 + c2, and a query probes the
+    * nprobe nearest L1 cells × within each, the nprobe nearest L2 cells
+    * of ITS residual w.r.t. that cell. Driver state is k1 + k2 ≤ 2·√L
+    * centroids (never L), expression width is O(√L), and list sizes
+    * stay ~targetListSize up to maxFlatLists² lists (~4.3e9 vectors at
+    * the defaults) — the r16 4096-list cap is retired, not moved. The
+    * final cos re-derivation joins the ≤ N/2 surviving pairs back to
+    * the embeddings — bounded shuffle joins, nothing driver-side.
     */
   def mutualNearestNeighborsIvf(embeddings: DataFrame, nlist: Int = 0,
                                 nprobe: Int = 2, seed: Long = 42L,
                                 trainIter: Int = 10,
-                                targetListSize: Long = 256L): DataFrame = {
+                                targetListSize: Long = 256L,
+                                maxFlatLists: Int = 4096): DataFrame = {
     import graft.ml.KMeansVec
+    require(maxFlatLists >= 2, "maxFlatLists must be >= 2")
     GraftFunctions.register(embeddings.sparkSession)
     val nz = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .filter(cosine(col("emb"), col("emb")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists0 =
-      if (nlist > 0) nlist
-      else math.min(4096L, math.max(8L,
-        (nz.count() + targetListSize - 1) / targetListSize)).toInt
-    val model = KMeansVec.fit(nz, "emb", lists0, seed,
-      maxIter = trainIter, idCol = "vec_id")
-    val lists = KMeansVec.assign(nz, "emb", model.centroids)
-      .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
-        col("cidx").as("list"))
-    val sortedCs = model.centroids.sortBy(_.idx)
-    val probeStructs = array(
-      KMeansVec.distCols(col("q_emb"), sortedCs).zip(sortedCs).map {
-        case (d, c) => struct(d.as("d"), lit(c.idx).as("i"))
-      }: _*)
-    val probes = nz
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .withColumn("probe",
-        explode(slice(array_sort(probeStructs), 1, nprobe)))
-      .select(col("q_id"), col("q_emb"), col("probe.i").as("list"))
+      if (nlist > 0) nlist.toLong
+      else math.max(8L, (nz.count() + targetListSize - 1) / targetListSize)
+    require(lists0 <= maxFlatLists.toLong * maxFlatLists,
+      s"planned $lists0 lists exceeds two-level capacity " +
+        s"(${maxFlatLists}² ) — raise targetListSize")
+    val (lists, probes) =
+      if (lists0 <= maxFlatLists) {
+        // single-level: one flat quantizer, probe = top-nprobe cells
+        val model = KMeansVec.fit(nz, "emb", lists0.toInt, seed,
+          maxIter = trainIter, idCol = "vec_id")
+        val sortedCs = model.centroids.sortBy(_.idx)
+        val l = KMeansVec.assign(nz, "emb", sortedCs)
+          .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+            col("cidx").cast("long").as("list"))
+        val p = nz
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+          .withColumn("cell",
+            explode(GraftFunctions.topKVecCentroids(col("q_emb"),
+              sortedCs.map(_.idx), sortedCs.map(_.vec), nprobe)))
+          .select(col("q_id"), col("q_emb"),
+            col("cell").cast("long").as("list"))
+        (l, p)
+      } else {
+        // two-level residual: k1·k2 lists from k1 + k2 centroids
+        val k1 = math.ceil(math.sqrt(lists0.toDouble)).toInt
+        val k2 = ((lists0 + k1 - 1) / k1).toInt
+        val m1 = KMeansVec.fit(nz, "emb", k1, seed,
+          maxIter = trainIter, idCol = "vec_id")
+        val cs1 = m1.centroids.sortBy(_.idx)
+        val mat1 = typedLit(cs1.map(_.vec.toSeq))
+        def residual(vec: Column, cell: Column): Column =
+          zip_with(vec, element_at(mat1, cell + 1), (a, b) => a - b)
+        val assigned1 = KMeansVec.assign(nz, "emb", cs1)
+          .withColumn("res", residual(col("emb"), col("cidx")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m2 = KMeansVec.fit(assigned1, "res", k2, seed + 1,
+          maxIter = trainIter, idCol = "vec_id")
+        val cs2 = m2.centroids.sortBy(_.idx)
+        val l = KMeansVec.assign(
+            assigned1.select(col("vec_id"), col("emb"), col("cidx")
+              .as("c1"), col("res")), "res", cs2)
+          .select(col("vec_id").as("n_id"), col("emb").as("n_emb"),
+            (col("c1").cast("long") * k2 + col("cidx")).as("list"))
+        val p = nz
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+          .withColumn("l1",
+            explode(GraftFunctions.topKVecCentroids(col("q_emb"),
+              cs1.map(_.idx), cs1.map(_.vec), nprobe)))
+          .withColumn("qres", residual(col("q_emb"), col("l1")))
+          .withColumn("l2",
+            explode(GraftFunctions.topKVecCentroids(col("qres"),
+              cs2.map(_.idx), cs2.map(_.vec), nprobe)))
+          .select(col("q_id"), col("q_emb"),
+            (col("l1").cast("long") * k2 + col("l2")).as("list"))
+        (l, p)
+      }
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
     val best = probes.join(lists, Seq("list"))
       .filter(col("q_id") =!= col("n_id"))

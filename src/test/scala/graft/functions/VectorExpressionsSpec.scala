@@ -71,4 +71,37 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) d").as[Double]
     assert(r.head() == 11.0)
   }
+
+  test("graft_topk_vec_centroids matches the struct-sort device it " +
+      "replaced, including distance ties breaking on idx") {
+    val rnd = new scala.util.Random(17L)
+    val cs = (0 until 23).map(i => Array.fill(8)(rnd.nextGaussian()))
+    // plant an exact tie: centroid 21 duplicates centroid 4 — at equal
+    // distance the SMALLER idx must rank first
+    val planted = cs.updated(21, cs(4).clone())
+    val df = (0 until 60).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))
+    }.toDF("id", "v")
+    val k = 5
+    // the replaced formulation: array_sort over (Σ(x−c)², idx) structs
+    val structs = array(planted.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(col("v"), array(c.map(lit(_)): _*),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)
+    val got = df.select(
+        GraftFunctions.topKVecCentroids(col("v"),
+          planted.indices, planted, k).as("native"),
+        transform(slice(array_sort(structs), 1, k),
+          s => s.getField("i")).as("device"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    got.foreach { case (n, d) => assert(n == d) }
+    // the planted duplicate pair must surface idx 4 before idx 21
+    // whenever both are in the top k
+    got.foreach { case (n, _) =>
+      if (n.contains(21)) assert(n.indexOf(4) < n.indexOf(21))
+    }
+  }
 }

@@ -372,6 +372,63 @@ class SimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture must produce mutual pairs")
   }
 
+  test("mutualNearestNeighborsIvf two-level residual path: the planner " +
+      "crosses maxFlatLists and still recovers the exact mutual set") {
+    // same q62 clustered regime, but maxFlatLists forced below the
+    // planned list count so the two-level residual quantizer engages
+    // (k1 = ⌈√lists⌉ L1 cells, shared L2 codebook on residuals)
+    val raw = (0L until 256L).map(i =>
+      (i, Array.fill(8)(((i * 31) % 7).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    val exact = Similarity.mutualNearestNeighbors(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    // targetListSize 16 → 16 planned lists > maxFlatLists 4 → two-level
+    val twoLevel = Similarity.mutualNearestNeighborsIvf(e, nprobe = 3,
+        targetListSize = 16L, maxFlatLists = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(exact.nonEmpty, "fixture must produce mutual pairs")
+    // the IVF recall contract, adjudicated by the exact referee: on the
+    // clustered fixture the probed lists must recover (nearly) every
+    // reciprocal pair — and be deterministic run to run
+    val hits = twoLevel.toSet.intersect(exact.toSet).size
+    assert(hits.toDouble / exact.size >= 0.9,
+      s"two-level recall $hits/${exact.size}")
+    val again = Similarity.mutualNearestNeighborsIvf(e, nprobe = 3,
+        targetListSize = 16L, maxFlatLists = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == twoLevel)
+  }
+
+  test("mutualNearestNeighbors refereeTarget: the md5 slice is exact " +
+      "mutual-NN OF THE SLICE, and a covering target is the full set") {
+    val raw = (0L until 200L).map(i =>
+      (i, Array.fill(8)(((i * 31) % 7).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    // target ≥ N → permille 1000 → identical to the unbounded form
+    val full = Similarity.mutualNearestNeighbors(e)
+      .as[(Long, Long, Long)].collect().toSeq
+    val covered = Similarity.mutualNearestNeighbors(e,
+        refereeTarget = 5000L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(covered == full)
+    // target < N → the referee equals the exact operator run on the
+    // independently-computed md5 slice (permille = ceil(1000·50/200))
+    val permille = (1000L * 50L + 199L) / 200L
+    val sliceIds = e.select(col("vec_id"))
+      .filter(graft.ops.Sampling.splitBucket(col("vec_id")) < permille)
+      .as[Long].collect().toSet
+    assert(sliceIds.size < 200 && sliceIds.size > 10)
+    val want = Similarity.mutualNearestNeighbors(
+        e.filter(col("vec_id").isin(sliceIds.toSeq.map(lit(_)): _*)))
+      .as[(Long, Long, Long)].collect().toSeq
+    val got = Similarity.mutualNearestNeighbors(e, refereeTarget = 50L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("mmrRerank: diversity penalty reorders a redundant runner-up") {
     // q = [1,0]; c1 at +26°, c2 a near-copy of c1, c3 mirrored at −27°:
     // pure top-k ranks (c1, c2, c3) but MMR's penalty (sim(c2,c1) ≈ 1
