@@ -8894,7 +8894,87 @@ object SparkEntry {
         |FROM q JOIN ev ON ev.id_a = q.id_a AND ev.id_b = q.id_b
         |ORDER BY q.id_a, q.id_b""".stripMargin)(
       (s, d) => Dedup.weightedJaccardEvidence(Tables.documents(s, d),
-        n = 3, thresholdQ6 = 150000L, topE = 3)))
+        n = 3, thresholdQ6 = 150000L, topE = 3)),
+
+    // DIMSUM-style sampled overlap (Relational.customerOverlapSampled):
+    // q264's sub-quadratic twin for the DENSE regime — hot-part
+    // postings survive by a deterministic md5 bucket with probability
+    // ≈ maxPostings/df and carry (df/maxPostings)² permille weights, so
+    // est_pm estimates 1000·n_common while pair work is bounded by
+    // maxPostings²·|catalog| (flat under densifying inflation, where
+    // q264's Σ df² is quadratic by construction). The md5 "sample" is a
+    // pure function of the data, so the WHOLE estimator — survival,
+    // weights, top-k — is oracle-checked exactly, not rows-only.
+    q("q334_overlap_sampled",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |dfc AS (SELECT part, count(*) AS df FROM cp GROUP BY 1),
+        |s AS (SELECT cp.cust, cp.part,
+        |    CASE WHEN dfc.df <= 64 THEN 1000
+        |      ELSE CAST(CAST(dfc.df AS HUGEINT) * dfc.df * 1000 // 4096
+        |        AS BIGINT) END AS w_pm
+        |  FROM cp JOIN dfc USING (part)
+        |  WHERE dfc.df <= 64 OR
+        |    CAST(('0x' || substr(md5(CAST(cp.cust AS VARCHAR) || '_' ||
+        |      CAST(cp.part AS VARCHAR)), 1, 4)) AS INTEGER) * dfc.df
+        |      < 65536 * 64)
+        |SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |  CAST(sum(x.w_pm) AS BIGINT) AS est_pm,
+        |  CAST(count(*) AS BIGINT) AS n_parts_sampled
+        |FROM s x JOIN s y ON x.part = y.part AND x.cust < y.cust
+        |GROUP BY 1, 2 HAVING sum(x.w_pm) >= 3000
+        |ORDER BY est_pm DESC, n_parts_sampled DESC, cust_a, cust_b
+        |LIMIT 50""".stripMargin)(
+      (s, d) => Relational.customerOverlapSampled(Tables.orders(s, d),
+        Tables.lineitem(s, d), maxPostings = 64L,
+        minEstPermille = 3000L, k = 50)),
+
+    // Sampled-overlap error audit (Relational.customerOverlapSampleAudit,
+    // the q153 sketch-audit device): est_pm vs 1000·n_common over every
+    // exact pair inside a deterministic ~300-customer md5 slice, with
+    // maxPostings = 8 so sampling ENGAGES on the fixture (every part's
+    // df > 8 here). One row: pair coverage + integer error mass — the
+    // evidence that prices the estimator's accuracy next to its rung.
+    q("q335_overlap_sample_audit",
+      """WITH cp0 AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |nc AS (SELECT count(DISTINCT cust) AS n FROM cp0),
+        |cp AS (SELECT cust, part FROM cp0, nc
+        |  WHERE CAST(('0x' || substr(md5(CAST(cust AS VARCHAR)), 1, 4))
+        |    AS INTEGER) % 1000 < least(1000, (300000 + n - 1) // n)),
+        |dfc AS (SELECT part, count(*) AS df FROM cp GROUP BY 1),
+        |s AS (SELECT cp.cust, cp.part,
+        |    CASE WHEN dfc.df <= 8 THEN 1000
+        |      ELSE CAST(CAST(dfc.df AS HUGEINT) * dfc.df * 1000 // 64
+        |        AS BIGINT) END AS w_pm
+        |  FROM cp JOIN dfc USING (part)
+        |  WHERE dfc.df <= 8 OR
+        |    CAST(('0x' || substr(md5(CAST(cp.cust AS VARCHAR) || '_' ||
+        |      CAST(cp.part AS VARCHAR)), 1, 4)) AS INTEGER) * dfc.df
+        |      < 65536 * 8),
+        |est AS (SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    CAST(sum(x.w_pm) AS BIGINT) AS est_pm
+        |  FROM s x JOIN s y ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM cp x JOIN cp y ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT ex.n_common, coalesce(est.est_pm, 0) AS e
+        |  FROM ex LEFT JOIN est ON est.cust_a = ex.cust_a
+        |    AND est.cust_b = ex.cust_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(count(CASE WHEN e > 0 THEN 1 END) AS BIGINT) AS n_found,
+        |  CAST(coalesce(sum(abs(e - n_common * 1000)), 0) AS BIGINT)
+        |    AS sum_abs_err_pm,
+        |  CAST(coalesce(max(abs(e - n_common * 1000)), 0) AS BIGINT)
+        |    AS max_abs_err_pm
+        |FROM j""".stripMargin)(
+      (s, d) => Relational.customerOverlapSampleAudit(Tables.orders(s, d),
+        Tables.lineitem(s, d), maxPostings = 8L, minOverlap = 3L,
+        refereeCustomers = 300L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

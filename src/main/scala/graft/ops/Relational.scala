@@ -1371,6 +1371,118 @@ object Relational {
     overlapPairsTopK(keep, minOverlap, k)
   }
 
+  /** DIMSUM-style SAMPLED overlap estimator — `customerOverlap`'s
+    * sub-quadratic twin for the DENSE-popularity regime (constant
+    * catalog, growing customers), where Σ df² grows quadratically no
+    * matter which catalog fraction a cap keeps. Instead of DROPPING hot
+    * parts (the cap's trade), every posting of a part with df >
+    * `maxPostings` survives with probability ≈ maxPostings/df — decided
+    * by a DETERMINISTIC md5 bucket of (cust, part), the
+    * Sampling.splitBucket device, so the "sample" is a pure function of
+    * the data and reproduces bit-identically on any engine — and each
+    * surviving co-occurrence carries the inverse-probability weight
+    * (df/maxPostings)² in permille. est_pm is then the
+    * Horvitz–Thompson-style estimate of 1000·n_common (exact — weight
+    * 1000 — wherever df ≤ maxPostings, which is every part on
+    * catalog-growing fixtures; the estimator differs from exact only on
+    * parts the cap would have DELETED). The DIMSUM reference is Zadeh &
+    * Goel, "Dimension Independent Matrix Square using MapReduce"
+    * (arXiv:1304.1467): sample pair contributions ∝ 1/popularity so the
+    * pair stage cost is popularity-independent.
+    *
+    * Scale shape: pair work is Σ min(df, maxPostings)² ≤
+    * maxPostings²·|catalog| — flat under densifying inflation (the
+    * DevScale regime that grows q264's Σ df² quadratically). The
+    * accuracy contract is adjudicated by `customerOverlapSampleAudit`
+    * (the q153 sketch-audit device).
+    */
+  def customerOverlapSampled(orders: DataFrame, lineitem: DataFrame,
+                             maxPostings: Long = 64L,
+                             minEstPermille: Long = 3000L,
+                             k: Int = 50): DataFrame = {
+    require(maxPostings >= 1 && k >= 1, "maxPostings and k must be >= 1")
+    val cp = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sampledOverlapPairs(cp, maxPostings)
+      .filter(col("est_pm") >= minEstPermille)
+      .orderBy(col("est_pm").desc, col("n_parts_sampled").desc,
+        col("cust_a"), col("cust_b"))
+      .limit(k)
+  }
+
+  /** The sampled pair stage shared by the estimator and its audit:
+    * md5-bucket posting survival + inverse-probability permille weights,
+    * summed per customer pair. `cp` must be distinct (cust, part).
+    */
+  private def sampledOverlapPairs(cp: DataFrame,
+                                  maxPostings: Long): DataFrame = {
+    val dfc = cp.groupBy("part").agg(count(lit(1)).as("__df"))
+    // 16-bit md5 bucket of the POSTING (cust, part) — finer than the
+    // permille split so small survival fractions stay representable;
+    // integer-exact survival test: bucket·df < 65536·maxPostings
+    val bucket = conv(substring(md5(concat(
+        col("cust").cast("string"), lit("_"),
+        col("part").cast("string"))), 1, 4), 16, 10).cast("long")
+    val sampled = cp.join(dfc, "part")
+      .filter(col("__df") <= maxPostings ||
+        bucket * col("__df") < lit(65536L * maxPostings))
+      .withColumn("__w_pm",
+        when(col("__df") <= maxPostings, lit(1000L))
+          .otherwise(expr(
+            "cast(cast(__df as decimal(38,0)) * __df * 1000 div " +
+              s"(${maxPostings}L * ${maxPostings}L) as bigint)")))
+      .select(col("cust"), col("part"), col("__w_pm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sampled.as("x")
+      .join(sampled.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"))
+      .agg(sum(col("x.__w_pm")).as("est_pm"),
+        count(lit(1)).as("n_parts_sampled"))
+  }
+
+  /** Error-bound audit of `customerOverlapSampled` against the EXACT
+    * overlap — the q153 sketch-audit device: one row of
+    * (n_pairs, n_found, sum_abs_err_pm, max_abs_err_pm) comparing
+    * est_pm to 1000·n_common over every exact pair with n_common ≥
+    * `minOverlap`. The exact leg is all-pairs by construction, so the
+    * audit rides the q275 referee discipline: both legs run inside a
+    * deterministic md5 CUSTOMER slice of ~`refereeCustomers` (permille
+    * from one bounded count — full fixture when it already fits), which
+    * keeps the audit oracle-checkable at any corpus size.
+    */
+  def customerOverlapSampleAudit(orders: DataFrame, lineitem: DataFrame,
+                                 maxPostings: Long = 8L,
+                                 minOverlap: Long = 3L,
+                                 refereeCustomers: Long = 300L): DataFrame = {
+    require(minOverlap >= 1 && refereeCustomers >= 1 && maxPostings >= 1,
+      "minOverlap, refereeCustomers and maxPostings must be >= 1")
+    val cp0 = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCust = math.max(cp0.select("cust").distinct().count(), 1L)
+    val permille =
+      math.min(1000L, (1000L * refereeCustomers + nCust - 1) / nCust)
+    val cp = cp0.filter(Sampling.splitBucket(col("cust")) < permille)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = cp.as("x")
+      .join(cp.as("y"),
+        col("x.part") === col("y.part") && col("x.cust") < col("y.cust"))
+      .groupBy(col("x.cust").as("cust_a"), col("y.cust").as("cust_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+    val est = sampledOverlapPairs(cp, maxPostings)
+      .select(col("cust_a"), col("cust_b"), col("est_pm"))
+    exact.join(est, Seq("cust_a", "cust_b"), "left")
+      .select(col("n_common"),
+        coalesce(col("est_pm"), lit(0L)).as("__est"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("__est") > 0, 1)).as("n_found"),
+        coalesce(sum(abs(col("__est") - col("n_common") * 1000L)),
+          lit(0L)).as("sum_abs_err_pm"),
+        coalesce(max(abs(col("__est") - col("n_common") * 1000L)),
+          lit(0L)).as("max_abs_err_pm"))
+  }
+
   /** Shared tail of the customer-overlap family: sizes census on the
     * surviving postings, the part-bucketed pair self-join, and the
     * deterministic global top-k. `keep` must be distinct (cust, part).

@@ -499,6 +499,47 @@ class RelationalSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, 500000L)))
   }
 
+  test("customerOverlapSampled: exact (w=1000) below maxPostings, " +
+      "deterministic and downweighted above it") {
+    // c1..c4 all bought parts {1,2,3}; c4 also bought 9
+    val orders = (1L to 4L).map(c => (c, c)).toDF("o_orderkey", "o_custkey")
+    val li = (1L to 4L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L))) ++
+      Seq((4L, 9L))
+    val liDf = li.toDF("l_orderkey", "l_partkey")
+    // maxPostings 4 ≥ every df → NO sampling: est_pm must be exactly
+    // 1000·n_common for every pair, all C(4,2)=6 pairs at 3 shared parts
+    val exact = Relational.customerOverlapSampled(orders, liDf,
+        maxPostings = 4L, minEstPermille = 1000L, k = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(exact.length == 6)
+    assert(exact.forall { case (_, _, est, n) => est == n * 1000 })
+    assert(exact.forall(_._3 == 3000L))
+    // maxPostings 2 < df 4 → sampling engages: surviving co-occurrences
+    // carry the (df/L)² = 4 weight (4000 pm per shared sampled part),
+    // and the result is bit-stable run to run (md5, not RNG)
+    val s1 = Relational.customerOverlapSampled(orders, liDf,
+        maxPostings = 2L, minEstPermille = 1L, k = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val s2 = Relational.customerOverlapSampled(orders, liDf,
+        maxPostings = 2L, minEstPermille = 1L, k = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s1 == s2)
+    assert(s1.forall { case (_, _, est, n) => est == n * 4000 })
+  }
+
+  test("customerOverlapSampleAudit: zero error when sampling is idle, " +
+      "full pair coverage counted") {
+    val orders = (1L to 4L).map(c => (c, c)).toDF("o_orderkey", "o_custkey")
+    val liDf = (1L to 4L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L)))
+      .toDF("l_orderkey", "l_partkey")
+    // maxPostings ≥ df and a covering referee slice → est ≡ exact:
+    // 6 pairs, all found, zero error mass
+    val got = Relational.customerOverlapSampleAudit(orders, liDf,
+        maxPostings = 10L, minOverlap = 3L, refereeCustomers = 100L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((6L, 6L, 0L, 0L)))
+  }
+
   test("cfRecommend: summed path scores, owned parts anti-joined") {
     // triangle: c1={1,2} c2={2,3} c3={1,3}; every pair co-occurs once,
     // all margins 2 → every sim edge 500000
