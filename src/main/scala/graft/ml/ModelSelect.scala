@@ -106,4 +106,18 @@ object ModelSelect {
       centroids.sortBy(_.idx)
         .map(c => s"${c.idx}. Lat:${c.lat} Longitude:${c.lon}")
   }
+
+  /** M6: the reference's KResults.txt shape (Summarizer.java:86) — one
+    * `SilScore:<s> at Kvalue:<k> at iteration:<itr>` line per swept k,
+    * k-ascending (the reference walks its HBase scan in rowkey = k order).
+    * Note the casing: `Kvalue` here, `kValue` in the Summary header —
+    * both preserved verbatim from the reference's format strings.
+    * GoldenPickupsSpec round-trips the reference's own committed
+    * final/outputs files through this renderer byte-for-byte. Scala's
+    * Double `toString` is Java's `Double.toString`, so the shortest-
+    * round-trip decimal rendering matches the reference exactly.
+    */
+  def kResultsReport(entries: Seq[SweepEntry]): Seq[String] =
+    entries.sortBy(_.k).map(e =>
+      s"SilScore:${e.silScore} at Kvalue:${e.k} at iteration:${e.iterations}")
 }
