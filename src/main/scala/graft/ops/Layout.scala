@@ -446,4 +446,48 @@ object Layout {
         min(yCol).as("y_min"), max(yCol).as("y_max"))
       .orderBy("bucket")
   }
+
+  /** Zone-map pruning audit: how many of `nFiles` equal-row files a
+    * point predicate on `predCol` must READ under two physical layouts —
+    * the arrival order (`tieCol` alone) vs clustering on (`predCol`,
+    * `tieCol`) — using exactly the statistic engines actually prune with
+    * (per-file min/max of the predicate column; parquet row-group /
+    * Iceberg-manifest zone maps). This is the quantified "should we
+    * re-sort this table" decision: the `files_clustered` column shows the
+    * post-OPTIMIZE read cost (~⌈n_rows(v)/fileSize⌉ files per value v),
+    * `files_arrival` the status quo (typically all of them — arrival
+    * order interleaves every value into every file).
+    *
+    * Scale shape: both layout assignments are `shardedRanks` two-pass
+    * prefix counts (no global-order window, no single-task sort); zone
+    * maps are an `nFiles`-row census; the value × file containment join
+    * is |values| × nFiles on two broadcast-sized frames. `tieCol` must
+    * make (`predCol`, `tieCol`) a total order (the shardedRanks
+    * contract).
+    */
+  def zoneMapPruneAudit(df: DataFrame, predCol: String, tieCol: String,
+                        nFiles: Int = 16, parts: Int = 0): DataFrame = {
+    require(nFiles >= 1, "nFiles must be >= 1")
+    val base = df.select(col(predCol), col(tieCol))
+    def zoneMaps(orderCols: Seq[String]): (DataFrame, Long) = {
+      val (ranked, total) = shardedRanksWithTotal(base, orderCols, parts)
+      val fileSize = math.max(1L, (total + nFiles - 1) / nFiles)
+      (ranked
+        .withColumn("file", expr(s"(rnk - 1) div ${fileSize}L"))
+        .groupBy("file")
+        .agg(min(predCol).as("lo"), max(predCol).as("hi")), total)
+    }
+    val (za, _) = zoneMaps(Seq(tieCol))
+    val (zc, _) = zoneMaps(Seq(predCol, tieCol))
+    val values = base.select(col(predCol).as("v")).distinct()
+    def filesRead(zm: DataFrame, out: String): DataFrame =
+      values.join(broadcast(zm),
+          col("lo") <= col("v") && col("v") <= col("hi"))
+        .groupBy("v").agg(count(lit(1)).as(out))
+    filesRead(za, "files_arrival")
+      .join(filesRead(zc, "files_clustered"), Seq("v"))
+      .select(col("v").as(predCol), col("files_arrival"),
+        col("files_clustered"))
+      .orderBy(predCol)
+  }
 }

@@ -1304,4 +1304,71 @@ object Similarity {
       .agg(sum(col("diff") * col("diff")).cast("long").as("d2_scaled"))
       .orderBy("label_a", "label_b")
   }
+
+  /** Matryoshka truncation audit: how much cosine structure survives
+    * keeping only the first `dim` coordinates of each embedding — the
+    * decision table for MRL-style dimension reduction (Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022: serve the
+    * prefix, fall back to full-d re-rank), where the storage/compute win
+    * at 100 TB is dim/fullDim but only if the truncated prefix preserves
+    * neighbor structure.
+    *
+    * Arithmetic is integer-exact end to end (the q202/q272 cleared-
+    * denominator device): coordinates quantize to q = round(x·1000),
+    * and each audited pair's signed squared cosine in ppm is
+    * sign(dot) · (dot²·10⁶ div (‖a‖²·‖b‖²)) — monotone in |cos| so
+    * deltas rank truncation damage faithfully, with no square root and
+    * no float accumulation to diverge between engines. Pairs are the
+    * deterministic consecutive-id chain (vec_id, vec_id+1): one
+    * shuffle-free-width equi-join, exactly N−1 pairs at any corpus
+    * size — an O(N) audit, never a pair stage.
+    *
+    * Output per truncation `dim`: pair count, mean/max |Δ signed-cos²|
+    * in ppm vs full-d, and how many pairs flipped dot-product sign.
+    */
+  def matryoshkaAudit(embeddings: DataFrame,
+                      dims: Seq[Int] = Seq(16, 32),
+                      fullDim: Int = 64): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d < fullDim),
+      s"dims must be nonempty and in [1, $fullDim)")
+    val q = embeddings.select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * 1000).cast("long")).as("q"))
+    val pairs = q.select(col("vec_id"), col("q").as("qa"))
+      .join(q.select((col("vec_id") - 1).as("vec_id"), col("q").as("qb")),
+        Seq("vec_id"))
+    def dotL(a: String, b: String, k: Column): Column =
+      aggregate(zip_with(slice(col(a), lit(1), k), slice(col(b), lit(1), k),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // signed squared cosine in ppm from integer dot/norm columns:
+    // |dot²·10⁶ div (na·nb)| ≤ 10⁶ by Cauchy–Schwarz, so the div's
+    // long result never overflows
+    def scos2(d: String, na: String, nb: String): Column =
+      signum(col(d)).cast("long") *
+        expr(s"cast($d as decimal(38,0)) * $d * 1000000 div " +
+          s"(cast($na as decimal(38,0)) * $nb)")
+    val audited = pairs
+      .withColumn("dim", explode(typedLit(dims)))
+      .withColumn("__d", dotL("qa", "qb", col("dim")))
+      .withColumn("__na", dotL("qa", "qa", col("dim")))
+      .withColumn("__nb", dotL("qb", "qb", col("dim")))
+      .withColumn("__df", dotL("qa", "qb", lit(fullDim)))
+      .withColumn("__naf", dotL("qa", "qa", lit(fullDim)))
+      .withColumn("__nbf", dotL("qb", "qb", lit(fullDim)))
+      // drop pairs whose SHORTEST audited prefix is all-zero on either
+      // side (cosine undefined): same population at every dim
+      .filter(col("__na") > 0 && col("__nb") > 0 &&
+        col("__naf") > 0 && col("__nbf") > 0)
+      .withColumn("s_t", scos2("__d", "__na", "__nb"))
+      .withColumn("s_f", scos2("__df", "__naf", "__nbf"))
+      .withColumn("delta", abs(col("s_f") - col("s_t")))
+    audited.groupBy("dim")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("cast(sum(delta) as decimal(38,0)) div count(1)")
+          .as("mean_abs_dppm"),
+        max("delta").as("max_abs_dppm"),
+        sum(when(signum(col("__d")) =!= signum(col("__df")), 1L)
+          .otherwise(0L)).as("n_sign_flips"))
+      .orderBy("dim")
+  }
 }

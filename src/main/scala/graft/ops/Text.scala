@@ -1770,4 +1770,72 @@ object Text {
       .withColumn("cum_vocab", sum("new_types").over(win))
       .orderBy("bucket")
   }
+
+  /** Character-class composition per language: exact per-mille shares of
+    * ASCII letters, digits, plain spaces, and everything else (which is
+    * where non-Latin scripts land) over each language's total characters.
+    * The corpus-governance companion to q37's lang-id: a `lang = 'en'`
+    * slice whose `other_pm` is high is mislabeled or mojibake, and a
+    * digit-heavy slice is tables/logs masquerading as prose — both are
+    * filter decisions made per-lang, not per-doc, at training scale.
+    *
+    * Counting device: class count = length(text) − length(text with the
+    * class deleted) — one codegen'd regexp_replace per class riding the
+    * scan, no explode. Shares are cleared-denominator integer division
+    * over the per-lang SUMS (decimal(38,0) products, the q227/q237
+    * discipline), so the result is exact at any corpus size. Scale
+    * shape: scan-stage projections into a |langs|-row partial agg.
+    */
+  def scriptCensus(documents: DataFrame): DataFrame = {
+    def cnt(cls: String): Column =
+      length(col("text")) - length(regexp_replace(col("text"), cls, ""))
+    val per = documents.select(col("lang"),
+      length(col("text")).cast("long").as("n"),
+      cnt("[a-zA-Z]").cast("long").as("n_alpha"),
+      cnt("[0-9]").cast("long").as("n_digit"),
+      cnt("[ ]").cast("long").as("n_space"))
+    def pm(c: String): Column =
+      expr(s"cast(sum($c) as decimal(38,0)) * 1000 div sum(n)")
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_chars"),
+        pm("n_alpha").as("alpha_pm"), pm("n_digit").as("digit_pm"),
+        pm("n_space").as("space_pm"),
+        expr("cast(sum(n - n_alpha - n_digit - n_space) as " +
+          "decimal(38,0)) * 1000 div sum(n)").as("other_pm"))
+      .orderBy("lang")
+  }
+
+  /** The surrounding context of every hapax token (corpus count = 1) —
+    * the audit view a data curator reads before deciding whether the
+    * long vocabulary tail is real content (named entities, code) or
+    * noise (OCR garbage, truncation artifacts): each rare token with its
+    * ±`window` neighboring tokens, capped at the `k` first by token.
+    *
+    * Scale shape: one tokenize pass into a (token → count, first
+    * occurrence) partial agg — min(doc_id)/min(pos) are the single
+    * occurrence's coordinates exactly when count = 1, so no window and
+    * no second explode ranks occurrences; the hapax set joins back to
+    * the documents scan on doc_id to slice its context (hapax hits ≤
+    * vocabulary size, and the join is id-keyed). The cap is a top-k,
+    * not a global sort.
+    */
+  def rareTokenContexts(documents: DataFrame, window: Int = 2,
+                        k: Int = 100): DataFrame = {
+    require(window >= 1 && k >= 1, "window and k must be >= 1")
+    val toks = documents.select(col("doc_id"), tokens(col("text")).as("t"))
+    val pos = toks.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("p0", "w")))
+    val hap = pos.groupBy("w")
+      .agg(count(lit(1)).as("c"),
+        min("doc_id").as("doc_id"), (min("p0") + 1).as("pos"))
+      .filter(col("c") === 1)
+      .select(col("w"), col("doc_id"), col("pos").cast("int").as("pos"))
+    val start = greatest(col("pos") - window, lit(1))
+    hap.join(toks, Seq("doc_id"))
+      .select(col("w"), col("doc_id"), col("pos"),
+        array_join(slice(col("t"), start,
+          least(col("pos") + window, size(col("t"))) - start + 1), " ")
+          .as("context"))
+      .orderBy("w", "doc_id").limit(k)
+  }
 }

@@ -224,4 +224,30 @@ class LayoutSpec extends SparkSpec {
     // contiguous in key order
     assert(got.map(_._3) == got.map(_._3).sorted)
   }
+
+  test("zoneMapPruneAudit: clustered layout prunes, arrival reads all") {
+    // 40 rows, 4 files of 10: arrival order interleaves the two langs
+    // (alternating by id) so EVERY file's [min,max] covers both; the
+    // clustered layout packs each lang into its own 2 files
+    val docs = (0L until 40L)
+      .map(i => (i, if (i % 2 == 0) "aa" else "bb"))
+      .toDF("doc_id", "lang")
+    val got = Layout.zoneMapPruneAudit(docs, "lang", "doc_id", nFiles = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("aa", 4L, 2L), ("bb", 4L, 2L)))
+    // determinism across shard counts (the shardedRanks contract)
+    val again = Layout.zoneMapPruneAudit(docs, "lang", "doc_id",
+      nFiles = 4, parts = 7).as[(String, Long, Long)].collect().toSeq
+    assert(again == got)
+    // a value spanning a file boundary is charged every file it
+    // straddles: langs of sizes 15/15/10 over files of 10 — here ids
+    // arrive already lang-sorted, so both layouts agree (aa spans files
+    // 0..1, bb 1..2, cc owns file 3)
+    val skew = (0L until 40L).map(i =>
+      (i, if (i < 15) "aa" else if (i < 30) "bb" else "cc"))
+      .toDF("doc_id", "lang")
+    val s = Layout.zoneMapPruneAudit(skew, "lang", "doc_id", nFiles = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(s == Seq(("aa", 2L, 2L), ("bb", 2L, 2L), ("cc", 1L, 1L)))
+  }
 }

@@ -532,4 +532,25 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Int, Long)].collect().toSeq
     assert(got == Seq((0, 1, 64516L)))
   }
+
+  test("matryoshkaAudit: integer-exact truncation damage over the " +
+      "consecutive-id chain") {
+    // pairs (0,1) identical → zero damage; (1,2) orthogonal at every
+    // prefix → zero; (2,3) orthogonal in the first 2/4 coords but
+    // aligned at coord 5 → s_t = 0 vs s_f = 10¹²·10⁶ // (2·10⁶)² =
+    // 250000, and a 0→+ sign flip
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (3L, Array(-1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaAudit(emb, dims = Seq(2, 4),
+        fullDim = 8)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    // mean = 250000 // 3 = 83333 (integer div, both dims identical
+    // because coords 2..3 are all-zero)
+    assert(got == Seq((2, 3L, 83333L, 250000L, 1L),
+      (4, 3L, 83333L, 250000L, 1L)))
+  }
 }

@@ -891,4 +891,37 @@ class TextSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(got == Seq((1L, "A", 4L, 4L), (2L, "C", 1L, 5L)))
   }
+
+  test("scriptCensus: exact per-mille character-class shares per lang") {
+    val docs = Seq(
+      (0L, "en", "ab 12"), // 5 chars: 2 alpha, 2 digit, 1 space
+      (1L, "en", "abc"),   // 3 chars: 3 alpha
+      (2L, "zh", "你好 x")) // 4 chars: 1 alpha, 1 space, 2 other
+      .toDF("doc_id", "lang", "text")
+    val got = Text.scriptCensus(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("en", 2L, 8L, 625L, 250L, 125L, 0L),
+      ("zh", 1L, 4L, 250L, 0L, 250L, 500L)))
+  }
+
+  test("rareTokenContexts: hapax tokens with their neighbor windows") {
+    val docs = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "a cat runs")).toDF("doc_id", "text")
+    // counts: the=2 cat=2; hapax = sat on mat a runs, each sliced ±1
+    // around its 1-based position in ITS doc's token array
+    val got = Text.rareTokenContexts(docs, window = 1, k = 10)
+      .as[(String, Long, Int, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 1, "a cat"),
+      ("mat", 0L, 6, "the mat"),
+      ("on", 0L, 4, "sat on the"),
+      ("runs", 1L, 3, "cat runs"),
+      ("sat", 0L, 3, "cat sat on")))
+    // the cap is by token order, deterministic
+    assert(Text.rareTokenContexts(docs, window = 1, k = 2)
+      .as[(String, Long, Int, String)].collect().toSeq.map(_._1)
+      == Seq("a", "mat"))
+  }
 }
