@@ -453,16 +453,17 @@ object DevScale {
       "q291_sinktext" -> SparkEntry.queries("q291_sink_text_roundtrip"),
       "q293_bulkload" -> SparkEntry.queries("q293_sink_bulkload_sorted"),
       "q296_mnnivf" -> SparkEntry.queries("q296_mutual_nn_ivf"),
-      // the TWO-LEVEL residual planner forced on (maxFlatLists = 4,
-      // targetListSize = 64): x1 plans 6×6 lists, x16 ~23×22, x64
-      // ~45×45 — the rung that prices the past-the-flat-cap path the
-      // r16 verdict asked to retire (driver state 2·√L centroids,
-      // list sizes ~constant at any N)
+      // the TWO-LEVEL residual planner forced on at EVERY factor
+      // (targetListSize = 16 → x1 plans 125 lists > maxFlatLists = 100,
+      // within the 100² capacity up to x64's 8000): x1 ~12×11 lists,
+      // x16 ~45×45, x64 ~90×89 — the rung that prices the past-the-
+      // flat-cap path the r16 verdict asked to retire (driver state
+      // 2·√L centroids, list sizes ~targetListSize at any N)
       "q296_mnn2l" -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
         ops.Similarity.mutualNearestNeighborsIvf(
           ops.Similarity.clusteredEmbeddings(Tables.embeddings(s, d)),
-          nprobe = 2, targetListSize = 64L, maxFlatLists = 4)
+          nprobe = 2, targetListSize = 16L, maxFlatLists = 100)
       }),
       // q298 rides the same suffix-disjoint shingle construction as
       // q22 — prefix postings are a subset of the full index, so the
@@ -553,7 +554,30 @@ object DevScale {
       // an operator defect; the row to read is rows(x16) > 0 — the
       // population-relative rail keeping the query non-degenerate
       // where the r15 absolute cap returned zero rows
-      "q264_overlap" -> SparkEntry.queries("q264_customer_overlap"))
+      "q264_overlap" -> SparkEntry.queries("q264_customer_overlap"),
+      // ---- round-17 SQL front door breadth: parser-path twins of
+      // measured shapes. q336 the q113 keyed-window exchange (disjoint
+      // user populations → F× rows, constant per-user partitions);
+      // q337 the q202 order-bounded pair stage; q338 ROLLUP = Expand ×3
+      // over the fact join (output bounded by nations × years + 1);
+      // q339 the q21 fingerprint agg; q340 join + TakeOrderedAndProject
+      // (constant 10-row output — the curve prices the fact join)
+      "q336_sqlwindow" -> SparkEntry.queries("q336_sql_window"),
+      "q337_sqlpair" -> SparkEntry.queries("q337_sql_pair_join"),
+      "q338_sqlrollup" -> SparkEntry.queries("q338_sql_rollup"),
+      "q339_sqldedup" -> SparkEntry.queries("q339_sql_dedup"),
+      "q340_sqltopk" -> SparkEntry.queries("q340_sql_topk"),
+      // round-17 growth: q341 two shardedRanks passes + 16-row zone
+      // censuses (the q123 shape twice); q342 the O(N) consecutive-id
+      // chain (exactly N−1 pairs by construction — the rung pins that
+      // the 'never a pair stage' claim holds); q343 scan-stage class
+      // counts into a |langs|-row agg; q344 one tokenize pass into a
+      // vocabulary agg + id-keyed join back (hapax set grows with the
+      // suffixed vocab under the ~c construction)
+      "q341_zonemap" -> SparkEntry.queries("q341_zonemap_prune"),
+      "q342_matryoshka" -> SparkEntry.queries("q342_matryoshka_audit"),
+      "q343_script" -> SparkEntry.queries("q343_script_census"),
+      "q344_rarectx" -> SparkEntry.queries("q344_rare_token_contexts"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
@@ -573,8 +597,12 @@ object DevScale {
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      // partitions default to the thread count; the override exists to
+      // measure memory-wall hypotheses (smaller per-task working sets at
+      // the same parallelism — the q298 x64 experiment)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // UTC pins the events NTZ->nanos normalization (Tables.normalizeEventTs)
@@ -588,49 +616,57 @@ object DevScale {
     // already complete on disk — ONLY safe when the inflation construction
     // hasn't changed since the dirs were written (dev iteration shortcut).
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1")
+    // dev iteration: build only the listed tables (e.g. "documents,
+    // embeddings" for the pair-stage family's x64 rung, where inflating
+    // the unused fact tables 64× would dominate the harness run). The
+    // queries measured against a partial build must read only these.
+    val tablesOnly = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val tables = Seq("documents", "embeddings", "events", "orders",
       "lineitem", "customer", "nation", "supplier", "part", "region")
+      .filter(t => tablesOnly.forall(_.contains(t)))
+    def want(t: String) = tables.contains(t)
     val dirs = factors.map { f =>
       val dir = s"target/devscale/x$f"
       val complete = tables.forall(t =>
         new java.io.File(s"$dir/$t.parquet/_SUCCESS").exists())
       if (!(reuse && complete)) {
-        spark.read.parquet(s"$base/documents.parquet")
+        if (want("documents")) spark.read.parquet(s"$base/documents.parquet")
           .transform(inflateDocuments(_, f))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        spark.read.parquet(s"$base/embeddings.parquet")
+        if (want("embeddings")) spark.read.parquet(s"$base/embeddings.parquet")
           .transform(inflateEmbeddings(_, f))
           .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         // events ts passes through raw (TIMESTAMP or int64-nanos physical
         // encoding preserved verbatim) — queries re-enter via Tables.events
         // and normalize at the load boundary exactly as on the fixture
-        spark.read.parquet(s"$base/events.parquet")
+        if (want("events")) spark.read.parquet(s"$base/events.parquet")
           .transform(inflateByIds(_, f, Seq("event_id", "user_id")))
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        spark.read.parquet(s"$base/orders.parquet")
+        if (want("orders")) spark.read.parquet(s"$base/orders.parquet")
           .transform(inflateByIds(_, f, Seq("o_orderkey", "o_custkey")))
           .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-        spark.read.parquet(s"$base/lineitem.parquet")
+        if (want("lineitem")) spark.read.parquet(s"$base/lineitem.parquet")
           .transform(inflateByIds(_, f, Seq("l_orderkey")))
           .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         // dim side of q138's audit: copied VERBATIM (constant across
         // factors — the fact side's custkeys shift into new populations,
         // which is exactly the dangling-FK regime the audit prices)
-        spark.read.parquet(s"$base/customer.parquet")
+        if (want("customer")) spark.read.parquet(s"$base/customer.parquet")
           .write.mode("overwrite").parquet(s"$dir/customer.parquet")
         // q161's roll-up dims, verbatim (25 constant rows)
-        spark.read.parquet(s"$base/nation.parquet")
+        if (want("nation")) spark.read.parquet(s"$base/nation.parquet")
           .write.mode("overwrite").parquet(s"$dir/nation.parquet")
         // q250's region spine, verbatim (5 constant rows)
-        spark.read.parquet(s"$base/region.parquet")
+        if (want("region")) spark.read.parquet(s"$base/region.parquet")
           .write.mode("overwrite").parquet(s"$dir/region.parquet")
         // q210/q207's supplier and q217's part sides, verbatim —
         // lineitem inflation shifts only l_orderkey, so l_suppkey/
         // l_partkey keep resolving against the original dims (each
         // join leg grows F× on the fact side only, the q138 regime)
-        spark.read.parquet(s"$base/supplier.parquet")
+        if (want("supplier")) spark.read.parquet(s"$base/supplier.parquet")
           .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
-        spark.read.parquet(s"$base/part.parquet")
+        if (want("part")) spark.read.parquet(s"$base/part.parquet")
           .write.mode("overwrite").parquet(s"$dir/part.parquet")
       }
       val counts = tables.map(t =>

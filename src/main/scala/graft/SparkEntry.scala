@@ -8974,7 +8974,274 @@ object SparkEntry {
         |FROM j""".stripMargin)(
       (s, d) => Relational.customerOverlapSampleAudit(Tables.orders(s, d),
         Tables.lineitem(s, d), maxPostings = 8L, minOverlap = 3L,
-        refereeCustomers = 300L)))
+        refereeCustomers = 300L)),
+
+    // ---- SQL front door, breadth (r16 verdict item 6). q313 pinned ONE
+    // topology (the q01 scan-agg) through spark.sql; these five submit one
+    // representative query per FAMILY as SQL TEXT over registered views —
+    // a keyed window, a pair self-join, a ROLLUP (the Expand operator,
+    // reached by no DataFrame entry), the exact-dedup fingerprint group,
+    // and a join + TakeOrderedAndProject top-k — each against the same
+    // DuckDB oracle discipline as its DataFrame twin. Together they pin
+    // that the parser path plans every major operator shape this engine
+    // ships, not just one aggregation topology.
+
+    // SQL window: per-user inter-event gap (lag over a keyed order) into
+    // a digit-count census — digit count, not floor(log10), because the
+    // string length of an integer is exact in both engines while log10 of
+    // a power of 10 can land on either side of an integer in doubles.
+    q("q336_sql_window",
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS qts
+        |  FROM events),
+        |g AS (SELECT qts - lag(qts) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id) AS gap_us FROM q)
+        |SELECT CAST(length(CAST(gap_us AS VARCHAR)) AS INTEGER)
+        |    AS n_digits,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE gap_us > 0 GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("events_v336")
+        s.sql("""WITH q AS (SELECT user_id, event_id, ts DIV 1000 AS qts
+            FROM events_v336),
+          g AS (SELECT qts - lag(qts) OVER (PARTITION BY user_id
+              ORDER BY qts, event_id) AS gap_us FROM q)
+          SELECT CAST(length(CAST(gap_us AS STRING)) AS INT) AS n_digits,
+            CAST(count(*) AS BIGINT) AS n
+          FROM g WHERE gap_us > 0 GROUP BY 1 ORDER BY 1""")
+      }),
+
+    // SQL pair self-join: the q202 basket-pair core (distinct basket
+    // frame, equi-join on the order, triangular part filter) as parsed
+    // text — the shape every dedup/recommender pair stage reduces to.
+    q("q337_sql_pair_join",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY part_a, part_b""".stripMargin)(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v337")
+        s.sql("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem_v337)
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+            CAST(count(*) AS BIGINT) AS n_both
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+          ORDER BY part_a, part_b""")
+      }),
+
+    // SQL ROLLUP: nation × order-year revenue with subtotal and grand-
+    // total rows — Catalyst plans GROUP BY ROLLUP through Expand, an
+    // operator no DataFrame query here reaches. Sort keys are coalesced
+    // (never NULL) so the two engines' NULLS FIRST/LAST defaults cannot
+    // diverge; cents stay integral end to end.
+    q("q338_sql_rollup",
+      """WITH b AS (SELECT n.n_name, year(o.o_orderdate) AS yr,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+        |SELECT coalesce(n_name, '_ALL_') AS nation,
+        |  CAST(coalesce(yr, -1) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY ROLLUP(n_name, yr)
+        |ORDER BY nation, yr""".stripMargin)(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v338")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v338")
+        Tables.nation(s, d).createOrReplaceTempView("nation_v338")
+        s.sql("""WITH b AS (SELECT n.n_name, year(o.o_orderdate) AS yr,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders_v338 o
+            JOIN customer_v338 c ON o.o_custkey = c.c_custkey
+            JOIN nation_v338 n ON c.c_nationkey = n.n_nationkey)
+          SELECT coalesce(n_name, '_ALL_') AS nation,
+            CAST(coalesce(yr, -1) AS BIGINT) AS yr,
+            CAST(count(*) AS BIGINT) AS n_orders,
+            CAST(sum(cents) AS BIGINT) AS cents
+          FROM b GROUP BY ROLLUP(n_name, yr)
+          ORDER BY nation, yr""")
+      }),
+
+    // SQL exact-dedup: q21's whitespace-normalized md5 fingerprint group
+    // as parsed text. The Spark literal doubles the backslashes so the
+    // parser's escape pass hands the regex engine \t\n\r\f verbatim —
+    // Spark's literal parser would otherwise eat the unknown \f.
+    q("q339_sql_dedup",
+      """SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g')) AS fp
+        |      FROM documents) t
+        |GROUP BY fp ORDER BY fp""".stripMargin)(
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("documents_v339")
+        s.sql("""SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM (SELECT doc_id,
+                  md5(regexp_replace(trim(lower(text)),
+                    '[ \\t\\n\\r\\f]+', ' ')) AS fp
+                FROM documents_v339) t
+          GROUP BY fp ORDER BY fp""")
+      }),
+
+    // SQL join + top-k: per-order revenue over the lineitem ⋈ orders
+    // equi-join, ORDER BY … LIMIT 10 — Catalyst must collapse the sort
+    // into TakeOrderedAndProject on the parser path exactly as the
+    // DataFrame top-k entries do (q10/q249 discipline).
+    q("q340_sql_topk",
+      """SELECT l.l_orderkey AS okey, o.o_orderpriority AS priority,
+        |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |    * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1, 2 ORDER BY rev_cents DESC, okey
+        |LIMIT 10""".stripMargin)(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v340")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v340")
+        s.sql("""SELECT l.l_orderkey AS okey,
+            o.o_orderpriority AS priority,
+            CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+              * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+          FROM lineitem_v340 l
+          JOIN orders_v340 o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2 ORDER BY rev_cents DESC, okey
+          LIMIT 10""")
+      }),
+
+    // Zone-map pruning audit (Layout.zoneMapPruneAudit): files a
+    // `lang = v` predicate must read under the arrival layout vs
+    // clustered-on-lang, from per-file min/max — the quantified
+    // "should we re-sort this table" decision (q116/q123's layout
+    // family, turned into the read-cost it actually buys). Both layout
+    // ranks are the sharded two-pass prefix count, never a global
+    // window; the oracle's row_number is the small-scale referee.
+    q("q341_zonemap_prune",
+      """WITH b AS (SELECT doc_id, lang FROM documents),
+        |t AS (SELECT count(*) AS n FROM b),
+        |fs AS (SELECT greatest(1, (n + 15) // 16) AS s FROM t),
+        |ra AS (SELECT lang, (row_number() OVER (ORDER BY doc_id) - 1)
+        |    // s AS f FROM b, fs),
+        |za AS (SELECT f, min(lang) AS lo, max(lang) AS hi FROM ra
+        |  GROUP BY 1),
+        |rc AS (SELECT lang,
+        |    (row_number() OVER (ORDER BY lang, doc_id) - 1) // s AS f
+        |  FROM b, fs),
+        |zc AS (SELECT f, min(lang) AS lo, max(lang) AS hi FROM rc
+        |  GROUP BY 1),
+        |l AS (SELECT DISTINCT lang FROM b)
+        |SELECT l.lang,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM za
+        |    WHERE za.lo <= l.lang AND l.lang <= za.hi) AS files_arrival,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM zc
+        |    WHERE zc.lo <= l.lang AND l.lang <= zc.hi) AS files_clustered
+        |FROM l ORDER BY lang""".stripMargin)(
+      (s, d) => Layout.zoneMapPruneAudit(Tables.documents(s, d),
+        predCol = "lang", tieCol = "doc_id", nFiles = 16)),
+
+    // Matryoshka truncation audit (Similarity.matryoshkaAudit): signed
+    // squared-cosine damage (ppm, integer-exact) of keeping only the
+    // first 16/32 of 64 embedding coordinates, over the deterministic
+    // consecutive-id pair chain — the MRL serve-the-prefix decision
+    // table. O(N) pairs by construction, never a pair stage.
+    q("q342_matryoshka_audit",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |p AS (SELECT a.q AS qa, b.q AS qb FROM e a
+        |  JOIN e b ON b.vec_id = a.vec_id + 1),
+        |x AS (SELECT unnest([16, 32]) AS dim, qa, qb FROM p),
+        |m AS (SELECT dim,
+        |    list_sum(list_transform(generate_series(1, dim),
+        |      i -> qa[i] * qb[i])) AS d,
+        |    list_sum(list_transform(generate_series(1, dim),
+        |      i -> qa[i] * qa[i])) AS na,
+        |    list_sum(list_transform(generate_series(1, dim),
+        |      i -> qb[i] * qb[i])) AS nb,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> qa[i] * qb[i])) AS df,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> qa[i] * qa[i])) AS naf,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> qb[i] * qb[i])) AS nbf
+        |  FROM x),
+        |s AS (SELECT dim, d, df,
+        |    sign(d) * (CAST(d AS HUGEINT) * d * 1000000
+        |      // (CAST(na AS HUGEINT) * nb)) AS s_t,
+        |    sign(df) * (CAST(df AS HUGEINT) * df * 1000000
+        |      // (CAST(naf AS HUGEINT) * nbf)) AS s_f
+        |  FROM m WHERE na > 0 AND nb > 0 AND naf > 0 AND nbf > 0)
+        |SELECT CAST(dim AS INTEGER) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(abs(s_f - s_t)) // count(*) AS BIGINT)
+        |    AS mean_abs_dppm,
+        |  CAST(max(abs(s_f - s_t)) AS BIGINT) AS max_abs_dppm,
+        |  CAST(sum(CASE WHEN sign(d) <> sign(df) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sign_flips
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Similarity.matryoshkaAudit(Tables.embeddings(s, d),
+        dims = Seq(16, 32), fullDim = 64)),
+
+    // Character-class composition per language (Text.scriptCensus):
+    // exact per-mille ASCII-letter/digit/space/other shares — the
+    // mislabel/mojibake governance census next to q37's lang-id and
+    // q327's confusion view. Scan-stage counts, |langs|-row agg.
+    q("q343_script_census",
+      """WITH per AS (SELECT lang, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[ ]', '', 'g')) AS BIGINT) AS n_space
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_alpha) * 1000 // sum(n) AS BIGINT) AS alpha_pm,
+        |  CAST(sum(n_digit) * 1000 // sum(n) AS BIGINT) AS digit_pm,
+        |  CAST(sum(n_space) * 1000 // sum(n) AS BIGINT) AS space_pm,
+        |  CAST(sum(n - n_alpha - n_digit - n_space) * 1000 // sum(n)
+        |    AS BIGINT) AS other_pm
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Text.scriptCensus(Tables.documents(s, d))),
+
+    // Hapax context windows (Text.rareTokenContexts): every corpus-
+    // count-1 token with its ±2 neighboring tokens, first 100 by token
+    // — the audit view behind vocabulary-tail filter decisions (is the
+    // tail entities and code, or OCR noise). min(doc_id)/min(pos) ARE
+    // the single occurrence when count = 1: no second pass, no window.
+    // The fixture vocabulary is a closed set (31 types, min corpus
+    // count 26 — no natural hapax at any SF), so both sides append one
+    // synthetic unique token to every 50th doc (the q114 dup-inject
+    // device) to give the operator real mass under the oracle.
+    q("q344_rare_token_contexts",
+      s"""WITH aug AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0 THEN text || ' zq' ||
+        |      CAST(doc_id AS VARCHAR) ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, list_filter(
+        |    string_split_regex(text, '${Text.ws}'),
+        |    w -> length(w) > 0) AS t FROM aug),
+        |pos AS (SELECT doc_id, i AS pos, t[i] AS w
+        |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+        |hap AS (SELECT w, min(doc_id) AS doc_id,
+        |    CAST(min(pos) AS INTEGER) AS pos
+        |  FROM pos GROUP BY 1 HAVING count(*) = 1)
+        |SELECT h.w, h.doc_id, h.pos,
+        |  array_to_string(k.t[greatest(h.pos - 2, 1):
+        |    least(h.pos + 2, len(k.t))], ' ') AS context
+        |FROM hap h JOIN toks k ON h.doc_id = k.doc_id
+        |ORDER BY h.w, h.doc_id LIMIT 100""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{concat, lit, when}
+        val aug = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 50 === 0,
+            concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("text"))
+        Text.rareTokenContexts(aug, window = 2, k = 100)
+      }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).
