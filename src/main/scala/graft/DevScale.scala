@@ -577,7 +577,17 @@ object DevScale {
       "q341_zonemap" -> SparkEntry.queries("q341_zonemap_prune"),
       "q342_matryoshka" -> SparkEntry.queries("q342_matryoshka_audit"),
       "q343_script" -> SparkEntry.queries("q343_script_census"),
-      "q344_rarectx" -> SparkEntry.queries("q344_rare_token_contexts"))
+      "q344_rarectx" -> SparkEntry.queries("q344_rare_token_contexts"),
+      // streaming parity rungs (the q309/q312 shape): q345 prices the
+      // stream-stream join state store as event volume grows (disjoint
+      // user populations → join state per user constant, pairs F×);
+      // q346 the flatMapGroupsWithState path (per-user state rows,
+      // users F×)
+      "q345_streamjoin" -> SparkEntry.queries("q345_stream_join_parity"),
+      "q346_streamsess" -> SparkEntry.queries("q346_stream_session_parity"),
+      // q347 pays the partitioned WRITE (volume F×) + the pruned join
+      // (reads only the above-average priority partitions each run)
+      "q347_dpp" -> SparkEntry.queries("q347_dynamic_partition_prune"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9241,6 +9241,99 @@ object SparkEntry {
             concat(col("text"), lit(" zq"), col("doc_id").cast("string")))
             .otherwise(col("text")).as("text"))
         Text.rareTokenContexts(aug, window = 2, k = 100)
+      }),
+
+    // Stream-stream join parity (EventStreams.twoLegPairsCensusViaStream):
+    // the watermarked view ⋈ purchase interval join run through the REAL
+    // micro-batch engine (file source → join state store → memory sink),
+    // per-user pair census vs the batch theta-join oracle. Inner join
+    // emission is immediate on match — over a finite source the emitted
+    // set IS the batch join, checked here bit for bit.
+    q("q345_stream_join_parity",
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS vt, value AS v1
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS uid2, epoch_us(ts) AS pt, value AS v2
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT user_id,
+        |    CAST(round((v1 + v2) * 100) AS BIGINT) AS cents
+        |  FROM v JOIN p ON user_id = uid2 AND pt > vt
+        |    AND pt <= vt + 86400000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .twoLegPairsCensusViaStream(s, d)),
+
+    // Custom-state sessionization parity (EventStreams
+    // .closedSessionCensusViaStream): flatMapGroupsWithState through the
+    // real engine, census of successor-closed sessions vs the q113
+    // gaps-and-islands oracle with each user's FINAL session dropped
+    // (the wrapper's no-timeout watermark contract — see its scaladoc;
+    // the timeout path is StreamingSpec's law).
+    q("q346_stream_session_parity",
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS qts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, qts,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 1800000000
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM q),
+        |w AS (SELECT user_id, qts, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |g AS (SELECT user_id, sess, count(*) AS n, min(qts) AS st,
+        |    max(qts) AS en FROM w GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(sess) AS last_sess FROM g GROUP BY 1)
+        |SELECT g.user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions_closed,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(en - st) AS BIGINT) AS dur_us
+        |FROM g JOIN m ON g.user_id = m.user_id AND g.sess < m.last_sess
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .closedSessionCensusViaStream(s, d)),
+
+    // Dynamic partition pruning (Bucketing.dppJoin): orders written
+    // hive-partitioned on priority, joined to a FILTERED priority dim —
+    // the fact scan's partitions prune on values known only at runtime
+    // from the dim (BucketingSpec pins `dynamicpruning` in the scan's
+    // PartitionFilters). Completes the scan-elimination triple next to
+    // static pushdown (q02) and zone maps (q341); this entry puts the
+    // pruned read path's RESULT under the driver oracle.
+    // The dim filter must live on a column INDEPENDENT of the join key
+    // (here: each priority's order count vs the cross-priority average)
+    // — a key-expressible predicate would be inferred through the join
+    // as a STATIC partition filter by constraint propagation, and DPP
+    // would never be exercised (found out the hard way in the spec).
+    q("q347_dynamic_partition_prune",
+      """WITH c AS (SELECT o_orderpriority AS prio, count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT avg(n) AS a FROM c),
+        |dim AS (SELECT prio FROM c, a WHERE n > a)
+        |SELECT o.o_orderpriority AS prio, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS HUGEINT)) AS VARCHAR) AS cents
+        |FROM orders o JOIN dim ON o.o_orderpriority = dim.prio
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{avg, broadcast, count,
+          expr, lit, sum}
+        val fact = Tables.orders(s, d).select(
+          col("o_orderpriority").as("prio"),
+          expr("cast(round(o_totalprice * 100) as long)").as("cents"))
+        val counts = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"))
+        val dim = counts
+          .crossJoin(broadcast(counts.agg(avg(col("n")).as("a"))))
+          .filter(col("n") > col("a")).select("prio")
+        Bucketing.dppJoin(fact, "prio", dim, Sinks.scratch("q347"))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents").cast("decimal(38,0)")).cast("string")
+              .as("cents"))
+          .orderBy("prio")
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

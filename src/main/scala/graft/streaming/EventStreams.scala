@@ -403,4 +403,72 @@ object EventStreams {
         sum(expr("cast(round(value * 100) as long)")).as("sum_cents"))
       .orderBy("event_type")
   }
+
+  /** The STREAM-STREAM JOIN executed through the real engine, driver-
+    * checkable (q345): `twoLegPairsStreaming` (watermarked view ⋈
+    * purchase within the bounded event-time window) over the file
+    * source, folded to a per-user census of emitted pairs. Inner
+    * stream-stream joins emit each match as soon as both sides have
+    * arrived — nothing is held back for the watermark (that is the
+    * OUTER-join rule) — so over a finite source the emitted pair set
+    * equals the batch theta-join exactly, and the DuckDB oracle is the
+    * batch SQL verbatim. Cents are rounded per pair then summed as
+    * longs (two-operand double adds are order-free; a corpus-wide
+    * double fold is not).
+    *
+    * Scale shape: join state is bounded by the watermark + the range
+    * condition (Spark derives the view-side state horizon from
+    * `purchase_time <= view_time + window`); the census is a keyed
+    * partial agg. The memory sink is parity harness, not deployment.
+    */
+  def twoLegPairsCensusViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q345_stream_join"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val sq = twoLegPairsStreaming(readEventStream(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("cast(round(combined_value * 100) as long)"))
+          .as("sum_cents"))
+      .orderBy("user_id")
+  }
+
+  /** The CUSTOM-STATE sessionizer executed through the real engine,
+    * driver-checkable (q346): `sessionizeWithState`
+    * (flatMapGroupsWithState + event-time timeout) over the file
+    * source, folded to a per-user census of the emitted sessions.
+    *
+    * The watermark delay is deliberately set LONGER than any fixture's
+    * time span, so the watermark never passes last-event + gap and NO
+    * timeout fires: the emitted set is exactly the sessions closed by
+    * a SUCCESSOR session (each user's non-final sessions) — a contract
+    * the batch gaps-and-islands oracle states exactly, with no
+    * ms-quantized watermark edge in it. The timeout path (sessions
+    * flushed when the watermark passes) is pinned separately by
+    * StreamingSpec, where the watermark is driven explicitly batch by
+    * batch. Duration sums are µs integers — exact at any size.
+    */
+  def closedSessionCensusViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q346_stream_sessions"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val sq = sessionizeWithState(readEventStream(spark, dir),
+        gapUs = 30L * 60 * 1000000, delay = "87600 hours")
+      .toDF()
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions_closed"),
+        sum("n_events").as("n_events"),
+        sum(expr("session_end_us - session_start_us")).as("dur_us"))
+      .orderBy("user_id")
+  }
 }

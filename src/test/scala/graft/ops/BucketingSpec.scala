@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class BucketingSpec extends SparkSpec {
   import spark.implicits._
@@ -54,5 +55,30 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_b")
       ()
     }
+  }
+
+  test("dppJoin: the fact scan carries a DYNAMIC partition filter and " +
+      "the join result matches the static-filter equivalent") {
+    // the dim predicate MUST be on a non-key column (the per-part row
+    // count): a key-expressible filter (e.g. part < 'p3') is inferred
+    // through the join as a STATIC partition filter by constraint
+    // propagation and DPP never fires
+    val fact = ((1L to 180L).map(i => (s"p${i % 3}", i)) ++
+      (1L to 40L).map(i => (s"p${3 + i % 5}", i))).toDF("part", "v")
+    val dim = fact.groupBy("part")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(col("n") > 40).select("part") // p0..p2 (60 rows each)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    val joined = Bucketing.dppJoin(fact, "part", dim, path)
+    // the physical fact scan must prune partitions with a dynamic
+    // subquery injected from the dim side — not a static literal filter
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning in plan:\n$plan")
+    val got = joined.groupBy("part").count()
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("p0", 60L), ("p1", 60L), ("p2", 60L)))
   }
 }
