@@ -353,12 +353,14 @@ object EventStreams {
   def tumblingCountsViaStream(spark: SparkSession, dir: String,
       queryName: String = "q309_stream_tumbling"): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val sq = tumblingTypeCounts(readEventStream(spark, dir))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val sq = tumblingTypeCounts(readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
     spark.table(queryName).orderBy("win_us", "event_type")
   }
 
@@ -383,16 +385,18 @@ object EventStreams {
   def dedupedUnionCensusViaStream(spark: SparkSession, dir: String,
       queryName: String = "q312_stream_dedup"): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val doubled = readEventStream(spark, dir)
-      .unionByName(readEventStream(spark, dir))
-    val sq = withEventTime(doubled)
-      .withWatermark("event_time", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val doubled = readEventStream(spark, dir)
+        .unionByName(readEventStream(spark, dir))
+      val sq = withEventTime(doubled)
+        .withWatermark("event_time", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy("event_type")
       .agg(count(lit(1)).as("cnt"),
@@ -421,15 +425,36 @@ object EventStreams {
     * `purchase_time <= view_time + window`); the census is a keyed
     * partial agg. The memory sink is parity harness, not deployment.
     */
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily lowered: a
+    * streaming query materializes one STATE STORE INSTANCE per shuffle
+    * partition per stateful operator, and on a single host the per-store
+    * fixed cost (provider init, checkpoint dir, commit fsync) dominates
+    * a finite parity run long before data volume does. The streaming
+    * query binds the conf at START; the restored value governs
+    * everything planned afterwards (the caller's census aggregates).
+    * On a real cluster the deployment path sizes this to the state
+    * volume instead — this knob is about the parity harness's fixed
+    * costs, not the operator's scale shape (the DevScale rung is flat).
+    */
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(
+      f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   def twoLegPairsCensusViaStream(spark: SparkSession, dir: String,
       queryName: String = "q345_stream_join"): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val sq = twoLegPairsStreaming(readEventStream(spark, dir))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val sq = twoLegPairsStreaming(readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
@@ -456,14 +481,16 @@ object EventStreams {
   def closedSessionCensusViaStream(spark: SparkSession, dir: String,
       queryName: String = "q346_stream_sessions"): DataFrame = {
     spark.catalog.dropTempView(queryName)
-    val sq = sessionizeWithState(readEventStream(spark, dir),
-        gapUs = 30L * 60 * 1000000, delay = "87600 hours")
-      .toDF()
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    sq.awaitTermination()
+    withShufflePartitions(spark, 8) {
+      val sq = sessionizeWithState(readEventStream(spark, dir),
+          gapUs = 30L * 60 * 1000000, delay = "87600 hours")
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
     spark.table(queryName)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions_closed"),
