@@ -587,7 +587,21 @@ object DevScale {
       "q346_streamsess" -> SparkEntry.queries("q346_stream_session_parity"),
       // q347 pays the partitioned WRITE (volume F×) + the pruned join
       // (reads only the above-average priority partitions each run)
-      "q347_dpp" -> SparkEntry.queries("q347_dynamic_partition_prune"))
+      "q347_dpp" -> SparkEntry.queries("q347_dynamic_partition_prune"),
+      // the DIMSUM-style sampled overlap UNDER THE DENSIFYING REGIME —
+      // the inflation holds the part catalog constant while customers
+      // grow, which quadruples q264's Σ df² per rung (its exclusion
+      // note above); q334's md5-survival postings are capped at
+      // maxPostings per part, so its pair stage must stay ~flat where
+      // the exact form is quadratic BY CONSTRUCTION — the r16 verdict
+      // item-5 done-condition, measured. q335 is its error referee
+      // (bounded ~300-customer md5 slice → near-flat). q275's sliced
+      // exact mutual-NN referee (bounded ~1000-vector md5 slice from
+      // one count) joins the map now that no unbounded all-pairs plan
+      // ships — the rung proves the bound holds as the corpus grows.
+      "q334_sampled" -> SparkEntry.queries("q334_overlap_sampled"),
+      "q335_sampleaudit" -> SparkEntry.queries("q335_overlap_sample_audit"),
+      "q275_slice" -> SparkEntry.queries("q275_mutual_nn"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
