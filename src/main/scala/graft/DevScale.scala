@@ -601,7 +601,10 @@ object DevScale {
       // ships — the rung proves the bound holds as the corpus grows.
       "q334_sampled" -> SparkEntry.queries("q334_overlap_sampled"),
       "q335_sampleaudit" -> SparkEntry.queries("q335_overlap_sample_audit"),
-      "q275_slice" -> SparkEntry.queries("q275_mutual_nn"))
+      "q275_slice" -> SparkEntry.queries("q275_mutual_nn"),
+      // q349: one sharded rank over the scored documents + a 10-row
+      // census — the q155 curve with the q92 scan-stage score in front
+      "q349_calibration" -> SparkEntry.queries("q349_quality_calibration"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

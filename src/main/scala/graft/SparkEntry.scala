@@ -9334,6 +9334,66 @@ object SparkEntry {
             sum(col("cents").cast("decimal(38,0)")).cast("string")
               .as("cents"))
           .orderBy("prio")
+      }),
+
+    // Classifier calibration (Profiling.scoreCalibration): the q92
+    // quality score ranked into deciles (closed-form NTILE over sharded
+    // ranks) against q21 exact-duplicate membership — per decile, the
+    // exact per-mille duplicate rate. The governance readout that says
+    // whether the heuristic filter's score actually separates the
+    // outcome it is deployed against, on the whole corpus, not a spec
+    // fixture.
+    q("q349_quality_calibration",
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |s AS (SELECT doc_id,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS score
+        |  FROM g),
+        |o AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp FROM documents),
+        |gc AS (SELECT fp, count(*) AS c FROM o GROUP BY 1),
+        |od AS (SELECT o.doc_id, CAST(gc.c > 1 AS INTEGER) AS is_dup
+        |  FROM o JOIN gc USING (fp)),
+        |j AS (SELECT s.doc_id, s.score, od.is_dup FROM s
+        |  JOIN od ON s.doc_id = od.doc_id),
+        |b AS (SELECT score, is_dup,
+        |    ntile(10) OVER (ORDER BY score, doc_id) AS bucket FROM j)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(score) AS BIGINT) AS score_min,
+        |  CAST(max(score) AS BIGINT) AS score_max,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_pos,
+        |  CAST(sum(is_dup) * 1000 // count(*) AS BIGINT) AS pos_pm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, md5}
+        val docs = Tables.documents(s, d)
+        val scored = Text.qualityClassify(docs)
+          .select(col("doc_id"), col("score"))
+        val fp = docs.select(col("doc_id"),
+          md5(Text.normText(col("text")).cast("binary")).as("fp"))
+        val outcome = fp
+          .join(fp.groupBy("fp").agg(count(lit(1)).as("c")), "fp")
+          .select(col("doc_id"), (col("c") > 1).cast("int").as("is_dup"))
+        Profiling.scoreCalibration(scored.join(outcome, "doc_id"),
+          "doc_id", "score", "doc_id", "is_dup", k = 10)
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

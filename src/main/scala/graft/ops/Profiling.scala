@@ -750,6 +750,41 @@ object Profiling {
     * IS the oracle — with no task ever holding more than one range
     * partition.
     */
+  /** Score-vs-outcome calibration table: rows ranked by (`scoreCol`,
+    * `tieCol`) into `k` equal-frequency buckets (the q155 closed-form
+    * NTILE over sharded ranks — no global-order window), then one row
+    * per bucket with the exact per-mille positive rate of the binary
+    * `outcomeCol`. The model-governance readout behind any heuristic
+    * filter: a classifier whose positive rate is flat across its own
+    * score deciles carries no signal about the outcome, whatever its
+    * unit specs say (q349 reads the q92 quality score against q21
+    * exact-duplicate membership).
+    *
+    * Scale shape: one two-pass sharded rank + a k-row partial agg;
+    * integer-exact shares (cleared-denominator decimal division).
+    * `outcomeCol` must be 0/1-valued.
+    */
+  def scoreCalibration(df: DataFrame, idCol: String, scoreCol: String,
+                       tieCol: String, outcomeCol: String, k: Int,
+                       parts: Int = 0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cols = Seq(idCol, scoreCol, tieCol, outcomeCol).distinct
+    val (ranked, n) = graft.ops.Layout.shardedRanksWithTotal(
+      df.select(cols.map(col): _*), Seq(scoreCol, tieCol), parts)
+    ranked
+      .select(graft.ops.Layout.ntileFromRank(col("rnk"), n, k)
+          .as("bucket"),
+        col(scoreCol), col(outcomeCol))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(scoreCol).cast("long").as("score_min"),
+        max(scoreCol).cast("long").as("score_max"),
+        sum(col(outcomeCol).cast("long")).as("n_pos"),
+        expr(s"cast(sum(cast($outcomeCol as long)) as decimal(38,0))" +
+          " * 1000 div count(1)").as("pos_pm"))
+      .orderBy("bucket")
+  }
+
   def quantileBuckets(df: DataFrame, idCol: String, valueCol: String,
                       tieCol: String, k: Int,
                       parts: Int = 0): DataFrame = {

@@ -580,4 +580,24 @@ class ProfilingSpec extends SparkSpec {
       ("b", 2L, Some(-1000000L), Some(2534884L), true),
       ("c", 1L, None, Some(2534884L), false)))
   }
+
+  test("scoreCalibration: equal-frequency buckets, exact per-mille " +
+      "positive rate") {
+    // 12 rows, scores 1..12, outcome = 1 for the top half (score > 6):
+    // 4 buckets of 3 → positive rates 0, 0, 2/3, 1 per-mille-exact
+    val df = (1L to 12L).map(i => (i, i.toInt, if (i > 6) 1 else 0))
+      .toDF("id", "score", "y")
+    val got = Profiling.scoreCalibration(df, "id", "score", "id", "y",
+        k = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 3L, 0L, 0L),
+      (2L, 3L, 4L, 6L, 0L, 0L),
+      (3L, 3L, 7L, 9L, 3L, 1000L),
+      (4L, 3L, 10L, 12L, 3L, 1000L)))
+    // shard-count determinism (the shardedRanks contract)
+    assert(Profiling.scoreCalibration(df, "id", "score", "id", "y",
+        k = 4, parts = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq == got)
+  }
 }
