@@ -602,9 +602,9 @@ object DevScale {
       "q334_sampled" -> SparkEntry.queries("q334_overlap_sampled"),
       "q335_sampleaudit" -> SparkEntry.queries("q335_overlap_sample_audit"),
       "q275_slice" -> SparkEntry.queries("q275_mutual_nn"),
-      // q349: one sharded rank over the scored documents + a 10-row
+      // q348: one sharded rank over the scored documents + a 10-row
       // census — the q155 curve with the q92 scan-stage score in front
-      "q349_calibration" -> SparkEntry.queries("q349_quality_calibration"))
+      "q348_calibration" -> SparkEntry.queries("q348_quality_calibration"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

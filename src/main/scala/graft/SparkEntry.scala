@@ -9343,7 +9343,7 @@ object SparkEntry {
     // whether the heuristic filter's score actually separates the
     // outcome it is deployed against, on the whole corpus, not a spec
     // fixture.
-    q("q349_quality_calibration",
+    q("q348_quality_calibration",
       s"""WITH f AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
         |      w -> length(w) > 0) AS toks

@@ -757,7 +757,7 @@ object Profiling {
     * `outcomeCol`. The model-governance readout behind any heuristic
     * filter: a classifier whose positive rate is flat across its own
     * score deciles carries no signal about the outcome, whatever its
-    * unit specs say (q349 reads the q92 quality score against q21
+    * unit specs say (q348 reads the q92 quality score against q21
     * exact-duplicate membership).
     *
     * Scale shape: one two-pass sharded rank + a k-row partial agg;
