@@ -9394,7 +9394,153 @@ object SparkEntry {
           .select(col("doc_id"), (col("c") > 1).cast("int").as("is_dup"))
         Profiling.scoreCalibration(scored.join(outcome, "doc_id"),
           "doc_id", "score", "doc_id", "is_dup", k = 10)
-      }))
+      }),
+
+    // Rendezvous reshard planner (Layout.rendezvousReshardPlan): the
+    // per-shard movement bill for growing 8 → 10 shards, highest-random-
+    // weight hashing vs naive mod — HRW moves ~2/10 of the corpus (the
+    // stateless minimum), mod ~8/10. One explode(nNew) into a keyed
+    // argmax partial agg; census is nNew rows.
+    q("q349_rendezvous_reshard",
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |w AS (SELECT doc_id, s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(s AS VARCHAR)), 1, 12)) AS BIGINT) AS w
+        |  FROM ids, unnest(generate_series(0, 9)) AS g(s)),
+        |ownn AS (SELECT doc_id, first(s ORDER BY w DESC, s DESC)
+        |    AS owner_new FROM w GROUP BY 1),
+        |owno AS (SELECT doc_id, first(s ORDER BY w DESC, s DESC)
+        |    AS owner_old FROM w WHERE s < 8 GROUP BY 1),
+        |h AS (SELECT doc_id, CAST(('0x' ||
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS hm
+        |  FROM ids),
+        |o AS (SELECT n.doc_id, owner_new, owner_old,
+        |    CAST(hm % 10 AS INTEGER) AS mod_new,
+        |    CAST(hm % 8 AS INTEGER) AS mod_old
+        |  FROM ownn n JOIN owno USING (doc_id) JOIN h USING (doc_id)),
+        |rdv AS (SELECT owner_new AS shard, count(*) AS n_docs_rdv,
+        |    sum(CASE WHEN owner_old <> owner_new THEN 1 ELSE 0 END)
+        |      AS moved_rdv
+        |  FROM o GROUP BY 1),
+        |md AS (SELECT mod_new AS shard, count(*) AS n_docs_mod,
+        |    sum(CASE WHEN mod_old <> mod_new THEN 1 ELSE 0 END)
+        |      AS moved_mod
+        |  FROM o GROUP BY 1),
+        |sh AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER)
+        |    AS shard)
+        |SELECT shard,
+        |  CAST(coalesce(n_docs_rdv, 0) AS BIGINT) AS n_docs_rdv,
+        |  CAST(coalesce(moved_rdv, 0) AS BIGINT) AS moved_rdv,
+        |  CAST(coalesce(n_docs_mod, 0) AS BIGINT) AS n_docs_mod,
+        |  CAST(coalesce(moved_mod, 0) AS BIGINT) AS moved_mod
+        |FROM sh LEFT JOIN rdv USING (shard) LEFT JOIN md USING (shard)
+        |ORDER BY shard""".stripMargin)(
+      (s, d) => Layout.rendezvousReshardPlan(Tables.documents(s, d),
+        "doc_id", nOld = 8, nNew = 10)),
+
+    // Isotonic calibration (Profiling.isotonicCalibration): PAV via the
+    // exact minimax identity over the q348 bucket table — the monotone
+    // score → dup-probability map. Quantized-ppm pooled rates keep both
+    // engines bit-identical; everything past the sharded rank is k-row.
+    q("q350_isotonic_calibration",
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |s AS (SELECT doc_id,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS score
+        |  FROM g),
+        |o AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp FROM documents),
+        |gc AS (SELECT fp, count(*) AS c FROM o GROUP BY 1),
+        |od AS (SELECT o.doc_id, CAST(gc.c > 1 AS INTEGER) AS is_dup
+        |  FROM o JOIN gc USING (fp)),
+        |j AS (SELECT s.doc_id, s.score, od.is_dup FROM s
+        |  JOIN od ON s.doc_id = od.doc_id),
+        |b AS (SELECT score, is_dup,
+        |    ntile(10) OVER (ORDER BY score, doc_id) AS bucket FROM j),
+        |base AS (SELECT bucket, count(*) AS n, sum(is_dup) AS n_pos
+        |  FROM b GROUP BY 1),
+        |cum AS (SELECT bucket, n, n_pos,
+        |    sum(n) OVER (ORDER BY bucket) AS cn,
+        |    sum(n_pos) OVER (ORDER BY bucket) AS cp FROM base),
+        |pools AS (SELECT j.bucket AS j, l.bucket AS l,
+        |    CAST(CAST(l.cp - (j.cp - j.n_pos) AS HUGEINT) * 1000000
+        |      // (l.cn - (j.cn - j.n)) AS BIGINT) AS rate_ppm
+        |  FROM cum j JOIN cum l ON j.bucket <= l.bucket),
+        |iso1 AS (SELECT i.bucket AS i, p.j, min(p.rate_ppm) AS mr
+        |  FROM base i JOIN pools p
+        |  ON p.j <= i.bucket AND p.l >= i.bucket GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mr) AS iso_ppm FROM iso1 GROUP BY 1)
+        |SELECT CAST(base.bucket AS BIGINT) AS bucket,
+        |  CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(CAST(n_pos AS HUGEINT) * 1000000 // n AS BIGINT)
+        |    AS raw_ppm,
+        |  CAST(iso_ppm AS BIGINT) AS iso_ppm
+        |FROM base JOIN iso ON iso.i = base.bucket
+        |ORDER BY bucket""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, md5}
+        val docs = Tables.documents(s, d)
+        val scored = Text.qualityClassify(docs)
+          .select(col("doc_id"), col("score"))
+        val fp = docs.select(col("doc_id"),
+          md5(Text.normText(col("text")).cast("binary")).as("fp"))
+        val outcome = fp
+          .join(fp.groupBy("fp").agg(count(lit(1)).as("c")), "fp")
+          .select(col("doc_id"), (col("c") > 1).cast("int").as("is_dup"))
+        Profiling.isotonicCalibration(scored.join(outcome, "doc_id"),
+          "doc_id", "score", "doc_id", "is_dup", k = 10)
+      }),
+
+    // Dedup threshold sweep (Dedup.dupThresholdSweep): pairs + affected
+    // docs at each candidate Jaccard threshold, from ONE df-capped pair
+    // stage at the lowest threshold — the pick-the-threshold table next
+    // to q305's plan-the-LSH-for-it. Integer jac_pm ⟺ exact J ≥ t/1000.
+    q("q351_dup_threshold_sweep",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |sc AS (SELECT id_a, id_b,
+        |    inter * 1000 // (sza + szb - inter) AS jac_pm
+        |  FROM px WHERE inter > 0),
+        |t AS (SELECT CAST(unnest([200, 400, 600, 800, 950]) AS INTEGER)
+        |    AS t_pm),
+        |pt AS (SELECT t_pm, id_a, id_b FROM t JOIN sc ON jac_pm >= t_pm),
+        |np AS (SELECT t_pm, count(*) AS n_pairs FROM pt GROUP BY 1),
+        |nd AS (SELECT t_pm, count(DISTINCT doc) AS n_docs FROM
+        |  (SELECT t_pm, unnest([id_a, id_b]) AS doc FROM pt) GROUP BY 1)
+        |SELECT t.t_pm,
+        |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
+        |FROM t LEFT JOIN np USING (t_pm) LEFT JOIN nd USING (t_pm)
+        |ORDER BY t_pm""".stripMargin)(
+      (s, d) => Dedup.dupThresholdSweep(Tables.documents(s, d), n = 3,
+        thresholdsPm = Seq(200, 400, 600, 800, 950), maxDf = 1000L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

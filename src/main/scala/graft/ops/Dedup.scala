@@ -437,6 +437,69 @@ object Dedup {
     * verify stage joins full shingle ARRAYS only for candidate pairs —
     * candidate-bounded, never all-pairs.
     */
+  /** Dedup-rate-vs-threshold curve in ONE pair-stage pass: for each
+    * candidate threshold t (permille), how many near-dup pairs and how
+    * many distinct affected documents the corpus has at exact n-gram
+    * Jaccard ≥ t/1000. This is the table a curator reads to PICK the
+    * dedup threshold before committing a 100 TB deletion — q305 plans
+    * the LSH parameters FOR a chosen threshold; this shows what each
+    * choice costs in corpus mass — and the whole sweep reuses a single
+    * scored pair list, not one pair stage per threshold.
+    *
+    * Integer-exact: jac_pm = ⌊inter·1000 / union⌋, and for an integer
+    * permille threshold t, jac_pm ≥ t ⟺ inter·1000 ≥ t·union ⟺
+    * J ≥ t/1000 — the floor loses nothing against integer thresholds,
+    * so both engines agree bit-for-bit with no double comparisons.
+    *
+    * Scale shape: ONE df-capped inverted-index pair join at the LOWEST
+    * swept threshold (the q22 bucketed regime — never all-pairs), then a
+    * |thresholds|-explode over the surviving pair list (pair-bounded,
+    * ≪ corpus at sensible minimum thresholds) into two keyed partial
+    * aggs; the output is |thresholds| rows, dense (zero-count thresholds
+    * still emit).
+    */
+  def dupThresholdSweep(documents: DataFrame, n: Int = 3,
+                        thresholdsPm: Seq[Int] =
+                          Seq(200, 400, 600, 800, 950),
+                        maxDf: Long = 10000L): DataFrame = {
+    require(thresholdsPm.nonEmpty &&
+        thresholdsPm.forall(t => t >= 1 && t <= 1000),
+      "thresholds are permille in [1, 1000]")
+    val ts = thresholdsPm.distinct.sorted
+    val (items, sizes) =
+      cappedInvertedIndex(shingleSets(documents, n), "shingles", maxDf)
+    val scored = items.as("x")
+      .join(items.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        "id_b")
+      .withColumn("jac_pm",
+        expr("inter * 1000 div (sz_a + sz_b - inter)"))
+      .filter(col("jac_pm") >= ts.head)
+      .select("id_a", "id_b", "jac_pm")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val perT = scored
+      .withColumn("t_pm", explode(typedLit(ts)))
+      .filter(col("jac_pm") >= col("t_pm"))
+    val nPairs = perT.groupBy("t_pm").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = perT
+      .select(col("t_pm"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      .groupBy("t_pm").agg(countDistinct("doc").as("n_docs"))
+    documents.sparkSession.range(1)
+      .select(explode(typedLit(ts)).as("t_pm"))
+      .join(nPairs, Seq("t_pm"), "left")
+      .join(nDocs, Seq("t_pm"), "left")
+      .select(col("t_pm"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("t_pm")
+  }
+
   def jaccardPairsPrefix(documents: DataFrame, n: Int = 3,
                          threshold: Double = 0.2): DataFrame = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")

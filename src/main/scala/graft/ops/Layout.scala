@@ -490,4 +490,67 @@ object Layout {
         col("files_clustered"))
       .orderBy(predCol)
   }
+
+  /** Rendezvous (highest-random-weight) reshard planner: the per-shard
+    * movement bill for growing a hash-sharded corpus from `nOld` to
+    * `nNew` shards, under rendezvous hashing (Thaler & Ravishankar,
+    * "Using Name-Based Mappings to Increase Hit Rates", IEEE/ACM ToN
+    * 1998: owner(x) = argmax over shards s of h(x, s)) side by side with
+    * naive mod-hashing. Rendezvous moves a row only when one of the
+    * ADDED shards wins its argmax — an expected (nNew−nOld)/nNew of the
+    * corpus, the provable minimum for a deterministic stateless scheme —
+    * while mod-hashing remaps everything whose h mod nOld ≠ h mod nNew
+    * (~1 − 1/lcm-period ≈ 80% at 8→10). At 100 TB that difference is the
+    * difference between rewriting 20 TB and rewriting 80 TB.
+    *
+    * Deterministic and engine-portable: h(x, s) is the first 48 bits of
+    * md5(x # s) (the splitBucket device widened so argmax ties are
+    * measure-zero), with the (weight, shard) struct-max tie-break making
+    * the owner a pure function of the data. Output: one row per NEW
+    * shard with its rendezvous population/arrivals and the mod-hash
+    * population/arrivals — `moved` counts rows this shard RECEIVES that
+    * lived elsewhere under the old layout.
+    *
+    * Scale shape: one explode of nNew rows per id (nNew is a plan
+    * constant ≪ corpus) into a keyed partial-agg argmax — scan-linear,
+    * no joins, no windows; the census is an nNew-row aggregate.
+    */
+  def rendezvousReshardPlan(df: DataFrame, idCol: String,
+                            nOld: Int = 8, nNew: Int = 10): DataFrame = {
+    require(nOld >= 1 && nNew > nOld,
+      "need nNew > nOld >= 1 (a grow-reshard plan)")
+    val id = col(idCol).cast("string")
+    def w48(s: Column): Column =
+      conv(substring(md5(concat(id, lit("#"), s.cast("string"))), 1, 12),
+        16, 10).cast("long")
+    val hmod = conv(substring(md5(id), 1, 12), 16, 10).cast("long")
+    val owners = df.select(col(idCol))
+      .withColumn("s", explode(typedLit((0 until nNew).toList)))
+      .withColumn("w", w48(col("s")))
+      .groupBy(idCol)
+      .agg(
+        max(struct(col("w"), col("s"))).getField("s").as("owner_new"),
+        max(when(col("s") < nOld, struct(col("w"), col("s"))))
+          .getField("s").as("owner_old"))
+      .withColumn("mod_new", (hmod % nNew).cast("int"))
+      .withColumn("mod_old", (hmod % nOld).cast("int"))
+    val rdv = owners.groupBy(col("owner_new").as("shard"))
+      .agg(count(lit(1)).as("n_docs_rdv"),
+        sum(when(col("owner_old") =!= col("owner_new"), 1L).otherwise(0L))
+          .as("moved_rdv"))
+    val md = owners.groupBy(col("mod_new").as("shard"))
+      .agg(count(lit(1)).as("n_docs_mod"),
+        sum(when(col("mod_old") =!= col("mod_new"), 1L).otherwise(0L))
+          .as("moved_mod"))
+    val shards = df.sparkSession.range(nNew)
+      .select(col("id").cast("int").as("shard"))
+    shards.join(rdv, Seq("shard"), "left")
+      .join(md, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("n_docs_rdv"), lit(0L)).as("n_docs_rdv"),
+        coalesce(col("moved_rdv"), lit(0L)).as("moved_rdv"),
+        coalesce(col("n_docs_mod"), lit(0L)).as("n_docs_mod"),
+        coalesce(col("moved_mod"), lit(0L)).as("moved_mod"))
+      .orderBy("shard")
+  }
 }

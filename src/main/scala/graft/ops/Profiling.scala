@@ -785,6 +785,66 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** Isotonic (monotone nondecreasing) calibration of the q348 score-vs-
+    * outcome table — pool-adjacent-violators, computed through the exact
+    * minimax identity (Robertson, Wright & Dykstra, "Order Restricted
+    * Statistical Inference", 1988, §1.2): over score buckets i = 1..k,
+    * iso(i) = max over j ≤ i of ( min over l ≥ i of rate(j..l) ), where
+    * rate(j..l) is the pooled positive rate of buckets j through l. The
+    * result is provably nondecreasing in i for ANY per-pool rate (the
+    * j-range grows and the l-range shrinks with i), and equals the
+    * weighted-L2 isotonic regression when rates are exact. This is the
+    * production form of a heuristic-score recalibration: q348 tells you
+    * whether the score carries signal; this gives the monotone score →
+    * probability map you'd actually threshold on.
+    *
+    * Arithmetic is integer-exact and engine-portable: pooled rates
+    * quantize to ppm by cleared-denominator decimal division BEFORE the
+    * minimax (both engines compare identical quantized values; the
+    * minimax of the quantized table is still exactly monotone), so the
+    * oracle is the same SQL verbatim — no float accumulation anywhere.
+    *
+    * Scale shape: one two-pass sharded rank over the corpus (the q348
+    * pass, corpus-sized) into a k-row bucket table; everything after —
+    * the cumulative sums, the (i, j, l) minimax over k³ ≤ 10⁶ combos —
+    * is k-row-bounded joins on broadcast-sized frames. `k` is a plan
+    * constant (≤ 100 enforced), so the minimax never touches the corpus.
+    */
+  def isotonicCalibration(df: DataFrame, idCol: String, scoreCol: String,
+                          tieCol: String, outcomeCol: String, k: Int,
+                          parts: Int = 0): DataFrame = {
+    require(k >= 1 && k <= 100, "k must be in [1, 100]")
+    val base = scoreCalibration(df, idCol, scoreCol, tieCol, outcomeCol,
+        k, parts)
+      .select(col("bucket"), col("n"), col("n_pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cumulative counts over the k-row table (domain-bounded window)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+    val cum = base
+      .withColumn("cn", sum("n").over(ord))
+      .withColumn("cp", sum("n_pos").over(ord))
+    val j = cum.select(col("bucket").as("j"),
+      (col("cn") - col("n")).as("cn0"), (col("cp") - col("n_pos")).as("cp0"))
+    val l = cum.select(col("bucket").as("l"),
+      col("cn").as("cn1"), col("cp").as("cp1"))
+    // pooled rate of buckets j..l in ppm, quantized identically on both
+    // engines (decimal product before the integer division)
+    val pools = j.join(l, col("j") <= col("l"))
+      .select(col("j"), col("l"),
+        expr("cast(cp1 - cp0 as decimal(38,0)) * 1000000 div (cn1 - cn0)")
+          .cast("long").as("rate_ppm"))
+    val i = base.select(col("bucket").as("i"))
+    val iso = i.join(pools, col("j") <= col("i") && col("l") >= col("i"))
+      .groupBy("i", "j").agg(min("rate_ppm").as("mr"))
+      .groupBy("i").agg(max("mr").as("iso_ppm"))
+    base.join(iso, base("bucket") === iso("i"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("cast(n_pos as decimal(38,0)) * 1000000 div n").cast("long")
+          .as("raw_ppm"),
+        col("iso_ppm"))
+      .orderBy("bucket")
+  }
+
   def quantileBuckets(df: DataFrame, idCol: String, valueCol: String,
                       tieCol: String, k: Int,
                       parts: Int = 0): DataFrame = {

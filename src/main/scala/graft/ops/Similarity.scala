@@ -1355,8 +1355,12 @@ object Similarity {
       .withColumn("__df", dotL("qa", "qb", lit(fullDim)))
       .withColumn("__naf", dotL("qa", "qa", lit(fullDim)))
       .withColumn("__nbf", dotL("qb", "qb", lit(fullDim)))
-      // drop pairs whose SHORTEST audited prefix is all-zero on either
-      // side (cosine undefined): same population at every dim
+      // drop rows whose OWN dim's prefix (or the full vector) is all-zero
+      // on either side — cosine undefined there. Prefix norms are
+      // monotone in dim, so a larger dim can only ADMIT more pairs; the
+      // per-dim populations coincide whenever no smallest-prefix is
+      // all-zero (true of any real embedding fixture), and n_pairs
+      // reports each dim's own population either way
       .filter(col("__na") > 0 && col("__nb") > 0 &&
         col("__naf") > 0 && col("__nbf") > 0)
       .withColumn("s_t", scos2("__d", "__na", "__nb"))

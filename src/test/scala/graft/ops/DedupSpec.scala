@@ -775,4 +775,38 @@ class DedupSpec extends SparkSpec {
     // sorted by total error: first row is the planner's pick
     assert(rows.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("dupThresholdSweep: dense monotone curve, exact dups at 1000‰, " +
+      "agreement with jaccardPairs at the low end") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),        // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon eta theta"),   // near dup of 1
+      (4L, "one two three four five six seven eight"))    // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.dupThresholdSweep(docs, n = 3,
+        thresholdsPm = Seq(200, 500, 999, 1000))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(200, 500, 999, 1000))
+    // n_pairs and n_docs both nonincreasing in the threshold
+    assert(got.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(got.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    // the exact-dup pair (1,2) survives every threshold up to 1000‰
+    assert(got.last == ((1000, 1L, 2L)))
+    // at the lowest threshold the sweep counts exactly the
+    // jaccardPairs(0.2) pair set
+    val exact = Dedup.jaccardPairs(docs, n = 3, threshold = 0.2).count()
+    assert(got.head._2 == exact)
+  }
+
+  test("dupThresholdSweep emits zero rows for unreached thresholds") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "vv ww xx yy zz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupThresholdSweep(docs, n = 3,
+        thresholdsPm = Seq(100, 900))
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((100, 0L, 0L), (900, 0L, 0L)))
+  }
 }

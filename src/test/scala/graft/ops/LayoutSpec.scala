@@ -250,4 +250,32 @@ class LayoutSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(s == Seq(("aa", 2L, 2L), ("bb", 2L, 2L), ("cc", 1L, 1L)))
   }
+
+  test("rendezvousReshardPlan: conservation, HRW movement lands only " +
+      "on added shards, HRW moves less than mod") {
+    val ids = (0L until 500L).toDF("doc_id")
+    val got = Layout.rendezvousReshardPlan(ids, "doc_id",
+        nOld = 8, nNew = 10)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == (0 until 10))
+    // both layouts place every row exactly once
+    assert(got.map(_._2).sum == 500L && got.map(_._4).sum == 500L)
+    // the HRW invariant: a doc moves iff an ADDED shard wins its argmax
+    // — surviving shards receive zero arrivals, added shards receive
+    // only arrivals
+    for ((shard, nRdv, mRdv, _, _) <- got)
+      if (shard < 8) assert(mRdv == 0L, s"shard $shard gained docs")
+      else assert(mRdv == nRdv, s"shard $shard kept unmoved docs")
+    // stateless-minimum economics: HRW's bill ≈ 2/10 of the corpus,
+    // mod's ~4/5 — strictly cheaper on any non-trivial id set
+    assert(got.map(_._3).sum < got.map(_._5).sum)
+    assert(got.map(_._3).sum < 500L * 2 / 10 * 2) // well under 2x E[move]
+  }
+
+  test("rendezvousReshardPlan rejects a shrink plan") {
+    val ids = Seq(1L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      Layout.rendezvousReshardPlan(ids, "doc_id", nOld = 10, nNew = 8)
+    }
+  }
 }

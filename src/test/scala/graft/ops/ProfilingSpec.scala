@@ -600,4 +600,37 @@ class ProfilingSpec extends SparkSpec {
         k = 4, parts = 5)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq == got)
   }
+
+  test("isotonicCalibration pools adjacent violators (minimax = PAV)") {
+    // 3 buckets of 2 rows each, raw rates (1.0, 0.0, 0.5): PAV pools
+    // 1.0 with 0.0 to 0.5, then 0.5 == 0.5 stands — iso flat at 500000
+    val df = Seq(
+      (1L, 1L, 1L), (2L, 1L, 1L),   // bucket 1: both positive
+      (3L, 2L, 0L), (4L, 2L, 0L),   // bucket 2: none
+      (5L, 3L, 1L), (6L, 3L, 0L))   // bucket 3: half
+      .toDF("id", "score", "y")
+    val got = Profiling.isotonicCalibration(df, "id", "score", "id", "y",
+        k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 1000000L, 500000L),
+      (2L, 2L, 0L, 0L, 500000L),
+      (3L, 2L, 1L, 500000L, 500000L)))
+  }
+
+  test("isotonicCalibration: already-monotone rates pass through; " +
+      "output is always nondecreasing") {
+    val df = Seq(
+      (1L, 1L, 0L), (2L, 1L, 0L),
+      (3L, 2L, 1L), (4L, 2L, 0L),
+      (5L, 3L, 1L), (6L, 3L, 1L))
+      .toDF("id", "score", "y")
+    val got = Profiling.isotonicCalibration(df, "id", "score", "id", "y",
+        k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // monotone input: iso equals raw bucket rates verbatim
+    assert(got.map(r => (r._1, r._5)) ==
+      Seq((1L, 0L), (2L, 500000L), (3L, 1000000L)))
+    assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
+  }
 }
