@@ -604,7 +604,18 @@ object DevScale {
       "q275_slice" -> SparkEntry.queries("q275_mutual_nn"),
       // q348: one sharded rank over the scored documents + a 10-row
       // census — the q155 curve with the q92 scan-stage score in front
-      "q348_calibration" -> SparkEntry.queries("q348_quality_calibration"))
+      "q348_calibration" -> SparkEntry.queries("q348_quality_calibration"),
+      // q349: one explode(10) into a keyed argmax — scan-linear by
+      // construction; the rung checks the md5 expression chain doesn't
+      // hide a superlinear constant
+      "q349_rendezvous" -> SparkEntry.queries("q349_rendezvous_reshard"),
+      // q350: q348's sharded rank + a k³ minimax on 10-row frames —
+      // should track q348's rung exactly (the k-row tail is free)
+      "q350_isotonic" -> SparkEntry.queries("q350_isotonic_calibration"),
+      // q351: ONE q22-regime pair stage at the lowest threshold + a
+      // |thresholds|-explode of the pair list — should track q22's rung
+      // (the copy-unique suffixes grow the pair set exactly F×)
+      "q351_sweep" -> SparkEntry.queries("q351_dup_threshold_sweep"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
