@@ -615,7 +615,14 @@ object DevScale {
       // q351: ONE q22-regime pair stage at the lowest threshold + a
       // |thresholds|-explode of the pair list — should track q22's rung
       // (the copy-unique suffixes grow the pair set exactly F×)
-      "q351_sweep" -> SparkEntry.queries("q351_dup_threshold_sweep"))
+      "q351_sweep" -> SparkEntry.queries("q351_dup_threshold_sweep"),
+      // q352: the unrolled 16-level Hilbert chain riding the lineitem
+      // scan into the same two-pass sharded rank as q123 — should track
+      // q123's curve (the chain is a per-row projection, depth a plan
+      // constant)
+      "q352_hilbert" -> SparkEntry.queries("q352_hilbert_census"),
+      // q353: two keyed partial aggs folded to one row — scan-bound
+      "q353_fleiss" -> SparkEntry.queries("q353_fleiss_kappa"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

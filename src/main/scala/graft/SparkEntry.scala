@@ -9540,7 +9540,118 @@ object SparkEntry {
         |FROM t LEFT JOIN np USING (t_pm) LEFT JOIN nd USING (t_pm)
         |ORDER BY t_pm""".stripMargin)(
       (s, d) => Dedup.dupThresholdSweep(Tables.documents(s, d), n = 3,
-        thresholdsPm = Seq(200, 400, 600, 800, 950), maxDf = 1000L)))
+        thresholdsPm = Seq(200, 400, 600, 800, 950), maxDf = 1000L)),
+
+    // Hilbert-curve layout census (Layout.hilbertCensusSharded): the
+    // q123 sharded equi-depth census over the HILBERT order — the other
+    // standard lakehouse clustering curve, strictly tighter bucket boxes
+    // than Z where buckets don't align with power-of-4 quadrants
+    // (LayoutSpec pins continuity + the 10-bucket win). The oracle
+    // evaluates the IDENTICAL unrolled xy2d chain (hilbertSqlCtes —
+    // generated from the same per-level formula as the Spark plan).
+    // 10 buckets deliberately: the non-power-of-4 regime is where the
+    // curves differ.
+    q("q352_hilbert_census",
+      s"""WITH z AS (
+        |  SELECT l_partkey, l_suppkey, l_orderkey * 10 + l_linenumber AS tie
+        |  FROM lineitem),
+        |${Layout.hilbertSqlCtes("z", "l_partkey, l_suppkey, tie",
+            "l_partkey", "l_suppkey", 16)},
+        |b AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(ntile(10) OVER (ORDER BY hd16, tie) AS BIGINT) AS bucket
+        |  FROM h16)
+        |SELECT bucket, count(*) AS n,
+        |  min(l_partkey) AS x_min, max(l_partkey) AS x_max,
+        |  min(l_suppkey) AS y_min, max(l_suppkey) AS y_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Layout.hilbertCensusSharded(
+        Tables.lineitem(s, d)
+          .withColumn("tie",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+        xCol = "l_partkey", yCol = "l_suppkey", tieCol = "tie",
+        buckets = 10, bits = 16)),
+
+    // Fleiss' kappa (Profiling.fleissKappa): chance-corrected agreement
+    // of THREE labeling heuristics (quality-score bands, token-count
+    // bands, char-count bands) binning documents into low/mid/high —
+    // the multi-rater completion of q329. Exact integer sufficient
+    // statistics, one fixed-shape IEEE kappa (the q329 q6 device).
+    q("q353_fleiss_kappa",
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |s AS (SELECT doc_id,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS score
+        |  FROM g),
+        |feat AS (SELECT s.doc_id, s.score, g.n_tokens, d.n_chars
+        |  FROM s JOIN g USING (doc_id)
+        |  JOIN documents d ON d.doc_id = s.doc_id),
+        |tall AS (
+        |  SELECT doc_id, 1 AS rater, CASE WHEN score >= 6 THEN 2
+        |    WHEN score >= 3 THEN 1 ELSE 0 END AS cat FROM feat
+        |  UNION ALL SELECT doc_id, 2, CASE WHEN n_tokens >= 70 THEN 2
+        |    WHEN n_tokens >= 45 THEN 1 ELSE 0 END FROM feat
+        |  UNION ALL SELECT doc_id, 3, CASE WHEN n_chars >= 400 THEN 2
+        |    WHEN n_chars >= 250 THEN 1 ELSE 0 END FROM feat),
+        |nij AS (SELECT doc_id, cat, count(*) AS nij
+        |  FROM tall GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(nij) AS n, sum(nij * nij) AS s2
+        |  FROM nij GROUP BY 1),
+        |a AS (SELECT count(*) AS ns, min(n) AS n_min, max(n) AS n_max,
+        |    sum(s2) AS a2 FROM per),
+        |bb AS (SELECT sum(CAST(cj AS HUGEINT) * cj) AS b2 FROM
+        |  (SELECT cat, sum(nij) AS cj FROM nij GROUP BY 1)),
+        |x AS (SELECT ns, n_min, a2, b2,
+        |    (n_min = n_max AND n_min >= 2) AS ok FROM a, bb),
+        |y AS (SELECT ns, n_min, ok,
+        |    CASE WHEN ok THEN CAST(a2 - CAST(ns AS HUGEINT) * n_min
+        |      AS DOUBLE) / CAST(CAST(ns AS HUGEINT) * n_min *
+        |      (n_min - 1) AS DOUBLE) END AS pbar,
+        |    CASE WHEN ok THEN CAST(b2 AS DOUBLE) /
+        |      CAST(CAST(ns AS HUGEINT) * n_min * ns * n_min AS DOUBLE)
+        |      END AS pe
+        |  FROM x)
+        |SELECT CAST(ns AS BIGINT) AS n_subjects,
+        |  CAST(CASE WHEN ok THEN n_min END AS BIGINT) AS n_raters,
+        |  CAST(round(1000000 * pbar) AS BIGINT) AS pbar_q6,
+        |  CAST(round(1000000 * pe) AS BIGINT) AS pe_q6,
+        |  CAST(round(1000000 * (pbar - pe) / nullif(1 - pe, 0))
+        |    AS BIGINT) AS kappa_q6
+        |FROM y""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        import org.apache.spark.sql.functions.{lit, when}
+        val docs = Tables.documents(s, d)
+        val feat = Text.qualityClassify(docs)
+          .select(col("doc_id"), col("n_tokens"), col("score"))
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        def band(c: Column, hi: Long, mid: Long): Column =
+          when(c >= hi, 2).when(c >= mid, 1).otherwise(0)
+        val tall = feat.select(col("doc_id"), lit(1).as("rater"),
+            band(col("score"), 6, 3).as("cat"))
+          .unionByName(feat.select(col("doc_id"), lit(2).as("rater"),
+            band(col("n_tokens"), 70, 45).as("cat")))
+          .unionByName(feat.select(col("doc_id"), lit(3).as("rater"),
+            band(col("n_chars"), 400, 250).as("cat")))
+        Profiling.fleissKappa(tall, "doc_id", "rater", "cat")
+      }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

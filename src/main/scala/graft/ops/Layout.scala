@@ -491,6 +491,123 @@ object Layout {
       .orderBy(predCol)
   }
 
+  /** One Hilbert refinement level as three SQL expressions (d', x', y')
+    * over the previous level's columns — the ONE formula consumed by both
+    * the Column builder (`hilbertValue`, via `expr`) and the DuckDB
+    * oracle generator (`hilbertSqlCtes`) so the two engines can never
+    * drift. The step is the public-domain xy2d recurrence (Hilbert curve
+    * bit algorithm, e.g. Wikipedia "Hilbert curve", Applications §):
+    * quadrant digit (3·rx) XOR ry — written as the XOR-free closed form
+    * 3·rx + ry − 2·rx·ry (exact over {0,1}², table inline below), so no
+    * engine-specific XOR operator is needed — then the ry=0 rotation
+    * (negate-if-rx on the FULL grid width, then swap).
+    */
+  private def hilbertStepSql(n: Long, s: Long, xc: String, yc: String,
+                             dc: String): (String, String, String) = {
+    val rx = s"(CASE WHEN ($xc & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($yc & $s) > 0 THEN 1 ELSE 0 END)"
+    // (3·rx) XOR ry over {0,1}²: (0,0)→0 (0,1)→1 (1,0)→3 (1,1)→2 —
+    // exactly 3·rx + ry − 2·rx·ry, so no engine-specific XOR operator
+    val quad = s"(3 * $rx + $ry - 2 * $rx * $ry)"
+    val d2 = s"($dc + ${s * s} * $quad)"
+    // ry=1: untouched. ry=0: negate both on the full grid if rx, then
+    // swap — coordinates stay in [0, n), so the next level's masks see
+    // plain nonnegative integers on every engine
+    val x2 = s"(CASE WHEN ($yc & $s) > 0 THEN $xc ELSE " +
+      s"(CASE WHEN ($xc & $s) > 0 THEN ${n - 1} - $yc ELSE $yc END) END)"
+    val y2 = s"(CASE WHEN ($yc & $s) > 0 THEN $yc ELSE " +
+      s"(CASE WHEN ($xc & $s) > 0 THEN ${n - 1} - $xc ELSE $xc END) END)"
+    (d2, x2, y2)
+  }
+
+  /** Appends the Hilbert-curve index of (`xCol`, `yCol`) on the
+    * 2^bits × 2^bits grid as column `out` — the OTHER standard lakehouse
+    * clustering curve (Delta liquid clustering's choice over Z-order):
+    * same interleave-and-prune economics as `zValue`, strictly better
+    * locality where buckets don't align with power-of-4 quadrants —
+    * consecutive Hilbert indexes are always L1-adjacent cells (the
+    * continuity law LayoutSpec pins; Z-order jumps), so equi-depth
+    * segments have tighter bounding boxes (measured on the full 32×32
+    * grid at 10 buckets: Σ box area 1376 vs Z's 1952, max 160 vs 288).
+    *
+    * Unlike the Morton interleave there is no closed per-bit form — the
+    * quadrant orientation is state threaded through the levels — so the
+    * recurrence is UNROLLED: one projection per level (bits levels), each
+    * a few CASE/mask expressions over the previous level's three columns.
+    * All pure codegen'd integer arithmetic riding the scan — no UDF, no
+    * shuffle, no driver state; `bits` is a plan constant, so the chain
+    * depth never grows with the corpus. Inputs must be pre-quantized to
+    * [0, 2^bits) (`quantize`), exactly as for `zValue`.
+    */
+  def hilbertValue(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                   out: String = "hval"): DataFrame = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val n = 1L << bits
+    var cur = df
+      .withColumn("__hx0", col(xCol).cast("long"))
+      .withColumn("__hy0", col(yCol).cast("long"))
+      .withColumn("__hd0", lit(0L))
+    var i = 0
+    for (lev <- (bits - 1) to 0 by -1) {
+      val s = 1L << lev
+      val (dE, xE, yE) = hilbertStepSql(n, s, s"__hx$i", s"__hy$i",
+        s"__hd$i")
+      cur = cur
+        .withColumn(s"__hd${i + 1}", expr(dE))
+        .withColumn(s"__hx${i + 1}", expr(xE))
+        .withColumn(s"__hy${i + 1}", expr(yE))
+      i += 1
+    }
+    cur.withColumn(out, col(s"__hd$i"))
+      .drop((0 to i).flatMap(j =>
+        Seq(s"__hx$j", s"__hy$j", s"__hd$j")): _*)
+  }
+
+  /** The same unrolled chain as ANSI SQL CTE text: `h0 .. h<bits>` over
+    * base relation `from`, carrying `carryCols` through every level; the
+    * final index is column `hd<bits>` of CTE `h<bits>`. Generated from
+    * `hilbertStepSql` — the oracle evaluates the IDENTICAL formula.
+    */
+  def hilbertSqlCtes(from: String, carryCols: String, xCol: String,
+                     yCol: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val n = 1L << bits
+    val sb = new StringBuilder
+    sb ++= s"h0 AS (SELECT $carryCols, CAST($xCol AS BIGINT) AS hx0, " +
+      s"CAST($yCol AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 FROM $from)"
+    var i = 0
+    for (lev <- (bits - 1) to 0 by -1) {
+      val s = 1L << lev
+      val (dE, xE, yE) = hilbertStepSql(n, s, s"hx$i", s"hy$i", s"hd$i")
+      sb ++= s",\nh${i + 1} AS (SELECT $carryCols, $dE AS hd${i + 1}, " +
+        s"$xE AS hx${i + 1}, $yE AS hy${i + 1} FROM h$i)"
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The q123 sharded equi-depth census over the HILBERT order: bucket
+    * sizes and per-bucket bounding boxes under Hilbert clustering — the
+    * side-by-side evidence against `zorderCensusSharded` for the
+    * re-layout decision. Same two-pass sharded rank (no global-order
+    * window), same output shape.
+    */
+  def hilbertCensusSharded(df: DataFrame, xCol: String, yCol: String,
+                           tieCol: String, buckets: Int = 16,
+                           bits: Int = 16, parts: Int = 0): DataFrame = {
+    val h = hilbertValue(
+      df.select(col(xCol), col(yCol), col(tieCol)), xCol, yCol, bits)
+    val (ranked, total) =
+      shardedRanksWithTotal(h, Seq("hval", tieCol), parts)
+    ranked
+      .withColumn("bucket", ntileFromRank(col("rnk"), total, buckets))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(xCol).as("x_min"), max(xCol).as("x_max"),
+        min(yCol).as("y_min"), max(yCol).as("y_max"))
+      .orderBy("bucket")
+  }
+
   /** Rendezvous (highest-random-weight) reshard planner: the per-shard
     * movement bill for growing a hash-sharded corpus from `nOld` to
     * `nNew` shards, under rendezvous hashing (Thaler & Ravishankar,

@@ -1204,6 +1204,57 @@ object Profiling {
           as double), 0d))) as bigint)""").as("kappa_q6"))
   }
 
+  /** Fleiss' kappa: chance-corrected agreement among n ≥ 2 raters
+    * assigning N subjects to k categories (Fleiss, "Measuring nominal
+    * scale agreement among many raters", Psych. Bulletin 1971) — the
+    * multi-rater completion of q329's two-rater Cohen's kappa. In an
+    * LLM-data pipeline the "raters" are labeling heuristics or model
+    * ensemble members; kappa near 0 says the ensemble's agreement is
+    * what chance predicts — majority-voting it adds nothing.
+    *
+    * Exact sufficient statistics (all integer partial aggs): per-subject
+    * Σ_j n_ij² (a2 summed), category totals Σ_j c_j² (b2), subject and
+    * rater counts. P̄ = (a2 − N·n)/(N·n·(n−1)), P̄_e = b2/(N·n)², κ =
+    * (P̄ − P̄_e)/(1 − P̄_e) — evaluated as ONE fixed-shape IEEE expression
+    * over the exact integers (the cohensKappa q6 device), so both
+    * engines compute bit-identical doubles. NULL when raters are unequal
+    * across subjects (Fleiss is undefined there), when n < 2, or when
+    * P̄_e = 1 (a single used category saturates chance agreement).
+    *
+    * Scale shape: two keyed partial aggs ((subject, category) then
+    * subject; category totals ride the same scan) folded to one row;
+    * the crossJoin is two 1-row frames.
+    */
+  def fleissKappa(labels: DataFrame, subjectCol: String, raterCol: String,
+                  categoryCol: String): DataFrame = {
+    val nij = labels
+      .groupBy(col(subjectCol).as("__s"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("nij"))
+    val per = nij.groupBy("__s")
+      .agg(sum("nij").as("n"), sum(expr("nij * nij")).as("s2"))
+    val a = per.agg(count(lit(1)).as("ns"), min("n").as("n_min"),
+      max("n").as("n_max"), sum("s2").as("a2"))
+    val b = nij.groupBy("__c").agg(sum("nij").as("cj"))
+      .agg(sum(expr("cast(cj as decimal(38,0)) * cj")).as("b2"))
+    a.crossJoin(b)
+      .withColumn("__ok",
+        col("n_min") === col("n_max") && col("n_min") >= 2)
+      .withColumn("__pbar", when(col("__ok"), expr(
+        "cast(a2 - cast(ns as decimal(38,0)) * n_min as double) / " +
+          "cast(cast(ns as decimal(38,0)) * n_min * (n_min - 1) " +
+          "as double)")))
+      .withColumn("__pe", when(col("__ok"), expr(
+        "cast(b2 as double) / " +
+          "cast(cast(ns as decimal(38,0)) * n_min * ns * n_min " +
+          "as double)")))
+      .select(col("ns").as("n_subjects"),
+        when(col("__ok"), col("n_min")).as("n_raters"),
+        expr("cast(round(1000000 * __pbar) as bigint)").as("pbar_q6"),
+        expr("cast(round(1000000 * __pe) as bigint)").as("pe_q6"),
+        expr("cast(round(1000000 * (__pbar - __pe) / " +
+          "nullif(1 - __pe, 0d)) as bigint)").as("kappa_q6"))
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

@@ -272,6 +272,55 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_._3).sum < 500L * 2 / 10 * 2) // well under 2x E[move]
   }
 
+  test("hilbertValue is a continuous bijection of the full grid") {
+    // the defining curve law: indexes 0..255 each hit once, and every
+    // consecutive pair of cells is L1-ADJACENT (Z-order jumps; Hilbert
+    // never does) — this is why Hilbert buckets box tighter
+    val grid = (for { x <- 0 to 15; y <- 0 to 15 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val cells = Layout.hilbertValue(grid, "x", "y", bits = 4)
+      .select("hval", "x", "y")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L))
+    assert(cells.sliding(2).forall { case Array(a, b) =>
+      math.abs(a._2 - b._2) + math.abs(a._3 - b._3) == 1
+    })
+  }
+
+  test("hilbertSqlCtes computes the identical index as the Column form") {
+    val grid = (for { x <- 0 to 31; y <- 0 to 31 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    grid.createOrReplaceTempView("hil_grid")
+    val viaSql = spark.sql(
+      s"""WITH ${Layout.hilbertSqlCtes("hil_grid", "x, y", "x", "y", 5)}
+         |SELECT x, y, hd5 AS hval FROM h5""".stripMargin)
+    val viaCol = Layout.hilbertValue(grid, "x", "y", bits = 5)
+      .select(col("x"), col("y"), col("hval").as("hval2"))
+    assert(viaSql.join(viaCol, Seq("x", "y"))
+      .filter(col("hval") =!= col("hval2")).count() == 0)
+  }
+
+  test("hilbert buckets box tighter than z-order off the power-of-4 " +
+      "grain") {
+    // full 32x32 grid, 10 equi-depth buckets (not a power of 4, so
+    // segments cannot all be exact quadrants): Hilbert's continuity
+    // keeps every segment compact; Z's discontinuities stretch boxes
+    val grid = (for { x <- 0 to 31; y <- 0 to 31 }
+      yield (x.toLong, y.toLong, (x * 32 + y).toLong)).toDF("x", "y", "t")
+    def area(c: Seq[(Long, Long, Long, Long, Long, Long)]): Long =
+      c.map(r => (r._4 - r._3 + 1) * (r._6 - r._5 + 1)).sum
+    val h = Layout.hilbertCensusSharded(grid, "x", "y", "t",
+      buckets = 10, bits = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val z = Layout.zorderCensusSharded(grid, "x", "y", "t",
+      buckets = 10, bits = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // same equi-depth sizes either way; strictly tighter boxes (the
+    // measured full-grid values: 1376 vs 1952)
+    assert(h.map(_._2) == z.map(_._2))
+    assert(area(h) == 1376L && area(z) == 1952L)
+  }
+
   test("rendezvousReshardPlan rejects a shrink plan") {
     val ids = Seq(1L).toDF("doc_id")
     intercept[IllegalArgumentException] {

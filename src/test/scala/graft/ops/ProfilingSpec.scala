@@ -601,6 +601,49 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq == got)
   }
 
+  test("fleissKappa: perfect agreement, chance-level disagreement, " +
+      "unequal-rater NULL") {
+    // perfect: both subjects unanimous, two categories used —
+    // pbar = 1, pe = 0.5, kappa = 1
+    val perfect = Seq(
+      (1L, 1, "A"), (1L, 2, "A"), (1L, 3, "A"),
+      (2L, 1, "B"), (2L, 2, "B"), (2L, 3, "B"))
+      .toDF("subj", "rater", "cat")
+    assert(Profiling.fleissKappa(perfect, "subj", "rater", "cat")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 3L, 1000000L, 500000L, 1000000L)))
+    // maximal disagreement at 2 raters: pbar = 0, pe = 0.5, kappa = -1
+    val split = Seq(
+      (1L, 1, "A"), (1L, 2, "B"),
+      (2L, 1, "A"), (2L, 2, "B"))
+      .toDF("subj", "rater", "cat")
+    assert(Profiling.fleissKappa(split, "subj", "rater", "cat")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 2L, 0L, 500000L, -1000000L)))
+    // unequal rater counts: Fleiss undefined -> NULL statistics
+    val uneven = Seq(
+      (1L, 1, "A"), (1L, 2, "A"),
+      (2L, 1, "A"), (2L, 2, "A"), (2L, 3, "A"))
+      .toDF("subj", "rater", "cat")
+    val r = Profiling.fleissKappa(uneven, "subj", "rater", "cat")
+      .collect()(0)
+    assert(r.getLong(0) == 2L && r.isNullAt(1) && r.isNullAt(2) &&
+      r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("fleissKappa is NULL when one category saturates chance " +
+      "agreement (pe = 1)") {
+    val allSame = Seq(
+      (1L, 1, "A"), (1L, 2, "A"),
+      (2L, 1, "A"), (2L, 2, "A"))
+      .toDF("subj", "rater", "cat")
+    val r = Profiling.fleissKappa(allSame, "subj", "rater", "cat")
+      .collect()(0)
+    // pbar = pe = 1; kappa's denominator is 0 -> NULL
+    assert(r.getLong(2) == 1000000L && r.getLong(3) == 1000000L &&
+      r.isNullAt(4))
+  }
+
   test("isotonicCalibration pools adjacent violators (minimax = PAV)") {
     // 3 buckets of 2 rows each, raw rates (1.0, 0.0, 0.5): PAV pools
     // 1.0 with 0.0 to 0.5, then 0.5 == 0.5 stands — iso flat at 500000
