@@ -622,7 +622,10 @@ object DevScale {
       // constant)
       "q352_hilbert" -> SparkEntry.queries("q352_hilbert_census"),
       // q353: two keyed partial aggs folded to one row — scan-bound
-      "q353_fleiss" -> SparkEntry.queries("q353_fleiss_kappa"))
+      "q353_fleiss" -> SparkEntry.queries("q353_fleiss_kappa"),
+      // q354: one global + one grouped sharded rank and a rank-keyed
+      // equi-join — the q123/q129 two-pass regime twice over
+      "q354_qnorm" -> SparkEntry.queries("q354_quantile_normalize"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

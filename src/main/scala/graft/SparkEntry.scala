@@ -9651,6 +9651,47 @@ object SparkEntry {
           .unionByName(feat.select(col("doc_id"), lit(3).as("rater"),
             band(col("n_chars"), 400, 250).as("cat")))
         Profiling.fleissKappa(tall, "doc_id", "rater", "cat")
+      }),
+
+    // Quantile normalization (Sampling.quantileNormalize): per-source
+    // n_chars mapped onto the global distribution at the same
+    // within-source rank quantile — the cross-source score harmonizer
+    // in front of q125's mixture plan. Exact integer rank mapping;
+    // endpoints hit the global min/max exactly (SamplingSpec law).
+    // Census: per-source raw-vs-normalized sums + normalized extremes.
+    q("q354_quantile_normalize",
+      """WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM d),
+        |g AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rg
+        |  FROM d),
+        |s AS (SELECT doc_id, source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+        |      AS rs,
+        |    count(*) OVER (PARTITION BY source) AS m FROM d),
+        |t AS (SELECT s.source, s.v,
+        |    CASE WHEN m >= 2 THEN CAST(CAST(rs - 1 AS HUGEINT) * (n - 1)
+        |      // (m - 1) + 1 AS BIGINT) ELSE (n + 1) // 2 END AS gr
+        |  FROM s, tot),
+        |j AS (SELECT t.source, t.v, g.v AS norm
+        |  FROM t JOIN g ON g.rg = t.gr)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_raw,
+        |  CAST(sum(norm) AS BIGINT) AS sum_norm,
+        |  CAST(min(norm) AS BIGINT) AS min_norm,
+        |  CAST(max(norm) AS BIGINT) AS max_norm
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          col("source"), col("n_chars").cast("long").as("v"))
+        Sampling.quantileNormalize(docs, "doc_id", "source", "v",
+            "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("v").as("sum_raw"),
+            sum("norm").as("sum_norm"), min("norm").as("min_norm"),
+            max("norm").as("max_norm"))
+          .orderBy("source")
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -788,4 +788,46 @@ object Sampling {
            cast(n_buckets * n_buckets as double)))) as bigint)""")
           .as("se_q6"))
   }
+
+  /** Quantile normalization of a per-source score onto the GLOBAL score
+    * distribution — the harmonization step before any cross-source
+    * mixing decision that thresholds on the score (q125's mixture plan,
+    * q80's budget cap): two sources whose scorers run hot and cold
+    * become comparable by replacing each row's value with the global
+    * value at the same within-source rank quantile (the microarray
+    * quantile-normalization construction, Bolstad et al.,
+    * Bioinformatics 2003, applied one-table-vs-pooled).
+    *
+    * Exact integer mapping: within-source rank r of m rows targets
+    * global rank g = ⌊(r−1)(N−1)/(m−1)⌋ + 1 (endpoints hit ranks 1 and
+    * N exactly; a singleton source maps to the global median rank
+    * ⌊(N+1)/2⌋), and `norm` is the global order statistic at rank g.
+    * The rank product promotes to decimal BEFORE multiplying — r·N
+    * passes int64 exactly at the corpus sizes this exists for.
+    *
+    * Scale shape: one global two-pass sharded rank (the quantile
+    * function table), one per-source sharded group rank, and one
+    * rank-keyed equi-join back — no global-order window, no collect
+    * beyond the bounded per-partition counts both rank passes already
+    * ship. (`groupCol` must be low-cardinality — the shardedGroupRanks
+    * contract; sources are.)
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valueCol: String, tieCol: String,
+                        parts: Int = 0): DataFrame = {
+    val cols = Seq(idCol, groupCol, valueCol, tieCol).distinct
+    val base = df.select(cols.map(col): _*)
+    val (g, n) = graft.ops.Layout.shardedRanksWithTotal(
+      base, Seq(valueCol, tieCol), parts)
+    val qf = g.select(col("rnk").as("__g"), col(valueCol).as("norm"))
+    val s = graft.ops.Layout.shardedGroupRanks(
+      base, groupCol, Seq(valueCol, tieCol), parts)
+    val target = s.withColumn("__g",
+      when(col("n_grp") >= 2, expr(
+        s"cast(cast(rnk - 1 as decimal(38,0)) * ${n - 1} " +
+          s"div (n_grp - 1) + 1 as bigint)"))
+        .otherwise(lit((n + 1) / 2)))
+    target.join(qf, "__g")
+      .select(col(idCol), col(groupCol), col(valueCol), col("norm"))
+  }
 }

@@ -521,4 +521,46 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(got == ((2L, 200000000L, 70710678L)))
   }
+
+  test("quantileNormalize maps within-source ranks onto the global " +
+      "order statistics (hand case + endpoint law)") {
+    // A: (0, 100); B: (0, 10, 20, 30, 40) — global sorted by (v, id):
+    // [0@1, 0@3, 10, 20, 30, 40, 100], N = 7
+    val df = Seq(
+      (1L, "A", 0L), (2L, "A", 100L),
+      (3L, "B", 0L), (4L, "B", 10L), (5L, "B", 20L), (6L, "B", 30L),
+      (7L, "B", 40L))
+      .toDF("id", "src", "v")
+    val got = Sampling.quantileNormalize(df, "id", "src", "v", "id")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // A (m=2): ranks 1,2 -> global ranks 1,7 -> norms 0, 100
+    // B (m=5): g = (r-1)*6 div 4 + 1 = 1,2,4,5,7 -> 0, 0, 20, 30, 100
+    assert(got == Seq(
+      (1L, "A", 0L, 0L), (2L, "A", 100L, 100L),
+      (3L, "B", 0L, 0L), (4L, "B", 10L, 0L), (5L, "B", 20L, 20L),
+      (6L, "B", 30L, 30L), (7L, "B", 40L, 100L)))
+    // endpoint law: every m >= 2 source spans the exact global extremes
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc.values.forall(rs =>
+      rs.map(_._4).min == 0L && rs.map(_._4).max == 100L))
+    // monotone within source: normalization never reorders a source
+    assert(bySrc.values.forall { rs =>
+      val ordered = rs.sortBy(r => (r._3, r._1)).map(_._4)
+      ordered.sliding(2).forall(p => p.head <= p.last)
+    })
+  }
+
+  test("quantileNormalize sends a singleton source to the global " +
+      "median rank") {
+    // global sorted: [0, 10, 20, 30, 999] N = 5; C's single row maps to
+    // rank (5+1)/2 = 3 -> norm 20
+    val df = Seq(
+      (1L, "A", 0L), (2L, "A", 10L), (3L, "A", 30L), (4L, "A", 999L),
+      (5L, "C", 20L))
+      .toDF("id", "src", "v")
+    val c = Sampling.quantileNormalize(df, "id", "src", "v", "id")
+      .filter(org.apache.spark.sql.functions.col("src") === "C")
+      .as[(Long, String, Long, Long)].collect().head
+    assert(c == ((5L, "C", 20L, 20L)))
+  }
 }
