@@ -625,7 +625,11 @@ object DevScale {
       "q353_fleiss" -> SparkEntry.queries("q353_fleiss_kappa"),
       // q354: one global + one grouped sharded rank and a rank-keyed
       // equi-join — the q123/q129 two-pass regime twice over
-      "q354_qnorm" -> SparkEntry.queries("q354_quantile_normalize"))
+      "q354_qnorm" -> SparkEntry.queries("q354_quantile_normalize"),
+      // q355: |slices|·iterations partial-agg jobs over one persisted
+      // feature frame — the kmeans job-count floor; wall should be
+      // job-scheduling-bound, flat-ish in data
+      "q355_curve" -> SparkEntry.queries("q355_learning_curve"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9692,7 +9692,21 @@ object SparkEntry {
             sum("norm").as("sum_norm"), min("norm").as("min_norm"),
             max("norm").as("max_norm"))
           .orderBy("source")
-      }))
+      }),
+
+    // Learning curve of the q308 probe (ml.LinearProbe.learningCurve):
+    // the same exact-integer GD trained on nested md5 slices (125/250/
+    // 500/1000‰) and evaluated on the FULL corpus — the is-more-data-
+    // still-helping readout behind a labeling/cleaning budget decision.
+    // The oracle is GENERATED from the same iteration structure
+    // (learningCurveOracleSql — the hilbertSqlCtes one-formula
+    // discipline), so the whole curve incl. weights is hash-checked.
+    q("q355_learning_curve",
+      graft.ml.LinearProbe.learningCurveOracleSql(
+        slicesPm = Seq(125, 250, 500, 1000), iterations = 3))(
+      (s, d) => graft.ml.LinearProbe.learningCurve(
+        Tables.documents(s, d),
+        slicesPm = Seq(125, 250, 500, 1000), iterations = 3)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -49,4 +49,26 @@ class LinearProbeSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("learningCurve: the 1000-permille rung IS the full trainer; " +
+      "train sizes nest monotonically") {
+    // a larger corpus so every slice is non-empty
+    val many = (1L to 200L).map(i =>
+      (i, s"doc number $i with some words", 30L + (i % 7))).toDF(
+      "doc_id", "text", "n_chars")
+    val curve = LinearProbe.learningCurve(many,
+        slicesPm = Seq(250, 500, 1000), iterations = 3)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(250, 500, 1000))
+    // nested slices: n_train strictly grows to the full corpus
+    assert(curve.map(_._2).sliding(2).forall(p => p(0) < p(1)))
+    assert(curve.last._2 == 200L)
+    // the full-slice rung trains on everything — identical weights and
+    // accuracy to trainHardSigmoidGd on the same corpus
+    val full = LinearProbe.trainHardSigmoidGd(many, iterations = 3)
+      .as[(String, Long)].collect().toMap
+    assert(curve.last._3 == full("acc_pm") &&
+      curve.last._4 == full("w0") && curve.last._5 == full("w1") &&
+      curve.last._6 == full("w2"))
+  }
 }
