@@ -629,7 +629,9 @@ object DevScale {
       // q355: |slices|·iterations partial-agg jobs over one persisted
       // feature frame — the kmeans job-count floor; wall should be
       // job-scheduling-bound, flat-ish in data
-      "q355_curve" -> SparkEntry.queries("q355_learning_curve"))
+      "q355_curve" -> SparkEntry.queries("q355_learning_curve"),
+      // q356: value census + aggregated window — the q300 posture
+      "q356_wasserstein" -> SparkEntry.queries("q356_wasserstein_drift"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

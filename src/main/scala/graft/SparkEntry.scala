@@ -9706,7 +9706,41 @@ object SparkEntry {
         slicesPm = Seq(125, 250, 500, 1000), iterations = 3))(
       (s, d) => graft.ml.LinearProbe.learningCurve(
         Tables.documents(s, d),
-        slicesPm = Seq(125, 250, 500, 1000), iterations = 3)))
+        slicesPm = Seq(125, 250, 500, 1000), iterations = 3)),
+
+    // Exact 1-D Wasserstein drift (Profiling.wassersteinDrift): the
+    // integral transport cost between src0/src1 n_chars distributions —
+    // q300's KS flags the worst single CDF gap, this bills the TOTAL
+    // shift, so wide-but-shallow drift still registers. Same census +
+    // aggregated-window posture, cleared-denominator decimal terms.
+    q("q356_wasserstein_drift",
+      """WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |w AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb,
+        |    lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM c),
+        |s AS (SELECT coalesce(sum(CASE WHEN w.nxt IS NOT NULL THEN
+        |      abs(CAST(w.cuma AS HUGEINT) * t.nb
+        |        - CAST(w.cumb AS HUGEINT) * t.na) * (w.nxt - w.v)
+        |      ELSE NULL END), 0) AS wnum,
+        |    max(t.na) AS na, max(t.nb) AS nb
+        |  FROM w, t)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(wnum AS VARCHAR) AS w1_num,
+        |  CAST(wnum * 1000 // (CAST(na AS HUGEINT) * nb) AS BIGINT)
+        |    AS w1_mv
+        |FROM s""".stripMargin)(
+      (s, d) => Profiling.wassersteinDrift(Tables.documents(s, d),
+        "source", "n_chars", "src0", "src1")))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -483,6 +483,58 @@ object Profiling {
           " (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("ks_pm"))
   }
 
+  /** Exact 1-D Wasserstein (earth-mover) distance between two groups'
+    * integer-value distributions — the INTEGRAL drift metric next to
+    * q300's KS sup-metric: KS flags the single worst CDF gap, W₁ prices
+    * the total transport (Σ|F_A − F_B| over the value axis), so a drift
+    * that is wide-but-shallow (KS-invisible) still bills correctly.
+    * Standard pairing in distribution-shift monitoring (same census,
+    * both metrics, one decision).
+    *
+    * Cleared-denominator exactness (the ksTwoSample discipline): each
+    * step contributes |cum_a·n_b − cum_b·n_a| · Δv in decimal(38,0) —
+    * products promote BEFORE multiplying — and W₁ = Σ/(n_a·n_b) emerges
+    * once, reported in milli-value-units (w1_mv); the raw numerator
+    * ships as its decimal string (the q300 u2x device).
+    *
+    * Scale shape: one keyed value census (partial agg), then cum-sums +
+    * lead over the CENSUS — |distinct values| rows, the q300
+    * aggregated-window posture, never corpus-sized.
+    */
+  def wassersteinDrift(df: DataFrame, groupCol: String, valueCol: String,
+                       groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "need two distinct groups")
+    val v = df
+      .filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+    val cens = v.groupBy("__v").agg(
+      coalesce(sum(when(col("__g") === groupA, 1L)), lit(0L)).as("__ca"),
+      coalesce(sum(when(col("__g") === groupB, 1L)), lit(0L)).as("__cb"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("__v")
+    val cum = ord.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, 0)
+    val tot = cens.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    cens
+      .withColumn("__cuma", sum("__ca").over(cum))
+      .withColumn("__cumb", sum("__cb").over(cum))
+      .withColumn("__next", lead("__v", 1).over(ord))
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        coalesce(sum(when(col("__next").isNotNull,
+          abs(col("__cuma").cast("decimal(38,0)") * col("__nb") -
+            col("__cumb").cast("decimal(38,0)") * col("__na")) *
+            (col("__next") - col("__v")))), lit(0L))
+          .cast("decimal(38,0)").as("__wnum"))
+      .select(col("n_a"), col("n_b"),
+        col("__wnum").cast("string").as("w1_num"),
+        expr("cast(__wnum * 1000 div" +
+          " (cast(n_a as decimal(38,0)) * n_b) as bigint)").as("w1_mv"))
+  }
+
   def joinCardinalityAudit(left: DataFrame, leftKey: String,
                            right: DataFrame, rightKey: String): DataFrame = {
     def census(df: DataFrame, key: String) =

@@ -601,6 +601,29 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq == got)
   }
 
+  test("wassersteinDrift: exact transport on a hand case; zero on " +
+      "identical distributions") {
+    // A = {0, 10}, B = {10}: half of A's mass moves 10 -> W1 = 5
+    val df = Seq(("a", 0L), ("a", 10L), ("b", 10L))
+      .toDF("g", "v")
+    val got = Profiling.wassersteinDrift(df, "g", "v", "a", "b")
+      .as[(Long, Long, String, Long)].collect().head
+    assert(got == ((2L, 1L, "10", 5000L)))
+    // identical distributions transport nothing
+    val same = Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L))
+      .toDF("g", "v")
+    val zero = Profiling.wassersteinDrift(same, "g", "v", "a", "b")
+      .as[(Long, Long, String, Long)].collect().head
+    assert(zero == ((2L, 2L, "0", 0L)))
+    // KS-blind regime: a constant +1 shift of a wide distribution has a
+    // small sup gap but bills its full transport here
+    val shift = (1L to 100L).flatMap(i =>
+      Seq(("a", i), ("b", i + 1))).toDF("g", "v")
+    val w = Profiling.wassersteinDrift(shift, "g", "v", "a", "b")
+      .as[(Long, Long, String, Long)].collect().head
+    assert(w._4 == 1000L) // W1 exactly 1.0 value units
+  }
+
   test("fleissKappa: perfect agreement, chance-level disagreement, " +
       "unequal-rater NULL") {
     // perfect: both subjects unanimous, two categories used —
