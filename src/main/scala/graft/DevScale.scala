@@ -631,7 +631,10 @@ object DevScale {
       // job-scheduling-bound, flat-ish in data
       "q355_curve" -> SparkEntry.queries("q355_learning_curve"),
       // q356: value census + aggregated window — the q300 posture
-      "q356_wasserstein" -> SparkEntry.queries("q356_wasserstein_drift"))
+      "q356_wasserstein" -> SparkEntry.queries("q356_wasserstein_drift"),
+      // q357: one sharded rank over the calibration slice + one eval
+      // partial agg — the q129 regime
+      "q357_conformal" -> SparkEntry.queries("q357_conformal_coverage"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9740,7 +9740,47 @@ object SparkEntry {
         |    AS w1_mv
         |FROM s""".stripMargin)(
       (s, d) => Profiling.wassersteinDrift(Tables.documents(s, d),
-        "source", "n_chars", "src0", "src1")))
+        "source", "n_chars", "src0", "src1")),
+
+    // Split-conformal coverage audit (Profiling.conformalCoverage): the
+    // distribution-free abstention gate — q̂ is the exact
+    // ⌈0.9(n_cal+1)⌉-th smallest calibration residual of a crude length
+    // model (|n_chars − 6·n_tokens|), coverage is the eval slice's
+    // realized {r ≤ q̂} share. md5 split, sharded-rank order statistic,
+    // cleared-denominator coverage.
+    q("q357_conformal_coverage",
+      s"""WITH f AS (SELECT doc_id,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000) AS bkt,
+        |    abs(CAST(n_chars AS BIGINT) - 6 * CAST(len(list_filter(
+        |      string_split_regex(text, '${Text.ws}'),
+        |      w -> length(w) > 0)) AS BIGINT)) AS r
+        |  FROM documents),
+        |cal AS (SELECT doc_id, r FROM f WHERE bkt < 500),
+        |n AS (SELECT count(*) AS n_cal FROM cal),
+        |rk AS (SELECT r, row_number() OVER (ORDER BY r, doc_id) AS rnk
+        |  FROM cal),
+        |kk AS (SELECT n_cal, (900 * (n_cal + 1) + 999) // 1000 AS k
+        |  FROM n),
+        |q AS (SELECT rk.r AS qhat, kk.n_cal, kk.k FROM rk, kk
+        |  WHERE rk.rnk = kk.k),
+        |ev AS (SELECT r FROM f WHERE bkt >= 500)
+        |SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+        |  CAST(q.k AS BIGINT) AS k, CAST(q.qhat AS BIGINT) AS qhat,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(CAST(sum(CASE WHEN ev.r <= q.qhat THEN 1000 ELSE 0 END)
+        |    AS HUGEINT) // count(*) AS BIGINT) AS cover_pm
+        |FROM ev, q GROUP BY 1, 2, 3""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{abs, lit, size}
+        val docs = Tables.documents(s, d)
+        val resid = docs.select(col("doc_id"),
+          abs(col("n_chars").cast("long") -
+            lit(6L) * size(Text.tokens(col("text"))).cast("long"))
+            .as("r"))
+        Profiling.conformalCoverage(resid, "doc_id", "r",
+          calPermille = 500, alphaPm = 100)
+      }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

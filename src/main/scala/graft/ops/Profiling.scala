@@ -1307,6 +1307,56 @@ object Profiling {
           "nullif(1 - __pe, 0d)) as bigint)").as("kappa_q6"))
   }
 
+  /** Split-conformal coverage audit: the distribution-free prediction-
+    * interval gate (Vovk's split conformal; Lei et al., JASA 2018) run
+    * as a query. A deterministic md5 slice of the corpus is the
+    * CALIBRATION set; q̂ is its ⌈(1−α)(n+1)⌉-th smallest nonconformity
+    * (an exact order statistic — no libm quantile), and the audit
+    * reports the EVAL slice's achieved coverage of {r ≤ q̂}. The
+    * guarantee is marginal coverage ≥ 1−α in expectation over splits —
+    * this query shows the realized number, which is how a production
+    * filter-with-abstention budget is actually set ("reject documents
+    * whose residual exceeds q̂; expect ≤ α of clean traffic rejected").
+    *
+    * Exactness: the calibration split is the id-pure md5 device, the
+    * order statistic is a two-pass sharded rank (k comes from one
+    * bounded count — the shardedRanksWithTotal total), and coverage is
+    * cleared-denominator integer division. NULL-residual rows are the
+    * caller's to handle; `alphaPm` is α in permille.
+    *
+    * Scale shape: one sharded rank over the CALIBRATION slice, a 1-row
+    * broadcast of q̂, and one partial agg over the eval slice.
+    */
+  def conformalCoverage(df: DataFrame, idCol: String, residCol: String,
+                        calPermille: Int = 500,
+                        alphaPm: Int = 100): DataFrame = {
+    require(calPermille >= 1 && calPermille <= 999,
+      "calPermille must split both ways")
+    require(alphaPm >= 1 && alphaPm <= 999, "alphaPm in [1, 999]")
+    val base = df
+      .select(col(idCol), col(residCol).cast("long").as("__r"))
+      .withColumn("__bkt", graft.ops.Sampling.splitBucket(col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = base.filter(col("__bkt") < calPermille)
+      .select(col(idCol), col("__r"))
+    val (ranked, nCal) = graft.ops.Layout.shardedRanksWithTotal(
+      cal, Seq("__r", idCol))
+    val k = ((1000L - alphaPm) * (nCal + 1) + 999L) / 1000L
+    require(k <= nCal,
+      s"calibration slice too small: need ⌈(1−α)(n+1)⌉ = $k ≤ n = $nCal")
+    val qhat = ranked.filter(col("rnk") === k)
+      .select(col("__r").as("qhat"))
+    base.filter(col("__bkt") >= calPermille)
+      .crossJoin(broadcast(qhat))
+      .agg(count(lit(1)).as("n_eval"),
+        max(col("qhat")).as("qhat"),
+        expr("cast(sum(case when __r <= qhat then 1000 else 0 end)" +
+          " as decimal(38,0)) div count(1)").cast("long")
+          .as("cover_pm"))
+      .select(lit(nCal).as("n_cal"), lit(k).as("k"), col("qhat"),
+        col("n_eval"), col("cover_pm"))
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

@@ -601,6 +601,48 @@ class ProfilingSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq == got)
   }
 
+  test("conformalCoverage: q-hat is the exact order statistic; eval " +
+      "coverage counts r <= q-hat") {
+    // plant residuals by bucket: calibration ids (bucket < 500) carry
+    // r = 1..10, eval ids carry (5, 9, 10, 11)
+    def bkt(i: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16) %
+        1000
+    }
+    val calIds = (1L to 5000L).filter(bkt(_) < 500).take(10)
+    val evIds = (1L to 5000L).filter(bkt(_) >= 500).take(4)
+    assume(calIds.size == 10 && evIds.size == 4)
+    val df = (calIds.zip(1L to 10L) ++
+        evIds.zip(Seq(5L, 9L, 10L, 11L)))
+      .toDF("id", "r")
+    val got = Profiling.conformalCoverage(df, "id", "r",
+        calPermille = 500, alphaPm = 100)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // k = ceil(0.9 * 11) = 10 -> q-hat = 10th smallest = 10; eval
+    // covers 5, 9, 10 of 4 -> 750 permille
+    assert(got == ((10L, 10L, 10L, 4L, 750L)))
+  }
+
+  test("conformalCoverage refuses a calibration slice too small for " +
+      "the requested alpha") {
+    def bkt(i: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16) %
+        1000
+    }
+    val ids = (1L to 5000L).filter(bkt(_) < 500).take(3)
+    assume(ids.size == 3)
+    val df = ids.zip(Seq(1L, 2L, 3L)).toDF("id", "r")
+    // n_cal = 3, k = ceil(0.9 * 4) = 4 > 3 -> fail fast with remedy
+    intercept[IllegalArgumentException] {
+      Profiling.conformalCoverage(df, "id", "r", calPermille = 500,
+        alphaPm = 100)
+    }
+  }
+
   test("wassersteinDrift: exact transport on a hand case; zero on " +
       "identical distributions") {
     // A = {0, 10}, B = {10}: half of A's mass moves 10 -> W1 = 5
