@@ -634,7 +634,10 @@ object DevScale {
       "q356_wasserstein" -> SparkEntry.queries("q356_wasserstein_drift"),
       // q357: one sharded rank over the calibration slice + one eval
       // partial agg — the q129 regime
-      "q357_conformal" -> SparkEntry.queries("q357_conformal_coverage"))
+      "q357_conformal" -> SparkEntry.queries("q357_conformal_coverage"),
+      // q358: one sharded GROUP rank + a |groups|-row broadcast + one
+      // keyed eval agg
+      "q358_mondrian" -> SparkEntry.queries("q358_mondrian_conformal"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

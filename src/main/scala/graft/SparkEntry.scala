@@ -9780,6 +9780,53 @@ object SparkEntry {
             .as("r"))
         Profiling.conformalCoverage(resid, "doc_id", "r",
           calPermille = 500, alphaPm = 100)
+      }),
+
+    // Mondrian (group-conditional) conformal (Profiling.
+    // mondrianConformalCoverage): one q̂ PER SOURCE from each source's
+    // own calibration order statistic — per-source validity where
+    // q357's single global q̂ can under-cover one source while the
+    // marginal number looks fine. Sharded GROUP ranks, row-wise
+    // per-group k, NULLs where a source's slice can't support α.
+    q("q358_mondrian_conformal",
+      s"""WITH f AS (SELECT doc_id, source,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |      AS INTEGER) % 1000) AS bkt,
+        |    abs(CAST(n_chars AS BIGINT) - 6 * CAST(len(list_filter(
+        |      string_split_regex(text, '${Text.ws}'),
+        |      w -> length(w) > 0)) AS BIGINT)) AS r
+        |  FROM documents),
+        |cal AS (SELECT doc_id, source, r FROM f WHERE bkt < 500),
+        |rk AS (SELECT source, r,
+        |    row_number() OVER (PARTITION BY source ORDER BY r, doc_id)
+        |      AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_grp FROM cal),
+        |q AS (SELECT source, (900 * (n_grp + 1) + 999) // 1000 AS k,
+        |    r AS qhat FROM rk
+        |  WHERE rnk = (900 * (n_grp + 1) + 999) // 1000),
+        |thr AS (SELECT c.source, c.n_cal, q.k, q.qhat FROM
+        |  (SELECT source, count(*) AS n_cal FROM cal GROUP BY 1) c
+        |  LEFT JOIN q USING (source)),
+        |ev AS (SELECT f.source, f.r, thr.n_cal, thr.k, thr.qhat
+        |  FROM f LEFT JOIN thr USING (source) WHERE f.bkt >= 500)
+        |SELECT source,
+        |  CAST(coalesce(max(n_cal), 0) AS BIGINT) AS n_cal,
+        |  CAST(max(k) AS BIGINT) AS k,
+        |  CAST(max(qhat) AS BIGINT) AS qhat,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(CASE WHEN max(qhat) IS NOT NULL THEN
+        |    CAST(sum(CASE WHEN r <= qhat THEN 1000 ELSE 0 END)
+        |      AS HUGEINT) // count(*) END AS BIGINT) AS cover_pm
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{abs, lit, size}
+        val docs = Tables.documents(s, d)
+        val resid = docs.select(col("doc_id"), col("source"),
+          abs(col("n_chars").cast("long") -
+            lit(6L) * size(Text.tokens(col("text"))).cast("long"))
+            .as("r"))
+        Profiling.mondrianConformalCoverage(resid, "doc_id", "source",
+          "r", calPermille = 500, alphaPm = 100)
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1357,6 +1357,63 @@ object Profiling {
         col("n_eval"), col("cover_pm"))
   }
 
+  /** Mondrian (group-conditional) split-conformal coverage: one q̂ PER
+    * GROUP from each group's own calibration order statistic (Vovk's
+    * Mondrian construction) — the fix for exactly the failure mode the
+    * marginal gate (conformalCoverage) tolerates: a global q̂ can cover
+    * 95% overall while covering 60% of one source and 99% of another;
+    * per-source thresholds make the abstention budget valid PER SOURCE,
+    * which is how a mixed-corpus filter must be tuned.
+    *
+    * Same exactness devices as the marginal form — md5 calibration
+    * split, sharded GROUP ranks (no global window), per-group
+    * k = ⌈(1−α)(n_grp+1)⌉ selected row-wise, cleared-denominator
+    * coverage. Groups whose calibration slice cannot support α (k >
+    * n_grp) surface with NULL qhat and NULL coverage rather than a
+    * silently-borrowed global threshold.
+    *
+    * Scale shape: one sharded group rank over the calibration slice, a
+    * |groups|-row broadcast of thresholds, one keyed eval partial agg.
+    * `groupCol` must be low-cardinality (the shardedGroupRanks
+    * contract; sources are).
+    */
+  def mondrianConformalCoverage(df: DataFrame, idCol: String,
+                                groupCol: String, residCol: String,
+                                calPermille: Int = 500,
+                                alphaPm: Int = 100): DataFrame = {
+    require(calPermille >= 1 && calPermille <= 999,
+      "calPermille must split both ways")
+    require(alphaPm >= 1 && alphaPm <= 999, "alphaPm in [1, 999]")
+    val base = df
+      .select(col(idCol), col(groupCol),
+        col(residCol).cast("long").as("__r"))
+      .withColumn("__bkt", graft.ops.Sampling.splitBucket(col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cal = base.filter(col("__bkt") < calPermille)
+      .select(col(idCol), col(groupCol), col("__r"))
+    val ranked = graft.ops.Layout.shardedGroupRanks(
+      cal, groupCol, Seq("__r", idCol))
+    val kExpr = expr(s"(${1000L - alphaPm} * (n_grp + 1) + 999) div 1000")
+    val qhat = ranked
+      .filter(col("rnk") === kExpr)
+      .select(col(groupCol), kExpr.as("k"), col("__r").as("qhat"))
+    // thresholds table: every calibrated group, with NULL k/qhat where
+    // the slice cannot support alpha (k > n_grp selects no row)
+    val thr = cal.groupBy(groupCol).agg(count(lit(1)).as("n_cal"))
+      .join(qhat, Seq(groupCol), "left")
+    base.filter(col("__bkt") >= calPermille)
+      .join(broadcast(thr), Seq(groupCol), "left")
+      .groupBy(groupCol)
+      .agg(coalesce(max("n_cal"), lit(0L)).as("n_cal"),
+        max("k").as("k"), max("qhat").as("qhat"),
+        count(lit(1)).as("n_eval"),
+        when(max(col("qhat")).isNotNull,
+          expr("cast(sum(case when __r <= qhat then 1000 else 0 end)" +
+            " as decimal(38,0)) div count(1)").cast("long"))
+          .as("cover_pm"))
+      .orderBy(groupCol)
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

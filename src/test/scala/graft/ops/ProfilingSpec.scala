@@ -625,6 +625,41 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((10L, 10L, 10L, 4L, 750L)))
   }
 
+  test("mondrianConformalCoverage: per-group thresholds; unsupported " +
+      "groups surface NULLs, never a borrowed global q-hat") {
+    def bkt(i: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      Integer.parseInt(md.take(2).map("%02x".format(_)).mkString, 16) %
+        1000
+    }
+    val calIds = (1L to 9000L).filter(bkt(_) < 500)
+    val evIds = (1L to 9000L).filter(bkt(_) >= 500)
+    assume(calIds.size >= 13 && evIds.size >= 5)
+    // group A: 10 calibration rows r = 1..10 (k = 10 -> qhat = 10),
+    //          3 eval rows (5, 10, 11) -> covered 2/3 = 666 pm
+    // group B: 3 calibration rows (k = ceil(0.9*4) = 4 > 3 -> NULLs),
+    //          2 eval rows
+    val rows =
+      calIds.take(10).zip(1L to 10L).map { case (i, r) => (i, "A", r) } ++
+      calIds.slice(10, 13).zip(Seq(1L, 2L, 3L))
+        .map { case (i, r) => (i, "B", r) } ++
+      evIds.take(3).zip(Seq(5L, 10L, 11L))
+        .map { case (i, r) => (i, "A", r) } ++
+      evIds.slice(3, 5).zip(Seq(1L, 2L))
+        .map { case (i, r) => (i, "B", r) }
+    val df = rows.toDF("id", "src", "r")
+    val got = Profiling.mondrianConformalCoverage(df, "id", "src", "r",
+        calPermille = 500, alphaPm = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("A", 10L, 10L, 10L, 3L, 666L),
+      ("B", 3L, -1L, -1L, 2L, -1L)))
+  }
+
   test("conformalCoverage refuses a calibration slice too small for " +
       "the requested alpha") {
     def bkt(i: Long): Int = {
