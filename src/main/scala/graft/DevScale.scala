@@ -637,7 +637,9 @@ object DevScale {
       "q357_conformal" -> SparkEntry.queries("q357_conformal_coverage"),
       // q358: one sharded GROUP rank + a |groups|-row broadcast + one
       // keyed eval agg
-      "q358_mondrian" -> SparkEntry.queries("q358_mondrian_conformal"))
+      "q358_mondrian" -> SparkEntry.queries("q358_mondrian_conformal"),
+      // q359: one keyed partial agg on the bin — pure scan shape
+      "q359_cem" -> SparkEntry.queries("q359_cem_strata"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

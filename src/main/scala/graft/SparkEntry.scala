@@ -9827,6 +9827,59 @@ object SparkEntry {
             .as("r"))
         Profiling.mondrianConformalCoverage(resid, "doc_id", "source",
           "r", calPermille = 500, alphaPm = 100)
+      }),
+
+    // Coarsened-exact-matching stratum table (Profiling.cemStrataDiff):
+    // is src0's quality score actually different, or is it a length
+    // artifact? Strata = token-count bins (div 16); strata without both
+    // a treated (src0) and control row are dropped — the matching; each
+    // matched stratum reports the exact cleared-denominator score
+    // difference. The matching-based sibling of q314's slope audit.
+    q("q359_cem_strata",
+      s"""WITH f AS (SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |s AS (SELECT doc_id, n_tokens // 16 AS bin,
+        |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS y
+        |  FROM g),
+        |a AS (SELECT bin, sum(t) AS n_treat, sum(1 - t) AS n_ctrl,
+        |    sum(y * t) AS st, sum(y * (1 - t)) AS sc
+        |  FROM s GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_treat AS BIGINT) AS n_treat,
+        |  CAST(n_ctrl AS BIGINT) AS n_ctrl,
+        |  CAST((CAST(st AS HUGEINT) * n_ctrl -
+        |    CAST(sc AS HUGEINT) * n_treat) * 1000000 //
+        |    (CAST(n_treat AS HUGEINT) * n_ctrl) AS BIGINT) AS diff_q6
+        |FROM a WHERE n_treat > 0 AND n_ctrl > 0
+        |ORDER BY bin""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{expr, when}
+        val docs = Tables.documents(s, d)
+        val scored = Text.qualityClassify(docs)
+          .select(col("doc_id"), col("n_tokens"), col("score"))
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(expr("n_tokens div 16").as("bin"),
+            when(col("source") === "src0", 1L).otherwise(0L).as("t"),
+            col("score"))
+        Profiling.cemStrataDiff(scored, "bin", "t", "score")
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1414,6 +1414,45 @@ object Profiling {
       .orderBy(groupCol)
   }
 
+  /** Coarsened-exact-matching stratum table (Iacus, King & Porro,
+    * "Causal Inference without Balance Checking", Political Analysis
+    * 2012): rows stratify on a coarse covariate bin, strata missing
+    * either a treated or a control row are DROPPED (that is the
+    * matching), and each matched stratum reports its exact
+    * treated-vs-control outcome difference. The curation question this
+    * answers: "does source X really produce worse documents, or is it
+    * just longer/shorter ones?" — the stratum table is the
+    * confound-controlled readout the raw per-source mean cannot give
+    * (exactly the q314 Simpson's-paradox failure mode, addressed by
+    * matching instead of slope comparison).
+    *
+    * Exactness: per-stratum sums/counts are integer partial aggs; the
+    * difference clears denominators before one integer division
+    * (diff_q6 = 10⁶·(sum_t·n_c − sum_c·n_t) div (n_t·n_c), decimal-
+    * promoted products, truncation-toward-zero in both engines — the
+    * LinearProbe-verified negative-division contract).
+    *
+    * Scale shape: ONE keyed partial agg on the bin + a |strata|-row
+    * filter/projection. No window, no join.
+    */
+  def cemStrataDiff(df: DataFrame, binCol: String, treatCol: String,
+                    outcomeCol: String): DataFrame = {
+    val t = col(treatCol).cast("long")
+    val y = col(outcomeCol).cast("long")
+    df.groupBy(col(binCol).as("bin"))
+      .agg(sum(t).as("n_treat"),
+        sum(lit(1L) - t).as("n_ctrl"),
+        sum(y * t).as("__sum_t"),
+        sum(y * (lit(1L) - t)).as("__sum_c"))
+      .filter(col("n_treat") > 0 && col("n_ctrl") > 0)
+      .select(col("bin"), col("n_treat"), col("n_ctrl"),
+        expr("cast((cast(__sum_t as decimal(38,0)) * n_ctrl - " +
+          "cast(__sum_c as decimal(38,0)) * n_treat) * 1000000 div " +
+          "(cast(n_treat as decimal(38,0)) * n_ctrl) as bigint)")
+          .as("diff_q6"))
+      .orderBy("bin")
+  }
+
   /** k-anonymity / l-diversity census over quasi-identifier columns:
     * rows group into QI equivalence classes; a class smaller than `k`
     * re-identifies its members, and a class whose SENSITIVE column

@@ -625,6 +625,25 @@ class ProfilingSpec extends SparkSpec {
     assert(got == ((10L, 10L, 10L, 4L, 750L)))
   }
 
+  test("cemStrataDiff: unmatched strata drop; matched strata report " +
+      "the exact treated-vs-control difference") {
+    val df = Seq(
+      // bin 1: treated mean 4, control mean 1 -> diff +3.0
+      (1L, 1L, 5L), (1L, 1L, 3L), (1L, 0L, 1L),
+      // bin 2: treated only -> dropped by matching
+      (2L, 1L, 9L),
+      // bin 3: control only -> dropped
+      (3L, 0L, 2L),
+      // bin 4: treated mean 1, control mean 2 -> diff -1.0
+      (4L, 1L, 1L), (4L, 0L, 2L))
+      .toDF("bin", "t", "y")
+    val got = Profiling.cemStrataDiff(df, "bin", "t", "y")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 3000000L),
+      (4L, 1L, 1L, -1000000L)))
+  }
+
   test("mondrianConformalCoverage: per-group thresholds; unsupported " +
       "groups surface NULLs, never a borrowed global q-hat") {
     def bkt(i: Long): Int = {
