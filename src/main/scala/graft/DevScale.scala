@@ -639,7 +639,10 @@ object DevScale {
       // keyed eval agg
       "q358_mondrian" -> SparkEntry.queries("q358_mondrian_conformal"),
       // q359: one keyed partial agg on the bin — pure scan shape
-      "q359_cem" -> SparkEntry.queries("q359_cem_strata"))
+      "q359_cem" -> SparkEntry.queries("q359_cem_strata"),
+      // q360: the two-pass prefix-sum assignment + keyed aggs — the
+      // q65 packing regime with a census tail
+      "q360_packmix" -> SparkEntry.queries("q360_pack_contamination"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

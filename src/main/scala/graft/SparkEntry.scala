@@ -9880,7 +9880,34 @@ object SparkEntry {
             when(col("source") === "src0", 1L).otherwise(0L).as("t"),
             col("score"))
         Profiling.cemStrataDiff(scored, "bin", "t", "score")
-      }))
+      }),
+
+    // Pack-contamination census (Packing.packContaminationCensus): how
+    // many sources/languages each 512-token packed context window mixes
+    // — the cross-doc-attention leakage table behind the q65 packing and
+    // the doc-order decision. Two-pass prefix sum + keyed aggs.
+    q("q360_pack_contamination",
+      """WITH t AS (SELECT doc_id, source, lang,
+        |    CAST(len(list_filter(string_split_regex(text,
+        |      '[ \t\n\r\f]+'), w -> length(w) > 0)) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, lang,
+        |    (sum(n_tokens) OVER (ORDER BY doc_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - n_tokens) // 512 AS pack_id
+        |  FROM t),
+        |g AS (SELECT pack_id, count(*) AS nd,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT lang) AS n_langs
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(n_sources AS BIGINT) AS n_sources,
+        |  CAST(n_langs AS BIGINT) AS n_langs,
+        |  CAST(count(*) AS BIGINT) AS n_packs,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Packing.packContaminationCensus(
+        Tables.documents(s, d), budget = 512L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

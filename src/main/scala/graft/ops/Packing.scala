@@ -78,4 +78,33 @@ object Packing {
     }.toDF("doc_id", "n_tokens", "pack_id")
       .orderBy("doc_id")
   }
+
+  /** Pack-contamination census: how MIXED the packed context windows
+    * are — for each (distinct sources, distinct langs) combination, the
+    * number of packs and documents whose window mixes exactly that many.
+    * Cross-document attention inside a pack leaks tokens across its
+    * documents unless the trainer masks pack boundaries; a pack mixing
+    * many sources/languages is where that leakage costs most (and where
+    * sequence-level contamination audits must look first). This is the
+    * governance table read before choosing doc-order (q148 curriculum
+    * vs shuffled) and pack budget.
+    *
+    * Scale shape: the two-pass prefix-sum assignment (`packAssignments`)
+    * + one id-keyed join to the doc dims + two keyed partial aggs
+    * (per-pack, then per-combination). No window beyond the sharded
+    * prefix sum.
+    */
+  def packContaminationCensus(documents: DataFrame, budget: Long,
+                              parts: Int = 0): DataFrame = {
+    val packs = packAssignments(documents, budget, parts)
+    packs.join(documents.select(col("doc_id"), col("source"),
+        col("lang")), "doc_id")
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("__nd"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .groupBy("n_sources", "n_langs")
+      .agg(count(lit(1)).as("n_packs"), sum("__nd").as("n_docs"))
+      .orderBy("n_sources", "n_langs")
+  }
 }

@@ -44,4 +44,16 @@ class PackingSpec extends SparkSpec {
   test("empty corpus packs to an empty result") {
     assert(Packing.packAssignments(docs(), budget = 8).count() == 0L)
   }
+
+  test("packContaminationCensus counts mixed-source/lang windows") {
+    // budget 5, 3-token docs -> packs of 2 docs: (0,1), (2,3)
+    // pack 0 mixes two sources one lang; pack 1 is pure
+    val df = Seq(
+      (0L, "a b c", "s1", "en"), (1L, "a b c", "s2", "en"),
+      (2L, "a b c", "s1", "en"), (3L, "a b c", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = Packing.packContaminationCensus(df, budget = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 2L), (2L, 1L, 1L, 2L)))
+  }
 }
