@@ -642,7 +642,10 @@ object DevScale {
       "q359_cem" -> SparkEntry.queries("q359_cem_strata"),
       // q360: the two-pass prefix-sum assignment + keyed aggs — the
       // q65 packing regime with a census tail
-      "q360_packmix" -> SparkEntry.queries("q360_pack_contamination"))
+      "q360_packmix" -> SparkEntry.queries("q360_pack_contamination"),
+      // q361: flatMapGroupsWithState through the real micro-batch
+      // engine — state one row per user; rides the q345/q346 floor
+      "q361_streamasof" -> SparkEntry.queries("q361_stream_asof_parity"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9907,7 +9907,24 @@ object SparkEntry {
         |  CAST(sum(nd) AS BIGINT) AS n_docs
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => Packing.packContaminationCensus(
-        Tables.documents(s, d), budget = 512L)))
+        Tables.documents(s, d), budget = 512L)),
+
+    // Streaming AS-OF parity (EventStreams.asOfEnrichmentViaStream):
+    // the one-row-per-user custom-state enrichment executed through the
+    // real micro-batch engine, checked against q54's batch ASOF-join
+    // oracle VERBATIM — the fifth streaming-executed entry, covering
+    // the as-of operator itself (q309 agg, q312 dedup, q345 join,
+    // q346 sessions). Horizon-free TTL/watermark + single AvailableNow
+    // batch make the finite-input parity exact (see the wrapper doc).
+    q("q361_stream_asof_parity",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  date_diff('microsecond', c.ts, p.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .asOfEnrichmentViaStream(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

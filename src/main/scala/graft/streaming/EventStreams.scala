@@ -310,6 +310,44 @@ object EventStreams {
       }
   }
 
+  /** The STREAMING AS-OF enrichment executed through the real engine,
+    * driver-checkable (q361): `enrichPurchasesWithLastClick`
+    * (flatMapGroupsWithState, one-row-per-user state) over the file
+    * source, matched rows only, against q54's batch ASOF-join oracle
+    * VERBATIM. Two harness choices make the finite-input parity exact:
+    * the TTL and watermark delay are pushed far past any fixture's time
+    * span (no state expiry, no timeout — the q346 device), and the file
+    * source under AvailableNow with no maxFilesPerTrigger takes every
+    * file in ONE micro-batch, so each user's full timeline reaches one
+    * sorted flatMapGroups invocation — the retro-enrichment caveat of
+    * the incremental contract (a later-batch click cannot annotate an
+    * earlier purchase) never triggers. Unmatched purchases (no prior
+    * click) are filtered because the batch oracle's ASOF JOIN is inner.
+    *
+    * Scale shape: per-user state is ONE row regardless of stream
+    * length; deployment uses a real TTL — this wrapper's horizon-free
+    * parameters are parity harness, not production config.
+    */
+  def asOfEnrichmentViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q361_stream_asof"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    withShufflePartitions(spark, 8) {
+      val sq = enrichPurchasesWithLastClick(readEventStream(spark, dir),
+          ttlUs = 100L * 365 * 24 * 3600 * 1000000L,
+          delay = "87600 hours")
+        .toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    spark.table(queryName)
+      .filter(col("click_id").isNotNull)
+      .select(col("purchase_id"), col("click_id"), col("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** File-based streaming intake of an events-shaped parquet directory —
     * the deployment path (`readStream` mirror of Tables.events).
     */
