@@ -871,6 +871,71 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("hilbert: continuous bijection of the full grid at any bits") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(Gen.chooseNum(2, 4)) { bits =>
+      val n = 1 << bits
+      val grid = (for { x <- 0 until n; y <- 0 until n }
+        yield (x.toLong, y.toLong)).toDF("x", "y")
+      val cells = graft.ops.Layout.hilbertValue(grid, "x", "y", bits)
+        .select("hval", "x", "y")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      cells.map(_._1).toSeq == (0L until n.toLong * n) &&
+        cells.sliding(2).forall { case Array(a, b) =>
+          math.abs(a._2 - b._2) + math.abs(a._3 - b._3) == 1
+        }
+    }
+  }
+
+  property("rendezvous reshard: conservation and HRW-minimum movement " +
+      "at any grow step") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(
+      Gen.chooseNum(2, 6), Gen.chooseNum(1, 4),
+      Gen.chooseNum(0L, 500L)) { (nOld, grow, base) =>
+      val nNew = nOld + grow
+      val ids = (base until base + 120L).toDF("doc_id")
+      val got = graft.ops.Layout
+        .rendezvousReshardPlan(ids, "doc_id", nOld, nNew)
+        .as[(Int, Long, Long, Long, Long)].collect()
+      got.map(_._2).sum == 120L && got.map(_._4).sum == 120L &&
+        got.forall { case (shard, nRdv, mRdv, _, _) =>
+          if (shard < nOld) mRdv == 0L else mRdv == nRdv
+        }
+    }
+  }
+
+  property("wasserstein: zero on identical groups, symmetric in " +
+      "group order") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(Gen.listOfN(10, Gen.chooseNum(0L, 30L)),
+      Gen.listOfN(10, Gen.chooseNum(0L, 30L))) { (as, bs) =>
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+      val ab = graft.ops.Profiling.wassersteinDrift(df, "g", "v", "a", "b")
+        .as[(Long, Long, String, Long)].collect().head
+      val ba = graft.ops.Profiling.wassersteinDrift(df, "g", "v", "b", "a")
+        .as[(Long, Long, String, Long)].collect().head
+      val same = (as.map(("a", _)) ++ as.map(("b", _))).toDF("g", "v")
+      val zero = graft.ops.Profiling
+        .wassersteinDrift(same, "g", "v", "a", "b")
+        .as[(Long, Long, String, Long)].collect().head
+      ab._3 == ba._3 && ab._4 == ba._4 && zero._3 == "0" && zero._4 == 0L
+    }
+  }
+
+  property("isotonicCalibration output is always nondecreasing") = {
+    import spark.implicits._
+    Prop.forAllNoShrink(Gen.listOfN(12, Gen.chooseNum(0, 1))) { ys =>
+      val df = ys.zipWithIndex.map { case (y, i) =>
+        (i.toLong + 1, (i / 3).toLong, y.toLong) }.toDF("id", "score", "y")
+      val iso = graft.ops.Profiling
+        .isotonicCalibration(df, "id", "score", "id", "y", k = 4)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      iso.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1))
+    }
+  }
+
   property("weightedMedian: >= half the weight at or below the answer") = {
     import spark.implicits._
     Prop.forAllNoShrink(Gen.listOfN(12,
