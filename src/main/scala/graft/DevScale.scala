@@ -645,7 +645,11 @@ object DevScale {
       "q360_packmix" -> SparkEntry.queries("q360_pack_contamination"),
       // q361: flatMapGroupsWithState through the real micro-batch
       // engine — state one row per user; rides the q345/q346 floor
-      "q361_streamasof" -> SparkEntry.queries("q361_stream_asof_parity"))
+      "q361_streamasof" -> SparkEntry.queries("q361_stream_asof_parity"),
+      // q362: one scan per variant into a fingerprint partial agg — the
+      // q21 shape four times
+      "q362_normsens" -> SparkEntry.queries(
+        "q362_normalization_sensitivity"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

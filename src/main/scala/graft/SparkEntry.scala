@@ -9924,7 +9924,33 @@ object SparkEntry {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin)(
       (s, d) => graft.streaming.EventStreams
-        .asOfEnrichmentViaStream(s, d)))
+        .asOfEnrichmentViaStream(s, d)),
+
+    // Normalization-sensitivity census (Dedup.normalizationSensitivity):
+    // exact-dup rate under raw / lowercase / ws-collapse / composed
+    // fingerprints — what each canonicalization step of the q21
+    // fingerprint is worth on this corpus. One scan, one keyed agg per
+    // variant, 4 rows.
+    q("q362_normalization_sensitivity",
+      """WITH v AS (
+        |  SELECT '1_raw' AS variant, md5(text) AS fp FROM documents
+        |  UNION ALL SELECT '2_lower', md5(lower(text)) FROM documents
+        |  UNION ALL SELECT '3_collapse_ws', md5(regexp_replace(
+        |    trim(text), '[ \t\n\r\f]+', ' ', 'g')) FROM documents
+        |  UNION ALL SELECT '4_lower_collapse', md5(regexp_replace(
+        |    trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g')) FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |g AS (SELECT variant, fp, count(*) AS c FROM v GROUP BY 1, 2),
+        |a AS (SELECT variant, count(*) AS n_fingerprints,
+        |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS n_dup_docs
+        |  FROM g GROUP BY 1)
+        |SELECT variant, CAST(t.n AS BIGINT) AS n_docs,
+        |  CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+        |  CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+        |  CAST(CAST(n_dup_docs AS HUGEINT) * 1000 //
+        |    greatest(t.n, 1) AS BIGINT) AS dup_pm
+        |FROM a, t ORDER BY variant""".stripMargin)(
+      (s, d) => Dedup.normalizationSensitivity(Tables.documents(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -437,6 +437,41 @@ object Dedup {
     * verify stage joins full shingle ARRAYS only for candidate pairs —
     * candidate-bounded, never all-pairs.
     */
+  /** Exact-dup rate under each CANONICALIZATION variant — the
+    * sensitivity table behind the q21 fingerprint choice: raw bytes,
+    * lowercase, whitespace-collapse, and the composed form (the q21
+    * production fingerprint) each produce a different duplicate set,
+    * and the deltas between rows say what each normalization step is
+    * worth (a large lower→collapse jump means the corpus's duplication
+    * hides behind formatting, not casing). One row per variant:
+    * distinct fingerprints, docs in >1-member groups, dup share.
+    *
+    * Scale shape: one scan computing all fingerprints, then one keyed
+    * partial agg per variant (|variants| is a plan constant) unioned
+    * into a |variants|-row table. All md5 over deterministic string
+    * transforms — engine-portable by the q21 device.
+    */
+  def normalizationSensitivity(documents: DataFrame): DataFrame = {
+    val variants: Seq[(String, Column => Column)] = Seq(
+      "1_raw" -> identity,
+      "2_lower" -> (t => lower(t)),
+      "3_collapse_ws" -> (t => regexp_replace(trim(t), Text.ws, " ")),
+      "4_lower_collapse" -> (t => Text.normText(t)))
+    val n = documents.count()
+    variants.map { case (name, f) =>
+      documents
+        .select(md5(f(col("text")).cast("binary")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_fingerprints"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("n_dup_docs"))
+        .select(lit(name).as("variant"), lit(n).as("n_docs"),
+          col("n_fingerprints"), col("n_dup_docs"),
+          expr("cast(cast(n_dup_docs as decimal(38,0)) * 1000" +
+            s" div ${math.max(n, 1L)} as bigint)").as("dup_pm"))
+    }.reduce(_ unionByName _).orderBy("variant")
+  }
+
   /** Dedup-rate-vs-threshold curve in ONE pair-stage pass: for each
     * candidate threshold t (permille), how many near-dup pairs and how
     * many distinct affected documents the corpus has at exact n-gram

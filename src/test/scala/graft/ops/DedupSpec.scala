@@ -776,6 +776,26 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._6).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  test("normalizationSensitivity: dup mass grows monotonically with " +
+      "canonicalization strength") {
+    val docs = Seq(
+      (1L, "Hello World"),
+      (2L, "hello world"),     // dup of 1 only under lowercasing
+      (3L, "hello   world "),  // dup of 2 only under ws-collapse
+      (4L, "something else"))
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizationSensitivity(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("1_raw", "2_lower", "3_collapse_ws",
+      "4_lower_collapse"))
+    assert(got.map(_._2).forall(_ == 4L))
+    // raw: all distinct; lower merges {1,2}; collapse alone merges
+    // {2,3} (they differ only in whitespace); composed merges {1,2,3}
+    assert(got.map(_._4) == Seq(0L, 2L, 2L, 3L))
+    assert(got.map(_._3) == Seq(4L, 3L, 3L, 2L))
+    assert(got.map(_._5) == Seq(0L, 500L, 500L, 750L))
+  }
+
   test("dupThresholdSweep: dense monotone curve, exact dups at 1000‰, " +
       "agreement with jaccardPairs at the low end") {
     val docs = Seq(
