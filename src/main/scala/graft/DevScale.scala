@@ -649,7 +649,10 @@ object DevScale {
       // q362: one scan per variant into a fingerprint partial agg — the
       // q21 shape four times
       "q362_normsens" -> SparkEntry.queries(
-        "q362_normalization_sensitivity"))
+        "q362_normalization_sensitivity"),
+      // q363: three struct-argmax partial aggs on one fingerprint scan
+      // — the q130 keep-best shape three times
+      "q363_keeppolicy" -> SparkEntry.queries("q363_keep_policy"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9950,7 +9950,56 @@ object SparkEntry {
         |  CAST(CAST(n_dup_docs AS HUGEINT) * 1000 //
         |    greatest(t.n, 1) AS BIGINT) AS dup_pm
         |FROM a, t ORDER BY variant""".stripMargin)(
-      (s, d) => Dedup.normalizationSensitivity(Tables.documents(s, d))))
+      (s, d) => Dedup.normalizationSensitivity(Tables.documents(s, d))),
+
+    // Keep-policy comparison (Dedup.keepPolicyComparison): what each
+    // survivor rule — keep-first / keep-longest / keep-best-quality —
+    // preserves of the deduplicated corpus (chars, total q92 score).
+    // Three struct-argmax partial aggs on one fingerprint scan, 3 rows.
+    q("q363_keep_policy",
+      s"""WITH f AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '${Text.ws}'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the','a','an','of','and','to','in','is','it','for'], w)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS n_digits,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM f),
+        |sc AS (SELECT doc_id,
+        |    CAST(n_tokens >= 3 AND n_tokens <= 1000 AS INTEGER) * 3
+        |  + CAST(n_stop * 50 >= n_tokens AS INTEGER) * 2
+        |  + CAST(n_tokens * 2 <= sum_len AND sum_len <= n_tokens * 12
+        |      AS INTEGER) * 2
+        |  + CAST(n_digits * 5 < greatest(n_chars, 1) AS INTEGER) * 1
+        |      AS score
+        |  FROM g),
+        |fpt AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+        |    sc.score, md5(regexp_replace(trim(lower(d.text)),
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS fp
+        |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+        |s1 AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY doc_id) AS rn FROM fpt),
+        |s2 AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM fpt),
+        |s3 AS (SELECT *, row_number() OVER (PARTITION BY fp
+        |    ORDER BY score DESC, doc_id) AS rn FROM fpt),
+        |u AS (
+        |  SELECT '1_first' AS policy, count(*) AS n, sum(n_chars) AS c,
+        |    sum(score) AS s FROM s1 WHERE rn = 1
+        |  UNION ALL SELECT '2_longest', count(*), sum(n_chars),
+        |    sum(score) FROM s2 WHERE rn = 1
+        |  UNION ALL SELECT '3_best_quality', count(*), sum(n_chars),
+        |    sum(score) FROM s3 WHERE rn = 1)
+        |SELECT policy, CAST(n AS BIGINT) AS n_survivors,
+        |  CAST(c AS BIGINT) AS sum_chars, CAST(s AS BIGINT) AS sum_score
+        |FROM u ORDER BY policy""".stripMargin)(
+      (s, d) => Dedup.keepPolicyComparison(Tables.documents(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

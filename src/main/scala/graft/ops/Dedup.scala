@@ -472,6 +472,46 @@ object Dedup {
     }.reduce(_ unionByName _).orderBy("variant")
   }
 
+  /** Keep-policy comparison over the exact-dup groups: for each survivor
+    * rule — keep-FIRST (smallest doc_id, the q21 default), keep-LONGEST
+    * (max n_chars), keep-BEST (max q92 quality score) — the surviving
+    * corpus's size, character mass, and total quality score. Every
+    * policy keeps exactly one row per fingerprint group, so n_survivors
+    * is identical across rows; the sum_chars/sum_score deltas ARE the
+    * decision: they price what keep-first throws away against what
+    * keep-best preserves, before a 100 TB deletion commits to a rule.
+    *
+    * Scale shape: one fingerprint scan into THREE struct-argmax partial
+    * aggs (combiner-friendly, the q130 device — no window, no pair
+    * stage), each folded to one row and unioned into a 3-row table.
+    */
+  def keepPolicyComparison(documents: DataFrame): DataFrame = {
+    val scored = graft.ops.Text.qualityClassify(documents)
+      .select(col("doc_id"), col("score"))
+    val base = documents
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        md5(graft.ops.Text.normText(col("text")).cast("binary"))
+          .as("fp"))
+      .join(scored, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // struct-argmax per policy: max(struct(key…, payload…)) keeps the
+    // row with the largest key; -doc_id breaks every tie toward the
+    // SMALLEST id, so each policy is a pure function of the data
+    def survivors(policy: String, key: Column): DataFrame =
+      base.groupBy("fp")
+        .agg(max(struct(key.as("k"), (-col("doc_id")).as("nid"),
+          col("n_chars").as("nc"), col("score").as("sc"))).as("w"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("w.nc")).as("sum_chars"),
+          sum(col("w.sc")).as("sum_score"))
+        .select(lit(policy).as("policy"), col("n_survivors"),
+          col("sum_chars"), col("sum_score"))
+    survivors("1_first", lit(0L))
+      .unionByName(survivors("2_longest", col("n_chars")))
+      .unionByName(survivors("3_best_quality", col("score").cast("long")))
+      .orderBy("policy")
+  }
+
   /** Dedup-rate-vs-threshold curve in ONE pair-stage pass: for each
     * candidate threshold t (permille), how many near-dup pairs and how
     * many distinct affected documents the corpus has at exact n-gram

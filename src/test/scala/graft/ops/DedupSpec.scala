@@ -796,6 +796,30 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._5) == Seq(0L, 500L, 500L, 750L))
   }
 
+  test("keepPolicyComparison: same survivor count, policy-specific " +
+      "preserved mass") {
+    // one dup group {1, 2, 3} (same normalized text, different casing /
+    // whitespace so n_chars differ) + a singleton
+    val docs = Seq(
+      (1L, "Hello World", 11L),
+      (2L, "hello   world", 13L),
+      (3L, "HELLO WORLD", 11L),
+      (4L, "solo document here", 18L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepPolicyComparison(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // every policy keeps 2 rows (group survivor + singleton)
+    assert(got.map(_._1) == Seq("1_first", "2_longest",
+      "3_best_quality"))
+    assert(got.map(_._2).forall(_ == 2L))
+    // keep-first keeps doc 1 (11 chars); keep-longest keeps doc 2 (13)
+    assert(got(0)._3 == 11L + 18L)
+    assert(got(1)._3 == 13L + 18L)
+    // ties on quality fall back to smallest doc_id: same as keep-first
+    // here (all group members score identically on this fixture)
+    assert(got(2)._3 == got(0)._3 && got(2)._4 == got(0)._4)
+  }
+
   test("dupThresholdSweep: dense monotone curve, exact dups at 1000‰, " +
       "agreement with jaccardPairs at the low end") {
     val docs = Seq(
