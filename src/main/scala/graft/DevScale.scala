@@ -652,7 +652,11 @@ object DevScale {
         "q362_normalization_sensitivity"),
       // q363: three struct-argmax partial aggs on one fingerprint scan
       // — the q130 keep-best shape three times
-      "q363_keeppolicy" -> SparkEntry.queries("q363_keep_policy"))
+      "q363_keeppolicy" -> SparkEntry.queries("q363_keep_policy"),
+      // q364: bounded k-slot explode into a (pos, token) census + a
+      // per-position struct-argmax
+      "q364_postemplate" -> SparkEntry.queries(
+        "q364_positional_template"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9999,7 +9999,33 @@ object SparkEntry {
         |SELECT policy, CAST(n AS BIGINT) AS n_survivors,
         |  CAST(c AS BIGINT) AS sum_chars, CAST(s AS BIGINT) AS sum_score
         |FROM u ORDER BY policy""".stripMargin)(
-      (s, d) => Dedup.keepPolicyComparison(Tables.documents(s, d))))
+      (s, d) => Dedup.keepPolicyComparison(Tables.documents(s, d))),
+
+    // Positional-template census (Text.positionalTemplateCensus): modal-
+    // token concentration over the first 10 token slots — structural
+    // boilerplate detection (strip-a-fixed-prefix decisions), the
+    // position-level companion to q77's repeated-line census.
+    q("q364_positional_template",
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |pos AS (SELECT CAST(i AS INTEGER) AS pos, t[i] AS w
+        |  FROM toks, unnest(generate_series(1, least(len(t), 10)))
+        |    AS g(i)),
+        |cnt AS (SELECT pos, w, count(*) AS c FROM pos GROUP BY 1, 2),
+        |m AS (SELECT pos, w, c, row_number() OVER (PARTITION BY pos
+        |    ORDER BY c DESC, w DESC) AS rn FROM cnt),
+        |per AS (SELECT pos, sum(c) AS n_docs, count(*) AS n_distinct
+        |  FROM cnt GROUP BY 1)
+        |SELECT per.pos, CAST(per.n_docs AS BIGINT) AS n_docs,
+        |  CAST(per.n_distinct AS BIGINT) AS n_distinct,
+        |  m.w AS modal_token, CAST(m.c AS BIGINT) AS modal_count,
+        |  CAST(CAST(m.c AS HUGEINT) * 1000 // per.n_docs AS BIGINT)
+        |    AS modal_pm
+        |FROM per JOIN m ON m.pos = per.pos AND m.rn = 1
+        |ORDER BY per.pos""".stripMargin)(
+      (s, d) => Text.positionalTemplateCensus(Tables.documents(s, d),
+        k = 10)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -1805,6 +1805,42 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Positional-template census over the first `k` token positions: per
+    * position, how concentrated the corpus's vocabulary is — distinct
+    * tokens, the modal token and its share, and a permille "template
+    * score" (modal share). Templated corpora (scraped pages sharing a
+    * header, log lines, boilerplate-led documents) show near-1000‰
+    * positions at the start; prose decays fast. This is the
+    * position-level companion to q77's line-frequency boilerplate: q77
+    * finds repeated LINES anywhere, this finds STRUCTURAL slots — the
+    * signal that decides whether to strip a fixed-width prefix before
+    * tokenization.
+    *
+    * Scale shape: one bounded explode (min(k, len) positions per doc —
+    * k is a plan constant) into a (pos, token) census, a struct-argmax
+    * per position for the mode (the q130 device), and a |k|-row join.
+    * Shares are cleared-denominator integer division.
+    */
+  def positionalTemplateCensus(documents: DataFrame,
+                               k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, "k in [1, 1000]")
+    val pos = documents
+      .select(posexplode(slice(tokens(col("text")), 1, k))
+        .as(Seq("p0", "w")))
+      .select((col("p0") + 1).as("pos"), col("w"))
+    val cnt = pos.groupBy("pos", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val per = cnt.groupBy("pos")
+      .agg(sum("c").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        max(struct(col("c").as("c"), col("w").as("w"))).as("m"))
+    per.select(col("pos"), col("n_docs"), col("n_distinct"),
+        col("m.w").as("modal_token"), col("m.c").as("modal_count"),
+        expr("cast(cast(m.c as decimal(38,0)) * 1000 div n_docs" +
+          " as bigint)").as("modal_pm"))
+      .orderBy("pos")
+  }
+
   /** The surrounding context of every hapax token (corpus count = 1) —
     * the audit view a data curator reads before deciding whether the
     * long vocabulary tail is real content (named entities, code) or

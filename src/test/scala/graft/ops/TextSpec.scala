@@ -924,4 +924,22 @@ class TextSpec extends SparkSpec {
       .as[(String, Long, Int, String)].collect().toSeq.map(_._1)
       == Seq("a", "mat"))
   }
+
+  test("positionalTemplateCensus: templated slots saturate, prose " +
+      "slots spread; short docs vanish from deep positions") {
+    val docs = Seq(
+      (1L, "HDR v1 alpha beta"),
+      (2L, "HDR v1 gamma"),
+      (3L, "HDR v2 delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Text.positionalTemplateCensus(docs, k = 4)
+      .as[(Int, Long, Long, String, Long, Long)].collect().toSeq
+    // slot 1 is pure template; slot 2 is 2/3 modal; slot 3 all distinct;
+    // slot 4 sees only the two 4-token docs
+    assert(got == Seq(
+      (1, 3L, 1L, "HDR", 3L, 1000L),
+      (2, 3L, 2L, "v1", 2L, 666L),
+      (3, 3L, 3L, "gamma", 1L, 333L),
+      (4, 2L, 2L, "epsilon", 1L, 500L)))
+  }
 }
