@@ -656,7 +656,10 @@ object DevScale {
       // q364: bounded k-slot explode into a (pos, token) census + a
       // per-position struct-argmax
       "q364_postemplate" -> SparkEntry.queries(
-        "q364_positional_template"))
+        "q364_positional_template"),
+      // q365: four checksum folds over the q63 stage chain — keyed aggs
+      // + semi-joins, 4 rows out
+      "q365_lineage" -> SparkEntry.queries("q365_lineage_manifest"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

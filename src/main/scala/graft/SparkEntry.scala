@@ -10025,7 +10025,49 @@ object SparkEntry {
         |FROM per JOIN m ON m.pos = per.pos AND m.rn = 1
         |ORDER BY per.pos""".stripMargin)(
       (s, d) => Text.positionalTemplateCensus(Tables.documents(s, d),
-        k = 10)))
+        k = 10)),
+
+    // Pipeline lineage manifest (Pipeline.lineageManifest): per-stage
+    // row count + q107 multiset checksum of the surviving doc_id set
+    // over the q63 stage chain — the reproducibility artifact a re-run
+    // or engine swap is diffed against (counts pass when two bugs
+    // cancel; checksums don't).
+    q("q365_lineage_manifest",
+      """WITH fp AS (SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ',
+        |      'g')) AS fp
+        |  FROM documents),
+        |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+        |ded AS (SELECT f.doc_id, f.text FROM fp f JOIN keep k
+        |  ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |q AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0)) AS nt,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |      w -> length(w) > 0 AND w IN ('the','a','an','of','and',
+        |      'to','in','is','it','for'))) AS ns
+        |  FROM ded),
+        |flt AS (SELECT doc_id FROM q WHERE nt >= 20 AND ns * 20 >= nt),
+        |tr AS (SELECT doc_id FROM flt
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS INTEGER) % 1000 < 800),
+        |u AS (
+        |  SELECT '1_raw' AS stage, count(*) AS n, CAST(sum(CAST(('0x' ||
+        |    substr(md5(concat(coalesce(md5(CAST(doc_id AS VARCHAR)),
+        |    'null'))), 1, 8)) AS BIGINT)) AS VARCHAR) AS checksum
+        |  FROM documents
+        |  UNION ALL SELECT '2_dedup', count(*), CAST(sum(CAST(('0x' ||
+        |    substr(md5(concat(coalesce(md5(CAST(doc_id AS VARCHAR)),
+        |    'null'))), 1, 8)) AS BIGINT)) AS VARCHAR) FROM ded
+        |  UNION ALL SELECT '3_quality', count(*), CAST(sum(CAST(('0x' ||
+        |    substr(md5(concat(coalesce(md5(CAST(doc_id AS VARCHAR)),
+        |    'null'))), 1, 8)) AS BIGINT)) AS VARCHAR) FROM flt
+        |  UNION ALL SELECT '4_train', count(*), CAST(sum(CAST(('0x' ||
+        |    substr(md5(concat(coalesce(md5(CAST(doc_id AS VARCHAR)),
+        |    'null'))), 1, 8)) AS BIGINT)) AS VARCHAR) FROM tr)
+        |SELECT stage, CAST(n AS BIGINT) AS n_rows, checksum
+        |FROM u ORDER BY stage""".stripMargin)(
+      (s, d) => Pipeline.lineageManifest(Tables.documents(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -174,6 +174,49 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** Lineage manifest: the REPRODUCIBILITY artifact next to q141's
+    * counts-only funnel — one row per pipeline stage (raw → keep-first
+    * exact dedup → quality filter → train slice, the q63 stage chain)
+    * with the stage's row count AND the q107 multiset checksum of its
+    * surviving doc_id set. Two manifests agree iff every stage selected
+    * EXACTLY the same documents — the artifact a re-run, an engine
+    * swap, or an incremental rebuild is diffed against before anyone
+    * trusts "same pipeline, same data" (counts alone pass when two
+    * bugs cancel; checksums don't).
+    *
+    * Scale shape: each stage is a keyed agg / semi-join composition of
+    * oracle-checked operators, folded by `Profiling.tableChecksum` to
+    * one 2-value row — 4 rows out, nothing driver-side beyond them.
+    */
+  def lineageManifest(documents: DataFrame): DataFrame = {
+    val stops = Seq("the", "a", "an", "of", "and", "to", "in", "is",
+      "it", "for")
+    val fp = documents.select(col("doc_id"), col("text"),
+        md5(Text.normText(col("text")).cast("binary")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val ded = fp.join(keep, Seq("doc_id"), "left_semi")
+    val toks = Text.tokens(col("text"))
+    val flt = ded.select(col("doc_id"),
+        size(toks).cast("long").as("__nt"),
+        size(org.apache.spark.sql.functions.filter(toks,
+          w => w.isInCollection(stops))).cast("long").as("__ns"))
+      // q63's gate in integer form: n_tokens ≥ 20 ∧ stop share ≥ 5%
+      .filter(col("__nt") >= 20L && col("__ns") * 20 >= col("__nt"))
+      .select("doc_id")
+    val train = flt.filter(Sampling.splitBucket(col("doc_id")) < 800)
+    def stage(name: String, df: DataFrame): DataFrame =
+      Profiling.tableChecksum(df.select("doc_id"), Seq("doc_id"))
+        .select(lit(name).as("stage"), col("n_rows"),
+          col("checksum").cast("string").as("checksum"))
+    stage("1_raw", documents)
+      .unionByName(stage("2_dedup", ded))
+      .unionByName(stage("3_quality", flt))
+      .unionByName(stage("4_train", train))
+      .orderBy("stage")
+  }
+
   /** The FULL modern curation pipeline as ONE declarative plan — the
     * round-trip a 2024-era LLM data team actually ships: keep-best
     * exact dedup (longest variant wins) → fuzzy benchmark

@@ -132,4 +132,31 @@ class PipelineSpec extends SparkSpec {
       .as[(String, String, Long, Long)].collect().toSeq
     assert(strict.map(_._3).sum < 3L)
   }
+
+  test("lineageManifest: stages shrink monotonically, identical input " +
+      "reproduces identical checksums, a changed selection changes them") {
+    val prose = "the cat and the dog sat in the yard of the house " +
+      "and it was a fine day for everyone to see it all"
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 2) prose // docs 1 and 2 are exact dups
+          else prose + s" extra$i"))
+      .toDF("doc_id", "text")
+    val a = Pipeline.lineageManifest(docs)
+      .as[(String, Long, String)].collect().toSeq
+    assert(a.map(_._1) == Seq("1_raw", "2_dedup", "3_quality",
+      "4_train"))
+    // monotone funnel: each stage keeps a subset
+    assert(a.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    assert(a(0)._2 == 30L && a(1)._2 == 29L) // one dup collapsed
+    // determinism: the same input yields the identical manifest
+    val b = Pipeline.lineageManifest(docs)
+      .as[(String, Long, String)].collect().toSeq
+    assert(a == b)
+    // a different selection (one doc swapped) changes the raw checksum
+    val docs2 = docs.filter($"doc_id" =!= 30L)
+      .unionByName(Seq((31L, prose + " extra31")).toDF("doc_id", "text"))
+    val c = Pipeline.lineageManifest(docs2)
+      .as[(String, Long, String)].collect().toSeq
+    assert(c(0)._2 == 30L && c(0)._3 != a(0)._3)
+  }
 }
