@@ -324,6 +324,30 @@ object Bench {
     // ERROR: stray WARNs between the timing loop and the JSON line would
     // interleave with the one-line contract the driver parses
     spark.sparkContext.setLogLevel("ERROR")
+    // Clean-host gate (r17 verdict item 5): the hygiene existed (wall
+    // budget, min-of-reps, targeted rechecks) but BENCH_r17 still shipped
+    // from a loadavg-5.7 start window. Refuse to START the measured loop
+    // on a visibly contended host: poll the 1-min loadavg until it drops
+    // under `maxLoad` or the wait budget runs out — then proceed
+    // regardless (an honest-but-contended artifact beats none; the
+    // per-rep loadavg lines keep it self-explaining). The wait budget is
+    // deliberately modest: a harness kill during a too-long wait would
+    // lose the round's artifact entirely, which is worse than a
+    // contended one.
+    def load1(): Double =
+      try loadAvg().split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => 0.0 }
+    val maxLoad =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val waitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "420").toDouble
+    val w0 = System.nanoTime()
+    while (load1() > maxLoad &&
+        (System.nanoTime() - w0) / 1e9 < waitBudgetSec) {
+      System.err.println(s"[bench] loadavg ${loadAvg()} > $maxLoad — " +
+        "waiting for a quiet host before recording")
+      Thread.sleep(20000)
+    }
     // Warm the session once (codegen compiler, shuffle machinery, JIT of
     // the scan/agg paths) so the first measured query isn't charged the
     // cold-start tax — Bench measures steady-state throughput.
@@ -348,8 +372,7 @@ object Bench {
     val t0 = System.nanoTime()
     var samples = Vector.empty[Map[String, Double]]
     var rep = 0
-    var continue = true
-    while (continue && rep < reps) {
+    def runRep(): Unit = {
       rep += 1
       var acc = Map.empty[String, Double]
       names.foreach { name =>
@@ -376,12 +399,45 @@ object Bench {
       // medians-so-far after EVERY rep: a wall-clock kill between here and
       // the end of the run costs at most one rep, never the artifact
       emit(samples)
+    }
+    var continue = true
+    while (continue && rep < reps) {
+      runRep()
+      val elapsed = (System.nanoTime() - t0) / 1e9
       if (stopAfterRep(rep, reps, elapsed, budgetSec)) {
         if (rep < reps) System.err.println(
           s"[bench] wall budget ${budgetSec}s exceeded after rep $rep; " +
             "stopping early")
         continue = false
       }
+    }
+    // Warm-spread repair (r17 item 5, second clause): the recorded
+    // artifact must be adjudicable from its own rep_totals — min-of-reps
+    // needs TWO quiet warm samples agreeing within 15%, else both could
+    // be contended (the r11 q28 failure writ large). Spread is measured
+    // over the two SMALLEST warm totals (a single bad warm rep must not
+    // force retries forever once two quiet ones exist); while it exceeds
+    // 15%, run up to `extraReps` additional full reps, each behind a
+    // short quiet-host wait and inside the same per-rep emit protection.
+    def warmSpread(ss: Seq[Map[String, Double]]): Double = {
+      val warm = ss.drop(1).map(_.values.filter(_ >= 0).sum).sorted
+      if (warm.length < 2 || warm.head <= 0) 0.0
+      else (warm(1) - warm.head) / warm.head
+    }
+    val extraReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+    var extrasRun = 0
+    while (extrasRun < extraReps && samples.length >= 2 &&
+        warmSpread(samples) > 0.15) {
+      extrasRun += 1
+      System.err.println(f"[bench] warm-rep spread " +
+        f"${warmSpread(samples)}%.3f > 0.15 — extra rep " +
+        s"($extrasRun/$extraReps), load=${loadAvg()}")
+      val e0 = System.nanoTime()
+      while (load1() > maxLoad && (System.nanoTime() - e0) / 1e9 < 120) {
+        Thread.sleep(20000)
+      }
+      runRep()
     }
     // Targeted contention re-reps (r11 top ask): with exactly 2 reps the
     // lower-middle median is just the min of two samples — if BOTH reps

@@ -553,7 +553,12 @@ object DevScale {
       // the time curve tracks the data's own Σ df² densification, NOT
       // an operator defect; the row to read is rows(x16) > 0 — the
       // population-relative rail keeping the query non-degenerate
-      // where the r15 absolute cap returned zero rows
+      // where the r15 absolute cap returned zero rows. Since r18 the
+      // regime CHOICE itself is a pinned operator: q366
+      // (Relational.customerOverlapAuto) pre-estimates Σ df² and
+      // routes exact-vs-sampled automatically — its scaladoc carries
+      // the canonical head-to-head decision record, and its rung is
+      // flat at x64 where this exact form is quadratic.
       "q264_overlap" -> SparkEntry.queries("q264_customer_overlap"),
       // ---- round-17 SQL front door breadth: parser-path twins of
       // measured shapes. q336 the q113 keyed-window exchange (disjoint
@@ -659,7 +664,41 @@ object DevScale {
         "q364_positional_template"),
       // q365: four checksum folds over the q63 stage chain — keyed aggs
       // + semi-joins, 4 rows out
-      "q365_lineage" -> SparkEntry.queries("q365_lineage_manifest"))
+      "q365_lineage" -> SparkEntry.queries("q365_lineage_manifest"),
+      // ---- round-18 additions. q366 runs the Σdf² REGIME GUARD under
+      // the densifying inflation (constant catalog, customers F×): the
+      // budget is crossed at x4, so the rung must switch to the sampled
+      // path and go ~flat exactly where q264's exact form is quadratic
+      // by construction — the routing decision, measured. q367 is the
+      // full IVFADC (two-level coarse + PQ + rerank) with a constant
+      // query set: the rung prices the index build + encode over the
+      // growing embedding corpus (planned lists ∝ N, driver state
+      // 2·√L); output constant at 50 rows by construction
+      "q366_regime" -> SparkEntry.queries("q366_overlap_regime_guard"),
+      "q367_ivfadc" -> SparkEntry.queries("q367_ivfadc_two_level"),
+      // q368 prices the AQE skew-split machinery against the planted
+      // maximally-skewed partition (90% of the growing fact on one
+      // key): thresholds are set fixture-scale INSIDE the family lambda
+      // so the split engages at every factor — measure this family in
+      // ISOLATION (the confs persist in the shared session, like
+      // q296_mnn2l's forced config)
+      "q368_aqeskew" -> ((s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "2")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "64KB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "32KB")
+        ops.Skew.skewedJoinCensus(Tables.lineitem(s, d),
+          Tables.supplier(s, d))
+      }),
+      // q369: the state census itself is |operators| rows of progress
+      // metadata — the rung prices the two state-heavy pipelines under
+      // event inflation and PINS the reported state-row growth (join
+      // buffers ∝ events, session state ∝ users)
+      "q369_statecensus" -> SparkEntry.queries("q369_stream_state_census"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -9539,6 +9539,13 @@ object SparkEntry {
         |  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs
         |FROM t LEFT JOIN np USING (t_pm) LEFT JOIN nd USING (t_pm)
         |ORDER BY t_pm""".stripMargin)(
+      // maxDf arms the q22 hot-shingle skew guard while the oracle is
+      // EXACT all-pairs Jaccard: the comparison holds because 1000 is
+      // far above the fixtures' measured shingle-df maxima (7 at
+      // sf0.01, 25 at sf0.1), so no posting is dropped at either scale
+      // — the q22 headroom contract restated (r17 ADVICE). At corpus
+      // scale the cap changes the score's universe by design (the
+      // priced skew rail), exactly as documented on q22.
       (s, d) => Dedup.dupThresholdSweep(Tables.documents(s, d), n = 3,
         thresholdsPm = Seq(200, 400, 600, 800, 950), maxDf = 1000L)),
 
@@ -9915,7 +9922,17 @@ object SparkEntry {
     // oracle VERBATIM — the fifth streaming-executed entry, covering
     // the as-of operator itself (q309 agg, q312 dedup, q345 join,
     // q346 sessions). Horizon-free TTL/watermark + single AvailableNow
-    // batch make the finite-input parity exact (see the wrapper doc).
+    // batch make the finite-input parity exact (see the wrapper doc) —
+    // GIVEN the fixture's no-equal-timestamp property (r17 ADVICE): the
+    // stream processes each user sorted by (ts, event_id) and a click
+    // replaces state on clickUs <= us, so with a click and a purchase
+    // (or two clicks) at the SAME microsecond the emitted click_id
+    // depends on event_id order, while DuckDB's ASOF JOIN (p.ts >= c.ts)
+    // matches equal-ts clicks and picks an unspecified one among ties.
+    // The events fixture has no (user_id, ts) collisions across
+    // click/purchase rows (FIXTURES.md; verified at both SFs), so the
+    // parity is exact here; a tie-bearing deployment would need an
+    // explicit tie-break pinned in BOTH engines.
     q("q361_stream_asof_parity",
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  date_diff('microsecond', c.ts, p.ts) AS gap_us
@@ -10067,7 +10084,134 @@ object SparkEntry {
         |    'null'))), 1, 8)) AS BIGINT)) AS VARCHAR) FROM tr)
         |SELECT stage, CAST(n AS BIGINT) AS n_rows, checksum
         |FROM u ORDER BY stage""".stripMargin)(
-      (s, d) => Pipeline.lineageManifest(Tables.documents(s, d))))
+      (s, d) => Pipeline.lineageManifest(Tables.documents(s, d))),
+
+    // Regime-guarded overlap (Relational.customerOverlapAuto): the
+    // q264-vs-q334 routing decision, PINNED (r17 verdict item 2) —
+    // Σ df² from the part-df census (the q138 join-audit device)
+    // routes to the exact overlap under the 1e8 budget (maxPostings =
+    // census max-df, every weight 1000, est_pm ≡ 1000·n_common) and to
+    // the DIMSUM-sampled estimator past it. Both engines replicate the
+    // routing arithmetic verbatim; sum_df2 ships as the decimal string
+    // (the q300 u2x device — Σ df² passes int64 at corpus scale). The
+    // fixtures route EXACT (Σ df² = 1.8e6 at sf0.01, 1.9e7 at sf0.1);
+    // the DevScale densifying inflation crosses the budget at x4, so
+    // the rung must go flat exactly where q264's exact form is
+    // quadratic by construction.
+    q("q366_overlap_regime_guard",
+      """WITH cp AS (SELECT DISTINCT o.o_custkey AS cust,
+        |    l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |dfc AS (SELECT part, count(*) AS df FROM cp GROUP BY 1),
+        |g AS (SELECT coalesce(sum(CAST(df AS HUGEINT) * df),
+        |      CAST(0 AS HUGEINT)) AS sd2,
+        |    greatest(coalesce(max(df), 1), 1) AS mx FROM dfc),
+        |m AS (SELECT sd2,
+        |    CASE WHEN sd2 <= 100000000 THEN mx ELSE 64 END AS mp
+        |  FROM g),
+        |s AS (SELECT cp.cust, cp.part,
+        |    CASE WHEN dfc.df <= m.mp THEN 1000
+        |      ELSE CAST(CAST(dfc.df AS HUGEINT) * dfc.df * 1000 //
+        |        (m.mp * m.mp) AS BIGINT) END AS w_pm
+        |  FROM cp JOIN dfc USING (part), m
+        |  WHERE dfc.df <= m.mp OR
+        |    CAST(('0x' || substr(md5(CAST(cp.cust AS VARCHAR) || '_' ||
+        |      CAST(cp.part AS VARCHAR)), 1, 4)) AS INTEGER) * dfc.df
+        |      < 65536 * m.mp)
+        |SELECT CASE WHEN m.sd2 <= 100000000 THEN '1_exact'
+        |    ELSE '2_sampled' END AS path,
+        |  CAST(m.sd2 AS VARCHAR) AS sum_df2,
+        |  cust_a, cust_b, est_pm, n_parts_sampled
+        |FROM (SELECT x.cust AS cust_a, y.cust AS cust_b,
+        |    CAST(sum(x.w_pm) AS BIGINT) AS est_pm,
+        |    CAST(count(*) AS BIGINT) AS n_parts_sampled
+        |  FROM s x JOIN s y ON x.part = y.part AND x.cust < y.cust
+        |  GROUP BY 1, 2 HAVING sum(x.w_pm) >= 3000) p, m
+        |ORDER BY est_pm DESC, n_parts_sampled DESC, cust_a, cust_b
+        |LIMIT 50""".stripMargin)(
+      (s, d) => Relational.customerOverlapAuto(Tables.orders(s, d),
+        Tables.lineitem(s, d), maxPostings = 64L,
+        minEstPermille = 3000L, k = 50, df2Budget = 100000000L)),
+
+    // Full IVFADC (Similarity.annIvfAdc, r17 verdict item 4): q296's
+    // self-planned TWO-LEVEL residual coarse quantizer composed with
+    // q163's PQ codes + exact re-rank — the complete Jégou IVFADC
+    // shape, oracle-checked by the same planted-ε-copy device as q163.
+    // targetListSize = 16 forces the two-level path at the driver gate
+    // scale (2050 vectors → 129 planned lists > maxFlatLists = 100 →
+    // k1·k2 = 12×11), so the L1+L2 probe, composed-centroid residual,
+    // codebooks, encode, asymmetric scan, and rerank are ALL exercised
+    // where a lost or reordered planted neighbor is a hash mismatch.
+    // Driver state is k1 + k2 ≤ 2·√L centroids at any corpus size.
+    q("q367_ivfadc_two_level",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, emb FROM e
+        |  UNION ALL
+        |  SELECT e.vec_id + 1000000 * j,
+        |    list_transform(emb, x -> x + 0.000244140625 * j)
+        |  FROM e CROSS JOIN generate_series(1, 5) t(j)
+        |  WHERE e.vec_id < 10),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN aug c ON c.vec_id <> q.vec_id) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val base = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("embedding"))
+        val qs = base.filter(col("vec_id") < 10)
+        val copies = (1 to 5).map { j =>
+          qs.selectExpr(s"vec_id + ${1000000L * j}L AS vec_id",
+            s"transform(embedding, x -> x + ${j}L * 0.000244140625d)" +
+              " AS embedding")
+        }.reduce(_ unionByName _)
+        Similarity.annIvfAdc(base.unionByName(copies), qs, k = 5,
+          nprobe = 2, m = 8, ksub = 16, trainIter = 3,
+          targetListSize = 16L, maxFlatLists = 100)
+      }),
+
+    // AQE skew-join proof (Skew.skewedJoinCensus, r17 verdict item 6):
+    // planted 90%-on-one-key skew through a hint-forced sort-merge
+    // join — the partition shape spark.sql.adaptive.skewJoin splits at
+    // runtime. The census values are AQE-invariant (this oracle pins
+    // them either way); SkewSpec pins the "skewed" AQEShuffleRead plan
+    // node at fixture-scale thresholds, and the DevScale rung measures
+    // the split engaged. Manual salt (q72) and automatic split now
+    // cover both 100-TB skew paths.
+    q("q368_aqe_skew_join",
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 1
+        |      ELSE l_suppkey END AS skew_key,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM f JOIN supplier ON skew_key = s_suppkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin)(
+      (s, d) => Skew.skewedJoinCensus(Tables.lineitem(s, d),
+        Tables.supplier(s, d))),
+
+    // Streaming state-store census (EventStreams.stateStoreCensus, r17
+    // verdict item 7): the q345 join buffers + q346 per-user session
+    // state reported from the StreamingQueryProgress surface — state
+    // growth as a measured number next to the parity entries'
+    // correctness. ROWS-ONLY by nature (no SQL engine has a state store
+    // to oracle; byte sizes are engine-internal): the driver checks the
+    // census shape, EventStreams' spec pins the row laws (session state
+    // = live users; join state = both sides' buffered rows; bit-equal
+    // across reruns), and the DevScale rung pins state growth under
+    // event-volume inflation — the 100 TB/day capacity number.
+    qRowsOnly("q369_stream_state_census")(
+      (s, d) => graft.streaming.EventStreams.stateStoreCensus(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

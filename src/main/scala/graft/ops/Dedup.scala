@@ -434,8 +434,15 @@ object Dedup {
     * plus a per-document window (partitions bounded by document size,
     * never corpus size); the candidate join is keyed on the prefix
     * shingle (posting lists ≤ the full index's, typically ≪); the
-    * verify stage joins full shingle ARRAYS only for candidate pairs —
-    * candidate-bounded, never all-pairs.
+    * verify stage is PAYLOAD-LIGHT (r17 verdict item 1) — Jaccard needs
+    * only |A∩B| and the two set sizes, so the full postings are
+    * semi-joined down to docs appearing in some candidate pair and the
+    * intersection is a partial-agg COUNT keyed on the pair (the
+    * `containmentPairs` device): the verify shuffle carries
+    * (id_a, id_b, partial count) rows, never KB-sized shingle arrays
+    * (the r17 form shipped full arrays per pair and was the lone
+    * super-output x64 row — 121× wall for 64× output, OOM at the
+    * default heap).
     */
   /** Exact-dup rate under each CANONICALIZATION variant — the
     * sensitivity table behind the q21 fingerprint choice: raw bytes,
@@ -448,8 +455,11 @@ object Dedup {
     *
     * Scale shape: one scan computing all fingerprints, then one keyed
     * partial agg per variant (|variants| is a plan constant) unioned
-    * into a |variants|-row table. All md5 over deterministic string
-    * transforms — engine-portable by the q21 device.
+    * into a |variants|-row table. n_docs is derived IN-PLAN as sum(c)
+    * over each variant's fingerprint census (every doc lands in exactly
+    * one group, so Σc = corpus size) — no eager count() action at
+    * plan-construction time (r17 ADVICE). All md5 over deterministic
+    * string transforms — engine-portable by the q21 device.
     */
   def normalizationSensitivity(documents: DataFrame): DataFrame = {
     val variants: Seq[(String, Column => Column)] = Seq(
@@ -457,18 +467,18 @@ object Dedup {
       "2_lower" -> (t => lower(t)),
       "3_collapse_ws" -> (t => regexp_replace(trim(t), Text.ws, " ")),
       "4_lower_collapse" -> (t => Text.normText(t)))
-    val n = documents.count()
     variants.map { case (name, f) =>
       documents
         .select(md5(f(col("text")).cast("binary")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_fingerprints"),
+          coalesce(sum(col("c")), lit(0L)).as("n_docs"),
           coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
             .as("n_dup_docs"))
-        .select(lit(name).as("variant"), lit(n).as("n_docs"),
+        .select(lit(name).as("variant"), col("n_docs"),
           col("n_fingerprints"), col("n_dup_docs"),
           expr("cast(cast(n_dup_docs as decimal(38,0)) * 1000" +
-            s" div ${math.max(n, 1L)} as bigint)").as("dup_pm"))
+            " div greatest(n_docs, 1) as bigint)").as("dup_pm"))
     }.reduce(_ unionByName _).orderBy("variant")
   }
 
@@ -610,16 +620,33 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // payload-light exact verify: restrict the FULL postings to docs in
+    // some candidate pair (a semi-join — no payload widening), count
+    // shared shingles per pair by partial agg, then join the two set
+    // sizes. Every candidate pair shares ≥1 prefix shingle, so the
+    // inner join against the counts drops nothing; pairs co-occurring
+    // only outside the candidate set are pruned by the join with `cand`.
+    val candDocs = cand.select(col("id_a").as("doc_id"))
+      .union(cand.select(col("id_b").as("doc_id")))
+      .distinct()
+    val post = items.join(candDocs, Seq("doc_id"), "left_semi")
+    val nInter = post.as("x")
+      .join(post.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("__sz"))
     cand
-      .join(sets.select(col("doc_id").as("id_a"),
-        col("shingles").as("__sa")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"),
-        col("shingles").as("__sb")), "id_b")
-      .withColumn("__inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .join(nInter, Seq("id_a", "id_b"))
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("__sz").as("__szb")), "id_b")
       .withColumn("jaccard",
         col("__inter") /
-          (size(col("__sa")) + size(col("__sb")) - col("__inter")))
+          (col("__sza") + col("__szb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")

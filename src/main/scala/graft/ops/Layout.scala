@@ -543,9 +543,21 @@ object Layout {
                    out: String = "hval"): DataFrame = {
     require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
     val n = 1L << bits
+    // domain guard (r17 ADVICE): the unrolled chain is only meaningful
+    // for quantized coordinates 0 ≤ v < 2^bits — a raw key outgrowing
+    // the grid (e.g. partkey > 65535 at a larger scale factor) would
+    // yield a silently meaningless curve index in BOTH engines, so fail
+    // loudly in the data path instead. NULLs pass through (the chain
+    // propagates them to a NULL hval, the pre-guard behavior); the
+    // when/raise_error pair stays inside whole-stage codegen.
+    def inDomain(c: Column): Column =
+      when(c.isNull || (c >= 0 && c < n), c)
+        .otherwise(raise_error(concat(
+          lit(s"hilbertValue: coordinate out of domain [0, $n): "),
+          c.cast("string"))).cast("long"))
     var cur = df
-      .withColumn("__hx0", col(xCol).cast("long"))
-      .withColumn("__hy0", col(yCol).cast("long"))
+      .withColumn("__hx0", inDomain(col(xCol).cast("long")))
+      .withColumn("__hy0", inDomain(col(yCol).cast("long")))
       .withColumn("__hd0", lit(0L))
     var i = 0
     for (lev <- (bits - 1) to 0 by -1) {

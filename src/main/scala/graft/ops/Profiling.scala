@@ -1346,7 +1346,16 @@ object Profiling {
       s"calibration slice too small: need ⌈(1−α)(n+1)⌉ = $k ≤ n = $nCal")
     val qhat = ranked.filter(col("rnk") === k)
       .select(col("__r").as("qhat"))
-    base.filter(col("__bkt") >= calPermille)
+    val eval = base.filter(col("__bkt") >= calPermille)
+    // fail fast on an empty eval slice (r17 ADVICE): the global agg
+    // below would emit one row (n_eval = 0, NULL qhat/cover_pm) while
+    // a GROUP-BY oracle over the same empty slice emits zero rows —
+    // refuse the degenerate audit instead, mirroring the k ≤ nCal
+    // require above (base is already persisted, so this probe is a
+    // limit-1 scan of the cache, not a second pass over the source)
+    require(!eval.isEmpty,
+      s"eval slice is empty: calPermille=$calPermille leaves no eval rows")
+    eval
       .crossJoin(broadcast(qhat))
       .agg(count(lit(1)).as("n_eval"),
         max(col("qhat")).as("qhat"),

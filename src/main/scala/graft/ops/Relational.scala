@@ -1483,6 +1483,72 @@ object Relational {
           lit(0L)).as("max_abs_err_pm"))
   }
 
+  /** REGIME-GUARDED overlap: pre-estimate the pair-stage cost Σ df²
+    * from the part-df census (one bounded 1-row collect — the q138
+    * join-audit device) and route automatically: EXACT overlap while
+    * Σ df² ≤ `df2Budget`, the DIMSUM-style sampled estimator past it.
+    * The r17 verdict item 2 — the choice q264's exclusion note used to
+    * leave to the operator's caller is now a measured, pinned decision.
+    *
+    * Both branches are the SAME plan (`sampledOverlapPairs`): the exact
+    * branch sets maxPostings to the census max-df, under which every
+    * posting survives with weight 1000 and est_pm ≡ 1000·n_common,
+    * n_parts_sampled ≡ n_common — so the routed output is one schema
+    * and the oracle replicates the routing arithmetic verbatim (path +
+    * Σ df² ride every row; sum_df2 ships as the decimal's string form,
+    * the q300 u2x device, since Σ df² passes int64 at corpus scale).
+    *
+    * The canonical regime decision record (DevScale, sf0.1 inflated
+    * with a CONSTANT part catalog — part df densifies F×, so Σ df²
+    * grows F² by construction; measured r17, PLANS.md):
+    *
+    *   | query              | t(x1) | t(x4)  | t(x16)  | t16/t1 |
+    *   |--------------------|-------|--------|---------|--------|
+    *   | q264 exact, capped | 3.59 s| 52.61 s| 426.48 s| 118.7× |
+    *   | q334 DIMSUM sampled| 2.65 s|  4.47 s|  12.54 s|   4.73× |
+    *
+    * At x16 the sampled estimator is 34× faster in exactly the regime
+    * the exact form degenerates in, while the REAL fixtures (catalog
+    * growing with the corpus, mean part-df ≈ 30 and Σ df² = 1.8e6 at
+    * sf0.01 / 1.9e7 at sf0.1) stay far under the default budget and
+    * route exact. The default 1e8 budget is ~the x2 densification
+    * point of sf0.1 — past it the exact pair stage exceeds ~1e8
+    * candidate rows per shuffle and the estimator's bounded error
+    * (adjudicated by `customerOverlapSampleAudit`) is the better trade.
+    *
+    * Scale shape: the df census is a parts-sized partial agg; the
+    * routing collect is ONE row; the chosen branch rides the measured
+    * q264/q334 shapes above.
+    */
+  def customerOverlapAuto(orders: DataFrame, lineitem: DataFrame,
+                          maxPostings: Long = 64L,
+                          minEstPermille: Long = 3000L,
+                          k: Int = 50,
+                          df2Budget: Long = 100000000L): DataFrame = {
+    require(maxPostings >= 1 && k >= 1 && df2Budget >= 1,
+      "maxPostings, k and df2Budget must be >= 1")
+    val cp = custParts(orders, lineitem)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = cp.groupBy("part").agg(count(lit(1)).as("__df"))
+      .agg(sum(expr("cast(__df as decimal(38,0)) * __df")).as("__sd2"),
+        max(col("__df")).as("__mx"))
+      .collect()(0)
+    val sd2 =
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    val mx = if (row.isNullAt(1)) 1L else math.max(row.getLong(1), 1L)
+    val exact =
+      sd2.compareTo(java.math.BigDecimal.valueOf(df2Budget)) <= 0
+    sampledOverlapPairs(cp, if (exact) mx else maxPostings)
+      .filter(col("est_pm") >= minEstPermille)
+      .select(lit(if (exact) "1_exact" else "2_sampled").as("path"),
+        lit(sd2.toBigInteger.toString).as("sum_df2"),
+        col("cust_a"), col("cust_b"), col("est_pm"),
+        col("n_parts_sampled"))
+      .orderBy(col("est_pm").desc, col("n_parts_sampled").desc,
+        col("cust_a"), col("cust_b"))
+      .limit(k)
+  }
+
   /** Shared tail of the customer-overlap family: sizes census on the
     * surviving postings, the part-bucketed pair self-join, and the
     * deterministic global top-k. `keep` must be distinct (cust, part).

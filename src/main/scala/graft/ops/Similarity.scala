@@ -802,68 +802,12 @@ object Similarity {
       val withRes = listed.select(col("n_id"), col("list"),
         resCol.as("res"))
       // ---- codebook training on a capped hash-ordered sample ----
-      val subArr = array((0 until m).map(j =>
-        slice(col("res"), j * dsub + 1, dsub)): _*)
-      val sample = withRes
-        .orderBy(xxhash64(col("n_id"), lit(seed)), col("n_id"))
-        .limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
-        .select(col("n_id"), posexplode(subArr).as(Seq("sub", "vec")))
-      val subs = sample.cache()
-      try {
-        // init: per subspace, the ksub hash-first sample rows
-        val wInit = Window.partitionBy("sub")
-          .orderBy(xxhash64(col("n_id"), lit(seed + 1)), col("n_id"))
-        var books: Map[Int, Seq[VecCentroid]] = subs
-          .withColumn("rn", row_number().over(wInit))
-          .filter(col("rn") <= ksub)
-          .select(col("sub"), col("rn"), col("vec"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (j, rows) =>
-            j -> rows.sortBy(_.getInt(1)).zipWithIndex.map { case (r, i) =>
-              VecCentroid(i, r.getSeq[Double](2).toArray)
-            }.toSeq
-          }
-        def argminFor(books: Map[Int, Seq[VecCentroid]],
-                      subCol: Column, jCol: Column): Column =
-          (0 until m).foldLeft(lit(-1)) { (acc, j) =>
-            val cs = books(j).sortBy(_.idx)
-            when(jCol === j, GraftFunctions.nearestVecCentroid(
-              subCol, cs.map(_.idx), cs.map(_.vec))).otherwise(acc)
-          }
-        // grouped Lloyd: ONE recenter job per round covers all m books
-        var round = 0
-        while (round < trainIter) {
-          val cells = subs
-            .withColumn("code", argminFor(books, col("vec"), col("sub")))
-            .select(col("sub"), col("code"), posexplode(col("vec")))
-            .groupBy("sub", "code", "pos")
-            .agg(sum("col").as("s"), count(lit(1)).as("n"))
-            .collect()
-          val byBook = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
-          books = books.map { case (j, cs) =>
-            j -> cs.map { c =>
-              byBook.get((j, c.idx)) match {
-                case Some(rows) =>
-                  val vec = c.vec.clone()
-                  rows.foreach(r =>
-                    vec(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
-                  VecCentroid(c.idx, vec)
-                case None => c // empty code keeps its previous centroid
-              }
-            }
-          }
-          round += 1
-        }
+      val books = trainPqBooks(withRes, m, ksub, dsub, seed,
+        trainIter, trainCap)
+      locally {
         // ---- encode the FULL corpus: one projection, m argmins ----
-        val codeCols = (0 until m).map { j =>
-          val cs = books(j).sortBy(_.idx)
-          GraftFunctions.nearestVecCentroid(
-            slice(col("res"), j * dsub + 1, dsub),
-            cs.map(_.idx), cs.map(_.vec))
-        }
         val index = withRes.select(col("n_id"), col("list"),
-          array(codeCols: _*).as("codes"))
+          array(pqCodeCols(books, m, dsub): _*).as("codes"))
         // ---- probe + asymmetric scan + exact rerank ----
         val probeStructs = array(
           KMeansVec.distCols(col("q_emb"), sortedCs).zip(sortedCs).map {
@@ -897,7 +841,244 @@ object Similarity {
           .filter(col("rank") <= k)
           .select("q_id", "rank", "n_id")
           .orderBy("q_id", "rank")
-      } finally { subs.unpersist(blocking = false); () }
+      }
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** PQ codebook training core shared by `annIvfPq` and `annIvfAdc`:
+    * grouped Lloyd over a hash-ordered sample capped at `trainCap` —
+    * init is the ksub hash-first sample rows per subspace, each round
+    * is ONE Spark job (per-subspace codegen'd argmin + one
+    * groupBy(sub, code, pos) recenter collect of m·ksub·dsub cells,
+    * model-state-sized). `withRes` must carry (n_id, res).
+    */
+  private def trainPqBooks(withRes: DataFrame, m: Int, ksub: Int,
+                           dsub: Int, seed: Long, trainIter: Int,
+                           trainCap: Long)
+      : Map[Int, Seq[graft.ml.VecCentroid]] = {
+    import graft.ml.VecCentroid
+    val subArr = array((0 until m).map(j =>
+      slice(col("res"), j * dsub + 1, dsub)): _*)
+    val sample = withRes
+      .orderBy(xxhash64(col("n_id"), lit(seed)), col("n_id"))
+      .limit(math.min(trainCap, Int.MaxValue.toLong).toInt)
+      .select(col("n_id"), posexplode(subArr).as(Seq("sub", "vec")))
+    val subs = sample.cache()
+    try {
+      // init: per subspace, the ksub hash-first sample rows
+      val wInit = Window.partitionBy("sub")
+        .orderBy(xxhash64(col("n_id"), lit(seed + 1)), col("n_id"))
+      var books: Map[Int, Seq[VecCentroid]] = subs
+        .withColumn("rn", row_number().over(wInit))
+        .filter(col("rn") <= ksub)
+        .select(col("sub"), col("rn"), col("vec"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (j, rows) =>
+          j -> rows.sortBy(_.getInt(1)).zipWithIndex.map { case (r, i) =>
+            VecCentroid(i, r.getSeq[Double](2).toArray)
+          }.toSeq
+        }
+      def argminFor(books: Map[Int, Seq[VecCentroid]],
+                    subCol: Column, jCol: Column): Column =
+        (0 until m).foldLeft(lit(-1)) { (acc, j) =>
+          val cs = books(j).sortBy(_.idx)
+          when(jCol === j, GraftFunctions.nearestVecCentroid(
+            subCol, cs.map(_.idx), cs.map(_.vec))).otherwise(acc)
+        }
+      // grouped Lloyd: ONE recenter job per round covers all m books
+      var round = 0
+      while (round < trainIter) {
+        val cells = subs
+          .withColumn("code", argminFor(books, col("vec"), col("sub")))
+          .select(col("sub"), col("code"), posexplode(col("vec")))
+          .groupBy("sub", "code", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val byBook = cells.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = books.map { case (j, cs) =>
+          j -> cs.map { c =>
+            byBook.get((j, c.idx)) match {
+              case Some(rows) =>
+                val vec = c.vec.clone()
+                rows.foreach(r =>
+                  vec(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+                VecCentroid(c.idx, vec)
+              case None => c // empty code keeps its previous centroid
+            }
+          }
+        }
+        round += 1
+      }
+      books
+    } finally { subs.unpersist(blocking = false); () }
+  }
+
+  /** Full-corpus PQ encoding projection: m codegen'd argmins over the
+    * `res` column's subvectors (shared by `annIvfPq`/`annIvfAdc`). */
+  private def pqCodeCols(books: Map[Int, Seq[graft.ml.VecCentroid]],
+                         m: Int, dsub: Int): Seq[Column] =
+    (0 until m).map { j =>
+      val cs = books(j).sortBy(_.idx)
+      GraftFunctions.nearestVecCentroid(
+        slice(col("res"), j * dsub + 1, dsub),
+        cs.map(_.idx), cs.map(_.vec))
+    }
+
+  /** Full IVFADC (r17 verdict item 4) — `annIvfPq`'s PQ re-rank composed
+    * with the SELF-PLANNED, past-the-flat-cap TWO-LEVEL coarse quantizer
+    * of `mutualNearestNeighborsIvf` (Jégou et al., TPAMI 2011, §III —
+    * the complete construction that paper names IVFADC): the list count
+    * is planned as ⌈N/targetListSize⌉ from one bounded count so list
+    * sizes stay ~constant as the corpus grows, and past `maxFlatLists`
+    * planned lists the coarse quantizer goes two-level residual — an L1
+    * quantizer of k1 = ⌈√L⌉ cells plus ONE shared L2 quantizer of
+    * k2 = ⌈L/k1⌉ cells trained on the L1 residuals; a vector's list is
+    * c1·k2 + c2 and driver state is k1 + k2 ≤ 2·√L centroids (never L),
+    * with O(√L) expression width (the list centroid is reconstructed as
+    * mat1[list div k2] + mat2[list mod k2], two element_at lookups —
+    * never an L-wide literal). Capacity ~maxFlatLists² lists ≈ 4.3e9
+    * vectors at the defaults.
+    *
+    * PQ codes the residual w.r.t. the (possibly composed) list centroid
+    * — the `trainPqBooks` grouped Lloyd, unchanged — so the index row
+    * is (id, list, m small ints) at ANY list count; the candidate scan
+    * reconstructs approx = listCentroid + decoded residual from
+    * broadcast literals (asymmetric distance), cuts at candFactor·k,
+    * and exact-reranks by id join (the q85/q163 contract).
+    *
+    * Exactness (the q62/q163 device): equals exact top-k whenever the
+    * probed nprobe L1 × nprobe L2 cells contain every true neighbor and
+    * quantization error keeps them above candidate rank candFactor·k —
+    * the planted-ε-copy oracle pins the whole chain end to end.
+    *
+    * Scale shape: two bounded k-means fits (k1, k2 ≤ √L centroid rows
+    * to the driver), assignment/probing/encoding are codegen'd
+    * projections riding the scan, the candidate join is keyed on the
+    * list id with the query side broadcast. Wall is dominated by the
+    * two fits + one corpus encode — each a fixed number of scan-shaped
+    * jobs — so growth is ~linear in N at constant probe cost per query.
+    */
+  def annIvfAdc(corpus: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int = 2, m: Int = 4, ksub: Int = 16,
+                candFactor: Int = 8, seed: Long = 42L,
+                trainIter: Int = 5, trainCap: Long = 100000L,
+                targetListSize: Long = 256L,
+                maxFlatLists: Int = 4096): DataFrame = {
+    import graft.ml.KMeansVec
+    GraftFunctions.register(corpus.sparkSession)
+    require(m >= 1 && ksub >= 1 && candFactor >= 1 && nprobe >= 1,
+      "m/ksub/candFactor/nprobe must be >= 1")
+    require(maxFlatLists >= 2, "maxFlatLists must be >= 2")
+    val corpusD = corpus.select(col("vec_id").as("n_id"),
+      asDouble(col("embedding")).as("n_emb"))
+    if (corpusD.isEmpty) {
+      val s = corpus.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
+    }
+    val cached = corpusD.cache()
+    try {
+      val dim = cached.select(size(col("n_emb"))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => 1
+      }
+      require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+      val dsub = dim / m
+      val lists0 = math.max(8L,
+        (cached.count() + targetListSize - 1) / targetListSize)
+      require(lists0 <= maxFlatLists.toLong * maxFlatLists,
+        s"planned $lists0 lists exceeds two-level capacity " +
+          s"(${maxFlatLists}²) — raise targetListSize")
+      val qBase = queries.select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+      // (indexed rows, broadcast query probes, list-centroid lookup)
+      val (listed, qProbes, centroidOf) =
+        if (lists0 <= maxFlatLists) {
+          // flat coarse quantizer — annIvfPq's front end, self-planned
+          val model = KMeansVec.fit(cached, "n_emb", lists0.toInt, seed,
+            maxIter = trainIter, idCol = "n_id")
+          val cs = model.centroids.sortBy(_.idx)
+          val mat = typedLit(cs.map(_.vec.toSeq))
+          val l = KMeansVec.assign(cached, "n_emb", cs)
+            .select(col("n_id"), col("n_emb"),
+              col("cidx").cast("long").as("list"))
+          val p = broadcast(qBase
+            .withColumn("cell",
+              explode(GraftFunctions.topKVecCentroids(col("q_emb"),
+                cs.map(_.idx), cs.map(_.vec), nprobe)))
+            .select(col("q_id"), col("q_emb"),
+              col("cell").cast("long").as("list")))
+          val cOf = (list: Column) =>
+            element_at(mat, list.cast("int") + 1)
+          (l, p, cOf)
+        } else {
+          // two-level residual coarse quantizer (the q296 planner)
+          val k1 = math.ceil(math.sqrt(lists0.toDouble)).toInt
+          val k2 = ((lists0 + k1 - 1) / k1).toInt
+          val m1 = KMeansVec.fit(cached, "n_emb", k1, seed,
+            maxIter = trainIter, idCol = "n_id")
+          val cs1 = m1.centroids.sortBy(_.idx)
+          val mat1 = typedLit(cs1.map(_.vec.toSeq))
+          def res1(vec: Column, cell: Column): Column =
+            zip_with(vec, element_at(mat1, cell + 1), (a, b) => a - b)
+          val assigned1 = KMeansVec.assign(cached, "n_emb", cs1)
+            .withColumn("r1", res1(col("n_emb"), col("cidx")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val m2 = KMeansVec.fit(assigned1, "r1", k2, seed + 1,
+            maxIter = trainIter, idCol = "n_id")
+          val cs2 = m2.centroids.sortBy(_.idx)
+          val mat2 = typedLit(cs2.map(_.vec.toSeq))
+          val l = KMeansVec.assign(
+              assigned1.select(col("n_id"), col("n_emb"),
+                col("cidx").as("c1"), col("r1")), "r1", cs2)
+            .select(col("n_id"), col("n_emb"),
+              (col("c1").cast("long") * k2 + col("cidx")).as("list"))
+          val p = broadcast(qBase
+            .withColumn("l1",
+              explode(GraftFunctions.topKVecCentroids(col("q_emb"),
+                cs1.map(_.idx), cs1.map(_.vec), nprobe)))
+            .withColumn("qres", res1(col("q_emb"), col("l1")))
+            .withColumn("l2",
+              explode(GraftFunctions.topKVecCentroids(col("qres"),
+                cs2.map(_.idx), cs2.map(_.vec), nprobe)))
+            .select(col("q_id"), col("q_emb"),
+              (col("l1").cast("long") * k2 + col("l2")).as("list")))
+          val cOf = (list: Column) => zip_with(
+            element_at(mat1, floor(list / k2).cast("int") + 1),
+            element_at(mat2, pmod(list, lit(k2.toLong)).cast("int") + 1),
+            (a, b) => a + b)
+          (l, p, cOf)
+        }
+      // residual vs the composed list centroid; PQ rides it unchanged
+      val withRes = listed.select(col("n_id"), col("list"),
+        zip_with(col("n_emb"), centroidOf(col("list")),
+          (x, c) => x - c).as("res"))
+      val books = trainPqBooks(withRes, m, ksub, dsub, seed,
+        trainIter, trainCap)
+      val index = withRes.select(col("n_id"), col("list"),
+        array(pqCodeCols(books, m, dsub): _*).as("codes"))
+      def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+      val bookLits = (0 until m).map(j =>
+        array(books(j).sortBy(_.idx).map(c => litVec(c.vec)): _*))
+      val decoded = concat((0 until m).map(j =>
+        element_at(bookLits(j), element_at(col("codes"), j + 1) + 1)): _*)
+      val approx = zip_with(centroidOf(col("list")), decoded,
+        (c, r) => c + r)
+      val wc = Window.partitionBy("q_id").orderBy(desc("acos"), asc("n_id"))
+      val cands = qProbes.join(index, Seq("list"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("acos", cosine(col("q_emb"), approx))
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= k * candFactor)
+        .select("q_id", "q_emb", "n_id")
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+      cands.join(cached, "n_id")
+        .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "n_id")
+        .orderBy("q_id", "rank")
     } finally { cached.unpersist(blocking = false); () }
   }
 

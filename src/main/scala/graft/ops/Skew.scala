@@ -130,6 +130,47 @@ object Skew {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** AQE skew-join proof (r17 verdict item 6) — the AUTOMATIC
+    * counterpart to `saltedEquiJoin`'s manual salt: a deterministic
+    * planted-skew fact (90% of lineitem rows collapse onto supplier
+    * key 1: `skew_key = 1 when l_orderkey % 10 < 9 else l_suppkey`)
+    * joined to the supplier dim with BOTH sides `hint("merge")` — the
+    * broadcast escape hatch is closed, so the plan is the sort-merge
+    * join AQE's OptimizeSkewedJoin operates on, and the hot partition
+    * is the one `spark.sql.adaptive.skewJoin` splits at runtime into
+    * advisory-sized sub-partitions (each re-reading the dim side's
+    * matching partition — correctness unconditional, like the salt).
+    *
+    * The RESULT is AQE-invariant (a nation-keyed cents census — the
+    * oracle pins values whether or not the split engages); the PROOF
+    * that the split engages is SkewSpec, which lowers the skew
+    * thresholds to fixture scale, executes, and pins the "skewed"
+    * AQEShuffleRead node in the adaptive plan, plus the DevScale rung
+    * measured with the same thresholds. At 100 TB the default
+    * thresholds (256 MB skewed-partition floor) engage on real
+    * stragglers; the manual salt (q72) remains for the cases AQE does
+    * not cover (aggregation skew, non-SMJ joins).
+    *
+    * Scale shape: one projection + one sort-merge join + a keyed
+    * partial agg; output bounded by |nations|. The planted key makes
+    * the pre-split partition distribution maximally skewed BY
+    * CONSTRUCTION, so the rung measures exactly the engine's
+    * skew-repair machinery, not the data's luck.
+    */
+  def skewedJoinCensus(lineitem: DataFrame,
+                       supplier: DataFrame): DataFrame = {
+    val fact = lineitem.select(
+      when(pmod(col("l_orderkey"), lit(10L)) < 9, lit(1L))
+        .otherwise(col("l_suppkey")).as("skew_key"),
+      expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+    val dim = supplier.select(col("s_suppkey").as("skew_key"),
+      col("s_nationkey"))
+    fact.hint("merge").join(dim.hint("merge"), "skew_key")
+      .groupBy(col("s_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      .orderBy("nation")
+  }
+
   /** Salt-factor planning census: per-key row counts against a target
     * rows-per-task budget, emitting — for every key whose count exceeds
     * the budget — the salt factor `⌈count / target⌉` a salted

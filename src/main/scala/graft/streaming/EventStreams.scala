@@ -474,6 +474,68 @@ object EventStreams {
     * volume instead — this knob is about the parity harness's fixed
     * costs, not the operator's scale shape (the DevScale rung is flat).
     */
+  /** Streaming STATE-STORE census (r17 verdict item 7): run the two
+    * state-heavy streaming shapes this library ships — the q345
+    * stream-stream interval join (symmetric hash-join buffers) and the
+    * q346 flatMapGroupsWithState sessionizer (one state row per live
+    * user) — through the real engine, and report each state operator's
+    * row/byte footprint from the StreamingQueryProgress surface
+    * (`stateOperators`: numRowsTotal / numRowsUpdated /
+    * memoryUsedBytes). State growth becomes a measured,
+    * regression-gated number next to the parity entries' correctness:
+    * the DevScale rung pins how state scales as event volume grows
+    * (disjoint-user inflation → join buffers grow with events, session
+    * state with users), which is THE capacity number a 100 TB/day
+    * deployment sizes its state backend from.
+    *
+    * Row counts are deterministic for a fixture (state contents are a
+    * pure function of the finite input under AvailableNow); byte sizes
+    * are engine-internal (layout + versioning overhead) and ship for
+    * observability — the driver check is rows-only (no SQL engine has
+    * a state store to oracle), and EventStreamsSpec pins the laws:
+    * sessionizer state rows = distinct users with a live session, join
+    * state rows = both sides' buffered rows, bit-equal across reruns.
+    *
+    * Scale shape: the census itself is |state operators| rows collected
+    * from driver-side progress metadata — the pipelines it measures are
+    * the q345/q346 shapes, priced by their own rungs.
+    */
+  def stateStoreCensus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def lastStateOps(
+        sq: org.apache.spark.sql.streaming.StreamingQuery,
+        pipeline: String): Seq[(String, String, Long, Long, Long)] = {
+      sq.awaitTermination()
+      sq.recentProgress.toSeq.reverse
+        .find(_.stateOperators.nonEmpty).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(so => (pipeline, so.operatorName, so.numRowsTotal,
+          so.numRowsUpdated, so.memoryUsedBytes))
+    }
+    val rows = withShufflePartitions(spark, 8) {
+      spark.catalog.dropTempView("q369_state_join")
+      spark.catalog.dropTempView("q369_state_sessions")
+      val join = lastStateOps(
+        twoLegPairsStreaming(readEventStream(spark, dir))
+          .writeStream.format("memory").queryName("q369_state_join")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(), "1_stream_join")
+      val sess = lastStateOps(
+        sessionizeWithState(readEventStream(spark, dir),
+            gapUs = 30L * 60 * 1000000, delay = "87600 hours")
+          .toDF()
+          .writeStream.format("memory").queryName("q369_state_sessions")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(), "2_sessionize")
+      join ++ sess
+    }
+    rows.toDF("pipeline", "operator", "n_state_rows", "n_rows_updated",
+        "state_bytes")
+      .orderBy("pipeline", "operator")
+  }
+
   private def withShufflePartitions[T](spark: SparkSession, n: Int)(
       f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

@@ -540,6 +540,34 @@ class RelationalSpec extends SparkSpec {
     assert(got == ((6L, 6L, 0L, 0L)))
   }
 
+  test("customerOverlapAuto: Σdf² routes exact under the budget, " +
+      "sampled past it — both pinned") {
+    // c1..c4 all bought parts {1,2,3}: df = 4 per part, Σdf² = 48
+    val orders = (1L to 4L).map(c => (c, c)).toDF("o_orderkey", "o_custkey")
+    val liDf = (1L to 4L).flatMap(o => Seq((o, 1L), (o, 2L), (o, 3L)))
+      .toDF("l_orderkey", "l_partkey")
+    // budget 48 ≥ Σdf² → EXACT path: maxPostings lifts to the census
+    // max-df, every weight is 1000, est_pm ≡ 1000·n_common = 3000 for
+    // all C(4,2) = 6 pairs; sum_df2 ships as the decimal string
+    val exact = Relational.customerOverlapAuto(orders, liDf,
+        maxPostings = 2L, minEstPermille = 1000L, k = 50,
+        df2Budget = 48L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(exact.length == 6)
+    assert(exact.forall(r => r._1 == "1_exact" && r._2 == "48" &&
+      r._5 == 3000L && r._6 == 3L))
+    // budget 47 < Σdf² → SAMPLED path: identical to the estimator at
+    // the same maxPostings (the q334 operator), row for row
+    val sampled = Relational.customerOverlapAuto(orders, liDf,
+        maxPostings = 2L, minEstPermille = 1L, k = 50, df2Budget = 47L)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val want = Relational.customerOverlapSampled(orders, liDf,
+        maxPostings = 2L, minEstPermille = 1L, k = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(sampled.forall(r => r._1 == "2_sampled" && r._2 == "48"))
+    assert(sampled.map(r => (r._3, r._4, r._5, r._6)) == want)
+  }
+
   test("cfRecommend: summed path scores, owned parts anti-joined") {
     // triangle: c1={1,2} c2={2,3} c3={1,3}; every pair co-occurs once,
     // all margins 2 → every sim edge 500000

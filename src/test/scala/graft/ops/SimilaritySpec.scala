@@ -553,4 +553,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((2, 3L, 83333L, 250000L, 1L),
       (4, 3L, 83333L, 250000L, 1L)))
   }
+
+  test("annIvfAdc: flat self-planned path equals exact top-k on " +
+      "clustered vectors") {
+    // 120 vectors / targetListSize 16 → 8 planned lists ≤ maxFlatLists:
+    // the flat coarse front end; nprobe 8 probes everything, isolating
+    // the PQ + rerank machinery (the annIvfPq exactness contract)
+    val e = vecs(clustered(120): _*)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+      .as[(Long, Int, Long)].collect().toSeq
+    val adc = Similarity.annIvfAdc(e, queries, k = 5, nprobe = 8,
+        m = 4, ksub = 16, targetListSize = 16L)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(adc == exact)
+  }
+
+  test("annIvfAdc: forced two-level residual path keeps recall and is " +
+      "deterministic") {
+    // 256 vectors / targetListSize 16 → 16 planned lists > maxFlatLists
+    // 4 → two-level (k1 = 4, k2 = 4): L1+L2 probe, composed-centroid
+    // residual, PQ codes, asymmetric scan, exact rerank — end to end
+    val raw = (0L until 256L).map(i =>
+      (i, Array.fill(8)(((i * 31) % 7).toFloat / 100f)))
+      .toDF("vec_id", "embedding")
+    val e = Similarity.clusteredEmbeddings(raw, groups = 8, scale = 3.0)
+    val queries = e.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceKnn(e, queries, k = 5)
+    val adc = Similarity.annIvfAdc(e, queries, k = 5, nprobe = 3,
+      m = 4, ksub = 16, targetListSize = 16L, maxFlatLists = 4)
+    val row = Similarity.recall(exact, adc).collect().head
+    assert(row.getAs[Long]("total") == 40L)
+    assert(row.getAs[Long]("hits").toDouble /
+      row.getAs[Long]("total") >= 0.9)
+    val again = Similarity.annIvfAdc(e, queries, k = 5, nprobe = 3,
+        m = 4, ksub = 16, targetListSize = 16L, maxFlatLists = 4)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(again == adc.as[(Long, Int, Long)].collect().toSeq)
+  }
+
+  test("annIvfAdc: empty corpus returns empty with the k-NN schema") {
+    val r = Similarity.annIvfAdc(vecs(), vecs(0L -> Array(1f, 0f)),
+      k = 3, m = 2)
+    assert(r.columns.toSeq == Seq("q_id", "rank", "n_id") &&
+      r.count() == 0L)
+  }
 }

@@ -97,4 +97,50 @@ class SkewSpec extends SparkSpec {
     assert(Skew.saltPlanCensus(even, "k", targetPerTask = 3L)
       .as[(String, Long, Long)].collect().toSeq == Seq(("x", 6L, 2L)))
   }
+
+  test("skewedJoinCensus: AQE splits the planted hot partition — the " +
+      "skewed AQEShuffleRead node is in the executed plan, values " +
+      "AQE-invariant") {
+    // production thresholds (256 MB floor) lowered to fixture scale so
+    // the split ENGAGES here: the planted key owns ~90% of the fact
+    // side, far past factor 2 × median and the byte floor
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = spark.read
+        .parquet("/root/testdata/sf0.01/lineitem.parquet")
+      val sup = spark.read
+        .parquet("/root/testdata/sf0.01/supplier.parquet")
+      val df = Skew.skewedJoinCensus(li, sup)
+      val got = df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // the adaptive plan must carry a skew-split shuffle read
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead"),
+        s"no AQEShuffleRead in:\n${plan.take(1500)}")
+      assert(plan.toLowerCase.contains("skew"),
+        s"no skew-split marker in:\n${plan.take(1500)}")
+      // values are AQE-invariant: the split must not change the census
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val noSplit = Skew.skewedJoinCensus(li, sup).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == noSplit)
+      // the planted key (supplier 1) owns ~90% of the fact rows
+      val total = got.map(_._2).sum
+      val hotNation = got.maxBy(_._2)
+      assert(hotNation._2 * 10 >= total * 9,
+        s"plant failed: $hotNation of $total")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -537,4 +537,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batch))
     assert(batch.size == streamed.size + 1)
   }
+
+  test("stateStoreCensus: row laws hold and the census is bit-equal " +
+      "across reruns") {
+    val src = "/root/testdata/sf0.001"
+    val got = EventStreams.stateStoreCensus(spark, src)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // both pipelines reported at least one state operator each
+    val byPipe = got.groupBy(_._1)
+    assert(byPipe.keySet == Set("1_stream_join", "2_sessionize"), got)
+    // session state: horizon-free watermark → no timeout ever fires, so
+    // every user with ≥1 event holds exactly ONE open-session state row
+    val users = spark.read.parquet(s"$src/events.parquet")
+      .select("user_id").distinct().count()
+    val sessRows = byPipe("2_sessionize").map(_._3).sum
+    assert(sessRows == users, s"session state $sessRows vs users $users")
+    // join state: the symmetric hash buffers hold rows from BOTH sides
+    // (views + purchases admitted under the watermark) — nonzero here,
+    // and never more than the type census itself
+    val vp = spark.read.parquet(s"$src/events.parquet")
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        .isin("view", "purchase")).count()
+    val joinRows = byPipe("1_stream_join").map(_._3).sum
+    assert(joinRows > 0 && joinRows <= vp, s"join state $joinRows vs $vp")
+    // state contents are a pure function of the finite input: the ROW
+    // metrics reproduce bit-for-bit (byte sizes are engine-internal and
+    // deliberately not pinned)
+    val again = EventStreams.stateStoreCensus(spark, src)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(again.map(r => (r._1, r._2, r._3, r._4)) ==
+      got.map(r => (r._1, r._2, r._3, r._4)))
+  }
 }
