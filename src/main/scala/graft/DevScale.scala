@@ -698,7 +698,21 @@ object DevScale {
       // metadata — the rung prices the two state-heavy pipelines under
       // event inflation and PINS the reported state-row growth (join
       // buffers ∝ events, session state ∝ users)
-      "q369_statecensus" -> SparkEntry.queries("q369_stream_state_census"))
+      "q369_statecensus" -> SparkEntry.queries("q369_stream_state_census"),
+      // q370: stream-static join — the stream side grows F× while the
+      // verbatim dim broadcast is constant (copies' user_ids dangle,
+      // the q138 regime, so the census stays 25 rows); rides the
+      // micro-batch floor like q309
+      "q370_streamdim" -> SparkEntry.queries("q370_stream_dim_join"),
+      // q371: the asymmetric prefix pair stage — the ~c suffix keeps
+      // candidates within-copy; the new/hist residue split ROTATES per
+      // copy (idStride ≡ 1 mod 3), so each copy contributes its own
+      // cross-side subset of the same within-copy pair structure —
+      // output grows ~linearly (measured 118/456/1808), never F²
+      "q371_increm" -> SparkEntry.queries("q371_incremental_neardup"),
+      // q372: one value census + census-sized window + one sketch pass
+      // — output constant at |sources|·3 rows
+      "q372_pctaudit" -> SparkEntry.queries("q372_percentile_sketch_audit"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

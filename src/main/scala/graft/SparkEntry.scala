@@ -10211,7 +10211,82 @@ object SparkEntry {
     // across reruns), and the DevScale rung pins state growth under
     // event-volume inflation — the 100 TB/day capacity number.
     qRowsOnly("q369_stream_state_census")(
-      (s, d) => graft.streaming.EventStreams.stateStoreCensus(s, d)))
+      (s, d) => graft.streaming.EventStreams.stateStoreCensus(s, d)),
+
+    // Stream-STATIC dim enrichment parity (EventStreams
+    // .dimEnrichmentViaStream): the purchase stream broadcast-joined to
+    // the static customer dim inside the real micro-batch engine — the
+    // SIXTH streaming-executed entry, covering the stateless
+    // enrichment shape (q345 is stream-stream state; this is the
+    // per-batch dim join with no state at all). Oracle = the batch
+    // join verbatim; orphan user_ids drop on both sides (inner).
+    q("q370_stream_dim_join",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY nation""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams.dimEnrichmentViaStream(s, d)),
+
+    // Incremental near-dup detection (Dedup.jaccardAgainstHistoryPrefix):
+    // the NEW drop (doc_id % 3 ≠ 0 — the q82 history device) checked
+    // against the EXISTING corpus's prefix index, cross-side candidates
+    // only, exact count-verify — the pair stage a daily ingest actually
+    // runs (new × history, never history²). LOSSLESS (the q298 prefix
+    // guarantee holds for cross pairs under the shared canonical
+    // order), so the exact all-pairs new×hist oracle applies verbatim.
+    q("q371_incremental_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0)
+        |SELECT new_id, hist_id,
+        |  round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE sza > 0 AND szb > 0
+        |  AND inter / (sza + szb - inter) >= 0.2
+        |ORDER BY new_id, hist_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.jaccardAgainstHistoryPrefix(docs,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+          n = 3, threshold = 0.2)
+      }),
+
+    // Approx-percentile audit (Profiling.approxPercentileAudit):
+    // percentile_approx pinned against its own n/accuracy rank-error
+    // contract — the q242 in-artifact-bound device for THE workhorse
+    // sketch of 100 TB profiling. The estimate never ships (engine-
+    // private); exact lower-percentile values from the value census +
+    // the within-bound flag do, and the flag flipping FALSE is a
+    // driver hash mismatch.
+    q("q372_percentile_sketch_audit",
+      """WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT source, v, count(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT source, v,
+        |    sum(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS n FROM c),
+        |p AS (SELECT CAST(unnest([500, 900, 990]) AS INTEGER) AS p_pm),
+        |e AS (SELECT source, p_pm, min(v) AS exact_val, max(n) AS n
+        |  FROM w JOIN p ON cum * 1000 >= p_pm * n GROUP BY 1, 2)
+        |SELECT source, CAST(p_pm AS BIGINT) AS p_pm,
+        |  CAST(n AS BIGINT) AS n, CAST(exact_val AS BIGINT) AS exact_val,
+        |  TRUE AS approx_ok
+        |FROM e ORDER BY source, p_pm""".stripMargin)(
+      (s, d) => Profiling.approxPercentileAudit(Tables.documents(s, d),
+        "source", "n_chars", psPm = Seq(500, 900, 990),
+        accuracy = 10000)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

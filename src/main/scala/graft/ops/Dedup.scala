@@ -652,6 +652,85 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** INCREMENTAL near-dup detection: the NEW drop checked against the
+    * EXISTING corpus — the asymmetric face of `jaccardPairsPrefix`, and
+    * the near-dup counterpart of q82's exact `dedupAgainstHistory`. A
+    * production pipeline never re-pairs 100 TB of history against
+    * itself; the pair stage a daily ingest actually runs is
+    * new × history. Same lossless AllPairs/PPJoin device: ONE df census
+    * and rarest-first canonical order over the WHOLE corpus (both sides
+    * must share the total order or the prefix guarantee breaks — the
+    * cross-pair property "J(x,y) ≥ t ⇒ prefixes share a shingle" holds
+    * for any pair under a common order, sides included), prefix
+    * postings joined ACROSS sides only (never new×new, never
+    * hist×hist), then the payload-light q298 count verify. Output:
+    * every (new_id, hist_id) pair at exact n-gram Jaccard ≥ t — the
+    * detection table a curator reviews before the drop commits (exact
+    * duplicates surface here too, at jaccard 1).
+    *
+    * Scale shape: the history side's prefix postings are the INDEX (at
+    * corpus scale: built once, stored bucketed by shingle; here derived
+    * in-plan); the candidate join is keyed on the prefix shingle and
+    * costs ∝ the drop's posting volume, never history². The verify
+    * shuffles (new_id, hist_id, partial count) rows only.
+    */
+  def jaccardAgainstHistoryPrefix(documents: DataFrame,
+                                  historyIds: DataFrame, n: Int = 3,
+                                  threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
+    val sets = shingleSets(documents, n)
+      .filter(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = historyIds.select(col("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val items = sets.select(col("doc_id"), explode(col("shingles")).as("item"))
+    val dfc = items.groupBy("item").agg(count(lit(1)).as("__df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("__df"), col("item"))
+    // lossless floor-permille prefix length — the q298 arithmetic
+    val tpm = math.floor(threshold * 1000).toLong
+    val prefix = items.join(dfc, "item")
+      .withColumn("__pos", row_number().over(wDoc))
+      .join(sets.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("__sz")), "doc_id")
+      .filter(col("__pos") <=
+        col("__sz") - expr(s"(${tpm}L * __sz + 999L) div 1000L") + 1)
+      .select(col("doc_id"), col("item"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefNew = prefix.join(hist, Seq("doc_id"), "left_anti")
+    val prefHist = prefix.join(hist, Seq("doc_id"), "left_semi")
+    val cand = prefNew.as("x")
+      .join(prefHist.as("y"), col("x.item") === col("y.item"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postNew = items.join(
+      cand.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val postHist = items.join(
+      cand.select(col("hist_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val nInter = postNew.as("x")
+      .join(postHist.as("y"), col("x.item") === col("y.item"))
+      .groupBy(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("__sz"))
+    cand
+      .join(nInter, Seq("new_id", "hist_id"))
+      .join(sizes.select(col("doc_id").as("new_id"),
+        col("__sz").as("__sza")), "new_id")
+      .join(sizes.select(col("doc_id").as("hist_id"),
+        col("__sz").as("__szb")), "hist_id")
+      .withColumn("jaccard",
+        col("__inter") /
+          (col("__sza") + col("__szb") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("hist_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "hist_id")
+  }
+
   /** Directed shingle-CONTAINMENT pairs: (id_a, id_b) where at least
     * `minPermille`/1000 of A's shingles also occur in B. The asymmetric
     * complement to `jaccardPairs`: a short document quoted wholesale inside

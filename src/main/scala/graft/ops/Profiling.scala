@@ -1366,6 +1366,79 @@ object Profiling {
         col("n_eval"), col("cover_pm"))
   }
 
+  /** Approximate-percentile AUDIT — Spark's `percentile_approx`
+    * (KLL/GK-family sketch) pinned against its own rank-error contract,
+    * the q242/q176 in-artifact-bound device: the estimate is
+    * engine-private (partition-merge order can legally move it within
+    * the bound), so the estimate never ships — the BOUND is the
+    * contract. Per (group, p): the exact lower-percentile value from
+    * the value census (min v with cum·1000 ≥ p·n — integer-exact on
+    * both engines) and `approx_ok` = whether the sketch's value covers
+    * a rank within n/accuracy of the target (±1 value-run slack on
+    * each side, since the sketch returns an actual data point whose
+    * rank is an interval [n_lt+1, n_le]) — deterministically TRUE
+    * while the sketch honors its published guarantee, so a regression
+    * is a driver hash mismatch. Comparisons are decimal(38,0)-promoted
+    * BEFORE the p·n·accuracy products (int64 passes at corpus scale).
+    *
+    * Scale shape: the exact leg is one value census + census-sized
+    * window (the q300 posture); the audited leg is one sketch pass
+    * (driver state ∝ accuracy, never n); output |groups|·|ps| rows.
+    */
+  def approxPercentileAudit(df: DataFrame, groupCol: String,
+                            valCol: String,
+                            psPm: Seq[Int] = Seq(500, 900, 990),
+                            accuracy: Int = 10000): DataFrame = {
+    require(psPm.nonEmpty && psPm.forall(p => p >= 1 && p <= 999),
+      "percentiles are permille in [1, 999]")
+    require(accuracy >= 1, "accuracy must be >= 1")
+    val ps = psPm.distinct.sorted
+    val base = df
+      .select(col(groupCol).as("grp"), col(valCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("__v")
+      .rowsBetween(Long.MinValue, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    val cum = base.groupBy("grp", "__v").agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(w))
+      .withColumn("__n", sum("__c").over(wAll))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = cum
+      .withColumn("p_pm", explode(typedLit(ps)))
+      .filter(col("__cum") * 1000 >= col("p_pm") * col("__n"))
+      .groupBy("grp", "p_pm")
+      .agg(min("__v").as("exact_val"), max("__n").as("n"))
+    val apx = base.groupBy("grp")
+      .agg(percentile_approx(col("__v"),
+        typedLit(ps.map(_ / 1000.0)), lit(accuracy)).as("__apx"))
+      .select(col("grp"), posexplode(col("__apx")).as(Seq("__i", "__av")))
+      .withColumn("p_pm", element_at(typedLit(ps), col("__i") + 1))
+      .select(col("grp"), col("p_pm"), col("__av"))
+    val ranks = apx.join(cum, Seq("grp"))
+      .groupBy("grp", "p_pm")
+      .agg(coalesce(max(when(col("__v") <= col("__av"), col("__cum"))),
+          lit(0L)).as("__nle"),
+        coalesce(max(when(col("__v") < col("__av"), col("__cum"))),
+          lit(0L)).as("__nlt"))
+    exact.join(ranks, Seq("grp", "p_pm"))
+      .select(col("grp").as(groupCol),
+        col("p_pm").cast("long").as("p_pm"),
+        col("n"), col("exact_val"),
+        // [n_lt+1, n_le] must intersect p·n/1000 ± n/accuracy (±1):
+        // cleared to integer products, decimal-promoted
+        (expr(s"cast(__nle as decimal(38,0)) * 1000 * $accuracy") >=
+          expr(s"cast(p_pm as decimal(38,0)) * n * $accuracy" +
+            s" - 1000 * cast(n as decimal(38,0))" +
+            s" - 1000L * $accuracy") &&
+          expr(s"cast(__nlt as decimal(38,0)) * 1000 * $accuracy") <=
+          expr(s"cast(p_pm as decimal(38,0)) * n * $accuracy" +
+            s" + 1000 * cast(n as decimal(38,0))" +
+            s" + 1000L * $accuracy")).as("approx_ok"))
+      .orderBy(groupCol, "p_pm")
+  }
+
   /** Mondrian (group-conditional) split-conformal coverage: one q̂ PER
     * GROUP from each group's own calibration order statistic (Vovk's
     * Mondrian construction) — the fix for exactly the failure mode the

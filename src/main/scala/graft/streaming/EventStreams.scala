@@ -474,6 +474,47 @@ object EventStreams {
     * volume instead — this knob is about the parity harness's fixed
     * costs, not the operator's scale shape (the DevScale rung is flat).
     */
+  /** Stream-STATIC dim enrichment executed through the real engine,
+    * driver-checkable (q370): the purchase stream joined to the STATIC
+    * customer dim (broadcast hash join inside every micro-batch — the
+    * stateless enrichment shape every streaming pipeline runs against a
+    * slowly-changing dimension), folded to a per-nation census that
+    * must equal the batch join bit for bit. Completes the
+    * streaming-executed operator set: q309 agg, q312 dedup, q345
+    * stream-stream join, q346/q361 custom state, and now the
+    * stream-static join — the sixth micro-batch parity entry.
+    *
+    * Stream-static joins keep NO state (the dim is re-read/broadcast
+    * per batch), so unlike q345 there is no watermark in the join —
+    * parity is unconditional on finite input. Orphan user_ids (events
+    * from users absent in the dim) drop on both sides (inner join).
+    *
+    * Scale shape: the dim side is a broadcast (or a bucketed join at
+    * dim scale); the stream side is scan-shaped per batch. Cents
+    * quantization is the q345 convention.
+    */
+  def dimEnrichmentViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q370_stream_dim"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    withShufflePartitions(spark, 8) {
+      val sq = readEventStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    spark.table(queryName)
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("cast(round(value * 100) as long)")).as("sum_cents"))
+      .orderBy("nation")
+  }
+
   /** Streaming STATE-STORE census (r17 verdict item 7): run the two
     * state-heavy streaming shapes this library ships — the q345
     * stream-stream interval join (symmetric hash-join buffers) and the

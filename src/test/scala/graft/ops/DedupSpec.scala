@@ -713,6 +713,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardAgainstHistoryPrefix: cross-side pairs only, equals the " +
+      "exact new×hist filter of the symmetric join") {
+    // docs 0/1 near-dups WITHIN the new side (must NOT emit), 4/5
+    // near-dups WITHIN history (must NOT emit), 2↔4 and 0↔6 cross-side
+    // near-dups (must emit), 3 unrelated
+    val d = docs(
+      "a b c d e f g h", "a b c d e f g x", "p q r s t u v w",
+      "m n o j k l i z", "p q r s t u v y", "p q r s t u v k",
+      "f g h a b c d e")
+    val hist = Seq(4L, 5L, 6L).toDF("doc_id")
+    val histIds = Set(4L, 5L, 6L)
+    for (t <- Seq(0.2, 0.5)) {
+      // expected: the symmetric exact join filtered to cross pairs,
+      // re-keyed (new_id, hist_id) whichever side each id fell on
+      val exact = Dedup.jaccardPairs(d, n = 3, threshold = t,
+          maxDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect {
+          case (a, b, j) if !histIds(a) && histIds(b) => (a, b, j)
+          case (a, b, j) if histIds(a) && !histIds(b) => (b, a, j)
+        }.sortBy(r => (r._1, r._2)).toSeq
+      val got = Dedup.jaccardAgainstHistoryPrefix(d, hist, n = 3,
+          threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      assert(got == exact, s"threshold=$t")
+      assert(exact.nonEmpty || t > 0.2, s"fixture too weak at $t")
+      // no within-side pair may ever appear
+      assert(got.forall { case (n2, h, _) => !histIds(n2) && histIds(h) })
+    }
+  }
+
   test("weightedJaccardPairs: boilerplate cannot decide similarity") {
     // every doc opens with the same "x y z" shingle (df = N → idf 0);
     // d1/d2 share ONLY that — weighted score 0, pair excluded — while

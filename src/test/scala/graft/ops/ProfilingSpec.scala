@@ -795,4 +795,24 @@ class ProfilingSpec extends SparkSpec {
       Seq((1L, 0L), (2L, 500000L), (3L, 1000000L)))
     assert(got.map(_._5).sliding(2).forall(p => p(0) <= p(1)))
   }
+
+  test("approxPercentileAudit: exact lower percentiles by hand, " +
+      "within-bound flag true, repeats respected") {
+    // group a: 1..10 → p500 = 5 (cum 5·1000 ≥ 500·10), p900 = 9;
+    // group b: value 7 ×9 + one 100 → p500 = 7, p900 = 7 (cum 9000 ≥
+    // 8100), p990 = 100 (needs cum·1000 ≥ 9900)
+    val df = ((1L to 10L).map(v => ("a", v)) ++
+      (1 to 9).map(_ => ("b", 7L)) :+ ("b", 100L))
+      .toDF("src", "v")
+    val got = Profiling.approxPercentileAudit(df, "src", "v",
+        psPm = Seq(500, 900, 990), accuracy = 10000)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._4)) == Seq(
+      ("a", 500L, 5L), ("a", 900L, 9L), ("a", 990L, 10L),
+      ("b", 500L, 7L), ("b", 900L, 7L), ("b", 990L, 100L)))
+    assert(got.forall(_._3 == 10L))
+    // the in-artifact bound: at accuracy 10000 the sketch is exact at
+    // this size, and the flag's slack must still hold
+    assert(got.forall(_._5), got.toString)
+  }
 }

@@ -538,6 +538,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == streamed.size + 1)
   }
 
+  test("dimEnrichmentViaStream: stream-static join census equals the " +
+      "batch join verbatim") {
+    val src = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{broadcast, count, expr, lit, sum}
+    val got = EventStreams.dimEnrichmentViaStream(spark, src)
+      .as[(Long, Long, Long)].collect().toSeq
+    val cust = graft.Tables.customer(spark, src)
+      .select(org.apache.spark.sql.functions.col("c_custkey"),
+        org.apache.spark.sql.functions.col("c_nationkey"))
+    val want = graft.Tables.events(spark, src)
+      .filter(org.apache.spark.sql.functions.col("event_type")
+        === "purchase")
+      .join(broadcast(cust),
+        org.apache.spark.sql.functions.col("user_id")
+          === org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy(org.apache.spark.sql.functions.col("c_nationkey")
+        .cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("cast(round(value * 100) as long)")).as("sum_cents"))
+      .orderBy("nation")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("stateStoreCensus: row laws hold and the census is bit-equal " +
       "across reruns") {
     val src = "/root/testdata/sf0.001"
