@@ -712,7 +712,10 @@ object DevScale {
       "q371_increm" -> SparkEntry.queries("q371_incremental_neardup"),
       // q372: one value census + census-sized window + one sketch pass
       // — output constant at |sources|·3 rows
-      "q372_pctaudit" -> SparkEntry.queries("q372_percentile_sketch_audit"))
+      "q372_pctaudit" -> SparkEntry.queries("q372_percentile_sketch_audit"),
+      // q373: one keyed partial agg + 1-row broadcast — pure scan shape,
+      // |sources| rows out
+      "q373_neyman" -> SparkEntry.queries("q373_neyman_allocation"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

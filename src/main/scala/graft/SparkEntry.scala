@@ -10286,7 +10286,34 @@ object SparkEntry {
         |FROM e ORDER BY source, p_pm""".stripMargin)(
       (s, d) => Profiling.approxPercentileAudit(Tables.documents(s, d),
         "source", "n_chars", psPm = Seq(500, 900, 990),
-        accuracy = 10000)))
+        accuracy = 10000)),
+
+    // Neyman minimum-variance allocation (Sampling.neymanAllocation):
+    // an audit-sample budget split across sources ∝ N_h·σ_h, next to
+    // the proportional split — the classical stratified-sampling
+    // optimum as a query, integer-exact via the q299 sqrt-quantize
+    // device (σ·10³ weights, order-free integer sums, one div each).
+    q("q373_neyman_allocation",
+      """WITH s AS (SELECT source, count(*) AS n_rows,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, n_rows,
+        |    CASE WHEN n_rows >= 2 THEN CAST(round(1000 * sqrt(
+        |      CAST(n_rows * sxx - sx * sx AS DOUBLE) /
+        |      CAST(CAST(n_rows AS HUGEINT) * (n_rows - 1)
+        |        AS DOUBLE))) AS BIGINT) ELSE 0 END AS sigma_q3
+        |  FROM s),
+        |t AS (SELECT sum(CAST(n_rows AS HUGEINT) * sigma_q3) AS tw,
+        |    sum(n_rows) AS ntot FROM w)
+        |SELECT source, CAST(n_rows AS BIGINT) AS n_rows, sigma_q3,
+        |  CAST(CASE WHEN tw > 0 THEN
+        |    (1000 * CAST(n_rows AS HUGEINT) * sigma_q3) // tw
+        |    ELSE 0 END AS BIGINT) AS neyman_alloc,
+        |  CAST((1000 * n_rows) // ntot AS BIGINT) AS prop_alloc
+        |FROM w, t ORDER BY source""".stripMargin)(
+      (s, d) => Sampling.neymanAllocation(Tables.documents(s, d),
+        "source", "n_chars", budget = 1000L)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -369,6 +369,57 @@ object Sampling {
     * S-row broadcast of the (Σw, Σtokens) totals, and S rows out — the
     * corpus is read once, nothing else scales with data.
     */
+  /** Neyman minimum-variance stratified allocation: split a sample
+    * budget B across strata ∝ N_h·σ_h (Neyman's classical optimum) —
+    * the answer to "which sources deserve the audit-sample budget" that
+    * proportional allocation (∝ N_h) gets wrong whenever strata differ
+    * in spread: a high-variance source needs more draws per row to pin
+    * its mean to the same precision. The sampling-side decision sibling
+    * of `mixturePlan`'s token budget; emitted next to the proportional
+    * column so the delta IS the variance argument.
+    *
+    * Engine-exact: per-stratum variance is the exact integer rational
+    * (n·Σx² − (Σx)²)/(n·(n−1)) with decimal-promoted products; σ takes
+    * ONE fixed-shape IEEE sqrt of that ratio and quantizes to σ·10³
+    * (the q299 correctly-rounded-sqrt device), so the weight
+    * w = N_h·σ_q3 is an exact integer, Σw is an order-free integer
+    * sum, and both allocations are single integer divisions — no
+    * double ever crosses an aggregation. Degenerate strata (n < 2) get
+    * σ = 0 and Neyman allocation 0. The q331 unit rail applies: value
+    * units must keep n·Σx² under 2⁵³ for the double conversion
+    * (n_chars at corpus scale: quantize to KB first).
+    *
+    * Scale shape: one keyed partial agg (n, Σx, Σx²), a 1-row
+    * broadcast of the totals, |strata| rows out.
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valCol: String, budget: Long = 1000L): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val per = df
+      .select(col(stratumCol).as("__s"), col(valCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .groupBy("__s")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("cast(__x as decimal(38,0))")).as("__sx"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("__sxx"))
+      .withColumn("sigma_q3", when(col("n_rows") >= 2, expr(
+        "cast(round(1000 * sqrt(" +
+          "cast(n_rows * __sxx - __sx * __sx as double) / " +
+          "cast(cast(n_rows as decimal(38,0)) * (n_rows - 1)" +
+          " as double))) as bigint)"))
+        .otherwise(lit(0L)))
+      .withColumn("__w", expr("cast(n_rows as decimal(38,0)) * sigma_q3"))
+    val tot = per.agg(
+      coalesce(sum(col("__w")), lit(0).cast("decimal(38,0)")).as("__tw"),
+      coalesce(sum(col("n_rows")), lit(1L)).as("__ntot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("__s").as(stratumCol), col("n_rows"), col("sigma_q3"),
+        expr(s"cast(case when __tw > 0 then (${budget}L * __w) div __tw" +
+          " else 0L end as bigint)").as("neyman_alloc"),
+        expr(s"(${budget}L * n_rows) div __ntot").as("prop_alloc"))
+      .orderBy(stratumCol)
+  }
+
   def mixturePlan(documents: DataFrame, budgetTokens: Long,
                   weights: Map[String, Long] = Map.empty): DataFrame = {
     require(budgetTokens >= 1, "budgetTokens must be >= 1")

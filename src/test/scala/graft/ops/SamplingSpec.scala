@@ -563,4 +563,20 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().head
     assert(c == ((5L, "C", 20L, 20L)))
   }
+
+  test("neymanAllocation: variance owns the budget, degenerate strata " +
+      "get zero, proportional column by hand") {
+    // a: {0, 2} → var = (2·4 − 4)/2 = 2, σ_q3 = round(1000·√2) = 1414;
+    // b: {5, 5} → var 0 → σ 0; c: singleton → σ 0.
+    // weights: a = 2·1414, b = c = 0 → Neyman gives a the WHOLE budget;
+    // proportional: 5 rows total → a 400, b 400, c 200
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 5L), ("b", 5L), ("c", 9L))
+      .toDF("src", "v")
+    val got = Sampling.neymanAllocation(df, "src", "v", budget = 1000L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L, 1414L, 1000L, 400L),
+      ("b", 2L, 0L, 0L, 400L),
+      ("c", 1L, 0L, 0L, 200L)))
+  }
 }
