@@ -416,9 +416,12 @@ object Bench {
     // needs TWO quiet warm samples agreeing within 15%, else both could
     // be contended (the r11 q28 failure writ large). Spread is measured
     // over the two SMALLEST warm totals (a single bad warm rep must not
-    // force retries forever once two quiet ones exist); while it exceeds
-    // 15%, run up to `extraReps` additional full reps, each behind a
-    // short quiet-host wait and inside the same per-rep emit protection.
+    // force retries forever once two quiet ones exist); while FEWER THAN
+    // TWO warm reps exist (a budget stop after rep 2 leaves only one —
+    // no spread to even measure, the r18 first-close gap) or the spread
+    // exceeds 15%, run up to `extraReps` additional full reps, each
+    // behind a short quiet-host wait and inside the same per-rep emit
+    // protection.
     def warmSpread(ss: Seq[Map[String, Double]]): Double = {
       val warm = ss.drop(1).map(_.values.filter(_ >= 0).sum).sorted
       if (warm.length < 2 || warm.head <= 0) 0.0
@@ -428,7 +431,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
     var extrasRun = 0
     while (extrasRun < extraReps && samples.length >= 2 &&
-        warmSpread(samples) > 0.15) {
+        (samples.length < 3 || warmSpread(samples) > 0.15)) {
       extrasRun += 1
       System.err.println(f"[bench] warm-rep spread " +
         f"${warmSpread(samples)}%.3f > 0.15 — extra rep " +
