@@ -951,4 +951,105 @@ object PropertyProps extends Properties("graft") {
     }
   }
 
+  property("jaccardAgainstHistoryPrefix equals the cross-side filter " +
+      "of the exact symmetric join on any corpus and split") = {
+    import spark.implicits._
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(3, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(4, 8).flatMap(n => Gen.listOfN(n, docGen))
+    Prop.forAll(corpusGen, Gen.chooseNum(1, 5)) { (texts, mod) =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val histIds = texts.indices.map(_.toLong).filter(_ % mod == 0).toSet
+      val hist = histIds.toSeq.toDF("doc_id")
+      val exact = graft.ops.Dedup.jaccardPairs(d, n = 2, threshold = 0.3,
+          maxDf = Long.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect {
+          case (a, b, j) if !histIds(a) && histIds(b) => (a, b, j)
+          case (a, b, j) if histIds(a) && !histIds(b) => (b, a, j)
+        }.sortBy(x => (x._1, x._2)).toSeq
+      val got = graft.ops.Dedup.jaccardAgainstHistoryPrefix(d, hist,
+          n = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+      got == exact
+    }
+  }
+
+  property("approxPercentileAudit: the flag is always within-bound and " +
+      "exact_val is the true lower percentile") = {
+    import spark.implicits._
+    val valsGen = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 50L)))
+    Prop.forAll(valsGen, Gen.oneOf(Seq(100, 500, 900))) { (vs, p) =>
+      val df = vs.map(("g", _)).toDF("src", "v")
+      val row = graft.ops.Profiling.approxPercentileAudit(df, "src", "v",
+          psPm = Seq(p), accuracy = 10000)
+        .as[(String, Long, Long, Long, Boolean)].collect().head
+      val n = vs.length
+      val want = vs.sorted
+        .find(v => vs.count(_ <= v).toLong * 1000 >= p.toLong * n).get
+      row._3 == n && row._4 == want && row._5
+    }
+  }
+
+  property("neymanAllocation: allocations within budget, zero-σ strata " +
+      "get zero, row totals conserved") = {
+    import spark.implicits._
+    val strataGen = Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 100L)))))
+    Prop.forAll(strataGen, Gen.chooseNum(10L, 1000L)) { (strata, b) =>
+      val rows = strata.zipWithIndex.flatMap { case (vs, i) =>
+        vs.map(v => (s"s$i", v)) }
+      val df = rows.toDF("src", "v")
+      val got = graft.ops.Sampling.neymanAllocation(df, "src", "v", b)
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      got.length == strata.length &&
+        got.forall(r => r._4 >= 0 && r._4 <= b && r._5 >= 0 && r._5 <= b) &&
+        got.map(_._4).sum <= b && got.map(_._5).sum <= b &&
+        got.filter(_._3 == 0).forall(_._4 == 0L) &&
+        got.map(_._2).sum == rows.length
+    }
+  }
+
+  property("customerOverlapAuto routes by the Σdf² budget and the exact " +
+      "path carries exact weights") = {
+    import spark.implicits._
+    val basketsGen = Gen.chooseNum(3, 6).flatMap(nc =>
+      Gen.listOfN(nc,
+        Gen.nonEmptyListOf(Gen.chooseNum(1L, 8L)).map(_.distinct)))
+    Prop.forAll(basketsGen) { baskets =>
+      val orders = baskets.indices.map(i => (i.toLong + 1, i.toLong + 1))
+        .toDF("o_orderkey", "o_custkey")
+      val li = baskets.zipWithIndex.flatMap { case (ps, i) =>
+        ps.map(p => (i.toLong + 1, p)) }.toDF("l_orderkey", "l_partkey")
+      // the routing pre-estimate, recomputed independently
+      val cp = baskets.zipWithIndex
+        .flatMap { case (ps, i) => ps.map(p => (i.toLong + 1, p)) }
+        .distinct
+      val sd2 = cp.groupBy(_._2).values
+        .map(g => g.size.toLong * g.size).sum
+      val huge = graft.ops.Relational.customerOverlapAuto(orders, li,
+          maxPostings = 2L, minEstPermille = 1L, k = 100,
+          df2Budget = Long.MaxValue / 4)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      val tiny = graft.ops.Relational.customerOverlapAuto(orders, li,
+          maxPostings = 2L, minEstPermille = 1L, k = 100, df2Budget = 1L)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      val sampled = graft.ops.Relational.customerOverlapSampled(orders,
+          li, maxPostings = 2L, minEstPermille = 1L, k = 100)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val hugeOk = huge.forall(r => r._1 == "1_exact" &&
+        r._2 == sd2.toString && r._5 == r._6 * 1000)
+      val tinyOk =
+        if (sd2 <= 1L) tiny.forall(_._1 == "1_exact")
+        else tiny.forall(_._1 == "2_sampled") &&
+          tiny.map(r => (r._3, r._4, r._5, r._6)) == sampled
+      hugeOk && tinyOk
+    }
+  }
+
 }
