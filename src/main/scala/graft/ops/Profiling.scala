@@ -1407,7 +1407,10 @@ object Profiling {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = cum
       .withColumn("p_pm", explode(typedLit(ps)))
-      .filter(col("__cum") * 1000 >= col("p_pm") * col("__n"))
+      // decimal-promoted (the oracle's sum() is already HUGEINT): a
+      // 9.2e15-row group would overflow cum·1000 in int64
+      .filter(expr("cast(__cum as decimal(38,0)) * 1000 >= " +
+        "cast(p_pm as decimal(38,0)) * __n"))
       .groupBy("grp", "p_pm")
       .agg(min("__v").as("exact_val"), max("__n").as("n"))
     val apx = base.groupBy("grp")
