@@ -715,7 +715,11 @@ object DevScale {
       "q372_pctaudit" -> SparkEntry.queries("q372_percentile_sketch_audit"),
       // q373: one keyed partial agg + 1-row broadcast — pure scan shape,
       // |sources| rows out
-      "q373_neyman" -> SparkEntry.queries("q373_neyman_allocation"))
+      "q373_neyman" -> SparkEntry.queries("q373_neyman_allocation"),
+      // q374: q371's pair stage with the index side WRITTEN bucketed
+      // per run — the rung prices index build (volume F×) + the
+      // exchange-free candidate join together (q315 economics)
+      "q374_indexreuse" -> SparkEntry.queries("q374_neardup_index_reuse"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -10313,7 +10313,40 @@ object SparkEntry {
         |  CAST((1000 * n_rows) // ntot AS BIGINT) AS prop_alloc
         |FROM w, t ORDER BY source""".stripMargin)(
       (s, d) => Sampling.neymanAllocation(Tables.documents(s, d),
-        "source", "n_chars", budget = 1000L)))
+        "source", "n_chars", budget = 1000L)),
+
+    // Incremental near-dup against the PERSISTED bucketed index
+    // (Dedup.jaccardAgainstHistoryIndexed): q371's detection run the
+    // way production deploys it — history prefix postings written ONCE
+    // as a shingle-bucketed table (the q315 economics), each drop
+    // joining with no exchange on the index side, canonical order
+    // FROZEN at build time (history-only df; unseen shingles at df 0).
+    // Lossless under any shared total order, so the output — and this
+    // oracle — are q371's verbatim.
+    q("q374_neardup_index_reuse",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0)
+        |SELECT new_id, hist_id,
+        |  round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE sza > 0 AND szb > 0
+        |  AND inter / (sza + szb - inter) >= 0.2
+        |ORDER BY new_id, hist_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.jaccardAgainstHistoryIndexed(docs,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+          n = 3, threshold = 0.2)
+      }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -731,6 +731,102 @@ object Dedup {
       .orderBy("new_id", "hist_id")
   }
 
+  /** `jaccardAgainstHistoryPrefix` against a PERSISTED index — the form
+    * a production ingest actually deploys: the history side's prefix
+    * postings are written ONCE as a bucketed table (hash-bucketed on
+    * the shingle, the q315 writeBucketed economics) and every daily
+    * drop joins against that table with NO exchange on the index side;
+    * only the drop's own postings shuffle to the bucket layout.
+    *
+    * The canonical order is FROZEN AT INDEX BUILD TIME: df is censused
+    * over HISTORY ONLY (a live index cannot know tomorrow's df), and
+    * the drop's prefixes are computed under the same frozen order with
+    * unseen shingles at df 0 (rarest — ordered before every indexed
+    * shingle, consistently on both sides). The prefix-filter lemma
+    * holds for ANY shared total order, so the candidate set remains
+    * LOSSLESS and the verified output equals
+    * `jaccardAgainstHistoryPrefix` exactly (possibly via different
+    * candidates) — same oracle, same detection table.
+    *
+    * Scale shape: the index write is the once-per-corpus shuffle; each
+    * drop pays one bucket-layout exchange of ITS OWN postings plus the
+    * q298 payload-light count verify. The history side is never
+    * re-shuffled and never re-censused.
+    */
+  def jaccardAgainstHistoryIndexed(documents: DataFrame,
+                                   historyIds: DataFrame, n: Int = 3,
+                                   threshold: Double = 0.2,
+                                   indexTable: String =
+                                     "q374_neardup_index",
+                                   buckets: Int = 8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = documents.sparkSession
+    val sets = shingleSets(documents, n)
+      .filter(size(col("shingles")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hist = historyIds.select(col("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val items = sets.select(col("doc_id"),
+      explode(col("shingles")).as("item"))
+    val histItems = items.join(hist, Seq("doc_id"), "left_semi")
+    // the index's own census — FROZEN: history df only
+    val dfc = histItems.groupBy("item").agg(count(lit(1)).as("__df"))
+    val tpm = math.floor(threshold * 1000).toLong
+    def prefixOf(side: DataFrame): DataFrame = {
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(col("__df0"), col("item"))
+      side.join(dfc, Seq("item"), "left")
+        .withColumn("__df0", coalesce(col("__df"), lit(0L)))
+        .withColumn("__pos", row_number().over(wDoc))
+        .join(sets.select(col("doc_id"),
+          size(col("shingles")).cast("long").as("__sz")), "doc_id")
+        .filter(col("__pos") <=
+          col("__sz") - expr(s"(${tpm}L * __sz + 999L) div 1000L") + 1)
+        .select(col("doc_id"), col("item"))
+    }
+    // build + persist the index: history prefix postings, bucketed on
+    // the shingle so the candidate join never exchanges this side
+    Bucketing.writeBucketed(prefixOf(histItems), indexTable, "item",
+      buckets)
+    val index = spark.table(indexTable)
+      .select(col("doc_id").as("hist_id"), col("item"))
+    val newItems = items.join(hist, Seq("doc_id"), "left_anti")
+    val cand = prefixOf(newItems)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(index, Seq("item"))
+      .select(col("new_id"), col("hist_id"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // payload-light exact verify — the q298/q371 count device
+    val postNew = items.join(
+      cand.select(col("new_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val postHist = items.join(
+      cand.select(col("hist_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val nInter = postNew.as("x")
+      .join(postHist.as("y"), col("x.item") === col("y.item"))
+      .groupBy(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("__sz"))
+    cand
+      .join(nInter, Seq("new_id", "hist_id"))
+      .join(sizes.select(col("doc_id").as("new_id"),
+        col("__sz").as("__sza")), "new_id")
+      .join(sizes.select(col("doc_id").as("hist_id"),
+        col("__sz").as("__szb")), "hist_id")
+      .withColumn("jaccard",
+        col("__inter") /
+          (col("__sza") + col("__szb") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("hist_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("new_id", "hist_id")
+  }
+
   /** Directed shingle-CONTAINMENT pairs: (id_a, id_b) where at least
     * `minPermille`/1000 of A's shingles also occur in B. The asymmetric
     * complement to `jaccardPairs`: a short document quoted wholesale inside

@@ -745,6 +745,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardAgainstHistoryIndexed: equals the in-plan form under the " +
+      "frozen order, and the candidate join reads the index bucketed") {
+    val d = docs(
+      "a b c d e f g h", "a b c d e f g x", "p q r s t u v w",
+      "m n o j k l i z", "p q r s t u v y", "p q r s t u v k",
+      "f g h a b c d e")
+    val hist = Seq(4L, 5L, 6L).toDF("doc_id")
+    val direct = Dedup.jaccardAgainstHistoryPrefix(d, hist, n = 3,
+        threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val viaIndex = Dedup.jaccardAgainstHistoryIndexed(d, hist, n = 3,
+      threshold = 0.2, indexTable = "spec_neardup_index", buckets = 4)
+    val got = viaIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // lossless under ANY shared total order: the frozen history-df
+    // order may propose different candidates, never different output
+    assert(got == direct)
+    assert(got.nonEmpty)
+    // the persisted index is read bucket-aware — no exchange on that
+    // side of the candidate join
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+  }
+
   test("weightedJaccardPairs: boilerplate cannot decide similarity") {
     // every doc opens with the same "x y z" shingle (df = N → idf 0);
     // d1/d2 share ONLY that — weighted score 0, pair excluded — while
