@@ -719,7 +719,18 @@ object DevScale {
       // q374: q371's pair stage with the index side WRITTEN bucketed
       // per run — the rung prices index build (volume F×) + the
       // exchange-free candidate join together (q315 economics)
-      "q374_indexreuse" -> SparkEntry.queries("q374_neardup_index_reuse"))
+      "q374_indexreuse" -> SparkEntry.queries("q374_neardup_index_reuse"),
+      // provider experiment (measure ISOLATED — the conf persists in
+      // the shared session, the q368/q296_mnn2l convention): the q346
+      // sessionizer under the RocksDB state store, against its
+      // default-provider rung — the state-backend decision a 100 TB/day
+      // deployment makes, measured rather than assumed
+      "q346_rocksdb" -> ((s: SparkSession, d: String) => {
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider")
+        SparkEntry.queries("q346_stream_session_parity")(s, d)
+      }))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
