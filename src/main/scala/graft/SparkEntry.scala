@@ -3055,17 +3055,22 @@ object SparkEntry {
     // Quality-weighted sampling without replacement (Sampling
     // .weightedSample): Efraimidis–Spirakis A-Res keys ln(u)/w over the
     // 32-bit md5 uniform, top-5 per language weighted by n_chars — the
-    // reproducible weighted corpus draw; both engines recompute the
-    // identical u, key, and sample.
+    // reproducible weighted corpus draw. Keys are q12-QUANTIZED before
+    // ranking and output (r18): the raw-double form's "ln is
+    // bit-identical" premise failed at sf0.001 (one ulp apart between
+    // JVM and DuckDB libm — see the operator scaladoc); quantization
+    // absorbs the wobble with 10¹²× headroom.
     q("q132_weighted_sample",
       """WITH s AS (SELECT lang, doc_id,
-        |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |          AS BIGINT) + 1) / 4294967297.0)
-        |      / CAST(n_chars AS DOUBLE) AS skey
+        |    CAST(round(
+        |      ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |            AS BIGINT) + 1) / 4294967297.0)
+        |        / CAST(n_chars AS DOUBLE) * 1e12) AS BIGINT) AS skey_q12
         |  FROM documents WHERE n_chars > 0),
-        |r AS (SELECT lang, doc_id, skey, row_number() OVER (
-        |    PARTITION BY lang ORDER BY skey DESC, doc_id ASC) AS rn FROM s)
-        |SELECT lang, doc_id, skey FROM r WHERE rn <= 5
+        |r AS (SELECT lang, doc_id, skey_q12, row_number() OVER (
+        |    PARTITION BY lang ORDER BY skey_q12 DESC, doc_id ASC) AS rn
+        |  FROM s)
+        |SELECT lang, doc_id, skey_q12 FROM r WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin)(
       (s, d) => Sampling.weightedSample(Tables.documents(s, d),
         idCol = "doc_id", stratumCol = "lang", weight = col("n_chars"),

@@ -327,9 +327,18 @@ object Sampling {
     * weighted draws without replacement. THE quality-weighted corpus
     * sampler: w = a quality/length score upweights the documents a
     * training mix should prefer, while staying auditable — any engine
-    * recomputes the same u, the same key, the same sample (`ln` and one
-    * division are bit-identical IEEE on both engines; (b+1) ≤ 2³² is
-    * exactly representable).
+    * recomputes the same u and the same QUANTIZED key.
+    *
+    * The key quantizes to q12 integers (round(key·10¹²)) BEFORE both the
+    * ranking and the output. This is a FOUND divergence, not caution:
+    * the raw-double form shipped through round 17 and its "ln is
+    * bit-identical IEEE" claim is FALSE — libm ln is not required
+    * correctly rounded, and at sf0.001 one input (doc 149) came back a
+    * ulp apart between the JVM and DuckDB (…9605 vs …96049), caught by
+    * the r18 all-scales parity sweep. A 1-ulp ln wobble is ~10⁻²⁰
+    * absolute here; q12 quantization absorbs it with twelve orders of
+    * headroom while preserving every real ordering distinction (key
+    * ties at 10⁻¹² resolve on the id, deterministically).
     *
     * Scale shape: the key is a codegen'd scan projection; selection is
     * one per-stratum top-k window (single key shuffle — the q73 stratum
@@ -342,12 +351,14 @@ object Sampling {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long").cast("double") + 1.0) / 4294967297.0
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol).orderBy(col("skey").desc, col(idCol).asc)
+      .partitionBy(stratumCol)
+      .orderBy(col("skey_q12").desc, col(idCol).asc)
     df.filter(weight > 0)
-      .withColumn("skey", log(u) / weight.cast("double"))
+      .withColumn("skey_q12",
+        round(log(u) / weight.cast("double") * 1e12).cast("long"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(col(stratumCol), col(idCol), col("skey"))
+      .select(col(stratumCol), col(idCol), col("skey_q12"))
       .orderBy(stratumCol, idCol)
   }
 

@@ -382,21 +382,24 @@ class SamplingSpec extends SparkSpec {
       .toDF("doc_id", "strat", "wt")
     val got = Sampling.weightedSample(docs, "doc_id", "strat",
         col("wt"), k = 3)
-      .as[(String, Long, Double)].collect().toSeq
+      .as[(String, Long, Long)].collect().toSeq
     assert(got.count(_._1 == "even") == 3 && got.count(_._1 == "odd") == 3)
-    // independent reimplementation of u and key on the driver
+    // independent reimplementation of u and the q12 key on the driver
+    // (BigDecimal HALF_UP = away-from-zero on negatives, the engines'
+    // round semantics)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def key(i: Long): Double = {
+    def key(i: Long): Long = {
       val hex = md.digest(i.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 8)
       val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967297.0
-      math.log(u) / (i * 10.0)
+      BigDecimal(math.log(u) / (i * 10.0) * 1e12)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     }
     val ref = (1L to 20L)
       .map(i => (if (i % 2 == 0) "even" else "odd", i, key(i)))
       .groupBy(_._1).values.flatMap(_.sortBy(r => (-r._3, r._2)).take(3))
       .toSet
-    assert(got.toSet == ref) // exact doubles: same u, same ln, same division
+    assert(got.toSet == ref) // same u, same quantized key, same sample
   }
 
   test("curriculumInterleave: closed-form pos equals the global window") {
