@@ -74,6 +74,32 @@ object DevScale {
 
   private val idStride = 10000000L
 
+  /** Scoped session confs for family lambdas that must run under
+    * non-default configs (r18 ADVICE: the q368/q346_rocksdb lambdas set
+    * skew thresholds / the RocksDB provider session-wide and never
+    * restored them, so families measured AFTER them in a shared session
+    * ran distorted — a comment asked for isolation; this makes leakage
+    * impossible). The body's result is COLLECTED inside the scope (the
+    * confs must govern execution, and AQE/state decisions happen at
+    * materialization) and handed back as a localized frame, so the
+    * harness's later count() is conf-independent.
+    */
+  private def withConfs(s: SparkSession, kv: (String, String)*)(
+      body: => DataFrame): DataFrame = {
+    val saved = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = body
+      val rows = df.collect()
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** F deterministic copies of `documents`; copy 0 is the original, copy
     * c ≥ 1 re-ids by `c * idStride` and suffixes every token with `~c`.
     * Schema (doc_id, text, lang, source, n_chars) is preserved; n_chars is
@@ -678,22 +704,19 @@ object DevScale {
       "q367_ivfadc" -> SparkEntry.queries("q367_ivfadc_two_level"),
       // q368 prices the AQE skew-split machinery against the planted
       // maximally-skewed partition (90% of the growing fact on one
-      // key): thresholds are set fixture-scale INSIDE the family lambda
-      // so the split engages at every factor — measure this family in
-      // ISOLATION (the confs persist in the shared session, like
-      // q296_mnn2l's forced config)
-      "q368_aqeskew" -> ((s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-          "2")
-        s.conf.set(
-          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-          "64KB")
-        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-          "32KB")
-        ops.Skew.skewedJoinCensus(Tables.lineitem(s, d),
-          Tables.supplier(s, d))
-      }),
+      // key): thresholds are set fixture-scale so the split engages at
+      // every factor, SCOPED via withConfs (materialize-inside,
+      // restore-after) so nothing leaks into later families
+      "q368_aqeskew" -> ((s: SparkSession, d: String) =>
+        withConfs(s,
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            -> "64KB",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB") {
+          ops.Skew.skewedJoinCensus(Tables.lineitem(s, d),
+            Tables.supplier(s, d))
+        }),
       // q369: the state census itself is |operators| rows of progress
       // metadata — the rung prices the two state-heavy pipelines under
       // event inflation and PINS the reported state-row growth (join
@@ -720,17 +743,52 @@ object DevScale {
       // per run — the rung prices index build (volume F×) + the
       // exchange-free candidate join together (q315 economics)
       "q374_indexreuse" -> SparkEntry.queries("q374_neardup_index_reuse"),
-      // provider experiment (measure ISOLATED — the conf persists in
-      // the shared session, the q368/q296_mnn2l convention): the q346
-      // sessionizer under the RocksDB state store, against its
+      // provider experiment (conf-scoped via withConfs — nothing leaks):
+      // the q346 sessionizer under the RocksDB state store, against its
       // default-provider rung — the state-backend decision a 100 TB/day
-      // deployment makes, measured rather than assumed
-      "q346_rocksdb" -> ((s: SparkSession, d: String) => {
-        s.conf.set("spark.sql.streaming.stateStore.providerClass",
-          "org.apache.spark.sql.execution.streaming.state." +
-            "RocksDBStateStoreProvider")
-        SparkEntry.queries("q346_stream_session_parity")(s, d)
-      }))
+      // deployment makes, measured rather than assumed. The adjudicated
+      // outcome lives in StreamingSpec's provider-invariance law + the
+      // sessionizeWithState scaladoc (r18 verdict item 6).
+      "q346_rocksdb" -> ((s: SparkSession, d: String) =>
+        withConfs(s,
+          "spark.sql.streaming.stateStore.providerClass" ->
+            ("org.apache.spark.sql.execution.streaming.state." +
+              "RocksDBStateStoreProvider")) {
+          SparkEntry.queries("q346_stream_session_parity")(s, d)
+        }),
+      // ---- round-19 additions: the index LIFECYCLE. q375 prices the
+      // full build+append+detect pipeline under inflation; the _build
+      // twin prices the build alone, so (lifecycle − build) reads off
+      // the maintenance increment per factor; the _cdrop twin appends a
+      // CONSTANT drop (copy-0 residue-1 docs) onto the F×-growing
+      // history — its increment over _build is the drop-proportional
+      // claim measured directly (flat increment = the append's shuffle
+      // volume never touches history; the bucket-local census read is
+      // its honest residual history-size term)
+      "q375_lifecycle" -> SparkEntry.queries("q375_neardup_index_refresh"),
+      "q375_build" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val docs = Tables.documents(s, d)
+        Dedup.neardupIndexBuild(docs,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+          "devscale_neardup_index")
+        s.table("devscale_neardup_index")
+          .agg(count(lit(1)).as("n_postings"))
+      }),
+      "q375_cdrop" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        val docs = Tables.documents(s, d)
+        Dedup.neardupIndexBuild(docs,
+          docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+          "devscale_neardup_index")
+        Dedup.neardupIndexAppend(docs,
+          docs.filter(col("doc_id") % 3 === 1 &&
+            col("doc_id") < idStride).select("doc_id"),
+          "devscale_neardup_index")
+        s.table("devscale_neardup_index")
+          .agg(count(lit(1)).as("n_postings"))
+      }),
+      "q376_staleness" -> SparkEntry.queries("q376_neardup_index_staleness"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost
@@ -832,6 +890,8 @@ object DevScale {
     // SPARK_GRAFT_SCALE_ONLY=recall: skip the timing loop, report only the
     // planted-dup recall check below (reads the materialized dirs).
     val recallOnly = sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("recall")
+    val skewOnly =
+      sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("skewsplits")
     // dev iteration: comma-separated family-name allowlist
     val famOnly = sys.env.get("SPARK_GRAFT_SCALE_FAMILY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -844,7 +904,8 @@ object DevScale {
     // rows and min-of-reps seconds per (query, factor)
     val times = scala.collection.mutable.Map.empty[(String, Int), Double]
     val rows = scala.collection.mutable.Map.empty[(String, Int), Long]
-    for ((f, dir) <- dirs if !recallOnly; (name, fn) <- measured) {
+    for ((f, dir) <- dirs if !recallOnly && !skewOnly;
+         (name, fn) <- measured) {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val n = fn(spark, dir).count()
@@ -854,10 +915,16 @@ object DevScale {
       times((name, f)) = ts.min
       println(s"[devscale] $name x$f rows=${rows((name, f))} " +
         s"sec=${r2(ts.min)} reps=${ts.map(r2).mkString(",")}")
+      // drop every cache block the cell left behind: operator-internal
+      // persists are scoped to a CALL, but each rep creates fresh frames
+      // and the dead predecessors accumulated across a mixed run into
+      // the r18 x64 OOM (PLANS.md) — a clean slate per cell also keeps
+      // every family's measurement independent of what ran before it
+      spark.catalog.clearCache()
     }
 
     // markdown table for PLANS.md
-    if (!recallOnly) {
+    if (!recallOnly && !skewOnly) {
       val hdr = factors.flatMap(f => Seq(s"t(x$f) s", s"rows(x$f)"))
       println("\n| query | " + hdr.mkString(" | ") + " | t16/t1 | ideal |")
       println("|---|" + ("---|" * (hdr.length + 2)))
@@ -871,6 +938,50 @@ object DevScale {
       }
     }
 
+    // Skew-split census (r18 verdict item 7): under q368's fixture-scale
+    // thresholds, read HOW MANY split partitions AQE actually created
+    // for the planted hot key at each factor — the 100×-skew story must
+    // show the split count GROWING with the hot partition (each split ≈
+    // advisoryPartitionSize of hot-key bytes), not just "split engaged".
+    // SPARK_GRAFT_SCALE_ONLY=skewsplits; pair with
+    // SPARK_GRAFT_SCALE_TABLES=lineitem,supplier.
+    if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("skewsplits")) {
+      import org.apache.spark.sql.execution.PartialReducerPartitionSpec
+      import org.apache.spark.sql.execution.adaptive.{
+        AdaptiveSparkPlanExec, AQEShuffleReadExec}
+      val confs = Seq(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      try {
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        for ((f, dir) <- dirs) {
+          val out = ops.Skew.skewedJoinCensus(
+            spark.read.parquet(s"$dir/lineitem.parquet"),
+            spark.read.parquet(s"$dir/supplier.parquet"))
+          out.collect()
+          val fp = out.queryExecution.executedPlan match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case p => p
+          }
+          val splits = fp.collect { case r: AQEShuffleReadExec =>
+            r.partitionSpecs.count {
+              case _: PartialReducerPartitionSpec => true
+              case _ => false
+            }
+          }
+          println(s"[devscale] q368 skew-splits x$f: " +
+            s"perRead=${splits.mkString(",")} total=${splits.sum}")
+        }
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
     // Planted-dup recall of the corpus-aware plan at the largest factor:
     // the lsh_scale timing row says how FAST it is; this says how many of
     // the construction's planted near-dups (pairs (v, v + idStride), one
@@ -878,7 +989,7 @@ object DevScale {
     // 100-TB near-dup pass cares about. Borderline background pairs have
     // no guarantee under lshPlanAt and are excluded by the id filter.
     val (fMax, dirMax) = dirs.last
-    if (fMax >= 2) {
+    if (fMax >= 2 && want("embeddings") && !skewOnly) {
       val emb = spark.read.parquet(s"$dirMax/embeddings.parquet")
       val (bits, tables) = ops.Similarity.lshPlanAt(emb.count())
       val planted = emb.filter(col("vec_id") < idStride).count()

@@ -10206,17 +10206,33 @@ object SparkEntry {
         Tables.supplier(s, d))),
 
     // Streaming state-store census (EventStreams.stateStoreCensus, r17
-    // verdict item 7): the q345 join buffers + q346 per-user session
-    // state reported from the StreamingQueryProgress surface — state
-    // growth as a measured number next to the parity entries'
-    // correctness. ROWS-ONLY by nature (no SQL engine has a state store
-    // to oracle; byte sizes are engine-internal): the driver checks the
-    // census shape, EventStreams' spec pins the row laws (session state
-    // = live users; join state = both sides' buffered rows; bit-equal
-    // across reruns), and the DevScale rung pins state growth under
-    // event-volume inflation — the 100 TB/day capacity number.
-    qRowsOnly("q369_stream_state_census")(
-      (s, d) => graft.streaming.EventStreams.stateStoreCensus(s, d)),
+    // verdict item 7; made DRIVER-CHECKABLE r19 per the r18 verdict
+    // item 2): the q345 join buffers + q346 per-user session state
+    // reported from the StreamingQueryProgress surface — state growth
+    // as a measured number next to the parity entries' correctness.
+    // No SQL engine has a state store to oracle, but the row metrics
+    // ARE deterministic for a fixture (state contents are a pure
+    // function of the finite input under AvailableNow; EventStreams'
+    // spec pins the laws — session state = live users, join state =
+    // both sides' buffered rows, bit-equal across reruns), so the
+    // deterministic columns are pinned as a VALUES literal oracle at
+    // the gate fixture (the q24/q28 technique). The engine-internal
+    // byte sizes (layout + versioning overhead — honest observability,
+    // not a contract) stay on the stateStoreCensus debug surface and
+    // are dropped from the compared output. The DevScale rung pins
+    // state growth under event-volume inflation — the 100 TB/day
+    // capacity number.
+    qPinned("q369_stream_state_census", "sf0.01",
+      """SELECT pipeline, operator,
+        |  CAST(n_state_rows AS BIGINT) AS n_state_rows,
+        |  CAST(n_rows_updated AS BIGINT) AS n_rows_updated
+        |FROM (VALUES ('1_stream_join', 'symmetricHashJoin', 82, 0),
+        |      ('2_sessionize', 'flatMapGroupsWithState', 150, 0))
+        |  AS t(pipeline, operator, n_state_rows, n_rows_updated)
+        |ORDER BY pipeline, operator""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams.stateStoreCensus(s, d)
+        .select("pipeline", "operator", "n_state_rows", "n_rows_updated")
+        .orderBy("pipeline", "operator")),
 
     // Stream-STATIC dim enrichment parity (EventStreams
     // .dimEnrichmentViaStream): the purchase stream broadcast-joined to
@@ -10350,7 +10366,92 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         Dedup.jaccardAgainstHistoryIndexed(docs,
           docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
-          n = 3, threshold = 0.2)
+          indexTable = "q374_neardup_index", n = 3, threshold = 0.2)
+      }),
+
+    // Index LIFECYCLE, append path (Dedup.neardupIndexAppend — r18
+    // verdict item 5): build the index at history (doc_id % 3 = 0),
+    // APPEND a committed drop (% 3 = 1) — drop-proportional cost, no
+    // history re-shuffle, prefixes under the census FROZEN at build —
+    // then detect the next drop (% 3 = 2) against the refreshed index.
+    // The prefix lemma holds for any SHARED total order, appended
+    // postings included, so the detection table equals the exact
+    // all-pairs new × (hist ∪ drop1) oracle verbatim — the losslessness
+    // of the maintenance path is what this entry pins.
+    q("q375_neardup_index_refresh",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2)
+        |SELECT new_id, hist_id,
+        |  round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE sza > 0 AND szb > 0
+        |  AND inter / (sza + szb - inter) >= 0.2
+        |ORDER BY new_id, hist_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def res(r: Int) =
+          docs.filter(col("doc_id") % 3 === r).select("doc_id")
+        Dedup.neardupIndexBuild(docs, res(0), "q375_neardup_index")
+        Dedup.neardupIndexAppend(docs, res(1), "q375_neardup_index")
+        Dedup.jaccardAgainstIndex(docs, res(2), "q375_neardup_index")
+      }),
+
+    // Index STALENESS rule (Dedup.neardupIndexStaleness): after the
+    // q375 append, the frozen census (history-only df) is compared to
+    // the df the index's CURRENT contents actually have — Σ|Δdf| as a
+    // permille of the frozen posting mass, integer-exact (the q305
+    // planner arithmetic), with the requalify flag at 200‰. This is the
+    // maintenance DECISION the lifecycle needs: losslessness survives
+    // any drift (shared total order), but the rarest-first pruning
+    // decays with it, and this number says when the rebuild is due.
+    q("q376_neardup_index_staleness",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |it AS (SELECT doc_id, unnest(s) AS item FROM sh),
+        |f AS (SELECT item, count(*) AS df FROM it
+        |      WHERE doc_id % 3 = 0 GROUP BY 1),
+        |c AS (SELECT item, count(*) AS dfn FROM it
+        |      WHERE doc_id % 3 <> 2 GROUP BY 1),
+        |j AS (SELECT coalesce(f.df, 0) AS fd, coalesce(c.dfn, 0) AS cd
+        |      FROM f FULL OUTER JOIN c ON f.item = c.item),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN fd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_items_frozen,
+        |  CAST(sum(CASE WHEN fd = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_items_new,
+        |  CAST(sum(fd) AS BIGINT) AS postings_frozen,
+        |  CAST(sum(cd) AS BIGINT) AS postings_now,
+        |  CAST(sum(abs(cd - fd)) AS BIGINT) AS df_drift FROM j)
+        |SELECT n_items_frozen, n_items_new, postings_frozen,
+        |  postings_now, df_drift,
+        |  CAST(CASE WHEN postings_frozen > 0
+        |    THEN df_drift * 1000 // postings_frozen END AS BIGINT)
+        |    AS drift_pm,
+        |  CASE WHEN postings_frozen > 0
+        |    THEN (df_drift * 1000 // postings_frozen) > 200 END
+        |    AS requalify
+        |FROM a""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def res(r: Int) =
+          docs.filter(col("doc_id") % 3 === r).select("doc_id")
+        Dedup.neardupIndexBuild(docs, res(0), "q376_neardup_index")
+        Dedup.neardupIndexAppend(docs, res(1), "q376_neardup_index")
+        Dedup.neardupIndexStaleness(docs, "q376_neardup_index")
       }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

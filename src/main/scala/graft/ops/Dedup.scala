@@ -621,6 +621,15 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force the candidate set NOW so the corpus-sized prefix postings can
+    // be released before the caller materializes the verify plan (r18
+    // ADVICE: un-released intermediates accumulated across calls in a
+    // long-lived session and drove the mixed-run x64 OOM). The verify
+    // below references `prefix` only THROUGH `cand`, so once cand's
+    // blocks exist the postings cache is dead weight; on executor loss
+    // cand recomputes from lineage (slower, still correct).
+    cand.count()
+    prefix.unpersist(blocking = false)
     // payload-light exact verify: restrict the FULL postings to docs in
     // some candidate pair (a semi-join — no payload widening), count
     // shared shingles per pair by partial agg, then join the two set
@@ -704,6 +713,11 @@ object Dedup {
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force candidates, release the postings + history-id caches (dead
+    // once cand's blocks exist — the jaccardPairsPrefix release note)
+    cand.count()
+    prefix.unpersist(blocking = false)
+    hist.unpersist(blocking = false)
     val postNew = items.join(
       cand.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
@@ -731,92 +745,171 @@ object Dedup {
       .orderBy("new_id", "hist_id")
   }
 
-  /** `jaccardAgainstHistoryPrefix` against a PERSISTED index — the form
-    * a production ingest actually deploys: the history side's prefix
-    * postings are written ONCE as a bucketed table (hash-bucketed on
-    * the shingle, the q315 writeBucketed economics) and every daily
-    * drop joins against that table with NO exchange on the index side;
-    * only the drop's own postings shuffle to the bucket layout.
+  /** ---- Near-dup index LIFECYCLE (q374/q375/q376) ----
     *
-    * The canonical order is FROZEN AT INDEX BUILD TIME: df is censused
-    * over HISTORY ONLY (a live index cannot know tomorrow's df), and
-    * the drop's prefixes are computed under the same frozen order with
-    * unseen shingles at df 0 (rarest — ordered before every indexed
-    * shingle, consistently on both sides). The prefix-filter lemma
-    * holds for ANY shared total order, so the candidate set remains
-    * LOSSLESS and the verified output equals
-    * `jaccardAgainstHistoryPrefix` exactly (possibly via different
-    * candidates) — same oracle, same detection table.
+    * The persisted near-dup index is a PAIR of catalog tables derived
+    * from the history corpus:
     *
-    * Scale shape: the index write is the once-per-corpus shuffle; each
-    * drop pays one bucket-layout exchange of ITS OWN postings plus the
-    * q298 payload-light count verify. The history side is never
-    * re-shuffled and never re-censused.
+    *   - `<indexTable>`    — the history docs' prefix postings
+    *     (doc_id, item), hash-bucketed on the shingle (the q315
+    *     writeBucketed economics): candidate joins never exchange this
+    *     side;
+    *   - `<indexTable>_df` — the FROZEN document-frequency census
+    *     (item, __df) the postings' canonical rarest-first order was
+    *     computed under, bucketed the same way. Every later append and
+    *     every query computes its prefixes under THIS census (unseen
+    *     shingles at df 0 — rarest, consistently on both sides), so all
+    *     postings in the table share one total order forever and the
+    *     prefix-filter lemma keeps the candidate set LOSSLESS no matter
+    *     how many drops have been appended.
+    *
+    * DESTRUCTIVE: `neardupIndexBuild` DROPS and rewrites both tables.
+    * Callers must pass an EXPLICIT table name and must not share one
+    * name across concurrent runs or datasets in a session (r18 ADVICE:
+    * a shared default silently clobbered cross-run state) — the query
+    * registrations each own a distinct `qNNN_`-prefixed name.
+    *
+    * Freshness contract: losslessness never decays (any shared total
+    * order works), but EFFICIENCY does — the frozen order's
+    * rarest-first property drifts as real df grows, so prefixes slowly
+    * stop holding the rarest shingles and candidate volume inflates.
+    * `neardupIndexStaleness` measures that drift with planner-style
+    * integer permille arithmetic (the q305 convention) and flags when
+    * to requalify (= rebuild under a fresh census).
     */
-  def jaccardAgainstHistoryIndexed(documents: DataFrame,
-                                   historyIds: DataFrame, n: Int = 3,
-                                   threshold: Double = 0.2,
-                                   indexTable: String =
-                                     "q374_neardup_index",
-                                   buckets: Int = 8): DataFrame = {
+
+  /** Prefix postings of `items` under the census `dfc` (item, __df) —
+    * the one prefix-under-a-frozen-order construction shared by index
+    * build, append, and query (they MUST agree or the shared-total-order
+    * lossless guarantee breaks). `tpm` is the floor-permille threshold
+    * (the q298 integer-ceiling arithmetic).
+    */
+  private def prefixUnderCensus(items: DataFrame, sizes: DataFrame,
+                                dfc: DataFrame, tpm: Long): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("__df0"), col("item"))
+    items.join(dfc, Seq("item"), "left")
+      .withColumn("__df0", coalesce(col("__df"), lit(0L)))
+      .withColumn("__pos", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .filter(col("__pos") <=
+        col("__sz") - expr(s"(${tpm}L * __sz + 999L) div 1000L") + 1)
+      .select(col("doc_id"), col("item"))
+  }
+
+  private def setsItemsSizes(documents: DataFrame, ids: DataFrame,
+                             n: Int): (DataFrame, DataFrame, DataFrame) = {
+    val sets = shingleSets(
+        documents.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"), n)
+      .filter(size(col("shingles")) > 0)
+    val items = sets.select(col("doc_id"), explode(col("shingles")).as("item"))
+    val sizes = sets.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("__sz"))
+    (sets, items, sizes)
+  }
+
+  /** Build (or destructively REBUILD) the near-dup index over
+    * `historyIds`: census the history's shingle df, freeze it as
+    * `<indexTable>_df`, and write the history prefix postings under that
+    * census as `<indexTable>`. The once-per-corpus shuffle; every drop
+    * afterwards pays only its own volume (`neardupIndexAppend`).
+    */
+  def neardupIndexBuild(documents: DataFrame, historyIds: DataFrame,
+                        indexTable: String, n: Int = 3,
+                        threshold: Double = 0.2, buckets: Int = 8): Unit = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     require(buckets >= 1, "buckets must be >= 1")
+    require(indexTable.nonEmpty, "indexTable must be explicit")
+    val (sets, items, sizes) = setsItemsSizes(documents, historyIds, n)
+    val cached = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfc = items.groupBy("item").agg(count(lit(1)).as("__df"))
+      Bucketing.writeBucketed(dfc, s"${indexTable}_df", "item", buckets)
+      val frozen = documents.sparkSession.table(s"${indexTable}_df")
+      val tpm = math.floor(threshold * 1000).toLong
+      Bucketing.writeBucketed(
+        prefixUnderCensus(items, sizes, frozen, tpm), indexTable, "item",
+        buckets)
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** Append a committed drop's prefix postings to an existing index —
+    * the drop-proportional maintenance operation (never re-shuffles or
+    * re-censuses history). Prefixes are computed under the index's
+    * FROZEN census, so the appended postings share the table's total
+    * order and detection stays lossless. The frozen census itself is
+    * untouched — staleness (below) tells the owner when the accumulated
+    * drift warrants a rebuild.
+    */
+  def neardupIndexAppend(documents: DataFrame, dropIds: DataFrame,
+                         indexTable: String, n: Int = 3,
+                         threshold: Double = 0.2, buckets: Int = 8): Unit = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     val spark = documents.sparkSession
-    val sets = shingleSets(documents, n)
-      .filter(size(col("shingles")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val hist = historyIds.select(col("doc_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val items = sets.select(col("doc_id"),
-      explode(col("shingles")).as("item"))
-    val histItems = items.join(hist, Seq("doc_id"), "left_semi")
-    // the index's own census — FROZEN: history df only
-    val dfc = histItems.groupBy("item").agg(count(lit(1)).as("__df"))
+    val (sets, items, sizes) = setsItemsSizes(documents, dropIds, n)
+    val cached = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val frozen = spark.table(s"${indexTable}_df")
+      val tpm = math.floor(threshold * 1000).toLong
+      // bucketed APPEND: one new file per bucket, same spec as the build
+      // — the table's bucket metadata keeps candidate joins exchange-free
+      prefixUnderCensus(items, sizes, frozen, tpm)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .bucketBy(buckets, "item").sortBy("item")
+        .format("parquet").saveAsTable(indexTable)
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** Detect near-dups of `newIds` docs against everything IN the index
+    * (original history + every appended drop): prefixes of the new docs
+    * under the frozen census, candidate join against the bucketed
+    * postings (no exchange on the index side), then the q298
+    * payload-light exact count verify. Output (new_id, hist_id,
+    * jaccard ≥ threshold) — identical to `jaccardAgainstHistoryPrefix`
+    * over the same history set.
+    */
+  def jaccardAgainstIndex(documents: DataFrame, newIds: DataFrame,
+                          indexTable: String, n: Int = 3,
+                          threshold: Double = 0.2): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
+    val spark = documents.sparkSession
+    // persist the DROP-sized shingle sets (items + sizes both derive
+    // from them — the q53-regression guard); the residents this query
+    // leaves cached are bounded by the drop and its matched history
+    // docs, never the corpus (the r18 form cached corpus-wide postings)
+    val (newSets, newItems, newSizes) = setsItemsSizes(documents, newIds, n)
+    newSets.persist(StorageLevel.MEMORY_AND_DISK)
+    val frozen = spark.table(s"${indexTable}_df")
     val tpm = math.floor(threshold * 1000).toLong
-    def prefixOf(side: DataFrame): DataFrame = {
-      val wDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id")
-        .orderBy(col("__df0"), col("item"))
-      side.join(dfc, Seq("item"), "left")
-        .withColumn("__df0", coalesce(col("__df"), lit(0L)))
-        .withColumn("__pos", row_number().over(wDoc))
-        .join(sets.select(col("doc_id"),
-          size(col("shingles")).cast("long").as("__sz")), "doc_id")
-        .filter(col("__pos") <=
-          col("__sz") - expr(s"(${tpm}L * __sz + 999L) div 1000L") + 1)
-        .select(col("doc_id"), col("item"))
-    }
-    // build + persist the index: history prefix postings, bucketed on
-    // the shingle so the candidate join never exchanges this side
-    Bucketing.writeBucketed(prefixOf(histItems), indexTable, "item",
-      buckets)
     val index = spark.table(indexTable)
       .select(col("doc_id").as("hist_id"), col("item"))
-    val newItems = items.join(hist, Seq("doc_id"), "left_anti")
-    val cand = prefixOf(newItems)
+    val cand = prefixUnderCensus(newItems, newSizes, frozen, tpm)
       .withColumnRenamed("doc_id", "new_id")
       .join(index, Seq("item"))
       .select(col("new_id"), col("hist_id"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // payload-light exact verify — the q298/q371 count device
-    val postNew = items.join(
+    cand.count()
+    // payload-light exact verify — the q298/q371 count device. Full
+    // postings come from `documents` by id (both sides), never from the
+    // prefix-only index.
+    val matchedHist = cand.select(col("hist_id").as("doc_id")).distinct()
+    val (histSets, histItems, histSizes) =
+      setsItemsSizes(documents, matchedHist, n)
+    histSets.persist(StorageLevel.MEMORY_AND_DISK)
+    val postNew = newItems.join(
       cand.select(col("new_id").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi")
-    val postHist = items.join(
-      cand.select(col("hist_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
     val nInter = postNew.as("x")
-      .join(postHist.as("y"), col("x.item") === col("y.item"))
+      .join(histItems.as("y"), col("x.item") === col("y.item"))
       .groupBy(col("x.doc_id").as("new_id"), col("y.doc_id").as("hist_id"))
       .agg(count(lit(1)).as("__inter"))
-    val sizes = sets.select(col("doc_id"),
-      size(col("shingles")).cast("long").as("__sz"))
     cand
       .join(nInter, Seq("new_id", "hist_id"))
-      .join(sizes.select(col("doc_id").as("new_id"),
+      .join(newSizes.select(col("doc_id").as("new_id"),
         col("__sz").as("__sza")), "new_id")
-      .join(sizes.select(col("doc_id").as("hist_id"),
+      .join(histSizes.select(col("doc_id").as("hist_id"),
         col("__sz").as("__szb")), "hist_id")
       .withColumn("jaccard",
         col("__inter") /
@@ -825,6 +918,67 @@ object Dedup {
       .select(col("new_id"), col("hist_id"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy("new_id", "hist_id")
+  }
+
+  /** Staleness report for a frozen index census: the current history df
+    * (recomputed from `documents` for the doc_ids actually IN the index)
+    * full-outer-joined against the frozen census, folded to one
+    * integer-exact row. `drift_pm` = permille of posting mass whose df
+    * changed (Σ|df_now − df_frozen| · 1000 div Σdf_frozen — the q305
+    * planner-arithmetic convention); `requalify` flips when it passes
+    * `driftBoundPm`. Losslessness never depends on this — the flag is
+    * the EFFICIENCY rule for when the rarest-first order has decayed
+    * enough that prefixes stop pruning and the index should be rebuilt.
+    */
+  def neardupIndexStaleness(documents: DataFrame, indexTable: String,
+                            n: Int = 3,
+                            driftBoundPm: Long = 200L): DataFrame = {
+    val spark = documents.sparkSession
+    val histNow = spark.table(indexTable).select("doc_id").distinct()
+    val (_, items, _) = setsItemsSizes(documents, histNow, n)
+    val dfNow = items.groupBy("item").agg(count(lit(1)).as("__now"))
+    val frozen = spark.table(s"${indexTable}_df")
+    frozen.join(dfNow, Seq("item"), "full_outer")
+      .select(coalesce(col("__df"), lit(0L)).as("f"),
+        coalesce(col("__now"), lit(0L)).as("c"))
+      .agg(
+        sum(when(col("f") > 0, 1L).otherwise(0L)).as("n_items_frozen"),
+        sum(when(col("f") === 0, 1L).otherwise(0L)).as("n_items_new"),
+        sum(col("f")).as("postings_frozen"),
+        sum(col("c")).as("postings_now"),
+        sum(abs(col("c") - col("f"))).as("df_drift"))
+      .withColumn("drift_pm",
+        expr("df_drift * 1000L div postings_frozen"))
+      .withColumn("requalify", col("drift_pm") > driftBoundPm)
+      .select(col("n_items_frozen").cast("long"),
+        col("n_items_new").cast("long"),
+        col("postings_frozen").cast("long"),
+        col("postings_now").cast("long"),
+        col("df_drift").cast("long"), col("drift_pm").cast("long"),
+        col("requalify"))
+  }
+
+  /** `jaccardAgainstHistoryPrefix` against a PERSISTED index (q374) —
+    * build + detect composed from the lifecycle pieces above: the form
+    * a production ingest actually deploys, where history postings are
+    * written ONCE (bucketed — no exchange on the index side ever) and
+    * each drop pays only its own posting volume. Output equals
+    * `jaccardAgainstHistoryPrefix` exactly (possibly via different
+    * candidates) — same oracle, same detection table.
+    *
+    * DESTRUCTIVE on `indexTable`/<indexTable>_df — see the lifecycle
+    * note; pass a name this run owns exclusively.
+    */
+  def jaccardAgainstHistoryIndexed(documents: DataFrame,
+                                   historyIds: DataFrame,
+                                   indexTable: String, n: Int = 3,
+                                   threshold: Double = 0.2,
+                                   buckets: Int = 8): DataFrame = {
+    val hist = historyIds.select(col("doc_id")).distinct()
+    neardupIndexBuild(documents, hist, indexTable, n, threshold, buckets)
+    val newIds = documents.select("doc_id")
+      .join(hist, Seq("doc_id"), "left_anti")
+    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold)
   }
 
   /** Directed shingle-CONTAINMENT pairs: (id_a, id_b) where at least
@@ -1026,17 +1180,30 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
-    * (band, band-hash), then verify candidates with EXACT Jaccard on the
-    * shingle sets — LSH only proposes, it never decides. Output schema
-    * matches `jaccardPairs`; the recall contract lives in DedupSpec.
+    * (band, band-hash), then verify candidates with EXACT Jaccard — LSH
+    * only proposes, it never decides. Output schema matches
+    * `jaccardPairs`; the recall contract lives in DedupSpec.
+    *
+    * The verify is the PAYLOAD-LIGHT count device (the q298 shape,
+    * ported r19): candidate docs semi-join the exploded postings, the
+    * intersection is a partial-agg count keyed on the shingle, and only
+    * (id_a, id_b, count) rows shuffle — full shingle arrays never cross
+    * the wire (the r17→r18 q298 retirement measured the array form at
+    * 121×/OOM vs 6.5× at x64 for the count form). Postings counts equal
+    * `size(array_intersect)` exactly because `shingleSets` emits
+    * DISTINCT shingles. A band-collision pair sharing ZERO shingles has
+    * no intersection row and drops at the inner join — correct at any
+    * `threshold` > 0 (its exact Jaccard is 0), which is why the
+    * threshold must be positive.
     */
   def minhashPairs(documents: DataFrame, n: Int = 3,
                    numHashes: Int = 32, bands: Int = 16,
                    threshold: Double = 0.2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     val rows = numHashes / bands
     // materialize once: the signature frame feeds both bucket-join sides
-    // AND the exact-verify set re-attach — without this the shingle+minhash
+    // AND the exact-verify postings — without this the shingle+minhash
     // kernels would re-evaluate per subtree (the q53-regression pattern).
     // persist, not localCheckpoint: recoverable on executor loss (see
     // pairsBySetOverlap)
@@ -1044,8 +1211,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // band IDS ONLY through the bucket join — carrying the shingle arrays
     // would copy every document's set `bands` times across both shuffle
-    // sides; candidates re-attach their sets after pair dedup, so each
-    // array crosses the wire once per surviving candidate
+    // sides
     val banded = bandKeysOf(sigs, bands, rows)
     val cands = banded.as("x")
       .join(banded.as("y"),
@@ -1053,15 +1219,28 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sets = sigs.select(col("doc_id"), col("shingles"))
+    val candDocs = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id")))
+      .distinct()
+    val items = sigs.select(col("doc_id"),
+      explode(col("shingles")).as("item"))
+    val post = items.join(candDocs, Seq("doc_id"), "left_semi")
+    val nInter = post.as("x")
+      .join(post.as("y"),
+        col("x.item") === col("y.item") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    val sizes = sigs.select(col("doc_id"),
+      size(col("shingles")).cast("long").as("__sz"))
     cands
-      .join(sets.select(col("doc_id").as("id_a"),
-        col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"),
-        col("shingles").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(nInter, Seq("id_a", "id_b"))
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("__sz").as("__szb")), "id_b")
       .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        col("__inter") /
+          (col("__sza") + col("__szb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")

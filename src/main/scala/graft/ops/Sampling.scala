@@ -335,10 +335,23 @@ object Sampling {
     * bit-identical IEEE" claim is FALSE — libm ln is not required
     * correctly rounded, and at sf0.001 one input (doc 149) came back a
     * ulp apart between the JVM and DuckDB (…9605 vs …96049), caught by
-    * the r18 all-scales parity sweep. A 1-ulp ln wobble is ~10⁻²⁰
-    * absolute here; q12 quantization absorbs it with twelve orders of
-    * headroom while preserving every real ordering distinction (key
-    * ties at 10⁻¹² resolve on the id, deterministically).
+    * the r18 all-scales parity sweep.
+    *
+    * The parity guarantee after quantization is PROBABILISTIC, not
+    * absolute (r18 ADVICE): a 1-ulp ln wobble (relative ~2.2·10⁻¹⁶)
+    * moves key·10¹² by |key|·2.2·10⁻⁴, so round() can still flip when
+    * the true value lands within that distance of a .5 boundary —
+    * per-row flip odds ≤ ~4·10⁻⁴·|key|·P(engines disagree on this ln),
+    * i.e. rare at gate scale (zero across all three fixture scales) but
+    * expected in the thousands over 10⁸ rows. The quantum is a
+    * deliberate point on a trade-off curve, not a fix: coarser (q6)
+    * would shrink flip odds 10⁶× but tie keys whose true gap is below
+    * 10⁻⁶ — at large strata (gaps ~1/n) that collapses the E-S ranking
+    * into id order; q12 keeps ties negligible to n ~ 10¹⁰ per stratum.
+    * Ties at either quantum resolve on the id, identically in both
+    * engines, so a tie is never a divergence — only a boundary flip is,
+    * and a flip costs one swapped selection at the stratum's margin,
+    * not a corrupted sample.
     *
     * Scale shape: the key is a codegen'd scan projection; selection is
     * one per-stratum top-k window (single key shuffle — the q73 stratum

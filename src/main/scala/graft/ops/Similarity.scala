@@ -978,6 +978,11 @@ object Similarity {
       return Seq.empty[(Long, Int, Long)].toDF("q_id", "rank", "n_id")
     }
     val cached = corpusD.cache()
+    // two-level path's residual frame — released with `cached` below
+    // (r18 ADVICE: it outlived the call and accumulated across a
+    // long-lived session); by return time the eager phase (m2 fit, PQ
+    // training) is done, and a post-return recompute is one map stage
+    var resid: Option[DataFrame] = None
     try {
       val dim = cached.select(size(col("n_emb"))).take(1) match {
         case Array(r) => r.getInt(0)
@@ -1025,6 +1030,7 @@ object Similarity {
           val assigned1 = KMeansVec.assign(cached, "n_emb", cs1)
             .withColumn("r1", res1(col("n_emb"), col("cidx")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          resid = Some(assigned1)
           val m2 = KMeansVec.fit(assigned1, "r1", k2, seed + 1,
             maxIter = trainIter, idCol = "n_id")
           val cs2 = m2.centroids.sortBy(_.idx)
@@ -1079,7 +1085,10 @@ object Similarity {
         .filter(col("rank") <= k)
         .select("q_id", "rank", "n_id")
         .orderBy("q_id", "rank")
-    } finally { cached.unpersist(blocking = false); () }
+    } finally {
+      resid.foreach(_.unpersist(blocking = false))
+      cached.unpersist(blocking = false); ()
+    }
   }
 
   /** ANN via banded random-hyperplane LSH: explode each vector into

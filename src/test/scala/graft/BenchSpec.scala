@@ -88,6 +88,40 @@ class BenchSpec extends AnyFunSuite {
     assert(node.get("value").asDouble() == 1.0)
   }
 
+  test("ctx fields land INSIDE the parsed JSON at every rung: " +
+      "loadavg_start, warm_spread, single_rep (r18 verdict item 4)") {
+    // three reps, warm spread (10.5 - 10.0) / 10.0 = 5%
+    val ns = Seq("q01_a", "q02_b")
+    val ss = Seq(
+      Map("q01_a" -> 9.0, "q02_b" -> 6.0),
+      Map("q01_a" -> 5.0, "q02_b" -> 5.0),
+      Map("q01_a" -> 5.5, "q02_b" -> 5.0))
+    assert(Bench.warmSpread(ss) == 0.05)
+    val ctx = Bench.ctxField(0.63, ss)
+    val node = mapper.readTree(Bench.buildLine(ns, ss, "sf", ctx = ctx))
+    assert(node.get("loadavg_start").asDouble() == 0.63)
+    assert(node.get("warm_spread").asDouble() == 0.05)
+    assert(node.get("single_rep") == null)
+    // fewer than two warm reps: spread is unadjudicable, not zero
+    val two = ss.take(2)
+    val nodeTwo = mapper.readTree(Bench.buildLine(ns, two, "sf",
+      ctx = Bench.ctxField(1.0, two)))
+    assert(nodeTwo.get("warm_spread").isNull)
+    // a single-rep artifact carries the loud flag (r18 ADVICE)
+    val one = ss.take(1)
+    val nodeOne = mapper.readTree(Bench.buildLine(ns, one, "sf",
+      ctx = Bench.ctxField(1.0, one)))
+    assert(nodeOne.get("single_rep").asBoolean())
+    // the fields survive the degradation ladder's big-surface rungs too
+    val big = (1 to 400).map(i => f"q$i%03d_synthetic_$i")
+    val bigLine = Bench.buildLine(big, samples(big, 3), "sf",
+      ctx = Bench.ctxField(0.5, samples(big, 3)))
+    assert(bigLine.length <= 1900)
+    val bigNode = mapper.readTree(bigLine)
+    assert(bigNode.get("loadavg_start").asDouble() == 0.5)
+    assert(bigNode.get("warm_spread") != null)
+  }
+
   test("even-length median takes the LOWER middle (budget-stopped 2-rep)") {
     // the round-7 defect: a 2-rep run (wall budget hit) under external
     // host load recorded the contended rep as the artifact value because

@@ -771,6 +771,64 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan.take(1500))
   }
 
+  test("neardupIndexAppend: detection after append equals the " +
+      "from-scratch prefix form over the union history — losslessness " +
+      "survives maintenance under the frozen order") {
+    // hist0 = {4,5}, appended drop = {6}, query drop = {0,1,2,3}:
+    // 0↔6 cross near-dup must be FOUND VIA THE APPENDED postings (6 is
+    // not in the build census), 2↔4 via the built ones; 0/1 within-drop
+    // near-dups must not emit
+    val d = docs(
+      "a b c d e f g h", "a b c d e f g x", "p q r s t u v w",
+      "m n o j k l i z", "p q r s t u v y", "p q r s t u v k",
+      "f g h a b c d e")
+    val hist0 = Seq(4L, 5L).toDF("doc_id")
+    val drop1 = Seq(6L).toDF("doc_id")
+    val newIds = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    Dedup.neardupIndexBuild(d, hist0, "spec_lifecycle_index", n = 3,
+      threshold = 0.2, buckets = 4)
+    Dedup.neardupIndexAppend(d, drop1, "spec_lifecycle_index", n = 3,
+      threshold = 0.2, buckets = 4)
+    val viaIndex = Dedup.jaccardAgainstIndex(d, newIds,
+      "spec_lifecycle_index", n = 3, threshold = 0.2)
+    val got = viaIndex
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val direct = Dedup.jaccardAgainstHistoryPrefix(d,
+        Seq(4L, 5L, 6L).toDF("doc_id"), n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == direct)
+    // both the built AND the appended posting generations participate
+    assert(got.exists(_._2 == 6L), s"appended postings unused: $got")
+    assert(got.exists(_._2 == 4L), s"built postings unused: $got")
+    // the appended table still reads bucketed (one more file per
+    // bucket, same spec — the exchange-free join survives maintenance)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan.take(1500))
+  }
+
+  test("neardupIndexStaleness: hand-computed census drift, and zero " +
+      "drift right after a build") {
+    // n=1 shingles for hand arithmetic: hist {10:"a b", 11:"a c"} →
+    // frozen census a:2 b:1 c:1 (3 items, 4 postings); append
+    // {12:"a b d"} → current census over {10,11,12}: a:3 b:2 c:1 d:1
+    // (7 postings) → drift |3-2|+|2-1|+|1-1|+|1-0| = 3, 3000 div 4 =
+    // 750‰ > 200‰ → requalify
+    val d = Seq((10L, "a b"), (11L, "a c"), (12L, "a b d"))
+      .toDF("doc_id", "text")
+    Dedup.neardupIndexBuild(d, Seq(10L, 11L).toDF("doc_id"),
+      "spec_stale_index", n = 1, threshold = 0.2, buckets = 2)
+    val fresh = Dedup.neardupIndexStaleness(d, "spec_stale_index", n = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(fresh == ((3L, 0L, 4L, 4L, 0L, 0L, false)))
+    Dedup.neardupIndexAppend(d, Seq(12L).toDF("doc_id"),
+      "spec_stale_index", n = 1, threshold = 0.2, buckets = 2)
+    val stale = Dedup.neardupIndexStaleness(d, "spec_stale_index", n = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect().head
+    assert(stale == ((3L, 1L, 4L, 7L, 3L, 750L, true)))
+  }
+
   test("weightedJaccardPairs: boilerplate cannot decide similarity") {
     // every doc opens with the same "x y z" shingle (df = N → idf 0);
     // d1/d2 share ONLY that — weighted score 0, pair excluded — while

@@ -563,6 +563,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("provider invariance: the q346 sessionizer census is bit-equal " +
+      "under RocksDB and the default state store (the r19-adjudicated " +
+      "state-backend law — the provider is a deployment dial, never a " +
+      "semantic choice)") {
+    val src = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    val default = EventStreams.closedSessionCensusViaStream(spark, src)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      val rocks = EventStreams.closedSessionCensusViaStream(spark, src)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rocks == default)
+      assert(default.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stateStoreCensus: row laws hold and the census is bit-equal " +
       "across reruns") {
     val src = "/root/testdata/sf0.001"

@@ -4,9 +4,16 @@ correctness gate). NOT part of the Scala library — the library is pure
 Spark; this script only exists so oracle-SQL dialect bugs are caught
 before the driver runs CORRECTNESS_r{N}.json.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [i/n]
+
+The optional `i/n` shard (e.g. 0/4 .. 3/4) checks every n-th query
+starting at i — the per-round sf0.1 batch sweep fans the heavyweight
+all-pairs oracles across processes (DuckDB parallelizes WITHIN a query,
+but the quadratic list_intersect oracles are long serial tails; four
+shards keep all cores busy for hours less wall-clock). GRAFT_DUCKDB_THREADS
+caps each shard's thread pool so shards don't thrash each other.
 """
-import duckdb, json, sys, math
+import duckdb, json, sys, math, os
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -21,13 +28,20 @@ def norm(v):
         return repr(v)
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, shard=None):
     con = duckdb.connect()
+    thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+    if thr:
+        con.sql(f"SET threads={int(thr)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(oracle)
+    if shard:
+        i, n = shard
+        names = [x for k, x in enumerate(names) if k % n == i]
     n_bad = 0
-    for name in sorted(oracle):
+    for name in names:
         try:
             spark_rel = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -64,4 +78,8 @@ def main(sf_dir, out_dir):
     return n_bad
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    shard = None
+    if len(sys.argv) > 3:
+        i, n = sys.argv[3].split("/")
+        shard = (int(i), int(n))
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], shard) else 0)
