@@ -415,6 +415,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         // a crashed query must not read as a fast success: report -1
         acc += name -> (if (ok) (System.nanoTime() - q0) / 1e9 else -1.0)
+        // OUTSIDE the timed window: drop the cache residents the call
+        // left behind (operator-internal persists are scoped to one
+        // materialization — no query reads another's blocks, so this
+        // releases only dead weight; r18 ADVICE: un-released residents
+        // accumulated across a 374-query × 3-rep session). DevScale
+        // does the same per measured cell.
+        spark.catalog.clearCache()
         // during rep 1 there is no previous artifact on stdout yet, so a
         // wall-clock kill mid-rep (judge measured a 320 s contended first
         // rep) would lose everything: emit a partial line (marked
@@ -531,6 +538,7 @@ object Bench {
               samples.flatMap(_.get(n)).map(r3).mkString("[", ",", "]") +
               s" extra=${r3(v)} load=${loadAvg()}")
           }
+          spark.catalog.clearCache()
         }
       }
     }

@@ -788,7 +788,22 @@ object DevScale {
         s.table("devscale_neardup_index")
           .agg(count(lit(1)).as("n_postings"))
       }),
-      "q376_staleness" -> SparkEntry.queries("q376_neardup_index_staleness"))
+      "q376_staleness" -> SparkEntry.queries("q376_neardup_index_staleness"),
+      // q377 = q375's pipeline + the layout-only compaction rewrite —
+      // the increment over q375_lifecycle prices one bucket-local
+      // read + bucketed write of the index volume; q378 = build + two
+      // appends + the staleness consult + the triggered REBUILD +
+      // detect — the worst-case maintenance path, all volumes F×
+      "q377_compact" -> SparkEntry.queries("q377_neardup_index_compact"),
+      "q378_auto" -> SparkEntry.queries("q378_neardup_index_auto"),
+      // q379 prices the bloom-probe semi join as the orders fact grows
+      // F× against a fixed selective dim (output = the flagged slice,
+      // F×); the probe is a scan predicate, so the rung should track
+      // the scan, not a join build. q380 runs the left-outer
+      // stream-stream join end to end — join state, eviction, and the
+      // null-emission no-data batch all grow with the event volume
+      "q379_bloom" -> SparkEntry.queries("q379_bloom_semi_join"),
+      "q380_louter" -> SparkEntry.queries("q380_stream_left_outer_parity"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -10452,7 +10452,154 @@ object SparkEntry {
         Dedup.neardupIndexBuild(docs, res(0), "q376_neardup_index")
         Dedup.neardupIndexAppend(docs, res(1), "q376_neardup_index")
         Dedup.neardupIndexStaleness(docs, "q376_neardup_index")
-      }))
+      }),
+
+    // Index COMPACTION (Dedup.neardupIndexCompact): k appends leave
+    // k+1 file generations per bucket; compaction rewrites the postings
+    // single-generation via write-new + RENAME swap (never
+    // read-and-overwrite in one plan) — layout-only, census untouched.
+    // Detection after compaction must equal q375 bit for bit (the
+    // invariance IS the law this entry pins); DedupSpec pins the
+    // file-count collapse itself.
+    q("q377_neardup_index_compact",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |px AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id % 3 = 2 AND b.doc_id % 3 <> 2)
+        |SELECT new_id, hist_id,
+        |  round(inter / (sza + szb - inter), 4) AS jaccard
+        |FROM px WHERE sza > 0 AND szb > 0
+        |  AND inter / (sza + szb - inter) >= 0.2
+        |ORDER BY new_id, hist_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def res(r: Int) =
+          docs.filter(col("doc_id") % 3 === r).select("doc_id")
+        Dedup.neardupIndexBuild(docs, res(0), "q377_neardup_index")
+        Dedup.neardupIndexAppend(docs, res(1), "q377_neardup_index")
+        Dedup.neardupIndexCompact(s, "q377_neardup_index")
+        Dedup.jaccardAgainstIndex(docs, res(2), "q377_neardup_index")
+      }),
+
+    // Staleness-DRIVEN auto-requalify (Dedup.jaccardAgainstIndexAuto):
+    // the q376 rule wired to its action — two appended drops push the
+    // census drift past 200‰, the detect call consults staleness,
+    // REBUILDS under a fresh census, then detects. Output is invariant
+    // either way (losslessness under any shared order), so the exact
+    // all-pairs oracle pins the result while the `requalified` column —
+    // the SAME census arithmetic replicated in SQL — pins the routing
+    // decision itself (the q366 device).
+    q("q378_neardup_index_auto",
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+        |    w -> length(w) > 0) AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS s FROM toks),
+        |it AS (SELECT doc_id, unnest(s) AS item FROM sh),
+        |f AS (SELECT item, count(*) AS df FROM it
+        |      WHERE doc_id % 4 = 0 GROUP BY 1),
+        |c AS (SELECT item, count(*) AS dfn FROM it
+        |      WHERE doc_id % 4 <> 3 GROUP BY 1),
+        |j AS (SELECT coalesce(f.df, 0) AS fd, coalesce(c.dfn, 0) AS cd
+        |      FROM f FULL OUTER JOIN c ON f.item = c.item),
+        |r AS (SELECT CASE WHEN sum(fd) > 0
+        |    THEN (sum(abs(cd - fd)) * 1000 // sum(fd)) > 200 END
+        |    AS requalified FROM j),
+        |px AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS hist_id,
+        |    len(list_intersect(a.s, b.s)) AS inter,
+        |    len(a.s) AS sza, len(b.s) AS szb
+        |  FROM sh a JOIN sh b ON a.doc_id % 4 = 3 AND b.doc_id % 4 <> 3)
+        |SELECT new_id, hist_id,
+        |  round(inter / (sza + szb - inter), 4) AS jaccard, r.requalified
+        |FROM px, r WHERE sza > 0 AND szb > 0
+        |  AND inter / (sza + szb - inter) >= 0.2
+        |ORDER BY new_id, hist_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def res(r: Int) =
+          docs.filter(col("doc_id") % 4 === r).select("doc_id")
+        Dedup.neardupIndexBuild(docs, res(0), "q378_neardup_index")
+        Dedup.neardupIndexAppend(docs, res(1), "q378_neardup_index")
+        Dedup.neardupIndexAppend(docs, res(2), "q378_neardup_index")
+        Dedup.jaccardAgainstIndexAuto(docs, res(3), "q378_neardup_index")
+      }),
+
+    // TRUE-Bloom pruned semi join (Joins.bloomPrunedSemiJoin): the dim
+    // keys fold into ONE BloomFilter sketch inlined as a foldable
+    // literal probed at the fact scan (no broadcast exchange, no second
+    // join — q90's digest pays a broadcast-hash probe; the bloom is a
+    // pure codegen predicate), exact semi join after. Output ≡ the
+    // plain semi join — that invariance IS the oracle; JoinsSpec
+    // re-checks it under an undersized sketch that forces false
+    // positives. Revenue as integer cents (the exact-sum device).
+    q("q379_bloom_semi_join",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{count, lit, round, sum}
+        Joins.bloomPrunedSemiJoin(
+            Tables.orders(s, d),
+            Tables.customer(s, d).filter(col("c_acctbal") < 0),
+            "o_custkey", "c_custkey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round(col("o_totalprice") * 100).cast("long"))
+              .as("revenue_cents"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // LEFT-OUTER stream-stream join parity (EventStreams
+    // .leftOuterPairsCensusViaStream): the watermark-evicted outer path
+    // run through the REAL engine — a view with no purchase in-window is
+    // null-emitted by state eviction in the trailing no-data batch —
+    // vs the batch LEFT JOIN oracle. Census restricted to views ≥ one
+    // guard hour older than the end-of-input eviction line, so
+    // membership is exact integer µs arithmetic and the engine's
+    // ms-quantized watermark edge can never decide a row (the q346
+    // keep-the-edge-out-of-the-oracle device; see the wrapper scaladoc).
+    q("q380_stream_left_outer_parity",
+      """WITH m AS (SELECT
+        |    max(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(ts) END) AS mv,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END) AS mp FROM events),
+        |b AS (SELECT CASE WHEN mv IS NULL OR mp IS NULL THEN NULL
+        |    ELSE (CASE WHEN mv < mp THEN mv ELSE mp END)
+        |      - 93600000000 END AS bound FROM m),
+        |v AS (SELECT user_id, epoch_us(ts) AS vt, value AS v1
+        |  FROM events, b WHERE event_type = 'view'
+        |    AND epoch_us(ts) <= b.bound),
+        |p AS (SELECT user_id AS uid2, epoch_us(ts) AS pt, value AS v2
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT user_id, pt,
+        |    CAST(round((v1 + v2) * 100) AS BIGINT) AS cents
+        |  FROM v LEFT JOIN p ON user_id = uid2 AND pt > vt
+        |    AND pt <= vt + 86400000000)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(pt) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN pt IS NOT NULL THEN cents END) AS BIGINT)
+        |    AS matched_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .leftOuterPairsCensusViaStream(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release the call's resident cache blocks (dead once the write
+      // completed — no query reads another's); at sf0.1 the full-surface
+      // dump otherwise accumulates corpus-sized persists (r18 ADVICE)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -61,7 +61,27 @@ object GraftFunctions {
     ("graft_hyperplane_sigs", classOf[HyperplaneSignatures].getName,
       c => HyperplaneSignatures(c(0), constMats(c(1)))),
     ("graft_nfc", classOf[NfcNormalize].getName,
-      c => NfcNormalize(c(0))))
+      c => NfcNormalize(c(0))),
+    // Spark's own runtime-filter bloom expressions, surfaced for MANUAL
+    // semi-join pruning (Joins.bloomPrunedSemiJoin): the optimizer's
+    // InjectRuntimeFilter builds exactly this pair internally but only
+    // fires under its own conf-bounded heuristics — registering the
+    // builders lets the library construct the same sketch/probe plan
+    // deliberately. Input convention matches the injector's: both sides
+    // pre-hashed with xxhash64 (the aggregate expects LongType).
+    ("graft_bloom_agg",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate].getName,
+      c => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(c(0), constLong(c(1)))),
+    ("graft_bloom_contains",
+      classOf[org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain].getName,
+      c => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(c(0), c(1))))
+
+  private def constLong(e: Expression): Long =
+    e.eval(null).asInstanceOf[Number].longValue
 
   private def constMats(e: Expression): Seq[Seq[Seq[Double]]] =
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -122,6 +142,25 @@ object GraftFunctions {
   /** Winnowed Rabin–Karp rolling fingerprints of a string column. */
   def rollingFingerprints(text: Column, k: Int, w: Int): Column =
     call_function("graft_rolling_fp", text, lit(k), lit(w))
+
+  /** Bloom-filter sketch aggregate over an xxhash64-hashed key column —
+    * Spark's BloomFilterAggregate (the runtime-filter injector's build
+    * expression), returning the serialized sketch as one binary value.
+    * Sketch size is derived from `estItems` by Spark's own sizing
+    * (capped by the engine's runtime-filter max-bits conf), so the
+    * driver-collected bytes are bounded regardless of build-side rows.
+    */
+  def bloomAgg(hashedKey: Column, estItems: Long): Column =
+    call_function("graft_bloom_agg", hashedKey, lit(estItems))
+
+  /** Membership probe against a bloom sketch built by [[bloomAgg]].
+    * The sketch argument must be FOLDABLE (a `lit(bytes)` literal) —
+    * BloomFilterMightContain rejects non-constant sketches by design,
+    * which is exactly what makes the probe a scan-level codegen
+    * predicate instead of a join.
+    */
+  def bloomContains(sketch: Column, hashedKey: Column): Column =
+    call_function("graft_bloom_contains", sketch, hashedKey)
 
   /** Codegen-STABLE 2-D nearest-centroid (see NearestCentroid2D): the
     * centroid arrays ride the codegen `references` array, so an iterative

@@ -958,6 +958,87 @@ object Dedup {
         col("requalify"))
   }
 
+  /** Compact an appended index (q377): every `neardupIndexAppend` adds
+    * one file per bucket, so k drops leave k+1 generations per bucket —
+    * the candidate join stays exchange-free but each bucket read fans
+    * over k+1 files (and their footers). Compaction rewrites the
+    * postings into a fresh single-generation table and SWAPS it in:
+    * write-new + rename, never read-and-overwrite in one plan (a
+    * writeBucketed back onto `indexTable` would DROP the table its own
+    * lazy lineage still has to read). Layout-only — contents, bucket
+    * spec, and the frozen census are untouched (rebuild-on-drift is
+    * staleness's job, not compaction's), so detection output is
+    * invariant by construction and q375's oracle applies verbatim.
+    *
+    * Scale shape: one bucket-local read + one bucketed write of the
+    * index volume — no wide shuffle (the read is already bucketed on
+    * the write's key). Run it on the q307 small-file economics: when
+    * per-bucket generation count × footer overhead outweighs one
+    * sequential rewrite.
+    */
+  def neardupIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          indexTable: String, buckets: Int = 8): Unit = {
+    val tmp = s"${indexTable}_compacting"
+    // repartition on the BUCKET-ID expression (pmod(hash, buckets) —
+    // `hash` IS the Murmur3 bucketBy uses), not on the key: a key-hash
+    // repartition looks equivalent, but AQE may coalesce the exchange
+    // and a merged task then spans several pmod classes — each write
+    // task emits one file per bucket it holds and "compaction"
+    // preserves the fragmentation (measured: 6 files → 6). Keying the
+    // exchange by the bucket id itself makes every bucket's rows one
+    // partition-key class, so they land in ONE task under any
+    // coalescing — exactly one file per non-empty bucket. One hash
+    // pass of the postings, no driver involvement.
+    Bucketing.writeBucketed(
+      spark.table(indexTable).repartition(buckets,
+        pmod(hash(col("item")), lit(buckets))),
+      tmp, "item", buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$indexTable`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$indexTable`")
+    ()
+  }
+
+  /** Staleness-DRIVEN detection (q378): wire the q376 rule to the
+    * maintenance action — consult `neardupIndexStaleness`, REBUILD the
+    * index under a fresh census when the drift bound is crossed (over
+    * the doc_ids the index actually contains), then detect. The
+    * detection table is invariant either way (losslessness holds under
+    * any shared total order — that is the point of the rule), so the
+    * exact all-pairs oracle pins the OUTPUT, and the `requalified`
+    * column — replicated from the same census arithmetic in the
+    * oracle — pins the ROUTING DECISION itself (the q366 device: the
+    * choice is driver-checked, not just the result).
+    *
+    * The staleness consult is a 1-row collect (bounded by
+    * construction); the rebuild, when it fires, costs one index build —
+    * exactly what the rule exists to amortize.
+    */
+  def jaccardAgainstIndexAuto(documents: DataFrame, newIds: DataFrame,
+                              indexTable: String, n: Int = 3,
+                              threshold: Double = 0.2,
+                              driftBoundPm: Long = 200L,
+                              buckets: Int = 8): DataFrame = {
+    val spark = documents.sparkSession
+    val row = neardupIndexStaleness(documents, indexTable, n,
+      driftBoundPm).select("requalify").collect().head
+    val stale = !row.isNullAt(0) && row.getBoolean(0)
+    if (stale) {
+      // the rebuild DROPS the table these ids come from: the id frame's
+      // lineage must be CUT before the drop, or a cache eviction would
+      // silently rescan a dropped table mid-build. localCheckpoint
+      // (eager) materializes the ids and severs the plan — an evicted
+      // block then fails fast instead of reading stale state. Bounded:
+      // one long per history doc, never the postings.
+      val hist = spark.table(indexTable).select("doc_id").distinct()
+        .localCheckpoint(true)
+      try neardupIndexBuild(documents, hist, indexTable, n, threshold,
+        buckets)
+      finally { hist.unpersist(blocking = false); () }
+    }
+    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold)
+      .withColumn("requalified", lit(stale))
+  }
+
   /** `jaccardAgainstHistoryPrefix` against a PERSISTED index (q374) —
     * build + detect composed from the lifecycle pieces above: the form
     * a production ingest actually deploys, where history postings are

@@ -314,4 +314,52 @@ object Joins {
     // not throw AMBIGUOUS_REFERENCE
     prefiltered.join(dim, prefiltered(factKey) === dim(dimKey), "left_semi")
   }
+
+  /** TRUE-Bloom pruned semi join — the sketch-literal sibling of
+    * [[prunedSemiJoin]] (q90). The dim keys are folded into ONE
+    * serialized BloomFilter via Spark's own runtime-filter aggregate
+    * (`BloomFilterAggregate`), the single binary row is collected to the
+    * driver (bounded by Spark's sketch sizing, ~1.5 MB at the default
+    * max-bits cap — the same bound `InjectRuntimeFilter` accepts for a
+    * broadcast), and inlined as a FOLDABLE literal into a
+    * `might_contain` predicate on the fact scan. That foldability is
+    * the point of the design: the probe is a pure scan-level codegen
+    * predicate — no broadcast exchange, no hash-relation build, no
+    * second join operator — where q90's digest still pays a
+    * broadcast-hash-join probe per fact row. False positives (the
+    * sketch's ~3% at default sizing) are removed by the exact semi join
+    * that follows, so the output is IDENTICAL to the plain semi join —
+    * the invariance the oracle checks, and JoinsSpec re-checks under a
+    * deliberately undersized sketch that forces a high FP rate.
+    *
+    * Spark's optimizer injects this same pair on its own only under
+    * `runtimeFilter.bloomFilter`'s conf-bounded heuristics (creation-
+    * side selectivity it can prove, size thresholds); the operator form
+    * is for the cases a pipeline KNOWS are selective — a curated id
+    * drop, a quarantine list, a sampled cohort — where at 100 TB the
+    * fact exchange avoided is terabytes and the sketch is constant-size
+    * regardless of |dim| (q90's digest grows with the distinct-bucket
+    * count; the bloom does not).
+    *
+    * Both sides hash the STRING form of the key (the q90 type-sensitivity
+    * guard: xxhash64 over int vs bigint disagrees on equal values).
+    */
+  def bloomPrunedSemiJoin(fact: DataFrame, dim: DataFrame,
+                          factKey: String, dimKey: String,
+                          estItems: Long = 1L << 22): DataFrame = {
+    require(estItems > 0, "estItems must be positive")
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    def hashOf(c: Column): Column = xxhash64(c.cast("string"))
+    // one row, one bounded binary — the driver-side collect is the same
+    // shape the engine's own runtime-filter broadcast pays
+    val sketch = dim
+      .select(graft.functions.GraftFunctions
+        .bloomAgg(hashOf(col(dimKey)), estItems).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val pruned =
+      if (sketch == null) fact.filter(lit(false)) // empty dim: no matches
+      else fact.filter(graft.functions.GraftFunctions
+        .bloomContains(lit(sketch), hashOf(col(factKey))))
+    pruned.join(dim, pruned(factKey) === dim(dimKey), "left_semi")
+  }
 }

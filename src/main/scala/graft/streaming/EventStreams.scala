@@ -180,6 +180,49 @@ object EventStreams {
         (col("v1") + col("v2")).as("combined_value"))
   }
 
+  /** LEFT-OUTER stream-stream join: every view pairs with the purchases
+    * that follow it within `window`, and a view with NO such purchase is
+    * emitted ONCE, null-extended, when the watermark passes
+    * `view_time + window` and its join state is evicted — the abandoned-
+    * view feed (view-without-purchase) computed inside the engine's
+    * state machinery rather than by a batch anti-join afterwards.
+    * Spark requires exactly what [[twoLegPairsStreaming]] already has:
+    * watermarks on BOTH sides plus a time-range conjunct, which is what
+    * makes the join state (and the outer-emission decision) bounded.
+    *
+    * The outer rows surface only AFTER the watermark moves: under
+    * `Trigger.AvailableNow` that is the trailing no-data micro-batch,
+    * and views younger than `window + delay` at end-of-input are still
+    * in state, unemitted, when the query stops — a CONSUMER of the
+    * outer feed must treat the tail as undecided. The census entry
+    * (q380) therefore restricts itself to views at least one guard
+    * interval older than that line, so membership is decided by exact
+    * integer µs arithmetic and the engine's ms-quantized watermark
+    * wobble lands entirely inside the excluded band — the q346 device
+    * of keeping the watermark edge out of the oracle's decision.
+    */
+  def viewPurchaseLeftOuter(events: DataFrame,
+                            firstType: String = "view",
+                            secondType: String = "purchase",
+                            window: String = "24 hours",
+                            delay: String = "1 hour"): DataFrame = {
+    val v = withEventTime(events.filter(col("event_type") === firstType))
+      .withWatermark("event_time", delay)
+      .select(col("user_id"), col("event_time").as("view_time"),
+        col("value").as("v1"))
+    val p = withEventTime(events.filter(col("event_type") === secondType))
+      .withWatermark("event_time", delay)
+      .select(col("user_id").as("uid2"), col("event_time").as("purchase_time"),
+        col("value").as("v2"))
+    v.join(p,
+      col("user_id") === col("uid2") &&
+      col("purchase_time") > col("view_time") &&
+      col("purchase_time") <= col("view_time") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("user_id"), col("view_time"), col("purchase_time"),
+        col("v1"), col("v2"))
+  }
+
   final case class TimedEvent(user_id: Long, ts: Long, event_type: String,
                               value: Double, event_time: java.sql.Timestamp)
   final case class SessionAcc(startUs: Long, lastUs: Long, n: Long,
@@ -617,6 +660,67 @@ object EventStreams {
       .agg(count(lit(1)).as("n_pairs"),
         sum(expr("cast(round(combined_value * 100) as long)"))
           .as("sum_cents"))
+      .orderBy("user_id")
+  }
+
+  /** The LEFT-OUTER stream-stream join executed through the real engine
+    * (q380): `viewPurchaseLeftOuter` over the file source under
+    * `Trigger.AvailableNow`, folded to a per-user census — join rows,
+    * matched rows, and the matched-value cents sum. The outer
+    * (null-extended) emissions come from STATE EVICTION in the trailing
+    * no-data micro-batch, so this entry pins the eviction machinery
+    * itself against a batch LEFT JOIN oracle, the way q345 pins the
+    * inner path.
+    *
+    * Census membership: only views with
+    * `view_us ≤ min(max view_us, max purchase_us) − (window + delay +
+    * 1h guard)` — the min because the global watermark is the MIN over
+    * the two per-side watermark nodes (each sits after its type filter
+    * and sees only its own type; see the bound computation below). For
+    * member views the watermark provably passed their eviction point a
+    * full hour before end-of-input, so every member has either matched
+    * or been null-emitted, and the engine's ms-quantized watermark edge
+    * cannot decide membership (it lands inside the guard band; integer
+    * µs arithmetic on both engines decides instead — the q346 device).
+    */
+  def leftOuterPairsCensusViaStream(spark: SparkSession, dir: String,
+      queryName: String = "q380_stream_louter"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    withShufflePartitions(spark, 8) {
+      val sq = viewPurchaseLeftOuter(readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    // Guard-band bound from the BATCH table (same files): exact integer
+    // µs, no watermark value in the census arithmetic. The bound anchors
+    // on MIN(max view ts, max purchase ts), not the global max: each
+    // side's watermark node sits AFTER its type filter and tracks only
+    // its own type's max event time, so the query's global watermark is
+    // the MIN over the two sides — a trailing purchase-only (or
+    // view-only) stretch of the fixture advances one side's clock and
+    // not the other's, and a global-max bound would count views the
+    // engine provably has NOT evicted yet.
+    val tm = graft.Tables.events(spark, dir)
+      .agg(
+        max(when(col("event_type") === "view", expr("ts div 1000")))
+          .as("mv"),
+        max(when(col("event_type") === "purchase", expr("ts div 1000")))
+          .as("mp"))
+      .head
+    val boundUs =
+      if (tm.isNullAt(0) || tm.isNullAt(1)) Long.MinValue
+      else math.min(tm.getLong(0), tm.getLong(1)) -
+        26L * 3600L * 1000000L // 24h window + 1h delay + 1h guard
+    spark.table(queryName)
+      .filter(unix_micros(col("view_time")) <= boundUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("purchase_time")).as("n_matched"),
+        sum(when(col("purchase_time").isNotNull,
+          expr("cast(round((v1 + v2) * 100) as long)"))).as("matched_cents"))
       .orderBy("user_id")
   }
 

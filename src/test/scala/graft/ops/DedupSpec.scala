@@ -808,6 +808,71 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), plan.take(1500))
   }
 
+  test("neardupIndexCompact: file generations collapse, detection " +
+      "output invariant (layout-only)") {
+    val d = docs(
+      "a b c d e f g h", "a b c d e f g x", "p q r s t u v w",
+      "m n o j k l i z", "p q r s t u v y", "p q r s t u v k",
+      "f g h a b c d e")
+    Dedup.neardupIndexBuild(d, Seq(4L, 5L).toDF("doc_id"),
+      "spec_compact_index", n = 3, threshold = 0.2, buckets = 4)
+    Dedup.neardupIndexAppend(d, Seq(6L).toDF("doc_id"),
+      "spec_compact_index", n = 3, threshold = 0.2, buckets = 4)
+    val newIds = Seq(0L, 1L, 2L, 3L).toDF("doc_id")
+    val before = Dedup.jaccardAgainstIndex(d, newIds,
+        "spec_compact_index", n = 3, threshold = 0.2)
+      .collect().map(_.toSeq).toSeq
+    def dataFiles(): Int = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier("spec_compact_index")).location
+      new java.io.File(loc.getPath).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    val genFiles = dataFiles()
+    Dedup.neardupIndexCompact(spark, "spec_compact_index", buckets = 4)
+    val compacted = dataFiles()
+    // two write generations collapse to one: at most one file per
+    // bucket afterwards, strictly fewer files than before
+    assert(compacted < genFiles, s"$compacted vs $genFiles")
+    assert(compacted <= 4, s"$compacted files for 4 buckets")
+    val after = Dedup.jaccardAgainstIndex(d, newIds,
+        "spec_compact_index", n = 3, threshold = 0.2)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("jaccardAgainstIndexAuto: the drift rule routes — fresh index " +
+      "detects WITHOUT a rebuild, drifted index rebuilds the frozen " +
+      "census, output exact either way") {
+    val d = Seq((10L, "a b"), (11L, "a c"), (12L, "a b d"),
+      (13L, "a b e")).toDF("doc_id", "text")
+    def frozenDf() = spark.table("spec_auto_index_df")
+      .as[(String, Long)].collect().toMap
+    // fresh build over {10,11}: drift 0 → no rebuild, requalified=false
+    Dedup.neardupIndexBuild(d, Seq(10L, 11L).toDF("doc_id"),
+      "spec_auto_index", n = 1, threshold = 0.2, buckets = 2)
+    val fresh = Dedup.jaccardAgainstIndexAuto(d, Seq(12L).toDF("doc_id"),
+        "spec_auto_index", n = 1, threshold = 0.2)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // 12="a b d" vs 10="a b": 2/3; vs 11="a c": 1/4
+    assert(fresh == Seq((12L, 10L, 0.6667, false), (12L, 11L, 0.25, false)))
+    assert(frozenDf() == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    // append {12} → hand drift 750‰ > 200‰ → the detect call REBUILDS:
+    // the frozen census must now equal the current df of {10,11,12}
+    Dedup.neardupIndexAppend(d, Seq(12L).toDF("doc_id"),
+      "spec_auto_index", n = 1, threshold = 0.2, buckets = 2)
+    val auto = Dedup.jaccardAgainstIndexAuto(d, Seq(13L).toDF("doc_id"),
+        "spec_auto_index", n = 1, threshold = 0.2)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    // 13="a b e" vs 10="a b": 2/3; vs 11="a c": 1/4; vs 12="a b d": 2/4
+    assert(auto == Seq((13L, 10L, 0.6667, true), (13L, 11L, 0.25, true),
+      (13L, 12L, 0.5, true)))
+    assert(frozenDf() ==
+      Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L))
+  }
+
   test("neardupIndexStaleness: hand-computed census drift, and zero " +
       "drift right after a build") {
     // n=1 shingles for hand arithmetic: hist {10:"a b", 11:"a c"} →

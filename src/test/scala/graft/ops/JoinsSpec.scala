@@ -229,6 +229,53 @@ class JoinsSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
   }
 
+  test("bloomPrunedSemiJoin equals the plain semi join, even with a " +
+      "deliberately undersized sketch forcing false positives") {
+    val rnd = new scala.util.Random(11)
+    val fact = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      .toDF("row_id", "k")
+    val dim = Seq(3L, 17L, 42L, 99L).toDF("dk")
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    // estItems=1 undersizes the sketch so the probe passes spurious
+    // keys — the exact stage must remove every one of them
+    for (est <- Seq(1L, 1L << 20)) {
+      val got = Joins.bloomPrunedSemiJoin(fact, dim, "k", "dk", est)
+        .select("row_id").as[Long].collect().toSet
+      assert(got == plain, s"estItems=$est")
+    }
+    assert(plain.nonEmpty && plain.size < 500)
+    // empty dim: no matches, and no NPE from a null sketch
+    val none = Joins.bloomPrunedSemiJoin(fact, dim.filter($"dk" < 0),
+      "k", "dk").count()
+    assert(none == 0)
+  }
+
+  test("bloomPrunedSemiJoin: mixed key types exact; probe is a scan " +
+      "filter, not a second join") {
+    // int fact key vs long dim key: both sides hash the STRING form
+    val fact = (0 until 50).map(i => (i.toLong, i % 10)).toDF("row_id", "k")
+    val dim = Seq(3L, 7L).toDF("dk")
+    val got = Joins.bloomPrunedSemiJoin(fact, dim, "k", "dk")
+      .select("row_id").as[Long].collect().toSet
+    val plain = fact.join(dim, $"k" === $"dk", "left_semi")
+      .select("row_id").as[Long].collect().toSet
+    assert(got == plain && plain.size == 10)
+    // plan law: exactly ONE join operator — the bloom probe is a
+    // might_contain Filter on the fact side, not a broadcast join.
+    // Range-based fact, not a local Seq: ConvertToLocalRelation would
+    // evaluate a Filter over LocalRelation away at optimization time
+    // and the assertion would read a plan with no filter to find.
+    val factR = spark.range(0, 50)
+      .select($"id".as("row_id"), ($"id" % 10).as("k"))
+    val plan = Joins.bloomPrunedSemiJoin(factR, dim, "k", "dk")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1200))
+    val joins = "(?i)(broadcasthashjoin|sortmergejoin|shuffledhashjoin)"
+      .r.findAllIn(plan).length
+    assert(joins == 1, s"$joins join operators:\n${plan.take(1200)}")
+  }
+
   test("fuzzyMatch: length blocking is lossless, incl. position-0 edits") {
     val left = Seq("kat", "dog", "zebra", "dogs").toDF("k")
     val right = Seq("cat", "dog", "cog", "horse").toDF("s")

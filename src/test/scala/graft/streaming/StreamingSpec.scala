@@ -257,6 +257,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("left-outer stream-stream join: unmatched views null-emit exactly " +
+      "once on watermark eviction; matched views never null-emit") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.viewPurchaseLeftOuter(in.toDF(),
+        window = "24 hours", delay = "1 hour")
+      .writeStream.format("memory").queryName("louter")
+      .outputMode("append").start()
+    withQuery(q) {
+      in.addData(
+        ev(1, 10 * H, "view", 1.0), ev(1, 12 * H, "purchase", 2.0),
+        ev(2, 10 * H, "view", 5.0)) // never purchases
+      q.processAllAvailable()
+      // inner match emits immediately; user 2's outer row is HELD — the
+      // watermark (12h − 1h) has not passed its eviction point (10h+24h)
+      val early = spark.table("louter")
+        .select($"user_id", $"purchase_time".isNotNull)
+        .as[(Long, Boolean)].collect().toSeq
+      assert(early == Seq((1L, true)), early.toString)
+      // advance the watermark past 34h → user 2's state evicts and the
+      // null-extended row emits; user 1's matched view must NOT.
+      // BOTH sides must advance: the global watermark is the MIN over
+      // the per-side watermark nodes (each sits after its type filter),
+      // so a purchase alone would leave the view-side clock at 10h and
+      // evict nothing. Eviction emits ride the batch AFTER the one that
+      // moved the watermark, so drive one more micro-batch past it.
+      in.addData(ev(3, 36 * H, "purchase", 9.0), ev(4, 36 * H, "view", 0.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 36 * H + 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val out = spark.table("louter")
+        .select($"user_id", $"purchase_time".isNotNull, $"v1", $"v2")
+        .as[(Long, Boolean, Double, Option[Double])].collect().toSeq
+        .sortBy(_._1)
+      assert(out == Seq((1L, true, 1.0, Some(2.0)),
+        (2L, false, 5.0, None)), out.toString)
+    }
+  }
+
   test("late admitted events never move session bounds backward") {
     implicit val ctx = spark.sqlContext
     val M = 60L * 1000000000L
