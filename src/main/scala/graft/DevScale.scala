@@ -969,7 +969,13 @@ object DevScale {
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
           -> "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB")
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+        // broadcast off (the SkewSpec conf set): supplier fits any
+        // broadcast threshold at fixture scale, and a broadcast join
+        // has no shuffle to split — the census would read 0 splits
+        // while measuring nothing
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
       val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       try {
         confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -982,7 +988,21 @@ object DevScale {
             case a: AdaptiveSparkPlanExec => a.executedPlan
             case p => p
           }
-          val splits = fp.collect { case r: AQEShuffleReadExec =>
+          // plain TreeNode.collect stops at query-stage boundaries: a
+          // QueryStageExec (incl. Spark 4's ResultQueryStageExec
+          // wrapping the whole final plan) holds its subtree in a
+          // `plan` FIELD, not a child — walk through them explicitly
+          def walk(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+            val through = p match {
+              case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => Seq(q.plan)
+              case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+              case _ => Seq.empty
+            }
+            p +: (p.children ++ through).flatMap(walk)
+          }
+          val splits = walk(fp).collect { case r: AQEShuffleReadExec =>
             r.partitionSpecs.count {
               case _: PartialReducerPartitionSpec => true
               case _ => false
