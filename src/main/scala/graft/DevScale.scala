@@ -803,7 +803,21 @@ object DevScale {
       // stream-stream join end to end — join state, eviction, and the
       // null-emission no-data batch all grow with the event volume
       "q379_bloom" -> SparkEntry.queries("q379_bloom_semi_join"),
-      "q380_louter" -> SparkEntry.queries("q380_stream_left_outer_parity"))
+      "q380_louter" -> SparkEntry.queries("q380_stream_left_outer_parity"),
+      // the IVF index lifecycle (vector twin of q375/q378): q381 prices
+      // build (k-means fit + farthest init scans + partitioned write) +
+      // frozen-centroid append + pruned probe as the embedding corpus
+      // grows F× (queries fixed → output constant); q383 adds the
+      // staleness consult + triggered REFIT — the worst-case vector
+      // maintenance path
+      "q381_ivflife" -> SparkEntry.queries("q381_ann_index_lifecycle"),
+      "q383_ivfauto" -> SparkEntry.queries("q383_ann_index_auto"),
+      // q384 = q381 + the layout-only partitioned rewrite + MSCK sync —
+      // the increment prices compaction of the index volume; q385 runs
+      // the v2 (transformWithState/RocksDB) sessionizer end to end,
+      // directly comparable to q346's rung on the v1 machinery
+      "q384_ivfcompact" -> SparkEntry.queries("q384_ann_index_compact"),
+      "q385_tws" -> SparkEntry.queries("q385_stream_tws_session_parity"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

@@ -10599,7 +10599,182 @@ object SparkEntry {
         |    AS matched_cents
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => graft.streaming.EventStreams
-        .leftOuterPairsCensusViaStream(s, d)))
+        .leftOuterPairsCensusViaStream(s, d)),
+
+    // Persisted IVF index LIFECYCLE (Similarity.ivfIndexBuild/Append +
+    // annAgainstIvfIndex) — the vector twin of q375: quantizer fit on
+    // history and FROZEN (centroids + census persisted as tables),
+    // assignments LIST-PARTITIONED (directory per list — the probe reads
+    // nprobe/nlist of the index, the q347 pruning economics), a drop
+    // appended under the frozen centroids (no refit, no history
+    // re-shuffle), then ANN of held-out queries. Exactness = the q62
+    // clustered-regime contract: every true neighbor sits in a probed
+    // list by construction, so the EXACT top-k oracle over the indexed
+    // set pins build, append, probe, and rerank end to end — one lost
+    // neighbor is a driver hash mismatch.
+    q("q381_ann_index_lifecycle",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 3 = 2 AND vec_id < 30),
+        |c AS (SELECT * FROM e WHERE vec_id % 3 <> 2)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN c ON true) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        def res(r: Int) =
+          e.filter(col("vec_id") % 3 === r).select("vec_id")
+        Similarity.ivfIndexBuild(e, res(0), "q381_ivf_index")
+        Similarity.ivfIndexAppend(e, res(1), "q381_ivf_index")
+        Similarity.annAgainstIvfIndex(e,
+          e.filter(col("vec_id") % 3 === 2 && col("vec_id") < 30)
+            .select("vec_id"),
+          "q381_ivf_index", k = 5, nprobe = 2)
+      }),
+
+    // IVF quantizer staleness (Similarity.ivfIndexStaleness): indexed
+    // count NOW vs the count FROZEN at build as integer permille growth
+    // — the refit-when-grown rule a production vector store runs, in
+    // pure count arithmetic so the oracle replicates the decision
+    // exactly (the q376 shape with growth in place of census drift).
+    // The fixture appends ~half the history again → ~500‰ > 200‰.
+    q("q382_ann_index_staleness",
+      """WITH n AS (SELECT
+        |    count(CASE WHEN vec_id % 3 = 0 THEN 1 END) AS n_frozen,
+        |    count(CASE WHEN vec_id % 3 <> 2 THEN 1 END) AS n_now
+        |  FROM embeddings)
+        |SELECT CAST(n_frozen AS BIGINT) AS n_frozen,
+        |  CAST(n_now AS BIGINT) AS n_now,
+        |  CAST((n_now - n_frozen) * 1000 // n_frozen AS BIGINT)
+        |    AS growth_pm,
+        |  (n_now - n_frozen) * 1000 // n_frozen > 200 AS requalify
+        |FROM n ORDER BY n_frozen""".stripMargin)(
+      (s, d) => {
+        val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        def res(r: Int) =
+          e.filter(col("vec_id") % 3 === r).select("vec_id")
+        Similarity.ivfIndexBuild(e, res(0), "q382_ivf_index")
+        Similarity.ivfIndexAppend(e, res(1), "q382_ivf_index")
+        Similarity.ivfIndexStaleness(s, "q382_ivf_index")
+      }),
+
+    // Growth-DRIVEN auto-requalify (Similarity.annAgainstIvfIndexAuto,
+    // the q378 device on the vector index): two appended drops push
+    // growth past 200‰, the ANN call consults staleness, REFITS the
+    // quantizer over the ids the index contains, then queries. Output is
+    // invariant either way (the q62 exact contract holds under frozen or
+    // refit quantizer), so the exact oracle pins the result while
+    // `requalified` — the same count arithmetic in SQL — pins the
+    // routing decision itself.
+    q("q383_ann_index_auto",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |r AS (SELECT
+        |    (count(CASE WHEN vec_id % 5 IN (0, 1, 2) THEN 1 END)
+        |     - count(CASE WHEN vec_id % 5 = 0 THEN 1 END)) * 1000
+        |    // count(CASE WHEN vec_id % 5 = 0 THEN 1 END) > 200
+        |    AS requalified FROM e),
+        |q AS (SELECT * FROM e WHERE vec_id % 5 = 4 AND vec_id < 40),
+        |c AS (SELECT * FROM e WHERE vec_id % 5 IN (0, 1, 2))
+        |SELECT q_id, rank, n_id, r.requalified FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN c ON true) t, r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        // residues mod 5, NOT mod 4: the split modulus must be COPRIME
+        // with the 8 clusters — under %4 the clusters ≡3 (mod 8) land
+        // ENTIRELY in the query residue, so their queries' true
+        // neighbors are cross-cluster and no probe budget finds them
+        // (caught by this entry's own multi-scale gate)
+        val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        def res(r: Int) =
+          e.filter(col("vec_id") % 5 === r).select("vec_id")
+        Similarity.ivfIndexBuild(e, res(0), "q383_ivf_index")
+        Similarity.ivfIndexAppend(e, res(1), "q383_ivf_index")
+        Similarity.ivfIndexAppend(e, res(2), "q383_ivf_index")
+        Similarity.annAgainstIvfIndexAuto(e,
+          e.filter(col("vec_id") % 5 === 4 && col("vec_id") < 40)
+            .select("vec_id"),
+          "q383_ivf_index", k = 5, nprobe = 2)
+      }),
+
+    // IVF index COMPACTION (Similarity.ivfIndexCompact): k appends leave
+    // k+1 file generations per list directory; compaction rewrites the
+    // assignments single-generation via write-new + RENAME (the q377
+    // device) — layout-only, centroids/census untouched, retrieval
+    // invariant bit for bit (the oracle IS q381's); SimilaritySpec pins
+    // the file-count collapse itself.
+    q("q384_ann_index_compact",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      (x, i) -> x + CASE WHEN i - 1 = vec_id % 8 THEN 3.0
+        |                         ELSE 0.0 END) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id % 3 = 2 AND vec_id < 30),
+        |c AS (SELECT * FROM e WHERE vec_id % 3 <> 2)
+        |SELECT q_id, rank, n_id FROM (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id)
+        |      AS INTEGER) AS rank
+        |  FROM q JOIN c ON true) t
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)(
+      (s, d) => {
+        val e = Similarity.clusteredEmbeddings(Tables.embeddings(s, d))
+        def res(r: Int) =
+          e.filter(col("vec_id") % 3 === r).select("vec_id")
+        Similarity.ivfIndexBuild(e, res(0), "q384_ivf_index")
+        Similarity.ivfIndexAppend(e, res(1), "q384_ivf_index")
+        Similarity.ivfIndexCompact(s, "q384_ivf_index")
+        Similarity.annAgainstIvfIndex(e,
+          e.filter(col("vec_id") % 3 === 2 && col("vec_id") < 30)
+            .select("vec_id"),
+          "q384_ivf_index", k = 5, nprobe = 2)
+      }),
+
+    // transformWithState sessionizer parity (EventStreams
+    // .closedSessionCensusViaStreamV2): the q346 state machine ported to
+    // Spark 4's arbitrary-state API v2 (StatefulProcessor: named
+    // ValueState + registered event-time timers, RocksDB provider as the
+    // v2 layout requires) and pinned bit for bit against q346's ORACLE
+    // VERBATIM — the api-migration invariance a production pipeline
+    // needs before moving custom-state code to the new API.
+    q("q385_stream_tws_session_parity",
+      """WITH q AS (SELECT user_id, event_id, epoch_us(ts) AS qts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, qts,
+        |    CASE WHEN qts - lag(qts) OVER (PARTITION BY user_id
+        |        ORDER BY qts, event_id) < 1800000000
+        |      THEN 0 ELSE 1 END AS brk
+        |  FROM q),
+        |w AS (SELECT user_id, qts, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY qts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |g AS (SELECT user_id, sess, count(*) AS n, min(qts) AS st,
+        |    max(qts) AS en FROM w GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(sess) AS last_sess FROM g GROUP BY 1)
+        |SELECT g.user_id,
+        |  CAST(count(*) AS BIGINT) AS n_sessions_closed,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(en - st) AS BIGINT) AS dur_us
+        |FROM g JOIN m ON g.user_id = m.user_id AND g.sess < m.last_sess
+        |GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams
+        .closedSessionCensusViaStreamV2(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -40,6 +40,44 @@ object KMeansVec {
     }.toSeq
   }
 
+  /** Greedy farthest-point (k-center) init: the seeded-sample row
+    * first, then k−1 rounds each taking the corpus point with the
+    * LARGEST min-squared-distance to the chosen set (ties on id — fully
+    * deterministic, independent of partitioning). On data with real
+    * cluster structure this seeds every cluster before revisiting any —
+    * the property the hash-sample init only has by seed luck (k samples
+    * over k clusters collide with birthday probability ≈ 1, and a
+    * collided init can leave Lloyd converged on split/merged lists):
+    * the coarse-quantizer regime where pruned-probe EXACTNESS contracts
+    * must hold at every scale, not at the scales the seed happened to
+    * win. Cost: k driver-side scans (k = coarse nlist, small by
+    * construction). Caveat: on noisy corpora farthest-point seeds
+    * outliers — use for quantizer fits over deduped/structured vectors,
+    * keep the sample init for exploratory clustering.
+    */
+  def initFarthest(vectors: DataFrame, idCol: String, vecCol: String,
+                   k: Int, seed: Long): Seq[VecCentroid] = {
+    val first = vectors
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(1).collect()
+    require(first.nonEmpty, "k-means needs a non-empty vector corpus")
+    var chosen = Vector(
+      VecCentroid(0, first(0).getSeq[Double](1).toArray))
+    while (chosen.size < k) {
+      // least() rejects a single argument — reduce instead
+      val minD = distCols(col(vecCol), chosen)
+        .reduce((a, b) => when(a < b, a).otherwise(b))
+      val far = vectors
+        .select(col(idCol), col(vecCol), minD.as("__d"))
+        .orderBy(col("__d").desc, col(idCol))
+        .limit(1).collect()(0)
+      chosen = chosen :+
+        VecCentroid(chosen.size, far.getSeq[Double](1).toArray)
+    }
+    chosen
+  }
+
   private def litVec(v: Array[Double]): Column = array(v.map(lit(_)): _*)
 
   /** Squared distances to every centroid, in idx order (codegen'd dot
@@ -108,8 +146,11 @@ object KMeansVec {
     */
   def fit(vectors: DataFrame, vecCol: String, k: Int, seed: Long,
           maxIter: Int = 10, tol: Double = 1e-4,
-          idCol: String = "vec_id"): KMeansVecResult = {
-    var cs = initFromSample(vectors, idCol, vecCol, k, seed)
+          idCol: String = "vec_id",
+          farthestInit: Boolean = false): KMeansVecResult = {
+    var cs =
+      if (farthestInit) initFarthest(vectors, idCol, vecCol, k, seed)
+      else initFromSample(vectors, idCol, vecCol, k, seed)
     var iter = 0
     var done = false
     while (iter < maxIter && !done) {

@@ -26,26 +26,60 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, sorted: Boolean = true): Unit = {
-    val spark = df.sparkSession
-    // a REGISTERED managed table's directory is removed by DROP itself;
-    // the manual sweep below only has to handle the ORPHAN case — a
-    // directory left by a previous JVM whose in-memory catalog is gone —
-    // whose default managed path is warehouse/<lowercased name> (the
-    // metastore lowercases identifiers, so a mixed-case `table` must not
-    // be used verbatim). Deletion goes through the Hadoop FileSystem
-    // API: correct for non-local warehouses and free of the
-    // listFiles()==null mid-walk NPE a raw java.io recursion risks.
+    dropManaged(df.sparkSession, table)
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** DROP `table` and sweep its orphaned managed location — shared by
+    * every managed-table writer here. A REGISTERED managed table's
+    * directory is removed by DROP itself; the manual sweep only has to
+    * handle the ORPHAN case — a directory left by a previous JVM whose
+    * in-memory catalog is gone — whose default managed path is
+    * warehouse/<lowercased name> (the metastore lowercases identifiers,
+    * so a mixed-case `table` must not be used verbatim). Spark refuses
+    * to create a managed table over an orphaned location
+    * (LOCATION_ALREADY_EXISTS), so without the sweep the SECOND run of
+    * any table-writing query in a new JVM fails. Deletion goes through
+    * the Hadoop FileSystem API: correct for non-local warehouses and
+    * free of the listFiles()==null mid-walk NPE a raw java.io recursion
+    * risks.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
     val orphan = new org.apache.hadoop.fs.Path(warehouse,
       table.toLowerCase(java.util.Locale.ROOT))
     val fs = orphan.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(orphan)) { fs.delete(orphan, true); () }
-    val w = df.write.mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-    (if (sorted) w.sortBy(key) else w)
+  }
+
+  /** Write `df` as a VALUE-PARTITIONED managed table (`partitionBy(key)`
+    * directory-per-value layout) — the scan-pruning twin of bucketing:
+    * where a bucketed table removes the JOIN's exchange, a partitioned
+    * table removes the SCAN — a reader filtering (or DPP-joining, the
+    * q347 machinery) on `key` touches only the matching directories.
+    * The right layout for list-keyed index tables probed on a small set
+    * of keys per query (IVF lists: nprobe of nlist directories read).
+    */
+  def writePartitioned(df: DataFrame, table: String, key: String): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
+
+  /** Write a SMALL (driver-bounded) frame as a plain managed table —
+    * model state (centroids, censuses) persisted next to the index it
+    * describes. Same drop-and-sweep semantics as the other writers.
+    */
+  def writeSmall(df: DataFrame, table: String): Unit = {
+    dropManaged(df.sparkSession, table)
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
   }
 
   /** Join two bucketed tables on their bucket key. When both tables are

@@ -1565,4 +1565,231 @@ object Similarity {
           .otherwise(0L)).as("n_sign_flips"))
       .orderBy("dim")
   }
+
+  // ------------------------------------------------------------------ //
+  //  Persisted IVF index LIFECYCLE (q381–q383) — the vector twin of the
+  //  near-dup index lifecycle (Dedup.neardupIndex*, q375–q378): build
+  //  once, append drops under the FROZEN quantizer, count-based
+  //  staleness, rebuild wired to the rule.
+  // ------------------------------------------------------------------ //
+
+  /** Frozen centroids of a persisted IVF index — a bounded collect
+    * (nlist rows of model state, never data).
+    */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexTable: String)
+      : Seq[graft.ml.VecCentroid] =
+    spark.table(s"${indexTable}_centroids")
+      .orderBy("idx").collect().toSeq
+      .map(r => graft.ml.VecCentroid(r.getInt(0),
+        r.getSeq[Double](1).toArray))
+
+  /** Build (or destructively REBUILD) a persisted IVF index over
+    * `histIds`: fit the coarse quantizer on the history vectors, FREEZE
+    * it as `<indexTable>_centroids` (nlist rows of model state) plus a
+    * 1-row `<indexTable>_census` (indexed count at build), and write the
+    * (list, n_id, n_emb) assignments as a LIST-PARTITIONED managed table
+    * — directory per list, so a query probing nprobe of nlist lists
+    * reads nprobe/nlist of the index from disk (the q347 pruning
+    * economics applied to vector search; bucketing would co-locate a
+    * join, but the probe side is a broadcast — the scan is what an
+    * IVF layout must prune). The once-per-corpus k-means + shuffle;
+    * every drop afterwards pays only its own volume (`ivfIndexAppend`).
+    *
+    * DESTRUCTIVE on `indexTable`/`_centroids`/`_census` — pass a name
+    * this run owns exclusively (the q374 lesson, per r18 ADVICE).
+    */
+  def ivfIndexBuild(embeddings: DataFrame, histIds: DataFrame,
+                    indexTable: String, nlist: Int = 8, seed: Long = 42L,
+                    trainIter: Int = 10): Unit = {
+    import graft.ml.KMeansVec
+    require(indexTable.nonEmpty, "indexTable must be explicit")
+    require(nlist >= 1, "nlist must be >= 1")
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val hist = embeddings
+      .join(histIds.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+    val cached = hist.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = cached.count()
+      require(n > 0, "cannot build an IVF index over an empty history")
+      // farthest-point init (see KMeansVec.initFarthest): the pruned-
+      // probe exactness contract must hold at EVERY scale, and a
+      // hash-sample init recovers the cluster structure only by seed
+      // luck — a collided init leaves Lloyd converged on split/merged
+      // lists and nprobe-bounded queries silently lose true neighbors
+      // (caught by the q383 multi-scale gate before this was switched)
+      val model = KMeansVec.fit(cached, "n_emb", nlist, seed,
+        maxIter = trainIter, idCol = "n_id", farthestInit = true)
+      val cs = model.centroids.sortBy(_.idx)
+      val sess = spark
+      import sess.implicits._
+      Bucketing.writeSmall(
+        cs.map(c => (c.idx, c.vec.toSeq)).toDF("idx", "vec"),
+        s"${indexTable}_centroids")
+      Bucketing.writeSmall(Seq(n).toDF("n_frozen"),
+        s"${indexTable}_census")
+      Bucketing.writePartitioned(
+        KMeansVec.assign(cached, "n_emb", cs)
+          .select(col("cidx").cast("int").as("list"),
+            col("n_id"), col("n_emb")),
+        indexTable, "list")
+    } finally { cached.unpersist(blocking = false); () }
+  }
+
+  /** Append a committed drop's vectors to an existing IVF index — the
+    * drop-proportional maintenance operation: assign under the FROZEN
+    * centroids (a bounded model-state collect, no re-fit, no history
+    * re-shuffle) and append one file set into the matching list
+    * directories. The frozen quantizer itself is untouched — staleness
+    * (below) tells the owner when accumulated growth warrants a refit.
+    */
+  def ivfIndexAppend(embeddings: DataFrame, dropIds: DataFrame,
+                     indexTable: String): Unit = {
+    import graft.ml.KMeansVec
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val cs = loadCentroids(spark, indexTable)
+    val drop = embeddings
+      .join(dropIds.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("n_id"),
+        asDouble(col("embedding")).as("n_emb"))
+    KMeansVec.assign(drop, "n_emb", cs)
+      .select(col("cidx").cast("int").as("list"),
+        col("n_id"), col("n_emb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("list")
+      .format("parquet").saveAsTable(indexTable)
+  }
+
+  /** ANN of `queryIds` vectors against everything IN the index (original
+    * history + every appended drop): probe the `nprobe` nearest frozen
+    * centroids per query, exact-rerank the probed lists' vectors by
+    * cosine, top-k. Exactness contract = q62's (the clustered regime:
+    * every true neighbor sits in a probed list by construction, so the
+    * exact top-k oracle applies verbatim and one lost neighbor is a
+    * driver hash mismatch).
+    *
+    * Scale shape: probes are |queries|·nprobe rows BROADCAST; the index
+    * side streams only the probed list DIRECTORIES (the partitioned
+    * layout's point — nprobe/nlist of the index read, no exchange);
+    * rerank is a per-query top-k window over candidates.
+    */
+  def annAgainstIvfIndex(embeddings: DataFrame, queryIds: DataFrame,
+                         indexTable: String, k: Int = 5,
+                         nprobe: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    GraftFunctions.register(spark)
+    val cs = loadCentroids(spark, indexTable)
+    val queries = embeddings
+      .join(queryIds.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("q_id"),
+        asDouble(col("embedding")).as("q_emb"))
+    val probes = broadcast(queries
+      .withColumn("cell",
+        explode(GraftFunctions.topKVecCentroids(col("q_emb"),
+          cs.map(_.idx), cs.map(_.vec), nprobe)))
+      .select(col("q_id"), col("q_emb"), col("cell").cast("int").as("list")))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
+    probes.join(spark.table(indexTable), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Compact an appended IVF index (q384): every `ivfIndexAppend` adds
+    * one file set into the list directories, so k drops leave k+1 file
+    * generations per list — the probe stays directory-pruned but each
+    * probed list fans over k+1 files (and their footers). Compaction
+    * rewrites the assignments single-generation and SWAPS the table in:
+    * write-new + RENAME, never read-and-overwrite in one plan (the q377
+    * device — a writePartitioned back onto `indexTable` would DROP the
+    * table its own lazy lineage still reads). Layout-only: contents,
+    * partition spec, frozen centroids, and census are untouched, so
+    * retrieval is invariant by construction and q381's oracle applies
+    * verbatim.
+    *
+    * Scale shape: one read + one partitioned write of the index volume,
+    * repartitioned on the list key so each list lands in one task —
+    * run it on the q307 small-file economics, exactly like the near-dup
+    * index's compaction.
+    */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      indexTable: String): Unit = {
+    val tmp = s"${indexTable}_compacting"
+    Bucketing.writePartitioned(
+      spark.table(indexTable).repartition(col("list")),
+      tmp, "list")
+    spark.sql(s"DROP TABLE IF EXISTS `$indexTable`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$indexTable`")
+    // a managed RENAME moves the table DIRECTORY but the catalog's
+    // per-partition locations still point at the old path — without the
+    // sync the renamed table scans as EMPTY (caught by SimilaritySpec's
+    // invariance law); SYNC re-derives every partition from the moved
+    // directories and drops the stale entries
+    spark.sql(s"MSCK REPAIR TABLE `$indexTable` SYNC PARTITIONS")
+    ()
+  }
+
+  /** Staleness report for a frozen IVF quantizer: indexed count NOW vs
+    * the count FROZEN at build, as integer permille growth —
+    * `(n_now − n_frozen)·1000 div n_frozen` — with `requalify` flipping
+    * past `growthBoundPm`. The rule a production vector store actually
+    * runs (refit when the index has grown past a fraction of its
+    * training set): pure COUNT arithmetic, so unlike a centroid-drift
+    * metric it is exactly replicable in the oracle — the q376 shape
+    * with growth in place of census drift. Retrieval exactness (the q62
+    * contract) never depends on it; the rule guards quantizer QUALITY
+    * (lists drifting unbalanced as the corpus grows).
+    */
+  def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession,
+                        indexTable: String,
+                        growthBoundPm: Long = 200L): DataFrame =
+    spark.table(s"${indexTable}_census")
+      .crossJoin(
+        spark.table(indexTable).agg(count(lit(1)).as("n_now")))
+      .select(col("n_frozen"), col("n_now"),
+        expr("(n_now - n_frozen) * 1000 div n_frozen").as("growth_pm"),
+        (expr("(n_now - n_frozen) * 1000 div n_frozen")
+          > lit(growthBoundPm)).as("requalify"))
+
+  /** Staleness-DRIVEN ANN (the q378 device on the vector index): consult
+    * `ivfIndexStaleness`, REBUILD — refit the quantizer over the ids the
+    * index actually contains — when growth crossed the bound, then
+    * query. The retrieval table is invariant either way (the q62 exact
+    * contract holds under any quantizer that keeps true neighbors in
+    * probed lists — frozen or refit), so the exact oracle pins the
+    * OUTPUT while the `requalified` column — the same count arithmetic
+    * replicated in SQL — pins the ROUTING DECISION itself.
+    */
+  def annAgainstIvfIndexAuto(embeddings: DataFrame, queryIds: DataFrame,
+                             indexTable: String, k: Int = 5,
+                             nprobe: Int = 2, nlist: Int = 8,
+                             growthBoundPm: Long = 200L, seed: Long = 42L,
+                             trainIter: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    val row = ivfIndexStaleness(spark, indexTable, growthBoundPm)
+      .select("requalify").collect().head
+    val stale = !row.isNullAt(0) && row.getBoolean(0)
+    if (stale) {
+      // the rebuild DROPS the table these ids come from — cut the id
+      // frame's lineage first (the q378 localCheckpoint device): an
+      // evicted cache block must fail fast, never rescan dropped state.
+      // Bounded: one long per indexed vector, never the vectors.
+      val ids = spark.table(indexTable)
+        .select(col("n_id").as("vec_id")).distinct()
+        .localCheckpoint(true)
+      try ivfIndexBuild(embeddings, ids, indexTable, nlist, seed,
+        trainIter)
+      finally { ids.unpersist(blocking = false); () }
+    }
+    annAgainstIvfIndex(embeddings, queryIds, indexTable, k, nprobe)
+      .withColumn("requalified", lit(stale))
+  }
 }

@@ -302,6 +302,91 @@ object EventStreams {
       }
   }
 
+  /** The q346 sessionizer's state machine re-expressed on Spark 4's
+    * `transformWithState` (StatefulProcessor — the arbitrary-state API
+    * v2): named ValueState handle + registered event-time timers in
+    * place of GroupState + setTimeoutTimestamp, with the SAME merge
+    * logic line for line. One live timer per key: each batch deletes
+    * the previous flush timer and re-registers at last-event + gap —
+    * exactly what setTimeoutTimestamp did implicitly in v1.
+    */
+  class SessionStatefulProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, SessionOut] {
+    @transient private var session:
+        org.apache.spark.sql.streaming.ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionAcc]("session",
+        org.apache.spark.sql.Encoders.product[SessionAcc],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val evs = rows.toArray.sortBy(_.ts)
+      val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      evs.foreach { e =>
+        val us = e.ts / 1000
+        cur match {
+          case Some(s) if us - s.lastUs < gapUs =>
+            // the v1 late-event law verbatim: admitted-but-late events
+            // may sort before the session's bounds — never move them
+            // backward or the flush timer would regress
+            cur = Some(SessionAcc(math.min(s.startUs, us),
+              math.max(s.lastUs, us), s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed += SessionOut(uid, s.startUs, s.lastUs, s.n, s.sum)
+            cur = Some(SessionAcc(us, us, 1, e.value))
+          case None =>
+            cur = Some(SessionAcc(us, us, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastUs / 1000 + gapUs / 1000)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] =
+      if (session.exists()) {
+        val s = session.get()
+        session.clear()
+        Iterator(SessionOut(uid, s.startUs, s.lastUs, s.n, s.sum))
+      } else Iterator.empty
+  }
+
+  /** [[sessionizeWithState]] on the v2 API — identical contract, new
+    * machinery. Requires the RocksDB state store provider (the v2
+    * multi-column-family state layout; the harness wrapper scopes the
+    * conf). The MIGRATION LAW is the point: q385 pins this pipeline's
+    * output bit for bit against q346's oracle, the invariance a
+    * production pipeline needs before moving custom-state code to the
+    * new API.
+    */
+  def sessionizeWithStateV2(events: DataFrame,
+                            gapUs: Long = 30L * 60 * 1000000,
+                            delay: String = "1 hour")
+      : Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTime(events).withWatermark("event_time", delay)
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStatefulProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[SessionOut])
+  }
+
   final case class IdEvent(event_id: Long, user_id: Long, ts: Long,
                            event_type: String, value: Double,
                            event_time: java.sql.Timestamp)
@@ -642,6 +727,48 @@ object EventStreams {
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)
     try f finally spark.conf.set(key, old)
+  }
+
+  private def withConf[T](spark: SparkSession, key: String, value: String)(
+      f: => T): T = {
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The v2 sessionizer executed through the real engine (q385): same
+    * wrapper shape and SAME ORACLE as q346 — the api-migration parity.
+    * RocksDB provider scoped to the run (transformWithState requires
+    * the multi-column-family state layout v2; the provider choice is
+    * already adjudicated output-invariant by StreamingSpec's q346
+    * invariance law, so the oracle comparison is apples to apples).
+    */
+  def closedSessionCensusViaStreamV2(spark: SparkSession, dir: String,
+      queryName: String = "q385_stream_tws_sessions"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider") {
+      withShufflePartitions(spark, 8) {
+        val sq = sessionizeWithStateV2(readEventStream(spark, dir),
+            gapUs = 30L * 60 * 1000000, delay = "87600 hours")
+          .toDF()
+          .writeStream.format("memory").queryName(queryName)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+    }
+    spark.table(queryName)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions_closed"),
+        sum("n_events").as("n_events"),
+        sum(expr("session_end_us - session_start_us")).as("dur_us"))
+      .orderBy("user_id")
   }
 
   def twoLegPairsCensusViaStream(spark: SparkSession, dir: String,

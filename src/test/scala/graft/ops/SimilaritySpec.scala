@@ -131,6 +131,111 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("ivf index lifecycle: append assigns under FROZEN centroids, " +
+      "query equals brute force over the indexed set") {
+    // two far clusters in 2-D; history holds members of both so the
+    // nlist=2 fit recovers them; the appended drop and the queries land
+    // in known clusters
+    val e = vecs(
+      0L -> Array(10f, 0f), 1L -> Array(10f, 1f), 2L -> Array(0f, 10f),
+      3L -> Array(1f, 10f), 4L -> Array(10f, 2f), 5L -> Array(2f, 10f),
+      6L -> Array(10f, 0.5f), 7L -> Array(0.5f, 10f))
+    Similarity.ivfIndexBuild(e, Seq(0L, 1L, 2L, 3L).toDF("vec_id"),
+      "spec_ivf_index", nlist = 2, seed = 7L)
+    val frozenBefore = spark.table("spec_ivf_index_centroids")
+      .collect().map(_.toSeq).toSet
+    Similarity.ivfIndexAppend(e, Seq(4L, 5L).toDF("vec_id"),
+      "spec_ivf_index")
+    // append must not touch the frozen quantizer
+    assert(spark.table("spec_ivf_index_centroids")
+      .collect().map(_.toSeq).toSet == frozenBefore)
+    // ...and lands the drop in the existing list partitions
+    assert(spark.table("spec_ivf_index").count() == 6)
+    val queries = Seq(6L, 7L).toDF("vec_id")
+    val got = Similarity.annAgainstIvfIndex(e, queries,
+        "spec_ivf_index", k = 3, nprobe = 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    val indexed = e.filter(col("vec_id") < 6)
+    val exact = Similarity.bruteForceKnn(indexed, e.filter(
+        col("vec_id") >= 6), k = 3)
+      .as[(Long, Int, Long)].collect().toSeq
+    // nprobe=1 on well-separated clusters: the probed list IS the
+    // query's cluster, whose members are the true top-3
+    assert(got == exact, s"got=$got exact=$exact")
+    assert(got.nonEmpty)
+  }
+
+  test("ivf index compaction: file generations collapse per list " +
+      "directory, retrieval invariant (layout-only)") {
+    val e = vecs(
+      0L -> Array(10f, 0f), 1L -> Array(10f, 1f), 2L -> Array(0f, 10f),
+      3L -> Array(1f, 10f), 4L -> Array(10f, 2f), 5L -> Array(2f, 10f),
+      6L -> Array(10f, 0.5f))
+    Similarity.ivfIndexBuild(e, Seq(0L, 1L, 2L, 3L).toDF("vec_id"),
+      "spec_ivfc_index", nlist = 2, seed = 7L)
+    Similarity.ivfIndexAppend(e, Seq(4L, 5L).toDF("vec_id"),
+      "spec_ivfc_index")
+    def dataFiles(): Int = {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst
+          .TableIdentifier("spec_ivfc_index")).location
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(loc.getPath))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = Similarity.annAgainstIvfIndex(e, Seq(6L).toDF("vec_id"),
+        "spec_ivfc_index", k = 3, nprobe = 1)
+      .collect().map(_.toSeq).toSeq
+    val genFiles = dataFiles()
+    Similarity.ivfIndexCompact(spark, "spec_ivfc_index")
+    val compacted = dataFiles()
+    // build + append generations collapse: strictly fewer files, at
+    // most one per non-empty list directory
+    assert(compacted < genFiles, s"$compacted vs $genFiles")
+    assert(compacted <= 2, s"$compacted files for 2 lists")
+    val after = Similarity.annAgainstIvfIndex(e, Seq(6L).toDF("vec_id"),
+        "spec_ivfc_index", k = 3, nprobe = 1)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    assert(after.nonEmpty)
+  }
+
+  test("ivf index staleness + auto: growth rule routes — fresh index " +
+      "queries without a refit, grown index refits; output exact " +
+      "either way") {
+    val e = vecs(
+      0L -> Array(10f, 0f), 1L -> Array(10f, 1f), 2L -> Array(0f, 10f),
+      3L -> Array(1f, 10f), 4L -> Array(10f, 2f), 5L -> Array(2f, 10f),
+      6L -> Array(10f, 0.5f))
+    Similarity.ivfIndexBuild(e, Seq(0L, 1L, 2L, 3L).toDF("vec_id"),
+      "spec_ivfauto_index", nlist = 2, seed = 7L)
+    // fresh: growth 0‰ → no refit, requalified=false
+    val fresh = Similarity.annAgainstIvfIndexAuto(e, Seq(6L).toDF("vec_id"),
+        "spec_ivfauto_index", k = 2, nprobe = 1, nlist = 2)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // 6=(10,0.5) vs 1=(10,1): cos≈0.99993 beats 0=(10,0): cos≈0.99875
+    assert(fresh == Seq((6L, 1, 1L, false), (6L, 2, 0L, false)), fresh)
+    assert(spark.table("spec_ivfauto_index_census")
+      .as[Long].collect().toSeq == Seq(4L))
+    // append 2 of 4 → 500‰ > 200‰: staleness says requalify...
+    Similarity.ivfIndexAppend(e, Seq(4L, 5L).toDF("vec_id"),
+      "spec_ivfauto_index")
+    val st = Similarity.ivfIndexStaleness(spark, "spec_ivfauto_index")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(st == Seq((4L, 6L, 500L, true)), st)
+    // ...and the auto call REFITS (census now 6) with exact output
+    val auto = Similarity.annAgainstIvfIndexAuto(e, Seq(6L).toDF("vec_id"),
+        "spec_ivfauto_index", k = 2, nprobe = 1, nlist = 2)
+      .as[(Long, Int, Long, Boolean)].collect().toSeq
+    // 6=(10,0.5): nearest indexed are 1=(10,1) then 0=(10,0)? cosine:
+    // cos(6,0)=10/(√100.25·10)≈0.99875; cos(6,1)≈(100+0.5)/(√100.25·√101)
+    // ≈0.99993; cos(6,4)=(100+1)/(√100.25·√104)≈0.98880 → top-2 = 1, 0
+    assert(auto == Seq((6L, 1, 1L, true), (6L, 2, 0L, true)), auto)
+    assert(spark.table("spec_ivfauto_index_census")
+      .as[Long].collect().toSeq == Seq(6L))
+  }
+
   test("lshPlan multi-probe: same bits, ~4x fewer tables, same recall target") {
     val (b0, t0) = Similarity.lshPlan(0.25, 0.995, 64)
     val (b1, t1) = Similarity.lshPlan(0.25, 0.995, 64, probeRadius = 1)

@@ -166,6 +166,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer (v2): registered timers flush on " +
+      "event time, and the output matches the v1 state machine") {
+    implicit val ctx = spark.sqlContext
+    val M = 60L * 1000000000L
+    val saved = spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Event]
+      val q = EventStreams.sessionizeWithStateV2(in.toDF(),
+          gapUs = 30L * 60 * 1000000, delay = "10 minutes")
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      withQuery(q) {
+        val base = 60 * M
+        // the v1 timeout test's exact scenario, on the v2 machinery
+        in.addData(ev(1, base, value = 2.0), ev(1, base + 10 * M, value = 3.0))
+        q.processAllAvailable()
+        assert(spark.table("tws_sessions").count() == 0) // still open
+        in.addData(ev(2, base + 2 * 60 * M)) // wm ≫ user 1's flush timer
+        q.processAllAvailable()
+        in.addData(ev(3, base + 3 * 60 * M)) // next batch: timers fire —
+        // user 1's (+40m) AND user 2's (+150m) are both behind the
+        // wm (+170m) now; user 3's is not
+        q.processAllAvailable()
+        val out = spark.table("tws_sessions")
+          .as[EventStreams.SessionOut].collect().toSeq.sortBy(_.user_id)
+        assert(out == Seq(
+          EventStreams.SessionOut(1L, base / 1000,
+            (base + 10 * M) / 1000, 2L, 5.0),
+          EventStreams.SessionOut(2L, (base + 2 * 60 * M) / 1000,
+            (base + 2 * 60 * M) / 1000, 1L, 1.0)), out.toString)
+      }
+    } finally saved match {
+      case Some(v) => spark.conf
+        .set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf
+        .unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[EventStreams.Event]
