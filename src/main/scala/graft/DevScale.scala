@@ -817,7 +817,14 @@ object DevScale {
       // the v2 (transformWithState/RocksDB) sessionizer end to end,
       // directly comparable to q346's rung on the v1 machinery
       "q384_ivfcompact" -> SparkEntry.queries("q384_ann_index_compact"),
-      "q385_tws" -> SparkEntry.queries("q385_stream_tws_session_parity"))
+      "q385_tws" -> SparkEntry.queries("q385_stream_tws_session_parity"),
+      // q386: variant parse + typed extraction is a pure scan
+      // projection — should scale with the event volume at scan speed;
+      // q387 runs the complete-mode streaming agg AND reads its state
+      // back — state rows stay |windows|×|types| (timestamps don't
+      // inflate), so the rung prices the input volume, not the state
+      "q386_variant" -> SparkEntry.queries("q386_variant_extract"),
+      "q387_statereader" -> SparkEntry.queries("q387_state_readback"))
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

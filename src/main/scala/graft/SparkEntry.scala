@@ -10774,7 +10774,41 @@ object SparkEntry {
         |FROM g JOIN m ON g.user_id = m.user_id AND g.sess < m.last_sess
         |GROUP BY 1 ORDER BY 1""".stripMargin)(
       (s, d) => graft.streaming.EventStreams
-        .closedSessionCensusViaStreamV2(s, d)))
+        .closedSessionCensusViaStreamV2(s, d)),
+
+    // VARIANT-typed extraction (Relational.variantExtractCensus): a
+    // nested JSON payload built from the event columns, parsed ONCE
+    // into Spark 4's VariantType, typed paths extracted (scalar /
+    // string / nested field / array elements) and aggregated. The
+    // oracle computes the same census from the RAW columns — never
+    // through JSON — so the driver pins encode → parse → typed-path
+    // extraction as lossless (the q45 string-path form re-parses per
+    // extraction; variant parses once into a shreddable binary).
+    q("q386_variant_extract",
+      """SELECT event_type AS etype,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_u,
+        |  CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT))
+        |    AS BIGINT) AS v_cents,
+        |  CAST(sum(epoch_ns(ts) % 7) AS BIGINT) AS sum_s0,
+        |  CAST(sum(epoch_ns(ts) % 11) AS BIGINT) AS sum_s1
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => Relational.variantExtractCensus(Tables.events(s, d))),
+
+    // State-store READBACK (EventStreams.aggStateReadback): the q309
+    // pipeline run with a durable checkpoint, then the checkpoint's
+    // aggregation state opened as a DataFrame via Spark's state data
+    // source and the census reconstructed from the raw (key, buffer)
+    // rows — in complete mode the state IS the census, so q30's batch
+    // oracle pins the STATE CONTENTS bit for bit. The driver-checkable
+    // complement of q369 (which counts state rows from progress
+    // metrics; this reads the rows themselves — the live-state
+    // inspection/backfill tool of a 100 TB streaming deployment).
+    q("q387_state_readback",
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_us,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams.aggStateReadback(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

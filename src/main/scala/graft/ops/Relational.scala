@@ -2047,4 +2047,47 @@ object Relational {
         (col("__n") - 1L).as("loo_den"))
       .orderBy("o_orderkey")
   }
+
+  /** VARIANT-typed semi-structured extraction (q386): a nested JSON
+    * payload built deterministically from the event columns is parsed
+    * ONCE into Spark 4's `VariantType` (`parse_json` — the binary
+    * semi-structured encoding that replaces repeated
+    * `get_json_object` string re-parsing; q45 is the string-path
+    * form), then typed paths — top-level scalar, quoted string,
+    * nested-object field, array elements — are extracted with
+    * `variant_get` and aggregated. The oracle computes the SAME
+    * census from the raw columns, never through JSON: the contract is
+    * that encode → parse → typed-path extraction is lossless
+    * (doubles survive because the JVM's shortest-round-trip
+    * double↔string guarantee covers the encode, and variant parse is
+    * exact on the decimal literal).
+    *
+    * At 100 TB this is the ingestion path for semi-structured event
+    * payloads: one parse per row into a columnar-shreddable binary,
+    * arbitrary typed paths after — versus one string re-parse PER
+    * EXTRACTED PATH in the q45 form. Scale shape: codegen'd scan
+    * projection + one keyed partial agg.
+    */
+  def variantExtractCensus(events: DataFrame): DataFrame = {
+    val json = concat(
+      lit("{\"u\":"), col("user_id"),
+      lit(",\"e\":\""), col("event_type"),
+      lit("\",\"m\":{\"v\":"), coalesce(col("value"), lit(0.0)),
+      lit(",\"seq\":["), pmod(col("ts"), lit(7L)),
+      lit(","), pmod(col("ts"), lit(11L)), lit("]}}"))
+    events.withColumn("var", parse_json(json))
+      .select(
+        variant_get(col("var"), "$.e", "string").as("etype"),
+        variant_get(col("var"), "$.u", "long").as("u"),
+        variant_get(col("var"), "$.m.v", "double").as("v"),
+        variant_get(col("var"), "$.m.seq[0]", "long").as("s0"),
+        variant_get(col("var"), "$.m.seq[1]", "long").as("s1"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(round(col("v") * 100).cast("long")).as("v_cents"),
+        sum(col("s0")).as("sum_s0"),
+        sum(col("s1")).as("sum_s1"))
+      .orderBy("etype")
+  }
 }

@@ -739,6 +739,57 @@ object EventStreams {
     }
   }
 
+  /** The streaming AGGREGATION STATE read back through Spark's state
+    * data source (q387): run q309's complete-mode tumbling aggregate
+    * with a durable checkpoint, then open the checkpoint's state store
+    * as a DataFrame (`format("statestore")`) and reconstruct the
+    * census from the raw (group key, aggregation buffer) state rows.
+    * In complete mode the aggregate's state IS the full census, so
+    * q30's batch oracle pins the STATE CONTENTS bit for bit — the
+    * driver-checkable complement of q369's state census: q369 counts
+    * state rows from progress metrics; this reads the rows themselves.
+    * The tool a 100 TB streaming deployment actually reaches for:
+    * inspect a live query's keyed state from its checkpoint, audit a
+    * migration, seed a backfill — without touching the query.
+    *
+    * The buffer row for count+sum aggregation surfaces as
+    * `value.{count, sum}`; `round(sum, 2)` here is the SAME final
+    * projection the query applies, so the readback equals the sink
+    * output exactly. Result is bounded by |windows|×|types| (complete
+    * mode is only usable when that holds), so it is collected, the
+    * checkpoint deleted, and a localized frame returned — the harness
+    * form; a production inspection keeps the checkpoint, obviously.
+    */
+  def aggStateReadback(spark: SparkSession, dir: String,
+      queryName: String = "q387_state_reader"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_q387_cp").toString
+    withShufflePartitions(spark, 8) {
+      val sq = tumblingTypeCounts(readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    val census = spark.read.format("statestore")
+      .option("path", cp).load()
+      .select(unix_micros(col("key.window.start")).as("win_us"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("cnt"),
+        round(col("value.sum"), 2).as("sum_value"))
+    val rows = census.collect()
+    val fs = new org.apache.hadoop.fs.Path(cp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(cp), true)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), census.schema)
+      .orderBy("win_us", "event_type")
+  }
+
   /** The v2 sessionizer executed through the real engine (q385): same
     * wrapper shape and SAME ORACLE as q346 — the api-migration parity.
     * RocksDB provider scoped to the run (transformWithState requires

@@ -755,4 +755,21 @@ class RelationalSpec extends SparkSpec {
     // 3.00 tie: Amy before Bob (name asc); Dan cut by k = 3
     assert(got == Seq((0L, "Amy,Bob,Cal"), (1L, "Eve")))
   }
+
+  test("variantExtractCensus: typed-path extraction is lossless vs the " +
+      "raw columns, incl. null value, array paths, and a round-trip " +
+      "double") {
+    val events = Seq(
+      (7L, 16L, "view", Some(1.25)),
+      (9L, 23L, "view", None), // null value → coalesced 0 in the payload
+      // a double whose decimal rendering exercises shortest-round-trip
+      (11L, 30L, "purchase", Some(0.1)))
+      .toDF("user_id", "ts", "event_type", "value")
+    val got = Relational.variantExtractCensus(events)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // ts 16: s0=16%7=2, s1=16%11=5; ts 23: s0=2, s1=1; ts 30: s0=2, s1=8
+    assert(got == Seq(
+      ("purchase", 1L, 11L, 10L, 2L, 8L),
+      ("view", 2L, 16L, 125L, 4L, 6L)), got.toString)
+  }
 }

@@ -166,6 +166,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state readback: the checkpoint's aggregation state reconstructs " +
+      "the batch census bit for bit") {
+    val got = EventStreams.aggStateReadback(spark, "/root/testdata/sf0.001",
+        queryName = "spec_state_readback")
+      .collect().map(_.toSeq).toSeq
+    val batch = EventStreams.tumblingTypeCounts(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"))
+      .orderBy("win_us", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got == batch)
+    assert(got.size > 100) // a real census, not a degenerate frame
+  }
+
   test("transformWithState sessionizer (v2): registered timers flush on " +
       "event time, and the output matches the v1 state machine") {
     implicit val ctx = spark.sqlContext
