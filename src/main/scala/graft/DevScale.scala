@@ -825,6 +825,17 @@ object DevScale {
       // inflate), so the rung prices the input volume, not the state
       "q386_variant" -> SparkEntry.queries("q386_variant_extract"),
       "q387_statereader" -> SparkEntry.queries("q387_state_readback"))
+      // q388 (recursive CTE BFS) is deliberately NOT in this map, for
+      // exactly the q273 reason (below): lineitem inflation holds the
+      // part catalog constant, so the co-purchase graph DENSIFIES F×
+      // and UNION ALL recursion's path multiplicity grows superlinearly
+      // by construction — at x4 it trips the engine's own 1M-row
+      // recursion guard (measured), which is the guard doing its job on
+      // a regime-mismatched fixture, not an operator defect. The query
+      // is green at all three real fixture scales, where the catalog
+      // grows with the data; the scale path for densifying graphs is
+      // the q274 iterative form (per-hop DISTINCT frontier dedup, which
+      // recursive SQL cannot express yet).
       // q273 (quantile-capped overlap) is deliberately NOT in this map:
       // the inflation holds the part catalog constant while customers
       // grow, so part-df densifies F× and the pair stage's Σ df² cost

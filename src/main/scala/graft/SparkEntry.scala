@@ -10808,7 +10808,69 @@ object SparkEntry {
       """SELECT CAST(epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS win_us,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin)(
-      (s, d) => graft.streaming.EventStreams.aggStateReadback(s, d)))
+      (s, d) => graft.streaming.EventStreams.aggStateReadback(s, d)),
+
+    // RECURSIVE CTE executed by Spark's OWN UnionLoop (Spark 4's
+    // WITH RECURSIVE): the q274 co-purchase BFS — same graph, same
+    // hop-bounded frontier — but the Spark side runs the SQL through
+    // spark.sql instead of the DataFrame iteration, so the engine's
+    // recursion machinery itself sits under the oracle (the q313
+    // sql-frontdoor device applied to recursion; UNION ALL in the
+    // recursive branch — Spark rejects deduplicating UNION in
+    // recursion (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE) — with
+    // multiplicity collapsed by the min-hop aggregate, so the bounded
+    // recursion terminates identically on both engines). GraphSpec
+    // pins the implementation-invariance law: this result ≡
+    // Graph.kHopReach's iterative-join form. SCALE NOTE: UNION ALL
+    // recursion carries PATH multiplicity, guarded by the engine's
+    // recursion row limit (default 1M) — on a densifying graph the
+    // frontier must be bounded (lower hop cap, pre-pruned edges, or
+    // the q274 iterative form, whose per-hop DISTINCT is the frontier
+    // dedup recursion cannot express yet); green at all three fixture
+    // scales, excluded from DevScale inflation for the q273 reason
+    // (the inflated catalog densifies the co-purchase graph
+    // quadratically by construction — see the family-map note).
+    q("q388_recursive_reach",
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
+        |  FROM lineitem),
+        |px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM px
+        |  UNION SELECT pb, pa FROM px),
+        |seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+        |bfs AS (
+        |  SELECT seed, seed AS node, 0 AS hop FROM seeds
+        |  UNION ALL
+        |  SELECT b.seed, e.dst, b.hop + 1 FROM bfs b
+        |    JOIN e ON e.src = b.node
+        |  WHERE b.hop < 3),
+        |mh AS (SELECT seed, node, min(hop) AS hop FROM bfs GROUP BY 1, 2)
+        |SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
+        |FROM mh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v388")
+        s.sql("""WITH RECURSIVE li AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem_v388),
+          px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          e AS (SELECT pa AS src, pb AS dst FROM px
+            UNION SELECT pb, pa FROM px),
+          seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+          bfs AS (
+            SELECT seed, seed AS node, 0 AS hop FROM seeds
+            UNION ALL
+            SELECT b.seed, e.dst, b.hop + 1 FROM bfs b
+              JOIN e ON e.src = b.node
+            WHERE b.hop < 3),
+          mh AS (SELECT seed, node, min(hop) AS hop
+            FROM bfs GROUP BY 1, 2)
+          SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
+          FROM mh GROUP BY 1, 2 ORDER BY 1, 2""")
+      }))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

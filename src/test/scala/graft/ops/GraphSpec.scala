@@ -89,4 +89,16 @@ class GraphSpec extends SparkSpec {
       Graph.degreeAssortativity(star)
         .as[(Long, Option[Long])].collect().head)
   }
+
+  test("recursive CTE BFS (q388) equals the iterative-join form (q274) " +
+      "on the real fixture — implementation invariance") {
+    val rec = graft.SparkEntry.queries("q388_recursive_reach")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val iter = graft.SparkEntry.queries("q274_khop_reach")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(rec == iter)
+    assert(rec.nonEmpty)
+  }
 }
