@@ -824,7 +824,15 @@ object DevScale {
       // back — state rows stay |windows|×|types| (timestamps don't
       // inflate), so the rung prices the input volume, not the state
       "q386_variant" -> SparkEntry.queries("q386_variant_extract"),
-      "q387_statereader" -> SparkEntry.queries("q387_state_readback"))
+      "q387_statereader" -> SparkEntry.queries("q387_state_readback"),
+      // q389–q392: the SQL/engine-surface batch — pivot⟲unpivot, the
+      // decorrelated lateral top-k (one window-shaped shuffle), the
+      // null-aware anti join pair, and the observe-metrics scan (one
+      // pass, accumulator-backed — should track scan speed like q386)
+      "q389_unpivot" -> SparkEntry.queries("q389_unpivot_roundtrip"),
+      "q390_lateral" -> SparkEntry.queries("q390_lateral_topk"),
+      "q391_nullanti" -> SparkEntry.queries("q391_null_aware_anti"),
+      "q392_observe" -> SparkEntry.queries("q392_observe_metrics"))
       // q388 (recursive CTE BFS) is deliberately NOT in this map, for
       // exactly the q273 reason (below): lineitem inflation holds the
       // part catalog constant, so the co-purchase graph DENSIFIES F×

@@ -10870,7 +10870,110 @@ object SparkEntry {
             FROM bfs GROUP BY 1, 2)
           SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
           FROM mh GROUP BY 1, 2 ORDER BY 1, 2""")
-      }))
+      }),
+
+    // UNPIVOT roundtrip (Dataset.unpivot — Spark's melt): q36's month
+    // pivot melted back to long form must equal the direct grouped
+    // aggregate — the pivot⟲unpivot inverse law, with the oracle AS the
+    // direct form. Null cells (a flag×month with no rows) are dropped
+    // explicitly on both sides, making the law hold on sparse fixtures
+    // too.
+    q("q389_unpivot_roundtrip",
+      """SELECT l_returnflag AS flag,
+        |  CAST(month(l_shipdate) AS INTEGER) AS mon,
+        |  CAST(ceil(avg(l_quantity)) AS INTEGER) AS ceil_avg
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.functions.{avg, ceil, month}
+        val piv = Tables.lineitem(s, d)
+          .withColumn("mon", month(col("l_shipdate")))
+          .withColumn("flag", col("l_returnflag"))
+          .groupBy("flag")
+          .pivot("mon", 1 to 12)
+          .agg(ceil(avg("l_quantity")).cast("int"))
+        piv.unpivot(Array(col("flag")),
+            (1 to 12).map(m => col(s"`$m`")).toArray,
+            "mon", "ceil_avg")
+          .filter(col("ceil_avg").isNotNull)
+          .select(col("flag"), col("mon").cast("int").as("mon"),
+            col("ceil_avg"))
+          .orderBy("flag", "mon")
+      }),
+
+    // LATERAL join (correlated subquery with ORDER BY + LIMIT per
+    // outer row — Spark's DecorrelateInnerQuery machinery under the
+    // oracle, the q313 frontdoor device): top-2 orders per nation.
+    // The declarative twin of the q32/q324 window-rank reformulation —
+    // the form an analyst actually writes.
+    q("q390_lateral_topk",
+      """SELECT n_name, o_orderkey, price_cents
+        |FROM nation, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY n_name, price_cents DESC, o_orderkey""".stripMargin)(
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_v390")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v390")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v390")
+        s.sql("""SELECT n_name, o_orderkey, price_cents
+          FROM nation_v390, LATERAL (
+            SELECT o_orderkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders_v390 JOIN customer_v390 ON o_custkey = c_custkey
+            WHERE c_nationkey = n_nationkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          ORDER BY n_name, price_cents DESC, o_orderkey""")
+      }),
+
+    // Null-aware anti join (NOT IN three-valued logic — Spark plans
+    // the single-column broadcast case as NullAwareAntiJoin): the
+    // no-nulls leg counts customers without orders; the planted-NULL
+    // leg must count ZERO — one NULL in a NOT IN subquery makes every
+    // membership test UNKNOWN, the SQL semantics an anti-join rewrite
+    // gets wrong if it ignores nullability. Both legs in one output so
+    // the contrast itself is what the driver hashes.
+    q("q391_null_aware_anti",
+      """SELECT 'no_nulls' AS leg, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'with_null' AS leg, CAST(count(*) AS BIGINT) AS n
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |     ELSE o_custkey END FROM orders)
+        |ORDER BY leg""".stripMargin)(
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v391")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v391")
+        s.sql("""SELECT 'no_nulls' AS leg, count(*) AS n
+          FROM customer_v391 WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders_v391)
+          UNION ALL
+          SELECT 'with_null' AS leg, count(*) AS n
+          FROM customer_v391 WHERE c_custkey NOT IN
+            (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+               ELSE o_custkey END FROM orders_v391)
+          ORDER BY leg""")
+      }),
+
+    // Observation API (Profiling.observedScanCensus): metrics collected
+    // DURING a query — accumulator-backed expressions riding the
+    // existing scan, zero extra passes — surfaced as the result and
+    // pinned exact by a plain-aggregate oracle. Integer metrics only,
+    // so accumulator merge order cannot wobble a bit; the production
+    // use is row-count/invariant checks piggybacked on every run of a
+    // 100 TB pipeline.
+    q("q392_observe_metrics",
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS price_cents,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null_ship
+        |FROM lineitem ORDER BY n_rows""".stripMargin)(
+      (s, d) => Profiling.observedScanCensus(Tables.lineitem(s, d))))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

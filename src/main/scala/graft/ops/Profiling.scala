@@ -1662,4 +1662,36 @@ object Profiling {
            (col("num") > 0 && col("p_num") < 0))).as("reversed"))
       .orderBy("grp")
   }
+
+  /** Observation-API scan census (q392): metrics collected DURING a
+    * query via `Dataset.observe` — count, exact integer cents sum, and
+    * null count ride the existing scan as accumulator-backed
+    * expressions, costing ZERO extra passes — then surfaced as a 1-row
+    * frame. This is how a 100 TB pipeline gets row-count/invariant
+    * checks on every production run without doubling its I/O: the
+    * observation piggybacks the job the pipeline already runs (here a
+    * small downstream aggregate stands in for it). The oracle computes
+    * the same census with a plain aggregate, pinning the observed
+    * values as EXACT — integer metrics only, so accumulator merge
+    * order cannot wobble a bit.
+    */
+  def observedScanCensus(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val observed = lineitem.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+        .as("price_cents"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+        .as("n_null_ship"))
+    // the pipeline's own job — any action drains the metrics; a count
+    // keeps the stand-in honest (every row flows past the observer)
+    observed.count()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("price_cents").asInstanceOf[Long],
+      m("n_null_ship").asInstanceOf[Long]))
+      .toDF("n_rows", "price_cents", "n_null_ship")
+  }
 }
