@@ -832,7 +832,12 @@ object DevScale {
       "q389_unpivot" -> SparkEntry.queries("q389_unpivot_roundtrip"),
       "q390_lateral" -> SparkEntry.queries("q390_lateral_topk"),
       "q391_nullanti" -> SparkEntry.queries("q391_null_aware_anti"),
-      "q392_observe" -> SparkEntry.queries("q392_observe_metrics"))
+      "q392_observe" -> SparkEntry.queries("q392_observe_metrics"),
+      // q393 runs the q345 join end-to-end with a durable checkpoint
+      // and reads the left buffer back — state volume grows with the
+      // retained window's event density (F×), output with the
+      // safe-region user census
+      "q393_joinstate" -> SparkEntry.queries("q393_join_state_readback"))
       // q388 (recursive CTE BFS) is deliberately NOT in this map, for
       // exactly the q273 reason (below): lineitem inflation holds the
       // part catalog constant, so the co-purchase graph DENSIFIES F×

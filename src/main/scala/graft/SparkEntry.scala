@@ -10973,7 +10973,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_null_ship
         |FROM lineitem ORDER BY n_rows""".stripMargin)(
-      (s, d) => Profiling.observedScanCensus(Tables.lineitem(s, d))))
+      (s, d) => Profiling.observedScanCensus(Tables.lineitem(s, d))),
+
+    // Stream-stream JOIN STATE readback (EventStreams
+    // .joinStateReadback): the q345 checkpoint's LEFT-side buffered
+    // rows via the state source (joinSide=left), censused over the
+    // SAFE-RETAINED region — views younger than min(max view, max
+    // purchase) − window sit a full watermark-delay above the eviction
+    // line, so each is provably IN state and an over-eager eviction
+    // (the bug that silently loses future matches) hash-mismatches.
+    // The retention dual of q380's eviction census; same per-side
+    // min-watermark bound arithmetic, exact integer µs both engines.
+    q("q393_join_state_readback",
+      """WITH m AS (SELECT
+        |    max(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(ts) END) AS mv,
+        |    max(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) END) AS mp FROM events),
+        |b AS (SELECT CASE WHEN mv IS NULL OR mp IS NULL THEN NULL
+        |    ELSE (CASE WHEN mv < mp THEN mv ELSE mp END)
+        |      - 86400000000 END AS bound FROM m),
+        |v AS (SELECT user_id, value FROM events, b
+        |  WHERE event_type = 'view'
+        |    AND (b.bound IS NULL OR epoch_us(ts) >= b.bound))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_recent_views,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS v_cents
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)(
+      (s, d) => graft.streaming.EventStreams.joinStateReadback(s, d)))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The Flight1 two-leg theta-join re-keyed to events (SURVEY §3.2).

@@ -790,6 +790,71 @@ object EventStreams {
       .orderBy("win_us", "event_type")
   }
 
+  /** Stream-stream JOIN STATE read back through the state data source
+    * (q393, `joinSide=left`): run the q345 view⋈purchase join with a
+    * durable checkpoint, then read the LEFT side's buffered rows — the
+    * views still retained for future matches — and census the ones in
+    * the SAFE-RETAINED region. The retention dual of q380's eviction
+    * census: q380 pins that old-enough views were provably EVICTED
+    * (null-emitted); this pins that recent-enough views were provably
+    * KEPT — over-eager eviction (the state bug that silently loses
+    * matches) is a driver hash mismatch here.
+    *
+    * Safe region: the join evicts a view when the watermark passes
+    * `view_time + window`, and the final watermark is
+    * `min(max view ts, max purchase ts) − delay` (per-side watermark
+    * nodes, min-combined — the q380 find), so every view with
+    * `view_us ≥ min(mv, mp) − window` sits a full `delay` above the
+    * eviction line: provably in state, with the engine's ms-quantized
+    * edge inside the excluded band and exact integer µs arithmetic
+    * deciding membership on both engines. When either side is empty
+    * the watermark never advances, nothing evicts, and the unbounded
+    * census is exact as well.
+    */
+  def joinStateReadback(spark: SparkSession, dir: String,
+      queryName: String = "q393_join_state"): DataFrame = {
+    spark.catalog.dropTempView(queryName)
+    val cp = java.nio.file.Files
+      .createTempDirectory("graft_q393_cp").toString
+    withShufflePartitions(spark, 8) {
+      val sq = twoLegPairsStreaming(readEventStream(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    val tm = graft.Tables.events(spark, dir)
+      .agg(
+        max(when(col("event_type") === "view", expr("ts div 1000")))
+          .as("mv"),
+        max(when(col("event_type") === "purchase", expr("ts div 1000")))
+          .as("mp"))
+      .head
+    val boundUs =
+      if (tm.isNullAt(0) || tm.isNullAt(1)) Long.MinValue
+      else math.min(tm.getLong(0), tm.getLong(1)) -
+        24L * 3600L * 1000000L // window; the 1h delay IS the guard
+    val census = spark.read.format("statestore")
+      .option("path", cp).option("joinSide", "left").load()
+      .select(col("value.user_id").as("user_id"),
+        unix_micros(col("value.view_time")).as("vt_us"),
+        col("value.v1").as("v1"))
+      .filter(col("vt_us") >= boundUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent_views"),
+        sum(expr("cast(round(v1 * 100) as long)")).as("v_cents"))
+    val rows = census.collect()
+    val fs = new org.apache.hadoop.fs.Path(cp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(cp), true)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), census.schema)
+      .orderBy("user_id")
+  }
+
   /** The v2 sessionizer executed through the real engine (q385): same
     * wrapper shape and SAME ORACLE as q346 — the api-migration parity.
     * RocksDB provider scoped to the run (transformWithState requires

@@ -166,6 +166,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("join state readback: every safe-region view — matched or not — " +
+      "is retained in the left buffer (no over-eager eviction)") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max,
+      sum, when}
+    val got = EventStreams.joinStateReadback(spark, dir,
+        queryName = "spec_join_state")
+      .collect().map(_.toSeq).toSeq
+    val ev = graft.Tables.events(spark, dir)
+    val tm = ev.agg(
+        max(when(col("event_type") === "view", expr("ts div 1000"))),
+        max(when(col("event_type") === "purchase", expr("ts div 1000"))))
+      .head
+    val bound = math.min(tm.getLong(0), tm.getLong(1)) -
+      24L * 3600L * 1000000L
+    val expected = ev.filter(col("event_type") === "view" &&
+        expr("ts div 1000") >= bound)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_recent_views"),
+        sum(expr("cast(round(value * 100) as long)")).as("v_cents"))
+      .orderBy("user_id")
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("state readback: the checkpoint's aggregation state reconstructs " +
       "the batch census bit for bit") {
     val got = EventStreams.aggStateReadback(spark, "/root/testdata/sf0.001",
