@@ -33,4 +33,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Whole-stage codegen emits one large Java method per stage; HotSpot's
+  // default DontCompileHugeMethods refuses to JIT methods over 8 KB of
+  // bytecode, so a deep codegen span (e.g. the 16-level Hilbert chain)
+  // silently runs INTERPRETED — measured 5x on that scan stage (r19).
+  // Standard practice for codegen-heavy Spark: let C2 compile them.
+  "-XX:-DontCompileHugeMethods",
+  // A 393-query session JIT-compiles thousands of generated classes; the
+  // default 240 MB code cache fills mid-run, HotSpot stops compiling, and
+  // every later query runs interpreted (the "slow only in the full run"
+  // inflation measured in r19). 512 MB keeps the compiler on for the
+  // whole surface.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
