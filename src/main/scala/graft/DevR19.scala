@@ -84,6 +84,34 @@ object DevR19 {
       spark.catalog.clearCache()
     }
 
+    if (on("q388parts")) {
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v388")
+      val e = spark.sql("""WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem_v388),
+        px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT pa AS src, pb AS dst FROM px
+        UNION SELECT pb, pa FROM px""")
+        .persist()
+      time("e count")(println("[r19] edges=" + e.count()))
+      e.createOrReplaceTempView("e_v388")
+      time("recursion only")(spark.sql("""WITH RECURSIVE
+        seeds AS (SELECT DISTINCT src AS seed FROM e_v388 WHERE src < 10),
+        bfs AS (
+          SELECT seed, seed AS node, 0 AS hop FROM seeds
+          UNION ALL
+          SELECT b.seed, e.dst, b.hop + 1 FROM bfs b
+            JOIN e_v388 e ON e.src = b.node
+          WHERE b.hop < 3),
+        mh AS (SELECT seed, node, min(hop) AS hop
+          FROM bfs GROUP BY 1, 2)
+        SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
+        FROM mh GROUP BY 1, 2 ORDER BY 1, 2""").count())
+      e.unpersist()
+    }
+
     if (on("q388")) {
       time("q388 full (1st)")(
         SparkEntry.queries("q388_recursive_reach")(spark, dir).count())
@@ -91,6 +119,88 @@ object DevR19 {
       time("q388 full (2nd)")(
         SparkEntry.queries("q388_recursive_reach")(spark, dir).count())
       spark.catalog.clearCache()
+    }
+
+    if (on("q375")) {
+      val docs = Tables.documents(spark, dir)
+      def res(r: Int) =
+        docs.filter(col("doc_id") % 3 === r).select("doc_id")
+      time("neardupIndexBuild")(
+        Dedup.neardupIndexBuild(docs, res(0), "q375_neardup_index"))
+      time("neardupIndexAppend")(
+        Dedup.neardupIndexAppend(docs, res(1), "q375_neardup_index"))
+      time("jaccardAgainstIndex count")(
+        Dedup.jaccardAgainstIndex(docs, res(2), "q375_neardup_index")
+          .count())
+      spark.catalog.clearCache()
+      time("q375 full (2nd)")(
+        SparkEntry.queries("q375_neardup_index_refresh")(spark, dir).count())
+      spark.catalog.clearCache()
+    }
+
+    if (on("q381")) {
+      val emb = Similarity.clusteredEmbeddings(Tables.embeddings(spark, dir))
+      def res(r: Int) =
+        emb.filter(col("vec_id") % 3 === r).select("vec_id")
+      time("ivfIndexBuild")(
+        Similarity.ivfIndexBuild(emb, res(0), "q381_ivf_index"))
+      time("ivfIndexAppend")(
+        Similarity.ivfIndexAppend(emb, res(1), "q381_ivf_index"))
+      spark.catalog.clearCache()
+      time("q381 full (2nd)")(
+        SparkEntry.queries("q381_ann_index_lifecycle")(spark, dir).count())
+      spark.catalog.clearCache()
+    }
+
+    if (on("q375parts")) {
+      val docs = Tables.documents(spark, dir)
+      val hist = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      val sets = Dedup.shingleSets(
+          docs.join(hist, Seq("doc_id"), "left_semi"), 3)
+        .filter(size(col("shingles")) > 0)
+      time("sets noop")(noop(sets))
+      val cached = sets.persist()
+      time("sets persist count")(cached.count())
+      val items = cached.select(col("doc_id"),
+        explode(col("shingles")).as("item"))
+      val sizes = cached.select(col("doc_id"),
+        size(col("shingles")).cast("long").as("__sz"))
+      val dfc = items.groupBy("item").agg(count(lit(1)).as("__df"))
+      time("dfc noop")(noop(dfc))
+      time("writeBucketed dfc")(
+        Bucketing.writeBucketed(dfc, "t_dfc", "item", 8))
+      val frozen = spark.table("t_dfc")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("__df0"), col("item"))
+      val prefix = items.join(frozen, Seq("item"), "left")
+        .withColumn("__df0", coalesce(col("__df"), lit(0L)))
+        .withColumn("__pos",
+          org.apache.spark.sql.functions.row_number().over(wDoc))
+        .join(sizes, "doc_id")
+        .filter(col("__pos") <=
+          col("__sz") - expr("(200L * __sz + 999L) div 1000L") + 1)
+        .select(col("doc_id"), col("item"))
+      time("prefix noop")(noop(prefix))
+      time("writeBucketed prefix")(
+        Bucketing.writeBucketed(prefix, "t_prefix", "item", 8))
+      cached.unpersist()
+    }
+
+    if (on("q302sizes")) {
+      val docs = Tables.documents(spark, dir)
+      val t = Text.tokens(col("text"))
+      val grams =
+        when(size(t) >= 2,
+          transform(sequence(lit(0), size(t) - 2),
+            i => array_join(slice(t, i + 1, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))
+      val postings = docs.select(col("source"), explode(grams).as("word"))
+        .distinct().persist()
+      time("postings count")(println("[r19] postings=" + postings.count()))
+      time("per-source counts")(
+        postings.groupBy("source").count().orderBy(desc("count"))
+          .collect().foreach(r => println("[r19]  src " + r)))
+      postings.unpersist()
     }
 
     if (on("q302")) {

@@ -10850,21 +10850,44 @@ object SparkEntry {
         |SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
         |FROM mh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
       (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v388")
-        s.sql("""WITH RECURSIVE li AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem_v388),
-          px AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-              AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING count(*) >= 2),
-          e AS (SELECT pa AS src, pb AS dst FROM px
-            UNION SELECT pb, pa FROM px),
-          seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src < 10),
+        // r19: materialize the edge set BEFORE the recursion. UnionLoop
+        // re-executes the recursive step's whole logical subtree every
+        // iteration WITHOUT consulting the cache manager, so with `e`
+        // inlined (or merely persisted) the distinct + pair census +
+        // HAVING re-ran per hop — measured 11.3 s for the recursion alone
+        // over a 7k-row cached edge set. localCheckpoint cuts the lineage
+        // to materialized blocks, so each iteration's re-execution is a
+        // block read. The edge census itself is built with an IN-ROW pair
+        // expansion (collect_set per order, i<j pairs from the sorted
+        // array) — two exchanges instead of four, no self-join — and the
+        // two directed copies concatenate with UNION ALL, which is
+        // duplicate-free by construction (pa < pb strictly, so no mirror
+        // collision). Same edge SET as the r18 SQL form, bit-identical
+        // recursion result.
+        import org.apache.spark.sql.functions.{
+          collect_set, sort_array, flatten, transform => xform, slice,
+          struct, explode, count => cnt, lit => l}
+        val pairs = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(flatten(xform(col("ps"), (x, i) =>
+            xform(slice(col("ps"), i + l(2),
+              org.apache.spark.sql.functions.size(col("ps"))),
+              y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+          .agg(cnt(l(1)).as("n")).filter(col("n") >= 2)
+          .select(col("pa"), col("pb"))
+        val e = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+          .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+          .localCheckpoint()
+        e.createOrReplaceTempView("e_v388")
+        s.sql("""WITH RECURSIVE
+          seeds AS (SELECT DISTINCT src AS seed FROM e_v388 WHERE src < 10),
           bfs AS (
             SELECT seed, seed AS node, 0 AS hop FROM seeds
             UNION ALL
             SELECT b.seed, e.dst, b.hop + 1 FROM bfs b
-              JOIN e ON e.src = b.node
+              JOIN e_v388 e ON e.src = b.node
             WHERE b.hop < 3),
           mh AS (SELECT seed, node, min(hop) AS hop
             FROM bfs GROUP BY 1, 2)

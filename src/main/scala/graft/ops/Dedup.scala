@@ -2003,15 +2003,22 @@ object Dedup {
     val wi = items.join(weights, "item")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
-    val shared = wi.as("a")
+    // r19: the pair blow-up is never materialized. The old form persisted
+    // the full (id_a, id_b, item, w) self-join output — the largest
+    // intermediate of the query, cached only so the evidence pass could
+    // re-read it. Instead: pass 1 pipes the self-join straight into the
+    // map-side partial agg (the shuffle carries (id_a, id_b, partial sw),
+    // never the shingle strings), and the evidence pass re-joins ONLY the
+    // docs that appear in a qualifying pair (the q298 payload-light
+    // verify device) — a pair join over a semi-join-bounded posting set,
+    // joined back to `scored` so exactly the qualifying pairs rank their
+    // shared shingles. Same math, same rows.
+    val scored = wi.as("a")
       .join(wi.as("b"),
         col("a.item") === col("b.item") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.item").as("item"), col("a.w").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val scored = shared.groupBy("id_a", "id_b")
-      .agg(sum(col("w")).as("sw"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(sum(col("a.w")).as("sw"))
       .join(docw.select(col("doc_id").as("id_a"), col("tw").as("twa")),
         "id_a")
       .join(docw.select(col("doc_id").as("id_b"), col("tw").as("twb")),
@@ -2021,10 +2028,20 @@ object Dedup {
           " div nullif(twa + twb - sw, 0L) as bigint)"))
       .filter(col("wjacc_q6") >= thresholdQ6)
       .select(col("id_a"), col("id_b"), col("wjacc_q6"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = scored.select(col("id_a").as("doc_id"))
+      .union(scored.select(col("id_b").as("doc_id")))
+      .distinct()
+    val wiC = wi.join(candDocs, Seq("doc_id"), "left_semi")
     val wEv = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b")
       .orderBy(col("w").desc, col("item"))
-    val evidence = shared
+    val evidence = wiC.as("a")
+      .join(wiC.as("b"),
+        col("a.item") === col("b.item") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.item").as("item"), col("a.w").as("w"))
       .join(scored.select("id_a", "id_b"), Seq("id_a", "id_b"))
       .withColumn("__rk", row_number().over(wEv))
       .filter(col("__rk") <= topE)
