@@ -343,6 +343,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE coalesce post-shuffle partitions by BYTE TARGET instead
+      // of stopping at the core count (the Spark docs' recommended
+      // production posture): a KB-sized shuffle then runs 1 reduce task
+      // instead of 32, which removes ~30% of the surface's wall time at
+      // sf0.1 (measured r19; the tail of small queries is task-scheduling
+      // bound). Scale-adaptive by construction — the byte target is
+      // spark.sql.adaptive.advisoryPartitionSizeInBytes, so a 100 TB
+      // shuffle still gets its thousands of partitions. CPU-quadratic
+      // pair-join stages opt out via an explicit key-hashed repartition
+      // (Dedup.wideBy), which AQE never coalesces.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       // events fixtures may be TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

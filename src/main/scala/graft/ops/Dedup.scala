@@ -67,6 +67,22 @@ object Dedup {
     * scale. The shuffled payload is just the raw text — cheap next to the
     * per-doc compute it balances.
     */
+  /** Key-hashed repartition at the full configured width — pins CPU
+    * parallelism for the inverted-index self-joins. These stages are
+    * CPU-quadratic per key group on small BYTE volumes, so AQE's
+    * byte-targeted coalescing (parallelismFirst=false, the production
+    * posture the bench session now runs) would serialize exactly the
+    * work that must stay wide; a USER repartition is exempt from
+    * coalescing, and hashing by the join key lets the self-join reuse
+    * the exchange on both sides (no extra shuffle). Width follows the
+    * configured shuffle width, so a 100 TB cluster widens with its
+    * config instead of pinning a local constant.
+    */
+  private[ops] def wideBy(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(math.max(
+      df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions), keys: _*)
+
   private def balanced(documents: DataFrame): DataFrame =
     // Explicit round-robin width = max(core count, configured shuffle
     // width). Not the argless AQE REBALANCE: AQE sizes partitions by
@@ -613,6 +629,10 @@ object Dedup {
       .filter(col("__pos") <=
         col("__sz") - expr(s"(${tpm}L * __sz + 999L) div 1000L") + 1)
       .select(col("doc_id"), col("item"))
+      // item-hashed at full width before the cache: the candidate
+      // self-join below is CPU-quadratic per shingle group and must not
+      // be byte-coalesced (see wideBy)
+      .transform(df => wideBy(df, col("item")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("x")
       .join(prefix.as("y"),
@@ -1949,7 +1969,7 @@ object Dedup {
       .select(col("item"), expr(
         "cast(round(1000 * ln(cast(__n as double) / cast(__df as double)))" +
           " as long)").as("w"))
-    val wi = items.join(weights, "item")
+    val wi = wideBy(items.join(weights, "item"), col("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
     wi.as("a")
@@ -2000,7 +2020,7 @@ object Dedup {
       .select(col("item"), expr(
         "cast(round(1000 * ln(cast(__n as double) / cast(__df as double)))" +
           " as long)").as("w"))
-    val wi = items.join(weights, "item")
+    val wi = wideBy(items.join(weights, "item"), col("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
     // r19: the pair blow-up is never materialized. The old form persisted

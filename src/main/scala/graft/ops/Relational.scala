@@ -1432,6 +1432,9 @@ object Relational {
             "cast(cast(__df as decimal(38,0)) * __df * 1000 div " +
               s"(${maxPostings}L * ${maxPostings}L) as bigint)")))
       .select(col("cust"), col("part"), col("__w_pm"))
+      // part-hashed at full width (Dedup.wideBy, the overlapPairsTopK
+      // rationale): the sampled self-join stays CPU-wide under AQE
+      .transform(df => Dedup.wideBy(df, col("part")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sampled.as("x")
       .join(sampled.as("y"),
@@ -1555,7 +1558,11 @@ object Relational {
     */
   private def overlapPairsTopK(keep0: DataFrame, minOverlap: Long,
                                k: Int): DataFrame = {
-    val keep = keep0
+    // part-hashed at full width (Dedup.wideBy): the overlap self-join
+    // is CPU-quadratic per part group — byte-targeted AQE coalescing
+    // must not serialize it, and the self-join reuses this exchange on
+    // both sides
+    val keep = Dedup.wideBy(keep0, col("part"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = keep.groupBy("cust").agg(count(lit(1)).as("__sz"))
     keep.as("x")
