@@ -10400,9 +10400,16 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         def res(r: Int) =
           docs.filter(col("doc_id") % 3 === r).select("doc_id")
-        Dedup.neardupIndexBuild(docs, res(0), "q375_neardup_index")
-        Dedup.neardupIndexAppend(docs, res(1), "q375_neardup_index")
-        Dedup.jaccardAgainstIndex(docs, res(2), "q375_neardup_index")
+        // one shingle pass shared by every lifecycle phase (the
+        // corpusSets device — see Dedup.setsItemsSizes)
+        val sets = Dedup.shingleSets(docs, 3).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.neardupIndexBuild(docs, res(0), "q375_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexAppend(docs, res(1), "q375_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.jaccardAgainstIndex(docs, res(2), "q375_neardup_index",
+          corpusSets = Some(sets))
       }),
 
     // Index STALENESS rule (Dedup.neardupIndexStaleness): after the
@@ -10449,9 +10456,16 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         def res(r: Int) =
           docs.filter(col("doc_id") % 3 === r).select("doc_id")
-        Dedup.neardupIndexBuild(docs, res(0), "q376_neardup_index")
-        Dedup.neardupIndexAppend(docs, res(1), "q376_neardup_index")
-        Dedup.neardupIndexStaleness(docs, "q376_neardup_index")
+        // one shingle pass shared by every lifecycle phase (the
+        // corpusSets device — see Dedup.setsItemsSizes)
+        val sets = Dedup.shingleSets(docs, 3).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.neardupIndexBuild(docs, res(0), "q376_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexAppend(docs, res(1), "q376_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexStaleness(docs, "q376_neardup_index",
+          corpusSets = Some(sets))
       }),
 
     // Index COMPACTION (Dedup.neardupIndexCompact): k appends leave
@@ -10483,10 +10497,17 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         def res(r: Int) =
           docs.filter(col("doc_id") % 3 === r).select("doc_id")
-        Dedup.neardupIndexBuild(docs, res(0), "q377_neardup_index")
-        Dedup.neardupIndexAppend(docs, res(1), "q377_neardup_index")
+        // one shingle pass shared by every lifecycle phase (the
+        // corpusSets device — see Dedup.setsItemsSizes)
+        val sets = Dedup.shingleSets(docs, 3).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.neardupIndexBuild(docs, res(0), "q377_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexAppend(docs, res(1), "q377_neardup_index",
+          corpusSets = Some(sets))
         Dedup.neardupIndexCompact(s, "q377_neardup_index")
-        Dedup.jaccardAgainstIndex(docs, res(2), "q377_neardup_index")
+        Dedup.jaccardAgainstIndex(docs, res(2), "q377_neardup_index",
+          corpusSets = Some(sets))
       }),
 
     // Staleness-DRIVEN auto-requalify (Dedup.jaccardAgainstIndexAuto):
@@ -10529,10 +10550,18 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         def res(r: Int) =
           docs.filter(col("doc_id") % 4 === r).select("doc_id")
-        Dedup.neardupIndexBuild(docs, res(0), "q378_neardup_index")
-        Dedup.neardupIndexAppend(docs, res(1), "q378_neardup_index")
-        Dedup.neardupIndexAppend(docs, res(2), "q378_neardup_index")
-        Dedup.jaccardAgainstIndexAuto(docs, res(3), "q378_neardup_index")
+        // one shingle pass shared by every lifecycle phase (the
+        // corpusSets device — see Dedup.setsItemsSizes)
+        val sets = Dedup.shingleSets(docs, 3).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.neardupIndexBuild(docs, res(0), "q378_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexAppend(docs, res(1), "q378_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.neardupIndexAppend(docs, res(2), "q378_neardup_index",
+          corpusSets = Some(sets))
+        Dedup.jaccardAgainstIndexAuto(docs, res(3), "q378_neardup_index",
+          corpusSets = Some(sets))
       }),
 
     // TRUE-Bloom pruned semi join (Joins.bloomPrunedSemiJoin): the dim

@@ -50,6 +50,30 @@ object Tables {
           "a timestamp)")
     }
 
+  /** Per-JVM cache of each fixture file's parquet schema. Every
+    * `spark.read.parquet(path)` without an explicit schema pays a
+    * driver-side footer read + schema merge per CALL; a 393-query bench
+    * rep issues ~800 table loads, all over the same ten immutable
+    * fixture files. Passing the once-inferred StructType through
+    * `.schema(...)` skips that footer round-trip. This caches METADATA
+    * only (what a catalog would hold) — every query still computes its
+    * result from the parquet data.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  private def readCachedSchema(spark: SparkSession,
+                               path: String): DataFrame = {
+    val cached = schemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      schemaCache.putIfAbsent(path, df.schema)
+      df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // Required for the TIMESTAMP(NANOS) fixture generation (Spark 4 only
@@ -65,8 +89,8 @@ object Tables {
           "builder (events.parquet fixtures may use parquet " +
           "TIMESTAMP(NANOS), which Spark 4 only reads as int64 nanos " +
           "behind that flag)")
-      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+      normalizeEventTs(readCachedSchema(spark, s"$dir/$name.parquet"))
+    } else readCachedSchema(spark, s"$dir/$name.parquet")
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

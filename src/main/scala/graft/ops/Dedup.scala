@@ -819,10 +819,21 @@ object Dedup {
   }
 
   private def setsItemsSizes(documents: DataFrame, ids: DataFrame,
-                             n: Int): (DataFrame, DataFrame, DataFrame) = {
-    val sets = shingleSets(
+                             n: Int,
+                             corpusSets: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // corpusSets: a pre-shingled (and typically persisted) (doc_id,
+    // shingles) frame for the WHOLE corpus — the lifecycle queries call
+    // build/append/detect back to back, and without sharing, each phase
+    // re-ran the tokenize+shingle scan over its slice (~a full corpus
+    // pass per query in aggregate, r19). Slicing the shared frame by a
+    // semi-join is result-identical to shingling the slice.
+    val sets = (corpusSets match {
+      case Some(cs) =>
+        cs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => shingleSets(
         documents.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"), n)
-      .filter(size(col("shingles")) > 0)
+    }).filter(size(col("shingles")) > 0)
     val items = sets.select(col("doc_id"), explode(col("shingles")).as("item"))
     val sizes = sets.select(col("doc_id"),
       size(col("shingles")).cast("long").as("__sz"))
@@ -837,11 +848,13 @@ object Dedup {
     */
   def neardupIndexBuild(documents: DataFrame, historyIds: DataFrame,
                         indexTable: String, n: Int = 3,
-                        threshold: Double = 0.2, buckets: Int = 8): Unit = {
+                        threshold: Double = 0.2, buckets: Int = 8,
+                        corpusSets: Option[DataFrame] = None): Unit = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     require(buckets >= 1, "buckets must be >= 1")
     require(indexTable.nonEmpty, "indexTable must be explicit")
-    val (sets, items, sizes) = setsItemsSizes(documents, historyIds, n)
+    val (sets, items, sizes) =
+      setsItemsSizes(documents, historyIds, n, corpusSets)
     val cached = sets.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val dfc = items.groupBy("item").agg(count(lit(1)).as("__df"))
@@ -864,10 +877,12 @@ object Dedup {
     */
   def neardupIndexAppend(documents: DataFrame, dropIds: DataFrame,
                          indexTable: String, n: Int = 3,
-                         threshold: Double = 0.2, buckets: Int = 8): Unit = {
+                         threshold: Double = 0.2, buckets: Int = 8,
+                         corpusSets: Option[DataFrame] = None): Unit = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     val spark = documents.sparkSession
-    val (sets, items, sizes) = setsItemsSizes(documents, dropIds, n)
+    val (sets, items, sizes) =
+      setsItemsSizes(documents, dropIds, n, corpusSets)
     val cached = sets.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val frozen = spark.table(s"${indexTable}_df")
@@ -891,14 +906,16 @@ object Dedup {
     */
   def jaccardAgainstIndex(documents: DataFrame, newIds: DataFrame,
                           indexTable: String, n: Int = 3,
-                          threshold: Double = 0.2): DataFrame = {
+                          threshold: Double = 0.2,
+                          corpusSets: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "need 0 < threshold <= 1")
     val spark = documents.sparkSession
     // persist the DROP-sized shingle sets (items + sizes both derive
     // from them — the q53-regression guard); the residents this query
     // leaves cached are bounded by the drop and its matched history
     // docs, never the corpus (the r18 form cached corpus-wide postings)
-    val (newSets, newItems, newSizes) = setsItemsSizes(documents, newIds, n)
+    val (newSets, newItems, newSizes) =
+      setsItemsSizes(documents, newIds, n, corpusSets)
     newSets.persist(StorageLevel.MEMORY_AND_DISK)
     val frozen = spark.table(s"${indexTable}_df")
     val tpm = math.floor(threshold * 1000).toLong
@@ -916,7 +933,7 @@ object Dedup {
     // prefix-only index.
     val matchedHist = cand.select(col("hist_id").as("doc_id")).distinct()
     val (histSets, histItems, histSizes) =
-      setsItemsSizes(documents, matchedHist, n)
+      setsItemsSizes(documents, matchedHist, n, corpusSets)
     histSets.persist(StorageLevel.MEMORY_AND_DISK)
     val postNew = newItems.join(
       cand.select(col("new_id").as("doc_id")).distinct(),
@@ -952,10 +969,12 @@ object Dedup {
     */
   def neardupIndexStaleness(documents: DataFrame, indexTable: String,
                             n: Int = 3,
-                            driftBoundPm: Long = 200L): DataFrame = {
+                            driftBoundPm: Long = 200L,
+                            corpusSets: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = documents.sparkSession
     val histNow = spark.table(indexTable).select("doc_id").distinct()
-    val (_, items, _) = setsItemsSizes(documents, histNow, n)
+    val (_, items, _) = setsItemsSizes(documents, histNow, n, corpusSets)
     val dfNow = items.groupBy("item").agg(count(lit(1)).as("__now"))
     val frozen = spark.table(s"${indexTable}_df")
     frozen.join(dfNow, Seq("item"), "full_outer")
@@ -1037,10 +1056,12 @@ object Dedup {
                               indexTable: String, n: Int = 3,
                               threshold: Double = 0.2,
                               driftBoundPm: Long = 200L,
-                              buckets: Int = 8): DataFrame = {
+                              buckets: Int = 8,
+                              corpusSets: Option[DataFrame] = None)
+      : DataFrame = {
     val spark = documents.sparkSession
     val row = neardupIndexStaleness(documents, indexTable, n,
-      driftBoundPm).select("requalify").collect().head
+      driftBoundPm, corpusSets).select("requalify").collect().head
     val stale = !row.isNullAt(0) && row.getBoolean(0)
     if (stale) {
       // the rebuild DROPS the table these ids come from: the id frame's
@@ -1052,10 +1073,11 @@ object Dedup {
       val hist = spark.table(indexTable).select("doc_id").distinct()
         .localCheckpoint(true)
       try neardupIndexBuild(documents, hist, indexTable, n, threshold,
-        buckets)
+        buckets, corpusSets)
       finally { hist.unpersist(blocking = false); () }
     }
-    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold)
+    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold,
+        corpusSets)
       .withColumn("requalified", lit(stale))
   }
 
@@ -1076,10 +1098,17 @@ object Dedup {
                                    threshold: Double = 0.2,
                                    buckets: Int = 8): DataFrame = {
     val hist = historyIds.select(col("doc_id")).distinct()
-    neardupIndexBuild(documents, hist, indexTable, n, threshold, buckets)
+    // one shingle pass shared by build AND detect (the corpusSets
+    // device): both phases slice this cached frame instead of re-running
+    // tokenize+shingle over their subsets
+    val sets = shingleSets(documents, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    neardupIndexBuild(documents, hist, indexTable, n, threshold, buckets,
+      Some(sets))
     val newIds = documents.select("doc_id")
       .join(hist, Seq("doc_id"), "left_anti")
-    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold)
+    jaccardAgainstIndex(documents, newIds, indexTable, n, threshold,
+      Some(sets))
   }
 
   /** Directed shingle-CONTAINMENT pairs: (id_a, id_b) where at least
