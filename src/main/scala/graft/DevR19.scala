@@ -189,6 +189,29 @@ object DevR19 {
       cached.unpersist()
     }
 
+    if (on("q381fit")) {
+      graft.functions.GraftFunctions.register(spark)
+      val e = Similarity.clusteredEmbeddings(Tables.embeddings(spark, dir))
+      val hist = e
+        .join(e.filter(col("vec_id") % 3 === 0).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("n_id"),
+          Similarity.asDouble(col("embedding")).as("n_emb"))
+        .persist()
+      println("[r19] hist n=" + hist.count() +
+        " parts=" + hist.rdd.getNumPartitions)
+      val t0 = System.nanoTime()
+      val init = graft.ml.KMeansVec.initFarthest(hist, "n_id", "n_emb",
+        8, 42L)
+      println(f"[r19] initFarthest: ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      val model = graft.ml.KMeansVec.fit(hist, "n_emb", 8, 42L,
+        maxIter = 10, idCol = "n_id", farthestInit = true)
+      println(f"[r19] fit total: ${(System.nanoTime()-t1)/1e9}%.2f s " +
+        s"iters=${model.iterations}")
+      hist.unpersist()
+    }
+
     if (on("q302sizes")) {
       val docs = Tables.documents(spark, dir)
       val t = Text.tokens(col("text"))

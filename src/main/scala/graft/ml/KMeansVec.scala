@@ -64,16 +64,32 @@ object KMeansVec {
     require(first.nonEmpty, "k-means needs a non-empty vector corpus")
     var chosen = Vector(
       VecCentroid(0, first(0).getSeq[Double](1).toArray))
+    // r19: carry the running min-distance as a materialized column
+    // instead of re-deriving distances to EVERY chosen centroid each
+    // round — the old per-round plan inlined chosen.size × d literal
+    // vectors and re-analyzed a growing expression tree (~0.5 s/round of
+    // pure planning at k = 8). Each round now adds ONE centroid's
+    // distance and folds it with least(); the eager localCheckpoint pins
+    // the column so the next round's plan is a block read + one
+    // projection. min over the same IEEE doubles in any association is
+    // the same value, so the argmax (and its id tie-break) is unchanged.
+    var cur = vectors.select(col(idCol), col(vecCol))
+      .withColumn("__d", distCols(col(vecCol), chosen.takeRight(1)).head)
+      .localCheckpoint(true)
     while (chosen.size < k) {
-      // least() rejects a single argument — reduce instead
-      val minD = distCols(col(vecCol), chosen)
-        .reduce((a, b) => when(a < b, a).otherwise(b))
-      val far = vectors
-        .select(col(idCol), col(vecCol), minD.as("__d"))
+      val far = cur
         .orderBy(col("__d").desc, col(idCol))
         .limit(1).collect()(0)
       chosen = chosen :+
         VecCentroid(chosen.size, far.getSeq[Double](1).toArray)
+      if (chosen.size < k) {
+        val prev = cur
+        val dNew = distCols(col(vecCol), chosen.takeRight(1)).head
+        cur = cur.withColumn("__d",
+            when(col("__d") < dNew, col("__d")).otherwise(dNew))
+          .localCheckpoint(true)
+        prev.unpersist(blocking = false)
+      }
     }
     chosen
   }
