@@ -7001,20 +7001,9 @@ object SparkEntry {
         |mh AS (SELECT seed, node, min(hop) AS hop FROM bfs GROUP BY 1, 2)
         |SELECT seed, CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes
         |FROM mh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
-      (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val px = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst"))
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("n"))
-          .filter(col("n") >= 2)
-          .select("src", "dst")
-        Graph.kHopReach(px, maxSeedId = 10L, hops = 3)
-      }),
+      (s, d) => Graph.kHopReach(
+        Graph.coPurchasePairs(Tables.lineitem(s, d), minOrders = 2L),
+        maxSeedId = 10L, hops = 3)),
 
     // Mutual nearest neighbors (Similarity.mutualNearestNeighbors):
     // reciprocal top-1 cosine pairs — the entity-alignment /
@@ -10893,21 +10882,11 @@ object SparkEntry {
         // duplicate-free by construction (pa < pb strictly, so no mirror
         // collision). Same edge SET as the r18 SQL form, bit-identical
         // recursion result.
-        import org.apache.spark.sql.functions.{
-          collect_set, sort_array, flatten, transform => xform, slice,
-          struct, explode, count => cnt, lit => l}
-        val pairs = Tables.lineitem(s, d)
-          .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-          .select(explode(flatten(xform(col("ps"), (x, i) =>
-            xform(slice(col("ps"), i + l(2),
-              org.apache.spark.sql.functions.size(col("ps"))),
-              y => struct(x.as("pa"), y.as("pb")))))).as("p"))
-          .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-          .agg(cnt(l(1)).as("n")).filter(col("n") >= 2)
-          .select(col("pa"), col("pb"))
-        val e = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-          .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        val pairs = Graph.coPurchasePairs(Tables.lineitem(s, d),
+          minOrders = 2L)
+        val e = pairs
+          .unionAll(pairs.select(col("dst").as("src"),
+            col("src").as("dst")))
           .localCheckpoint()
         e.createOrReplaceTempView("e_v388")
         s.sql("""WITH RECURSIVE

@@ -297,20 +297,41 @@ object Relational {
     * total are census-sized broadcasts; the product chain runs in
     * decimal(38,0) (Long overflows past ~9e12 order·pair mass).
     */
-  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
-    require(minSupport >= 1, "minSupport must be >= 1")
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val total = li.select("l_orderkey").distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"))
+  /** Shared basket core for the pair-census operators: per-order
+    * DISTINCT part sets via one collect_set (the in-row equivalent of
+    * `SELECT DISTINCT l_orderkey, l_partkey`), the per-part margin from
+    * exploding those sets, and the i<j pair counts from an IN-ROW pair
+    * expansion of the sorted array — two exchanges total where the
+    * distinct + self-join formulation paid four and a join (r19;
+    * identical counts by construction). Per-order fan-out is
+    * basket²/2 rows either way. `baskets` comes back persisted (margin
+    * + pair expansion both read it); callers own the lifetime.
+    */
+  private def basketCore(lineitem: DataFrame, minSupport: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val baskets = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val margin = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("__n"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("pa"), y.as("pb")))))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minSupport)
+    (baskets, margin, pairs)
+  }
+
+  def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val (baskets, margin, pairs0) = basketCore(lineitem, minSupport)
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
+    val pairs = pairs0
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_both"))
     // the part margin scales with |parts| (billions at TPC-H SF100k):
     // plain equi-joins — AQE broadcasts them when they measure small
     pairs
@@ -1241,22 +1262,13 @@ object Relational {
   def alsoBought(lineitem: DataFrame, minSupport: Long = 2L,
                  k: Int = 5): DataFrame = {
     require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
-    // pinned: three subtrees read this frame (both pair-join sides + the
-    // margin census) — without the cache Catalyst re-runs the distinct
-    // per subtree (the q53-regression pattern; see Dedup persist notes)
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__n"))
     // pinned: the symmetrizing union reads the pair aggregate TWICE —
-    // unpinned, the basket self-join ran once per direction
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minSupport)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpinned, the basket pair expansion ran once per direction
+    val (_, margin, pairs) = {
+      val (b, m, p) = basketCore(lineitem, minSupport)
+      (b, m,
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
     val sym = pairs.select(col("pa").as("part"), col("pb").as("rec"),
         col("n_both"))
       .unionByName(pairs.select(col("pb").as("part"), col("pa").as("rec"),
@@ -1822,21 +1834,15 @@ object Relational {
   def associationRules(lineitem: DataFrame, minSupport: Long = 2L,
                        k: Int = 5): DataFrame = {
     require(minSupport >= 1 && k >= 1, "minSupport and k must be >= 1")
-    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = li.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("__n"))
-    val margin = li.groupBy("l_partkey").agg(count(lit(1)).as("__m"))
     // pinned: the directed union reads the pair aggregate twice (the
     // alsoBought note)
-    val pairs = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
-      .agg(count(lit(1)).as("n_both"))
-      .filter(col("n_both") >= minSupport)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (baskets, margin0, pairs) = {
+      val (b, m, p) = basketCore(lineitem, minSupport)
+      (b, m,
+        p.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+    val total = baskets.agg(count(lit(1)).as("__n"))
+    val margin = margin0.withColumnRenamed("__n", "__m")
     val directed = pairs.select(col("pa").as("ante"), col("pb").as("cons"),
         col("n_both"))
       .unionByName(pairs.select(col("pb").as("ante"), col("pa").as("cons"),
