@@ -212,20 +212,55 @@ object DevR19 {
       hist.unpersist()
     }
 
+    if (on("q264parts")) {
+      val orders = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      val cp = orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(li.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      time("cp noop")(noop(cp))
+      val cpC = cp.persist()
+      time("cp persist count")(println("[r19] cp=" + cpC.count()))
+      val dfc = cpC.groupBy("part").agg(count(lit(1)).as("__df"))
+      time("dfc collect-ish noop")(noop(dfc))
+      cpC.unpersist()
+      spark.catalog.clearCache()
+      time("q264 full")(
+        SparkEntry.queries("q264_customer_overlap")(spark, dir).count())
+      spark.catalog.clearCache()
+      time("q273 full")(
+        SparkEntry.queries("q273_overlap_quantile_cap")(spark, dir).count())
+      spark.catalog.clearCache()
+    }
+
     if (on("q302sizes")) {
+      graft.functions.GraftFunctions.register(spark)
       val docs = Tables.documents(spark, dir)
-      val t = Text.tokens(col("text"))
-      val grams =
-        when(size(t) >= 2,
-          transform(sequence(lit(0), size(t) - 2),
-            i => array_join(slice(t, i + 1, lit(2)), " ")))
-          .otherwise(array().cast("array<string>"))
-      val postings = docs.select(col("source"), explode(grams).as("word"))
+      val postings = docs.select(col("source"),
+          explode(graft.functions.GraftFunctions.shingles(
+            col("text"), 2)).as("word"))
         .distinct().persist()
-      time("postings count")(println("[r19] postings=" + postings.count()))
-      time("per-source counts")(
-        postings.groupBy("source").count().orderBy(desc("count"))
-          .collect().foreach(r => println("[r19]  src " + r)))
+      time("postings count (kernel)")(
+        println("[r19] postings=" + postings.count()))
+      var sel = postings.select("source").filter(lit(false))
+      var cov = postings.select("word").filter(lit(false))
+      for (step <- 1 to 5) {
+        val gains = postings
+          .join(sel, Seq("source"), "left_anti")
+          .join(cov, Seq("word"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain"))
+        val pick = gains
+          .agg(min(struct((-col("gain")).as("ng"), col("source"))).as("m"))
+          .filter(col("m").isNotNull)
+          .select(col("m.source").as("source"))
+          .persist()
+        time(s"step $step pick")(pick.count())
+        sel = sel.unionByName(pick)
+        cov = cov.unionByName(
+          postings.join(pick, Seq("source")).select("word"))
+      }
       postings.unpersist()
     }
 

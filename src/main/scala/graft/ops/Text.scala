@@ -86,16 +86,25 @@ object Text {
                         n: Int = 2): DataFrame = {
     require(steps >= 1 && steps <= 16, "need 1 <= steps <= 16")
     require(n >= 1 && n <= 8, "need 1 <= n <= 8")
-    val t = tokens(col("text"))
-    val grams =
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + 1, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
+    // r19: per-document DISTINCT n-grams through the native one-pass
+    // shingle kernel instead of tokens() + transform + array_join (the
+    // interpreted-expression chain was the dominant cost of the whole
+    // query — ~5.5 s of ~9 at sf0.1). Identical postings set: the
+    // trailing DISTINCT collapses duplicate (source, gram) rows either
+    // way; the kernel merely dedups per document first, which also
+    // shrinks the explode before the shuffle.
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val postings = documents
-      .select(col("source"), explode(grams).as("word"))
+      .select(col("source"),
+        explode(graft.functions.GraftFunctions.shingles(
+          col("text"), n)).as("word"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force the cache NOW: the final plan reads `postings` from ~3
+    // subtrees per step, and an unforced persist materializing inside
+    // one job is computed once per concurrent subtree (cache-population
+    // race) — measured 8.3 s lazy vs ~6 s forced at sf0.1
+    postings.count()
     var out: DataFrame = null
     var selected: DataFrame =
       postings.select("source").filter(lit(false))
@@ -113,6 +122,9 @@ object Text {
         .select(lit(step.toLong).as("rnk"), col("m.source").as("source"),
           (-col("m.ng")).as("gain"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 1-row force: three subtrees (out, selected, covered) read each
+      // pick — unforced, the whole step re-ran per subtree
+      pick.count()
       out = if (out == null) pick else out.unionByName(pick)
       selected = selected.unionByName(pick.select("source"))
       covered = covered.unionByName(
