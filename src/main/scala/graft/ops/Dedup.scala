@@ -607,6 +607,10 @@ object Dedup {
     val sets = shingleSets(documents, n)
       .filter(size(col("shingles")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force before fan-out: items, sizes and the verify pass all read
+    // this cache; an unforced persist materializing inside one job is
+    // computed once per concurrent subtree (cache-population race)
+    sets.count()
     val items = sets.select(col("doc_id"), explode(col("shingles")).as("item"))
     val dfc = items.groupBy("item").agg(count(lit(1)).as("__df"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -634,6 +638,9 @@ object Dedup {
       // be byte-coalesced (see wideBy)
       .transform(df => wideBy(df, col("item")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force: the candidate self-join reads prefix from TWO subtrees —
+    // unforced, the posting build ran once per side inside cand's job
+    prefix.count()
     val cand = prefix.as("x")
       .join(prefix.as("y"),
         col("x.item") === col("y.item") &&
@@ -1227,6 +1234,9 @@ object Dedup {
   private def cappedInvertedIndex(sets0: DataFrame, setCol: String,
                                   maxDf: Long): (DataFrame, DataFrame) = {
     val sets = sets0.persist(StorageLevel.MEMORY_AND_DISK)
+    // force before fan-out (cache-population race — the q298 note):
+    // postings and sizes both read this cache inside one job
+    sets.count()
     val exploded = sets.select(col("doc_id"), explode(col(setCol)).as("item"))
     if (maxDf == Long.MaxValue)
       (exploded,
@@ -1238,6 +1248,8 @@ object Dedup {
         .select("item")
       val capped = exploded.join(overCap, Seq("item"), "left_anti")
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // force: both self-join sides + the size census read this cache
+      capped.count()
       (capped, capped.groupBy("doc_id").agg(count(lit(1)).as("sz")))
     }
   }
@@ -2000,6 +2012,8 @@ object Dedup {
           " as long)").as("w"))
     val wi = wideBy(items.join(weights, "item"), col("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force: docw + both pair-join sides read this cache (q298 note)
+    wi.count()
     val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
     wi.as("a")
       .join(wi.as("b"),
@@ -2051,6 +2065,8 @@ object Dedup {
           " as long)").as("w"))
     val wi = wideBy(items.join(weights, "item"), col("item"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // force: docw + both pair-join sides read this cache (q298 note)
+    wi.count()
     val docw = wi.groupBy("doc_id").agg(sum(col("w")).as("tw"))
     // r19: the pair blow-up is never materialized. The old form persisted
     // the full (id_a, id_b, item, w) self-join output — the largest

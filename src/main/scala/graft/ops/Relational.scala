@@ -1576,6 +1576,9 @@ object Relational {
     // both sides
     val keep = Dedup.wideBy(keep0, col("part"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force: the size census + both self-join sides read this cache
+    // (the q298 cache-population-race note)
+    keep.count()
     val sz = keep.groupBy("cust").agg(count(lit(1)).as("__sz"))
     keep.as("x")
       .join(keep.as("y"),
