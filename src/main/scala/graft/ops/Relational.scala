@@ -1240,10 +1240,16 @@ object Relational {
     * downstream by |customer×assortment|, never raw lineitem rows.
     */
   private def custParts(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    orders.select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+    // key-hashed at the configured width BEFORE the distinct: the
+    // aggregate reuses the user exchange (no extra shuffle) and the
+    // CPU-bound dedup of the fact-sized frame stays wide under
+    // byte-targeted AQE coalescing (the Dedup.wideBy rationale)
+    Dedup.wideBy(
+      orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part")),
+      col("cust"), col("part"))
       .distinct()
 
   /** "Also bought" item-item table: for each part, the top-k co-purchased
